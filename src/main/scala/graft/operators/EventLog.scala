@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.exactSum
+
+/** Batch re-expression of the reference's event-log query surface.
+  *
+  * The reference (michaeldgagnon/GoEventStream) holds an append-only
+  * per-stream event log plus a latest-value-per-client state map, and
+  * answers "what changed since tick X" scans over both. Here the log is
+  * a Parquet-backed DataFrame with an explicit total order
+  * `(ts_us, event_id)` — the reference's intra-tick order is mutex
+  * arrival order (model/eventStream.go:53), which a distributed engine
+  * must replace with an explicit sequence column.
+  *
+  * Scale notes (100 TB framing):
+  *   - Delta scans are pure range predicates on the event-time column;
+  *     Catalyst pushes them into the Parquet scan (row-group pruning via
+  *     min/max stats). Storage partitioned/sorted by time buckets turns
+  *     this into partition pruning — O(delta), not O(log).
+  *   - Latest-state is a hash aggregation with map-side partial
+  *     aggregation (`max_by` over a struct), shuffling only one row per
+  *     (user, partition) — no window/sort over the full log.
+  */
+object EventLog {
+
+  /** Q1 — delta event scan (model/eventStream.go:63-71): all events with
+    * `lastKnown < t <= serverT`, in total `(t, event_id)` order. The
+    * half-open-at-left interval reproduces the reference predicate
+    * `event.T <= stream.T && event.T > lastT` (eventStream.go:66).
+    */
+  def deltaEvents(events: DataFrame, lastKnownUs: Long, serverTUs: Long): DataFrame =
+    events
+      .filter(col("ts_us") > lastKnownUs && col("ts_us") <= serverTUs)
+      .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .orderBy("ts_us", "event_id")
+
+  /** Q2 — latest-per-key LWW state (model/stateStream.go:19-21): each
+    * client's state is the payload of its newest event; newest =
+    * max(ts_us, event_id) so ties at microsecond resolution stay
+    * deterministic. One hash agg; no window over the full log.
+    */
+  def latestState(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        max_by(col("props"), struct(col("ts_us"), col("event_id"))).as("state"),
+        max(col("ts_us")).as("t"))
+      .orderBy("user_id")
+
+  /** Q7 — distinct-client count; the reference's `lastProxyId` counter
+    * (model/game.go:49) is a running count of distinct clients ever seen.
+    */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"))
+
+  /** Q10 — dense monotonic proxy-id assignment (model/game.go:44-58):
+    * first-seen order, ties broken by user_id. Dense id assignment is
+    * inherently sequential; we confine the global sort to the *distinct
+    * users* relation (tiny next to the log). At extreme user
+    * cardinality the same plan holds via range-partitioned sort +
+    * zipWithIndex; the window form is the declarative version.
+    */
+  def proxyIds(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy("user_id").agg(min(col("ts_us")).as("first_seen"))
+    firstSeen
+      .withColumn("proxy_id",
+        row_number().over(Window.orderBy(col("first_seen"), col("user_id"))).cast("long"))
+      .select("user_id", "first_seen", "proxy_id")
+      .orderBy("proxy_id")
+  }
+
+  /** Q9 — sessionization with an inactivity gap (model/game.go:92-113:
+    * clients are evicted after 10 s idle; a returning client starts a new
+    * session). Gap-and-island over per-user event sequences. `gapUs` is a
+    * parameter because the test data's natural timescale is hours, not
+    * the protocol's 10 s.
+    */
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .withColumn("is_start",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("is_start").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Q20 — batch sync replay: the reference's whole session lifecycle
+    * (model/game.go:60-74) re-expressed declaratively. Each (user,
+    * session) pair — sessions delimited by the inactivity gap, i.e. the
+    * reference's timeout-disconnect — gets a fresh dense proxy id in
+    * session-start order (reconnect after timeout ⇒ NEW proxy id,
+    * game.go:49). Output: one row per session with its id assignment,
+    * span, and event count.
+    */
+  def syncReplay(events: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sessions = events
+      .withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .withColumn("is_start",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_no", sum("is_start").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_no")
+      .agg(
+        min("ts_us").as("t_first"),
+        max("ts_us").as("t_last"),
+        count(lit(1)).as("n_events"))
+    sessions
+      .withColumn("proxy_id",
+        row_number().over(Window.orderBy(col("t_first"), col("user_id"), col("sess_no"))).cast("long"))
+      .select("user_id", "sess_no", "t_first", "t_last", "n_events", "proxy_id")
+      .orderBy("proxy_id")
+  }
+
+  /** Q11 — per-user running aggregates + inter-event gap (window
+    * functions over the log; north-star addition).
+    */
+  def windowFuncs(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .withColumn("running_sum",
+        round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select("event_id", "user_id", "ts_us", "running_sum", "gap_us", "rn")
+      .orderBy("event_id")
+  }
+
+  /** Q12 — top-k users by total value. Ordering on the *rounded* measure
+    * keeps the cutoff deterministic across engines.
+    */
+  def topK(events: DataFrame, k: Int): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(round(exactSum(col("value"), 2), 2).as("total_value"), count(lit(1)).as("n_events"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(k)
+}

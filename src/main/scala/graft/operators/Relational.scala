@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.exactSum
+import graft.sources.Tables
+
+/** Relational query surface (SURVEY.md §2C Q3-Q8, Q13-Q16): joins,
+  * aggregations, rollup, set ops, scalar/JSON/array functions — all
+  * Catalyst built-ins, declared so the optimizer keeps pushdown,
+  * pruning, and join-strategy choices.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/customer at
+  * these ratios) are explicitly `broadcast()` so the fact-side scan
+  * never shuffles for the join; aggregation keys are low-cardinality so
+  * partial (map-side) aggregation collapses most rows before shuffle.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(spark, dir, name)
+
+  /** Q3 — equi join + agg with broadcast dimension. */
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(exactSum(col("c_acctbal"), 2), 2).as("total_acctbal"))
+      .orderBy("n_name")
+  }
+
+  /** Q4 — multi-way join + agg (TPC-H Q5 shape): revenue by nation.
+    * lineitem⋈orders shuffles on the order key; everything else is
+    * broadcast. At 100 TB, lineitem/orders co-bucketed on orderkey
+    * would remove that shuffle too.
+    */
+  def multiJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(spark, dir, "lineitem")
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Q5 — anti join: customers with no orders (NOT EXISTS). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Q5b — semi join: suppliers that supply at least one shipped part. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = t(spark, dir, "supplier")
+    val lineitem = t(spark, dir, "lineitem")
+    supplier
+      .join(lineitem, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q6 — wide hash aggregation (TPC-H Q1 shape). Measures rounded so
+    * double summation-order noise can't break cross-engine hashes.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(expr("l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(exactSum(col("l_quantity"), 2), 2).as("sum_qty"),
+        round(exactSum(col("l_extendedprice"), 2), 2).as("sum_base_price"),
+        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 2).as("sum_disc_price"),
+        round(exactSum(col("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"),
+        round(exactSum(col("l_extendedprice"), 2) / count(lit(1)), 4).as("avg_price"),
+        round(exactSum(col("l_discount"), 2) / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q8 — rollup over nation × order priority. NULL subtotal markers are
+    * coalesced to 'ALL' so NULL-ordering differences between engines
+    * can't affect the hash.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val agg = orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .rollup("n_name", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(exactSum(col("o_totalprice"), 2), 2).as("total_price"))
+    agg.select(
+        coalesce(agg("n_name"), lit("ALL")).as("nation"),
+        coalesce(agg("o_orderpriority"), lit("ALL")).as("priority"),
+        agg("n_orders"), agg("total_price"))
+      .orderBy("nation", "priority")
+  }
+
+  /** Q13 — set operations, tagged and unioned into one deterministic
+    * relation: EXCEPT / INTERSECT / UNION over comparable key domains.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val eventUsers = Tables.events(spark, dir).select(col("user_id").as("id"))
+    val orderCusts = t(spark, dir, "orders").select(col("o_custkey").as("id"))
+    val custKeys = t(spark, dir, "customer").select(col("c_custkey").as("id"))
+    val ex = eventUsers.except(orderCusts).withColumn("op", lit("except"))
+    val in = eventUsers.intersect(orderCusts).withColumn("op", lit("intersect"))
+    val un = eventUsers.union(custKeys).distinct().withColumn("op", lit("union"))
+    ex.union(in).union(un).select("op", "id").orderBy("op", "id")
+  }
+
+  /** Q14 — JSON extraction over `events.props` (the reference's
+    * `State.Data` map analogue, model/state.go:10).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), round(exactSum(col("value"), 2), 2).as("sum_value"))
+      .orderBy("k")
+
+  /** Q15 — scalar function sampler: date, string, math functions in one
+    * grouped query. Day rendered as a string so both engines hash the
+    * identical value.
+    */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("prefix", substring(col("event_type"), 1, 3))
+      .groupBy("day", "prefix")
+      .agg(
+        count(lit(1)).as("n"),
+        round(exactSum(col("value"), 2), 2).as("sum_value"),
+        round(exactSum(abs(col("value")), 2) / count(lit(1)), 4).as("avg_abs"))
+      .orderBy("day", "prefix")
+
+  /** Q16 — array functions over the embeddings table: length, element
+    * access, and an elementwise fold (squared L2 norm). Arithmetic in
+    * double on both engines; rounded before hashing.
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("e"), 1), 4).as("first_elem"),
+        round(expr("aggregate(e, 0D, (acc, x) -> acc + x * x)"), 4).as("sq_norm"),
+        col("label"))
+      .orderBy("vec_id")
+}
