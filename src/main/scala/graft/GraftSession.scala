@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place that knows how to build a correctly-configured session, so
+  * Verify / Bench / tests can't drift:
+  *   - UTC session timezone (cross-engine date determinism);
+  *   - `nanosAsLong` set up-front — `events.parquet` stores
+  *     TIMESTAMP(NANOS), which the vanilla reader rejects; setting the
+  *     flag at build time (not as a read-path side effect) keeps reads
+  *     order-independent (see [[graft.sources.Tables.events]]);
+  *   - shuffle partitions sized to the local core count, not the 200
+  *     default (on a real cluster this would be ~2-3× total cores /
+  *     AQE-coalesced);
+  *   - AQE left on (default in Spark 4) so skew-join/coalesce kick in.
+  */
+object GraftSession {
+  def build(cpus: String): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -32,6 +32,19 @@ object SparkEntry {
   private val SessionGapUs = 86400000000L
   private val TopK = 10
 
+  /** DuckDB mirror of [[graft.functions.Deterministic.exactSum]]: scale
+    * each row to an integer (per-row IEEE ops are bit-identical across
+    * engines), sum integers (exact, order-free), divide back. Every
+    * oracle measure that pairs with exactSum on the Spark side MUST use
+    * this form — pairing exactSum against a raw-double `sum()` is a
+    * latent hash flake whenever a group total lands on a rounding
+    * boundary (that is exactly how round-1 q15 failed).
+    */
+  private def exactSumSql(x: String, decimals: Int): String = {
+    val scale = math.pow(10, decimals).toLong
+    s"CAST(sum(CAST(round(($x) * $scale) AS BIGINT)) AS DOUBLE) / $scale"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.multiJoinRevenue(spark, "/root/testdata/sf0.001")
@@ -74,19 +87,20 @@ object SparkEntry {
                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1 ORDER BY user_id""",
     "q03_join_agg" ->
-      """SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
-         FROM customer JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY n_name ORDER BY n_name""",
+      s"""SELECT n_name, count(*) AS n_customers,
+                 round(${exactSumSql("c_acctbal", 2)}, 2) AS total_acctbal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""",
     "q04_multijoin_revenue" ->
-      """SELECT r_name, n_name,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-                count(*) AS n_items
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+      s"""SELECT r_name, n_name,
+                 round(${exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)}, 2) AS revenue,
+                 count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
     "q05_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -96,22 +110,22 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
          ORDER BY s_suppkey""",
     "q06_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-                round(sum(l_quantity), 2) AS sum_qty,
-                round(sum(l_extendedprice), 2) AS sum_base_price,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-                round(avg(l_quantity), 4) AS avg_qty,
-                round(avg(l_extendedprice), 4) AS avg_price,
-                round(avg(l_discount), 6) AS avg_disc,
-                count(*) AS count_order
-         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+      s"""SELECT l_returnflag, l_linestatus,
+                 round(${exactSumSql("l_quantity", 2)}, 2) AS sum_qty,
+                 round(${exactSumSql("l_extendedprice", 2)}, 2) AS sum_base_price,
+                 round(${exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)}, 2) AS sum_disc_price,
+                 round(${exactSumSql("l_quantity", 2)} / count(*), 4) AS avg_qty,
+                 round(${exactSumSql("l_extendedprice", 2)} / count(*), 4) AS avg_price,
+                 round(${exactSumSql("l_discount", 2)} / count(*), 6) AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q07_distinct_users" ->
       "SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM events",
     "q08_rollup" ->
-      """SELECT coalesce(n_name, 'ALL') AS nation,
+      s"""SELECT coalesce(n_name, 'ALL') AS nation,
                 coalesce(o_orderpriority, 'ALL') AS priority,
-                count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+                count(*) AS n_orders, round(${exactSumSql("o_totalprice", 2)}, 2) AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP(n_name, o_orderpriority) ORDER BY nation, priority""",
@@ -142,7 +156,7 @@ object SparkEntry {
          FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
          ORDER BY event_id""",
     "q12_topk" ->
-      s"""SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+      s"""SELECT user_id, round(${exactSumSql("value", 2)}, 2) AS total_value, count(*) AS n_events
           FROM events GROUP BY user_id
           ORDER BY total_value DESC, user_id LIMIT $TopK""",
     "q13_set_ops" ->
@@ -156,14 +170,14 @@ object SparkEntry {
          SELECT 'union' AS op, id FROM (SELECT id FROM eu UNION SELECT id FROM ck)
          ORDER BY op, id""",
     "q14_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-                count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY k ORDER BY k NULLS FIRST""",
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+                 count(*) AS n, round(${exactSumSql("value", 2)}, 2) AS sum_value
+          FROM events GROUP BY k ORDER BY k NULLS FIRST""",
     "q15_scalar_funcs" ->
-      """SELECT strftime(ts, '%Y-%m-%d') AS day, substr(event_type, 1, 3) AS prefix,
-                count(*) AS n, round(sum(value), 2) AS sum_value,
-                round(avg(abs(value)), 4) AS avg_abs
-         FROM events GROUP BY day, prefix ORDER BY day, prefix""",
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, substr(event_type, 1, 3) AS prefix,
+                 count(*) AS n, round(${exactSumSql("value", 2)}, 2) AS sum_value,
+                 round(${exactSumSql("abs(value)", 2)} / count(*), 4) AS avg_abs
+          FROM events GROUP BY day, prefix ORDER BY day, prefix""",
     "q16_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
                 round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,

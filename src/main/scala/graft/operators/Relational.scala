@@ -101,16 +101,22 @@ object Relational {
     val orders = t(spark, dir, "orders")
     val customer = t(spark, dir, "customer")
     val nation = t(spark, dir, "nation")
-    val agg = orders
+    orders
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .rollup("n_name", "o_orderpriority")
+      // rollup(expr(...)) rather than rollup("name", ...): the String
+      // overload resolves grouping columns via df.col, which tags them
+      // with dataset ids; the Expand node then duplicates the tagged
+      // attributes and ANY later reference (even plain col) trips the
+      // ambiguous-self-join check in Spark 4.1. expr() yields untagged
+      // UnresolvedAttributes and resolves cleanly.
+      .rollup(expr("n_name"), expr("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         round(exactSum(col("o_totalprice"), 2), 2).as("total_price"))
-    agg.select(
-        coalesce(agg("n_name"), lit("ALL")).as("nation"),
-        coalesce(agg("o_orderpriority"), lit("ALL")).as("priority"),
-        agg("n_orders"), agg("total_price"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
       .orderBy("nation", "priority")
   }
 

@@ -32,7 +32,11 @@ object Tables {
     * integer event-time column is the faithful analogue.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // GraftSession.build sets this at session-build time (the correct
+    // place); this defensive idempotent set only covers sessions built
+    // elsewhere (e.g. the driver's own harness).
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path(dir, "events"))
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts_us", expr("ts_ns div 1000"))

@@ -50,8 +50,13 @@ for name in sorted(oracle):
         if got[c].dtype.kind == 'f':
             mx = 0.0
             for x, y in zip(a, b):
-                if x is None or y is None or (isinstance(x, float) and math.isnan(x)):
-                    if not ((x is None or math.isnan(x)) and (y is None or (isinstance(y, float) and math.isnan(y)))):
+                xm = x is None or (isinstance(x, float) and math.isnan(x))
+                ym = y is None or (isinstance(y, float) and math.isnan(y))
+                if xm or ym:
+                    # null/NaN on either side must be null/NaN on both —
+                    # abs(num - nan) is nan and max() would silently keep
+                    # the old value, hiding a one-sided NaN.
+                    if not (xm and ym):
                         bad.append((c, "null-mismatch")); break
                     continue
                 mx = max(mx, abs(x - y))
