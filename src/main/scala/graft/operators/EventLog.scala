@@ -60,16 +60,14 @@ object EventLog {
 
   /** Q10 — dense monotonic proxy-id assignment (model/game.go:44-58):
     * first-seen order, ties broken by user_id. Dense id assignment is
-    * inherently sequential; we confine the global sort to the *distinct
-    * users* relation (tiny next to the log). At extreme user
-    * cardinality the same plan holds via range-partitioned sort +
-    * zipWithIndex; the window form is the declarative version.
+    * inherently sequential in the reference (one counter under a mutex);
+    * here it is the distributed two-pass scheme in [[DenseId]] — range
+    * partition + in-partition sort + partition-offset stamping — which
+    * holds at any user cardinality (no single-task window).
     */
   def proxyIds(events: DataFrame): DataFrame = {
     val firstSeen = events.groupBy("user_id").agg(min(col("ts_us")).as("first_seen"))
-    firstSeen
-      .withColumn("proxy_id",
-        row_number().over(Window.orderBy(col("first_seen"), col("user_id"))).cast("long"))
+    DenseId.withDenseId(firstSeen, Seq(col("first_seen"), col("user_id")), "proxy_id")
       .select("user_id", "first_seen", "proxy_id")
       .orderBy("proxy_id")
   }
@@ -112,9 +110,8 @@ object EventLog {
         min("ts_us").as("t_first"),
         max("ts_us").as("t_last"),
         count(lit(1)).as("n_events"))
-    sessions
-      .withColumn("proxy_id",
-        row_number().over(Window.orderBy(col("t_first"), col("user_id"), col("sess_no"))).cast("long"))
+    DenseId.withDenseId(
+        sessions, Seq(col("t_first"), col("user_id"), col("sess_no")), "proxy_id")
       .select("user_id", "sess_no", "t_first", "t_last", "n_events", "proxy_id")
       .orderBy("proxy_id")
   }

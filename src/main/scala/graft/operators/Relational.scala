@@ -10,10 +10,12 @@ import graft.sources.Tables
   * Catalyst built-ins, declared so the optimizer keeps pushdown,
   * pruning, and join-strategy choices.
   *
-  * Scale notes: dimension tables (region/nation/supplier/customer at
-  * these ratios) are explicitly `broadcast()` so the fact-side scan
-  * never shuffles for the join; aggregation keys are low-cardinality so
-  * partial (map-side) aggregation collapses most rows before shuffle.
+  * Scale notes: only genuinely bounded dimensions (region: 5 rows,
+  * nation: 25 rows — fixed at every SF) carry an explicit `broadcast()`
+  * hint; SF-growing tables (customer, orders, ...) are left to AQE,
+  * which broadcasts them at small SF and shuffle-joins at scale.
+  * Aggregation keys are low-cardinality so partial (map-side)
+  * aggregation collapses most rows before shuffle.
   */
 object Relational {
 
@@ -34,9 +36,12 @@ object Relational {
   }
 
   /** Q4 — multi-way join + agg (TPC-H Q5 shape): revenue by nation.
-    * lineitem⋈orders shuffles on the order key; everything else is
-    * broadcast. At 100 TB, lineitem/orders co-bucketed on orderkey
-    * would remove that shuffle too.
+    * lineitem⋈orders and orders⋈customer shuffle on their keys —
+    * customer grows with SF (~10 GB+ at the 100 TB framing) so it is
+    * deliberately NOT broadcast-hinted; AQE picks broadcast at small SF
+    * on its own. nation/region are genuinely bounded (25/5 rows) and
+    * stay broadcast. At 100 TB, lineitem/orders co-bucketed on orderkey
+    * would remove the first shuffle too.
     */
   def multiJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
     val lineitem = t(spark, dir, "lineitem")
@@ -46,7 +51,7 @@ object Relational {
     val region = t(spark, dir, "region")
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -102,7 +107,7 @@ object Relational {
     val customer = t(spark, dir, "customer")
     val nation = t(spark, dir, "nation")
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       // rollup(expr(...)) rather than rollup("name", ...): the String
       // overload resolves grouping columns via df.col, which tags them
