@@ -31,6 +31,13 @@ object SparkEntry {
     * rescaled to the test data's natural timescale, model/game.go:12). */
   private val SessionGapUs = 86400000000L
   private val TopK = 10
+  // LLM-pipeline query parameters (Q17-Q19, Q21).
+  private val NearDupThreshold = 0.2
+  private val QueryVecId = 0L
+  private val SimTopK = 50
+  private val NumCentroids = 8
+  private val ClusterTopK = 3
+  private val EmbPairsK = 20
 
   /** DuckDB mirror of [[graft.functions.Deterministic.exactSum]]: scale
     * each row to an integer (per-row IEEE ops are bit-identical across
@@ -44,6 +51,41 @@ object SparkEntry {
     val scale = math.pow(10, decimals).toLong
     s"CAST(sum(CAST(round(($x) * $scale) AS BIGINT)) AS DOUBLE) / $scale"
   }
+
+  /** DuckDB mirror of [[graft.functions.Deterministic.roundTo]]: the
+    * portable `floor(x * 10^d + 0.5) / 10^d` rounding — engine-native
+    * round() disagrees across engines on boundary doubles.
+    */
+  private def roundSql(x: String, decimals: Int): String = {
+    val scale = math.pow(10, decimals).toLong
+    s"(floor(($x) * $scale + 0.5) / $scale)"
+  }
+
+  /** DuckDB mirror of [[graft.operators.Similarity]]'s cosine: identical
+    * index-order folds over double lists.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))
+        / (sqrt(list_sum(list_transform($a, x -> x * x)))
+           * sqrt(list_sum(list_transform($b, x -> x * x)))))"""
+
+  /** DuckDB CTE mirroring [[graft.operators.Dedup]]'s word-3-gram
+    * shingles (`sh(doc_id, sg)`) and MinHash signatures
+    * (`sig(doc_id, sg, sig)`). 1-based list indexing here ↔ 0-based
+    * array indexing on the Spark side.
+    */
+  private val shingleCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (SELECT doc_id,
+                CASE WHEN len(ws) >= 3 THEN
+                  list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+                ELSE [array_to_string(ws, ' ')] END AS sg
+              FROM w),
+       sig AS (SELECT doc_id, sg,
+                 list_transform(generate_series(0, 7),
+                   h -> list_min(list_transform(sg, s -> md5(h::VARCHAR || ':' || s)))) AS sig
+               FROM sh)"""
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -69,7 +111,24 @@ object SparkEntry {
     "q14_json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
     "q15_scalar_funcs" -> ((s, d) => Relational.scalarFuncs(s, d)),
     "q16_array_funcs" -> ((s, d) => Relational.arrayFuncs(s, d)),
+    "q17_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.table(s, d, "documents"))),
+    "q17b_minhash" -> ((s, d) => Dedup.minhashSignatures(Tables.table(s, d, "documents"))),
+    "q17c_neardup_pairs" -> ((s, d) =>
+      Dedup.nearDupPairs(Tables.table(s, d, "documents"), NearDupThreshold)),
+    "q17d_simhash" -> ((s, d) => Dedup.simhash(Tables.table(s, d, "documents"))),
+    "q18_similarity_topk" -> ((s, d) =>
+      Similarity.topKSimilar(Tables.table(s, d, "embeddings"), QueryVecId, SimTopK)),
+    "q18b_ivf_clusters" -> ((s, d) =>
+      Similarity.ivfClusterSizes(Tables.table(s, d, "embeddings"), NumCentroids)),
+    "q18c_cluster_topk" -> ((s, d) =>
+      Similarity.clusterTopK(Tables.table(s, d, "embeddings"), NumCentroids, QueryVecId, ClusterTopK)),
+    "q18d_emb_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.table(s, d, "embeddings"), EmbPairsK)),
+    "q19_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.table(s, d, "documents"))),
+    "q19b_quality" -> ((s, d) => TextAnalysis.qualityLangId(Tables.table(s, d, "documents"))),
+    "q19c_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.table(s, d, "documents"))),
     "q20_sync_replay" -> ((s, d) => EventLog.syncReplay(Tables.events(s, d), SessionGapUs)),
+    "q21_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.table(s, d, "documents"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,9 +173,9 @@ object SparkEntry {
                  round(${exactSumSql("l_quantity", 2)}, 2) AS sum_qty,
                  round(${exactSumSql("l_extendedprice", 2)}, 2) AS sum_base_price,
                  round(${exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)}, 2) AS sum_disc_price,
-                 round(${exactSumSql("l_quantity", 2)} / count(*), 4) AS avg_qty,
-                 round(${exactSumSql("l_extendedprice", 2)} / count(*), 4) AS avg_price,
-                 round(${exactSumSql("l_discount", 2)} / count(*), 6) AS avg_disc,
+                 ${roundSql(exactSumSql("l_quantity", 2) + " / count(*)", 4)} AS avg_qty,
+                 ${roundSql(exactSumSql("l_extendedprice", 2) + " / count(*)", 4)} AS avg_price,
+                 ${roundSql(exactSumSql("l_discount", 2) + " / count(*)", 6)} AS avg_disc,
                  count(*) AS count_order
           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
           GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
@@ -176,7 +235,7 @@ object SparkEntry {
     "q15_scalar_funcs" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS day, substr(event_type, 1, 3) AS prefix,
                  count(*) AS n, round(${exactSumSql("value", 2)}, 2) AS sum_value,
-                 round(${exactSumSql("abs(value)", 2)} / count(*), 4) AS avg_abs
+                 ${roundSql(exactSumSql("abs(value)", 2) + " / count(*)", 4)} AS avg_abs
           FROM events GROUP BY day, prefix ORDER BY day, prefix""",
     "q16_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
@@ -184,6 +243,121 @@ object SparkEntry {
                 round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 4) AS sq_norm,
                 label
          FROM embeddings ORDER BY vec_id""",
+    "q17_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "q17b_minhash" ->
+      s"""WITH $shingleCte
+          SELECT doc_id, array_to_string(sig, '|') AS signature
+          FROM sig ORDER BY doc_id""",
+    "q17c_neardup_pairs" ->
+      s"""WITH $shingleCte,
+          bands AS (SELECT doc_id, b, md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS bsig
+                    FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig
+                     AND a.doc_id < b.doc_id),
+          j AS (SELECT doc_a, doc_b,
+                  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+                    / len(list_distinct(list_concat(sa.sg, sb.sg))) AS jac
+                FROM cand
+                JOIN sh sa ON sa.doc_id = doc_a
+                JOIN sh sb ON sb.doc_id = doc_b)
+          SELECT doc_a, doc_b, ${roundSql("jac", 4)} AS jaccard
+          FROM j WHERE jac >= $NearDupThreshold ORDER BY doc_a, doc_b""",
+    "q17d_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 12) AS BIGINT) AS hw FROM w),
+         v AS (SELECT doc_id, b,
+                 sum(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+               FROM h, UNNEST(generate_series(0, 47)) AS t(b) GROUP BY doc_id, b)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         FROM v GROUP BY doc_id ORDER BY doc_id""",
+    "q18_similarity_topk" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings
+                     WHERE vec_id = $QueryVecId),
+          e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+                WHERE vec_id != $QueryVecId)
+          SELECT vec_id, label, ${roundSql(cosSql("emb", "qemb"), 4)} AS score
+          FROM e, q ORDER BY score DESC, vec_id LIMIT $SimTopK""",
+    "q18b_ivf_clusters" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $NumCentroids),
+          s AS (SELECT e.vec_id, c.cid, ${cosSql("emb", "cemb")} AS sim FROM e, c),
+          r AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ${roundSql("sim", 6)} DESC, cid) AS rn
+                FROM s)
+          SELECT cid, count(*) AS n_vectors FROM r WHERE rn = 1
+          GROUP BY cid ORDER BY cid""",
+    "q18c_cluster_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $NumCentroids),
+          s AS (SELECT e.vec_id, c.cid, ${cosSql("emb", "cemb")} AS sim FROM e, c),
+          r AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ${roundSql("sim", 6)} DESC, cid) AS rn
+                FROM s),
+          a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+          q AS (SELECT emb AS qemb FROM e WHERE vec_id = $QueryVecId),
+          sc AS (SELECT a.cid, a.vec_id, ${roundSql(cosSql("emb", "qemb"), 4)} AS score
+                 FROM a JOIN e ON e.vec_id = a.vec_id, q),
+          t AS (SELECT cid, vec_id, score,
+                  CAST(row_number() OVER (PARTITION BY cid
+                    ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+                FROM sc)
+          SELECT cid, rnk, vec_id, score FROM t WHERE rnk <= $ClusterTopK
+          ORDER BY cid, rnk""",
+    "q18d_emb_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+          SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ${roundSql(cosSql("a.emb", "b.emb"), 4)} AS score
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          ORDER BY score DESC, vec_a, vec_b LIMIT $EmbPairsK""",
+    "q19_text_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                 ${roundSql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 4)} AS avg_chars,
+                 ${roundSql("CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)", 4)} AS avg_tokens
+          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q19b_quality" ->
+      s"""WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
+         m AS (SELECT doc_id, lang,
+                 CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens_re,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+                 len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+                 list_sum(list_transform(ws, w -> len(w))) AS sum_wlen
+               FROM d),
+         r AS (SELECT doc_id, lang, n_tokens, n_tokens_re, n_types,
+                 ${roundSql("CAST(n_types AS DOUBLE) / n_tokens", 4)} AS ttr,
+                 ${roundSql("CAST(n_stop AS DOUBLE) / n_tokens", 4)} AS stop_ratio,
+                 ${roundSql("CAST(sum_wlen AS DOUBLE) / n_tokens", 4)} AS mean_wlen
+               FROM m)
+         SELECT doc_id, n_tokens, n_tokens_re, n_types, ttr, stop_ratio, mean_wlen,
+                ${roundSql("0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) + 0.4 * ttr + 0.3 * stop_ratio", 4)} AS quality,
+                CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+                (CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'other' END = lang) AS lang_match
+         FROM r ORDER BY doc_id""",
+    "q19c_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+         SELECT doc_id, md5(text) AS content_md5,
+                CAST(list_sum(list_transform(generate_series(1, len(ws)), i ->
+                  CAST('0x' || substr(md5((i - 1)::VARCHAR || ':' || ws[i]), 1, 12) AS BIGINT)))
+                  AS BIGINT) AS rolling_hash
+         FROM d ORDER BY doc_id""",
+    "q21_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+                sha256(text) AS sha256,
+                CAST(64 + h48 % 960 AS INTEGER) AS width,
+                CAST(64 + (h48 >> 10) % 540 AS INTEGER) AS height,
+                CAST(1 + h48 % 30 AS INTEGER) AS n_frames
+         FROM (SELECT doc_id, text,
+                 CAST('0x' || substr(sha256(text), 1, 12) AS BIGINT) AS h48
+               FROM documents) ORDER BY doc_id""",
     "q20_sync_replay" ->
       s"""WITH m AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -28,4 +28,22 @@ object Deterministic {
   /** Exact-numerator average (denominator = row count of the group). */
   def exactAvg(c: Column, decimals: Int): Column =
     exactSum(c, decimals) / count(lit(1))
+
+  /** Cross-engine-stable rounding: `floor(x * 10^d + 0.5) / 10^d`.
+    *
+    * Engine-native `round()` is NOT portable on boundary values: Spark
+    * routes doubles through BigDecimal (shortest-decimal repr) with
+    * HALF_UP, DuckDB rounds the raw binary double — on an exact
+    * `…5` boundary they can disagree by one ulp of the target scale.
+    * This formula is pure IEEE arithmetic (multiply, add, floor,
+    * divide), bit-identical in any engine. Use it for every rounded
+    * value that is NOT already on a fixed decimal grid — ratios,
+    * averages, cosines — i.e. wherever `round()` could see a boundary.
+    * (Values from [[exactSum]] are already grid-aligned; native round
+    * is safe there.)
+    */
+  def roundTo(c: Column, decimals: Int): Column = {
+    val s = math.pow(10, decimals)
+    floor(c * s + lit(0.5)) / s
+  }
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.roundTo
+import graft.functions.PortableHash.hash48
+
+/** Document deduplication operators (north-star LLM-pipeline surface;
+  * SURVEY.md §2C Q17). All designs are the bucketed, not all-pairs,
+  * formulations the 100 TB framing demands:
+  *
+  *   - exact dedup groups on a fixed-width content hash, so the shuffle
+  *     key is 32 bytes regardless of document size and the shuffle
+  *     carries (hash, doc_id), never the text;
+  *   - MinHash+LSH generates candidate pairs by equi-joining on band
+  *     signatures (each doc appears in B buckets) — candidates are
+  *     O(colliding pairs), not O(n²); exact Jaccard runs only on
+  *     candidates;
+  *   - SimHash reduces each document to one 48-bit integer that can be
+  *     grouped/joined/Hamming-compared at any scale.
+  *
+  * Every hash is the portable MD5 formulation from
+  * [[graft.functions.PortableHash]], so DuckDB oracles reproduce results
+  * bit-for-bit. All expressions are Catalyst built-ins (array lambdas),
+  * i.e. fully codegen'd, no UDFs.
+  */
+object Dedup {
+
+  /** Q17 — exact dedup: one row per distinct content, keyed by
+    * sha256(text). `keep_id` = the canonical survivor (min doc_id);
+    * `n_copies` = how many duplicates share the content.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
+      .orderBy("content_hash")
+
+  /** Number of MinHash hash functions (signature length). */
+  val NumHashes = 8
+  /** LSH bands (NumHashes / Bands = 2 rows per band). */
+  val NumBands = 4
+
+  /** Word 3-gram shingles, distinct, with a whole-text fallback for
+    * documents shorter than one shingle.
+    */
+  private val shinglesSql =
+    """CASE WHEN size(words) >= 3 THEN
+         array_distinct(transform(sequence(0, size(words) - 3),
+           i -> concat(words[i], ' ', words[i + 1], ' ', words[i + 2])))
+       ELSE array(concat_ws(' ', words)) END"""
+
+  /** MinHash signature: sig[h] = min over shingles of md5(h || ':' || s).
+    * Lexicographic min over hex strings — portable, no permutation
+    * tables to ship. Computed per-row (array fold), no shuffle.
+    */
+  private val signatureSql =
+    s"""transform(sequence(0, ${NumHashes - 1}),
+        h -> array_min(transform(shingles, s -> md5(concat(CAST(h AS STRING), ':', s)))))"""
+
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesSql))
+
+  /** Q17b — per-document MinHash signature (joined with '|' into one
+    * string column so the oracle compare is a plain string equality).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    withShingles(docs)
+      .withColumn("sig", expr(signatureSql))
+      .select(col("doc_id"), array_join(col("sig"), "|").as("signature"))
+      .orderBy("doc_id")
+
+  /** Q17c — near-duplicate pairs via LSH banding + exact Jaccard.
+    *
+    * 1. band signature b = md5(sig[2b] || '|' || sig[2b+1]) — docs
+    *    agreeing on both minhashes of any band collide;
+    * 2. self-equi-join on (band, band_sig) → candidate pairs (the only
+    *    shuffle that scales with n; key is a 32-char digest, so skew
+    *    only appears if many docs are truly near-identical);
+    * 3. exact shingle Jaccard on candidates only; keep pairs ≥ threshold.
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = withShingles(docs)
+      .withColumn("sig", expr(signatureSql))
+      .select("doc_id", "shingles", "sig")
+
+    val bands = sh.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${NumBands - 1}),
+            b -> md5(concat(sig[2 * b], '|', sig[2 * b + 1])))""")))
+      .toDF("doc_id", "band", "band_sig")
+
+    val cand = bands.as("a")
+      .join(bands.as("b"), Seq("band", "band_sig"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jac",
+        expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"))
+      .where(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), roundTo(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Q17d — 48-bit SimHash per document: per-bit majority vote over the
+    * 48-bit hashes of every token (duplicates weighted by occurrence).
+    * One integer per doc; near-dup detection at scale = grouping on
+    * rotated/high-bit prefixes + Hamming distance, all on 8-byte keys.
+    * Computed per-row as an array fold — no shuffle, codegen'd.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("votes", expr(
+        s"""aggregate(words, array_repeat(CAST(0 AS BIGINT), 48),
+              (acc, w) -> zip_with(acc,
+                transform(sequence(0, 47),
+                  b -> shiftright(${hash48("w")}, b) & CAST(1 AS BIGINT)),
+                (a, bit) -> a + 2 * bit - 1))"""))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 47), CAST(0 AS BIGINT),
+             (acc, b) -> acc + CASE WHEN votes[b] > 0
+               THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Deterministic.exactSum
+import graft.functions.Deterministic.{exactSum, roundTo}
 import graft.sources.Tables
 
 /** Relational query surface (SURVEY.md §2C Q3-Q8, Q13-Q16): joins,
@@ -92,9 +92,9 @@ object Relational {
         round(exactSum(col("l_quantity"), 2), 2).as("sum_qty"),
         round(exactSum(col("l_extendedprice"), 2), 2).as("sum_base_price"),
         round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 2).as("sum_disc_price"),
-        round(exactSum(col("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"),
-        round(exactSum(col("l_extendedprice"), 2) / count(lit(1)), 4).as("avg_price"),
-        round(exactSum(col("l_discount"), 2) / count(lit(1)), 6).as("avg_disc"),
+        roundTo(exactSum(col("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"),
+        roundTo(exactSum(col("l_extendedprice"), 2) / count(lit(1)), 4).as("avg_price"),
+        roundTo(exactSum(col("l_discount"), 2) / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -160,7 +160,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         round(exactSum(col("value"), 2), 2).as("sum_value"),
-        round(exactSum(abs(col("value")), 2) / count(lit(1)), 4).as("avg_abs"))
+        roundTo(exactSum(abs(col("value")), 2) / count(lit(1)), 4).as("avg_abs"))
       .orderBy("day", "prefix")
 
   /** Q16 — array functions over the embeddings table: length, element

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.roundTo
+
+/** Embedding similarity search (north-star LLM-pipeline surface;
+  * SURVEY.md §2C Q18).
+  *
+  * Scale design:
+  *   - brute-force top-k is the exactness baseline: one broadcast of the
+  *     query vector, a codegen'd per-row fold for the dot product, and
+  *     Spark's TakeOrderedAndProject for the limit — per-partition top-k
+  *     then a k-sized merge, never a full sort;
+  *   - the IVF variant is the scale path: a bounded centroid set is
+  *     broadcast, every vector is assigned to its nearest centroid
+  *     (partitioned window over #centroids rows per vector), and search
+  *     probes only the relevant cluster — turning 100 TB of vectors into
+  *     per-cluster partitions that prune like any other partition key;
+  *   - pairwise similarity uses a blocking key (here `label`; in a real
+  *     corpus an LSH bucket) so the join is per-block, never all-pairs.
+  *
+  * All folds run in index order in both engines, and every emitted score
+  * is rounded, so DuckDB oracles hash-match.
+  */
+object Similarity {
+
+  /** Spark SQL cosine between two array<double> columns (index-order
+    * folds — deterministic, identical to the DuckDB mirror).
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)"
+    def norm(x: String) =
+      s"sqrt(aggregate($x, 0D, (acc, v) -> acc + v * v))"
+    s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
+  }
+
+  private def withEmb(emb: DataFrame): DataFrame =
+    emb.withColumn("emb", col("embedding").cast("array<double>"))
+
+  /** Q18 — brute-force cosine top-k against one query vector (the vector
+    * with id `queryVecId`, excluded from the results).
+    */
+  def topKSimilar(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val e = withEmb(emb)
+    val q = e.filter(col("vec_id") === queryVecId).select(col("emb").as("qemb"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", roundTo(expr(cosSql("emb", "qemb")), 4))
+      .select("vec_id", "label", "score")
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Nearest-centroid assignment: centroids = vectors with
+    * vec_id < nCentroids (a deterministic stand-in for k-means output).
+    * Ties broken by centroid id on the 6-decimal-rounded similarity.
+    */
+  private def assignments(emb: DataFrame, nCentroids: Int): DataFrame = {
+    val e = withEmb(emb)
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(roundTo(col("sim"), 6).desc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("sim", expr(cosSql("emb", "cemb")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+  }
+
+  /** Q18b — IVF cluster occupancy: how many vectors land in each
+    * centroid's inverted list.
+    */
+  def ivfClusterSizes(emb: DataFrame, nCentroids: Int): DataFrame =
+    assignments(emb, nCentroids)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cid")
+
+  /** Q18c — per-cluster top-k by similarity to the query vector: the
+    * probe step of IVF search, expressed as a *partitioned* window
+    * (scale-safe — no global sort; each cluster ranks independently).
+    */
+  def clusterTopK(emb: DataFrame, nCentroids: Int, queryVecId: Long, k: Int): DataFrame = {
+    val q = withEmb(emb).filter(col("vec_id") === queryVecId)
+      .select(col("emb").as("qemb"))
+    val scored = assignments(emb, nCentroids)
+      .select("cid", "vec_id", "emb")
+      .crossJoin(broadcast(q))
+      .withColumn("score", roundTo(expr(cosSql("emb", "qemb")), 4))
+    val w = Window.partitionBy("cid").orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("cid", "rnk", "vec_id", "score")
+      .orderBy("cid", "rnk")
+  }
+
+  /** Q18d — most-similar intra-block pairs (embedding near-dup): cosine
+    * over pairs sharing a blocking key (`label`), top `k` pairs overall.
+    * The blocking join keeps the pair space per-block; the final top-k is
+    * again TakeOrdered.
+    */
+  def nearDupPairs(emb: DataFrame, k: Int): DataFrame = {
+    val e = withEmb(emb).select(col("vec_id"), col("label"), col("emb"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("emb").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("emb").as("emb_b"))
+    a.join(b, "label")
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("score", roundTo(expr(cosSql("emb_a", "emb_b")), 4))
+      .select("label", "vec_a", "vec_b", "score")
+      .orderBy(col("score").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
+  }
+}

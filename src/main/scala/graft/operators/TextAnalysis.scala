@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.roundTo
+import graft.functions.PortableHash.hash48
+
+/** Text analysis operators (north-star LLM-pipeline surface;
+  * SURVEY.md §2C Q19): corpus statistics, per-document quality scoring
+  * with a stopword-based language-ID heuristic, and document
+  * fingerprinting.
+  *
+  * Everything is per-row array math (codegen'd lambdas) feeding at most
+  * one low-cardinality hash aggregation — embarrassingly parallel, no
+  * driver-side state, linear at any corpus size.
+  */
+object TextAnalysis {
+
+  /** Stopword list for the language-ID heuristic and quality score. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private val stopwordsSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Q19 — corpus statistics per (lang, source): documents, characters,
+    * whitespace tokens; averages as exact integer ratios.
+    */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tokens").as("total_tokens"),
+        roundTo(sum("n_chars").cast("double") / count(lit(1)), 4).as("avg_chars"),
+        roundTo(sum("n_tokens").cast("double") / count(lit(1)), 4).as("avg_tokens"))
+      .orderBy("lang", "source")
+
+  /** Q19b — per-document quality + language ID:
+    *   - token counts (whitespace split and an alnum-regex tokenizer);
+    *   - type/token ratio (lexical diversity);
+    *   - stopword ratio → lang_pred ('en' iff ≥ 0.05 — the n-gram-ish
+    *     evidence heuristic over function words);
+    *   - mean word length;
+    *   - quality = 0.3·min(1, n_tokens/100) + 0.4·ttr + 0.3·stop_ratio,
+    *     computed from the already-rounded components so the composite
+    *     is cross-engine stable.
+    */
+  def qualityLangId(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("n_tokens_re",
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long"))
+      .withColumn("n_types", size(array_distinct(col("words"))).cast("long"))
+      .withColumn("ttr", roundTo(col("n_types").cast("double") / col("n_tokens"), 4))
+      .withColumn("stop_ratio", roundTo(
+        expr(s"size(filter(words, w -> w IN ($stopwordsSqlList)))").cast("double")
+          / col("n_tokens"), 4))
+      .withColumn("mean_wlen", roundTo(
+        expr("aggregate(words, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))").cast("double")
+          / col("n_tokens"), 4))
+      .withColumn("quality", roundTo(
+        lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0)
+          + lit(0.4) * col("ttr") + lit(0.3) * col("stop_ratio"), 4))
+      .withColumn("lang_pred",
+        when(col("stop_ratio") >= 0.05, lit("en")).otherwise(lit("other")))
+      .withColumn("lang_match", (col("lang_pred") === col("lang")).cast("boolean"))
+      .select("doc_id", "n_tokens", "n_tokens_re", "n_types", "ttr",
+        "stop_ratio", "mean_wlen", "quality", "lang_pred", "lang_match")
+      .orderBy("doc_id")
+
+  /** Q19c — document fingerprints:
+    *   - content_md5: exact-content digest;
+    *   - rolling_hash: position-sensitive 48-bit-per-term sum — the
+    *     commutative-sum formulation of a rolling hash (position is
+    *     mixed into each term's hash, so the total needs no ordered
+    *     fold and distributes over any partitioning).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("rolling_hash", expr(
+        s"""aggregate(
+              zip_with(words, sequence(0, size(words) - 1),
+                (w, i) -> ${hash48("concat(CAST(i AS STRING), ':', w)")}),
+              CAST(0 AS BIGINT), (acc, h) -> acc + h)"""))
+      .select(col("doc_id"), md5(col("text")).as("content_md5"), col("rolling_hash"))
+      .orderBy("doc_id")
+}
