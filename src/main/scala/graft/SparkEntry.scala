@@ -30,6 +30,9 @@ object SparkEntry {
   /** Session inactivity gap: 1 day in us (the reference's 10 s timeout
     * rescaled to the test data's natural timescale, model/game.go:12). */
   private val SessionGapUs = 86400000000L
+  /** Q20 logical-clock tick: 1 h in us (the reference's 50 ms tick,
+    * model/game.go:15, rescaled to the corpus timescale). */
+  private val SyncTickUs = 3600000000L
   private val TopK = 10
   // LLM-pipeline query parameters (Q17-Q19, Q21).
   private val NearDupThreshold = 0.2
@@ -127,13 +130,128 @@ object SparkEntry {
     "q19_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.table(s, d, "documents"))),
     "q19b_quality" -> ((s, d) => TextAnalysis.qualityLangId(Tables.table(s, d, "documents"))),
     "q19c_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.table(s, d, "documents"))),
-    "q20_sync_replay" -> ((s, d) => EventLog.syncReplay(Tables.events(s, d), SessionGapUs)),
+    "q09b_session_ids" -> ((s, d) => EventLog.syncReplay(Tables.events(s, d), SessionGapUs)),
+    "q20_sync_replay" -> ((s, d) =>
+      SyncReplay.replay(Tables.events(s, d), graft.streaming.SyncConfig(SyncTickUs, SessionGapUs))),
     "q21_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.table(s, d, "documents"))),
   )
+
+  /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
+    * closed-form SQL. The key identity: `lastTick` always stays on the
+    * tick grid (lastTick = start + tick·T), so T after the tick at any
+    * sync is simply `(now - start) div tick` — exact for this corpus
+    * because no event time lands on an exact tick multiple relative to
+    * its stream start (the strict `>` in game.go:83 would skip that
+    * tick). Everything else (stamping = prev sync's T + 1, sessions,
+    * dense proxy ids, evictions = first stream sync past the deadline,
+    * LWW state visibility) follows from window functions over the
+    * schedule. Delta payloads are compared as order-sensitive hash sums:
+    * each term mixes the event's global append rank, so equal sums ⟹
+    * identical ordered sequences.
+    */
+  private def q20OracleSql: String = {
+    def h48(x: String) = s"CAST('0x' || substr(md5($x), 1, 12) AS BIGINT)"
+    val deH = h48("CAST(l.rnk AS VARCHAR) || ':' || CAST(l.et AS VARCHAR) || ':' || l.etype || ':' || l.eorigin || ':' || l.ebody")
+    val dsH = h48("CAST(proxy_id AS VARCHAR) || ':' || CAST(t_state AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")
+    s"""WITH sched AS (
+          SELECT user_id % ${SyncReplay.NumStreams} AS sid, user_id, event_id,
+                 epoch_us(ts) AS now, event_type
+          FROM events),
+        s AS (
+          SELECT *, row_number() OVER (PARTITION BY sid ORDER BY now, event_id) AS sseq,
+                 min(now) OVER (PARTITION BY sid) AS start
+          FROM sched),
+        tk AS (
+          SELECT *, (now - start) // $SyncTickUs AS T,
+                 lag(now) OVER (PARTITION BY sid, user_id ORDER BY sseq) AS prev_user_now,
+                 coalesce(lag((now - start) // $SyncTickUs)
+                   OVER (PARTITION BY sid, user_id ORDER BY sseq), 0) AS lastKnown,
+                 coalesce(lag((now - start) // $SyncTickUs)
+                   OVER (PARTITION BY sid ORDER BY sseq), 0) AS prevT
+          FROM s),
+        sess AS (
+          SELECT *, CASE WHEN prev_user_now IS NULL
+                           OR now - prev_user_now > $SessionGapUs
+                         THEN 1 ELSE 0 END AS is_start
+          FROM tk),
+        px AS (
+          SELECT sid, user_id, sseq AS start_sseq,
+                 row_number() OVER (PARTITION BY sid ORDER BY sseq) AS proxy_id
+          FROM sess WHERE is_start = 1),
+        sync2 AS (
+          SELECT t.*, p.proxy_id
+          FROM sess t JOIN px p ON p.sid = t.sid AND p.user_id = t.user_id
+            AND p.start_sseq <= t.sseq
+          QUALIFY row_number() OVER (PARTITION BY t.sid, t.sseq
+            ORDER BY p.start_sseq DESC) = 1),
+        sessend AS (
+          SELECT sid, user_id, proxy_id, max(now) AS last_touch
+          FROM sync2 GROUP BY sid, user_id, proxy_id),
+        ev AS (
+          SELECT se.sid, se.proxy_id, min(s2.sseq) AS evict_sseq
+          FROM sessend se JOIN s s2 ON s2.sid = se.sid
+            AND s2.now > se.last_touch + $SessionGapUs
+          GROUP BY se.sid, se.proxy_id),
+        log AS (
+          SELECT sid, 0 AS sseq, 0 AS phase, 0 AS intra, 1 AS et,
+                 '_a' AS etype, '_' AS eorigin, '${SyncReplay.Seed}' AS ebody
+          FROM (SELECT DISTINCT sid FROM s)
+          UNION ALL
+          SELECT e.sid, e.evict_sseq, 1,
+                 CAST(row_number() OVER (PARTITION BY e.sid, e.evict_sseq
+                   ORDER BY e.proxy_id) AS INTEGER),
+                 t.prevT + 1, '_d', '_', CAST(e.proxy_id AS VARCHAR)
+          FROM ev e JOIN tk t ON t.sid = e.sid AND t.sseq = e.evict_sseq
+          UNION ALL
+          SELECT p.sid, p.start_sseq, 2, 0, t.prevT + 1, '_c', '_',
+                 CAST(p.proxy_id AS VARCHAR)
+          FROM px p JOIN tk t ON t.sid = p.sid AND t.sseq = p.start_sseq
+          UNION ALL
+          SELECT sid, sseq, 3, 0, prevT + 1, event_type,
+                 CAST(proxy_id AS VARCHAR), CAST(event_id AS VARCHAR)
+          FROM sync2),
+        rlog AS (
+          SELECT *, row_number() OVER (PARTITION BY sid ORDER BY sseq, phase, intra) - 1 AS rnk
+          FROM log),
+        de AS (
+          SELECT y.sid, y.sseq AS osseq, count(*) AS n,
+                 CAST(sum($deH) AS BIGINT) AS h
+          FROM sync2 y JOIN rlog l ON l.sid = y.sid AND l.sseq <= y.sseq
+          WHERE l.et > y.lastKnown AND l.et <= y.T
+          GROUP BY y.sid, y.sseq),
+        pairs AS (
+          SELECT y.sid, y.sseq, y.lastKnown, p.proxy_id
+          FROM sync2 y JOIN px p ON p.sid = y.sid AND p.start_sseq <= y.sseq
+          LEFT JOIN ev e ON e.sid = y.sid AND e.proxy_id = p.proxy_id
+          WHERE e.evict_sseq IS NULL OR e.evict_sseq > y.sseq),
+        ds0 AS (
+          SELECT pr.sid, pr.sseq, pr.lastKnown, pr.proxy_id,
+                 q2.T + 1 AS t_state, q2.event_id
+          FROM pairs pr JOIN sync2 q2 ON q2.sid = pr.sid
+            AND q2.proxy_id = pr.proxy_id AND q2.sseq <= pr.sseq
+          QUALIFY row_number() OVER (PARTITION BY pr.sid, pr.sseq, pr.proxy_id
+            ORDER BY q2.sseq DESC) = 1),
+        ds AS (
+          SELECT sid, sseq AS osseq, count(*) AS n,
+                 CAST(sum($dsH) AS BIGINT) AS h
+          FROM ds0 WHERE t_state > lastKnown
+          GROUP BY sid, sseq)
+        SELECT y.sid AS stream_id, y.sseq AS sync_seq, y.user_id, y.T AS t,
+               CAST(y.proxy_id AS BIGINT) AS proxy_id,
+               coalesce(de.n, 0) AS n_delta_events,
+               coalesce(de.h, 0) AS delta_events_hash,
+               coalesce(ds.n, 0) AS n_delta_states,
+               coalesce(ds.h, 0) AS delta_states_hash
+        FROM sync2 y
+        LEFT JOIN de ON de.sid = y.sid AND de.osseq = y.sseq
+        LEFT JOIN ds ON ds.sid = y.sid AND ds.osseq = y.sseq
+        ORDER BY stream_id, sync_seq"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q20_sync_replay" -> q20OracleSql,
     "q01_delta_scan" ->
       s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
           FROM events
@@ -358,7 +476,7 @@ object SparkEntry {
          FROM (SELECT doc_id, text,
                  CAST('0x' || substr(sha256(text), 1, 12) AS BIGINT) AS h48
                FROM documents) ORDER BY doc_id""",
-    "q20_sync_replay" ->
+    "q09b_session_ids" ->
       s"""WITH m AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                    lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, DenseId, EventLog, Multimodal}
+import graft.sources.Tables
+
+/** Batch operator spot-checks that the DuckDB oracle gate can't express:
+  * the distributed dense-id scheme against the single-task window
+  * definition, and the typed multimodal decode path against its
+  * declarative twin.
+  */
+class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("DenseId two-pass scheme equals the row_number() definition") {
+    val df = Tables.events(spark, sf)
+      .groupBy("user_id").agg(min("ts_us").as("first_seen"))
+    val fast = DenseId.withDenseId(df, Seq(col("first_seen"), col("user_id")), "id")
+      .select("user_id", "id")
+    val slow = df.withColumn("id",
+        row_number().over(Window.orderBy("first_seen", "user_id")).cast("long"))
+      .select("user_id", "id")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("typed per-partition multimodal decode equals the declarative metadata query") {
+    val docs = Tables.table(spark, sf, "documents")
+    val typed = Multimodal.decode(Multimodal.blobsFromDocuments(docs), batchSize = 7).toDF()
+    val decl = Multimodal.mediaMeta(docs).select(typed.columns.map(col): _*)
+    assert(typed.count() == 500L)
+    assert(typed.exceptAll(decl).isEmpty && decl.exceptAll(typed).isEmpty)
+  }
+
+  test("exact dedup groups carry the whole corpus exactly once") {
+    val docs = Tables.table(spark, sf, "documents")
+    val d = Dedup.exactDedup(docs)
+    assert(d.agg(sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("delta scan composes: (a,b] ∪ (b,c] == (a,c]") {
+    val ev = Tables.events(spark, sf)
+    val a = 1704844800000000L; val b = 1705276800000000L; val c = 1705708800000000L
+    val left = EventLog.deltaEvents(ev, a, b).unionAll(EventLog.deltaEvents(ev, b, c))
+    val whole = EventLog.deltaEvents(ev, a, c)
+    assert(left.exceptAll(whole).isEmpty && whole.exceptAll(left).isEmpty)
+  }
+}

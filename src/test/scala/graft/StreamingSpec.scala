@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{SyncReplay, SyncRequest}
+import graft.streaming.{SyncConfig, SyncEngine}
+
+/** Structured Streaming suite (SURVEY.md §2C S1-S3): the streaming
+  * engine must be *the same computation* as batch — README.md:9's
+  * determinism invariant ("a stream of messages that yield the same
+  * simulation result when processed"), asserted literally in S3.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("S1: streaming tumbling-window counts equal the batch aggregation") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (i.toLong * 600L * 1000000L, s"t${i % 3}"))
+    val src = MemoryStream[(Long, String)]
+    src.addData(rows.take(250): _*)
+    src.addData(rows.drop(250): _*)
+
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", timestamp_micros(col("_1")))
+      .groupBy(window(col("ts"), "1 hour"), col("_2").as("event_type"))
+      .count()
+
+    val q = shape(src.toDF()).writeStream
+      .format("memory").queryName("s1").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("s1")
+      .select(col("window.start").cast("long").as("w"), col("event_type"), col("count"))
+      .orderBy("w", "event_type").collect().toSeq
+    val want = shape(rows.toDF())
+      .select(col("window.start").cast("long").as("w"), col("event_type"), col("count"))
+      .orderBy("w", "event_type").collect().toSeq
+    assert(got == want)
+  }
+
+  test("S2: session timeout emits _d and a returning client gets a fresh proxy id") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // Hand-traced scenario (tick 50, timeout 10_000, one stream):
+    //   r1 c7@1000   -> T=0,  proxy 1, withheld delta, own state visible
+    //   r2 c8@1060   -> T=1,  proxy 2, full log (5 events), 2 states
+    //   r3 c7@12000  -> both clients timed out: _d 1, _d 2, then c7
+    //                   re-admitted as proxy 3; delta = all 9 events
+    //   r4 c8@12100  -> T=222, proxy 4, delta = 6 events, 2 states
+    val src = MemoryStream[SyncRequest]
+    src.addData(
+      SyncRequest(1L, 1000L, "7", "e", "100"),
+      SyncRequest(1L, 1060L, "8", "e", "101"))
+    src.addData(
+      SyncRequest(1L, 12000L, "7", "e", "102"),
+      SyncRequest(1L, 12100L, "8", "e", "103"))
+
+    val out = SyncEngine(src.toDS(), SyncConfig(50L, 10000L),
+      seed = 42L, gameTimeoutUs = 0L)
+    val q = out.writeStream
+      .format("memory").queryName("s2").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val rows = spark.table("s2").orderBy("sync_seq").collect()
+    assert(rows.map(_.getAs[Long]("proxy_id")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getAs[Long]("t")).toSeq == Seq(0L, 1L, 220L, 222L))
+    assert(rows.map(_.getAs[Long]("n_delta_events")).toSeq == Seq(0L, 5L, 9L, 6L))
+    assert(rows.map(_.getAs[Long]("n_delta_states")).toSeq == Seq(1L, 2L, 1L, 2L))
+  }
+
+  test("S3: streaming sync engine ≡ batch replay, microbatch-split arbitrarily") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // Deterministic pseudo-random schedule: 3 streams, 3 clients each,
+    // gaps that cross tick and timeout boundaries.
+    val reqs = (for {
+      s <- 0L until 3L
+      i <- 0 until 120
+    } yield {
+      val jitter = (i * 7919 + s * 104729) % 90
+      val now = 1000L + i * (37L + jitter) + (if (i % 17 == 0) 25000L else 0L)
+      SyncRequest(s, now, ((i + jitter.toInt) % 3).toString, "e", (s * 1000 + i).toString)
+    }).sortBy(r => (r.now, r.body.toLong))
+
+    val src = MemoryStream[SyncRequest]
+    val cfg = SyncConfig(50L, 10000L)
+    val out = SyncEngine(src.toDS(), cfg, seed = 42L, gameTimeoutUs = 0L)
+    val q = out.writeStream
+      .format("memory").queryName("s3").outputMode("append").start()
+    try {
+      // Split into 5 arrival-ordered microbatches.
+      reqs.grouped(reqs.size / 5 + 1).foreach { chunk =>
+        src.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streaming = spark.table("s3")
+      .orderBy("stream_id", "sync_seq").collect().toSeq
+    val batch = SyncReplay.replaySchedule(reqs.toDS(), cfg, seed = 42L)
+      .toDF().orderBy("stream_id", "sync_seq").collect().toSeq
+    assert(streaming.size == reqs.size)
+    assert(streaming == batch)
+  }
+
+  test("S3b: incremental streaming LWW final state equals batch latest-state (Q2)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // (user, ts, payload) events; streaming keeps latest per user via
+    // the same max_by contract as batch Q2.
+    val events = (0 until 300).map { i =>
+      (i % 7L, (i * 13 % 101).toLong * 1000L + i, s"p$i")
+    }
+    val src = MemoryStream[(Long, Long, String)]
+    val half = events.size / 2
+    src.addData(events.take(half): _*)
+    src.addData(events.drop(half): _*)
+
+    def latest(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("_1").as("user_id"))
+      .agg(max_by(col("_3"), struct(col("_2"), col("_3"))).as("state"),
+        max(col("_2")).as("t"))
+
+    val q = latest(src.toDF()).writeStream
+      .format("memory").queryName("s3b").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("s3b").orderBy("user_id").collect().toSeq
+    val want = latest(events.toDF()).orderBy("user_id").collect().toSeq
+    assert(got == want)
+  }
+}
