@@ -101,17 +101,22 @@ object SyncCore {
 
     val lastKnown = lastKnownT.getOrElse(g0.clientLastT.getOrElse(clientId, 0L))
 
+    // Normalize the log to Vector once: state-store deserialization can
+    // hand back an ArraySeq whose :+ is a full copy — O(n) per append
+    // would re-create the reference's quadratic behavior in streaming.
+    val gn = if (g0.log.isInstanceOf[Vector[_]]) g0 else g0.copy(log = g0.log.toVector)
+
     // 1. Tick (game.go:81-90): strictly-greater threshold, floor count,
     // remainder carried by re-aligning lastTick to the tick grid.
-    val elapsed = now - g0.lastTick
+    val elapsed = now - gn.lastTick
     var g =
       if (elapsed > cfg.tickUnit) {
         val count = elapsed / cfg.tickUnit
-        g0.copy(
-          t = g0.t + count,
-          stateT = g0.stateT + count,
+        gn.copy(
+          t = gn.t + count,
+          stateT = gn.stateT + count,
           lastTick = now - elapsed % cfg.tickUnit)
-      } else g0
+      } else gn
 
     // 2a. Evict timed-out sessions (game.go:94-107): emit `_d`, drop the
     // session and its state. Deterministic eviction order: proxy id asc.
@@ -166,9 +171,20 @@ object SyncCore {
     // 6. Delta scans (eventStream.go:63-71, stateStream.go:27-35):
     // events in (lastKnown, T] in append order; states with
     // lastKnown < t <= stateT, proxy-id order.
-    val deltaEvents = g.log.iterator.zipWithIndex.collect {
-      case (e, i) if e.t > lastKnown && e.t <= g.t => (i, e)
-    }.toVector
+    //
+    // The reference scans the whole log per sync (O(total log) — its
+    // known pathology, SURVEY.md §2A). Here stamps are non-decreasing
+    // in append order (stamp = LastSentT+1 and LastSentT never
+    // decreases), so the delta is one contiguous slice: two binary
+    // searches + O(delta) — the difference between O(n²) and O(n log n)
+    // over a stream's life.
+    val logIdx = g.log match {
+      case v: scala.collection.immutable.IndexedSeq[SyncEvent] => v
+      case other => other.toIndexedSeq
+    }
+    val lo = lowerBound(logIdx, lastKnown) // first idx with t > lastKnown
+    val hi = lowerBound(logIdx, g.t) // first idx with t > T
+    val deltaEvents = (lo until hi).map(i => (i, logIdx(i)))
     val deltaStates = g.states.valuesIterator
       .filter(s => s.t > lastKnown && s.t <= g.stateT)
       .toVector.sortBy(_.origin.toLong)
@@ -177,6 +193,17 @@ object SyncCore {
       clientLastT = g.clientLastT + (clientId -> g.t),
       syncSeq = g.syncSeq + 1)
     (g, SyncResponse(g.t, proxyId, deltaEvents, deltaStates))
+  }
+
+  /** First index whose stamp exceeds `t` (stamps are non-decreasing). */
+  private def lowerBound(log: collection.IndexedSeq[SyncEvent], t: Long): Int = {
+    var lo = 0
+    var hi = log.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (log(mid).t <= t) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   /** Stream-expiry predicate (game.go:76-78 / main.go:32-46). */
