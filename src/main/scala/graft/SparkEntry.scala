@@ -152,7 +152,9 @@ object SparkEntry {
   private def q20OracleSql: String = {
     def h48(x: String) = s"CAST('0x' || substr(md5($x), 1, 12) AS BIGINT)"
     val deH = h48("CAST(l.rnk AS VARCHAR) || ':' || CAST(l.et AS VARCHAR) || ':' || l.etype || ':' || l.eorigin || ':' || l.ebody")
-    val dsH = h48("CAST(proxy_id AS VARCHAR) || ':' || CAST(t_state AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")
+    // Mirrors SyncCore.stateTerm: origin:t:<key-sorted data map>, where
+    // the replay's state payload is the single pair last_event -> event_id.
+    val dsH = h48("CAST(proxy_id AS VARCHAR) || ':' || CAST(t_state AS VARCHAR) || ':last_event=' || CAST(event_id AS VARCHAR)")
     s"""WITH sched AS (
           SELECT user_id % ${SyncReplay.NumStreams} AS sid, user_id, event_id,
                  epoch_us(ts) AS now, event_type

@@ -19,7 +19,15 @@ case class ClientInfo(proxyId: Long, lastTouch: Long)
 /** The whole per-stream state — the reference's `Game` struct
   * (model/game.go:25-32) plus `clientLastT`, which records each client's
   * last delivered watermark so replays can thread `lastKnownT` without a
-  * live client echoing it back.
+  * live client echoing it back, and `logHash`, the running prefix sum of
+  * per-event summary-hash terms (length = log.length + 1): the log is
+  * append-only and each event's term is immutable, so any delta's hash
+  * is `logHash(hi) - logHash(lo)` — incremental maintenance instead of
+  * re-hashing O(delta) rows per sync. Prefixes may wrap Long; the
+  * difference is still exact because every true delta sum < 2^63.
+  * `statesHash` likewise caches each state row's summary-hash term at
+  * write time (one hash per write, not one per delivery — a row is
+  * re-delivered to every other client).
   *
   * Note the two clocks: `t` (event stream, starts 0 —
   * model/eventStream.go:27) and `stateT` (state stream, starts 1 —
@@ -33,7 +41,9 @@ case class GameState(
     lastProxyId: Long,
     clients: Map[String, ClientInfo],
     states: Map[Long, SyncStateRow],
+    statesHash: Map[Long, Long],
     log: Seq[SyncEvent],
+    logHash: Seq[Long],
     clientLastT: Map[String, Long],
     syncSeq: Long)
 
@@ -41,12 +51,20 @@ case class GameState(
   * the event delta (paired with each event's global append rank — the
   * explicit total order a distributed engine needs where the reference
   * relies on Go slice order), the state delta, and the caller's proxy id.
+  *
+  * `deltaEvents` is a lazy O(1)-to-construct slice of the immutable log;
+  * `deltaEventsHash` is the order-sensitive hash sum of that slice,
+  * served from [[GameState.logHash]] prefix sums without touching the
+  * rows — consumers that only need the summary (the replay/streaming
+  * operators) never materialize the payload.
   */
 case class SyncResponse(
     t: Long,
     proxyId: Long,
     deltaEvents: Seq[(Int, SyncEvent)],
-    deltaStates: Seq[SyncStateRow])
+    deltaEventsHash: Long,
+    deltaStates: Seq[SyncStateRow],
+    deltaStatesHash: Long)
 
 /** Tick quantization + timeout constants (reference: model/game.go:10-17),
   * parameterized because the test corpus lives on an hours-scale clock.
@@ -76,12 +94,40 @@ object SyncCore {
     * RNG seed is a parameter, not process-global `rand` — operators must
     * be re-runnable (SURVEY.md §2A #9).
     */
-  def init(now: Long, seed: Long): GameState =
+  def init(now: Long, seed: Long): GameState = {
+    val seedEvent = SyncEvent(1L, "_a", "_", seed.toString)
     GameState(
       t = 0L, lastSentT = 0L, stateT = 1L, lastTick = now, lastProxyId = 0L,
-      clients = Map.empty, states = Map.empty,
-      log = Vector(SyncEvent(1L, "_a", "_", seed.toString)),
+      clients = Map.empty, states = Map.empty, statesHash = Map.empty,
+      log = Vector(seedEvent),
+      logHash = Vector(0L, eventTerm(0, seedEvent)),
       clientLastT = Map.empty, syncSeq = 0L)
+  }
+
+  /** Summary-hash term of one state row, over the canonical (key-sorted)
+    * serialization of the data map. DuckDB mirror: q20 oracle in
+    * [[graft.SparkEntry]].
+    */
+  def stateTerm(s: SyncStateRow): Long =
+    hash48(s"${s.origin}:${s.t}:" +
+      s.data.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
+
+  /** The order-sensitive summary-hash term of one logged event: the
+    * global append rank is mixed in, so equal hash sums imply equal
+    * ordered sequences, not just equal sets. DuckDB mirror: see the q20
+    * oracle in [[graft.SparkEntry]].
+    */
+  def eventTerm(rank: Int, e: SyncEvent): Long =
+    hash48(s"$rank:${e.t}:${e.eventType}:${e.origin}:${e.body}")
+
+  /** Append one event, extending the hash-prefix sums in lockstep.
+    * Callers must have normalized both sequences to Vector (process()
+    * does) so the appends are effectively O(1).
+    */
+  private def append(g: GameState, e: SyncEvent): GameState =
+    g.copy(
+      log = g.log :+ e,
+      logHash = g.logHash :+ (g.logHash.last + eventTerm(g.log.length, e)))
 
   /** One sync (reference: game.Process, game.go:60-74). Steps in exact
     * reference order: tick → evictions → touch/create → apply events →
@@ -101,10 +147,13 @@ object SyncCore {
 
     val lastKnown = lastKnownT.getOrElse(g0.clientLastT.getOrElse(clientId, 0L))
 
-    // Normalize the log to Vector once: state-store deserialization can
-    // hand back an ArraySeq whose :+ is a full copy — O(n) per append
-    // would re-create the reference's quadratic behavior in streaming.
-    val gn = if (g0.log.isInstanceOf[Vector[_]]) g0 else g0.copy(log = g0.log.toVector)
+    // Normalize the log (and its hash prefixes) to Vector once:
+    // state-store deserialization can hand back an ArraySeq whose :+ is
+    // a full copy — O(n) per append would re-create the reference's
+    // quadratic behavior in streaming.
+    val gn =
+      if (g0.log.isInstanceOf[Vector[_]] && g0.logHash.isInstanceOf[Vector[_]]) g0
+      else g0.copy(log = g0.log.toVector, logHash = g0.logHash.toVector)
 
     // 1. Tick (game.go:81-90): strictly-greater threshold, floor count,
     // remainder carried by re-aligning lastTick to the tick grid.
@@ -124,10 +173,12 @@ object SyncCore {
       .filter { case (_, ci) => now - ci.lastTouch > cfg.clientTimeout }
       .sortBy(_._2.proxyId)
     expired.foreach { case (cid, ci) =>
-      g = g.copy(
-        clients = g.clients - cid,
-        states = g.states - ci.proxyId,
-        log = g.log :+ SyncEvent(g.lastSentT + 1, "_d", "_", ci.proxyId.toString))
+      g = append(
+        g.copy(
+          clients = g.clients - cid,
+          states = g.states - ci.proxyId,
+          statesHash = g.statesHash - ci.proxyId),
+        SyncEvent(g.lastSentT + 1, "_d", "_", ci.proxyId.toString))
     }
 
     // 2b. Touch or create the caller (game.go:44-58,110-112): a client
@@ -138,10 +189,11 @@ object SyncCore {
         ci.proxyId
       case None =>
         val pid = g.lastProxyId + 1
-        g = g.copy(
-          lastProxyId = pid,
-          clients = g.clients + (clientId -> ClientInfo(pid, now)),
-          log = g.log :+ SyncEvent(g.lastSentT + 1, "_c", "_", pid.toString))
+        g = append(
+          g.copy(
+            lastProxyId = pid,
+            clients = g.clients + (clientId -> ClientInfo(pid, now))),
+          SyncEvent(g.lastSentT + 1, "_c", "_", pid.toString))
         pid
     }
 
@@ -151,16 +203,17 @@ object SyncCore {
     // watermark, so no client ever receives an event for a tick it has
     // already simulated; if no tick has elapsed the event is withheld by
     // the `t <= T` delta predicate until T advances.
-    if (events.nonEmpty)
-      g = g.copy(log = g.log ++ events.map { case (tpe, body) =>
-        SyncEvent(g.lastSentT + 1, tpe, proxyId.toString, body)
-      })
+    events.foreach { case (tpe, body) =>
+      g = append(g, SyncEvent(g.lastSentT + 1, tpe, proxyId.toString, body))
+    }
 
     // 4. Apply state (game.go:66-68 + stateStream.go:19-21): whole-map
     // replace (LWW), stamped with the state clock.
     state.foreach { data =>
-      g = g.copy(states =
-        g.states + (proxyId -> SyncStateRow(g.stateT, proxyId.toString, data)))
+      val row = SyncStateRow(g.stateT, proxyId.toString, data)
+      g = g.copy(
+        states = g.states + (proxyId -> row),
+        statesHash = g.statesHash + (proxyId -> stateTerm(row)))
     }
 
     // 5. Commit the delivery watermark (eventStream.go:73-75) — AFTER
@@ -184,15 +237,28 @@ object SyncCore {
     }
     val lo = lowerBound(logIdx, lastKnown) // first idx with t > lastKnown
     val hi = lowerBound(logIdx, g.t) // first idx with t > T
-    val deltaEvents = (lo until hi).map(i => (i, logIdx(i)))
-    val deltaStates = g.states.valuesIterator
-      .filter(s => s.t > lastKnown && s.t <= g.stateT)
-      .toVector.sortBy(_.origin.toLong)
+    // Payload: a lazy slice — rows materialize only if a consumer reads
+    // them (the response body of a live server); the summary hash is a
+    // prefix difference, computed without touching any row.
+    val deltaEvents: IndexedSeq[(Int, SyncEvent)] =
+      new scala.collection.immutable.AbstractSeq[(Int, SyncEvent)]
+        with scala.collection.immutable.IndexedSeq[(Int, SyncEvent)] {
+        def length: Int = hi - lo
+        def apply(i: Int): (Int, SyncEvent) = { val j = lo + i; (j, logIdx(j)) }
+      }
+    val deltaEventsHash = g.logHash(hi) - g.logHash(lo)
+    val delivered = g.states.iterator
+      .filter { case (_, s) => s.t > lastKnown && s.t <= g.stateT }
+      .toArray.sortBy(_._1)
+    val deltaStates = delivered.iterator.map(_._2).toVector
+    var deltaStatesHash = 0L
+    delivered.foreach { case (pid, _) => deltaStatesHash += g.statesHash(pid) }
 
     g = g.copy(
       clientLastT = g.clientLastT + (clientId -> g.t),
       syncSeq = g.syncSeq + 1)
-    (g, SyncResponse(g.t, proxyId, deltaEvents, deltaStates))
+    (g, SyncResponse(
+      g.t, proxyId, deltaEvents, deltaEventsHash, deltaStates, deltaStatesHash))
   }
 
   /** First index whose stamp exceeds `t` (stamps are non-decreasing). */
@@ -214,10 +280,22 @@ object SyncCore {
     * [[graft.functions.PortableHash]] (same value as the Spark SQL and
     * DuckDB formulas), used to fold delta payloads into oracle-checkable
     * summary hashes.
+    *
+    * Called once per delta row per sync (O(total delta volume) over a
+    * replay), so it's the replay's hot loop: the digest is thread-local
+    * and the first 12 hex chars are read directly off the first 6 digest
+    * bytes — same value as `parseLong(hex.take(12), 16)`, no hex string.
     */
   def hash48(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 }

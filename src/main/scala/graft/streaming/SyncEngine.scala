@@ -73,13 +73,9 @@ object SyncEngine {
                   t = resp.t,
                   proxy_id = resp.proxyId,
                   n_delta_events = resp.deltaEvents.size.toLong,
-                  delta_events_hash = resp.deltaEvents.iterator.map { case (rank, e) =>
-                    SyncCore.hash48(s"$rank:${e.t}:${e.eventType}:${e.origin}:${e.body}")
-                  }.sum,
+                  delta_events_hash = resp.deltaEventsHash,
                   n_delta_states = resp.deltaStates.size.toLong,
-                  delta_states_hash = resp.deltaStates.iterator.map { s =>
-                    SyncCore.hash48(s"${s.origin}:${s.t}:${s.data("last_event")}")
-                  }.sum)
+                  delta_states_hash = resp.deltaStatesHash)
               }
               state.update(g)
               if (gameTimeoutUs > 0) state.setTimeoutDuration(gameTimeoutUs / 1000L)
