@@ -59,7 +59,7 @@ object Dedup {
         h -> array_min(transform(shingles, s -> md5(concat(CAST(h AS STRING), ':', s)))))"""
 
   private def withShingles(docs: DataFrame): DataFrame =
-    docs
+    graft.sources.Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesSql))
 
@@ -74,38 +74,40 @@ object Dedup {
 
   /** Q17c — near-duplicate pairs via LSH banding + exact Jaccard.
     *
-    * 1. band signature b = md5(sig[2b] || '|' || sig[2b+1]) — docs
-    *    agreeing on both minhashes of any band collide;
-    * 2. self-equi-join on (band, band_sig) → candidate pairs (the only
-    *    shuffle that scales with n; key is a 32-char digest, so skew
-    *    only appears if many docs are truly near-identical);
-    * 3. exact shingle Jaccard on candidates only; keep pairs ≥ threshold.
+    * 1. one pass computes shingles + MinHash signature per doc, then
+    *    explodes into [[NumBands]] rows keyed by the band signature
+    *    b = md5(sig[2b] || '|' || sig[2b+1]) — docs agreeing on both
+    *    minhashes of any band collide;
+    * 2. self-equi-join on (band, band_sig) → candidate collisions (the
+    *    only shuffle that scales with n; shingle arrays ride through it
+    *    so the expensive signature pass runs once, not once per join
+    *    branch — at 100 TB the signature table would be a materialized
+    *    intermediate for the same reason);
+    * 3. exact shingle Jaccard per collision, thresholded, then distinct —
+    *    a pair colliding in k ≤ NumBands bands computes its Jaccard k
+    *    times, a bounded constant that's far cheaper than re-joining a
+    *    recomputed signature table per side.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = withShingles(docs)
+    val bands = withShingles(docs)
       .withColumn("sig", expr(signatureSql))
-      .select("doc_id", "shingles", "sig")
+      .select(
+        col("doc_id"), col("shingles"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${NumBands - 1}),
+              b -> md5(concat(sig[2 * b], '|', sig[2 * b + 1])))""")))
+      .toDF("doc_id", "shingles", "band", "band_sig")
 
-    val bands = sh.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${NumBands - 1}),
-            b -> md5(concat(sig[2 * b], '|', sig[2 * b + 1])))""")))
-      .toDF("doc_id", "band", "band_sig")
-
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"), Seq("band", "band_sig"))
       .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("jac",
-        expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"))
+      .withColumn("jac", expr(
+        "size(array_intersect(a.shingles, b.shingles)) / size(array_union(a.shingles, b.shingles))"))
       .where(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), roundTo(col("jac"), 4).as("jaccard"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        roundTo(col("jac"), 4).as("jaccard"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -116,7 +118,7 @@ object Dedup {
     * Computed per-row as an array fold — no shuffle, codegen'd.
     */
   def simhash(docs: DataFrame): DataFrame =
-    docs
+    graft.sources.Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
       .withColumn("votes", expr(
         s"""aggregate(words, array_repeat(CAST(0 AS BIGINT), 48),

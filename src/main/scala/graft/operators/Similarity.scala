@@ -38,7 +38,8 @@ object Similarity {
   }
 
   private def withEmb(emb: DataFrame): DataFrame =
-    emb.withColumn("emb", col("embedding").cast("array<double>"))
+    graft.sources.Tables.widen(emb)
+      .withColumn("emb", col("embedding").cast("array<double>"))
 
   /** Q18 — brute-force cosine top-k against one query vector (the vector
     * with id `queryVecId`, excluded from the results).

@@ -47,7 +47,7 @@ object TextAnalysis {
     *     is cross-engine stable.
     */
   def qualityLangId(docs: DataFrame): DataFrame =
-    docs
+    graft.sources.Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")).cast("long"))
       .withColumn("n_tokens_re",
@@ -78,7 +78,7 @@ object TextAnalysis {
     *     fold and distributes over any partitioning).
     */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs
+    graft.sources.Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
       .withColumn("rolling_hash", expr(
         s"""aggregate(

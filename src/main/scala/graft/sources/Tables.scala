@@ -47,6 +47,20 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(path(dir, name))
 
+  /** Ingest-parallelism guard for per-row-heavy operators (MinHash,
+    * SimHash, cosine folds, tokenization): if the scan yields fewer
+    * splits than the session's parallelism — a small corpus in one file,
+    * or a few huge row groups — redistribute before burning CPU on one
+    * core. On a well-partitioned large corpus (splits >= cores) this is
+    * a no-op, so it adds no shuffle at scale; the repartition itself
+    * moves only the raw rows, which is always cheaper than serializing
+    * the downstream compute.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Register all tables as temp views (for spark.sql surfaces/tests). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
