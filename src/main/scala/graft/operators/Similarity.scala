@@ -58,17 +58,29 @@ object Similarity {
   /** Nearest-centroid assignment: centroids = vectors with
     * vec_id < nCentroids (a deterministic stand-in for k-means output).
     * Ties broken by centroid id on the 6-decimal-rounded similarity.
+    *
+    * Map-only by construction — the assignment step of IVF must not
+    * shuffle the corpus: the bounded centroid set is folded into a
+    * single broadcast row (cid-sorted so the fold's strict `>` keeps the
+    * smallest cid on ties), and every vector picks its centroid with one
+    * per-row argmax fold. No explode, no window, no repartition of the
+    * 100 TB side.
     */
   private def assignments(emb: DataFrame, nCentroids: Int): DataFrame = {
     val e = withEmb(emb)
     val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(roundTo(col("sim"), 6).desc, col("cid"))
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("cents"))
+    // argmax by (rounded sim DESC, cid ASC): struct comparison is
+    // field-order lexicographic, so max over (sim, -cid) picks the
+    // highest similarity and the smallest centroid id on ties — the
+    // same contract as the oracle's ORDER BY round(sim, 6) DESC, cid.
     e.crossJoin(broadcast(cents))
-      .withColumn("sim", expr(cosSql("emb", "cemb")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .withColumn("best", expr(
+        s"""array_max(transform(cents, c -> named_struct(
+              'sim', floor(${cosSql("emb", "c.cemb")} * 1e6 + 0.5) / 1e6,
+              'negcid', -c.cid)))"""))
+      .withColumn("cid", -col("best.negcid"))
+      .drop("best", "cents")
   }
 
   /** Q18b — IVF cluster occupancy: how many vectors land in each
