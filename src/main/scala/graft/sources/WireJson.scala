@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.{SyncEvent, SyncResponse, SyncStateRow}
+
+/** The reference's wire format (its only source and sink) as Spark
+  * schemas + declarative converters.
+  *
+  * Reference anchors: request body = `GameRequest{Events, State}`
+  * (main.go:96-99, decoded main.go:63-69); response =
+  * `GameResponse{T, Events, States, ProxyId}` serialized with Go's
+  * `json.Marshal` (main.go:101-115), so field names are the Go
+  * exported names verbatim. Event/State shapes: model/event.go:7-12,
+  * model/state.go:7-11.
+  *
+  * Everything here is `from_json`/`to_json` over typed schemas —
+  * codegen'd row-level work, no UDFs, safe at any scale; JSON-lines
+  * files shard like any other splittable source.
+  */
+object WireJson {
+
+  /** model/event.go:7-12 with Go-exported JSON field names. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("T", LongType),
+    StructField("Type", StringType),
+    StructField("Origin", StringType),
+    StructField("Body", StringType)))
+
+  /** model/state.go:7-11. */
+  val stateSchema: StructType = StructType(Seq(
+    StructField("T", LongType),
+    StructField("Origin", StringType),
+    StructField("Data", MapType(StringType, StringType))))
+
+  /** main.go:96-99 (`State` is omitempty → nullable). */
+  val requestSchema: StructType = StructType(Seq(
+    StructField("Events", ArrayType(eventSchema)),
+    StructField("State", MapType(StringType, StringType))))
+
+  /** main.go:101-107. */
+  val responseSchema: StructType = StructType(Seq(
+    StructField("T", LongType),
+    StructField("Events", ArrayType(eventSchema)),
+    StructField("States", ArrayType(stateSchema)),
+    StructField("ProxyId", StringType)))
+
+  /** Parse raw request-body JSON (one request per row in `jsonCol`)
+    * into typed `events` / `state` columns — the engine-side twin of
+    * the reference's `decoder.Decode(&req)` (main.go:63-69). Malformed
+    * JSON yields null (PERMISSIVE), where the reference panics
+    * (main.go:66-68) — a server can't crash per bad request at scale.
+    */
+  def parseRequests(raw: DataFrame, jsonCol: String): DataFrame =
+    raw
+      .withColumn("_req", from_json(col(jsonCol), requestSchema))
+      .withColumn("events", col("_req.Events"))
+      .withColumn("state", col("_req.State"))
+      .drop("_req")
+
+  /** Serialize one sync response to the reference's wire JSON
+    * (main.go:101-115). Row shape in: (t, proxy_id,
+    * events array<struct>, states array<struct>) — see
+    * [[responsesFromCore]] for building it from engine values.
+    */
+  def serializeResponses(resp: DataFrame): DataFrame =
+    resp.select(to_json(struct(
+      col("t").as("T"),
+      col("events").as("Events"),
+      col("states").as("States"),
+      col("proxy_id").cast("string").as("ProxyId"))).as("response_json"))
+
+  /** Lift in-memory [[SyncResponse]]s (the pure core's output) into the
+    * wire row shape consumed by [[serializeResponses]].
+    */
+  def responsesFromCore(spark: SparkSession, resps: Seq[SyncResponse]): DataFrame = {
+    val rows = resps.map { r =>
+      Row(
+        r.t,
+        r.deltaEvents.map { case (_, e) => Row(e.t, e.eventType, e.origin, e.body) },
+        r.deltaStates.map(s => Row(s.t, s.origin, s.data)),
+        r.proxyId.toString)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(
+        StructField("t", LongType),
+        StructField("events", ArrayType(eventSchema)),
+        StructField("states", ArrayType(stateSchema)),
+        StructField("proxy_id", StringType))))
+  }
+
+  /** JSON-lines sink: one JSON object per line, splittable on read. */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSON-lines source with an explicit schema — never infer on a large
+    * corpus (inference is a full extra pass over the data).
+    */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}
