@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
   *   - shuffle partitions sized to the local core count, not the 200
   *     default (on a real cluster this would be ~2-3× total cores /
   *     AQE-coalesced);
-  *   - AQE left on (default in Spark 4) so skew-join/coalesce kick in.
+  *   - AQE left on (default in Spark 4) so skew-join/coalesce kick in;
+  *   - [[GraftExtensions]] installed (custom codegen'd expressions,
+  *     e.g. `cosine_sim`).
   */
 object GraftSession {
   def build(cpus: String): SparkSession =
@@ -22,5 +24,6 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
 }

@@ -26,16 +26,14 @@ import graft.functions.Deterministic.roundTo
   */
 object Similarity {
 
-  /** Spark SQL cosine between two array<double> columns (index-order
-    * folds — deterministic, identical to the DuckDB mirror).
+  /** Cosine between two array<double> columns: the custom codegen'd
+    * expression registered by [[graft.GraftExtensions]] — index-order
+    * accumulation, bit-identical to the declarative
+    * `aggregate(zip_with(...))` folds and the DuckDB mirror (asserted
+    * by CosineSpec), but a primitive loop instead of one interpreted
+    * lambda dispatch per element.
     */
-  private def cosSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)"
-    def norm(x: String) =
-      s"sqrt(aggregate($x, 0D, (acc, v) -> acc + v * v))"
-    s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
-  }
+  private def cosSql(a: String, b: String): String = s"cosine_sim($a, $b)"
 
   private def withEmb(emb: DataFrame): DataFrame =
     graft.sources.Tables.widen(emb)
