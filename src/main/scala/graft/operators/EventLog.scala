@@ -30,10 +30,21 @@ object EventLog {
     * `lastKnown < t <= serverT`, in total `(t, event_id)` order. The
     * half-open-at-left interval reproduces the reference predicate
     * `event.T <= stream.T && event.T > lastT` (eventStream.go:66).
+    *
+    * The range is expressed on the RAW stored column (`ts_ns`), not the
+    * derived `ts_us = ts_ns div 1000`: a predicate on a derived column
+    * never reaches the scan, while on `ts_ns` it lands in PushedFilters
+    * and prunes parquet row groups — on a time-partitioned 100 TB log,
+    * the difference between reading the delta and reading everything.
+    * For non-negative timestamps, `floor(ns/1000) > a ⟺ ns ≥ 1000(a+1)`
+    * and `floor(ns/1000) ≤ b ⟺ ns < 1000(b+1)` — exact, no boundary
+    * drift.
     */
   def deltaEvents(events: DataFrame, lastKnownUs: Long, serverTUs: Long): DataFrame =
     events
-      .filter(col("ts_us") > lastKnownUs && col("ts_us") <= serverTUs)
+      .filter(
+        col("ts_ns") >= (lastKnownUs + 1) * 1000L &&
+          col("ts_ns") < (serverTUs + 1) * 1000L)
       .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
       .orderBy("ts_us", "event_id")
 
