@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{EventLogStore, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §2C for the declared query
   * inventory. Every entry in [[queries]] has, where SQL-expressible, an
@@ -27,6 +27,9 @@ object SparkEntry {
     * (events span 2024-01-01..2024-01-30 at every SF). */
   private val DeltaLastKnownUs = 1704844800000000L
   private val DeltaServerTUs = 1705708800000000L
+  /** Q1b partitioned-store bucket: 1 day in us → ~30 buckets over the
+    * corpus; the delta range spans 10 of them, so pruning is visible. */
+  private val DeltaBucketUs = 86400000000L
   /** Session inactivity gap: 1 day in us (the reference's 10 s timeout
     * rescaled to the test data's natural timescale, model/game.go:12). */
   private val SessionGapUs = 86400000000L
@@ -90,6 +93,14 @@ object SparkEntry {
                    h -> list_min(list_transform(sg, s -> md5(h::VARCHAR || ':' || s)))) AS sig
                FROM sh)"""
 
+  /** Shared oracle for the two delta-scan variants (flat and
+    * time-partitioned storage) — identical results by construction. */
+  private val deltaScanOracleSql =
+    s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        FROM events
+        WHERE epoch_us(ts) > $DeltaLastKnownUs AND epoch_us(ts) <= $DeltaServerTUs
+        ORDER BY ts_us, event_id"""
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.multiJoinRevenue(spark, "/root/testdata/sf0.001")
@@ -98,6 +109,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_delta_scan" -> ((s, d) =>
       EventLog.deltaEvents(Tables.events(s, d), DeltaLastKnownUs, DeltaServerTUs)),
+    "q01b_delta_pruned" -> ((s, d) => {
+      // Round-trip through the time-partitioned layout: write once per
+      // SF dir, then answer the same delta scan with partition pruning.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_evstore_${new java.io.File(d).getName}"
+      EventLogStore.writePartitioned(Tables.events(s, d), out, DeltaBucketUs)
+      EventLogStore.deltaEvents(s, out, DeltaLastKnownUs, DeltaServerTUs, DeltaBucketUs)
+    }),
     "q02_latest_state" -> ((s, d) => EventLog.latestState(Tables.events(s, d))),
     "q03_join_agg" -> ((s, d) => Relational.joinAgg(s, d)),
     "q04_multijoin_revenue" -> ((s, d) => Relational.multiJoinRevenue(s, d)),
@@ -105,6 +123,8 @@ object SparkEntry {
     "q05b_semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
     "q06_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q07_distinct_users" -> ((s, d) => EventLog.distinctUsers(Tables.events(s, d))),
+    "q07b_approx_distinct" -> ((s, d) =>
+      EventLog.approxDistinctUsers(Tables.events(s, d), rsd = 0.02, tol = 0.05)),
     "q08_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
     "q09_sessionize" -> ((s, d) => EventLog.sessionize(Tables.events(s, d), SessionGapUs)),
     "q10_proxy_ids" -> ((s, d) => EventLog.proxyIds(Tables.events(s, d))),
@@ -254,11 +274,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q20_sync_replay" -> q20OracleSql,
-    "q01_delta_scan" ->
-      s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
-          FROM events
-          WHERE epoch_us(ts) > $DeltaLastKnownUs AND epoch_us(ts) <= $DeltaServerTUs
-          ORDER BY ts_us, event_id""",
+    "q01_delta_scan" -> deltaScanOracleSql,
+    // Same logical query as q01 — the partitioned layout must be
+    // invisible to results, only to I/O.
+    "q01b_delta_pruned" -> deltaScanOracleSql,
     "q02_latest_state" ->
       """SELECT user_id, props AS state, ts_us AS t FROM (
            SELECT user_id, props, epoch_us(ts) AS ts_us,
@@ -301,6 +320,11 @@ object SparkEntry {
           GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q07_distinct_users" ->
       "SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM events",
+    // The HLL estimate is engine-specific; the deterministic contract is
+    // the exact count plus the bound holding (engine emits the bound
+    // check as a boolean, oracle asserts it must be true).
+    "q07b_approx_distinct" ->
+      "SELECT count(DISTINCT user_id) AS n_users, true AS within_tol FROM events",
     "q08_rollup" ->
       s"""SELECT coalesce(n_name, 'ALL') AS nation,
                 coalesce(o_orderpriority, 'ALL') AS priority,

@@ -69,6 +69,22 @@ object EventLog {
       count(lit(1)).as("n_events"),
       countDistinct(col("user_id")).as("n_users"))
 
+  /** Q7b — approximate distinct clients (HyperLogLog++) next to the
+    * exact count. At 100 TB `count(DISTINCT)` shuffles every key; the
+    * HLL sketch is a constant-size mergeable accumulator — the scale
+    * path. The sketch estimate itself is engine-specific, so the
+    * deterministic cross-engine contract is the exact count plus a
+    * boolean relative-error bound on the estimate.
+    */
+  def approxDistinctUsers(events: DataFrame, rsd: Double, tol: Double): DataFrame =
+    events
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), rsd).as("approx"))
+      .select(
+        col("n_users"),
+        (abs(col("approx") - col("n_users")) <= col("n_users") * tol).as("within_tol"))
+
   /** Q10 — dense monotonic proxy-id assignment (model/game.go:44-58):
     * first-seen order, ties broken by user_id. Dense id assignment is
     * inherently sequential in the reference (one counter under a mutex);

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EventLog
+import graft.sources.{EventLogStore, Tables}
+
+/** The time-partitioned event-log layout: results must be identical to
+  * the flat scan, and the bucket-range predicate must actually prune —
+  * i.e. land in the scan's PartitionFilters and shrink the matched
+  * partition list. This is the O(delta)-not-O(log) property the 100 TB
+  * framing depends on (SURVEY.md §4 row 1).
+  */
+class EventLogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val bucketUs = 86400000000L // 1 day
+  private val lo = 1704844800000000L  // 2024-01-10
+  private val hi = 1705708800000000L  // 2024-01-20
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private lazy val out = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_evstore_spec"
+    EventLogStore.writePartitioned(Tables.events(spark, sf), dir, bucketUs)
+    dir
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("partitioned delta scan returns exactly the flat delta scan's rows") {
+    val flat = EventLog.deltaEvents(Tables.events(spark, sf), lo, hi)
+    val pruned = EventLogStore.deltaEvents(spark, out, lo, hi, bucketUs)
+    assert(pruned.exceptAll(flat).isEmpty && flat.exceptAll(pruned).isEmpty)
+    assert(pruned.count() > 0)
+  }
+
+  test("bucket range lands in PartitionFilters and prunes the file listing") {
+    val df = EventLogStore.deltaEvents(spark, out, lo, hi, bucketUs)
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec leaf in the plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "t_bucket")),
+      s"t_bucket not in PartitionFilters: ${scan.partitionFilters}")
+    val matched = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(total >= 25, s"expected ~30 daily buckets, got $total")
+    assert(matched <= 11, s"expected ~10 matched buckets, got $matched of $total")
+  }
+
+  test("the row-range predicate still reaches the scan as a data filter") {
+    val df = EventLogStore.deltaEvents(spark, out, lo, hi, bucketUs)
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.dataFilters.exists(_.references.exists(_.name == "ts_us")),
+      s"ts_us range not in dataFilters: ${scan.dataFilters}")
+  }
+}
