@@ -398,8 +398,11 @@ object SparkEntry {
       s"""WITH $shingleCte,
           bands AS (SELECT doc_id, b, md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS bsig
                     FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+          keep AS (SELECT b, bsig FROM bands GROUP BY b, bsig
+                   HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucket}),
+          kb AS (SELECT bands.* FROM bands JOIN keep USING (b, bsig)),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig
+                   FROM kb a JOIN kb b ON a.b = b.b AND a.bsig = b.bsig
                      AND a.doc_id < b.doc_id),
           j AS (SELECT doc_a, doc_b,
                   CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)

@@ -72,23 +72,39 @@ object Dedup {
       .select(col("doc_id"), array_join(col("sig"), "|").as("signature"))
       .orderBy("doc_id")
 
+  /** LSH bucket-size cap: buckets with more than this many docs are
+    * excluded from candidate generation. A bucket of k docs yields
+    * O(k²) candidate pairs, so one boilerplate cluster (cookie banners,
+    * license headers) can dominate the whole job at corpus scale; such
+    * content is exactly what [[exactDedup]] already collapses. The cap
+    * bounds per-bucket work, making worst-case cost O(n · cap) instead
+    * of O(n²).
+    */
+  val MaxBucket = 1000
+
   /** Q17c — near-duplicate pairs via LSH banding + exact Jaccard.
     *
     * 1. one pass computes shingles + MinHash signature per doc, then
     *    explodes into [[NumBands]] rows keyed by the band signature
     *    b = md5(sig[2b] || '|' || sig[2b+1]) — docs agreeing on both
     *    minhashes of any band collide;
-    * 2. self-equi-join on (band, band_sig) → candidate collisions (the
+    * 2. bucket-size gate: only buckets with 2..[[MaxBucket]] members
+    *    enter the join. Dropping singletons (the vast majority of
+    *    buckets) prunes most of the join input; dropping oversized
+    *    buckets bounds skew (see [[MaxBucket]]). The size aggregation
+    *    shuffles on the same (band, band_sig) key as the join, so the
+    *    exchange is computed once and reused;
+    * 3. self-equi-join on (band, band_sig) → candidate collisions (the
     *    only shuffle that scales with n; shingle arrays ride through it
     *    so the expensive signature pass runs once, not once per join
     *    branch — at 100 TB the signature table would be a materialized
     *    intermediate for the same reason);
-    * 3. exact shingle Jaccard per collision, thresholded, then distinct —
+    * 4. exact shingle Jaccard per collision, thresholded, then distinct —
     *    a pair colliding in k ≤ NumBands bands computes its Jaccard k
     *    times, a bounded constant that's far cheaper than re-joining a
     *    recomputed signature table per side.
     */
-  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(docs: DataFrame, threshold: Double, maxBucket: Int = MaxBucket): DataFrame = {
     val bands = withShingles(docs)
       .withColumn("sig", expr(signatureSql))
       .select(
@@ -98,8 +114,18 @@ object Dedup {
               b -> md5(concat(sig[2 * b], '|', sig[2 * b + 1])))""")))
       .toDF("doc_id", "shingles", "band", "band_sig")
 
-    bands.as("a")
-      .join(bands.as("b"), Seq("band", "band_sig"))
+    // Window count over the join key itself: the expensive signature
+    // pass is computed once, shuffled once on (band, band_sig), and the
+    // downstream self-join reuses that exchange — a separate size
+    // aggregation would force a second signature pass.
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")
+    val gated = bands
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .where(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+
+    gated.as("a")
+      .join(gated.as("b"), Seq("band", "band_sig"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .withColumn("jac", expr(
         "size(array_intersect(a.shingles, b.shingles)) / size(array_union(a.shingles, b.shingles))"))
