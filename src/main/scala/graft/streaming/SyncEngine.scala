@@ -49,39 +49,45 @@ object SyncEngine {
     requests
       .groupByKey(_.stream_id)
       .flatMapGroupsWithState[GameState, SyncSummary](
-        OutputMode.Append, timeoutConf) {
-        (sid: Long, it: Iterator[SyncRequest], state: GroupState[GameState]) =>
-          if (state.hasTimedOut) {
-            // Stream idle past expiry: drop it (game.go:76-78).
-            state.remove()
-            Iterator.empty
-          } else {
-            val reqs = it.toVector.sortBy(r => (r.now, r.body.toLong))
-            if (reqs.isEmpty) Iterator.empty
-            else {
-              var g = state.getOption.getOrElse(SyncCore.init(reqs.head.now, seed))
-              val out = reqs.map { r =>
-                val (g2, resp) = SyncCore.process(
-                  cfg, g, r.now, r.client_id, None,
-                  events = Seq((r.event_type, r.body)),
-                  state = Some(Map("last_event" -> r.body)))
-                g = g2
-                SyncSummary(
-                  stream_id = sid,
-                  sync_seq = g.syncSeq,
-                  user_id = r.client_id.toLong,
-                  t = resp.t,
-                  proxy_id = resp.proxyId,
-                  n_delta_events = resp.deltaEvents.size.toLong,
-                  delta_events_hash = resp.deltaEventsHash,
-                  n_delta_states = resp.deltaStates.size.toLong,
-                  delta_states_hash = resp.deltaStatesHash)
-              }
-              state.update(g)
-              if (gameTimeoutUs > 0) state.setTimeoutDuration(gameTimeoutUs / 1000L)
-              out.iterator
-            }
-          }
-      }
+        OutputMode.Append, timeoutConf)(handleGroup(cfg, seed, gameTimeoutUs))
   }
+
+  /** The per-group state-transition body, factored out so the timeout
+    * branch (stream expiry, game.go:76-78) is unit-testable against a
+    * stub [[GroupState]] — a real ProcessingTimeTimeout firing cannot be
+    * forced deterministically through the public streaming API.
+    */
+  private[graft] def handleGroup(cfg: SyncConfig, seed: Long, gameTimeoutUs: Long)(
+      sid: Long, it: Iterator[SyncRequest], state: GroupState[GameState]): Iterator[SyncSummary] =
+    if (state.hasTimedOut) {
+      // Stream idle past expiry: drop it (game.go:76-78).
+      state.remove()
+      Iterator.empty
+    } else {
+      val reqs = it.toVector.sortBy(r => (r.now, r.body.toLong))
+      if (reqs.isEmpty) Iterator.empty
+      else {
+        var g = state.getOption.getOrElse(SyncCore.init(reqs.head.now, seed))
+        val out = reqs.map { r =>
+          val (g2, resp) = SyncCore.process(
+            cfg, g, r.now, r.client_id, None,
+            events = Seq((r.event_type, r.body)),
+            state = Some(Map("last_event" -> r.body)))
+          g = g2
+          SyncSummary(
+            stream_id = sid,
+            sync_seq = g.syncSeq,
+            user_id = r.client_id.toLong,
+            t = resp.t,
+            proxy_id = resp.proxyId,
+            n_delta_events = resp.deltaEvents.size.toLong,
+            delta_events_hash = resp.deltaEventsHash,
+            n_delta_states = resp.deltaStates.size.toLong,
+            delta_states_hash = resp.deltaStatesHash)
+        }
+        state.update(g)
+        if (gameTimeoutUs > 0) state.setTimeoutDuration(gameTimeoutUs / 1000L)
+        out.iterator
+      }
+    }
 }

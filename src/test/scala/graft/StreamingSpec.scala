@@ -119,6 +119,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streaming == batch)
   }
 
+  test("stream TTL: timeout fire drops the stream's state; a later sync restarts it") {
+    import graft.streaming.{GameState, SyncEngine}
+    // Minimal GroupState stub: enough to drive handleGroup's branches.
+    class StubState extends org.apache.spark.sql.streaming.GroupState[GameState] {
+      var value: Option[GameState] = None
+      var timedOut = false
+      var timeoutSetMs: Option[Long] = None
+      override def exists: Boolean = value.isDefined
+      override def get: GameState = value.get
+      override def getOption: Option[GameState] = value
+      override def update(s: GameState): Unit = value = Some(s)
+      override def remove(): Unit = value = None
+      override def hasTimedOut: Boolean = timedOut
+      override def setTimeoutDuration(ms: Long): Unit = timeoutSetMs = Some(ms)
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(ms: Long): Unit = ()
+      override def setTimeoutTimestamp(ms: Long, d: String): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date, d: String): Unit = ()
+      override def getCurrentWatermarkMs: Long = 0L
+      override def getCurrentProcessingTimeMs: Long = 0L
+    }
+    val cfg = SyncConfig(50L, 10000L)
+    val handle = SyncEngine.handleGroup(cfg, seed = 42L, gameTimeoutUs = 60000000L) _
+    val st = new StubState
+
+    // 1. First sync creates the stream and re-arms the 60 s TTL.
+    val out1 = handle(1L, Iterator(SyncRequest(1L, 1000L, "7", "e", "1")), st).toSeq
+    assert(out1.map(_.proxy_id) == Seq(1L) && st.value.isDefined)
+    assert(st.timeoutSetMs.contains(60000L))
+
+    // 2. TTL fires: state dropped, nothing emitted (game.go:76-78).
+    st.timedOut = true
+    assert(handle(1L, Iterator.empty, st).isEmpty && st.value.isEmpty)
+
+    // 3. A later sync finds no state: fresh stream — proxy ids restart
+    //    at 1, like the reference's registry recreating the game.
+    st.timedOut = false
+    val out3 = handle(1L, Iterator(SyncRequest(1L, 99000L, "9", "e", "2")), st).toSeq
+    assert(out3.map(_.proxy_id) == Seq(1L) && st.value.isDefined)
+  }
+
   test("S3b: incremental streaming LWW final state equals batch latest-state (Q2)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
