@@ -43,7 +43,12 @@ case class SyncSummary(
   */
 object SyncReplay {
 
-  val NumStreams = 5
+  /** Stream fan-out for the replay query. Wall-clock = the slowest
+    * single stream's fold (per-stream order is the semantics), so this
+    * is the query's parallelism; 16 keeps several clients per stream at
+    * sf0.01 (150 users) while spreading the fold across cores.
+    */
+  val NumStreams = 16
   val Seed = 42L
 
   /** Build the sync schedule from the events table: stream = user_id mod
