@@ -2,13 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import graft.functions.CosineSimilarity
+import graft.plans.BucketRangeInference
 
 /** The engine's `SparkSessionExtensions` hook: registers the custom
-  * Catalyst expressions (currently `cosine_sim`) with every session
+  * Catalyst pieces — the codegen'd `cosine_sim` expression and the
+  * bucket-range partition-pruning inference rule — with every session
   * built through [[GraftSession]] — or any session configured with
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarity.functionDescription)
+    ext.injectOptimizerRule(new BucketRangeInference(_))
+  }
 }

@@ -27,6 +27,7 @@ class EventLogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -67,4 +68,35 @@ class EventLogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.dataFilters.exists(_.references.exists(_.name == "ts_us")),
       s"ts_us range not in dataFilters: ${scan.dataFilters}")
   }
+
+  /** A query that states only the ts_us range — no bucket math. */
+  private def bareRangeScan() =
+    spark.read.parquet(out)
+      .filter(col("ts_us") > lo && col("ts_us") <= hi)
+
+  private def partitionFiltersOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+      .partitionFilters
+
+  test("BucketRangeInference derives t_bucket pruning from a bare ts_us range") {
+    spark.conf.set(graft.plans.BucketRangeInference.BucketConf, bucketUs.toString)
+    try {
+      val df = bareRangeScan()
+      assert(partitionFiltersOf(df).exists(_.references.exists(_.name == "t_bucket")),
+        "inference rule did not add a t_bucket partition filter")
+      // Same rows as the explicit formulation (on the shared row columns
+      // — the bare scan also carries the partition column).
+      val explicit = EventLogStore.deltaEvents(spark, out, lo, hi, bucketUs)
+      val bare = df.select(explicit.columns.map(col): _*)
+      assert(bare.exceptAll(explicit).isEmpty && explicit.exceptAll(bare).isEmpty)
+    } finally spark.conf.unset(graft.plans.BucketRangeInference.BucketConf)
+  }
+
+  test("BucketRangeInference is inert without the layout conf") {
+    val df = bareRangeScan()
+    assert(!partitionFiltersOf(df).exists(_.references.exists(_.name == "t_bucket")))
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
