@@ -44,6 +44,9 @@ object SparkEntry {
   private val NumCentroids = 8
   private val ClusterTopK = 3
   private val EmbPairsK = 20
+  /** Q18e batch-search parameters: queries = vec_id < 4, top-5 each. */
+  private val BatchQueries = 4
+  private val BatchTopK = 5
 
   /** DuckDB mirror of [[graft.functions.Deterministic.exactSum]]: scale
     * each row to an integer (per-row IEEE ops are bit-identical across
@@ -147,6 +150,8 @@ object SparkEntry {
       Similarity.clusterTopK(Tables.table(s, d, "embeddings"), NumCentroids, QueryVecId, ClusterTopK)),
     "q18d_emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"), EmbPairsK)),
+    "q18e_batch_search" -> ((s, d) =>
+      Similarity.ivfSearch(Tables.table(s, d, "embeddings"), NumCentroids, BatchQueries, BatchTopK)),
     "q19_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.table(s, d, "documents"))),
     "q19b_quality" -> ((s, d) => TextAnalysis.qualityLangId(Tables.table(s, d, "documents"))),
     "q19c_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.table(s, d, "documents"))),
@@ -462,6 +467,27 @@ object SparkEntry {
                  ${roundSql(cosSql("a.emb", "b.emb"), 4)} AS score
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
           ORDER BY score DESC, vec_a, vec_b LIMIT $EmbPairsK""",
+    "q18e_batch_search" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $NumCentroids),
+          s AS (SELECT e.vec_id, c.cid, ${cosSql("emb", "cemb")} AS sim FROM e, c),
+          r AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ${roundSql("sim", 6)} DESC, cid) AS rn
+                FROM s),
+          a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+          q AS (SELECT a.vec_id AS qid, a.cid, e.emb AS qemb
+                FROM a JOIN e USING (vec_id) WHERE vec_id < $BatchQueries),
+          corp AS (SELECT a.cid, a.vec_id, e.emb
+                   FROM a JOIN e USING (vec_id) WHERE vec_id >= $BatchQueries),
+          sc AS (SELECT q.qid, corp.vec_id, ${roundSql(cosSql("corp.emb", "qemb"), 4)} AS score
+                 FROM corp JOIN q ON corp.cid = q.cid),
+          t AS (SELECT qid, vec_id, score,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+                FROM sc)
+          SELECT qid, rnk, vec_id, score FROM t WHERE rnk <= $BatchTopK
+          ORDER BY qid, rnk""",
     "q19_text_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs,
                  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -109,6 +109,35 @@ object Similarity {
       .orderBy("cid", "rnk")
   }
 
+  /** Q18e — batch IVF search (nProbe = 1): top-k for a whole batch of
+    * query vectors (vec_id < nQueries) at once — how ANN search actually
+    * runs inside a pipeline, as opposed to Q18's single ad-hoc query.
+    *
+    * Each query probes only its own nearest cluster: the bounded query
+    * batch (with its cluster assignments) is broadcast and joined to the
+    * corpus on the cluster id, so a corpus vector is scored only against
+    * the queries probing its cluster — candidate count per query is
+    * |corpus| / #clusters, not |corpus|. The per-query ranking window
+    * then sorts candidates, never the whole corpus, and the corpus side
+    * is never shuffled (broadcast join + window keyed by the broadcast
+    * side's qid over candidates only).
+    */
+  def ivfSearch(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+    val assigned = assignments(emb, nCentroids)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("cid"), col("emb").as("qemb"))
+    val corpus = assigned
+      .filter(col("vec_id") >= nQueries)
+      .select(col("cid"), col("vec_id"), col("emb"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    corpus.join(broadcast(queries), "cid")
+      .withColumn("score", roundTo(expr(cosSql("emb", "qemb")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "score")
+      .orderBy("qid", "rnk")
+  }
+
   /** Q18d — most-similar intra-block pairs (embedding near-dup): cosine
     * over pairs sharing a blocking key (`label`), top `k` pairs overall.
     * The blocking join keeps the pair space per-block; the final top-k is
