@@ -47,6 +47,10 @@ object SparkEntry {
   /** Q18e batch-search parameters: queries = vec_id < 4, top-5 each. */
   private val BatchQueries = 4
   private val BatchTopK = 5
+  /** Q22 mixture: per-source sampling rates (rest at the default). */
+  private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+  private val MixDefaultRate = 0.1
+  private val MixSalt = "mix1"
 
   /** DuckDB mirror of [[graft.functions.Deterministic.exactSum]]: scale
     * each row to an integer (per-row IEEE ops are bit-identical across
@@ -159,6 +163,8 @@ object SparkEntry {
     "q20_sync_replay" -> ((s, d) =>
       SyncReplay.replay(Tables.events(s, d), graft.streaming.SyncConfig(SyncTickUs, SessionGapUs))),
     "q21_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.table(s, d, "documents"))),
+    "q22_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.table(s, d, "documents"), MixRates, MixDefaultRate, MixSalt)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -531,6 +537,18 @@ object SparkEntry {
          FROM (SELECT doc_id, text,
                  CAST('0x' || substr(sha256(text), 1, 12) AS BIGINT) AS h48
                FROM documents) ORDER BY doc_id""",
+    "q22_stratified_sample" -> {
+      val rateCase = MixRates.toSeq.sortBy(_._1)
+        .map { case (s, r) => s"WHEN '$s' THEN $r" }
+        .mkString("CASE source ", " ", s" ELSE $MixDefaultRate END")
+      s"""WITH r AS (SELECT doc_id, source, lang, n_chars,
+                       CAST($rateCase AS DOUBLE) AS keep_rate
+                     FROM documents)
+          SELECT doc_id, source, lang, n_chars, keep_rate FROM r
+          WHERE CAST('0x' || substr(md5('$MixSalt:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                  % 1000000 < keep_rate * 1000000
+          ORDER BY doc_id"""
+    },
     "q09b_session_ids" ->
       s"""WITH m AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,
