@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits for the headline queries: the scale properties
+  * argued in the operator scaladocs, asserted as tests so a regression
+  * (a filter that stops reaching the scan, a window that sneaks in a
+  * global sort, an unbounded broadcast) fails CI instead of silently
+  * costing I/O at scale.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  private def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec => f }
+
+  test("q01: the time-range predicate is pushed into the parquet scan") {
+    // PushedFilters reports the *stored* column name (`ts`), which the
+    // reader renames to ts_ns — the point is the range reaches the file.
+    val pushed = scans(q("q01_delta_scan")).flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(p => p.contains("GreaterThanOrEqual(ts,") &&
+      p.contains("LessThan(ts,")), s"range not pushed: $pushed")
+  }
+
+  test("q02: the scan prunes to the referenced columns only") {
+    // Q2 touches 4 of events' 6 columns; the other two must not be read.
+    val read = scans(q("q02_latest_state")).head.requiredSchema.fieldNames.toSet
+    assert(read == Set("event_id", "ts", "user_id", "props"),
+      s"unexpected read schema: $read")
+  }
+
+  test("q02: latest-state aggregates partially (map-side) with no window over the log") {
+    // max_by over a struct ordering key plans as SortAggregate — fine;
+    // the scale properties are (a) a partial phase so the shuffle moves
+    // one row per (user, partition), (b) no Window/global sort of the log.
+    val p = plan(q("q02_latest_state"))
+    assert(p.contains("partial_max_by"), s"no partial aggregation phase:\n$p")
+    assert(!p.contains("Window"), s"latest-state regressed to a window:\n$p")
+  }
+
+  test("q06: aggregation is partial (map-side) before the shuffle") {
+    val p = plan(q("q06_pricing_summary"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation phase:\n$p")
+  }
+
+  test("q04: only bounded dimensions are broadcast") {
+    // nation (25 rows) and region (5 rows) carry explicit hints; the
+    // SF-growing sides must not appear under a broadcast hint in the
+    // optimized logical plan (AQE may still *choose* broadcast at tiny
+    // SF — that's its call, made from sizes, not forced by us).
+    val lp = q("q04_multijoin_revenue").queryExecution.optimizedPlan.toString
+    val hinted = "ResolvedHint".r.findAllIn(lp).size
+    assert(hinted <= 2, s"unexpected broadcast hints:\n$lp")
+    assert(!lp.matches("(?s).*ResolvedHint[^\\n]*\\n[^\\n]*(lineitem|orders|customer).*") ||
+      lp.contains("nation") || lp.contains("region"))
+  }
+
+  test("q12: top-k plans as TakeOrdered (per-partition top-k + merge), not a global sort") {
+    val p = plan(q("q12_topk"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to global sort:\n$p")
+  }
+
+  test("no un-partitioned window over full relations in any headline query") {
+    // Window specs must always carry a partitionBy: an empty Partition
+    // spec collapses the relation into one task (round-1's q10/q20
+    // scale-killer). Checked across every registered query.
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.sparkPlan.toString
+      val bad = "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p)
+      assert(bad.isEmpty, s"$name has an un-partitioned window: $bad")
+    }
+  }
+}
