@@ -134,6 +134,8 @@ object SparkEntry {
       EventLog.approxDistinctUsers(Tables.events(s, d), rsd = 0.02, tol = 0.05)),
     "q08_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
     "q09_sessionize" -> ((s, d) => EventLog.sessionize(Tables.events(s, d), SessionGapUs)),
+    "q09c_session_window" -> ((s, d) =>
+      EventLog.sessionizeNative(Tables.events(s, d), SessionGapUs)),
     "q10_proxy_ids" -> ((s, d) => EventLog.proxyIds(Tables.events(s, d))),
     "q11_window_funcs" -> ((s, d) => EventLog.windowFuncs(Tables.events(s, d))),
     "q12_topk" -> ((s, d) => EventLog.topK(Tables.events(s, d), TopK)),
@@ -344,6 +346,19 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP(n_name, o_orderpriority) ORDER BY nation, priority""",
     "q09_sessionize" ->
+      s"""WITH m AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS prev_ts
+            FROM events)
+          SELECT user_id,
+                 CAST(sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > $SessionGapUs
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                 count(*) AS n_events
+          FROM m GROUP BY user_id ORDER BY user_id""",
+    // Native session_window variant — same contract, so the same oracle
+    // (the gap+1us duration makes the merge condition identical).
+    "q09c_session_window" ->
       s"""WITH m AS (
             SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                    lag(epoch_us(ts)) OVER (PARTITION BY user_id

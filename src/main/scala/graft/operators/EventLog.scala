@@ -116,6 +116,23 @@ object EventLog {
       .orderBy("user_id")
   }
 
+  /** Q9c — sessionization via Spark's native `session_window` (the
+    * idiomatic streaming-compatible form of [[sessionize]]; in a
+    * `readStream` the identical expression gives watermarked incremental
+    * sessions). Boundary alignment: `session_window` merges two events
+    * when their gap is strictly less than the duration, while the
+    * reference contract (and [[sessionize]]) starts a new session only
+    * when the gap *exceeds* `gapUs` — so the duration is `gapUs + 1`
+    * microsecond, making "merge iff gap <= gapUs" exact.
+    */
+  def sessionizeNative(events: DataFrame, gapUs: Long): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"${gapUs + 1} microseconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+      .orderBy("user_id")
+
   /** Q20 — batch sync replay: the reference's whole session lifecycle
     * (model/game.go:60-74) re-expressed declaratively. Each (user,
     * session) pair — sessions delimited by the inactivity gap, i.e. the

@@ -55,6 +55,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("S1b: watermark + append mode finalizes windows and drops late data") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val src = MemoryStream[Long] // event-time micros
+
+    val agg = src.toDF()
+      .withColumn("ts", timestamp_micros(col("value")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .count()
+      .select(col("window.start").cast("long").as("w"), col("count"))
+
+    val q = agg.writeStream
+      .format("memory").queryName("s1b").outputMode("append").start()
+    try {
+      // Batch 1: 3 events in hour-0, 1 in hour-1 → watermark = max - 1h.
+      src.addData(0L, 10L, 20L, hourUs + 1L)
+      q.processAllAvailable()
+      // Batch 2: advance event time to hour-4 → watermark passes hour
+      // 0..2; their windows finalize and emit.
+      src.addData(4L * hourUs)
+      q.processAllAvailable()
+      // Batch 3: a late hour-0 event, older than the watermark → must be
+      // DROPPED, not re-opened (hour-0 already emitted with count 3).
+      src.addData(30L)
+      q.processAllAvailable()
+      // Advance again so hour-4 would finalize if anything re-opened.
+      src.addData(7L * hourUs)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("s1b").orderBy("w")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // hour-0 emitted exactly once with the pre-watermark count of 3 (the
+    // late 4th event dropped); hour-1 emitted with 1; hour-4 finalized.
+    // (window.start cast to long = epoch seconds.)
+    assert(rows == Seq((0L, 3L), (3600L, 1L), (4L * 3600L, 1L)))
+  }
+
   test("S2: session timeout emits _d and a returning client gets a fresh proxy id") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
