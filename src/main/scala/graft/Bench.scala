@@ -13,9 +13,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: one representative scan+shuffle query, untimed.
-    try SparkEntry.queries("q06_pricing_summary")(spark, sfDir).count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // Warm-up, untimed: one scan+shuffle query at the bench SF, plus the
+    // typed-encoder/sync-fold and array-lambda paths at the smallest SF
+    // (they have their own codegen/JIT surfaces the first query would
+    // otherwise be billed for).
+    val warmSf = "/root/testdata/sf0.001"
+    for (wq <- Seq("q06_pricing_summary" -> sfDir,
+                   "q20_sync_replay" -> warmSf,
+                   "q17b_minhash" -> warmSf,
+                   "q18_similarity_topk" -> warmSf))
+      try SparkEntry.queries(wq._1)(spark, wq._2).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Optional comma-separated name filter for single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
