@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+/** Determinism under distribution (SURVEY.md §7.3.1): a query's result
+  * must not depend on how its input happens to be partitioned — the
+  * property that makes results reproducible on any cluster size. Each
+  * headline operator family runs against the natural scan layout and
+  * against adversarial repartitionings (hash-scattered, single
+  * partition) and must produce identical rows.
+  */
+class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def same(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  /** Operators under test, as (name, input-layout => result). */
+  private def cases: Seq[(String, (DataFrame => DataFrame) => DataFrame)] = {
+    import graft.operators._
+    val docs = Tables.table(spark, sf, "documents")
+    val emb = Tables.table(spark, sf, "embeddings")
+    val events = Tables.events(spark, sf)
+    Seq(
+      ("latestState", f => EventLog.latestState(f(events))),
+      ("proxyIds", f => EventLog.proxyIds(f(events))),
+      ("topK", f => EventLog.topK(f(events), 10)),
+      ("syncReplay(sessions)", f => EventLog.syncReplay(f(events), 86400000000L)),
+      ("exactDedup", f => Dedup.exactDedup(f(docs))),
+      ("nearDupPairs", f => Dedup.nearDupPairs(f(docs), 0.2)),
+      ("simhash", f => Dedup.simhash(f(docs))),
+      ("topKSimilar", f => Similarity.topKSimilar(f(emb), 0L, 20)),
+      ("ivfSearch", f => Similarity.ivfSearch(f(emb), 8, 4, 5)),
+      ("stratifiedSample", f =>
+        Sampling.stratifiedSample(f(docs), Map("src0" -> 1.0, "src1" -> 0.5), 0.1, "t")),
+      ("fingerprints", f => TextAnalysis.fingerprints(f(docs))))
+  }
+
+  test("results are identical under hash-scattered and single-partition inputs") {
+    for ((name, run) <- cases) {
+      val natural = run(identity)
+      val scattered = run(_.repartition(7))
+      val collapsed = run(_.coalesce(1))
+      assert(same(natural, scattered), s"$name differs under repartition(7)")
+      assert(same(natural, collapsed), s"$name differs under coalesce(1)")
+    }
+  }
+}
