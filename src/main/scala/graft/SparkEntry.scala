@@ -158,6 +158,8 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.table(s, d, "embeddings"), EmbPairsK)),
     "q18e_batch_search" -> ((s, d) =>
       Similarity.ivfSearch(Tables.table(s, d, "embeddings"), NumCentroids, BatchQueries, BatchTopK)),
+    "q18f_lsh_search" -> ((s, d) =>
+      Similarity.lshSearch(Tables.table(s, d, "embeddings"), BatchQueries, BatchTopK)),
     "q19_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.table(s, d, "documents"))),
     "q19b_quality" -> ((s, d) => TextAnalysis.qualityLangId(Tables.table(s, d, "documents"))),
     "q19c_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.table(s, d, "documents"))),
@@ -503,6 +505,27 @@ object SparkEntry {
                    FROM a JOIN e USING (vec_id) WHERE vec_id >= $BatchQueries),
           sc AS (SELECT q.qid, corp.vec_id, ${roundSql(cosSql("corp.emb", "qemb"), 4)} AS score
                  FROM corp JOIN q ON corp.cid = q.cid),
+          t AS (SELECT qid, vec_id, score,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+                FROM sc)
+          SELECT qid, rnk, vec_id, score FROM t WHERE rnk <= $BatchTopK
+          ORDER BY qid, rnk""",
+    "q18f_lsh_search" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          d AS (SELECT e.vec_id, e.emb, h,
+                  list_sum(list_transform(generate_series(1, len(e.emb)),
+                    i -> e.emb[i] * ((CAST('0x' || substr(md5(h::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 12) AS BIGINT)
+                                       % 1000001) / 500000.0 - 1.0))) AS dot
+                FROM e, UNNEST(generate_series(0, ${Similarity.NumPlanes - 1})) AS t(h)),
+          b AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS bucket
+                FROM d GROUP BY vec_id),
+          q AS (SELECT b.vec_id AS qid, b.bucket, e.emb AS qemb
+                FROM b JOIN e USING (vec_id) WHERE vec_id < $BatchQueries),
+          corp AS (SELECT b.bucket, b.vec_id, e.emb
+                   FROM b JOIN e USING (vec_id) WHERE vec_id >= $BatchQueries),
+          sc AS (SELECT q.qid, corp.vec_id, ${roundSql(cosSql("corp.emb", "qemb"), 4)} AS score
+                 FROM corp JOIN q ON corp.bucket = q.bucket),
           t AS (SELECT qid, vec_id, score,
                   CAST(row_number() OVER (PARTITION BY qid
                     ORDER BY score DESC, vec_id) AS BIGINT) AS rnk

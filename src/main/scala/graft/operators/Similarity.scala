@@ -138,6 +138,50 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Number of SRP hyperplanes (bucket bits) for [[lshSearch]]. */
+  val NumPlanes = 6
+
+  /** Signed-random-projection bucket id: bit h = sign of the dot product
+    * with pseudo-random hyperplane h, whose component j is derived from
+    * the portable 48-bit hash of "h:j" mapped into [-1, 1] — no
+    * hyperplane matrix to ship, and the DuckDB oracle reproduces the
+    * exact same planes from the same formula. Index-order folds keep the
+    * sign test bit-identical across engines.
+    */
+  private def srpBucketSql(emb: String, nPlanes: Int): String = {
+    val comp = graft.functions.PortableHash.hash48(
+      "concat(CAST(h AS STRING), ':', CAST(j AS STRING))")
+    s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, h) ->
+          acc + CASE WHEN
+            aggregate(sequence(0, size($emb) - 1), 0D, (a, j) ->
+              a + $emb[j] * (($comp % 1000001) / 500000.0 - 1.0)) > 0D
+          THEN shiftleft(CAST(1 AS BIGINT), h) ELSE CAST(0 AS BIGINT) END)"""
+  }
+
+  /** Q18f — LSH-bucketed batch search: the hash-based alternative to the
+    * IVF path of [[ivfSearch]]. Every vector gets a [[NumPlanes]]-bit
+    * SRP bucket (cosine-similar vectors agree on sign bits with high
+    * probability); the query batch is broadcast and joined on the bucket
+    * id, so candidates are bucket collisions only — no centroid training
+    * step, no corpus shuffle, and bucket ids are 8-byte keys that
+    * join/group at any scale.
+    */
+  def lshSearch(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = withEmb(emb)
+      .withColumn("bucket", expr(srpBucketSql("emb", NumPlanes)))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("bucket"), col("emb").as("qemb"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("bucket"), col("vec_id"), col("emb"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    corpus.join(broadcast(queries), "bucket")
+      .withColumn("score", roundTo(expr(cosSql("emb", "qemb")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "score")
+      .orderBy("qid", "rnk")
+  }
+
   /** Q18d — most-similar intra-block pairs (embedding near-dup): cosine
     * over pairs sharing a blocking key (`label`), top `k` pairs overall.
     * The blocking join keeps the pair space per-block; the final top-k is
