@@ -159,6 +159,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streaming == batch)
   }
 
+  test("S3c: sync engine is correct under the RocksDB state store provider") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // Same engine, production state backend: per-stream GameState must
+    // serialize/restore through RocksDB across microbatches.
+    val reqs = (for (i <- 0 until 90) yield {
+      val now = 1000L + i * 61L + (if (i % 13 == 0) 15000L else 0L)
+      SyncRequest(i % 2L, now, (i % 3).toString, "e", i.toString)
+    }).sortBy(r => (r.now, r.body.toLong))
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[SyncRequest]
+      val cfg = SyncConfig(50L, 10000L)
+      val q = SyncEngine(src.toDS(), cfg, seed = 42L, gameTimeoutUs = 0L)
+        .writeStream.format("memory").queryName("s3c").outputMode("append").start()
+      try {
+        reqs.grouped(30).foreach { chunk =>
+          src.addData(chunk: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streaming = spark.table("s3c").orderBy("stream_id", "sync_seq").collect().toSeq
+      val batch = SyncReplay.replaySchedule(reqs.toDS(), cfg, seed = 42L)
+        .toDF().orderBy("stream_id", "sync_seq").collect().toSeq
+      assert(streaming.size == reqs.size)
+      assert(streaming == batch)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("stream TTL: timeout fire drops the stream's state; a later sync restarts it") {
     import graft.streaming.{GameState, SyncEngine}
     // Minimal GroupState stub: enough to drive handleGroup's branches.
