@@ -169,6 +169,7 @@ object SparkEntry {
     "q21_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.table(s, d, "documents"))),
     "q22_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.table(s, d, "documents"), MixRates, MixDefaultRate, MixSalt)),
+    "q23_profile" -> ((s, d) => Profile.documentsProfile(Tables.table(s, d, "documents"))),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -587,6 +588,18 @@ object SparkEntry {
                   % 1000000 < keep_rate * 1000000
           ORDER BY doc_id"""
     },
+    "q23_profile" ->
+      s"""SELECT source, count(*) AS n_docs,
+                 count(DISTINCT doc_id) AS n_distinct_ids,
+                 CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_empty_text,
+                 count(DISTINCT lang) AS n_langs,
+                 CAST(min(n_chars) AS BIGINT) AS min_chars,
+                 CAST(max(n_chars) AS BIGINT) AS max_chars,
+                 ${roundSql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 4)} AS avg_chars,
+                 CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+                 count(DISTINCT doc_id) = count(*) AS ids_unique
+          FROM documents GROUP BY source ORDER BY source""",
     "q09b_session_ids" ->
       s"""WITH m AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

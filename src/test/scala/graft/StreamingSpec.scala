@@ -191,6 +191,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("S3d: restart from checkpoint resumes state, with no loss or re-emission") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val reqs = (for (i <- 0 until 80) yield {
+      val now = 1000L + i * 57L + (if (i % 11 == 0) 12000L else 0L)
+      SyncRequest(i % 2L, now, (i % 3).toString, "e", i.toString)
+    }).sortBy(r => (r.now, r.body.toLong))
+    val (first, second) = reqs.splitAt(40)
+
+    // File sink: the memory sink refuses checkpoint recovery.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val src = MemoryStream[SyncRequest]
+    val cfg = SyncConfig(50L, 10000L)
+    val out = SyncEngine(src.toDS(), cfg, seed = 42L, gameTimeoutUs = 0L)
+    def start() = out.writeStream
+      .format("parquet").outputMode("append")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt).start()
+
+    // Run half, stop (simulated failure), restart from the checkpoint,
+    // run the rest: GameState must resume exactly where it left off.
+    val q1 = start()
+    try { src.addData(first: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { src.addData(second: _*); q2.processAllAvailable() } finally q2.stop()
+
+    val streaming = spark.read.parquet(sink)
+      .orderBy("stream_id", "sync_seq").collect().toSeq
+    val batch = SyncReplay.replaySchedule(reqs.toDS(), cfg, seed = 42L)
+      .toDF().orderBy("stream_id", "sync_seq").collect().toSeq
+    assert(streaming.size == reqs.size)
+    assert(streaming == batch)
+  }
+
   test("stream TTL: timeout fire drops the stream's state; a later sync restarts it") {
     import graft.streaming.{GameState, SyncEngine}
     // Minimal GroupState stub: enough to drive handleGroup's branches.
