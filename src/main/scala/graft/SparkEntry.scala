@@ -170,6 +170,7 @@ object SparkEntry {
     "q22_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.table(s, d, "documents"), MixRates, MixDefaultRate, MixSalt)),
     "q23_profile" -> ((s, d) => Profile.documentsProfile(Tables.table(s, d, "documents"))),
+    "q24_part_revenue" -> ((s, d) => Relational.partRevenue(s, d)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -600,6 +601,12 @@ object SparkEntry {
                  CAST(sum(length(text)) AS BIGINT) AS total_text_len,
                  count(DISTINCT doc_id) = count(*) AS ids_unique
           FROM documents GROUP BY source ORDER BY source""",
+    "q24_part_revenue" ->
+      s"""SELECT p_brand, count(DISTINCT p_partkey) AS n_parts, count(*) AS n_items,
+                 round(${exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)}, 2) AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size <= 25
+          GROUP BY p_brand ORDER BY p_brand""",
     "q09b_session_ids" ->
       s"""WITH m AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

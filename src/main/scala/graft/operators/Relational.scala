@@ -125,6 +125,24 @@ object Relational {
       .orderBy("nation", "priority")
   }
 
+  /** Q24 — part revenue by brand (TPC-H Q14/Q19 shape): fact⋈dimension
+    * join where the dimension grows with SF (so no broadcast hint — AQE
+    * decides from sizes), with the dimension predicate (`p_size`) pushed
+    * into its scan before the join.
+    */
+  def partRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(spark, dir, "lineitem")
+    val part = t(spark, dir, "part").filter(col("p_size") <= 25)
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        countDistinct(col("p_partkey")).as("n_parts"),
+        count(lit(1)).as("n_items"),
+        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 2).as("revenue"))
+      .orderBy("p_brand")
+  }
+
   /** Q13 — set operations, tagged and unioned into one deterministic
     * relation: EXCEPT / INTERSECT / UNION over comparable key domains.
     */
