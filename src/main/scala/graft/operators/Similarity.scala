@@ -143,20 +143,26 @@ object Similarity {
 
   /** Signed-random-projection bucket id: bit h = sign of the dot product
     * with pseudo-random hyperplane h, whose component j is derived from
-    * the portable 48-bit hash of "h:j" mapped into [-1, 1] — no
-    * hyperplane matrix to ship, and the DuckDB oracle reproduces the
-    * exact same planes from the same formula. Index-order folds keep the
-    * sign test bit-identical across engines.
+    * the portable 48-bit hash of "h:j" mapped into [-1, 1]. The matrix
+    * is a pure function of (nPlanes, dim), so it is computed ONCE on the
+    * driver (same MD5 formula the DuckDB oracle evaluates inline) and
+    * shipped as a literal — the per-row work is H dot products, with no
+    * hash calls in the scan. Index-order folds keep the sign test
+    * bit-identical across engines.
     */
-  private def srpBucketSql(emb: String, nPlanes: Int): String = {
-    val comp = graft.functions.PortableHash.hash48(
-      "concat(CAST(h AS STRING), ':', CAST(j AS STRING))")
+  private def srpPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { h =>
+      (0 until dim).map { j =>
+        (graft.streaming.SyncCore.hash48(s"$h:$j") % 1000001L) / 500000.0 - 1.0
+      }
+    }
+
+  private def srpBucketSql(emb: String, nPlanes: Int): String =
     s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, h) ->
           acc + CASE WHEN
             aggregate(sequence(0, size($emb) - 1), 0D, (a, j) ->
-              a + $emb[j] * (($comp % 1000001) / 500000.0 - 1.0)) > 0D
+              a + $emb[j] * srp_planes[h][j]) > 0D
           THEN shiftleft(CAST(1 AS BIGINT), h) ELSE CAST(0 AS BIGINT) END)"""
-  }
 
   /** Q18f — LSH-bucketed batch search: the hash-based alternative to the
     * IVF path of [[ivfSearch]]. Every vector gets a [[NumPlanes]]-bit
@@ -167,8 +173,14 @@ object Similarity {
     * join/group at any scale.
     */
   def lshSearch(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val e = withEmb(emb)
+    val e0 = withEmb(emb)
+    // One tiny job reads the (constant) embedding dimension; the plane
+    // matrix is then a literal in the plan.
+    val dim = e0.select(size(col("emb"))).head.getInt(0)
+    val e = e0
+      .withColumn("srp_planes", typedlit(srpPlanes(NumPlanes, dim)))
       .withColumn("bucket", expr(srpBucketSql("emb", NumPlanes)))
+      .drop("srp_planes")
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("bucket"), col("emb").as("qemb"))
     val corpus = e.filter(col("vec_id") >= nQueries)
