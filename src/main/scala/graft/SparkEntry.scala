@@ -51,6 +51,8 @@ object SparkEntry {
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
   private val MixDefaultRate = 0.1
   private val MixSalt = "mix1"
+  /** Q21b: sample up to this many evenly-spaced frames per media item. */
+  private val MaxFrames = 4
 
   /** DuckDB mirror of [[graft.functions.Deterministic.exactSum]]: scale
     * each row to an integer (per-row IEEE ops are bit-identical across
@@ -133,6 +135,7 @@ object SparkEntry {
     "q07b_approx_distinct" -> ((s, d) =>
       EventLog.approxDistinctUsers(Tables.events(s, d), rsd = 0.02, tol = 0.05)),
     "q08_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
+    "q08b_cube" -> ((s, d) => Relational.cubeAgg(s, d)),
     "q09_sessionize" -> ((s, d) => EventLog.sessionize(Tables.events(s, d), SessionGapUs)),
     "q09c_session_window" -> ((s, d) =>
       EventLog.sessionizeNative(Tables.events(s, d), SessionGapUs)),
@@ -167,6 +170,8 @@ object SparkEntry {
     "q20_sync_replay" -> ((s, d) =>
       SyncReplay.replay(Tables.events(s, d), graft.streaming.SyncConfig(SyncTickUs, SessionGapUs))),
     "q21_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.table(s, d, "documents"))),
+    "q21b_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Tables.table(s, d, "documents"), MaxFrames)),
     "q22_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.table(s, d, "documents"), MixRates, MixDefaultRate, MixSalt)),
     "q23_profile" -> ((s, d) => Profile.documentsProfile(Tables.table(s, d, "documents"))),
@@ -349,6 +354,13 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP(n_name, o_orderpriority) ORDER BY nation, priority""",
+    "q08b_cube" ->
+      s"""SELECT coalesce(n_name, 'ALL') AS nation,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                count(*) AS n_orders, round(${exactSumSql("o_totalprice", 2)}, 2) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY CUBE(n_name, o_orderpriority) ORDER BY nation, priority""",
     "q09_sessionize" ->
       s"""WITH m AS (
             SELECT user_id, epoch_us(ts) AS ts_us, event_id,
@@ -577,6 +589,18 @@ object SparkEntry {
          FROM (SELECT doc_id, text,
                  CAST('0x' || substr(sha256(text), 1, 12) AS BIGINT) AS h48
                FROM documents) ORDER BY doc_id""",
+    "q21b_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id,
+                       CAST(1 + CAST('0x' || substr(sha256(text), 1, 12) AS BIGINT) % 30 AS INTEGER)
+                         AS n_frames
+                     FROM documents),
+          s AS (SELECT doc_id, n_frames,
+                  CAST(ceil(CAST(n_frames AS DOUBLE) / $MaxFrames) AS INT) AS st
+                FROM m)
+          SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, n_frames
+          FROM s, UNNEST(generate_series(0, st * ${MaxFrames - 1}, st)) AS t(f)
+          WHERE f < n_frames
+          ORDER BY doc_id, frame_idx""",
     "q22_stratified_sample" -> {
       val rateCase = MixRates.toSeq.sortBy(_._1)
         .map { case (s, r) => s"WHEN '$s' THEN $r" }

@@ -73,6 +73,25 @@ object Multimodal {
       .as[MediaBlob]
   }
 
+  /** Q21b — frame sampling: pick up to `maxFrames` evenly-spaced frame
+    * indices per media item (stride = ceil(n/max)), the standard
+    * decimation step before frame-level feature extraction. Pure
+    * metadata math + one explode — the payload column is never touched,
+    * so at scale the scan reads only the tiny metadata columns.
+    */
+  def sampleFrames(docs: DataFrame, maxFrames: Int): DataFrame =
+    mediaMeta(docs)
+      .select(
+        col("doc_id"), col("n_frames"),
+        explode(expr(
+          s"""transform(
+                sequence(0, CAST(ceil(CAST(n_frames AS DOUBLE) / $maxFrames) AS INT) * ($maxFrames - 1),
+                         CAST(ceil(CAST(n_frames AS DOUBLE) / $maxFrames) AS INT)),
+                x -> x)""")).as("frame_idx"))
+      .where(col("frame_idx") < col("n_frames"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("n_frames"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Q21 — declarative twin of [[decode]] for the oracle gate: the same
     * metadata extraction as pure SQL expressions (sha256 via sha2, fake
     * dims via the portable 48-bit hash). Proves the metadata contract;

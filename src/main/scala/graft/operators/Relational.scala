@@ -125,6 +125,28 @@ object Relational {
       .orderBy("nation", "priority")
   }
 
+  /** Q8b — cube over the same join as [[rollupAgg]]: all four grouping
+    * combinations (both, each alone, grand total) in one pass via
+    * Expand — the planner turns this into a single shuffle, not four
+    * queries.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .cube(expr("n_name"), expr("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(exactSum(col("o_totalprice"), 2), 2).as("total_price"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("nation", "priority")
+  }
+
   /** Q24 — part revenue by brand (TPC-H Q14/Q19 shape): fact⋈dimension
     * join where the dimension grows with SF (so no broadcast hint — AQE
     * decides from sizes), with the dimension predicate (`p_size`) pushed
