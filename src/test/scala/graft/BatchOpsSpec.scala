@@ -56,6 +56,29 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.agg(sum("n_copies")).head.getLong(0) == docs.count())
   }
 
+  test("TopKAggregator (bounded-heap grouped top-k) equals the window formulation") {
+    import spark.implicits._
+    import graft.functions.TopKAggregator
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("value"), col("event_id"))
+      .as[(Long, Double, Long)]
+    val fast = ev
+      .groupByKey(_._1)
+      .mapValues { case (_, v, id) => (v, id) }
+      .agg(new TopKAggregator(3).toColumn)
+      .flatMap { case (u, hits) =>
+        hits.zipWithIndex.map { case ((s, id), i) => (u, i + 1L, id, s) }
+      }
+      .toDF("user_id", "rnk", "event_id", "value")
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val slow = Tables.events(spark, sf)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select("user_id", "rnk", "event_id", "value")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    assert(fast.count() > 0)
+  }
+
   test("delta scan composes: (a,b] ∪ (b,c] == (a,c]") {
     val ev = Tables.events(spark, sf)
     val a = 1704844800000000L; val b = 1705276800000000L; val c = 1705708800000000L
