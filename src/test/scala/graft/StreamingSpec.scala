@@ -95,6 +95,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Seq((0L, 3L), (3600L, 1L), (4L * 3600L, 1L)))
   }
 
+  test("S1c: streaming session_window aggregation equals the batch result") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // (user, event-time micros): per-user bursts with >10 s gaps between
+    // them — sessions must match the batch session_window exactly.
+    val secUs = 1000000L
+    val rows = for {
+      u <- 0L until 4L
+      burst <- 0 until 3
+      i <- 0 until 5
+    } yield (u, (burst * 60L + u * 7L) * secUs + i * secUs)
+
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", timestamp_micros(col("_2")))
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "10 seconds"), col("_1").as("user_id"))
+      .count()
+      .select(col("session_window.start").cast("long").as("s"),
+        col("session_window.end").cast("long").as("e"), col("user_id"), col("count"))
+
+    val src = MemoryStream[(Long, Long)]
+    val half = rows.size / 2
+    src.addData(rows.take(half): _*)
+    src.addData(rows.drop(half): _*)
+    val q = shape(src.toDF()).writeStream
+      .format("memory").queryName("s1c").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("s1c").orderBy("user_id", "s").collect().toSeq
+    val want = shape(rows.toDF()).orderBy("user_id", "s").collect().toSeq
+    assert(got == want && got.size == 12) // 4 users x 3 sessions
+  }
+
   test("S2: session timeout emits _d and a returning client gets a fresh proxy id") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
