@@ -301,6 +301,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out3.map(_.proxy_id) == Seq(1L) && st.value.isDefined)
   }
 
+  test("S4: file-streamed wire-JSON requests drive the sync engine ≡ batch replay") {
+    import spark.implicits._
+    import graft.sources.WireJson
+    import org.apache.spark.sql.types._
+    // Wire rows = the reference's URL-path fields + the raw request body
+    // (GameRequest JSON), one JSON object per line.
+    val reqs = (for (i <- 0 until 60) yield {
+      val now = 1000L + i * 53L + (if (i % 9 == 0) 11000L else 0L)
+      SyncRequest(i % 2L, now, (i % 3).toString, "e", i.toString)
+    }).sortBy(r => (r.now, r.body.toLong))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wire_stream").toString
+    reqs.toDF()
+      .withColumn("body", format_string(
+        """{"Events":[{"T":0,"Type":"%s","Origin":"spoofed","Body":"%s"}]}""",
+        col("event_type"), col("body")))
+      .select("stream_id", "now", "client_id", "body")
+      .coalesce(1).write.mode("overwrite").json(dir)
+
+    val wireSchema = StructType(Seq(
+      StructField("stream_id", LongType), StructField("now", LongType),
+      StructField("client_id", StringType), StructField("body", StringType)))
+    val parsed = WireJson.parseRequests(
+      spark.readStream.schema(wireSchema).json(dir), "body")
+    val asReqs = parsed.select(
+        col("stream_id"), col("now"), col("client_id"),
+        element_at(col("events"), 1).getField("Type").as("event_type"),
+        element_at(col("events"), 1).getField("Body").as("body"))
+      .as[SyncRequest]
+
+    val cfg = SyncConfig(50L, 10000L)
+    val q = SyncEngine(asReqs, cfg, seed = 42L, gameTimeoutUs = 0L)
+      .writeStream.format("memory").queryName("s4").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streaming = spark.table("s4").orderBy("stream_id", "sync_seq").collect().toSeq
+    val batch = SyncReplay.replaySchedule(reqs.toDS(), cfg, seed = 42L)
+      .toDF().orderBy("stream_id", "sync_seq").collect().toSeq
+    assert(streaming.size == reqs.size)
+    assert(streaming == batch)
+  }
+
   test("S3b: incremental streaming LWW final state equals batch latest-state (Q2)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
