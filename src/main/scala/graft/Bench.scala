@@ -21,7 +21,11 @@ object Bench {
     for (wq <- Seq("q06_pricing_summary" -> sfDir,
                    "q20_sync_replay" -> warmSf,
                    "q17b_minhash" -> warmSf,
-                   "q18_similarity_topk" -> warmSf))
+                   "q18_similarity_topk" -> warmSf,
+                   // One-time partitioned-layout ingest happens here so
+                   // the timed q01b measures the pruned scan, not the
+                   // write (EventLogStore.writePartitioned memoizes).
+                   "q01b_delta_pruned" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Optional comma-separated name filter for single-query iteration.
