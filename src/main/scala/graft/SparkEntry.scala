@@ -53,6 +53,8 @@ object SparkEntry {
   private val MixSalt = "mix1"
   /** Q21b: sample up to this many evenly-spaced frames per media item. */
   private val MaxFrames = 4
+  /** Q21c: resize target — long side capped here, never upscaled. */
+  private val MaxResizeDim = 256
 
   /** DuckDB mirror of [[graft.functions.Deterministic.exactSum]]: scale
     * each row to an integer (per-row IEEE ops are bit-identical across
@@ -172,6 +174,8 @@ object SparkEntry {
     "q21_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.table(s, d, "documents"))),
     "q21b_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Tables.table(s, d, "documents"), MaxFrames)),
+    "q21c_resize_meta" -> ((s, d) =>
+      Multimodal.resizeMeta(Tables.table(s, d, "documents"), MaxResizeDim)),
     "q22_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.table(s, d, "documents"), MixRates, MixDefaultRate, MixSalt)),
     "q23_profile" -> ((s, d) => Profile.documentsProfile(Tables.table(s, d, "documents"))),
@@ -601,6 +605,20 @@ object SparkEntry {
           FROM s, UNNEST(generate_series(0, st * ${MaxFrames - 1}, st)) AS t(f)
           WHERE f < n_frames
           ORDER BY doc_id, frame_idx""",
+    "q21c_resize_meta" ->
+      s"""WITH m AS (SELECT doc_id,
+                       CAST(64 + h48 % 960 AS INTEGER) AS width,
+                       CAST(64 + (h48 >> 10) % 540 AS INTEGER) AS height
+                     FROM (SELECT doc_id,
+                             CAST('0x' || substr(sha256(text), 1, 12) AS BIGINT) AS h48
+                           FROM documents)),
+          s AS (SELECT doc_id, width, height,
+                  least(1.0, CAST($MaxResizeDim AS DOUBLE) / greatest(width, height)) AS scale
+                FROM m)
+          SELECT doc_id, width, height,
+                 CAST(floor(width * scale + 0.5) AS INTEGER) AS resized_w,
+                 CAST(floor(height * scale + 0.5) AS INTEGER) AS resized_h
+          FROM s ORDER BY doc_id""",
     "q22_stratified_sample" -> {
       val rateCase = MixRates.toSeq.sortBy(_._1)
         .map { case (s, r) => s"WHEN '$s' THEN $r" }

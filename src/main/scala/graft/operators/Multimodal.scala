@@ -73,6 +73,23 @@ object Multimodal {
       .as[MediaBlob]
   }
 
+  /** Q21c — resize planning: aspect-preserving target dimensions with
+    * the long side capped at `maxDim` (never upscaled). Like frame
+    * sampling this is metadata-only — the real pixel transform is the
+    * stubbed codec's job; what the engine owns is the deterministic
+    * dimension math every downstream batch needs agreed on.
+    */
+  def resizeMeta(docs: DataFrame, maxDim: Int): DataFrame =
+    mediaMeta(docs)
+      .withColumn("scale", least(
+        lit(1.0),
+        lit(maxDim.toDouble) / greatest(col("width"), col("height"))))
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        floor(col("width") * col("scale") + lit(0.5)).cast("int").as("resized_w"),
+        floor(col("height") * col("scale") + lit(0.5)).cast("int").as("resized_h"))
+      .orderBy("doc_id")
+
   /** Q21b — frame sampling: pick up to `maxFrames` evenly-spaced frame
     * indices per media item (stride = ceil(n/max)), the standard
     * decimation step before frame-level feature extraction. Pure
