@@ -112,6 +112,27 @@ object SparkEntry {
         WHERE epoch_us(ts) > $DeltaLastKnownUs AND epoch_us(ts) <= $DeltaServerTUs
         ORDER BY ts_us, event_id"""
 
+  /** Shared CTE chain producing LSH near-dup candidate pairs with exact
+    * Jaccard (`j(doc_a, doc_b, jac)`), mirroring [[Dedup.nearDupPairs]]
+    * including the bucket-size gate — used by q17c and q17e.
+    */
+  private lazy val nearDupCte =
+    s"""$shingleCte,
+        bands AS (SELECT doc_id, b, md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS bsig
+                  FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+        keep AS (SELECT b, bsig FROM bands GROUP BY b, bsig
+                 HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucket}),
+        kb AS (SELECT bands.* FROM bands JOIN keep USING (b, bsig)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM kb a JOIN kb b ON a.b = b.b AND a.bsig = b.bsig
+                   AND a.doc_id < b.doc_id),
+        j AS (SELECT doc_a, doc_b,
+                CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sg, sb.sg))) AS jac
+              FROM cand
+              JOIN sh sa ON sa.doc_id = doc_a
+              JOIN sh sb ON sb.doc_id = doc_b)"""
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.multiJoinRevenue(spark, "/root/testdata/sf0.001")
@@ -153,6 +174,8 @@ object SparkEntry {
     "q17c_neardup_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(Tables.table(s, d, "documents"), NearDupThreshold)),
     "q17d_simhash" -> ((s, d) => Dedup.simhash(Tables.table(s, d, "documents"))),
+    "q17e_ensemble_neardup" -> ((s, d) => Dedup.ensembleNearDups(
+      Tables.table(s, d, "documents"), Tables.table(s, d, "embeddings"), NearDupThreshold)),
     "q18_similarity_topk" -> ((s, d) =>
       Similarity.topKSimilar(Tables.table(s, d, "embeddings"), QueryVecId, SimTopK)),
     "q18b_ivf_clusters" -> ((s, d) =>
@@ -441,23 +464,19 @@ object SparkEntry {
           SELECT doc_id, array_to_string(sig, '|') AS signature
           FROM sig ORDER BY doc_id""",
     "q17c_neardup_pairs" ->
-      s"""WITH $shingleCte,
-          bands AS (SELECT doc_id, b, md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS bsig
-                    FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
-          keep AS (SELECT b, bsig FROM bands GROUP BY b, bsig
-                   HAVING count(*) BETWEEN 2 AND ${Dedup.MaxBucket}),
-          kb AS (SELECT bands.* FROM bands JOIN keep USING (b, bsig)),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM kb a JOIN kb b ON a.b = b.b AND a.bsig = b.bsig
-                     AND a.doc_id < b.doc_id),
-          j AS (SELECT doc_a, doc_b,
-                  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
-                    / len(list_distinct(list_concat(sa.sg, sb.sg))) AS jac
-                FROM cand
-                JOIN sh sa ON sa.doc_id = doc_a
-                JOIN sh sb ON sb.doc_id = doc_b)
+      s"""WITH $nearDupCte
           SELECT doc_a, doc_b, ${roundSql("jac", 4)} AS jaccard
           FROM j WHERE jac >= $NearDupThreshold ORDER BY doc_a, doc_b""",
+    "q17e_ensemble_neardup" ->
+      s"""WITH $nearDupCte,
+          p AS (SELECT doc_a, doc_b, ${roundSql("jac", 4)} AS jaccard
+                FROM j WHERE jac >= $NearDupThreshold),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+          SELECT p.doc_a, p.doc_b, p.jaccard,
+                 ${roundSql(cosSql("ea.emb", "eb.emb"), 4)} AS cosine
+          FROM p JOIN e ea ON ea.vec_id = p.doc_a
+                 JOIN e eb ON eb.vec_id = p.doc_b
+          ORDER BY doc_a, doc_b""",
     "q17d_simhash" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 12) AS BIGINT) AS hw FROM w),

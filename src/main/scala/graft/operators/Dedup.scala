@@ -137,6 +137,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Q17e — ensemble near-dup confirmation: the lexical LSH candidates
+    * from [[nearDupPairs]] re-scored with embedding cosine (documents
+    * and embeddings share the id domain). This is the production
+    * two-stage shape: a cheap lexical pass proposes candidate pairs,
+    * the semantic score confirms or refutes them — and only candidates
+    * ever touch the embedding table. The candidate set is tiny relative
+    * to the corpus, so AQE broadcasts it against the (100 TB-side)
+    * embedding table; the big side is never shuffled.
+    */
+  def ensembleNearDups(docs: DataFrame, emb: DataFrame, threshold: Double): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold)
+    val e = emb
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("e"))
+    pairs
+      .join(e.select(col("vec_id").as("doc_a"), col("e").as("emb_a")), "doc_a")
+      .join(e.select(col("vec_id").as("doc_b"), col("e").as("emb_b")), "doc_b")
+      .withColumn("cosine", roundTo(expr("cosine_sim(emb_a, emb_b)"), 4))
+      .select("doc_a", "doc_b", "jaccard", "cosine")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Q17d — 48-bit SimHash per document: per-bit majority vote over the
     * 48-bit hashes of every token (duplicates weighted by occurrence).
     * One integer per doc; near-dup detection at scale = grouping on
