@@ -55,6 +55,8 @@ object SparkEntry {
   private val MaxFrames = 4
   /** Q21c: resize target — long side capped here, never upscaled. */
   private val MaxResizeDim = 256
+  /** Q26 histogram bucket width over events.value. */
+  private val HistWidth = 25.0
 
   /** DuckDB mirror of [[graft.functions.Deterministic.exactSum]]: scale
     * each row to an integer (per-row IEEE ops are bit-identical across
@@ -203,6 +205,8 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables.table(s, d, "documents"), MixRates, MixDefaultRate, MixSalt)),
     "q23_profile" -> ((s, d) => Profile.documentsProfile(Tables.table(s, d, "documents"))),
     "q24_part_revenue" -> ((s, d) => Relational.partRevenue(s, d)),
+    "q25_quantiles" -> ((s, d) => EventLog.quantiles(Tables.events(s, d))),
+    "q26_histogram" -> ((s, d) => EventLog.histogram(Tables.events(s, d), HistWidth)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -668,6 +672,15 @@ object SparkEntry {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE p_size <= 25
           GROUP BY p_brand ORDER BY p_brand""",
+    "q25_quantiles" ->
+      s"""SELECT event_type, count(*) AS n,
+                 ${roundSql("quantile_cont(value, 0.5)", 4)} AS p50,
+                 ${roundSql("quantile_cont(value, 0.9)", 4)} AS p90,
+                 ${roundSql("quantile_cont(value, 0.99)", 4)} AS p99
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q26_histogram" ->
+      """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n
+         FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket""",
     "q09b_session_ids" ->
       s"""WITH m AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Deterministic.exactSum
+import graft.functions.Deterministic.{exactSum, roundTo}
 
 /** Batch re-expression of the reference's event-log query surface.
   *
@@ -173,6 +173,33 @@ object EventLog {
       .select("event_id", "user_id", "ts_us", "running_sum", "gap_us", "rn")
       .orderBy("event_id")
   }
+
+  /** Q25 — exact percentiles of `value` per event type. Spark's
+    * `percentile` and DuckDB's `quantile_cont` both sort and linearly
+    * interpolate at rank p·(n-1), in IEEE doubles — identical values;
+    * rounded anyway per the float-hash rule. Exact percentile sorts per
+    * group (fine for bounded group counts); at unbounded cardinality
+    * swap in `approx_percentile`'s mergeable sketch — same query shape.
+    */
+  def quantiles(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        roundTo(expr("percentile(value, 0.5)"), 4).as("p50"),
+        roundTo(expr("percentile(value, 0.9)"), 4).as("p90"),
+        roundTo(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** Q26 — fixed-width histogram of `value` per event type: bucket =
+    * floor(value / width), exact integer math both engines agree on.
+    * One hash aggregation; the classic distribution-profile scan.
+    */
+  def histogram(events: DataFrame, width: Double): DataFrame =
+    events
+      .groupBy(col("event_type"), floor(col("value") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
 
   /** Q12 — top-k users by total value. Ordering on the *rounded* measure
     * keeps the cutoff deterministic across engines.
