@@ -57,6 +57,8 @@ object SparkEntry {
   private val MaxResizeDim = 256
   /** Q26 histogram bucket width over events.value. */
   private val HistWidth = 25.0
+  /** Q27 pivot columns: the fixed event-type vocabulary of the corpus. */
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** DuckDB mirror of [[graft.functions.Deterministic.exactSum]]: scale
     * each row to an integer (per-row IEEE ops are bit-identical across
@@ -206,6 +208,7 @@ object SparkEntry {
     "q23_profile" -> ((s, d) => Profile.documentsProfile(Tables.table(s, d, "documents"))),
     "q24_part_revenue" -> ((s, d) => Relational.partRevenue(s, d)),
     "q25_quantiles" -> ((s, d) => EventLog.quantiles(Tables.events(s, d))),
+    "q27_pivot" -> ((s, d) => EventLog.pivotByType(Tables.events(s, d), PivotTypes)),
     "q26_histogram" -> ((s, d) => EventLog.histogram(Tables.events(s, d), HistWidth)),
   )
 
@@ -681,6 +684,11 @@ object SparkEntry {
     "q26_histogram" ->
       """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n
          FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket""",
+    "q27_pivot" -> {
+      val cols = PivotTypes.map(t =>
+        s"""count(CASE WHEN event_type = '$t' THEN 1 END) AS "$t"""").mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY user_id ORDER BY user_id"
+    },
     "q09b_session_ids" ->
       s"""WITH m AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -201,6 +201,19 @@ object EventLog {
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type", "bucket")
 
+  /** Q27 — pivot: per-user event counts spread into one column per
+    * event type. The type list is passed explicitly — at scale an
+    * unlisted pivot costs a distinct-scan to discover values; listing
+    * them keeps it one aggregation pass.
+    */
+  def pivotByType(events: DataFrame, types: Seq[String]): DataFrame =
+    events
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("user_id")
+
   /** Q12 — top-k users by total value. Ordering on the *rounded* measure
     * keeps the cutoff deterministic across engines.
     */
