@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.streaming.{SyncConfig, SyncCore}
+import graft.streaming.{GameState, SyncConfig, SyncCore}
 
 /** One scheduled sync request (derived from the events table: each event
   * becomes "its user syncs now, posting this event and a state update").
@@ -73,6 +73,27 @@ object SyncReplay {
     replaySchedule(schedule(events), cfg, Seed)
       .toDF()
       .orderBy("stream_id", "sync_seq")
+
+  /** Final per-stream engine state after folding a schedule — the batch
+    * side of a backfill→streaming handoff: replay history in batch, then
+    * boot the streaming engine from these snapshots (see
+    * [[graft.streaming.SyncEngine.withInitialState]]).
+    */
+  def finalStates(
+      reqs0: Dataset[SyncRequest], cfg: SyncConfig, seed: Long): Dataset[(Long, GameState)] = {
+    import reqs0.sparkSession.implicits._
+    reqs0
+      .groupByKey(_.stream_id)
+      .mapGroups { (sid: Long, it: Iterator[SyncRequest]) =>
+        val reqs = it.toVector.sortBy(r => (r.now, r.body.toLong))
+        var g = SyncCore.init(reqs.head.now, seed)
+        reqs.foreach { r =>
+          g = SyncCore.process(cfg, g, r.now, r.client_id, None,
+            Seq((r.event_type, r.body)), Some(Map("last_event" -> r.body)))._1
+        }
+        (sid, g)
+      }
+  }
 
   /** The replay fold over an arbitrary schedule (also used by tests to
     * compare streaming output against batch — README.md:9's invariant).

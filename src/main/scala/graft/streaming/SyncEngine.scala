@@ -52,6 +52,32 @@ object SyncEngine {
         OutputMode.Append, timeoutConf)(handleGroup(cfg, seed, gameTimeoutUs))
   }
 
+  /** [[apply]] with a bootstrap snapshot: streams start from the given
+    * batch-computed [[GameState]]s instead of empty (the reference has
+    * no such notion — its state dies with the process — but a durable
+    * engine needs the backfill→streaming handoff: replay history in
+    * batch with [[graft.operators.SyncReplay.finalStates]], then stream
+    * the live tail from exactly where the replay left off; sync_seq,
+    * proxy ids, per-client watermarks all continue unbroken).
+    */
+  def withInitialState(
+      requests: Dataset[SyncRequest],
+      cfg: SyncConfig,
+      seed: Long,
+      gameTimeoutUs: Long,
+      initial: Dataset[(Long, GameState)]): Dataset[SyncSummary] = {
+    import requests.sparkSession.implicits._
+    val timeoutConf =
+      if (gameTimeoutUs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    requests
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState[GameState, SyncSummary](
+        OutputMode.Append, timeoutConf,
+        initialState = initial.groupByKey(_._1).mapValues(_._2))(
+        handleGroup(cfg, seed, gameTimeoutUs))
+  }
+
   /** The per-group state-transition body, factored out so the timeout
     * branch (stream expiry, game.go:76-78) is unit-testable against a
     * stub [[GroupState]] — a real ProcessingTimeTimeout firing cannot be

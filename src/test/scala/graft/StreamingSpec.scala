@@ -301,6 +301,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out3.map(_.proxy_id) == Seq(1L) && st.value.isDefined)
   }
 
+  test("S3e: batch→streaming handoff — stream booted from batch state continues seamlessly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val reqs = (for (i <- 0 until 100) yield {
+      val now = 1000L + i * 47L + (if (i % 12 == 0) 13000L else 0L)
+      SyncRequest(i % 3L, now, (i % 4).toString, "e", i.toString)
+    }).sortBy(r => (r.now, r.body.toLong))
+    val (history, live) = reqs.splitAt(60)
+    val cfg = SyncConfig(50L, 10000L)
+
+    // Backfill: replay history in batch, snapshot final states.
+    val boot = SyncReplay.finalStates(history.toDS(), cfg, seed = 42L)
+    // Stream only the live tail, booted from the snapshot.
+    val src = MemoryStream[SyncRequest]
+    val q = SyncEngine.withInitialState(src.toDS(), cfg, seed = 42L,
+        gameTimeoutUs = 0L, initial = boot)
+      .writeStream.format("memory").queryName("s3e").outputMode("append").start()
+    try {
+      live.grouped(20).foreach { chunk =>
+        src.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // Must equal the live-tail slice of one continuous full replay:
+    // sync_seq, proxy ids, and per-client watermarks carry across.
+    val streaming = spark.table("s3e")
+      .orderBy("stream_id", "sync_seq").collect().toSeq
+    val fullTail = SyncReplay.replaySchedule(reqs.toDS(), cfg, seed = 42L)
+      .toDF().collect().toSeq
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_.getLong(0))
+      .flatMap { case (_, rows) => rows.drop(rows.size - live.count(_.stream_id == rows.head.getLong(0))) }
+      .toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(streaming.size == live.size)
+    assert(streaming == fullTail)
+  }
+
   test("S4: file-streamed wire-JSON requests drive the sync engine ≡ batch replay") {
     import spark.implicits._
     import graft.sources.WireJson
