@@ -85,6 +85,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to global sort:\n$p")
   }
 
+  test("q24: the dimension predicate is pushed into the part scan") {
+    val pushed = scans(q("q24_part_revenue")).flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(_.contains("LessThanOrEqual(p_size,25)")),
+      s"p_size filter not pushed: $pushed")
+  }
+
+  test("q17: exact dedup reads only the columns it needs from documents") {
+    val read = scans(q("q17_dedup_exact")).head.requiredSchema.fieldNames.toSet
+    assert(read == Set("doc_id", "text"), s"unexpected read schema: $read")
+  }
+
+  test("q22: stratified sampling is map-only — no shuffle anywhere in the plan") {
+    val p = plan(q("q22_stratified_sample"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling plan shuffles:\n$p")
+  }
+
+  test("q18: brute-force similarity top-k plans as TakeOrdered") {
+    val p = plan(q("q18_similarity_topk"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to global sort:\n$p")
+  }
+
   test("no un-partitioned window over full relations in any headline query") {
     // Window specs must always carry a partitionBy: an empty Partition
     // spec collapses the relation into one task (round-1's q10/q20
