@@ -100,4 +100,17 @@ object WireJson {
     */
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** CSV sink (header, splittable on read). CSV carries no types, so the
+    * reader below requires the explicit schema back.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** CSV source with an explicit schema — same rule as JSON: inference
+    * is an extra full pass AND guesses types per-file; a 100 TB ingest
+    * declares its schema.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
 }

@@ -27,6 +27,16 @@ class WireJsonSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("CSV roundtrip with explicit schema preserves the event log exactly") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    WireJson.writeCsv(ev, dir)
+    val back = WireJson.readCsv(spark, dir, ev.schema)
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+    assert(back.schema == ev.schema)
+  }
+
   test("request bodies parse into typed events/state; malformed rows yield null, not a crash") {
     import spark.implicits._
     val raw = Seq(
