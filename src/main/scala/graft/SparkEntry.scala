@@ -59,6 +59,14 @@ object SparkEntry {
   private val HistWidth = 25.0
   /** Q27 pivot columns: the fixed event-type vocabulary of the corpus. */
   private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+  /** Q29 interval-join periods: 10 windows of 4 days every 3 days (so
+    * consecutive periods overlap by 1 day) from the corpus start
+    * (2024-01-01 UTC); band = 1 day. */
+  private val PeriodStartUs = 1704067200000000L
+  private val PeriodStepUs = 3L * 86400000000L
+  private val PeriodLenUs = 4L * 86400000000L
+  private val NumPeriods = 10
+  private val PeriodBandUs = 86400000000L
 
   /** DuckDB mirror of [[graft.functions.Deterministic.exactSum]]: scale
     * each row to an integer (per-row IEEE ops are bit-identical across
@@ -210,6 +218,12 @@ object SparkEntry {
     "q25_quantiles" -> ((s, d) => EventLog.quantiles(Tables.events(s, d))),
     "q27_pivot" -> ((s, d) => EventLog.pivotByType(Tables.events(s, d), PivotTypes)),
     "q26_histogram" -> ((s, d) => EventLog.histogram(Tables.events(s, d), HistWidth)),
+    "q28_asof_join" -> ((s, d) => Temporal.asofLastView(Tables.events(s, d))),
+    "q29_range_join" -> ((s, d) => Temporal.periodStats(
+      Tables.events(s, d),
+      Temporal.periods(s, PeriodStartUs, PeriodStepUs, PeriodLenUs, NumPeriods),
+      PeriodBandUs)),
+    "q30_grouping_sets" -> ((s, d) => Relational.groupingSetsAgg(s, d)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -689,6 +703,35 @@ object SparkEntry {
         s"""count(CASE WHEN event_type = '$t' THEN 1 END) AS "$t"""").mkString(", ")
       s"SELECT user_id, $cols FROM events GROUP BY user_id ORDER BY user_id"
     },
+    "q28_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         m AS (SELECT *,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS view_event_id,
+                 last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS view_ts_us
+               FROM e)
+         SELECT event_id, user_id, ts_us, view_event_id, view_ts_us,
+                ts_us - view_ts_us AS lag_us
+         FROM m WHERE event_type = 'purchase' ORDER BY event_id""",
+    "q29_range_join" ->
+      s"""WITH p AS (SELECT CAST(i AS BIGINT) AS period_id,
+                            $PeriodStartUs + i * $PeriodStepUs AS lo_us,
+                            $PeriodStartUs + i * $PeriodStepUs + $PeriodLenUs AS hi_us
+                     FROM UNNEST(generate_series(0, ${NumPeriods - 1})) AS t(i)),
+          e AS (SELECT epoch_us(ts) AS ts_us, user_id, value FROM events)
+          SELECT period_id, lo_us, hi_us, count(*) AS n_events,
+                 count(DISTINCT user_id) AS n_users,
+                 round(${exactSumSql("value", 2)}, 2) AS sum_value
+          FROM p JOIN e ON ts_us >= lo_us AND ts_us < hi_us
+          GROUP BY period_id, lo_us, hi_us ORDER BY period_id""",
+    "q30_grouping_sets" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+         ORDER BY lang, source""",
     "q09b_session_ids" ->
       s"""WITH m AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -147,6 +147,25 @@ object Relational {
       .orderBy("nation", "priority")
   }
 
+  /** Q30 — explicit GROUPING SETS (the general form of [[rollupAgg]] /
+    * [[cubeAgg]]): per-(lang, source), per-lang, and per-source document
+    * strata in one Expand pass — one shuffle for all three groupings,
+    * not three queries. The grand-total set is deliberately omitted to
+    * show an arbitrary (non-rollup, non-cube) set list.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      // expr(), not col(): same dataset-id-tagging trap as rollup above.
+      .groupingSets(
+        Seq(Seq(expr("lang"), expr("source")), Seq(expr("lang")), Seq(expr("source"))),
+        expr("lang"), expr("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_chars"))
+      .orderBy("lang", "source")
+
   /** Q24 — part revenue by brand (TPC-H Q14/Q19 shape): fact⋈dimension
     * join where the dimension grows with SF (so no broadcast hint — AQE
     * decides from sizes), with the dimension predicate (`p_size`) pushed

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.exactSum
+
+/** Temporal join operators (north-star additions; the reference's only
+  * temporal primitive is the delta scan, model/eventStream.go:63-71 —
+  * as-of and interval joins are the two classic time-series queries a
+  * general engine must add on top of it).
+  *
+  * Scale designs:
+  *   - The as-of join is NOT a range join: both sides are unioned and
+  *     resolved in one partitioned window pass (shuffle each row once on
+  *     the key, sort within partition by time, carry the last match
+  *     forward). Equivalent to the merge-scan as-of algorithm — no
+  *     per-probe binary search, no O(probe × build) candidate blowup,
+  *     and the big side streams through whole-stage codegen.
+  *   - The interval join banded on a bucket key turns `lo <= t < hi`
+  *     into an equi join: each interval is exploded into the time
+  *     buckets it covers, each fact row computes its single bucket, and
+  *     the exact predicate filters bucket collisions. A bounded interval
+  *     side broadcasts (hash join, no shuffle of the fact side); a large
+  *     interval side degrades to a shuffle hash join on the bucket key —
+  *     either way, never a nested-loop/cartesian plan.
+  */
+object Temporal {
+
+  /** Q28 — as-of join: each `purchase` event paired with the same user's
+    * most recent `view` event at-or-before it, "before" meaning strictly
+    * earlier in the total order `(ts_us, event_id)` (the explicit total
+    * order the engine substitutes for the reference's mutex arrival
+    * order, model/eventStream.go:53).
+    *
+    * One window pass over the union of both event roles: `last(...,
+    * ignoreNulls)` carries the latest view forward inside each user
+    * partition; purchases then project it. Purchases with no prior view
+    * keep nulls (left-as-of semantics).
+    */
+  def asofLastView(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("view_event_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_ts_us",
+        last(when(col("event_type") === "view", col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        col("view_event_id"), col("view_ts_us"),
+        (col("ts_us") - col("view_ts_us")).as("lag_us"))
+      .orderBy("event_id")
+  }
+
+  /** Q29 interval-side generator: `n` fixed periods of length `lenUs`
+    * starting every `stepUs` from `startUs` — overlapping when
+    * lenUs > stepUs, so one event can land in several periods (a real
+    * interval join, not a partition).
+    */
+  def periods(spark: SparkSession, startUs: Long, stepUs: Long, lenUs: Long, n: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("period_id"),
+      (lit(startUs) + col("id") * stepUs).as("lo_us"),
+      (lit(startUs) + col("id") * stepUs + lenUs).as("hi_us"))
+
+  /** Q29 — banded interval join + aggregation: per period, the count,
+    * distinct users, and value sum of events with `lo_us <= ts_us <
+    * hi_us`. `bandUs` is the bucket width; correctness is independent of
+    * it (each event has exactly one bucket, and an interval is exploded
+    * to every bucket it covers, so each true (event, period) pair meets
+    * exactly once — no post-join dedup needed).
+    */
+  def periodStats(events: DataFrame, periods: DataFrame, bandUs: Long): DataFrame = {
+    val bands = periods.withColumn(
+      "bucket", explode(expr(s"sequence(lo_us div $bandUs, (hi_us - 1) div $bandUs)")))
+    events
+      .withColumn("bucket", expr(s"ts_us div $bandUs"))
+      .join(broadcast(bands), Seq("bucket"))
+      .where(col("ts_us") >= col("lo_us") && col("ts_us") < col("hi_us"))
+      .groupBy("period_id", "lo_us", "hi_us")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(exactSum(col("value"), 2), 2).as("sum_value"))
+      .orderBy("period_id")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, DenseId, EventLog, Multimodal}
+import graft.operators.{Dedup, DenseId, EventLog, Multimodal, Temporal}
 import graft.sources.Tables
 
 /** Batch operator spot-checks that the DuckDB oracle gate can't express:
@@ -48,6 +48,44 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val decl = Multimodal.mediaMeta(docs).select(typed.columns.map(col): _*)
     assert(typed.count() == 500L)
     assert(typed.exceptAll(decl).isEmpty && decl.exceptAll(typed).isEmpty)
+  }
+
+  test("as-of window pass equals the naive range-join formulation") {
+    val ev = Tables.events(spark, sf)
+    val fast = Temporal.asofLastView(ev)
+      .select("event_id", "view_event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"), col("ts_us").as("v_ts"))
+    val naive = purchases
+      .join(views, Seq("user_id"), "left")
+      .where(col("v_id").isNull ||
+        col("v_ts") < col("p_ts") ||
+        (col("v_ts") === col("p_ts") && col("v_id") < col("p_id")))
+      .groupBy("p_id")
+      .agg(max_by(col("v_id"), struct(col("v_ts"), col("v_id"))).as("view_event_id"))
+      .select(col("p_id").as("event_id"), col("view_event_id"))
+    // The naive left join drops purchases whose only candidate rows were
+    // filtered out; re-add them as null matches.
+    val missing = purchases.join(naive, purchases("p_id") === naive("event_id"), "left_anti")
+      .select(col("p_id").as("event_id"), lit(null).cast("long").as("view_event_id"))
+    val slow = naive.union(missing)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    assert(fast.count() > 0)
+  }
+
+  test("banded interval join results are invariant to the band width") {
+    val ev = Tables.events(spark, sf)
+    val periods = Temporal.periods(
+      spark, 1704067200000000L, 3L * 86400000000L, 4L * 86400000000L, 10)
+    val day = 86400000000L
+    val a = Temporal.periodStats(ev, periods, day)
+    val b = Temporal.periodStats(ev, periods, 7L * 3600000000L) // 7 h band
+    val c = Temporal.periodStats(ev, periods, 30L * day) // one giant band
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.exceptAll(c).isEmpty && c.exceptAll(a).isEmpty)
+    assert(a.count() == 10)
   }
 
   test("exact dedup groups carry the whole corpus exactly once") {

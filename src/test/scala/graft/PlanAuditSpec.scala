@@ -107,6 +107,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to global sort:\n$p")
   }
 
+  test("q28: the as-of join is one window pass — no join operator, no range-join blowup") {
+    val p = plan(q("q28_asof_join"))
+    assert(!p.contains("Join"), s"as-of regressed to a join plan:\n$p")
+    assert(p.contains("Window"), s"expected a window pass:\n$p")
+  }
+
+  test("q29: the banded interval join is a hash join on the bucket key, never nested-loop") {
+    val p = plan(q("q29_range_join"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join on bucket:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join fell back to nested-loop:\n$p")
+  }
+
+  test("q30: grouping sets plan as one Expand pass, not three aggregations") {
+    val p = plan(q("q30_grouping_sets"))
+    assert(p.contains("Expand"), s"no Expand node:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"grouping sets shuffled more than once:\n$p")
+  }
+
   test("no un-partitioned window over full relations in any headline query") {
     // Window specs must always carry a partitionBy: an empty Partition
     // spec collapses the relation into one task (round-1's q10/q20
