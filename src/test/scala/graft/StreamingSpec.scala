@@ -128,6 +128,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want && got.size == 12) // 4 users x 3 sessions
   }
 
+  test("S5: streaming exact dedup keeps one survivor per content across microbatches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // 100 arrivals of 40 distinct contents, duplicates split across
+    // microbatches (cross-batch dedup = the state-store path, not
+    // per-batch distinct). Arrival order = doc_id order, so the
+    // streaming first-arrival survivor is batch exactDedup's min(doc_id).
+    val rows = (0L until 100L).map(i => (i, s"content ${i % 40}"))
+    val src = MemoryStream[(Long, String)]
+    src.addData(rows.take(50): _*)
+    src.addData(rows.drop(50): _*)
+
+    val q = src.toDF().toDF("doc_id", "text")
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .dropDuplicates("content_hash")
+      .writeStream.format("memory").queryName("s5").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("s5").select("content_hash", "doc_id")
+      .orderBy("content_hash").collect().toSeq
+    val want = graft.operators.Dedup.exactDedup(rows.toDF("doc_id", "text"))
+      .select(col("content_hash"), col("keep_id").as("doc_id"))
+      .orderBy("content_hash").collect().toSeq
+    assert(got == want)
+    assert(got.size == 40)
+  }
+
+  test("S5b: dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    // The 100 TB shape of streaming dedup: exact dropDuplicates holds
+    // every key forever; the watermarked variant evicts state once the
+    // watermark passes, trading unbounded memory for a dedup horizon.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val hour = 3600L * 1000000L
+    // Same content arrives three times within one hour — all inside the
+    // watermark delay, so exactly one row survives.
+    val src = MemoryStream[(Long, String)]
+    src.addData((0L, "a"), (10L * 60L * 1000000L, "a"))
+    src.addData((20L * 60L * 1000000L, "a"), (30L * 60L * 1000000L, "b"))
+
+    val q = src.toDF().toDF("ts_us", "text")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("text")
+      .writeStream.format("memory").queryName("s5b").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // Which physical duplicate survives inside a microbatch is
+    // partition-arrival order (engine's choice); the contract is ONE
+    // survivor per content within the watermark horizon.
+    val got = spark.table("s5b").select("text", "ts_us")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1).sorted == Seq("a", "b"))
+    assert(got.forall(_._2 < hour))
+  }
+
   test("S2: session timeout emits _d and a returning client gets a fresh proxy id") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
