@@ -1,18 +1,21 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashSig, SimHash48}
 import graft.plans.BucketRangeInference
 
 /** The engine's `SparkSessionExtensions` hook: registers the custom
-  * Catalyst pieces — the codegen'd `cosine_sim` expression and the
-  * bucket-range partition-pruning inference rule — with every session
-  * built through [[GraftSession]] — or any session configured with
+  * Catalyst pieces — the codegen'd `cosine_sim` expression, the native
+  * `minhash_sig`/`simhash48` text-hash folds, and the bucket-range
+  * partition-pruning inference rule — with every session built through
+  * [[GraftSession]] — or any session configured with
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarity.functionDescription)
+    ext.injectFunction(MinHashSig.functionDescription)
+    ext.injectFunction(SimHash48.functionDescription)
     ext.injectOptimizerRule(new BucketRangeInference(_))
   }
 }

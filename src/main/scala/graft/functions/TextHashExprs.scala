@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native twins of the declarative MD5 text-hash folds in
+  * [[graft.operators.Dedup]] — same values bit-for-bit (asserted by
+  * TextHashSpec; the DuckDB oracles are unchanged), but one `eval` call
+  * per row instead of thousands of interpreted higher-order-function
+  * lambda dispatches and intermediate array/string allocations.
+  *
+  * Spark evaluates `transform`/`aggregate`/`zip_with` lambdas
+  * interpreted (no codegen), allocating a fresh array per hash function
+  * per row; for signature-heavy dedup that is the dominant query cost.
+  * These expressions keep the whole fold in one tight JVM loop over a
+  * thread-local MessageDigest. They extend the same §7.2 escalation
+  * already taken for `cosine_sim` — compose built-ins first, go native
+  * where the interpreted overhead is the bottleneck.
+  *
+  * `CodegenFallback` (not `doGenCode`): the per-row work is MD5-bound,
+  * so inlining into whole-stage codegen buys nothing; fallback keeps
+  * the surrounding stage fused while calling `eval` for this column.
+  */
+private object Md5Local {
+  private val local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def digest(prefix: Array[Byte], body: Array[Byte]): Array[Byte] = {
+    val md = local.get()
+    md.reset()
+    md.update(prefix)
+    md.update(body)
+    md.digest()
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+  def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+  /** First 48 bits of the digest as a non-negative Long — identical to
+    * parsing the first 12 hex chars base-16 ([[PortableHash]]).
+    */
+  def prefix48(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  /** Unsigned lexicographic byte compare ≡ comparing the hex strings. */
+  def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+}
+
+/** `minhash_sig(shingles)` ≡
+  * `transform(sequence(0, n-1), h -> array_min(transform(shingles, s -> md5(h || ':' || s))))`
+  * — the per-document MinHash signature of [[graft.operators.Dedup]],
+  * as `n` lexicographic mins over MD5 hex strings in one pass.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val prefixes = MinHashSig.prefixes(numHashes)
+    val mins = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).getBytes
+      var h = 0
+      while (h < numHashes) {
+        val d = Md5Local.digest(prefixes(h), s)
+        if (mins(h) == null || Md5Local.less(d, mins(h))) mins(h) = d
+        h += 1
+      }
+      i += 1
+    }
+    // Empty input: the declarative array_min over an empty transform
+    // yields null elements; Dedup always feeds >= 1 shingle (whole-text
+    // fallback), so mirror with an empty signature only if n == 0.
+    if (n == 0) new GenericArrayData(Array.empty[Any])
+    else new GenericArrayData(
+      mins.map(d => UTF8String.fromString(Md5Local.hex(d)): Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private[functions] def prefixes(numHashes: Int): Array[Array[Byte]] =
+    cache.computeIfAbsent(numHashes, n =>
+      Array.tabulate(n)(h => s"$h:".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "minhash_sig expects (shingles, numHashes)")
+      val n = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig numHashes must be an integer literal, got $other")
+      }
+      MinHashSig(args.head, n)
+    })
+}
+
+/** `simhash48(words)` ≡ the declarative per-bit majority vote of
+  * [[graft.operators.Dedup.simhash]]: 48-bit SimHash where word hashes
+  * are the portable 48-bit MD5 prefix ([[PortableHash]]).
+  */
+case class SimHash48(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash48 expects array<string>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  private val emptyPrefix = Array.emptyByteArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](48)
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i).getBytes
+      val h = Md5Local.prefix48(Md5Local.digest(emptyPrefix, w))
+      var b = 0
+      while (b < 48) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 48) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash48"
+}
+
+object SimHash48 {
+  val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash48"),
+    new ExpressionInfo(classOf[SimHash48].getName, "simhash48"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "simhash48 expects exactly 1 argument")
+      SimHash48(args.head)
+    })
+}

@@ -52,13 +52,19 @@ object Dedup {
 
   /** MinHash signature: sig[h] = min over shingles of md5(h || ':' || s).
     * Lexicographic min over hex strings — portable, no permutation
-    * tables to ship. Computed per-row (array fold), no shuffle.
+    * tables to ship. Computed per-row, no shuffle, via the native
+    * [[graft.functions.MinHashSig]] expression (one JVM loop per doc);
+    * [[declarativeSignatureSql]] is the built-ins-only twin it must
+    * equal bit-for-bit (TextHashSpec) and the form the DuckDB oracle
+    * mirrors.
     */
-  private val signatureSql =
+  private val signatureSql = s"minhash_sig(shingles, $NumHashes)"
+
+  private[graft] val declarativeSignatureSql =
     s"""transform(sequence(0, ${NumHashes - 1}),
         h -> array_min(transform(shingles, s -> md5(concat(CAST(h AS STRING), ':', s)))))"""
 
-  private def withShingles(docs: DataFrame): DataFrame =
+  private[graft] def withShingles(docs: DataFrame): DataFrame =
     graft.sources.Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesSql))
@@ -163,9 +169,19 @@ object Dedup {
     * 48-bit hashes of every token (duplicates weighted by occurrence).
     * One integer per doc; near-dup detection at scale = grouping on
     * rotated/high-bit prefixes + Hamming distance, all on 8-byte keys.
-    * Computed per-row as an array fold — no shuffle, codegen'd.
+    * Computed per-row, no shuffle, via the native
+    * [[graft.functions.SimHash48]] expression;
+    * [[declarativeSimhash]] is the built-ins-only twin (TextHashSpec).
     */
   def simhash(docs: DataFrame): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("simhash", expr("simhash48(words)"))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  /** The built-ins-only SimHash fold [[simhash]] must equal. */
+  private[graft] def declarativeSimhash(docs: DataFrame): DataFrame =
     graft.sources.Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
       .withColumn("votes", expr(
