@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarity, MinHashSig, SimHash48}
+import graft.functions.{CosineSimilarity, MinHashSig, RollingHash48, SimHash48, SrpBucket}
 import graft.plans.BucketRangeInference
 
 /** The engine's `SparkSessionExtensions` hook: registers the custom
@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSimilarity.functionDescription)
     ext.injectFunction(MinHashSig.functionDescription)
     ext.injectFunction(SimHash48.functionDescription)
+    ext.injectFunction(RollingHash48.functionDescription)
+    ext.injectFunction(SrpBucket.functionDescription)
     ext.injectOptimizerRule(new BucketRangeInference(_))
   }
 }

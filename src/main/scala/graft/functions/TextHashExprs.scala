@@ -192,3 +192,125 @@ object SimHash48 {
       SimHash48(args.head)
     })
 }
+
+/** `rolling_hash48(words)` ≡ the position-mixed commutative rolling hash
+  * of [[graft.operators.TextAnalysis.fingerprints]]: the sum over i of
+  * the 48-bit MD5 prefix of `"i:word_i"`. Sums of 48-bit terms stay
+  * far inside a signed 64-bit Long for any realistic document.
+  */
+case class RollingHash48(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash48 expects array<string>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val prefix = s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val w = arr.getUTF8String(i).getBytes
+      acc += Md5Local.prefix48(Md5Local.digest(prefix, w))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash48"
+}
+
+object RollingHash48 {
+  val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash48"),
+    new ExpressionInfo(classOf[RollingHash48].getName, "rolling_hash48"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "rolling_hash48 expects exactly 1 argument")
+      RollingHash48(args.head)
+    })
+}
+
+/** `srp_bucket(emb, numPlanes)` ≡ the signed-random-projection bucket id
+  * of [[graft.operators.Similarity.lshSearch]]: bit h = sign of the
+  * index-order dot product of `emb` with pseudo-random hyperplane h,
+  * whose component j is `(hash48("h:j") % 1000001) / 500000 - 1`.
+  *
+  * The plane matrix is a pure function of (numPlanes, dim): computed
+  * once per executor per dim (cached), so the scan does zero hash
+  * calls per row — the declarative form needed the matrix shipped as a
+  * plan literal plus a driver-side job just to read the dimension.
+  */
+case class SrpBucket(child: Expression, numPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"srp_bucket expects array<double>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val planes = SrpBucket.planes(numPlanes, dim)
+    var bucket = 0L
+    var h = 0
+    while (h < numPlanes) {
+      val p = planes(h)
+      var dot = 0.0
+      var j = 0
+      while (j < dim) {
+        dot += arr.getDouble(j) * p(j)
+        j += 1
+      }
+      if (dot > 0.0) bucket |= 1L << h
+      h += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "srp_bucket"
+}
+
+object SrpBucket {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** Plane component formula shared with the declarative twin and the
+    * DuckDB oracle: hash48("h:j") mapped into [-1, 1].
+    */
+  def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((numPlanes, dim), { case (np, d) =>
+      Array.tabulate(np)(h => Array.tabulate(d)(j =>
+        (graft.streaming.SyncCore.hash48(s"$h:$j") % 1000001L) / 500000.0 - 1.0))
+    })
+
+  val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("srp_bucket"),
+    new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "srp_bucket expects (embedding, numPlanes)")
+      val n = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"srp_bucket numPlanes must be an integer literal, got $other")
+      }
+      SrpBucket(args.head, n)
+    })
+}

@@ -141,46 +141,39 @@ object Similarity {
   /** Number of SRP hyperplanes (bucket bits) for [[lshSearch]]. */
   val NumPlanes = 6
 
-  /** Signed-random-projection bucket id: bit h = sign of the dot product
-    * with pseudo-random hyperplane h, whose component j is derived from
-    * the portable 48-bit hash of "h:j" mapped into [-1, 1]. The matrix
-    * is a pure function of (nPlanes, dim), so it is computed ONCE on the
-    * driver (same MD5 formula the DuckDB oracle evaluates inline) and
-    * shipped as a literal — the per-row work is H dot products, with no
-    * hash calls in the scan. Index-order folds keep the sign test
-    * bit-identical across engines.
+  /** Built-ins-only twin of the native `srp_bucket` expression, used by
+    * the equivalence spec: the plane matrix (same MD5-derived formula,
+    * see [[graft.functions.SrpBucket.planes]]) shipped as a plan
+    * literal, folded per row in index order.
     */
-  private def srpPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
-    (0 until nPlanes).map { h =>
-      (0 until dim).map { j =>
-        (graft.streaming.SyncCore.hash48(s"$h:$j") % 1000001L) / 500000.0 - 1.0
-      }
-    }
-
-  private def srpBucketSql(emb: String, nPlanes: Int): String =
-    s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, h) ->
-          acc + CASE WHEN
-            aggregate(sequence(0, size($emb) - 1), 0D, (a, j) ->
-              a + $emb[j] * srp_planes[h][j]) > 0D
-          THEN shiftleft(CAST(1 AS BIGINT), h) ELSE CAST(0 AS BIGINT) END)"""
+  private[graft] def declarativeSrpBuckets(emb: DataFrame, nPlanes: Int): DataFrame = {
+    val e0 = withEmb(emb)
+    val dim = e0.select(size(col("emb"))).head.getInt(0)
+    val planes = graft.functions.SrpBucket.planes(nPlanes, dim).map(_.toSeq).toSeq
+    e0
+      .withColumn("srp_planes", typedlit(planes))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, h) ->
+              acc + CASE WHEN
+                aggregate(sequence(0, size(emb) - 1), 0D, (a, j) ->
+                  a + emb[j] * srp_planes[h][j]) > 0D
+              THEN shiftleft(CAST(1 AS BIGINT), h) ELSE CAST(0 AS BIGINT) END)"""))
+      .drop("srp_planes")
+  }
 
   /** Q18f — LSH-bucketed batch search: the hash-based alternative to the
     * IVF path of [[ivfSearch]]. Every vector gets a [[NumPlanes]]-bit
     * SRP bucket (cosine-similar vectors agree on sign bits with high
-    * probability); the query batch is broadcast and joined on the bucket
-    * id, so candidates are bucket collisions only — no centroid training
-    * step, no corpus shuffle, and bucket ids are 8-byte keys that
-    * join/group at any scale.
+    * probability) via the native [[graft.functions.SrpBucket]]
+    * expression (plane matrix cached per executor — zero hash calls and
+    * zero lambda dispatches in the scan); the query batch is broadcast
+    * and joined on the bucket id, so candidates are bucket collisions
+    * only — no centroid training step, no corpus shuffle, and bucket
+    * ids are 8-byte keys that join/group at any scale.
     */
   def lshSearch(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val e0 = withEmb(emb)
-    // One tiny job reads the (constant) embedding dimension; the plane
-    // matrix is then a literal in the plan.
-    val dim = e0.select(size(col("emb"))).head.getInt(0)
-    val e = e0
-      .withColumn("srp_planes", typedlit(srpPlanes(NumPlanes, dim)))
-      .withColumn("bucket", expr(srpBucketSql("emb", NumPlanes)))
-      .drop("srp_planes")
+    val e = withEmb(emb)
+      .withColumn("bucket", expr(s"srp_bucket(emb, $NumPlanes)"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("bucket"), col("emb").as("qemb"))
     val corpus = e.filter(col("vec_id") >= nQueries)

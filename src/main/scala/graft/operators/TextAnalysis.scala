@@ -80,6 +80,17 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     graft.sources.Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
+      .withColumn("rolling_hash", expr("rolling_hash48(words)"))
+      .select(col("doc_id"), md5(col("text")).as("content_md5"), col("rolling_hash"))
+      .orderBy("doc_id")
+
+  /** Built-ins-only twin of [[fingerprints]]' native `rolling_hash48`
+    * (the specification form the DuckDB oracle mirrors; TextHashSpec
+    * asserts equality).
+    */
+  private[graft] def declarativeFingerprints(docs: DataFrame): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .withColumn("words", split(col("text"), " "))
       .withColumn("rolling_hash", expr(
         s"""aggregate(
               zip_with(words, sequence(0, size(words) - 1),

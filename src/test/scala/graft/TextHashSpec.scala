@@ -62,6 +62,25 @@ class TextHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native.count() == 500)
   }
 
+  test("rolling_hash48 equals the declarative position-mixed fold on the corpus") {
+    val docs = Tables.table(spark, sf, "documents")
+    val native = graft.operators.TextAnalysis.fingerprints(docs)
+    val decl = graft.operators.TextAnalysis.declarativeFingerprints(docs)
+    assert(native.exceptAll(decl).isEmpty && decl.exceptAll(native).isEmpty)
+    assert(native.count() == 500)
+  }
+
+  test("srp_bucket equals the declarative plane-literal fold on the corpus") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val native = Tables.table(spark, sf, "embeddings")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), expr("srp_bucket(emb, 6)").as("bucket"))
+    val decl = graft.operators.Similarity.declarativeSrpBuckets(emb, 6)
+      .select(col("vec_id"), col("bucket"))
+    assert(native.exceptAll(decl).isEmpty && decl.exceptAll(native).isEmpty)
+    assert(native.count() > 0)
+  }
+
   test("minhash_sig null and empty-array behavior") {
     import spark.implicits._
     val df = Seq[Option[Seq[String]]](None, Some(Seq.empty), Some(Seq("w")))
