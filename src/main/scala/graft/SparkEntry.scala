@@ -218,12 +218,16 @@ object SparkEntry {
     "q25_quantiles" -> ((s, d) => EventLog.quantiles(Tables.events(s, d))),
     "q27_pivot" -> ((s, d) => EventLog.pivotByType(Tables.events(s, d), PivotTypes)),
     "q26_histogram" -> ((s, d) => EventLog.histogram(Tables.events(s, d), HistWidth)),
+    "q25b_approx_quantiles" -> ((s, d) =>
+      EventLog.approxQuantiles(Tables.events(s, d), 10000, 0.02)),
     "q28_asof_join" -> ((s, d) => Temporal.asofLastView(Tables.events(s, d))),
     "q29_range_join" -> ((s, d) => Temporal.periodStats(
       Tables.events(s, d),
       Temporal.periods(s, PeriodStartUs, PeriodStepUs, PeriodLenUs, NumPeriods),
       PeriodBandUs)),
     "q30_grouping_sets" -> ((s, d) => Relational.groupingSetsAgg(s, d)),
+    "q31_skew_agg" -> ((s, d) => Skew.twoStageDistinct(Tables.events(s, d))),
+    "q31b_salted_join" -> ((s, d) => Skew.aboveTypeMean(Tables.events(s, d), 8)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -732,6 +736,27 @@ object SparkEntry {
                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), (source))
          ORDER BY lang, source""",
+    // Like q07b: the sketch estimate is engine-specific, so the
+    // deterministic contract is exact values + the bound booleans.
+    "q25b_approx_quantiles" ->
+      s"""SELECT event_type, count(*) AS n,
+                 ${roundSql("quantile_cont(value, 0.5)", 4)} AS p50,
+                 ${roundSql("quantile_cont(value, 0.9)", 4)} AS p90,
+                 ${roundSql("quantile_cont(value, 0.99)", 4)} AS p99,
+                 true AS p50_ok, true AS p90_ok, true AS p99_ok
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q31_skew_agg" ->
+      s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+                 round(${exactSumSql("value", 2)}, 2) AS sum_value
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q31b_salted_join" ->
+      s"""WITH d AS (SELECT event_type,
+                            ${roundSql(exactSumSql("value", 2) + " / count(*)", 4)} AS type_avg
+                     FROM events GROUP BY event_type)
+          SELECT e.event_type, d.type_avg, count(*) AS n_above
+          FROM events e JOIN d USING (event_type)
+          WHERE e.value > d.type_avg
+          GROUP BY e.event_type, d.type_avg ORDER BY e.event_type""",
     "q09b_session_ids" ->
       s"""WITH m AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -191,6 +191,33 @@ object EventLog {
         roundTo(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
+  /** Q25b — approximate percentiles (GK mergeable sketch) next to the
+    * exact ones: the 100 TB path, where exact `percentile` must sort
+    * every group. Like Q7b, the sketch value is engine-specific, so the
+    * deterministic cross-engine contract is the exact values plus
+    * booleans asserting the sketch landed inside its guarantee — which
+    * is a RANK bound (±n/accuracy ranks), not a value bound: the
+    * returned value must lie between the exact `p ∓ rankTol`
+    * percentiles. (A value-tolerance contract is wrong in heavy tails,
+    * where one rank step can move the value by double digits.)
+    */
+  def approxQuantiles(events: DataFrame, accuracy: Int, rankTol: Double): DataFrame = {
+    def pct(p: Double) = expr(s"percentile(value, ${p}D)")
+    def ok(approx: org.apache.spark.sql.Column, p: Double) =
+      approx.between(pct(math.max(0.0, p - rankTol)), pct(math.min(1.0, p + rankTol)))
+    events
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        roundTo(pct(0.5), 4).as("p50"),
+        roundTo(pct(0.9), 4).as("p90"),
+        roundTo(pct(0.99), 4).as("p99"),
+        ok(expr(s"approx_percentile(value, 0.5D, $accuracy)"), 0.5).as("p50_ok"),
+        ok(expr(s"approx_percentile(value, 0.9D, $accuracy)"), 0.9).as("p90_ok"),
+        ok(expr(s"approx_percentile(value, 0.99D, $accuracy)"), 0.99).as("p99_ok"))
+      .orderBy("event_type")
+  }
+
   /** Q26 — fixed-width histogram of `value` per event type: bucket =
     * floor(value / width), exact integer math both engines agree on.
     * One hash aggregation; the classic distribution-profile scan.
