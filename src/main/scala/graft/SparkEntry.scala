@@ -218,6 +218,9 @@ object SparkEntry {
     "q25_quantiles" -> ((s, d) => EventLog.quantiles(Tables.events(s, d))),
     "q27_pivot" -> ((s, d) => EventLog.pivotByType(Tables.events(s, d), PivotTypes)),
     "q26_histogram" -> ((s, d) => EventLog.histogram(Tables.events(s, d), HistWidth)),
+    "q11b_window_ranks" -> ((s, d) => EventLog.windowRanks(Tables.events(s, d))),
+    "q15b_datetime_funcs" -> ((s, d) => EventLog.datetimeFuncs(Tables.events(s, d))),
+    "q15c_string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
     "q25b_approx_quantiles" -> ((s, d) =>
       EventLog.approxQuantiles(Tables.events(s, d), 10000, 0.02)),
     "q28_asof_join" -> ((s, d) => Temporal.asofLastView(Tables.events(s, d))),
@@ -736,6 +739,33 @@ object SparkEntry {
                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), (source))
          ORDER BY lang, source""",
+    "q11b_window_ranks" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+         SELECT event_id, user_id,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+                floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd,
+                lead(value) OVER w AS next_value,
+                first_value(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS first_ts
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ORDER BY event_id""",
+    "q15b_datetime_funcs" ->
+      s"""SELECT CAST(extract(month FROM ts) AS INTEGER) AS mon,
+                 CAST(extract(day FROM ts) AS INTEGER) AS dom,
+                 CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+                 count(*) AS n, round(${exactSumSql("value", 2)}, 2) AS sum_value
+          FROM events GROUP BY mon, dom, hr ORDER BY mon, dom, hr""",
+    "q15c_string_funcs" ->
+      """SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper,
+                reverse(lang) AS gnal,
+                lpad(source, 8, '_') AS source_pad,
+                CAST(levenshtein(lang, 'en') AS INTEGER) AS lang_dist,
+                CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER)
+                  AS n_consonant_chars,
+                lang || '|' || source AS stratum
+         FROM documents ORDER BY doc_id""",
     // Like q07b: the sketch estimate is engine-specific, so the
     // deterministic contract is exact values + the bound booleans.
     "q25b_approx_quantiles" ->

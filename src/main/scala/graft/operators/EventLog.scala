@@ -191,6 +191,41 @@ object EventLog {
         roundTo(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
+  /** Q11b — ranking/distribution window-function breadth: quartile
+    * (`ntile`), relative rank (`percent_rank`, `cume_dist`), lookahead
+    * (`lead`) and frame anchors (`first_value`), all over the same
+    * per-user total order as [[windowFuncs]]. Relative ranks are exact
+    * rationals of the in-partition row number, so with a total order
+    * they are cross-engine deterministic; rounded anyway per the float
+    * rule.
+    */
+  def windowRanks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", roundTo(percent_rank().over(w), 6))
+      .withColumn("cd", roundTo(cume_dist().over(w), 6))
+      .withColumn("next_value", lead("value", 1).over(w))
+      .withColumn("first_ts", first("ts_us").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "user_id", "quartile", "pr", "cd", "next_value", "first_ts")
+      .orderBy("event_id")
+  }
+
+  /** Q15b — datetime scalar breadth: calendar-field extraction
+    * (month / day-of-month / hour) drives the grouping — the everyday
+    * "traffic by hour" rollup. Fields are integers in both engines (UTC
+    * sessions), so no string-formatting locale traps.
+    */
+  def datetimeFuncs(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        month(col("ts")).as("mon"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"), round(exactSum(col("value"), 2), 2).as("sum_value"))
+      .orderBy("mon", "dom", "hr")
+
   /** Q25b — approximate percentiles (GK mergeable sketch) next to the
     * exact ones: the 100 TB path, where exact `percentile` must sort
     * every group. Like Q7b, the sketch value is engine-specific, so the

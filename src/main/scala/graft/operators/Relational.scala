@@ -222,6 +222,23 @@ object Relational {
         roundTo(exactSum(abs(col("value")), 2) / count(lit(1)), 4).as("avg_abs"))
       .orderBy("day", "prefix")
 
+  /** Q15c — string scalar breadth over documents: case mapping,
+    * reversal, padding, edit distance, global regex replacement — one
+    * projection, no shuffle, every function cross-engine exact (strings
+    * have no rounding problems).
+    */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("head_upper"),
+        reverse(col("lang")).as("gnal"),
+        lpad(col("source"), 8, "_").as("source_pad"),
+        levenshtein(col("lang"), lit("en")).as("lang_dist"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("n_consonant_chars"),
+        concat_ws("|", col("lang"), col("source")).as("stratum"))
+      .orderBy("doc_id")
+
   /** Q16 — array functions over the embeddings table: length, element
     * access, and an elementwise fold (squared L2 norm). Arithmetic in
     * double on both engines; rounded before hashing.
