@@ -230,6 +230,7 @@ object SparkEntry {
       PeriodBandUs)),
     "q30_grouping_sets" -> ((s, d) => Relational.groupingSetsAgg(s, d)),
     "q31_skew_agg" -> ((s, d) => Skew.twoStageDistinct(Tables.events(s, d))),
+    "q32_sliding_window" -> ((s, d) => EventLog.slidingWindowAgg(Tables.events(s, d))),
     "q31b_salted_join" -> ((s, d) => Skew.aboveTypeMean(Tables.events(s, d), 8)),
   )
 
@@ -775,6 +776,14 @@ object SparkEntry {
                  ${roundSql("quantile_cont(value, 0.99)", 4)} AS p99,
                  true AS p50_ok, true AS p90_ok, true AS p99_ok
           FROM events GROUP BY event_type ORDER BY event_type""",
+    // Each event belongs to the windows starting at (floor(ts/day)-1)·day
+    // and floor(ts/day)·day — the 2-day/1-day hop grid in integer math.
+    "q32_sliding_window" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS ts_us, value FROM events)
+          SELECT (ts_us // 86400000000 - off) * 86400000000 AS w_start,
+                 count(*) AS n, round(${exactSumSql("value", 2)}, 2) AS sum_value
+          FROM e, UNNEST([0, 1]) AS t(off)
+          GROUP BY w_start ORDER BY w_start""",
     "q31_skew_agg" ->
       s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
                  round(${exactSumSql("value", 2)}, 2) AS sum_value

@@ -253,6 +253,20 @@ object EventLog {
       .orderBy("event_type")
   }
 
+  /** Q32 — sliding (hopping) window aggregation: 2-day windows every
+    * 1 day, so each event lands in exactly 2 overlapping windows —
+    * Spark's `window(ts, duration, slide)` in batch, and the identical
+    * expression incrementally in a `readStream` (S1 proves the tumbling
+    * case; sliding differs only in the per-event window fan-out).
+    * Output keyed by the window start in epoch-us.
+    */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), round(exactSum(col("value"), 2), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start"), col("n"), col("sum_value"))
+      .orderBy("w_start")
+
   /** Q26 — fixed-width histogram of `value` per event type: bucket =
     * floor(value / width), exact integer math both engines agree on.
     * One hash aggregation; the classic distribution-profile scan.

@@ -52,7 +52,15 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ivfSearch", f => Similarity.ivfSearch(f(emb), 8, 4, 5)),
       ("stratifiedSample", f =>
         Sampling.stratifiedSample(f(docs), Map("src0" -> 1.0, "src1" -> 0.5), 0.1, "t")),
-      ("fingerprints", f => TextAnalysis.fingerprints(f(docs))))
+      ("fingerprints", f => TextAnalysis.fingerprints(f(docs))),
+      ("asofLastView", f => Temporal.asofLastView(f(events))),
+      ("periodStats", f => Temporal.periodStats(
+        f(events),
+        Temporal.periods(spark, 1704067200000000L, 3L * 86400000000L, 4L * 86400000000L, 10),
+        86400000000L)),
+      ("twoStageDistinct", f => Skew.twoStageDistinct(f(events))),
+      ("aboveTypeMean", f => Skew.aboveTypeMean(f(events), 8)),
+      ("windowRanks", f => EventLog.windowRanks(f(events))))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {
