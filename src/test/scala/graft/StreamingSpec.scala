@@ -128,6 +128,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want && got.size == 12) // 4 users x 3 sessions
   }
 
+  test("S1d: streaming sliding-window counts equal the batch aggregation (q32 shape)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val hour = 3600L * 1000000L
+    val rows = (0 until 300).map(i => i.toLong * 11L * 60L * 1000000L) // every 11 min
+    val src = MemoryStream[Long]
+    src.addData(rows.take(150): _*)
+    src.addData(rows.drop(150): _*)
+
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", timestamp_micros(col("value")))
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .count()
+      .select(unix_micros(col("w.start")).as("w_start"), col("count"))
+
+    val q = shape(src.toDF()).writeStream
+      .format("memory").queryName("s1d").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("s1d").orderBy("w_start").collect().toSeq
+    val want = shape(rows.toDF("value")).orderBy("w_start").collect().toSeq
+    assert(got == want)
+    // Overlap sanity: interior events count twice (2 h window / 1 h hop).
+    assert(got.map(_.getLong(1)).sum > rows.size)
+  }
+
   test("S5: streaming exact dedup keeps one survivor per content across microbatches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
