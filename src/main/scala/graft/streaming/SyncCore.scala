@@ -169,16 +169,22 @@ object SyncCore {
 
     // 2a. Evict timed-out sessions (game.go:94-107): emit `_d`, drop the
     // session and its state. Deterministic eviction order: proxy id asc.
-    val expired = g.clients.toSeq
-      .filter { case (_, ci) => now - ci.lastTouch > cfg.clientTimeout }
-      .sortBy(_._2.proxyId)
-    expired.foreach { case (cid, ci) =>
-      g = append(
-        g.copy(
-          clients = g.clients - cid,
-          states = g.states - ci.proxyId,
-          statesHash = g.statesHash - ci.proxyId),
-        SyncEvent(g.lastSentT + 1, "_d", "_", ci.proxyId.toString))
+    // Most syncs evict nobody — an allocation-free existence probe first,
+    // so the per-sync cost of the common case is one map scan, not a
+    // materialized+sorted Seq (this fold runs once per sync over the
+    // stream's whole life).
+    if (g.clients.exists { case (_, ci) => now - ci.lastTouch > cfg.clientTimeout }) {
+      val expired = g.clients.toSeq
+        .filter { case (_, ci) => now - ci.lastTouch > cfg.clientTimeout }
+        .sortBy(_._2.proxyId)
+      expired.foreach { case (cid, ci) =>
+        g = append(
+          g.copy(
+            clients = g.clients - cid,
+            states = g.states - ci.proxyId,
+            statesHash = g.statesHash - ci.proxyId),
+          SyncEvent(g.lastSentT + 1, "_d", "_", ci.proxyId.toString))
+      }
     }
 
     // 2b. Touch or create the caller (game.go:44-58,110-112): a client
@@ -247,12 +253,30 @@ object SyncCore {
         def apply(i: Int): (Int, SyncEvent) = { val j = lo + i; (j, logIdx(j)) }
       }
     val deltaEventsHash = g.logHash(hi) - g.logHash(lo)
-    val delivered = g.states.iterator
-      .filter { case (_, s) => s.t > lastKnown && s.t <= g.stateT }
-      .toArray.sortBy(_._1)
-    val deltaStates = delivered.iterator.map(_._2).toVector
+    // States delta: count + hash in one allocation-free pass (the sum is
+    // commutative, so no order needed); the proxy-id-ordered payload is
+    // a lazy view that sorts only if a consumer actually reads the rows
+    // (the wire response does; the replay/streaming summaries don't).
+    var nDelivered = 0
     var deltaStatesHash = 0L
-    delivered.foreach { case (pid, _) => deltaStatesHash += g.statesHash(pid) }
+    g.states.foreach { case (pid, s) =>
+      if (s.t > lastKnown && s.t <= g.stateT) {
+        nDelivered += 1
+        deltaStatesHash += g.statesHash(pid)
+      }
+    }
+    val statesSnap = g.states
+    val stateTSnap = g.stateT
+    val nSnap = nDelivered
+    val deltaStates: Seq[SyncStateRow] =
+      new scala.collection.immutable.AbstractSeq[SyncStateRow]
+        with scala.collection.immutable.IndexedSeq[SyncStateRow] {
+        private lazy val sorted: Array[SyncStateRow] = statesSnap.iterator
+          .filter { case (_, s) => s.t > lastKnown && s.t <= stateTSnap }
+          .toArray.sortBy(_._1).map(_._2)
+        def length: Int = nSnap
+        def apply(i: Int): SyncStateRow = sorted(i)
+      }
 
     g = g.copy(
       clientLastT = g.clientLastT + (clientId -> g.t),
