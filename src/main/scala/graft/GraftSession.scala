@@ -17,8 +17,8 @@ import org.apache.spark.sql.SparkSession
   *     e.g. `cosine_sim`).
   */
 object GraftSession {
-  def build(cpus: String): SparkSession =
-    SparkSession.builder()
+  def build(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,4 +26,17 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    registerUdafs(s)
+    s
+  }
+
+  /** SQL-surface registration for the typed aggregators (extensions
+    * cover expressions; Aggregators register per session): `graft_top10
+    * (score, id)` → the k-best pairs as `array<struct<_1, _2>>` with the
+    * bounded-buffer partial-merge shape (O(groups·k) shuffle rows).
+    */
+  def registerUdafs(spark: SparkSession): Unit =
+    spark.udf.register(
+      "graft_top10",
+      org.apache.spark.sql.functions.udaf(new graft.functions.TopKAggregator(10)))
 }

@@ -50,6 +50,24 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(typed.exceptAll(decl).isEmpty && decl.exceptAll(typed).isEmpty)
   }
 
+  test("graft_top10 UDAF registered for SQL equals the window formulation") {
+    GraftSession.registerUdafs(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("events_v")
+    val viaSql = spark.sql(
+      """SELECT user_id, CAST(pos + 1 AS BIGINT) AS rnk,
+                hit._2 AS event_id, hit._1 AS value
+         FROM (SELECT user_id, graft_top10(value, event_id) AS hits
+               FROM events_v GROUP BY user_id)
+         LATERAL VIEW posexplode(hits) t AS pos, hit""")
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val viaWindow = Tables.events(spark, sf)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 10)
+      .select("user_id", "rnk", "event_id", "value")
+    assert(viaSql.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaSql).isEmpty)
+    assert(viaSql.count() > 0)
+  }
+
   test("as-of window pass equals the naive range-join formulation") {
     val ev = Tables.events(spark, sf)
     val fast = Temporal.asofLastView(ev)
