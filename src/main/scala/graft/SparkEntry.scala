@@ -231,6 +231,8 @@ object SparkEntry {
     "q30_grouping_sets" -> ((s, d) => Relational.groupingSetsAgg(s, d)),
     "q31_skew_agg" -> ((s, d) => Skew.twoStageDistinct(Tables.events(s, d))),
     "q32_sliding_window" -> ((s, d) => EventLog.slidingWindowAgg(Tables.events(s, d))),
+    "q33_outer_join" -> ((s, d) => Relational.outerJoin(s, d)),
+    "q34_collect_types" -> ((s, d) => Relational.collectTypes(s, d)),
     "q31b_salted_join" -> ((s, d) => Skew.aboveTypeMean(Tables.events(s, d), 8)),
   )
 
@@ -776,6 +778,21 @@ object SparkEntry {
                  ${roundSql("quantile_cont(value, 0.99)", 4)} AS p99,
                  true AS p50_ok, true AS p90_ok, true AS p99_ok
           FROM events GROUP BY event_type ORDER BY event_type""",
+    "q33_outer_join" ->
+      """WITH c AS (SELECT c_custkey AS key, 1 AS is_cust FROM customer),
+              e AS (SELECT user_id AS key, count(*) AS n_events FROM events GROUP BY user_id)
+         SELECT coalesce(c.key, e.key) AS key,
+                CASE WHEN c.is_cust IS NOT NULL AND e.n_events IS NOT NULL THEN 'both'
+                     WHEN c.is_cust IS NOT NULL THEN 'customer_only'
+                     ELSE 'events_only' END AS presence,
+                coalesce(e.n_events, 0) AS n_events
+         FROM c FULL OUTER JOIN e ON c.key = e.key
+         ORDER BY key""",
+    "q34_collect_types" ->
+      """SELECT user_id,
+                array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+                count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // Each event belongs to the windows starting at (floor(ts/day)-1)·day
     // and floor(ts/day)·day — the 2-day/1-day hop grid in integer math.
     "q32_sliding_window" ->

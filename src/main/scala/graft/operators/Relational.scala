@@ -184,6 +184,39 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** Q33 — full outer join: the key-presence reconciliation query
+    * (which customers have events, which events have no customer row).
+    * Nulls from both sides are made explicit as a category column so
+    * the result is null-ordering-proof.
+    */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val custKeys = t(spark, dir, "customer").select(col("c_custkey").as("key"))
+    val eventUsers = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n_events"))
+    custKeys
+      .withColumn("is_cust", lit(1L))
+      .join(eventUsers, Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        when(col("is_cust").isNotNull && col("n_events").isNotNull, "both")
+          .when(col("is_cust").isNotNull, "customer_only")
+          .otherwise("events_only").as("presence"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("key")
+  }
+
+  /** Q34 — collection aggregation: per user, the distinct event types
+    * seen, as a canonically sorted joined string (set semantics need an
+    * explicit order before they can hash deterministically anywhere).
+    */
+  def collectTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("types_seen"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id")
+
   /** Q13 — set operations, tagged and unioned into one deterministic
     * relation: EXCEPT / INTERSECT / UNION over comparable key domains.
     */
