@@ -34,8 +34,12 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // toRdd executes the query's OWN physical plan. A `count()` on top
+      // would let Catalyst prune every column the count doesn't need —
+      // timing a scan instead of the query (projection-heavy queries
+      // like the minhash signatures collapse to nothing under count).
       val err =
-        try { fn(spark, sfDir).count(); None }
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
         catch { case e: Throwable => Some(e) }
       err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
       (name, (System.nanoTime() - t0) / 1e9, err)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarity, MinHashSig, RollingHash48, SimHash48, SrpBucket}
+import graft.functions.{CosineSimilarity, MinHashSig, RollingHash48, Shingle3, SimHash48, SrpBucket}
 import graft.plans.BucketRangeInference
 
 /** The engine's `SparkSessionExtensions` hook: registers the custom
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarity.functionDescription)
     ext.injectFunction(MinHashSig.functionDescription)
+    ext.injectFunction(Shingle3.functionDescription)
     ext.injectFunction(SimHash48.functionDescription)
     ext.injectFunction(RollingHash48.functionDescription)
     ext.injectFunction(SrpBucket.functionDescription)

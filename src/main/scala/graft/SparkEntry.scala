@@ -113,7 +113,8 @@ object SparkEntry {
               FROM w),
        sig AS (SELECT doc_id, sg,
                  list_transform(generate_series(0, 7),
-                   h -> list_min(list_transform(sg, s -> md5(h::VARCHAR || ':' || s)))) AS sig
+                   h -> list_min(list_transform(sg,
+                     s -> substr(md5((h // 4)::VARCHAR || ':' || s), 8 * (h % 4) + 1, 8)))) AS sig
                FROM sh)"""
 
   /** Shared oracle for the two delta-scan variants (flat and

@@ -38,40 +38,22 @@ private object Md5Local {
     md.update(body)
     md.digest()
   }
-  private val hexChars = "0123456789abcdef".toCharArray
-  def hex(bytes: Array[Byte]): String = {
-    val out = new Array[Char](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
   /** First 48 bits of the digest as a non-negative Long — identical to
     * parsing the first 12 hex chars base-16 ([[PortableHash]]).
     */
   def prefix48(d: Array[Byte]): Long =
     ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
       ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
-  /** Unsigned lexicographic byte compare ≡ comparing the hex strings. */
-  def less(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length && i < b.length) {
-      val x = a(i) & 0xff
-      val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    a.length < b.length
-  }
 }
 
-/** `minhash_sig(shingles)` ≡
-  * `transform(sequence(0, n-1), h -> array_min(transform(shingles, s -> md5(h || ':' || s))))`
-  * — the per-document MinHash signature of [[graft.operators.Dedup]],
-  * as `n` lexicographic mins over MD5 hex strings in one pass.
+/** `minhash_sig(shingles, n)` ≡
+  * `transform(sequence(0, n-1), h -> array_min(transform(shingles,
+  *    s -> substr(md5(concat(h div 4, ':', s)), 8 * (h % 4) + 1, 8))))`
+  * — the per-document MinHash signature of [[graft.operators.Dedup]]:
+  * hash lane `h` is the `(h % 4)`-th 8-hex-char (32-bit) slice of
+  * `md5((h div 4) || ':' || s)`, so one MD5 call feeds FOUR lanes.
+  * Lexicographic min over fixed-width lowercase hex ≡ unsigned numeric
+  * min of the 32-bit value, which is what the tight loop tracks.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
@@ -88,16 +70,25 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val prefixes = MinHashSig.prefixes(numHashes)
-    val mins = new Array[Array[Byte]](numHashes)
+    val numGroups = (numHashes + 3) / 4
+    val prefixes = MinHashSig.prefixes(numGroups)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i).getBytes
-      var h = 0
-      while (h < numHashes) {
-        val d = Md5Local.digest(prefixes(h), s)
-        if (mins(h) == null || Md5Local.less(d, mins(h))) mins(h) = d
-        h += 1
+      var g = 0
+      while (g < numGroups) {
+        val d = Md5Local.digest(prefixes(g), s)
+        val maxLane = math.min(4, numHashes - 4 * g)
+        var lane = 0
+        while (lane < maxLane) {
+          val v = ((d(4 * lane) & 0xffL) << 24) | ((d(4 * lane + 1) & 0xffL) << 16) |
+            ((d(4 * lane + 2) & 0xffL) << 8) | (d(4 * lane + 3) & 0xffL)
+          val h = 4 * g + lane
+          if (v < mins(h)) mins(h) = v
+          lane += 1
+        }
+        g += 1
       }
       i += 1
     }
@@ -106,7 +97,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
     // fallback), so mirror with an empty signature only if n == 0.
     if (n == 0) new GenericArrayData(Array.empty[Any])
     else new GenericArrayData(
-      mins.map(d => UTF8String.fromString(Md5Local.hex(d)): Any))
+      mins.map(v => UTF8String.fromString(f"$v%08x"): Any))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -117,9 +108,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
 object MinHashSig {
   private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
-  private[functions] def prefixes(numHashes: Int): Array[Array[Byte]] =
-    cache.computeIfAbsent(numHashes, n =>
-      Array.tabulate(n)(h => s"$h:".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  private[functions] def prefixes(numGroups: Int): Array[Array[Byte]] =
+    cache.computeIfAbsent(numGroups, n =>
+      Array.tabulate(n)(g => s"$g:".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("minhash_sig"),
@@ -132,6 +123,68 @@ object MinHashSig {
           s"minhash_sig numHashes must be an integer literal, got $other")
       }
       MinHashSig(args.head, n)
+    })
+}
+
+/** `shingle3(words)` ≡ the declarative word-3-gram shingle builder of
+  * [[graft.operators.Dedup]]:
+  * `array_distinct(transform(sequence(0, n-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))`
+  * with the whole-text (`concat_ws`) fallback for inputs shorter than
+  * one shingle. Distinctness keeps first-occurrence order, exactly like
+  * `array_distinct`. One pass, one LinkedHashSet — versus n interpreted
+  * lambda dispatches plus a second distinct pass over freshly allocated
+  * strings.
+  */
+case class Shingle3(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"shingle3 expects array<string>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val space = UTF8String.fromString(" ")
+    if (n < 3) {
+      val joined = UTF8String.concatWs(
+        space, Array.tabulate(n)(i => arr.getUTF8String(i)): _*)
+      new GenericArrayData(Array[Any](joined))
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+      var i = 0
+      while (i <= n - 3) {
+        seen.add(UTF8String.concat(
+          arr.getUTF8String(i), space, arr.getUTF8String(i + 1), space,
+          arr.getUTF8String(i + 2)))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle3"
+}
+
+object Shingle3 {
+  val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle3"),
+    new ExpressionInfo(classOf[Shingle3].getName, "shingle3"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "shingle3 expects exactly 1 argument")
+      Shingle3(args.head)
     })
 }
 

@@ -41,17 +41,25 @@ object Dedup {
   /** LSH bands (NumHashes / Bands = 2 rows per band). */
   val NumBands = 4
 
-  /** Word 3-gram shingles, distinct, with a whole-text fallback for
-    * documents shorter than one shingle.
+  /** Word 3-gram shingles, distinct (first-occurrence order), with a
+    * whole-text fallback for documents shorter than one shingle.
+    * Computed via the native [[graft.functions.Shingle3]] expression;
+    * [[declarativeShinglesSql]] is the built-ins-only twin it must
+    * equal bit-for-bit (TextHashSpec).
     */
-  private val shinglesSql =
+  private val shinglesSql = "shingle3(words)"
+
+  private[graft] val declarativeShinglesSql =
     """CASE WHEN size(words) >= 3 THEN
          array_distinct(transform(sequence(0, size(words) - 3),
            i -> concat(words[i], ' ', words[i + 1], ' ', words[i + 2])))
        ELSE array(concat_ws(' ', words)) END"""
 
-  /** MinHash signature: sig[h] = min over shingles of md5(h || ':' || s).
-    * Lexicographic min over hex strings — portable, no permutation
+  /** MinHash signature: lane h is the (h % 4)-th 8-hex-char (32-bit)
+    * slice of md5((h div 4) || ':' || s), minimized over shingles —
+    * one MD5 call feeds four lanes, so an 8-lane signature costs TWO
+    * digests per shingle, not eight. Lexicographic min over fixed-width
+    * lowercase hex ≡ unsigned numeric min — portable, no permutation
     * tables to ship. Computed per-row, no shuffle, via the native
     * [[graft.functions.MinHashSig]] expression (one JVM loop per doc);
     * [[declarativeSignatureSql]] is the built-ins-only twin it must
@@ -62,7 +70,8 @@ object Dedup {
 
   private[graft] val declarativeSignatureSql =
     s"""transform(sequence(0, ${NumHashes - 1}),
-        h -> array_min(transform(shingles, s -> md5(concat(CAST(h AS STRING), ':', s)))))"""
+        h -> array_min(transform(shingles,
+          s -> substr(md5(concat(CAST(h div 4 AS STRING), ':', s)), 8 * (h % 4) + 1, 8))))"""
 
   private[graft] def withShingles(docs: DataFrame): DataFrame =
     graft.sources.Tables.widen(docs)
@@ -90,56 +99,84 @@ object Dedup {
 
   /** Q17c — near-duplicate pairs via LSH banding + exact Jaccard.
     *
-    * 1. one pass computes shingles + MinHash signature per doc, then
-    *    explodes into [[NumBands]] rows keyed by the band signature
+    * 1. one pass computes shingles + MinHash signature per doc and
+    *    explodes into [[NumBands]] *narrow* rows (doc_id, band,
+    *    band_sig) keyed by the band signature
     *    b = md5(sig[2b] || '|' || sig[2b+1]) — docs agreeing on both
-    *    minhashes of any band collide;
+    *    minhashes of any band collide. The narrow table is persisted:
+    *    it is the materialized signature index every later step reads,
+    *    so the expensive md5-per-shingle pass runs exactly once (an
+    *    un-persisted plan recomputes it per join branch — AQE's
+    *    broadcast conversion defeats exchange reuse). At 100 TB this
+    *    intermediate would be written to storage; rows are 3 small
+    *    fixed-width columns, NumBands per doc, so it is a tiny fraction
+    *    of corpus size either way;
     * 2. bucket-size gate: only buckets with 2..[[MaxBucket]] members
-    *    enter the join. Dropping singletons (the vast majority of
-    *    buckets) prunes most of the join input; dropping oversized
-    *    buckets bounds skew (see [[MaxBucket]]). The size aggregation
-    *    shuffles on the same (band, band_sig) key as the join, so the
-    *    exchange is computed once and reused;
-    * 3. self-equi-join on (band, band_sig) → candidate collisions (the
-    *    only shuffle that scales with n; shingle arrays ride through it
-    *    so the expensive signature pass runs once, not once per join
-    *    branch — at 100 TB the signature table would be a materialized
-    *    intermediate for the same reason);
-    * 4. exact shingle Jaccard per collision, thresholded, then distinct —
-    *    a pair colliding in k ≤ NumBands bands computes its Jaccard k
-    *    times, a bounded constant that's far cheaper than re-joining a
-    *    recomputed signature table per side.
+    *    survive. Dropping singletons (the vast majority of buckets)
+    *    prunes almost everything; dropping oversized buckets bounds
+    *    skew (see [[MaxBucket]]). Gating BEFORE any per-bucket
+    *    collection means no aggregation buffer ever exceeds maxBucket
+    *    entries;
+    * 3. candidate pairs are generated map-side inside each kept bucket
+    *    (sorted member list → ordered pairs) — no self-join of the
+    *    corpus-sized table at all — then de-duplicated, a shuffle that
+    *    scales with the candidate count, not n;
+    * 4. exact shingle Jaccard per candidate: the tiny candidate set is
+    *    (broadcast-)joined twice against a shingles-only projection of
+    *    the corpus (split + 3-gram, no hashing), computed once per
+    *    side, map-only on the big side.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double, maxBucket: Int = MaxBucket): DataFrame = {
     val bands = withShingles(docs)
       .withColumn("sig", expr(signatureSql))
       .select(
-        col("doc_id"), col("shingles"),
+        col("doc_id"),
         posexplode(expr(
           s"""transform(sequence(0, ${NumBands - 1}),
               b -> md5(concat(sig[2 * b], '|', sig[2 * b + 1])))""")))
-      .toDF("doc_id", "shingles", "band", "band_sig")
+      .toDF("doc_id", "band", "band_sig")
+      .persist()
 
-    // Window count over the join key itself: the expensive signature
-    // pass is computed once, shuffled once on (band, band_sig), and the
-    // downstream self-join reuses that exchange — a separate size
-    // aggregation would force a second signature pass.
-    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")
-    val gated = bands
-      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+    val keep = bands
+      .groupBy("band", "band_sig").agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+      .select("band", "band_sig")
 
-    gated.as("a")
-      .join(gated.as("b"), Seq("band", "band_sig"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .withColumn("jac", expr(
-        "size(array_intersect(a.shingles, b.shingles)) / size(array_union(a.shingles, b.shingles))"))
-      .where(col("jac") >= threshold)
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        roundTo(col("jac"), 4).as("jaccard"))
+    // Ordered pairs from each bucket's sorted member list: element i
+    // pairs with every later element, so doc_a < doc_b by construction.
+    val cand = bands
+      .join(keep, Seq("band", "band_sig"))
+      .groupBy("band", "band_sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+               b -> named_struct('doc_a', a, 'doc_b', b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+      // Tiny (bounded by collision count) but read three times below —
+      // as candIds and by both sides of the shingle join.
+      .persist()
+
+    // Shingles for the Jaccard pass are recomputed ONLY for docs that
+    // appear in some candidate pair: the semi-join filter runs before
+    // the (string-heavy) shingle projection, so the full corpus is
+    // never re-shingled.
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sh = docs
+      .join(candIds, "doc_id", "left_semi")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesSql))
+      .select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jac", expr(
+        "size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"))
+      .where(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), roundTo(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

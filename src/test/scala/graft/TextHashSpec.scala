@@ -54,6 +54,25 @@ class TextHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(both.where(not(col("native") === col("decl"))).isEmpty)
   }
 
+  test("shingle3 equals the declarative 3-gram/array_distinct fold") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents")
+    val corpus = docs.select(split(col("text"), " ").as("words"))
+    // Adversarial: short inputs (fallback path), repeats (distinct path),
+    // empty strings, unicode.
+    val edge = Seq(
+      Seq.empty[String], Seq("one"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("a", "b", "c", "a", "b", "c", "a", "b", "c"),
+      Seq("", "", "", ""), Seq("é", "ü", "漢", "é", "ü", "漢"))
+      .toDF("words")
+    for (df <- Seq(corpus, edge)) {
+      val both = df
+        .withColumn("native", expr("shingle3(words)"))
+        .withColumn("decl", expr(Dedup.declarativeShinglesSql))
+      assert(both.where(not(col("native") === col("decl"))).isEmpty)
+    }
+  }
+
   test("simhash48 equals the declarative majority-vote fold on the corpus") {
     val docs = Tables.table(spark, sf, "documents")
     val native = Dedup.simhash(docs)
