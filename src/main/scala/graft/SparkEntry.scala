@@ -57,6 +57,8 @@ object SparkEntry {
   private val MaxResizeDim = 256
   /** Q26 histogram bucket width over events.value. */
   private val HistWidth = 25.0
+  /** Q35/Q35b: drop terms/bigrams rarer than this (hapax trimming). */
+  private val VocabMinOcc = 2L
   /** Q27 pivot columns: the fixed event-type vocabulary of the corpus. */
   private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
   /** Q29 interval-join periods: 10 windows of 4 days every 3 days (so
@@ -235,6 +237,14 @@ object SparkEntry {
     "q33_outer_join" -> ((s, d) => Relational.outerJoin(s, d)),
     "q34_collect_types" -> ((s, d) => Relational.collectTypes(s, d)),
     "q31b_salted_join" -> ((s, d) => Skew.aboveTypeMean(Tables.events(s, d), 8)),
+    "q35_vocabulary" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.table(s, d, "documents"), VocabMinOcc)),
+    "q35b_bigrams" -> ((s, d) =>
+      TextAnalysis.bigrams(Tables.table(s, d, "documents"), VocabMinOcc)),
+    "q36_map_funcs" -> ((s, d) => Relational.mapFuncs(s, d)),
+    "q37_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
+    "q38_correlated_subq" -> ((s, d) => Relational.correlatedSubqueries(s, d)),
+    "q39_nullsafe_join" -> ((s, d) => Relational.nullSafeJoin(s, d)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -814,6 +824,52 @@ object SparkEntry {
           FROM events e JOIN d USING (event_type)
           WHERE e.value > d.type_avg
           GROUP BY e.event_type, d.type_avg ORDER BY e.event_type""",
+    "q35_vocabulary" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+          SELECT word, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+          FROM w GROUP BY word HAVING count(*) >= $VocabMinOcc ORDER BY word""",
+    "q35b_bigrams" ->
+      s"""WITH d AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+          b AS (SELECT lang, unnest(list_transform(generate_series(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM d)
+          SELECT lang, bigram, count(*) AS n_occ
+          FROM b GROUP BY lang, bigram HAVING count(*) >= $VocabMinOcc
+          ORDER BY lang, bigram""",
+    // n_aug mirrors map_concat's overwrite-on-collision semantics:
+    // distinct(keys + 't').
+    "q36_map_funcs" ->
+      """SELECT event_id,
+                array_to_string(list_sort(json_keys(props)), ',') AS keys,
+                CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+                CAST(len(list_distinct(list_append(json_keys(props), 't'))) AS BIGINT) AS n_aug
+         FROM events ORDER BY event_id""",
+    "q37_conditional_agg" ->
+      s"""SELECT event_type, count(*) AS n,
+                 count(*) FILTER (WHERE value > 50.0) AS n_high,
+                 round(${exactSumSql("CASE WHEN value > 50.0 THEN value ELSE 0.0 END", 2)}, 2)
+                   AS sum_high,
+                 bool_or(value > 99.0) AS any_gt99,
+                 bool_and(value >= 0.0) AS all_nonneg,
+                 count(DISTINCT CASE WHEN value > 90.0 THEN user_id END) AS n_users_gt90
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q38_correlated_subq" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+                (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(i.c_acctbal) FROM customer i
+                            WHERE i.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
+    "q39_nullsafe_join" ->
+      """WITH k AS (SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                    FROM events),
+          e AS (SELECT k, count(*) AS n_even FROM k WHERE event_id % 2 = 0 GROUP BY k),
+          o AS (SELECT k, count(*) AS n_odd FROM k WHERE event_id % 2 = 1 GROUP BY k)
+          SELECT coalesce(e.k, o.k) AS k,
+                 coalesce(n_even, CAST(0 AS BIGINT)) AS n_even,
+                 coalesce(n_odd, CAST(0 AS BIGINT)) AS n_odd
+          FROM e FULL JOIN o ON e.k IS NOT DISTINCT FROM o.k
+          ORDER BY k NULLS FIRST""",
     "q09b_session_ids" ->
       s"""WITH m AS (
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,

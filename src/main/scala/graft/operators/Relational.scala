@@ -272,6 +272,86 @@ object Relational {
         concat_ws("|", col("lang"), col("source")).as("stratum"))
       .orderBy("doc_id")
 
+  /** Q36 — map functions over `events.props` parsed as a real
+    * `map<string,string>` (the reference's `State.Data` type,
+    * model/state.go:10, as a first-class column type): key listing
+    * (canonically sorted), cardinality, point lookup, and map
+    * augmentation. Pure projection — no shuffle, fully codegen'd.
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+      .select(
+        col("event_id"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+        size(col("m")).cast("long").as("n_keys"),
+        element_at(col("m"), "k").cast("long").as("k_val"),
+        size(map_concat(col("m"), map(lit("t"), col("event_type")))).cast("long").as("n_aug"))
+      .orderBy("event_id")
+
+  /** Q37 — conditional aggregation: predicate-filtered counts and sums
+    * (`count_if` / CASE-gated exactSum), boolean aggregates
+    * (`bool_or`/`bool_and`), and a predicate-gated distinct count, all
+    * in ONE hash aggregation pass — the single-scan formulation of
+    * "N metrics with different WHERE clauses", which at scale replaces
+    * N self-joining subqueries.
+    */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("count_if(value > 50.0)").as("n_high"),
+        round(exactSum(when(col("value") > 50.0, col("value")).otherwise(lit(0.0)), 2), 2)
+          .as("sum_high"),
+        expr("bool_or(value > 99.0)").as("any_gt99"),
+        expr("bool_and(value >= 0.0)").as("all_nonneg"),
+        countDistinct(when(col("value") > 90.0, col("user_id"))).as("n_users_gt90"))
+      .orderBy("event_type")
+
+  /** Q38 — correlated subqueries (SQL surface): a correlated scalar
+    * aggregate in the WHERE clause (customers above their own nation's
+    * average balance) and one in the SELECT list (their order count).
+    * Catalyst de-correlates both into aggregate+join subplans — the
+    * scale-safe rewrite (one aggregation over the inner table, one
+    * join) rather than a per-row re-execution.
+    */
+  def correlatedSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+                (SELECT count(*) FROM graft_orders o
+                 WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM graft_customer c
+         WHERE c_acctbal > (SELECT avg(i.c_acctbal) FROM graft_customer i
+                            WHERE i.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""")
+  }
+
+  /** Q39 — null-safe equality join (`<=>`): the null bucket (events
+    * whose props carry no `k`) joins to the other side's null bucket
+    * instead of disappearing, so the reconciliation covers every row.
+    * Both inputs aggregate BEFORE the join (key-space-sized, not
+    * row-space-sized) and the full-outer keeps unmatched keys from
+    * either side.
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val k = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    val even = k.where(col("event_id") % 2 === 0)
+      .groupBy("k").agg(count(lit(1)).as("n_even"))
+    val odd = k.where(col("event_id") % 2 === 1)
+      .groupBy(col("k").as("k2")).agg(count(lit(1)).as("n_odd"))
+    even.join(odd, col("k") <=> col("k2"), "full_outer")
+      .select(
+        coalesce(col("k"), col("k2")).as("k"),
+        coalesce(col("n_even"), lit(0L)).as("n_even"),
+        coalesce(col("n_odd"), lit(0L)).as("n_odd"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   /** Q16 — array functions over the embeddings table: length, element
     * access, and an elementwise fold (squared L2 norm). Arithmetic in
     * double on both engines; rounded before hashing.

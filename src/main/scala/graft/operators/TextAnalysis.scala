@@ -84,6 +84,41 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("text")).as("content_md5"), col("rolling_hash"))
       .orderBy("doc_id")
 
+  /** Q35 — corpus vocabulary: term frequency + document frequency per
+    * token. The classic word count: explode → hash aggregate, with
+    * map-side partial aggregation collapsing each partition's repeats
+    * before the shuffle, so shuffle volume is O(distinct terms per
+    * partition), not O(tokens). `minOcc` trims the hapax tail (at
+    * corpus scale the long tail dominates rows; the filter sits on the
+    * aggregate so it prunes post-shuffle output only — exactly the
+    * HAVING semantics the oracle mirrors).
+    */
+  def vocabulary(docs: DataFrame, minOcc: Long): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+      .where(col("n_occ") >= minOcc)
+      .orderBy("word")
+
+  /** Q35b — bigram statistics per language: adjacent word pairs
+    * (n-gram language-model counts), same explode → partial-agg shape
+    * as [[vocabulary]]. Documents shorter than one bigram contribute
+    * nothing (explode of an empty array drops the row).
+    */
+  def bigrams(docs: DataFrame, minOcc: Long): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(words) >= 2 THEN
+             transform(sequence(0, size(words) - 2),
+               i -> concat(words[i], ' ', words[i + 1]))
+           ELSE CAST(array() AS ARRAY<STRING>) END""")).as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= minOcc)
+      .orderBy("lang", "bigram")
+
   /** Built-ins-only twin of [[fingerprints]]' native `rolling_hash48`
     * (the specification form the DuckDB oracle mirrors; TextHashSpec
     * asserts equality).

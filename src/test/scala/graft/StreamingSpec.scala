@@ -154,6 +154,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.getLong(1)).sum > rows.size)
   }
 
+  test("S6: stream-stream interval join (view→purchase within 1 h) equals the batch join") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val minUs = 60L * 1000000L
+    // One day offset: a row whose event time equals the current
+    // watermark (epoch 0 at query start) is filtered as late.
+    val baseUs = 86400L * 1000000L
+    // 5 users browsing over 6 hours; purchases land 30 min after some
+    // views (those match) and hours after others (those don't).
+    val views = for (u <- 0L until 5L; h <- 0 until 6)
+      yield (u, baseUs + (h * 60L + u) * minUs)
+    val purch = for (u <- 0L until 5L; h <- 0 until 6; if (u + h) % 2 == 0)
+      yield (u, baseUs + (h * 60L + u + 30L) * minUs)
+
+    // Same plan for both modes: the event-time range condition plus
+    // both watermarks is what lets streaming bound join state (each
+    // side's rows are droppable once the other side's watermark passes
+    // v_ts + 1 h); in batch the withWatermark calls are no-ops.
+    def joined(v: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) = {
+      val vv = v.toDF("v_user", "v_us")
+        .withColumn("v_ts", timestamp_micros(col("v_us")))
+        .withWatermark("v_ts", "12 hours")
+      val pp = p.toDF("p_user", "p_us")
+        .withColumn("p_ts", timestamp_micros(col("p_us")))
+        .withWatermark("p_ts", "12 hours")
+      vv.join(pp, col("v_user") === col("p_user")
+          && col("p_ts") >= col("v_ts")
+          && col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("v_user").as("user_id"), col("v_us"), col("p_us"))
+    }
+
+    val vs = MemoryStream[(Long, Long)]
+    val ps = MemoryStream[(Long, Long)]
+    val q = joined(vs.toDF(), ps.toDF()).writeStream
+      .format("memory").queryName("s6").outputMode("append").start()
+    try {
+      // Split both sides across microbatches so some pairs only meet
+      // via buffered join state from an earlier batch.
+      vs.addData(views.take(15): _*)
+      ps.addData(purch.drop(7): _*)
+      q.processAllAvailable()
+      vs.addData(views.drop(15): _*)
+      ps.addData(purch.take(7): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("s6").orderBy("user_id", "v_us", "p_us").collect().toSeq
+    val want = joined(views.toDF(), purch.toDF())
+      .orderBy("user_id", "v_us", "p_us").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("S5: streaming exact dedup keeps one survivor per content across microbatches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
