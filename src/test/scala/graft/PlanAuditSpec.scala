@@ -127,6 +127,42 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"grouping sets shuffled more than once:\n$p")
   }
 
+  test("q35: vocabulary aggregates partially (map-side) and reads only (doc_id, text)") {
+    val df = q("q35_vocabulary")
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+    val read = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(read == Set("doc_id", "text"), s"unexpected read schema: $read")
+  }
+
+  test("q36: map functions are a pure projection — no shuffle except the output sort") {
+    val p = plan(q("q36_map_funcs"))
+    assert(!p.contains("Exchange hashpartitioning"), s"projection plan shuffles:\n$p")
+  }
+
+  test("q37: all conditional metrics come from ONE scan of events, no self-join") {
+    val df = q("q37_conditional_agg")
+    assert(scans(df).size == 1, "expected a single events scan")
+    assert(!plan(df).contains("Join"), s"conditional agg regressed to a join:\n${plan(df)}")
+  }
+
+  test("q38: correlated subqueries de-correlate to joins, never per-row nested loops") {
+    val p = plan(q("q38_correlated_subq"))
+    assert(p.contains("Join"), s"expected de-correlated join subplans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+  }
+
+  test("q39: the null-safe full outer is a keyed join over pre-aggregated inputs") {
+    val p = plan(q("q39_nullsafe_join"))
+    assert(p.contains("FullOuter"), s"expected full outer join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe join fell back to nested-loop:\n$p")
+    // Aggregations must sit BELOW the join (key-space-sized join input).
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx < 0 || p.substring(joinIdx).contains("HashAggregate"),
+      s"aggregation did not stay below the join:\n$p")
+  }
+
   test("no un-partitioned window over full relations in any headline query") {
     // Window specs must always carry a partitionBy: an empty Partition
     // spec collapses the relation into one task (round-1's q10/q20
