@@ -59,6 +59,8 @@ object SparkEntry {
   private val HistWidth = 25.0
   /** Q35/Q35b: drop terms/bigrams rarer than this (hapax trimming). */
   private val VocabMinOcc = 2L
+  /** Q35c: TF-IDF terms kept per document. */
+  private val TfIdfTopK = 3
   /** Q27 pivot columns: the fixed event-type vocabulary of the corpus. */
   private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
   /** Q29 interval-join periods: 10 windows of 4 days every 3 days (so
@@ -241,7 +243,11 @@ object SparkEntry {
       TextAnalysis.vocabulary(Tables.table(s, d, "documents"), VocabMinOcc)),
     "q35b_bigrams" -> ((s, d) =>
       TextAnalysis.bigrams(Tables.table(s, d, "documents"), VocabMinOcc)),
+    "q35c_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.table(s, d, "documents"), TfIdfTopK)),
     "q36_map_funcs" -> ((s, d) => Relational.mapFuncs(s, d)),
+    "q40_neardup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(Tables.table(s, d, "documents"), NearDupThreshold)),
     "q37_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
     "q38_correlated_subq" -> ((s, d) => Relational.correlatedSubqueries(s, d)),
     "q39_nullsafe_join" -> ((s, d) => Relational.nullSafeJoin(s, d)),
@@ -835,6 +841,36 @@ object SparkEntry {
           SELECT lang, bigram, count(*) AS n_occ
           FROM b GROUP BY lang, bigram HAVING count(*) >= $VocabMinOcc
           ORDER BY lang, bigram""",
+    "q35c_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+          df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+          n AS (SELECT count(*) AS n FROM documents),
+          s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                  ${roundSql("tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)", 4)} AS tfidf
+                FROM tf JOIN df USING (word), n),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, word) AS BIGINT) AS rnk FROM s)
+          SELECT doc_id, rnk, word, tf, df, tfidf FROM r
+          WHERE rnk <= $TfIdfTopK ORDER BY doc_id, rnk""",
+    // Connected components via a recursive min-label CTE — the engine
+    // side does the same fixpoint iteratively (Spark has no recursive
+    // CTE); both converge to min-member-id labels.
+    "q40_neardup_clusters" ->
+      s"""WITH RECURSIVE $nearDupCte,
+          p AS (SELECT doc_a, doc_b FROM j WHERE jac >= $NearDupThreshold),
+          e AS (SELECT doc_a AS s, doc_b AS d FROM p
+                UNION ALL SELECT doc_b, doc_a FROM p),
+          nodes AS (SELECT DISTINCT s AS doc FROM e),
+          reach AS (
+            SELECT doc, doc AS lbl FROM nodes
+            UNION
+            SELECT e.d AS doc, r.lbl FROM reach r JOIN e ON e.s = r.doc),
+          comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+          sz AS (SELECT cluster_id, count(*) AS n_docs FROM comp GROUP BY cluster_id)
+          SELECT comp.doc AS doc_id, comp.cluster_id, sz.n_docs,
+                 comp.doc = comp.cluster_id AS is_canonical
+          FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""",
     // n_aug mirrors map_concat's overwrite-on-collision semantics:
     // distinct(keys + 't').
     "q36_map_funcs" ->

@@ -180,6 +180,57 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Q40 — near-duplicate clusters: connected components over the
+    * [[nearDupPairs]] graph, because a production dedup keeps ONE
+    * survivor per duplicate *group*, and pair lists alone over-delete
+    * (A~B, B~C must not drop both B and C if C is kept for B).
+    *
+    * Iterative min-label propagation (Pregel-style small-step): each
+    * round every node takes the min label among itself and its
+    * neighbors; converges in O(component diameter) rounds. The loop
+    * runs over the PAIR graph only — orders of magnitude smaller than
+    * the corpus (LSH already pruned it), so per-round cost is a join on
+    * a tiny relation; `localCheckpoint` truncates lineage so plan size
+    * stays constant across rounds. The convergence probe (one count per
+    * round) is the standard driver-side fixpoint test — it moves no
+    * data. Spark SQL has no recursive CTE; the DuckDB oracle uses one,
+    * which is exactly why this is an engine operator, not a query
+    * rewrite.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val next = edges.join(labels, edges("src") === labels("doc"))
+        .select(col("dst").as("doc"), col("lbl"))
+        .union(labels)
+        .groupBy("doc").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .where(col("lbl") < col("old")).count()
+      labels = next
+      rounds += 1
+    }
+
+    val sizes = labels.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(
+        col("doc_id"), col("cluster_id"), col("n_docs"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** Q17e — ensemble near-dup confirmation: the lexical LSH candidates
     * from [[nearDupPairs]] re-scored with embedding cosine (documents
     * and embeddings share the id domain). This is the production

@@ -119,6 +119,33 @@ object TextAnalysis {
       .where(col("n_occ") >= minOcc)
       .orderBy("lang", "bigram")
 
+  /** Q35c — top-k TF-IDF terms per document: tf(doc, term) ·
+    * ln(N / df(term)). Three aggregations over one exploded pass (term
+    * frequency, document frequency, corpus size) joined back; the
+    * corpus size is a 1-row broadcast, term→df is key-space-sized, and
+    * the final per-document top-k is a window over doc_id partitions —
+    * every stage is either map-side-combining or key-space-bounded, so
+    * the shape survives any corpus size. Scores are rounded BEFORE the
+    * window ordering so the ranking itself is cross-engine stable.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val words = graft.sources.Tables.widen(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = words.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    val total = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", roundTo(
+        col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "rnk", "word", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Built-ins-only twin of [[fingerprints]]' native `rolling_hash48`
     * (the specification form the DuckDB oracle mirrors; TextHashSpec
     * asserts equality).

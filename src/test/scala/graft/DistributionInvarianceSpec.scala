@@ -59,6 +59,8 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
         Temporal.periods(spark, 1704067200000000L, 3L * 86400000000L, 4L * 86400000000L, 10),
         86400000000L)),
       ("vocabulary", f => TextAnalysis.vocabulary(f(docs), 2)),
+      ("tfidfTopTerms", f => TextAnalysis.tfidfTopTerms(f(docs), 3)),
+      ("nearDupClusters", f => Dedup.nearDupClusters(f(docs), 0.2)),
       ("bigrams", f => TextAnalysis.bigrams(f(docs), 2)),
       ("twoStageDistinct", f => Skew.twoStageDistinct(f(events))),
       ("aboveTypeMean", f => Skew.aboveTypeMean(f(events), 8)),
