@@ -207,6 +207,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("S7: foreachBatch idempotent parquet sink survives batch re-delivery without duplicates") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_s7").toString
+    val rows = (0 until 200).map(i => (i.toLong, s"payload$i"))
+    val src = MemoryStream[(Long, String)]
+    val sink = graft.streaming.Sinks.idempotentParquetAppend(out) _
+
+    val q = src.toDF().toDF("id", "payload").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", s"$out-ckpt")
+      .start()
+    try {
+      src.addData(rows.take(100): _*); q.processAllAvailable()
+      src.addData(rows.drop(100): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def table() = spark.read.parquet(out)
+    assert(table().count() == 200)
+
+    // Simulate the failure mode: the same microbatch delivered again
+    // (same batchId, same data) — the sink must recognize the committed
+    // marker and skip, leaving the table unchanged.
+    sink(rows.take(100).toDF("id", "payload"), 0L)
+    assert(table().count() == 200)
+    assert(table().select("id").distinct().count() == 200)
+
+    // And a NEW batchId with new data still lands.
+    sink(Seq((999L, "x")).toDF("id", "payload"), 2L)
+    assert(table().count() == 201)
+  }
+
   test("S5: streaming exact dedup keeps one survivor per content across microbatches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
