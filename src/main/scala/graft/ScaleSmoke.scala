@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
+
+/** Scale-smoke harness (not part of the driver gates): replays headline
+  * operators at 1× and 10× the bench scale by unioning shifted copies of
+  * the test tables, and reports the runtime ratio. A healthy operator
+  * scales ~linearly (ratio ≈ 10 or less, since fixed per-query overhead
+  * amortizes); a quadratic blowup or single-task collapse shows up as a
+  * much larger ratio. The 10× documents corpus is also a dedup stress
+  * test: every document gains 9 near-identical twins, so the LSH bucket
+  * gate and pair generation run against dense collision clusters instead
+  * of the sparse natural corpus.
+  *
+  * Usage: `sbt "runMain graft.ScaleSmoke [sfDir] [copies]"`.
+  */
+object ScaleSmoke {
+
+  /** `copies` shifted copies of the events log: ids offset per copy so
+    * keys stay unique; user ids offset so the user population grows with
+    * data volume (the realistic axis — a 100 TB log has more users, not
+    * 100× events per user).
+    */
+  def scaledEvents(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val n = 10000000L
+    (0 until copies)
+      .map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * n))
+        .withColumn("user_id", col("user_id") + lit(i * 1000L)))
+      .reduce(_.unionAll(_))
+  }
+
+  /** `copies` copies of documents with distinct ids and a copy marker
+    * appended to the text head so copies are near- but not exact dups.
+    */
+  def scaledDocs(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val n = 10000000L
+    (0 until copies)
+      .map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit(i * n))
+        .withColumn("text", concat(lit(s"c$i "), col("text"))))
+      .reduce(_.unionAll(_))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val gapUs = 86400000000L
+    val cases: Seq[(String, DataFrame => DataFrame, (Int) => DataFrame)] = Seq(
+      ("latest_state", EventLog.latestState, c => scaledEvents(spark, dir, c)),
+      ("sessionize", (df: DataFrame) => EventLog.sessionize(df, gapUs),
+        c => scaledEvents(spark, dir, c)),
+      ("window_funcs", EventLog.windowFuncs, c => scaledEvents(spark, dir, c)),
+      ("sync_replay", (df: DataFrame) => SyncReplay.replay(
+        df, graft.streaming.SyncConfig(3600000000L, gapUs)),
+        c => scaledEvents(spark, dir, c)),
+      ("exact_dedup", Dedup.exactDedup, c => scaledDocs(spark, dir, c)),
+      ("neardup_pairs", (df: DataFrame) => Dedup.nearDupPairs(df, 0.2),
+        c => scaledDocs(spark, dir, c)),
+      ("vocabulary", (df: DataFrame) => TextAnalysis.vocabulary(df, 2),
+        c => scaledDocs(spark, dir, c)))
+
+    val results = cases.map { case (name, op, mk) =>
+      val warm = time(op(mk(1)))
+      val t1 = time(op(mk(1)))
+      val t10 = time(op(mk(copies)))
+      println(f"SCALE $name%-16s 1x=$t1%6.2fs ${copies}x=$t10%6.2fs ratio=${t10 / t1}%5.1f (warm=$warm%5.2fs)")
+      (name, t1, t10)
+    }
+    val worst = results.maxBy(r => r._3 / r._2)
+    println(f"SCALE worst-ratio ${worst._1} ${worst._3 / worst._2}%.1f")
+    spark.stop()
+  }
+}
