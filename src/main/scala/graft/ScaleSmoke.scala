@@ -30,7 +30,10 @@ object ScaleSmoke {
     (0 until copies)
       .map(i => ev
         .withColumn("event_id", col("event_id") + lit(i * n))
-        .withColumn("user_id", col("user_id") + lit(i * 1000L)))
+        // Same wide offset as event_id: user populations of different
+        // copies must be disjoint at every SF, or overlapping users
+        // get interleaved double streams (per-user skew, not growth).
+        .withColumn("user_id", col("user_id") + lit(i * n)))
       .reduce(_.unionAll(_))
   }
 

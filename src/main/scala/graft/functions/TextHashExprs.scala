@@ -134,6 +134,10 @@ object MinHashSig {
   * `array_distinct`. One pass, one LinkedHashSet — versus n interpreted
   * lambda dispatches plus a second distinct pass over freshly allocated
   * strings.
+  *
+  * `containsNull = true` because a null input WORD yields a null
+  * shingle (concat propagates null), exactly like the declarative
+  * fold; `split()` never produces null words, but SQL callers can.
   */
 case class Shingle3(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -144,7 +148,7 @@ case class Shingle3(child: Expression)
       s"shingle3 expects array<string>, got ${dt.simpleString}")
   }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any = {

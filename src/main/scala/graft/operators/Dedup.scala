@@ -209,17 +209,35 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val next = edges.join(labels, edges("src") === labels("doc"))
+    // Neighbor-min alone needs O(diameter) rounds; the extra
+    // label-of-label hop (pointer jumping — every label value is itself
+    // a node, so the lookup always resolves) halves remaining distance
+    // per round, so even a path-graph component converges in O(log n).
+    // The cap is a runaway guard: 64 rounds covers any component that
+    // fits in an exabyte, and overrunning it raises — this operator
+    // must never silently emit unconverged (wrong) cluster labels.
+    while (changed > 0) {
+      if (rounds >= 64)
+        throw new IllegalStateException(
+          s"nearDupClusters failed to converge after $rounds rounds")
+      val neighborMin = edges.join(labels, edges("src") === labels("doc"))
         .select(col("dst").as("doc"), col("lbl"))
         .union(labels)
         .groupBy("doc").agg(min("lbl").as("lbl"))
+      val next = neighborMin
+        .join(
+          labels.select(col("doc").as("l_doc"), col("lbl").as("l_lbl")),
+          neighborMin("lbl") === col("l_doc"))
+        .select(col("doc"), least(col("lbl"), col("l_lbl")).as("lbl"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
         .where(col("lbl") < col("old")).count()
+      // Stale rounds' checkpoint RDDs are dropped by the ContextCleaner
+      // once this reference moves on; edges we free explicitly below.
       labels = next
       rounds += 1
     }
+    edges.unpersist()
 
     val sizes = labels.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))

@@ -286,8 +286,16 @@ object Relational {
         col("event_id"),
         array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
         size(col("m")).cast("long").as("n_keys"),
-        element_at(col("m"), "k").cast("long").as("k_val"),
-        size(map_concat(col("m"), map(lit("t"), col("event_type")))).cast("long").as("n_aug"))
+        // try_element_at, not element_at: under ANSI mode (Spark 4
+        // default) element_at THROWS on a missing key; the missing-key
+        // answer here is NULL, like the oracle's json_extract_string.
+        try_element_at(col("m"), lit("k")).cast("long").as("k_val"),
+        // Overwrite-on-collision spelled explicitly (drop an existing
+        // 't' before adding ours): map_concat's behavior on duplicate
+        // keys is a session policy (EXCEPTION by default) — a query
+        // must not depend on it.
+        size(map_concat(expr("map_filter(m, (k, v) -> k != 't')"),
+          map(lit("t"), col("event_type")))).cast("long").as("n_aug"))
       .orderBy("event_id")
 
   /** Q37 — conditional aggregation: predicate-filtered counts and sums
@@ -337,9 +345,16 @@ object Relational {
     * row-space-sized) and the full-outer keeps unmatched keys from
     * either side.
     */
-  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val k = Tables.events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame =
+    nullSafeReconcile(Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long")))
+
+  /** Core of [[nullSafeJoin]] over any (event_id, k) relation — split
+    * out so the null bucket and unmatched-side paths are unit-testable
+    * with synthetic nulls (the natural corpus happens to always carry
+    * `k`, which would leave the query's defining semantics untested).
+    */
+  private[graft] def nullSafeReconcile(k: DataFrame): DataFrame = {
     val even = k.where(col("event_id") % 2 === 0)
       .groupBy("k").agg(count(lit(1)).as("n_even"))
     val odd = k.where(col("event_id") % 2 === 1)

@@ -131,8 +131,15 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val words = graft.sources.Tables.widen(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    // tf is the materialized intermediate BOTH later stages read (like
+    // the dedup signature table): df derives from it (tf already holds
+    // one row per (doc, word), so df(word) = count of tf rows — no
+    // second tokenization pass over the corpus), and persisting it
+    // guarantees the explode runs once even though two consumers would
+    // otherwise each replay the scan.
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = words.groupBy("word").agg(countDistinct("doc_id").as("df"))
+      .persist()
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))

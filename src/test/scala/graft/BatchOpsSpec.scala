@@ -106,6 +106,22 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.count() == 10)
   }
 
+  test("q39 core: null buckets pair up and unmatched sides survive the full outer") {
+    import spark.implicits._
+    // The natural corpus always carries `k`, so the defining semantics
+    // (null-safe match, one-sided keys) need synthetic rows.
+    val k = Seq(
+      (0L, Some(1L)), (2L, Some(1L)), (1L, Some(1L)), // k=1 on both sides
+      (4L, None), (6L, None), (3L, None),             // null bucket, both sides
+      (8L, Some(7L)),                                 // even-only key
+      (5L, Some(9L)), (7L, Some(9L))                  // odd-only key
+    ).toDF("event_id", "k")
+    val out = graft.operators.Relational.nullSafeReconcile(k)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (None, 2L, 1L), (Some(1L), 2L, 1L), (Some(7L), 1L, 0L), (Some(9L), 0L, 2L)))
+  }
+
   test("exact dedup groups carry the whole corpus exactly once") {
     val docs = Tables.table(spark, sf, "documents")
     val d = Dedup.exactDedup(docs)

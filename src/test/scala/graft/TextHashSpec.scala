@@ -63,7 +63,10 @@ class TextHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     val edge = Seq(
       Seq.empty[String], Seq("one"), Seq("a", "b"), Seq("a", "b", "c"),
       Seq("a", "b", "c", "a", "b", "c", "a", "b", "c"),
-      Seq("", "", "", ""), Seq("é", "ü", "漢", "é", "ü", "漢"))
+      Seq("", "", "", ""), Seq("é", "ü", "漢", "é", "ü", "漢"),
+      // Null words: triples containing a null yield a null shingle
+      // (concat semantics); the fallback path skips nulls (concat_ws).
+      Seq("a", null, "b", "c", "d"), Seq(null, "x"))
       .toDF("words")
     for (df <- Seq(corpus, edge)) {
       val both = df
