@@ -45,10 +45,11 @@ object SyncReplay {
 
   /** Stream fan-out for the replay query. Wall-clock = the slowest
     * single stream's fold (per-stream order is the semantics), so this
-    * is the query's parallelism; 16 keeps several clients per stream at
-    * sf0.01 (150 users) while spreading the fold across cores.
+    * is the query's parallelism; 32 fills the local[32] bench cores while
+    * keeping several clients per stream at sf0.01 (150 users), so the
+    * eviction/session interplay stays exercised.
     */
-  val NumStreams = 16
+  val NumStreams = 32
   val Seed = 42L
 
   /** Build the sync schedule from the events table: stream = user_id mod
