@@ -223,6 +223,7 @@ object SparkEntry {
     "q25_quantiles" -> ((s, d) => EventLog.quantiles(Tables.events(s, d))),
     "q27_pivot" -> ((s, d) => EventLog.pivotByType(Tables.events(s, d), PivotTypes)),
     "q26_histogram" -> ((s, d) => EventLog.histogram(Tables.events(s, d), HistWidth)),
+    "q27b_unpivot" -> ((s, d) => EventLog.unpivotCounts(Tables.events(s, d), PivotTypes)),
     "q11b_window_ranks" -> ((s, d) => EventLog.windowRanks(Tables.events(s, d))),
     "q15b_datetime_funcs" -> ((s, d) => EventLog.datetimeFuncs(Tables.events(s, d))),
     "q15c_string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
@@ -729,6 +730,19 @@ object SparkEntry {
       val cols = PivotTypes.map(t =>
         s"""count(CASE WHEN event_type = '$t' THEN 1 END) AS "$t"""").mkString(", ")
       s"SELECT user_id, $cols FROM events GROUP BY user_id ORDER BY user_id"
+    },
+    // Unpivot emits the full user × type grid (pivot's zero-filled wide
+    // matrix melted back), so the oracle builds the grid explicitly.
+    "q27b_unpivot" -> {
+      val typeList = PivotTypes.map(t => s"'$t'").mkString(", ")
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+          t AS (SELECT unnest([$typeList]) AS event_type),
+          c AS (SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY user_id, event_type)
+          SELECT u.user_id, t.event_type, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+          FROM u CROSS JOIN t
+          LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+          ORDER BY u.user_id, t.event_type"""
     },
     "q28_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),

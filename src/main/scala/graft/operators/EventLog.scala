@@ -290,6 +290,18 @@ object EventLog {
       .na.fill(0L, types)
       .orderBy("user_id")
 
+  /** Q27b — unpivot (melt): the wide per-type count matrix of
+    * [[pivotByType]] back to long (user_id, event_type, n) form —
+    * pivot's inverse, the wide→long reshape every feature matrix
+    * eventually needs. Unpivot is a per-row expansion (Expand node):
+    * map-only over the wide input, no shuffle beyond what produced it.
+    */
+  def unpivotCounts(events: DataFrame, types: Seq[String]): DataFrame =
+    pivotByType(events, types)
+      .unpivot(
+        Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+      .orderBy("user_id", "event_type")
+
   /** Q12 — top-k users by total value. Ordering on the *rounded* measure
     * keeps the cutoff deterministic across engines.
     */
