@@ -225,6 +225,7 @@ object SparkEntry {
     "q26_histogram" -> ((s, d) => EventLog.histogram(Tables.events(s, d), HistWidth)),
     "q27b_unpivot" -> ((s, d) => EventLog.unpivotCounts(Tables.events(s, d), PivotTypes)),
     "q11b_window_ranks" -> ((s, d) => EventLog.windowRanks(Tables.events(s, d))),
+    "q11c_range_frame" -> ((s, d) => EventLog.rangeFrame(Tables.events(s, d), SessionGapUs)),
     "q15b_datetime_funcs" -> ((s, d) => EventLog.datetimeFuncs(Tables.events(s, d))),
     "q15c_string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
     "q25b_approx_quantiles" -> ((s, d) =>
@@ -785,6 +786,15 @@ object SparkEntry {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          ORDER BY event_id""",
+    "q11c_range_frame" ->
+      s"""SELECT event_id, user_id, ts_us,
+                 count(*) OVER w AS n_nearby,
+                 round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100, 2)
+                   AS sum_nearby
+          FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                       RANGE BETWEEN $SessionGapUs PRECEDING AND $SessionGapUs FOLLOWING)
+          ORDER BY event_id""",
     "q15b_datetime_funcs" ->
       s"""SELECT CAST(extract(month FROM ts) AS INTEGER) AS mon,
                  CAST(extract(day FROM ts) AS INTEGER) AS dom,

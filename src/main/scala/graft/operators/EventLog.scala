@@ -212,6 +212,25 @@ object EventLog {
       .orderBy("event_id")
   }
 
+  /** Q11c — RANGE-frame window: per event, activity within ±1 day of
+    * ITS OWN event time (`RANGE BETWEEN ... PRECEDING AND ...
+    * FOLLOWING` over the numeric time column) — the value-based frame
+    * ROWS frames can't express (neighbors counted by distance in time,
+    * not by row offset). The windowed sum uses the exactSum integer
+    * scheme inline, since the frame's contents must hash identically
+    * across engines.
+    */
+  def rangeFrame(events: DataFrame, bandUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-bandUs, bandUs)
+    events
+      .withColumn("n_nearby", count(lit(1)).over(w))
+      .withColumn("sum_nearby", round(
+        sum(round(col("value") * 100, 0).cast("long")).over(w).cast("double") / 100, 2))
+      .select("event_id", "user_id", "ts_us", "n_nearby", "sum_nearby")
+      .orderBy("event_id")
+  }
+
   /** Q15b — datetime scalar breadth: calendar-field extraction
     * (month / day-of-month / hour) drives the grouping — the everyday
     * "traffic by hour" rollup. Fields are integers in both engines (UTC
