@@ -78,6 +78,26 @@ object Dedup {
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesSql))
 
+  /** (doc_id, band, band_sig, shingles) — one row per LSH band per doc,
+    * shingles carried for downstream exact Jaccard. `widen` is skipped
+    * when the input is a streaming Dataset (repartition decisions need
+    * `df.rdd`, which streaming forbids; microbatch sources set their
+    * own parallelism).
+    */
+  private[graft] def bandedWithShingles(docs: DataFrame): DataFrame = {
+    val base = if (docs.isStreaming) docs else graft.sources.Tables.widen(docs)
+    base
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesSql))
+      .withColumn("sig", expr(signatureSql))
+      .select(
+        col("doc_id"), col("shingles"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${NumBands - 1}),
+              b -> md5(concat(sig[2 * b], '|', sig[2 * b + 1])))""")))
+      .toDF("doc_id", "shingles", "band", "band_sig")
+  }
+
   /** Q17b — per-document MinHash signature (joined with '|' into one
     * string column so the oracle compare is a plain string equality).
     */

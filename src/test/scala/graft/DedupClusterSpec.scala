@@ -49,6 +49,52 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       "exactly the min member is canonical")
   }
 
+  test("S8: streaming near-dup filter flags arrivals against all PRIOR batches, ≡ batch reference") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 30 base docs; batch 1 re-ingests 10 of them with light edits,
+    // batch 2 re-ingests verbatim copies of 10 others plus fresh docs.
+    val words = (0 until 80).map(i => f"w$i%03d")
+    def doc(i: Int) = words.slice(i, i + 25).mkString(" ")
+    val batch0 = (0 until 30).map(i => (i.toLong, doc(i)))
+    val batch1 = (0 until 10).map(i => (100L + i, s"edit ${doc(3 * i)}"))
+    val batch2 = (0 until 10).map(i => (200L + i, doc(2 * i + 1))) ++
+      (0 until 5).map(i => (250L + i, words.reverse.slice(i * 10, i * 10 + 20).mkString(" ")))
+    val batches = Seq(batch0, batch1, batch2)
+
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup
+      .nearDupHits(src.toDF().toDF("doc_id", "text"), 0.5)
+      .writeStream.format("memory").queryName("s8").outputMode("append").start()
+    try batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("s8")
+      .select("doc_id", "dup_of").distinct().as[(Long, Long)].collect().toSet
+
+    // Batch reference: band-colliding pairs across DIFFERENT batches
+    // (later arrival flagged against the earlier doc) with exact
+    // Jaccard ≥ threshold — same expressions as the engine's own
+    // batch LSH path.
+    val all = batches.flatMap(identity).toDF("doc_id", "text")
+    val banded = graft.operators.Dedup.bandedWithShingles(all)
+    def batchOf(c: org.apache.spark.sql.Column) = (c / 100).cast("int")
+    val want = banded.as("a").join(banded.as("b"), Seq("band", "band_sig"))
+      .where(batchOf(col("a.doc_id")) > batchOf(col("b.doc_id")))
+      .withColumn("jac", expr(
+        "size(array_intersect(a.shingles, b.shingles)) / size(array_union(a.shingles, b.shingles))"))
+      .where(col("jac") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+
+    assert(got == want)
+    assert(got.nonEmpty, "scenario must produce at least one dup hit")
+    // Verbatim copies must be flagged with jaccard 1.0.
+    val exact = spark.table("s8").where(col("jaccard") === 1.0).count()
+    assert(exact >= 10, s"expected the 10 verbatim re-ingests flagged exact, got $exact")
+  }
+
   test("disjoint duplicate groups stay separate clusters") {
     import spark.implicits._
     // Three groups of 3 identical docs each — no cross-group similarity.
