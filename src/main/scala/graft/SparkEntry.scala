@@ -250,6 +250,8 @@ object SparkEntry {
     "q36_map_funcs" -> ((s, d) => Relational.mapFuncs(s, d)),
     "q40_neardup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(Tables.table(s, d, "documents"), NearDupThreshold)),
+    "q41_expectations" -> ((s, d) =>
+      Profile.documentExpectations(Tables.table(s, d, "documents"))),
     "q37_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
     "q38_correlated_subq" -> ((s, d) => Relational.correlatedSubqueries(s, d)),
     "q39_nullsafe_join" -> ((s, d) => Relational.nullSafeJoin(s, d)),
@@ -895,6 +897,24 @@ object SparkEntry {
           SELECT comp.doc AS doc_id, comp.cluster_id, sz.n_docs,
                  comp.doc = comp.cluster_id AS is_canonical
           FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""",
+    "q41_expectations" -> {
+      val rules = Seq(
+        "doc_id_not_null" -> "doc_id IS NULL",
+        "lang_is_en" -> "lang != 'en'",
+        "lang_known" -> "lang NOT IN ('en', 'fr', 'es', 'de', 'zh')",
+        "n_chars_matches_text" -> "n_chars != length(text)",
+        "source_prefixed" -> "source NOT LIKE 'src%'",
+        "text_not_empty" -> "text IS NULL OR length(text) = 0")
+      val rows = rules.map { case (n, p) =>
+        s"""SELECT '$n' AS rule, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM documents"""
+      }.mkString(" UNION ALL ")
+      s"""SELECT rule, n_rows, n_violations,
+                 ${roundSql("CAST(n_rows - n_violations AS DOUBLE) / n_rows", 6)} AS pass_rate,
+                 n_violations = 0 AS passed
+          FROM ($rows) ORDER BY rule"""
+    },
     // n_aug mirrors map_concat's overwrite-on-collision semantics:
     // distinct(keys + 't').
     "q36_map_funcs" ->

@@ -16,6 +16,45 @@ import graft.functions.Deterministic.roundTo
   */
 object Profile {
 
+  /** One named validation rule: `violated` marks a failing row. */
+  case class Expectation(name: String, violated: org.apache.spark.sql.Column)
+
+  /** Q41 — rule-driven expectations (the Deequ-style contract check a
+    * pipeline runs before promoting a snapshot): every rule evaluates
+    * over every row in ONE aggregation pass — N rules cost one scan,
+    * not N — emitting a rule-per-row report with violation counts and
+    * pass rates. Rules are plain Column predicates, so new checks are
+    * one-liners and Catalyst folds them into the same codegen stage.
+    */
+  def expectations(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val total = count(lit(1))
+    val counted = df.agg(
+      total.as("n_rows"),
+      rules.map(r => sum(when(r.violated, 1L).otherwise(0L)).as(s"v_${r.name}")): _*)
+    // One wide row → one row per rule: stack is a map-side Expand.
+    val stacked = rules.map(r =>
+      s"'${r.name}', CAST(v_${r.name} AS BIGINT)").mkString(", ")
+    counted.selectExpr(
+        "n_rows", s"stack(${rules.size}, $stacked) AS (rule, n_violations)")
+      .select(
+        col("rule"), col("n_rows"), col("n_violations"),
+        roundTo((col("n_rows") - col("n_violations")).cast("double") / col("n_rows"), 6)
+          .as("pass_rate"),
+        (col("n_violations") === 0L).as("passed"))
+      .orderBy("rule")
+  }
+
+  /** The documents contract: the rules q41's oracle mirrors. */
+  def documentExpectations(docs: DataFrame): DataFrame = expectations(docs, Seq(
+    Expectation("doc_id_not_null", col("doc_id").isNull),
+    Expectation("text_not_empty", col("text").isNull || length(col("text")) === 0),
+    Expectation("n_chars_matches_text", col("n_chars") =!= length(col("text"))),
+    Expectation("lang_known", !col("lang").isin("en", "fr", "es", "de", "zh")),
+    Expectation("lang_is_en", col("lang") =!= "en"),
+    Expectation("source_prefixed", !col("source").startsWith("src"))))
+
   /** Q23 — per-source profile of the documents corpus. */
   def documentsProfile(docs: DataFrame): DataFrame =
     docs
