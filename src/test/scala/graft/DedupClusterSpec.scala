@@ -95,6 +95,56 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact >= 10, s"expected the 10 verbatim re-ingests flagged exact, got $exact")
   }
 
+  test("S8 property: random corpora and batch splits — streaming hits ≡ batch reference") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (c <- 0 until 3) {
+      val vocab = (0 until 40).map(i => f"v$i%02d")
+      // ~Half the docs mutate an earlier doc (0-3 word swaps) so the
+      // corpus carries genuine near-dups at unpredictable offsets.
+      val texts = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      for (_ <- 0 until 36) {
+        val w =
+          if (texts.nonEmpty && rnd.nextBoolean()) {
+            val base = texts(rnd.nextInt(texts.size)).toArray
+            for (_ <- 0 to rnd.nextInt(3))
+              base(rnd.nextInt(base.length)) = vocab(rnd.nextInt(vocab.size))
+            base.toSeq
+          } else Seq.fill(5 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+        texts += w
+      }
+      // Random 3-way batch split; id encodes the batch (id / 100).
+      val byBatch = texts.zipWithIndex
+        .map { case (w, j) => (rnd.nextInt(3), w.mkString(" "), j) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, ds) =>
+          ds.zipWithIndex.map { case ((_, t, _), j) => (b * 100L + j, t) }.toSeq }
+
+      val src = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup
+        .nearDupHits(src.toDF().toDF("doc_id", "text"), 0.4)
+        .writeStream.format("memory").queryName(s"s8p$c").outputMode("append").start()
+      try byBatch.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      val got = spark.table(s"s8p$c")
+        .select("doc_id", "dup_of").distinct().as[(Long, Long)].collect().toSet
+
+      val all = byBatch.flatten.toDF("doc_id", "text")
+      val banded = graft.operators.Dedup.bandedWithShingles(all)
+      val want = banded.as("a").join(banded.as("b"), Seq("band", "band_sig"))
+        .where((col("a.doc_id") / 100).cast("int") > (col("b.doc_id") / 100).cast("int"))
+        .withColumn("jac", expr(
+          "size(array_intersect(a.shingles, b.shingles)) / size(array_union(a.shingles, b.shingles))"))
+        .where(col("jac") >= 0.4)
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, s"case $c: streaming/batch mismatch")
+    }
+  }
+
   test("disjoint duplicate groups stay separate clusters") {
     import spark.implicits._
     // Three groups of 3 identical docs each — no cross-group similarity.
