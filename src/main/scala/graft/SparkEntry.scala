@@ -205,6 +205,8 @@ object SparkEntry {
       Similarity.ivfSearch(Tables.table(s, d, "embeddings"), NumCentroids, BatchQueries, BatchTopK)),
     "q18f_lsh_search" -> ((s, d) =>
       Similarity.lshSearch(Tables.table(s, d, "embeddings"), BatchQueries, BatchTopK)),
+    "q18g_udaf_topk" -> ((s, d) =>
+      Similarity.udafTopK(Tables.table(s, d, "embeddings"), BatchQueries)),
     "q19_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.table(s, d, "documents"))),
     "q19b_quality" -> ((s, d) => TextAnalysis.qualityLangId(Tables.table(s, d, "documents"))),
     "q19c_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.table(s, d, "documents"))),
@@ -620,6 +622,18 @@ object SparkEntry {
                     ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
                 FROM sc)
           SELECT qid, rnk, vec_id, score FROM t WHERE rnk <= $BatchTopK
+          ORDER BY qid, rnk""",
+    "q18g_udaf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $BatchQueries),
+          corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= $BatchQueries),
+          sc AS (SELECT q.qid, corp.vec_id, ${roundSql(cosSql("corp.emb", "qemb"), 4)} AS score
+                 FROM corp, q),
+          t AS (SELECT qid, vec_id, score,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+                FROM sc)
+          SELECT qid, rnk, vec_id, score FROM t WHERE rnk <= 10
           ORDER BY qid, rnk""",
     "q19_text_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs,

@@ -138,6 +138,32 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Q18g — exhaustive batch search through the bounded-buffer top-k
+    * Aggregator (`graft_top10`, [[graft.functions.TopKAggregator]]):
+    * the grouped analogue of TakeOrdered. The window formulation
+    * ([[ivfSearch]]) sorts every query's full candidate list; here each
+    * map task reduces its slice to k pairs BEFORE the shuffle, so the
+    * exchange moves O(queries · k) rows regardless of corpus size —
+    * the shape that survives a 100 TB corpus. Queries are broadcast;
+    * scores are rounded before aggregation so the k-cutoff (and its
+    * tie-breaks) is cross-engine exact.
+    */
+  def udafTopK(emb: DataFrame, nQueries: Int): DataFrame = {
+    val e = emb.withColumn("e", col("embedding").cast("array<double>"))
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qemb"))
+    val corpus = e.where(col("vec_id") >= nQueries).select(col("vec_id"), col("e"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("score", roundTo(expr("cosine_sim(e, qemb)"), 4))
+      .groupBy("qid")
+      .agg(expr("graft_top10(score, vec_id)").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("vec_id"), col("col._1").as("score"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Number of SRP hyperplanes (bucket bits) for [[lshSearch]]. */
   val NumPlanes = 6
 

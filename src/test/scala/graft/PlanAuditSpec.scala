@@ -25,6 +25,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftSession.registerUdafs(s)
     s
   }
 
