@@ -26,6 +26,7 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftSession.registerUdafs(s)
     s
   }
 
@@ -49,6 +50,7 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("nearDupPairs", f => Dedup.nearDupPairs(f(docs), 0.2)),
       ("simhash", f => Dedup.simhash(f(docs))),
       ("topKSimilar", f => Similarity.topKSimilar(f(emb), 0L, 20)),
+      ("udafTopK", f => Similarity.udafTopK(f(emb), 4)),
       ("ivfSearch", f => Similarity.ivfSearch(f(emb), 8, 4, 5)),
       ("stratifiedSample", f =>
         Sampling.stratifiedSample(f(docs), Map("src0" -> 1.0, "src1" -> 0.5), 0.1, "t")),
