@@ -141,10 +141,10 @@ object Dedup {
     *    (sorted member list → ordered pairs) — no self-join of the
     *    corpus-sized table at all — then de-duplicated, a shuffle that
     *    scales with the candidate count, not n;
-    * 4. exact shingle Jaccard per candidate: the tiny candidate set is
-    *    (broadcast-)joined twice against a shingles-only projection of
-    *    the corpus (split + 3-gram, no hashing), computed once per
-    *    side, map-only on the big side.
+    * 4. exact shingle Jaccard per candidate: a semi-join keeps only
+    *    docs that appear in some candidate pair BEFORE the
+    *    (string-heavy, hash-free) shingle projection runs, so the
+    *    Jaccard pass re-shingles the candidate set, never the corpus.
     */
   def nearDupPairs(docs: DataFrame, threshold: Double, maxBucket: Int = MaxBucket): DataFrame = {
     val bands = withShingles(docs)
