@@ -229,6 +229,7 @@ object SparkEntry {
     "q11b_window_ranks" -> ((s, d) => EventLog.windowRanks(Tables.events(s, d))),
     "q11c_range_frame" -> ((s, d) => EventLog.rangeFrame(Tables.events(s, d), SessionGapUs)),
     "q15b_datetime_funcs" -> ((s, d) => EventLog.datetimeFuncs(Tables.events(s, d))),
+    "q15d_date_arith" -> ((s, d) => EventLog.dateArith(Tables.events(s, d))),
     "q15c_string_funcs" -> ((s, d) => Relational.stringFuncs(s, d)),
     "q25b_approx_quantiles" -> ((s, d) =>
       EventLog.approxQuantiles(Tables.events(s, d), 10000, 0.02)),
@@ -817,6 +818,16 @@ object SparkEntry {
                  CAST(extract(hour FROM ts) AS INTEGER) AS hr,
                  count(*) AS n, round(${exactSumSql("value", 2)}, 2) AS sum_value
           FROM events GROUP BY mon, dom, hr ORDER BY mon, dom, hr""",
+    "q15d_date_arith" ->
+      """SELECT event_id,
+                strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                strftime(CAST(ts AS DATE) + INTERVAL 7 DAY, '%Y-%m-%d') AS day_plus_7,
+                CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+                  AS days_since_start,
+                CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT)
+                  AS week_of_corpus,
+                CAST(isodow(CAST(ts AS DATE)) AS INTEGER) AS iso_dow
+         FROM events ORDER BY event_id""",
     "q15c_string_funcs" ->
       """SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper,
                 reverse(lang) AS gnal,

@@ -212,6 +212,23 @@ object EventLog {
       .orderBy("event_id")
   }
 
+  /** Q15d — date arithmetic breadth: day shifting, day differencing,
+    * integer week bucketing, and ISO day-of-week. Everything lands as
+    * strings or integers so both engines hash identical values (Spark's
+    * `weekday` is 0=Monday; ISO is 1=Monday — hence the +1).
+    */
+  def dateArith(events: DataFrame): DataFrame =
+    events
+      .withColumn("d", col("ts").cast("date"))
+      .select(
+        col("event_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        date_format(date_add(col("d"), 7), "yyyy-MM-dd").as("day_plus_7"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).cast("long").as("days_since_start"),
+        expr("CAST(datediff(d, DATE '2024-01-01') div 7 AS BIGINT)").as("week_of_corpus"),
+        (weekday(col("d")) + lit(1)).cast("int").as("iso_dow"))
+      .orderBy("event_id")
+
   /** Q11c — RANGE-frame window: per event, activity within ±1 day of
     * ITS OWN event time (`RANGE BETWEEN ... PRECEDING AND ...
     * FOLLOWING` over the numeric time column) — the value-based frame
