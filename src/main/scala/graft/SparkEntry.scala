@@ -61,6 +61,10 @@ object SparkEntry {
   private val VocabMinOcc = 2L
   /** Q35c: TF-IDF terms kept per document. */
   private val TfIdfTopK = 3
+  /** Q43 train/val/test split salt and Q47 per-stratum sample params. */
+  private val SplitSalt = "split1"
+  private val SampleSalt = "samp1"
+  private val GroupSampleK = 3
   /** Q27 pivot columns: the fixed event-type vocabulary of the corpus. */
   private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
   /** Q29 interval-join periods: 10 windows of 4 days every 3 days (so
@@ -258,6 +262,14 @@ object SparkEntry {
     "q37_conditional_agg" -> ((s, d) => Relational.conditionalAgg(s, d)),
     "q38_correlated_subq" -> ((s, d) => Relational.correlatedSubqueries(s, d)),
     "q39_nullsafe_join" -> ((s, d) => Relational.nullSafeJoin(s, d)),
+    "q42_funnel" -> ((s, d) => Pipeline.funnel(Tables.events(s, d))),
+    "q43_train_split" -> ((s, d) =>
+      Pipeline.trainSplit(Tables.table(s, d, "documents"), SplitSalt)),
+    "q44_state_history" -> ((s, d) => Pipeline.stateHistory(Tables.events(s, d))),
+    "q45_norm_dedup" -> ((s, d) => Pipeline.normalizedDedup(Tables.table(s, d, "documents"))),
+    "q46_retention" -> ((s, d) => Pipeline.retentionCohorts(Tables.events(s, d))),
+    "q47_group_sample" -> ((s, d) =>
+      Pipeline.groupSample(Tables.table(s, d, "documents"), GroupSampleK, SampleSalt)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -995,5 +1007,71 @@ object SparkEntry {
           SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, t_first, t_last, n_events,
                  CAST(row_number() OVER (ORDER BY t_first, user_id, sess_no) AS BIGINT) AS proxy_id
           FROM a ORDER BY proxy_id""",
+    "q42_funnel" ->
+      s"""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+           c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+                 FROM events e JOIN v ON e.user_id = v.user_id
+                 WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+                 GROUP BY e.user_id),
+           p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+                 FROM events e JOIN c ON e.user_id = c.user_id
+                 WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+                 GROUP BY e.user_id),
+           t AS (SELECT count(DISTINCT user_id) AS n FROM events),
+           s AS (SELECT '0_all' AS stage, (SELECT n FROM t) AS n_users
+                 UNION ALL SELECT '1_view', count(*) FROM v
+                 UNION ALL SELECT '2_view_click', count(*) FROM c
+                 UNION ALL SELECT '3_view_click_purchase', count(*) FROM p)
+          SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+                 ${roundSql("CAST(n_users AS DOUBLE) / (SELECT n FROM t)", 4)} AS conv_rate
+          FROM s ORDER BY stage""",
+    "q43_train_split" ->
+      s"""WITH b AS (SELECT source, n_chars, doc_id,
+                       CAST('0x' || substr(md5('$SplitSalt:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                         AS BIGINT) % 10 AS bucket
+                     FROM documents)
+          SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+                      ELSE 'test' END AS split,
+                 source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
+          FROM b GROUP BY split, source ORDER BY split, source""",
+    "q44_state_history" ->
+      """SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, event_type,
+                epoch_us(ts) AS valid_from,
+                lead(epoch_us(ts)) OVER w AS valid_to,
+                lead(epoch_us(ts)) OVER w IS NULL AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ORDER BY user_id, version""",
+    "q45_norm_dedup" ->
+      """WITH n AS (SELECT doc_id, text,
+                      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+                    FROM documents)
+         SELECT md5(norm) AS norm_hash, count(*) AS n_copies,
+                CAST(min(doc_id) AS BIGINT) AS keep_id,
+                count(DISTINCT sha256(text)) AS n_raw_variants
+         FROM n GROUP BY norm_hash ORDER BY norm_hash""",
+    "q46_retention" ->
+      s"""WITH e AS (SELECT user_id,
+                       (epoch_us(ts) // ${Pipeline.DayUs}) - ${Pipeline.CorpusStartDay} AS day_idx
+                     FROM events),
+           f AS (SELECT user_id, min(day_idx) // 7 AS cohort_week FROM e GROUP BY user_id)
+          SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+                 CAST((e.day_idx // 7) - f.cohort_week AS BIGINT) AS week_offset,
+                 count(DISTINCT e.user_id) AS n_active
+          FROM e JOIN f USING (user_id)
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q47_group_sample" ->
+      s"""WITH h AS (SELECT lang, source, doc_id,
+                       CAST('0x' || substr(md5('$SampleSalt:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                         AS BIGINT) AS rank_hash
+                     FROM documents),
+           r AS (SELECT *, row_number() OVER
+                   (PARTITION BY lang, source ORDER BY rank_hash, doc_id) AS rnk
+                 FROM h)
+          SELECT lang, source, CAST(rnk AS BIGINT) AS rnk, doc_id, rank_hash
+          FROM r WHERE rnk <= $GroupSampleK ORDER BY lang, source, rnk""",
   )
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Deterministic.roundTo
+import graft.functions.PortableHash.hash48
+
+/** Training-data pipeline operators over the event log and document
+  * corpus: funnel analysis, deterministic dataset splitting, temporal
+  * (SCD2) state history, normalization-based dedup, cohort retention,
+  * and per-stratum sampling.
+  *
+  * Shared scale discipline: every operator here is either map-only
+  * (hash-predicate splits) or shuffles exclusively on its natural key
+  * (`user_id` for the event-log operators, the stratum for sampling) —
+  * no global windows, no driver-side state, no data-dependent loops.
+  */
+object Pipeline {
+
+  /** Epoch-day of 2024-01-01 (the corpus start, TESTDATA.md): integer
+    * day arithmetic in both engines avoids timezone/calendar traps.
+    */
+  val CorpusStartDay = 19723L
+  val DayUs = 86400000000L
+
+  /** Q42 — ordered conversion funnel view → click → purchase.
+    *
+    * Stage k admits a user iff they have a stage-k event STRICTLY after
+    * their stage-(k-1) entry time (first qualifying event); `0_all` is
+    * the corpus user count. Each stage is one filtered aggregation plus
+    * an equi join on `user_id` — all three stage plans co-partition on
+    * the same key, so at scale this is one shuffle of the (small)
+    * per-user stage table per stage, never an event-log self-join. The
+    * final counts are single-row aggregates unioned together; the
+    * conversion rate divides by the stage-0 count via a 1-row broadcast.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val c = events.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val p = events.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    val stages: Seq[(String, DataFrame)] = Seq(
+      "0_all" -> events.select("user_id").distinct(),
+      "1_view" -> v,
+      "2_view_click" -> c,
+      "3_view_click_purchase" -> p)
+    val counts = stages
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }
+      .reduce(_ union _)
+    val total = events.agg(countDistinct("user_id").as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(
+        col("stage"), col("n_users"),
+        roundTo(col("n_users").cast("double") / col("n_total"), 4).as("conv_rate"))
+      .orderBy("stage")
+  }
+
+  /** Q43 — deterministic train/val/test split: bucket =
+    * `hash48(salt:doc_id) mod 10`; 0-7 train, 8 val, 9 test. Like
+    * [[Sampling.stratifiedSample]] the assignment is a pure per-row
+    * hash predicate — reproducible across runs, partitionings, and
+    * engines, and each document lands in EXACTLY one split (buckets
+    * partition the hash range), the invariant an auditable training
+    * setup needs. Reported per (split, source) with an id checksum so
+    * the oracle verifies membership, not just counts.
+    */
+  def trainSplit(docs: DataFrame, salt: String): DataFrame = {
+    val bucket = expr(s"${hash48(s"concat('$salt', ':', CAST(doc_id AS STRING))")} % 10")
+    docs
+      .withColumn("split",
+        when(bucket < 8, lit("train")).when(bucket === 8, lit("val")).otherwise(lit("test")))
+      .groupBy("split", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("split", "source")
+  }
+
+  /** Q44 — SCD2 state history: the reference's state stream
+    * (stateStream.go:19-21) keeps only the latest write per key (Q2's
+    * LWW); the temporal-table formulation keeps EVERY write as a
+    * validity interval `[valid_from, valid_to)` — `valid_to` = the next
+    * write's time (null while current), version = write sequence. One
+    * window pass partitioned by `user_id` with the deterministic
+    * `(ts_us, event_id)` intra-key total order (SURVEY §7.3.1) — scales
+    * with the largest single key, never the log.
+    */
+  def stateHistory(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .select("user_id", "event_id", "event_type", "ts_us")
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead("ts_us", 1).over(w))
+      .select(
+        col("user_id"), col("version"), col("event_type"),
+        col("ts_us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** Q45 — normalization-based dedup (the CCNet-style "exact after
+    * cleaning" class, between exact and near-dup): lowercase, collapse
+    * every non-alphanumeric run to one space, trim, then group on the
+    * md5 of the normalized text. `n_raw_variants` counts how many
+    * distinct RAW contents collapsed into the group — the signal raw
+    * [[Dedup.exactDedup]] cannot see. Same scale shape as exact dedup:
+    * per-row normalization at scan speed, one shuffle on a fixed-width
+    * hash, text never shuffled.
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+      .groupBy(md5(col("norm")).as("norm_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min("doc_id").as("keep_id"),
+        countDistinct(sha2(col("text"), 256)).as("n_raw_variants"))
+      .orderBy("norm_hash")
+
+  /** Q46 — weekly retention cohorts: users grouped by first-seen week
+    * (cohort), activity counted per calendar-week offset from the
+    * cohort week. Two shuffles, both on `user_id` (first-seen
+    * aggregation, then the join back to the log — co-partitioned), then
+    * one low-cardinality aggregation on (cohort, offset). Day/week
+    * arithmetic is integer division on epoch-day indices — identical in
+    * both engines, no calendar functions on the hot path.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val e = events
+      .withColumn("day_idx", expr(s"ts_us div $DayUs") - CorpusStartDay)
+    val first = e.groupBy("user_id")
+      .agg(min("day_idx").as("first_day"))
+      .withColumn("cohort_week", expr("first_day div 7"))
+      .select("user_id", "cohort_week")
+    e.join(first, "user_id")
+      .withColumn("week_offset", expr("day_idx div 7") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Q47 — deterministic per-stratum sample: the k docs per
+    * (lang, source) with the smallest `hash48(salt:doc_id)` — a
+    * reproducible stand-in for per-group reservoir sampling (the hash
+    * order IS a uniform random order, but stable across runs/engines).
+    * The window partitions by stratum; with bounded k the
+    * [[graft.functions.TopKAggregator]] formulation (map-side k-heaps)
+    * is the drop-in when a stratum outgrows a partition sort.
+    */
+  def groupSample(docs: DataFrame, k: Int, salt: String): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(col("rank_hash"), col("doc_id"))
+    docs
+      .withColumn("rank_hash",
+        expr(hash48(s"concat('$salt', ':', CAST(doc_id AS STRING))")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("lang", "source", "rnk", "doc_id", "rank_hash")
+      .orderBy("lang", "source", "rnk")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Pipeline}
+import graft.sources.Tables
+
+/** Structural invariants of the training-pipeline operators (Q42-Q47) —
+  * the properties the per-query oracle hash can't state directly:
+  * funnels are monotone, splits partition, history intervals tile, and
+  * normalization collapses at least as much as raw-content identity.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private lazy val events = Tables.events(spark, sf)
+  private lazy val docs = Tables.table(spark, sf, "documents")
+
+  test("funnel stage counts are monotone non-increasing and bounded by the user count") {
+    val rows = Pipeline.funnel(events).orderBy("stage").collect()
+    assert(rows.length == 4)
+    val counts = rows.map(_.getLong(rows.head.fieldIndex("n_users")))
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)))
+    assert(rows.head.getAs[String]("stage") == "0_all")
+    assert(math.abs(rows.head.getAs[Double]("conv_rate") - 1.0) < 1e-9)
+  }
+
+  test("train/val/test split partitions the corpus exactly") {
+    val split = Pipeline.trainSplit(docs, "split1")
+    val agg = split.agg(sum("n_docs"), sum("id_checksum")).head()
+    val base = docs.agg(count(lit(1)), sum("doc_id")).head()
+    assert(agg.getLong(0) == base.getLong(0))
+    assert(agg.getLong(1) == base.getLong(1))
+    // All three splits are populated at this corpus size, and the split
+    // is salt-sensitive (a different salt reassigns some documents).
+    assert(split.select("split").distinct().count() == 3)
+    val other = Pipeline.trainSplit(docs, "split2")
+    assert(split.exceptAll(other).count() > 0)
+  }
+
+  test("state history intervals tile each user's timeline with one current row") {
+    val h = Pipeline.stateHistory(events)
+    // Exactly one open (current) interval per user.
+    val open = h.where(col("is_current")).groupBy("user_id").count()
+    assert(open.where(col("count") =!= 1).isEmpty)
+    // Every closed interval's valid_to equals the next version's valid_from.
+    val joined = h.alias("a").join(
+        h.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.version") + 1 === col("b.version"))
+    assert(joined.where(col("a.valid_to") =!= col("b.valid_from")).isEmpty)
+    assert(h.count() == events.count())
+  }
+
+  test("normalized dedup collapses at least as much as exact dedup") {
+    val nNorm = Pipeline.normalizedDedup(docs).count()
+    val nExact = Dedup.exactDedup(docs).count()
+    assert(nNorm <= nExact)
+    // Survivor mass is conserved: group sizes sum to the corpus size.
+    val total = Pipeline.normalizedDedup(docs).agg(sum("n_copies")).head().getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("retention offset-0 cell count equals cohort size and offsets are non-negative") {
+    val r = Pipeline.retentionCohorts(events)
+    assert(r.where(col("week_offset") < 0).isEmpty)
+    // Every user is active in their own cohort week, so the offset-0
+    // cells partition the user population.
+    val atZero = r.where(col("week_offset") === 0).agg(sum("n_active")).head().getLong(0)
+    assert(atZero == events.select("user_id").distinct().count())
+  }
+
+  test("group sample keeps at most k per stratum and is a subset of the corpus") {
+    val k = 3
+    val samp = Pipeline.groupSample(docs, k, "samp1")
+    val per = samp.groupBy("lang", "source").count()
+    assert(per.where(col("count") > k).isEmpty)
+    assert(samp.join(docs, Seq("doc_id"), "left_anti").isEmpty)
+    // Deterministic: same salt twice gives identical rows.
+    assert(samp.exceptAll(Pipeline.groupSample(docs, k, "samp1")).isEmpty)
+  }
+}
