@@ -61,6 +61,9 @@ object SparkEntry {
   private val VocabMinOcc = 2L
   /** Q35c: TF-IDF terms kept per document. */
   private val TfIdfTopK = 3
+  /** Q48 association-rule support floor (applied to the ROUNDED support,
+    * identically in both engines). */
+  private val MinSupport = 0.05
   /** Q43 train/val/test split salt and Q47 per-stratum sample params. */
   private val SplitSalt = "split1"
   private val SampleSalt = "samp1"
@@ -270,6 +273,8 @@ object SparkEntry {
     "q46_retention" -> ((s, d) => Pipeline.retentionCohorts(Tables.events(s, d))),
     "q47_group_sample" -> ((s, d) =>
       Pipeline.groupSample(Tables.table(s, d, "documents"), GroupSampleK, SampleSalt)),
+    "q48_assoc_rules" -> ((s, d) => Pipeline.typeAssociations(Tables.events(s, d), MinSupport)),
+    "q49_lm_score" -> ((s, d) => Pipeline.lmScore(Tables.table(s, d, "documents"))),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1073,5 +1078,32 @@ object SparkEntry {
                  FROM h)
           SELECT lang, source, CAST(rnk AS BIGINT) AS rnk, doc_id, rank_hash
           FROM r WHERE rnk <= $GroupSampleK ORDER BY lang, source, rnk""",
+    "q48_assoc_rules" ->
+      s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+           n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+           s AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+           c AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+                 FROM ut a JOIN ut b
+                   ON a.user_id = b.user_id AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+          SELECT c.type_a, c.type_b, c.n_ab,
+                 ${roundSql("CAST(c.n_ab AS DOUBLE) / n.n_users", 4)} AS support,
+                 ${roundSql("CAST(c.n_ab * n.n_users AS DOUBLE) / (sa.n_t * sb.n_t)", 4)} AS lift
+          FROM c
+          CROSS JOIN n
+          JOIN s sa ON sa.event_type = c.type_a
+          JOIN s sb ON sb.event_type = c.type_b
+          WHERE ${roundSql("CAST(c.n_ab AS DOUBLE) / n.n_users", 4)} >= $MinSupport
+          ORDER BY type_a, type_b""",
+    "q49_lm_score" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           v AS (SELECT word, count(*) AS n_w FROM w GROUP BY word),
+           t AS (SELECT count(*) AS n_total FROM w),
+           x AS (SELECT w.doc_id,
+                   ${roundSql("-ln(CAST(v.n_w AS DOUBLE) / t.n_total)", 4)} AS nll
+                 FROM w JOIN v USING (word) CROSS JOIN t)
+          SELECT doc_id, count(*) AS n_tokens,
+                 ${roundSql(s"(${exactSumSql("nll", 4)}) / count(*)", 4)} AS mean_nll
+          FROM x GROUP BY doc_id ORDER BY doc_id""",
   )
 }

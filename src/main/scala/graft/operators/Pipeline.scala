@@ -148,6 +148,73 @@ object Pipeline {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Q48 — event-type association rules: support and lift for every
+    * unordered pair of event types co-occurring in a user's history.
+    * The per-user type set is collected first (bounded by the type
+    * vocabulary, not the user's event count), pairs are generated
+    * MAP-SIDE from each sorted set — the classic market-basket shape
+    * without a corpus self-join — and everything downstream aggregates
+    * on the (tiny) type-pair key space. `lift` is computed from integer
+    * counts in one multiplication, so it is exact until the final
+    * rounding.
+    */
+  def typeAssociations(events: DataFrame, minSupport: Double): DataFrame = {
+    val sets = events.groupBy("user_id")
+      .agg(sort_array(collect_set("event_type")).as("types"))
+      .persist()
+    val nUsers = sets.agg(count(lit(1)).as("n_users"))
+    val singles = sets
+      .select(col("user_id"), explode(col("types")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_t"))
+    val pairs = sets
+      .select(explode(expr(
+        """flatten(transform(types, (a, i) ->
+             transform(slice(types, i + 2, size(types) - i - 1),
+               b -> named_struct('type_a', a, 'type_b', b))))""")).as("p"))
+      .select(col("p.type_a"), col("p.type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("t").as("type_a"), col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(singles.select(col("t").as("type_b"), col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .withColumn("support", roundTo(col("n_ab").cast("double") / col("n_users"), 4))
+      .where(col("support") >= minSupport)
+      .withColumn("lift", roundTo(
+        (col("n_ab") * col("n_users")).cast("double") / (col("n_a") * col("n_b")), 4))
+      .select("type_a", "type_b", "n_ab", "support", "lift")
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Q49 — unigram language-model scoring: each document's mean
+    * negative log-likelihood under the corpus's own unigram
+    * distribution (the cheap LM-quality signal: high nll = tokens rare
+    * in the corpus). One exploded pass builds the token stream; the
+    * frequency table is key-space bounded (it joins back on `word` as
+    * an ordinary hash join — never broadcast-dependent); the corpus
+    * total is a 1-row broadcast. Per-token nll is rounded to the fixed
+    * grid FIRST, so the per-document mean is an exact integer sum
+    * (order-free) divided by the token count — the [[Deterministic]]
+    * contract for cross-engine float stability.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val words = graft.sources.Tables.widen(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .persist()
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("n_w"))
+    val total = words.agg(count(lit(1)).as("n_total"))
+    words
+      .join(vocab, "word")
+      .crossJoin(broadcast(total))
+      .withColumn("nll",
+        roundTo(-log(col("n_w").cast("double") / col("n_total").cast("double")), 4))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        roundTo(graft.functions.Deterministic.exactSum(col("nll"), 4)
+          / count(lit(1)), 4).as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Q47 — deterministic per-stratum sample: the k docs per
     * (lang, source) with the smallest `hash48(salt:doc_id)` — a
     * reproducible stand-in for per-group reservoir sampling (the hash

@@ -87,6 +87,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(atZero == events.select("user_id").distinct().count())
   }
 
+  test("association rules: canonical pair order, probability bounds, exact integer counts") {
+    val r = Pipeline.typeAssociations(events, 0.0).collect()
+    assert(r.nonEmpty && r.length <= 10) // C(5,2) over the 5-type vocabulary
+    r.foreach { row =>
+      assert(row.getAs[String]("type_a") < row.getAs[String]("type_b"))
+      val support = row.getAs[Double]("support")
+      assert(support > 0.0 && support <= 1.0)
+      assert(row.getAs[Double]("lift") > 0.0)
+    }
+    // Pair count never exceeds either member's singleton count.
+    val ut = events.select("user_id", "event_type").distinct()
+    val singles = ut.groupBy("event_type").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.foreach { row =>
+      val nAb = row.getAs[Long]("n_ab")
+      assert(nAb <= singles(row.getAs[String]("type_a")))
+      assert(nAb <= singles(row.getAs[String]("type_b")))
+    }
+  }
+
+  test("LM score covers every document; duplicate texts score identically") {
+    val scores = Pipeline.lmScore(docs)
+    assert(scores.count() == docs.count())
+    assert(scores.where(col("mean_nll") <= 0.0).isEmpty)
+    // Same text => same (n_tokens, mean_nll): score is a pure function
+    // of content under a fixed corpus distribution.
+    val joined = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(scores, "doc_id")
+      .groupBy("h").agg(
+        countDistinct("mean_nll").as("nd"), countDistinct("n_tokens").as("nt"))
+    assert(joined.where(col("nd") =!= 1 || col("nt") =!= 1).isEmpty)
+  }
+
   test("group sample keeps at most k per stratum and is a subset of the corpus") {
     val k = 3
     val samp = Pipeline.groupSample(docs, k, "samp1")
