@@ -275,6 +275,8 @@ object SparkEntry {
       Pipeline.groupSample(Tables.table(s, d, "documents"), GroupSampleK, SampleSalt)),
     "q48_assoc_rules" -> ((s, d) => Pipeline.typeAssociations(Tables.events(s, d), MinSupport)),
     "q49_lm_score" -> ((s, d) => Pipeline.lmScore(Tables.table(s, d, "documents"))),
+    "q50_kmeans_step" -> ((s, d) =>
+      Similarity.kmeansStep(Tables.table(s, d, "embeddings"), NumCentroids)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1105,5 +1107,20 @@ object SparkEntry {
           SELECT doc_id, count(*) AS n_tokens,
                  ${roundSql(s"(${exactSumSql("nll", 4)}) / count(*)", 4)} AS mean_nll
           FROM x GROUP BY doc_id ORDER BY doc_id""",
+    "q50_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $NumCentroids),
+          s AS (SELECT e.vec_id, c.cid, ${cosSql("emb", "cemb")} AS sim FROM e, c),
+          r AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ${roundSql("sim", 6)} DESC, cid) AS rn
+                FROM s),
+          a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+          u AS (SELECT a.cid, unnest(e.emb) AS val,
+                  generate_subscripts(e.emb, 1) - 1 AS dim
+                FROM a JOIN e ON e.vec_id = a.vec_id)
+          SELECT cid, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                 ${roundSql(s"(${exactSumSql("val", 6)}) / count(*)", 4)} AS mean_val
+          FROM u GROUP BY cid, dim ORDER BY cid, dim""",
   )
 }

@@ -164,6 +164,27 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Q50 — one Lloyd (k-means) iteration: re-estimate every centroid as
+    * the per-dimension mean of its assigned vectors — the training step
+    * that pairs with [[assignments]]' inference step, showing the IVF
+    * index can be BUILT in-engine, not just probed. The corpus is
+    * assigned map-only (broadcast centroids), exploded to (cid, dim,
+    * component) — a 64× fan-out of fixed-width rows, partial-aggregated
+    * map-side — and reduced on the (#centroids × dim) key space, which
+    * is bounded regardless of corpus size. Components are grid-rounded
+    * then integer-summed ([[graft.functions.Deterministic]]) so the
+    * cross-row mean is order-free and cross-engine exact.
+    */
+  def kmeansStep(emb: DataFrame, nCentroids: Int): DataFrame =
+    assignments(emb, nCentroids)
+      .select(col("cid"), posexplode(col("emb")))
+      .groupBy(col("cid"), col("pos").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        roundTo(graft.functions.Deterministic.exactSum(col("col"), 6)
+          / count(lit(1)), 4).as("mean_val"))
+      .orderBy("cid", "dim")
+
   /** Number of SRP hyperplanes (bucket bits) for [[lshSearch]]. */
   val NumPlanes = 6
 

@@ -61,6 +61,20 @@ class CosineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df(3).getDouble(0).isNaN)
   }
 
+  test("kmeans step: per-dim counts equal cluster occupancy, full key space covered") {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val step = Similarity.kmeansStep(emb, 8)
+    val sizes = Similarity.ivfClusterSizes(emb, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every populated (cid, dim) cell carries the cluster's full occupancy.
+    val bad = step.collect().filterNot(r =>
+      sizes(r.getLong(r.fieldIndex("cid"))) == r.getLong(r.fieldIndex("n")))
+    assert(bad.isEmpty)
+    // One cell per assigned centroid per dimension (64-dim corpus).
+    assert(step.count() == sizes.size * 64L)
+  }
+
   test("whole-stage codegen and interpreted eval agree") {
     val e = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
       .withColumn("emb", col("embedding").cast("array<double>"))
