@@ -164,6 +164,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"aggregation did not stay below the join:\n$p")
   }
 
+  test("q43: the split is a pure per-row assignment — one scan, no join, no window") {
+    val df = q("q43_train_split")
+    val p = plan(df)
+    assert(scans(df).size == 1, "expected a single documents scan")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"split plan grew a join/window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("q44: state history is one partitioned window pass over one scan") {
+    val df = q("q44_state_history")
+    val p = plan(df)
+    assert(scans(df).size == 1, "expected a single events scan")
+    assert("Window".r.findAllIn(p).size >= 1 && !p.contains("Join"),
+      s"history is not a single window pass:\n$p")
+  }
+
+  test("q48: association rules never self-join the corpus — all joins are broadcast") {
+    val p = plan(q("q48_assoc_rules"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"assoc rules shuffled a corpus-sized join side:\n$p")
+  }
+
+  test("q50: the k-means step shuffles only the bounded (cid, dim) key space") {
+    val p = plan(q("q50_kmeans_step"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange rangepartitioning(c") &&
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"assignment stopped being map-only:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+
   test("no un-partitioned window over full relations in any headline query") {
     // Window specs must always carry a partitionBy: an empty Partition
     // spec collapses the relation into one task (round-1's q10/q20
