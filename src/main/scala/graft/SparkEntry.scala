@@ -277,6 +277,7 @@ object SparkEntry {
     "q49_lm_score" -> ((s, d) => Pipeline.lmScore(Tables.table(s, d, "documents"))),
     "q50_kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(Tables.table(s, d, "embeddings"), NumCentroids)),
+    "q51_standardize" -> ((s, d) => Pipeline.standardize(Tables.events(s, d))),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1122,5 +1123,14 @@ object SparkEntry {
           SELECT cid, CAST(dim AS BIGINT) AS dim, count(*) AS n,
                  ${roundSql(s"(${exactSumSql("val", 6)}) / count(*)", 4)} AS mean_val
           FROM u GROUP BY cid, dim ORDER BY cid, dim""",
+    "q51_standardize" ->
+      s"""WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                       ${exactSumSql("value", 2)} AS s1,
+                       ${exactSumSql("value * value", 4)} AS s2
+                     FROM events GROUP BY event_type)
+          SELECT e.event_id, e.event_type, e.value,
+                 ${roundSql(
+                   "(e.value - s.s1 / s.n) / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))", 4)} AS z
+          FROM events e JOIN s USING (event_type) ORDER BY e.event_id""",
   )
 }

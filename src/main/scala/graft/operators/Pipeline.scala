@@ -215,6 +215,31 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Q51 — per-type feature standardization: z = (v - mean) / stddev
+    * under population moments. The moment sums use the
+    * [[graft.functions.Deterministic.exactSum]] integer grids (`value`
+    * carries 2 decimals, `value²` 4), so mean and variance are pure
+    * IEEE functions of identical exact inputs in both engines — the
+    * whole z-score is then deterministic per row with ONE final
+    * rounding, no intermediate rounding drift. The stats table is
+    * vocabulary-sized (genuinely bounded, like a dimension table), so
+    * broadcasting it back onto the log is scale-safe; the log itself
+    * shuffles only for its own (partial-agg) moment pass.
+    */
+  def standardize(events: DataFrame): DataFrame = {
+    import graft.functions.Deterministic.exactSum
+    val stats = events.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      exactSum(col("value"), 2).as("s1"),
+      exactSum(col("value") * col("value"), 4).as("s2"))
+    val m = col("s1") / col("n")
+    events.join(broadcast(stats), "event_type")
+      .withColumn("z", roundTo(
+        (col("value") - m) / sqrt(col("s2") / col("n") - m * m), 4))
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
   /** Q47 — deterministic per-stratum sample: the k docs per
     * (lang, source) with the smallest `hash48(salt:doc_id)` — a
     * reproducible stand-in for per-group reservoir sampling (the hash

@@ -120,6 +120,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.where(col("nd") =!= 1 || col("nt") =!= 1).isEmpty)
   }
 
+  test("standardization: per-type z-scores have ~zero mean and ~unit variance") {
+    val z = Pipeline.standardize(events)
+    assert(z.count() == events.count())
+    val stats = z.groupBy("event_type")
+      .agg(avg("z").as("m"), avg(col("z") * col("z")).as("v")).collect()
+    stats.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-3, s"mean off: $r")
+      assert(math.abs(r.getAs[Double]("v") - 1.0) < 1e-2, s"variance off: $r")
+    }
+  }
+
   test("group sample keeps at most k per stratum and is a subset of the corpus") {
     val k = 3
     val samp = Pipeline.groupSample(docs, k, "samp1")
