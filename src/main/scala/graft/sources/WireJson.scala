@@ -113,4 +113,18 @@ object WireJson {
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** ORC sink — the second columnar format a warehouse-facing engine
+    * must speak (parquet is the native one). ORC files carry their own
+    * schema and min/max stripe statistics, so reads below prune and
+    * push down exactly like parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC source. No schema parameter: unlike CSV/JSON, ORC is
+    * self-describing — the footer IS the schema, no inference pass.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

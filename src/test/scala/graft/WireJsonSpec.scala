@@ -37,6 +37,21 @@ class WireJsonSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.schema == ev.schema)
   }
 
+  test("ORC roundtrip is self-describing: full fidelity, schema from the footer, pushdown on read") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    WireJson.writeOrc(ev, dir)
+    val back = WireJson.readOrc(spark, dir)
+    assert(back.schema == ev.schema) // no schema handed in — footer-derived
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+    // Predicates reach the ORC scan like parquet (stripe-stat pruning).
+    val filtered = back.where(org.apache.spark.sql.functions.col("user_id") === 1L)
+    val scan = filtered.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.exists(_.metadata.get("PushedFilters").exists(_.contains("EqualTo(user_id,1)"))))
+  }
+
   test("request bodies parse into typed events/state; malformed rows yield null, not a crash") {
     import spark.implicits._
     val raw = Seq(
