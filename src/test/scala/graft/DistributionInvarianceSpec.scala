@@ -66,7 +66,17 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("bigrams", f => TextAnalysis.bigrams(f(docs), 2)),
       ("twoStageDistinct", f => Skew.twoStageDistinct(f(events))),
       ("aboveTypeMean", f => Skew.aboveTypeMean(f(events), 8)),
-      ("windowRanks", f => EventLog.windowRanks(f(events))))
+      ("windowRanks", f => EventLog.windowRanks(f(events))),
+      ("funnel", f => Pipeline.funnel(f(events))),
+      ("trainSplit", f => Pipeline.trainSplit(f(docs), "split1")),
+      ("stateHistory", f => Pipeline.stateHistory(f(events))),
+      ("normalizedDedup", f => Pipeline.normalizedDedup(f(docs))),
+      ("retentionCohorts", f => Pipeline.retentionCohorts(f(events))),
+      ("groupSample", f => Pipeline.groupSample(f(docs), 3, "samp1")),
+      ("typeAssociations", f => Pipeline.typeAssociations(f(events), 0.05)),
+      ("lmScore", f => Pipeline.lmScore(f(docs))),
+      ("standardize", f => Pipeline.standardize(f(events))),
+      ("kmeansStep", f => Similarity.kmeansStep(f(emb), 8)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {
