@@ -71,17 +71,24 @@ object Pipeline {
     * setup needs. Reported per (split, source) with an id checksum so
     * the oracle verifies membership, not just counts.
     */
-  def trainSplit(docs: DataFrame, salt: String): DataFrame = {
-    val bucket = expr(s"${hash48(s"concat('$salt', ':', CAST(doc_id AS STRING))")} % 10")
-    docs
-      .withColumn("split",
-        when(bucket < 8, lit("train")).when(bucket === 8, lit("val")).otherwise(lit("test")))
+  def trainSplit(docs: DataFrame, salt: String): DataFrame =
+    withSplit(docs, salt)
       .groupBy("split", "source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_chars").as("total_chars"),
         sum("doc_id").as("id_checksum"))
       .orderBy("split", "source")
+
+  /** The per-row split assignment behind [[trainSplit]]: a pure
+    * projection (no aggregation, no state), so it runs UNCHANGED on a
+    * streaming DataFrame — new documents get their final split label as
+    * they arrive.
+    */
+  def withSplit(docs: DataFrame, salt: String): DataFrame = {
+    val bucket = expr(s"${hash48(s"concat('$salt', ':', CAST(doc_id AS STRING))")} % 10")
+    docs.withColumn("split",
+      when(bucket < 8, lit("train")).when(bucket === 8, lit("val")).otherwise(lit("test")))
   }
 
   /** Q44 — SCD2 state history: the reference's state stream
@@ -226,18 +233,32 @@ object Pipeline {
     * broadcasting it back onto the log is scale-safe; the log itself
     * shuffles only for its own (partial-agg) moment pass.
     */
-  def standardize(events: DataFrame): DataFrame = {
+  def standardize(events: DataFrame): DataFrame =
+    applyStandardize(events, fitMoments(events)).orderBy("event_id")
+
+  /** The "fit" half of [[standardize]]: per-type exact moment sums.
+    * Computed offline (batch) and reusable online — the fitted table is
+    * a bounded dimension any stream can join against.
+    */
+  def fitMoments(events: DataFrame): DataFrame = {
     import graft.functions.Deterministic.exactSum
-    val stats = events.groupBy("event_type").agg(
+    events.groupBy("event_type").agg(
       count(lit(1)).cast("double").as("n"),
       exactSum(col("value"), 2).as("s1"),
       exactSum(col("value") * col("value"), 4).as("s2"))
+  }
+
+  /** The "transform" half of [[standardize]]: pure per-row math against
+    * the fitted moments — no aggregation, so it runs UNCHANGED on a
+    * streaming DataFrame (stream-static broadcast join + projection),
+    * the fit-offline/transform-online deployment shape.
+    */
+  def applyStandardize(df: DataFrame, stats: DataFrame): DataFrame = {
     val m = col("s1") / col("n")
-    events.join(broadcast(stats), "event_type")
+    df.join(broadcast(stats), "event_type")
       .withColumn("z", roundTo(
         (col("value") - m) / sqrt(col("s2") / col("n") - m * m), 4))
       .select("event_id", "event_type", "value", "z")
-      .orderBy("event_id")
   }
 
   /** Q47 — deterministic per-stratum sample: the k docs per

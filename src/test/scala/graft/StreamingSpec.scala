@@ -572,4 +572,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = latest(events.toDF()).orderBy("user_id").collect().toSeq
     assert(got == want)
   }
+
+  test("S9: split assignment and offline-fitted standardization run unchanged on a stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Pipeline
+    // Historical batch = the corpus the moments are fitted on; the
+    // stream then carries "new" rows transformed with the SAME columns.
+    val hist = (0 until 400)
+      .map(i => (i.toLong, s"t${i % 3}", math.round(math.sin(i) * 500.0) / 100.0))
+      .toDF("event_id", "event_type", "value")
+    val stats = Pipeline.fitMoments(hist)
+
+    val src = MemoryStream[(Long, String, Double)]
+    val arriving = (400 until 500)
+      .map(i => (i.toLong, s"t${i % 3}", math.round(math.cos(i) * 500.0) / 100.0))
+    src.addData(arriving.take(50): _*)
+    src.addData(arriving.drop(50): _*)
+    val stream = src.toDF().toDF("event_id", "event_type", "value")
+
+    val zq = Pipeline.applyStandardize(stream, stats).writeStream
+      .format("memory").queryName("s9z").outputMode("append").start()
+    try zq.processAllAvailable() finally zq.stop()
+    val gotZ = spark.table("s9z").orderBy("event_id").collect().toSeq
+    val wantZ = Pipeline.applyStandardize(
+      arriving.toDF("event_id", "event_type", "value"), stats)
+      .orderBy("event_id").collect().toSeq
+    assert(gotZ == wantZ && gotZ.size == 100)
+
+    // Split assignment: per-row hash projection, streaming-valid as-is
+    // (documents keyed by doc_id).
+    val docs = src.toDF().toDF("doc_id", "event_type", "value")
+    val sq = Pipeline.withSplit(docs, "split1")
+      .select("doc_id", "split").writeStream
+      .format("memory").queryName("s9s").outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    val gotS = spark.table("s9s").orderBy("doc_id").collect().toSeq
+    val wantS = Pipeline.withSplit(
+      arriving.toDF("doc_id", "event_type", "value"), "split1")
+      .select("doc_id", "split").orderBy("doc_id").collect().toSeq
+    assert(gotS == wantS)
+  }
 }
