@@ -278,6 +278,7 @@ object SparkEntry {
     "q50_kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(Tables.table(s, d, "embeddings"), NumCentroids)),
     "q51_standardize" -> ((s, d) => Pipeline.standardize(Tables.events(s, d))),
+    "q52_sketch_distinct" -> ((s, d) => EventLog.mergeableDistinct(Tables.events(s, d), 0.05)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1132,5 +1133,13 @@ object SparkEntry {
                  ${roundSql(
                    "(e.value - s.s1 / s.n) / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))", 4)} AS z
           FROM events e JOIN s USING (event_type) ORDER BY e.event_id""",
+    // Like q07b: the sketch estimate is engine-specific; the contract is
+    // the exact values plus the tolerance boolean.
+    "q52_sketch_distinct" ->
+      """SELECT event_type,
+                count(DISTINCT epoch_us(ts) // 86400000000) AS n_days,
+                count(DISTINCT user_id) AS n_exact,
+                true AS within_tol
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

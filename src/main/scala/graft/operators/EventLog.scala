@@ -313,6 +313,35 @@ object EventLog {
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type", "bucket")
 
+  /** Q52 — mergeable-sketch distinct counts: per-day HLL sketches
+    * (Apache DataSketches via `hll_sketch_agg`) unioned up to per-type
+    * totals. THIS is how distincts pre-aggregate at 100 TB: daily
+    * sketches are built once at ingest (a few KB per key), and any
+    * rollup — weekly, monthly, all-time — is a sketch union, never a
+    * re-scan of raw data; naive daily distinct counts can't be summed
+    * (overlap), which is exactly what the union handles. The estimate
+    * is engine-specific, so the cross-engine contract is the q07b
+    * shape: exact values + a tolerance boolean.
+    */
+  def mergeableDistinct(events: DataFrame, tol: Double): DataFrame = {
+    val daily = events
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_est"))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    merged.join(exact, "event_type")
+      .select(
+        col("event_type"), col("n_days"), col("n_exact"),
+        (abs(col("n_est") - col("n_exact")).cast("double")
+          <= col("n_exact") * tol).as("within_tol"))
+      .orderBy("event_type")
+  }
+
   /** Q27 — pivot: per-user event counts spread into one column per
     * event type. The type list is passed explicitly — at scale an
     * unlisted pivot costs a distinct-scan to discover values; listing

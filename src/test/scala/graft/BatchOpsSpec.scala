@@ -158,4 +158,20 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val whole = EventLog.deltaEvents(ev, a, c)
     assert(left.exceptAll(whole).isEmpty && whole.exceptAll(left).isEmpty)
   }
+
+  test("HLL mergeability: union of daily sketches estimates like one global sketch") {
+    // The property that makes sketch pre-aggregation sound: building
+    // per-slice sketches and unioning them loses nothing vs. sketching
+    // the whole input at once (register-wise max is associative).
+    val ev = Tables.events(spark, sf)
+    val viaUnion = ev
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val direct = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+    assert(viaUnion.exceptAll(direct).isEmpty && direct.exceptAll(viaUnion).isEmpty)
+  }
 }
