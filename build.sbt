@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Long-fold workloads (sync replay) accumulate per-stream state that
+  // is live-but-growing for the whole job; with a large heap G1's big
+  // young gen re-copies that state between survivor spaces on every GC
+  // (measured: 10x scale-smoke replay 42-69s at -Xmx8g vs 7.7s at
+  // -Xmx1g). Promote survivors immediately instead of copying them
+  // around — accumulating state belongs in old gen.
+  s"-XX:MaxTenuringThreshold=${sys.env.getOrElse("SPARK_TENURING", "1")}",
 )

@@ -50,6 +50,19 @@ object ScaleSmoke {
       .reduce(_.unionAll(_))
   }
 
+  /** `copies` copies of embeddings with distinct vec ids. Centroid /
+    * query vectors (small fixed ids) come from copy 0 only — the
+    * bounded-index side must NOT grow with the corpus; that asymmetry
+    * is the point of the IVF design.
+    */
+  def scaledEmb(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val n = 10000000L
+    (0 until copies)
+      .map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * n)))
+      .reduce(_.unionAll(_))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
@@ -75,9 +88,20 @@ object ScaleSmoke {
       ("neardup_pairs", (df: DataFrame) => Dedup.nearDupPairs(df, 0.2),
         c => scaledDocs(spark, dir, c)),
       ("vocabulary", (df: DataFrame) => TextAnalysis.vocabulary(df, 2),
-        c => scaledDocs(spark, dir, c)))
+        c => scaledDocs(spark, dir, c)),
+      ("funnel", Pipeline.funnel, c => scaledEvents(spark, dir, c)),
+      ("state_history", Pipeline.stateHistory, c => scaledEvents(spark, dir, c)),
+      ("retention", Pipeline.retentionCohorts, c => scaledEvents(spark, dir, c)),
+      ("assoc_rules", (df: DataFrame) => Pipeline.typeAssociations(df, 0.05),
+        c => scaledEvents(spark, dir, c)),
+      ("standardize", Pipeline.standardize, c => scaledEvents(spark, dir, c)),
+      ("lm_score", Pipeline.lmScore, c => scaledDocs(spark, dir, c)),
+      ("kmeans_step", (df: DataFrame) => Similarity.kmeansStep(df, 8),
+        c => scaledEmb(spark, dir, c)))
 
-    val results = cases.map { case (name, op, mk) =>
+    // Optional name filter (comma-separated) for single-case iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val results = cases.filter(c => only.forall(_.contains(c._1))).map { case (name, op, mk) =>
       val warm = time(op(mk(1)))
       val t1 = time(op(mk(1)))
       val t10 = time(op(mk(copies)))
