@@ -279,6 +279,7 @@ object SparkEntry {
       Similarity.kmeansStep(Tables.table(s, d, "embeddings"), NumCentroids)),
     "q51_standardize" -> ((s, d) => Pipeline.standardize(Tables.events(s, d))),
     "q52_sketch_distinct" -> ((s, d) => EventLog.mergeableDistinct(Tables.events(s, d), 0.05)),
+    "q53_state_occupancy" -> ((s, d) => Pipeline.stateOccupancy(Tables.events(s, d))),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1141,5 +1142,15 @@ object SparkEntry {
                 count(DISTINCT user_id) AS n_exact,
                 true AS within_tol
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q53_state_occupancy" ->
+      s"""WITH h AS (SELECT event_type, epoch_us(ts) AS valid_from,
+                       lead(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to
+                     FROM events)
+          SELECT event_type AS state, count(*) AS n_intervals,
+                 CAST(sum(valid_to - valid_from) AS BIGINT) AS total_us,
+                 ${roundSql("CAST(sum(valid_to - valid_from) AS DOUBLE) / count(*)", 4)} AS mean_us
+          FROM h WHERE valid_to IS NOT NULL
+          GROUP BY state ORDER BY state""",
   )
 }

@@ -100,7 +100,10 @@ object Pipeline {
     * `(ts_us, event_id)` intra-key total order (SURVEY §7.3.1) — scales
     * with the largest single key, never the log.
     */
-  def stateHistory(events: DataFrame): DataFrame = {
+  def stateHistory(events: DataFrame): DataFrame =
+    historyCore(events).orderBy("user_id", "version")
+
+  private def historyCore(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     events
       .select("user_id", "event_id", "event_type", "ts_us")
@@ -110,8 +113,25 @@ object Pipeline {
         col("user_id"), col("version"), col("event_type"),
         col("ts_us").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy("user_id", "version")
   }
+
+  /** Q53 — state occupancy: how long the population spends in each
+    * state, from the closed [[stateHistory]] intervals — the
+    * time-weighted aggregation validity intervals exist FOR (a plain
+    * count-by-state weights each write equally; occupancy weights by
+    * dwell time). Pure integer duration arithmetic on top of the same
+    * single window pass, reduced on the state vocabulary.
+    */
+  def stateOccupancy(events: DataFrame): DataFrame =
+    historyCore(events)
+      .where(col("valid_to").isNotNull)
+      .withColumn("dur_us", col("valid_to") - col("valid_from"))
+      .groupBy(col("event_type").as("state"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum("dur_us").as("total_us"),
+        roundTo(sum("dur_us").cast("double") / count(lit(1)), 4).as("mean_us"))
+      .orderBy("state")
 
   /** Q45 — normalization-based dedup (the CCNet-style "exact after
     * cleaning" class, between exact and near-dup): lowercase, collapse

@@ -120,6 +120,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.where(col("nd") =!= 1 || col("nt") =!= 1).isEmpty)
   }
 
+  test("state occupancy totals equal each user's closed timeline span") {
+    val occ = Pipeline.stateOccupancy(events)
+    val total = occ.agg(sum("total_us")).head().getLong(0)
+    // Sum of closed interval durations = sum over users of (last - first).
+    val span = events.groupBy("user_id")
+      .agg((max("ts_us") - min("ts_us")).as("span"))
+      .agg(sum("span")).head().getLong(0)
+    assert(total == span)
+    // Interval counts: every event except each user's last opens a closed interval.
+    val n = occ.agg(sum("n_intervals")).head().getLong(0)
+    assert(n == events.count() - events.select("user_id").distinct().count())
+  }
+
   test("standardization: per-type z-scores have ~zero mean and ~unit variance") {
     val z = Pipeline.standardize(events)
     assert(z.count() == events.count())

@@ -573,6 +573,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("S10: streaming funnel state machine equals the batch funnel on any batch split") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FunnelEngine
+    import graft.streaming.FunnelEngine.FunnelEvent
+
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val ordered = events
+      .select("user_id", "ts_us", "event_type")
+      .orderBy("ts_us", "user_id")
+      .collect()
+      .map(r => FunnelEvent(r.getLong(0), r.getLong(1), r.getString(2)))
+
+    val src = MemoryStream[FunnelEvent]
+    // Three arbitrary prefix cuts of the ordered log — per-user delivery
+    // stays in order, which is the engine's contract.
+    src.addData(ordered.take(300): _*)
+    src.addData(ordered.slice(300, 700): _*)
+    src.addData(ordered.drop(700): _*)
+
+    val q = FunnelEngine.attach(src.toDS()).toDF().writeStream
+      .format("memory").queryName("s10").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // Last update per user = final state.
+    val finalStage = spark.table("s10")
+      .groupBy("userId")
+      .agg(max(struct(col("t1"), col("t2"), col("t3"), col("stage"))).as("s"))
+      .select(col("userId"), col("s.stage").as("stage"))
+    val gotCounts = (1 to 3).map(k =>
+      finalStage.where(col("stage") >= k).count())
+
+    val want = graft.operators.Pipeline.funnel(events)
+      .orderBy("stage").collect().drop(1).map(_.getAs[Long]("n_users")).toSeq
+    assert(gotCounts == want, s"streaming=$gotCounts batch=$want")
+  }
+
   test("S9: split assignment and offline-fitted standardization run unchanged on a stream") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
