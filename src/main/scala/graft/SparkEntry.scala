@@ -280,6 +280,7 @@ object SparkEntry {
     "q51_standardize" -> ((s, d) => Pipeline.standardize(Tables.events(s, d))),
     "q52_sketch_distinct" -> ((s, d) => EventLog.mergeableDistinct(Tables.events(s, d), 0.05)),
     "q53_state_occupancy" -> ((s, d) => Pipeline.stateOccupancy(Tables.events(s, d))),
+    "q54_transitions" -> ((s, d) => Pipeline.typeTransitions(Tables.events(s, d))),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1152,5 +1153,17 @@ object SparkEntry {
                  ${roundSql("CAST(sum(valid_to - valid_from) AS DOUBLE) / count(*)", 4)} AS mean_us
           FROM h WHERE valid_to IS NOT NULL
           GROUP BY state ORDER BY state""",
+    "q54_transitions" ->
+      s"""WITH p AS (SELECT lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS from_type,
+                       event_type AS to_type
+                     FROM events),
+           c AS (SELECT from_type, to_type, count(*) AS n FROM p
+                 WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+           t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY from_type)
+          SELECT c.from_type, c.to_type, c.n,
+                 ${roundSql("CAST(c.n AS DOUBLE) / t.n_from", 4)} AS p
+          FROM c JOIN t USING (from_type)
+          ORDER BY from_type, to_type""",
   )
 }

@@ -242,6 +242,29 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Q54 — event-transition matrix (first-order Markov counts): for
+    * each consecutive pair in a user's event sequence, count
+    * (from_type → to_type) and the row-conditional probability. One
+    * window pass per user (the same `(ts_us, event_id)` total order as
+    * [[stateHistory]]) then two aggregations on the type-pair key
+    * space; the per-from totals join back as a vocabulary-sized
+    * broadcast. The probability divides two exact longs — one rounding,
+    * cross-engine stable.
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val pairs = events
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .withColumn("p", roundTo(col("n").cast("double") / col("n_from"), 4))
+      .select("from_type", "to_type", "n", "p")
+      .orderBy("from_type", "to_type")
+  }
+
   /** Q51 — per-type feature standardization: z = (v - mean) / stddev
     * under population moments. The moment sums use the
     * [[graft.functions.Deterministic.exactSum]] integer grids (`value`

@@ -133,6 +133,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == events.count() - events.select("user_id").distinct().count())
   }
 
+  test("transition matrix: rows are probability distributions over observed pairs") {
+    val tr = Pipeline.typeTransitions(events)
+    // Total transitions = events minus one per user (no predecessor).
+    val n = tr.agg(sum("n")).head().getLong(0)
+    assert(n == events.count() - events.select("user_id").distinct().count())
+    val rowSums = tr.groupBy("from_type").agg(sum("p").as("s")).collect()
+    rowSums.foreach(r =>
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-2, s"row sum off: $r"))
+  }
+
   test("standardization: per-type z-scores have ~zero mean and ~unit variance") {
     val z = Pipeline.standardize(events)
     assert(z.count() == events.count())

@@ -195,6 +195,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
   }
 
+  test("partitioned store: a dim-side filter dynamically prunes fact partitions (DPP)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.sources.EventLogStore.writePartitioned(
+      graft.sources.Tables.events(spark, sf), dir, 86400000000L)
+    val fact = spark.read.parquet(dir)
+    // A dim keyed by bucket with a non-key filter: the planner can only
+    // know which fact partitions survive by executing the dim side —
+    // exactly what dynamic partition pruning injects. The dim must be a
+    // real (file-backed) relation: a local Seq gets its filter folded
+    // away at optimization time, leaving no selective predicate for the
+    // pruning rule to find. The key type matches the store's inferred
+    // partition-column type (int) so the join key is the bare partition
+    // attribute, not a cast.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    (19723 to 19752).map(b => (b, if (b % 15 == 0) "keep" else "drop"))
+      .toDF("t_bucket", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim, "t_bucket")
+      .where(org.apache.spark.sql.functions.col("tag") === "keep")
+      .groupBy("t_bucket").count()
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$physical")
+  }
+
   test("no un-partitioned window over full relations in any headline query") {
     // Window specs must always carry a partitionBy: an empty Partition
     // spec collapses the relation into one task (round-1's q10/q20
