@@ -64,6 +64,9 @@ object SparkEntry {
   /** Q48 association-rule support floor (applied to the ROUNDED support,
     * identically in both engines). */
   private val MinSupport = 0.05
+  /** Q55 corpus/batch boundary: docs below are "the corpus", at/above
+    * are "the arriving batch" (documents has 500 ids at every SF). */
+  private val IncrementalSplitId = 250L
   /** Q43 train/val/test split salt and Q47 per-stratum sample params. */
   private val SplitSalt = "split1"
   private val SampleSalt = "samp1"
@@ -281,6 +284,8 @@ object SparkEntry {
     "q52_sketch_distinct" -> ((s, d) => EventLog.mergeableDistinct(Tables.events(s, d), 0.05)),
     "q53_state_occupancy" -> ((s, d) => Pipeline.stateOccupancy(Tables.events(s, d))),
     "q54_transitions" -> ((s, d) => Pipeline.typeTransitions(Tables.events(s, d))),
+    "q55_incremental_dedup" -> ((s, d) =>
+      Dedup.incrementalDedup(Tables.table(s, d, "documents"), IncrementalSplitId)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1165,5 +1170,16 @@ object SparkEntry {
                  ${roundSql("CAST(c.n AS DOUBLE) / t.n_from", 4)} AS p
           FROM c JOIN t USING (from_type)
           ORDER BY from_type, to_type""",
+    "q55_incremental_dedup" ->
+      s"""WITH b AS (SELECT sha256(text) AS content_hash,
+                       CAST(min(doc_id) AS BIGINT) AS keep_id,
+                       count(*) AS n_batch_copies
+                     FROM documents WHERE doc_id >= $IncrementalSplitId
+                     GROUP BY content_hash)
+          SELECT content_hash, keep_id, n_batch_copies FROM b
+          WHERE NOT EXISTS (SELECT 1 FROM documents c
+                            WHERE c.doc_id < $IncrementalSplitId
+                              AND sha256(c.text) = b.content_hash)
+          ORDER BY content_hash""",
   )
 }

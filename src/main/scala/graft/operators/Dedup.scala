@@ -36,6 +36,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
       .orderBy("content_hash")
 
+  /** Q55 — incremental ingest dedup: which documents of an arriving
+    * batch survive against an existing corpus. Survivors are the
+    * batch's first occurrence per content (within-batch dedup, the
+    * [[exactDedup]] rule) that also have no content-hash match in the
+    * corpus (anti join). Both sides meet on the fixed-width hash, so
+    * the anti join co-partitions like any keyed join and the corpus
+    * side ships only its hash column — at 100 TB that column IS the
+    * dedup index (bucketed/bloom-fronted), never the text. Here the
+    * corpus/batch split is by doc id so the oracle can reproduce it.
+    */
+  def incrementalDedup(docs: DataFrame, splitId: Long): DataFrame = {
+    val corpus = docs.where(col("doc_id") < splitId)
+      .select(sha2(col("text"), 256).as("content_hash"))
+      .distinct()
+    docs.where(col("doc_id") >= splitId)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_batch_copies"))
+      .join(corpus, Seq("content_hash"), "left_anti")
+      .orderBy("content_hash")
+  }
+
   /** Number of MinHash hash functions (signature length). */
   val NumHashes = 8
   /** LSH bands (NumHashes / Bands = 2 rows per band). */

@@ -133,6 +133,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == events.count() - events.select("user_id").distinct().count())
   }
 
+  test("incremental dedup: survivors are new to the corpus and unique within the batch") {
+    val split = 250L
+    val inc = Dedup.incrementalDedup(docs, split)
+    // No survivor's content exists in the corpus half.
+    val corpusHashes = docs.where(col("doc_id") < split)
+      .select(sha2(col("text"), 256).as("content_hash")).distinct()
+    assert(inc.join(corpusHashes, Seq("content_hash"), "left_semi").isEmpty)
+    // One row per surviving content, and each keep_id is from the batch half.
+    assert(inc.where(col("keep_id") < split).isEmpty)
+    assert(inc.select("content_hash").distinct().count() == inc.count())
+    // Idempotence: once the batch is absorbed into the corpus, the same
+    // content re-arriving (fresh ids) yields zero survivors.
+    val reArrival = docs.where(col("doc_id") >= split)
+      .withColumn("doc_id", col("doc_id") + lit(500L))
+    assert(Dedup.incrementalDedup(docs.union(reArrival), 500L).isEmpty)
+  }
+
   test("transition matrix: rows are probability distributions over observed pairs") {
     val tr = Pipeline.typeTransitions(events)
     // Total transitions = events minus one per user (no predecessor).
