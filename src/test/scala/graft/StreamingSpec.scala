@@ -610,6 +610,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotCounts == want, s"streaming=$gotCounts batch=$want")
   }
 
+  test("S11: streaming ingest dedup (cross-batch dropDuplicates + static-corpus anti join) ≡ batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val split = 250L
+    val corpus = docs.where(col("doc_id") < split)
+      .select(sha2(col("text"), 256).as("content_hash")).distinct()
+
+    // The batch half arrives as a stream in id order, split mid-way.
+    val arriving = docs.where(col("doc_id") >= split)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val src = MemoryStream[(Long, String)]
+    src.addData(arriving.take(120): _*)
+    src.addData(arriving.drop(120): _*)
+
+    val survivors = src.toDF().toDF("doc_id", "text")
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .dropDuplicates("content_hash") // cross-batch state-store dedup
+      .join(corpus, Seq("content_hash"), "left_anti") // stream-static
+      .select("content_hash", "doc_id")
+    val q = survivors.writeStream
+      .format("memory").queryName("s11").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // In-order arrival ⇒ first-seen = min doc_id: exactly the batch
+    // operator's survivor set.
+    val got = spark.table("s11")
+      .select(col("content_hash"), col("doc_id").as("keep_id"))
+    val want = graft.operators.Dedup.incrementalDedup(docs, split)
+      .select("content_hash", "keep_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("S9: split assignment and offline-fitted standardization run unchanged on a stream") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
