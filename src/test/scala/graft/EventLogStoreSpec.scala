@@ -98,5 +98,25 @@ class EventLogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!partitionFiltersOf(df).exists(_.references.exists(_.name == "t_bucket")))
   }
 
+  test("schema evolution: mergeSchema unions old and new file schemas with null backfill") {
+    // A long-lived log gains columns over time; old files must stay
+    // readable with nulls in the new positions — the append-only lake
+    // contract (no rewrite of history).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "click"), (2L, "view")).toDF("event_id", "event_type")
+      .write.parquet(s"$dir/part=old")
+    Seq((3L, "click", 0.5)).toDF("event_id", "event_type", "score")
+      .write.parquet(s"$dir/part=new")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("event_id", "event_type", "score", "part"))
+    assert(merged.count() == 3)
+    assert(merged.where(col("score").isNull).count() == 2)
+    // Old readers (explicit schema) still read new files: extra column pruned.
+    val oldView = spark.read
+      .schema("event_id BIGINT, event_type STRING").parquet(s"$dir/part=new")
+    assert(oldView.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
