@@ -286,6 +286,8 @@ object SparkEntry {
     "q54_transitions" -> ((s, d) => Pipeline.typeTransitions(Tables.events(s, d))),
     "q55_incremental_dedup" -> ((s, d) =>
       Dedup.incrementalDedup(Tables.table(s, d, "documents"), IncrementalSplitId)),
+    "q56_length_gate" -> ((s, d) =>
+      Pipeline.lengthGate(Tables.table(s, d, "documents"), 0.05, 0.95)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1181,5 +1183,14 @@ object SparkEntry {
                             WHERE c.doc_id < $IncrementalSplitId
                               AND sha256(c.text) = b.content_hash)
           ORDER BY content_hash""",
+    "q56_length_gate" ->
+      s"""WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                       quantile_cont(n_chars, 0.95) AS hi
+                     FROM documents)
+          SELECT doc_id, lang, source, n_chars,
+                 ${roundSql("b.lo", 4)} AS p_lo, ${roundSql("b.hi", 4)} AS p_hi
+          FROM documents CROSS JOIN b
+          WHERE n_chars >= b.lo AND n_chars <= b.hi
+          ORDER BY doc_id""",
   )
 }

@@ -242,6 +242,27 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Q56 — percentile length gate: keep documents whose length falls
+    * inside the corpus's [pLo, pHi] band — the outlier-trimming quality
+    * gate every training mixture runs (too-short = boilerplate,
+    * too-long = concatenation junk). The bounds are ONE tiny aggregate
+    * row cross-joined (broadcast) onto the corpus, so the gate itself
+    * is a map-side predicate; exact `percentile` here, with
+    * `approx_percentile` (q25b's rank-bound contract) as the
+    * documented swap at corpus scale. Interpolated-percentile parity
+    * with the oracle engine is already pinned by q25.
+    */
+  def lengthGate(docs: DataFrame, pLo: Double, pHi: Double): DataFrame = {
+    val bounds = docs.agg(
+      expr(s"percentile(n_chars, $pLo)").as("lo"),
+      expr(s"percentile(n_chars, $pHi)").as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .where(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        roundTo(col("lo"), 4).as("p_lo"), roundTo(col("hi"), 4).as("p_hi"))
+      .orderBy("doc_id")
+  }
+
   /** Q54 — event-transition matrix (first-order Markov counts): for
     * each consecutive pair in a user's event sequence, count
     * (from_type → to_type) and the row-conditional probability. One

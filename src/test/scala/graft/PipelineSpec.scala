@@ -133,6 +133,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == events.count() - events.select("user_id").distinct().count())
   }
 
+  test("length gate keeps ~90% of the corpus and every survivor is inside the band") {
+    val gated = Pipeline.lengthGate(docs, 0.05, 0.95)
+    val n = docs.count().toDouble
+    assert(gated.count() >= 0.85 * n && gated.count() <= 0.95 * n)
+    assert(gated.where(
+      col("n_chars") < col("p_lo") || col("n_chars") > col("p_hi")).isEmpty)
+  }
+
   test("incremental dedup: survivors are new to the corpus and unique within the batch") {
     val split = 250L
     val inc = Dedup.incrementalDedup(docs, split)
