@@ -288,6 +288,7 @@ object SparkEntry {
       Dedup.incrementalDedup(Tables.table(s, d, "documents"), IncrementalSplitId)),
     "q56_length_gate" -> ((s, d) =>
       Pipeline.lengthGate(Tables.table(s, d, "documents"), 0.05, 0.95)),
+    "q57_star_join" -> ((s, d) => Relational.starJoin(s, d)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1192,5 +1193,17 @@ object SparkEntry {
           FROM documents CROSS JOIN b
           WHERE n_chars >= b.lo AND n_chars <= b.hi
           ORDER BY doc_id""",
+    "q57_star_join" ->
+      s"""SELECT r_name, n_name,
+                 round(${exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)}, 2) AS revenue,
+                 count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          JOIN part ON l_partkey = p_partkey AND p_size <= 25
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
   )
 }

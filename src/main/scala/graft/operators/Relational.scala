@@ -61,6 +61,40 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** Q57 — the full star: every relational table of the schema in ONE
+    * query (TPC-H Q5's local-supplier shape — supplier nation must
+    * equal customer nation, so the supplier join carries a second,
+    * non-key predicate). Facts (lineitem⋈orders) shuffle on their join
+    * keys; the growing dimensions (customer, part, supplier) join by
+    * size under AQE with no forced hints; the bounded dims
+    * (nation, region) broadcast. Catalyst's join reordering gets the
+    * full 7-relation graph to work with — this is the query that
+    * catches a bad join order at scale.
+    */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = t(spark, dir, "lineitem")
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val supplier = t(spark, dir, "supplier")
+    val part = t(spark, dir, "part")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(part, col("l_partkey") === col("p_partkey") && col("p_size") <= 25)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** Q5 — anti join: customers with no orders (NOT EXISTS). */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     val customer = t(spark, dir, "customer")

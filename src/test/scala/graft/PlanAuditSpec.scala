@@ -195,6 +195,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
   }
 
+  test("q57: the star join forces no fact-side broadcast and the part filter is pushed") {
+    val df = q("q57_star_join")
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert("ResolvedHint".r.findAllIn(lp).size <= 2,
+      s"unexpected broadcast hints beyond nation/region:\n$lp")
+    val pushed = scans(df).flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(_.contains("LessThanOrEqual(p_size,25)")),
+      s"p_size filter not pushed: $pushed")
+    assert(!plan(df).contains("CartesianProduct"))
+  }
+
   test("partitioned store: a dim-side filter dynamically prunes fact partitions (DPP)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
