@@ -76,7 +76,12 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("typeAssociations", f => Pipeline.typeAssociations(f(events), 0.05)),
       ("lmScore", f => Pipeline.lmScore(f(docs))),
       ("standardize", f => Pipeline.standardize(f(events))),
-      ("kmeansStep", f => Similarity.kmeansStep(f(emb), 8)))
+      ("kmeansStep", f => Similarity.kmeansStep(f(emb), 8)),
+      ("mergeableDistinct", f => EventLog.mergeableDistinct(f(events), 0.05)),
+      ("stateOccupancy", f => Pipeline.stateOccupancy(f(events))),
+      ("typeTransitions", f => Pipeline.typeTransitions(f(events))),
+      ("incrementalDedup", f => Dedup.incrementalDedup(f(docs), 250L)),
+      ("lengthGate", f => Pipeline.lengthGate(f(docs), 0.05, 0.95)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {
