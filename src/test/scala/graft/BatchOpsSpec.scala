@@ -159,6 +159,20 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left.exceptAll(whole).isEmpty && whole.exceptAll(left).isEmpty)
   }
 
+  test("SQL surface parity: ANSI oracle strings run verbatim on Spark and match the DataFrame plans") {
+    // The relational oracles are written in ANSI SQL that BOTH engines
+    // accept — so the library's SQL surface (registerAll + spark.sql) is
+    // verified three ways: DataFrame plan ≡ Spark SQL ≡ DuckDB.
+    Tables.registerAll(spark, sf)
+    for (q <- Seq("q57_star_join", "q03_join_agg", "q06_pricing_summary",
+        "q13_set_ops", "q08_rollup")) {
+      val viaSql = spark.sql(SparkEntry.oracleSql(q))
+      val viaDf = SparkEntry.queries(q)(spark, sf)
+      assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty,
+        s"$q: SQL surface diverges from the DataFrame plan")
+    }
+  }
+
   test("HLL mergeability: union of daily sketches estimates like one global sketch") {
     // The property that makes sketch pre-aggregation sound: building
     // per-slice sketches and unioning them loses nothing vs. sketching
