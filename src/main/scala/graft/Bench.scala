@@ -1,13 +1,65 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: times every SparkEntry query at the SF the driver
   * points at. One JSON line on stdout; per-query failures are reported
   * as `"error"` markers (never fake timings) and flip the exit code.
   * A warm-up pass runs first so JVM/JIT/codegen warm-up is not billed
   * to whichever query happens to run first.
+  *
+  * Self-diagnosing: alongside wall time, every query records the JVM's
+  * process-CPU-time delta and GC-time delta. On an idle box a Spark
+  * query's wall time is bounded by its CPU work (cpu_s / cores <=
+  * wall_s <= cpu_s for parallel plans); when something else heavy runs
+  * on the machine the process is descheduled and wall grows while cpu
+  * does not. A query whose wall exceeds SuspectRatio x its cpu (and is
+  * not trivially short) is flagged `suspect` and re-run once — so a
+  * contaminated run is distinguishable from a real regression in the
+  * artifact itself, without access to the box. (Motivated by a round-4
+  * bench where a concurrent workload inflated a 1.7 s projection to
+  * 286 s wall.)
   */
 object Bench {
+  /** Wall > SuspectRatio x process-CPU => the JVM spent most of the
+    * interval off-CPU. Local parquet reads are page-cache-backed, so
+    * big involuntary wait == external contention, not I/O. */
+  private val SuspectRatio = 3.0
+  /** Don't flag sub-second queries: fixed overheads (driver-side plan
+    * work is single-threaded but brief) dominate there. */
+  private val SuspectMinWallSec = 1.0
+
+  private val osBean = ManagementFactory.getOperatingSystemMXBean
+  private def processCpuNanos(): Long = osBean match {
+    case sun: com.sun.management.OperatingSystemMXBean => sun.getProcessCpuTime
+    case _                                             => -1L
+  }
+  private def gcMillis(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+
+  /** One timed run of a query: (wall_s, cpu_s, gc_s, error). */
+  private def timeOnce(spark: SparkSession, name: String,
+                       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                       sfDir: String): (Double, Double, Double, Option[Throwable]) = {
+    val cpu0 = processCpuNanos(); val gc0 = gcMillis(); val t0 = System.nanoTime()
+    // toRdd executes the query's OWN physical plan. A `count()` on top
+    // would let Catalyst prune every column the count doesn't need —
+    // timing a scan instead of the query (projection-heavy queries
+    // like the minhash signatures collapse to nothing under count).
+    val err =
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
+      catch { case e: Throwable => Some(e) }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpu = if (cpu0 < 0) -1.0 else (processCpuNanos() - cpu0) / 1e9
+    val gc = (gcMillis() - gc0) / 1e3
+    (wall, cpu, gc, err)
+  }
+
+  private def isSuspect(wall: Double, cpu: Double): Boolean =
+    cpu >= 0 && wall > SuspectMinWallSec && wall > SuspectRatio * cpu
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,24 +84,32 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    case class R(name: String, wall: Double, cpu: Double, gc: Double,
+                 retried: Boolean, suspect: Boolean, err: Option[Throwable])
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd executes the query's OWN physical plan. A `count()` on top
-      // would let Catalyst prune every column the count doesn't need —
-      // timing a scan instead of the query (projection-heavy queries
-      // like the minhash signatures collapse to nothing under count).
-      val err =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
-        catch { case e: Throwable => Some(e) }
-      err.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val (w1, c1, g1, e1) = timeOnce(spark, name, fn, sfDir)
+      e1.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+      if (e1.isEmpty && isSuspect(w1, c1)) {
+        // Starved of CPU (wall >> cpu): measure once more; keep the
+        // better run but mark the query so the artifact shows the
+        // first attempt was contended.
+        System.err.println(f"[bench] $name suspect (wall=$w1%.2fs cpu=$c1%.2fs) — re-running")
+        val (w2, c2, g2, e2) = timeOnce(spark, name, fn, sfDir)
+        if (e2.isEmpty && w2 < w1) R(name, w2, c2, g2, retried = true, isSuspect(w2, c2), None)
+        else R(name, w1, c1, g1, retried = true, suspect = true, e1)
+      } else R(name, w1, c1, g1, retried = false, isSuspect(w1, c1), e1)
     }
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + err.fold(v.toString)(_ => "\"error\"")
+    def numMap(f: R => Double): String = results.map { r =>
+      "\"" + r.name + "\":" + r.err.fold(f"${f(r)}%.3f")(_ => "\"error\"")
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    val qs = numMap(_.wall)
+    val total = results.collect { case r if r.err.isEmpty => r.wall }.sum
+    val totalCpu = results.collect { case r if r.err.isEmpty && r.cpu >= 0 => r.cpu }.sum
+    val totalGc = results.collect { case r if r.err.isEmpty => r.gc }.sum
+    val suspects = results.filter(r => r.suspect && r.err.isEmpty).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val retried = results.filter(_.retried).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val nErr = results.count(_.err.isDefined)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu_s":${numMap(_.cpu)},"gc_s":${numMap(_.gc)},"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"cores":$cpus,"suspect":$suspects,"retried":$retried,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }
