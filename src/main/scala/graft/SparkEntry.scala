@@ -47,6 +47,8 @@ object SparkEntry {
   /** Q18e batch-search parameters: queries = vec_id < 4, top-5 each. */
   private val BatchQueries = 4
   private val BatchTopK = 5
+  /** Q18h: number of independent SRP-LSH hash tables. */
+  private val LshTables = 4
   /** Q22 mixture: per-source sampling rates (rest at the default). */
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
   private val MixDefaultRate = 0.1
@@ -217,6 +219,8 @@ object SparkEntry {
       Similarity.lshSearch(Tables.table(s, d, "embeddings"), BatchQueries, BatchTopK)),
     "q18g_udaf_topk" -> ((s, d) =>
       Similarity.udafTopK(Tables.table(s, d, "embeddings"), BatchQueries)),
+    "q18h_multitable_lsh" -> ((s, d) =>
+      Similarity.multiTableLshSearch(Tables.table(s, d, "embeddings"), BatchQueries, BatchTopK, LshTables)),
     "q19_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.table(s, d, "documents"))),
     "q19b_quality" -> ((s, d) => TextAnalysis.qualityLangId(Tables.table(s, d, "documents"))),
     "q19c_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.table(s, d, "documents"))),
@@ -654,6 +658,33 @@ object SparkEntry {
                     ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
                 FROM sc)
           SELECT qid, rnk, vec_id, score FROM t WHERE rnk <= $BatchTopK
+          ORDER BY qid, rnk""",
+    "q18h_multitable_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          d AS (SELECT e.vec_id, e.emb, t, h,
+                  list_sum(list_transform(generate_series(1, len(e.emb)),
+                    i -> e.emb[i] * ((CAST('0x' || substr(md5(
+                           CASE WHEN t = 0 THEN h::VARCHAR || ':' || (i - 1)::VARCHAR
+                                ELSE t::VARCHAR || ':' || h::VARCHAR || ':' || (i - 1)::VARCHAR END
+                         ), 1, 12) AS BIGINT) % 1000001) / 500000.0 - 1.0))) AS dot
+                FROM e,
+                     UNNEST(generate_series(0, $LshTables - 1)) AS tt(t),
+                     UNNEST(generate_series(0, ${Similarity.NumPlanes - 1})) AS th(h)),
+          b AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS bucket
+                FROM d GROUP BY vec_id, t),
+          q AS (SELECT b.vec_id AS qid, b.t, b.bucket, e.emb AS qemb
+                FROM b JOIN e USING (vec_id) WHERE vec_id < $BatchQueries),
+          corp AS (SELECT b.t, b.bucket, b.vec_id, e.emb
+                   FROM b JOIN e USING (vec_id) WHERE vec_id >= $BatchQueries),
+          sc AS (SELECT q.qid, corp.vec_id,
+                   max(${roundSql(cosSql("corp.emb", "qemb"), 4)}) AS score
+                 FROM corp JOIN q ON corp.t = q.t AND corp.bucket = q.bucket
+                 GROUP BY q.qid, corp.vec_id),
+          tk AS (SELECT qid, vec_id, score,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+                 FROM sc)
+          SELECT qid, rnk, vec_id, score FROM tk WHERE rnk <= $BatchTopK
           ORDER BY qid, rnk""",
     "q18g_udaf_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

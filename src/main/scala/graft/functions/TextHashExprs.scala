@@ -297,17 +297,23 @@ object RollingHash48 {
     })
 }
 
-/** `srp_bucket(emb, numPlanes)` ≡ the signed-random-projection bucket id
-  * of [[graft.operators.Similarity.lshSearch]]: bit h = sign of the
-  * index-order dot product of `emb` with pseudo-random hyperplane h,
-  * whose component j is `(hash48("h:j") % 1000001) / 500000 - 1`.
+/** `srp_bucket(emb, numPlanes[, table])` ≡ the signed-random-projection
+  * bucket id of [[graft.operators.Similarity.lshSearch]]: bit h = sign
+  * of the index-order dot product of `emb` with pseudo-random
+  * hyperplane h, whose component j is
+  * `(hash48("h:j") % 1000001) / 500000 - 1`. The optional `table`
+  * (default 0) selects an independent plane matrix per LSH hash table
+  * (key becomes `"table:h:j"` for table > 0; table 0 keeps the
+  * original key so existing buckets/oracles are unchanged) — the
+  * multi-table search unions candidates across tables to trade cost
+  * for recall.
   *
-  * The plane matrix is a pure function of (numPlanes, dim): computed
-  * once per executor per dim (cached), so the scan does zero hash
-  * calls per row — the declarative form needed the matrix shipped as a
-  * plan literal plus a driver-side job just to read the dimension.
+  * The plane matrix is a pure function of (table, numPlanes, dim):
+  * computed once per executor per dim (cached), so the scan does zero
+  * hash calls per row — the declarative form needed the matrix shipped
+  * as a plan literal plus a driver-side job just to read the dimension.
   */
-case class SrpBucket(child: Expression, numPlanes: Int)
+case class SrpBucket(child: Expression, numPlanes: Int, table: Int = 0)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -322,7 +328,7 @@ case class SrpBucket(child: Expression, numPlanes: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val dim = arr.numElements()
-    val planes = SrpBucket.planes(numPlanes, dim)
+    val planes = SrpBucket.planes(numPlanes, dim, table)
     var bucket = 0L
     var h = 0
     while (h < numPlanes) {
@@ -347,27 +353,33 @@ case class SrpBucket(child: Expression, numPlanes: Int)
 
 object SrpBucket {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
 
   /** Plane component formula shared with the declarative twin and the
-    * DuckDB oracle: hash48("h:j") mapped into [-1, 1].
+    * DuckDB oracle: hash48("h:j") (table 0) / hash48("table:h:j")
+    * (table > 0) mapped into [-1, 1].
     */
-  def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
-    cache.computeIfAbsent((numPlanes, dim), { case (np, d) =>
-      Array.tabulate(np)(h => Array.tabulate(d)(j =>
-        (graft.streaming.SyncCore.hash48(s"$h:$j") % 1000001L) / 500000.0 - 1.0))
+  def planes(numPlanes: Int, dim: Int, table: Int = 0): Array[Array[Double]] =
+    cache.computeIfAbsent((numPlanes, dim, table), { case (np, d, t) =>
+      Array.tabulate(np)(h => Array.tabulate(d) { j =>
+        val key = if (t == 0) s"$h:$j" else s"$t:$h:$j"
+        (graft.streaming.SyncCore.hash48(key) % 1000001L) / 500000.0 - 1.0
+      })
     })
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"srp_bucket $what must be an integer literal, got $other")
+  }
 
   val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("srp_bucket"),
     new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
     (args: Seq[Expression]) => {
-      require(args.length == 2, "srp_bucket expects (embedding, numPlanes)")
-      val n = args(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"srp_bucket numPlanes must be an integer literal, got $other")
-      }
-      SrpBucket(args.head, n)
+      require(args.length == 2 || args.length == 3,
+        "srp_bucket expects (embedding, numPlanes[, table])")
+      SrpBucket(args.head, intLit(args(1), "numPlanes"),
+        if (args.length == 3) intLit(args(2), "table") else 0)
     })
 }

@@ -138,6 +138,44 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** [[ivfSearch]] generalized to `nProbe` probed clusters per query —
+    * the accuracy/cost dial of IVF search. Each query ranks the bounded
+    * centroid set (an in-row array sort over #centroids entries, no
+    * shuffle) and probes its `nProbe` nearest clusters; the probe list
+    * (nQueries × nProbe rows, still bounded) is broadcast and joined to
+    * the corpus on cluster id, so candidates grow linearly with nProbe
+    * and `nProbe = nCentroids` degenerates to exhaustive search. The
+    * recall contract (RecallSpec) pins: recall@k vs brute force is
+    * monotone in nProbe and exact at full probe.
+    */
+  def ivfSearchProbes(emb: DataFrame, nCentroids: Int, nQueries: Int,
+                      k: Int, nProbe: Int): DataFrame = {
+    val e = withEmb(emb)
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("cents"))
+    // Probe order = (rounded sim DESC, cid ASC): array_sort on
+    // (negsim, cid) structs is lexicographic ascending — the same
+    // contract as assignments' argmax, so nProbe=1 ≡ ivfSearch.
+    val queries = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("probes", expr(
+        s"""slice(transform(array_sort(transform(cents, c -> named_struct(
+              'negsim', -(floor(${cosSql("emb", "c.cemb")} * 1e6 + 0.5) / 1e6),
+              'cid', c.cid))), s -> s.cid), 1, $nProbe)"""))
+      .select(col("vec_id").as("qid"), explode(col("probes")).as("cid"),
+        col("emb").as("qemb"))
+    val corpus = assignments(emb, nCentroids)
+      .filter(col("vec_id") >= nQueries)
+      .select(col("cid"), col("vec_id"), col("emb"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    corpus.join(broadcast(queries), "cid")
+      .withColumn("score", roundTo(expr(cosSql("emb", "qemb")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "score")
+      .orderBy("qid", "rnk")
+  }
+
   /** Q18g — exhaustive batch search through the bounded-buffer top-k
     * Aggregator (`graft_top10`, [[graft.functions.TopKAggregator]]):
     * the grouped analogue of TakeOrdered. The window formulation
@@ -228,6 +266,38 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
     corpus.join(broadcast(queries), "bucket")
       .withColumn("score", roundTo(expr(cosSql("emb", "qemb")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "score")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Q18h — multi-table SRP-LSH search: [[lshSearch]] with `nTables`
+    * independent plane matrices (`srp_bucket(emb, planes, table)`), the
+    * standard recall repair for hash-bucketed ANN — a true neighbor is
+    * missed only if it hashes apart from the query in EVERY table, so
+    * recall approaches 1 exponentially in nTables while cost grows only
+    * linearly (RecallSpec pins the measured curve). Corpus rows fan out
+    * ×nTables via an in-row explode (map-side, no shuffle of the
+    * corpus); candidates are (table, bucket) equi-join collisions,
+    * deduped per (query, vector) by a max-score group — scores are
+    * table-independent so max = the one score.
+    */
+  def multiTableLshSearch(emb: DataFrame, nQueries: Int, k: Int, nTables: Int): DataFrame = {
+    val e = withEmb(emb)
+    val tableBuckets = array((0 until nTables).map(t =>
+      struct(lit(t).as("t"), expr(s"srp_bucket(emb, $NumPlanes, $t)").as("bucket"))): _*)
+    val withTb = e
+      .select(col("vec_id"), col("emb"), explode(tableBuckets).as("tb"))
+      .select(col("vec_id"), col("emb"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val queries = withTb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("t"), col("bucket"), col("emb").as("qemb"))
+    val corpus = withTb.filter(col("vec_id") >= nQueries)
+      .select(col("t"), col("bucket"), col("vec_id"), col("emb"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    corpus.join(broadcast(queries), Seq("t", "bucket"))
+      .withColumn("score", roundTo(expr(cosSql("emb", "qemb")), 4))
+      .groupBy("qid", "vec_id").agg(max(col("score")).as("score"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select("qid", "rnk", "vec_id", "score")

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** The ANN accuracy contract: approximate search (IVF, SRP-LSH) is only
+  * useful if its recall against exhaustive search is known and doesn't
+  * silently degrade. Determinism specs can't catch an "optimization"
+  * that keeps results stable but wrong — these pin recall@k floors
+  * against the brute-force oracle (q18g's bounded-buffer exhaustive
+  * top-k) on the real embeddings corpus, and the structural properties
+  * of the nProbe dial:
+  *
+  *   - IVF recall\@5 at nProbe=1 stays above a floor (measured 0.95);
+  *   - recall is monotone non-decreasing in nProbe (more probed
+  *     clusters can only add candidates);
+  *   - nProbe = nCentroids degenerates to exhaustive search (recall 1);
+  *   - nProbe = 1 reproduces ivfSearch (q18e) row-for-row;
+  *   - single-table 6-plane SRP-LSH recall (measured 0.2 — the honest
+  *     cost of one small hash table) stays above its floor.
+  */
+class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftSession.registerUdafs(s)
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val NCentroids = 8
+  private val NQueries = 4
+  private val K = 5
+
+  private lazy val emb =
+    Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+
+  /** (qid, vec_id) result set of a search frame. */
+  private def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val exact: Set[(Long, Long)] = {
+    val e = hits(Similarity.udafTopK(emb, NQueries)
+      .where(org.apache.spark.sql.functions.col("rnk") <= K))
+    assert(e.size == NQueries * K, s"ground truth should be full: ${e.size}")
+    e
+  }
+
+  private def recall(approx: Set[(Long, Long)]): Double =
+    (approx intersect exact).size.toDouble / exact.size
+
+  test("IVF recall@5 at nProbe=1 meets its floor") {
+    val r = recall(hits(
+      Similarity.ivfSearchProbes(emb, NCentroids, NQueries, K, nProbe = 1)))
+    assert(r >= 0.85, s"IVF nProbe=1 recall@$K = $r (measured 0.95; floor 0.85)")
+  }
+
+  test("IVF recall is monotone in nProbe and exact at full probe") {
+    val curve = Seq(1, 2, 4, NCentroids).map { np =>
+      np -> recall(hits(
+        Similarity.ivfSearchProbes(emb, NCentroids, NQueries, K, np)))
+    }
+    curve.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, s"recall dropped widening nProbe $np1->$np2: $r1 -> $r2")
+    }
+    assert(curve.last._2 == 1.0,
+      s"nProbe=$NCentroids probes every cluster; recall must be 1.0, got ${curve.last._2}")
+  }
+
+  test("ivfSearchProbes(nProbe=1) reproduces ivfSearch row-for-row") {
+    val base = Similarity.ivfSearch(emb, NCentroids, NQueries, K).collect().toSeq
+    val gen = Similarity.ivfSearchProbes(emb, NCentroids, NQueries, K, 1).collect().toSeq
+    assert(gen == base)
+  }
+
+  test("SRP-LSH recall@5 meets its floor") {
+    val r = recall(hits(Similarity.lshSearch(emb, NQueries, K)))
+    assert(r >= 0.15, s"LSH recall@$K = $r (measured 0.2 for one 6-plane table; floor 0.15)")
+  }
+
+  test("multi-table LSH recall is monotone in nTables and beats one table") {
+    val curve = Seq(1, 2, 4, 8).map { nt =>
+      nt -> recall(hits(Similarity.multiTableLshSearch(emb, NQueries, K, nt)))
+    }
+    curve.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1, s"recall dropped widening tables $n1->$n2: $r1 -> $r2")
+    }
+    // Measured curve 0.2 / 0.25 / 0.3 / 0.45: unioning independent
+    // tables must not lose the single table's hits, and by 8 tables the
+    // gain must be real (floors leave regeneration headroom).
+    val byN = curve.toMap
+    assert(byN(4) >= 0.25, s"4-table recall@$K = ${byN(4)} (measured 0.3; floor 0.25)")
+    assert(byN(8) >= 0.35, s"8-table recall@$K = ${byN(8)} (measured 0.45; floor 0.35)")
+  }
+
+  test("multiTableLshSearch(nTables=1) reproduces lshSearch row-for-row") {
+    val base = Similarity.lshSearch(emb, NQueries, K).collect().toSeq
+    val gen = Similarity.multiTableLshSearch(emb, NQueries, K, 1).collect().toSeq
+    assert(gen == base)
+  }
+}
