@@ -174,22 +174,96 @@ object EventLog {
       .orderBy("event_id")
   }
 
-  /** Q25 — exact percentiles of `value` per event type. Spark's
-    * `percentile` and DuckDB's `quantile_cont` both sort and linearly
-    * interpolate at rank p·(n-1), in IEEE doubles — identical values;
-    * rounded anyway per the float-hash rule. Exact percentile sorts per
-    * group (fine for bounded group counts); at unbounded cardinality
-    * swap in `approx_percentile`'s mergeable sketch — same query shape.
+  /** Q25 — exact percentiles of `value` per event type, via two BOUNDED
+    * passes instead of `percentile`'s per-group multiset buffer (which
+    * concentrates each group's whole column into one aggregation buffer
+    * — with 5 event types, 5 reducers hold everything at 100 TB).
+    * Values interpolate identically to `percentile`/`quantile_cont`
+    * (the formula is mirrored bit-for-bit), so the DuckDB oracle is
+    * unchanged; QuantileSpec additionally pins two-pass ≡ `percentile`
+    * bit-for-bit pre-rounding.
     */
   def quantiles(events: DataFrame): DataFrame =
-    events
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        roundTo(expr("percentile(value, 0.5)"), 4).as("p50"),
-        roundTo(expr("percentile(value, 0.9)"), 4).as("p90"),
-        roundTo(expr("percentile(value, 0.99)"), 4).as("p99"))
+    exactQuantiles(events, Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+      .select(col("event_type"), col("n"),
+        roundTo(col("p50"), 4).as("p50"),
+        roundTo(col("p90"), 4).as("p90"),
+        roundTo(col("p99"), 4).as("p99"))
       .orderBy("event_type")
+
+  /** Exact interpolated percentiles by two-pass grid selection — the
+    * scale-safe formulation of ORDER-BY-rank selection:
+    *
+    * Pass 1 histograms (event_type, grid cell) with map-side partial
+    * aggregation — the shuffle key space is bounded by the value range ×
+    * grid resolution, independent of row count — then locates, for each
+    * requested rank p·(n−1), the cell containing its floor/ceil
+    * neighbors via a cumulative count over the (bounded) histogram.
+    * Pass 2 rescans only rows in those few target cells (inner join
+    * against the broadcast cell list) and rank-selects within each —
+    * sort partition size = one cell's occupancy, never a whole group.
+    * The grid only needs to be a deterministic monotone binning for
+    * correctness; its resolution tunes cell occupancy.
+    *
+    * Interpolation mirrors Spark's `percentile` exactly:
+    * `(ceil(rk)−rk)·v0 + (rk−floor(rk))·v1`, with integral ranks
+    * returning v0 directly. Output: event_type, n, one unrounded column
+    * per (p, name) requested.
+    */
+  private[graft] def exactQuantiles(
+      df: DataFrame, ps: Seq[(Double, String)],
+      cellsPerUnit: Double = 100.0,
+      groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val ev = df
+      .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+      .withColumn("cell", floor(col("_v") * cellsPerUnit))
+    val hist = ev.groupBy("_g", "cell").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("_g").orderBy("cell")
+    // Cell covers 0-indexed sorted ranks [lo_rank, hi_rank).
+    val cum = hist
+      .withColumn("hi_rank", sum("cnt").over(wc))
+      .withColumn("lo_rank", col("hi_rank") - col("cnt"))
+    val totals = hist.groupBy("_g").agg(sum("cnt").as("n"))
+    // Ranks to fetch: floor and ceil neighbors of every requested p.
+    val pvals = ps.map(_._1).distinct
+    val ranks = totals
+      .select(col("_g"), col("n"),
+        explode(array(pvals.map(lit(_)): _*)).as("p"))
+      .withColumn("rk", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("k0", floor(col("rk")))
+      .withColumn("k1", least(col("k0") + 1, col("n") - 1))
+      .select(col("_g"), col("n"), col("p"), col("rk"),
+        explode(array(
+          struct(col("k0").as("k"), lit(0).as("side")),
+          struct(col("k1").as("k"), lit(1).as("side")))).as("t"))
+      .select(col("_g"), col("n"), col("p"), col("rk"),
+        col("t.k").as("k"), col("t.side").as("side"))
+    val cells = cum.join(ranks, "_g")
+      .where(col("lo_rank") <= col("k") && col("k") < col("hi_rank"))
+      .select(col("_g"), col("cell"), col("n"), col("p"), col("rk"),
+        col("side"), col("k"), col("lo_rank"))
+    // Pass 2: within each target cell, the (k − lo_rank + 1)-th smallest
+    // value. Ties in `_v` rank arbitrarily but the selected VALUE is
+    // unique, so the result is deterministic.
+    val wv = Window.partitionBy("_g", "p", "side").orderBy("_v")
+    val picked = ev.join(broadcast(cells), Seq("_g", "cell"))
+      .withColumn("rn", row_number().over(wv).cast("long"))
+      .where(col("rn") === col("k") - col("lo_rank") + 1)
+    val interp = picked.groupBy("_g", "n", "p", "rk")
+      .agg(
+        max(when(col("side") === 0, col("_v"))).as("v0"),
+        max(when(col("side") === 1, col("_v"))).as("v1"))
+      .withColumn("pct", when(col("rk") === floor(col("rk")), col("v0"))
+        .otherwise((ceil(col("rk")) - col("rk")) * col("v0")
+          + (col("rk") - floor(col("rk"))) * col("v1")))
+    val aggs = ps.map { case (p, name) =>
+      max(when(col("p") === p, col("pct"))).as(name)
+    }
+    interp.groupBy(col("_g"), col("n")).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("_g", groupCol)
+  }
 
   /** Q11b — ranking/distribution window-function breadth: quartile
     * (`ntile`), relative rank (`percent_rank`, `cume_dist`), lookahead
@@ -273,19 +347,28 @@ object EventLog {
     * where one rank step can move the value by double digits.)
     */
   def approxQuantiles(events: DataFrame, accuracy: Int, rankTol: Double): DataFrame = {
-    def pct(p: Double) = expr(s"percentile(value, ${p}D)")
-    def ok(approx: org.apache.spark.sql.Column, p: Double) =
-      approx.between(pct(math.max(0.0, p - rankTol)), pct(math.min(1.0, p + rankTol)))
-    events
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        roundTo(pct(0.5), 4).as("p50"),
-        roundTo(pct(0.9), 4).as("p90"),
-        roundTo(pct(0.99), 4).as("p99"),
-        ok(expr(s"approx_percentile(value, 0.5D, $accuracy)"), 0.5).as("p50_ok"),
-        ok(expr(s"approx_percentile(value, 0.9D, $accuracy)"), 0.9).as("p90_ok"),
-        ok(expr(s"approx_percentile(value, 0.99D, $accuracy)"), 0.99).as("p99_ok"))
+    // Exact references (the p's themselves plus the p ∓ rankTol rank
+    // bounds) come from the two-pass selection — nothing here buffers a
+    // per-group multiset either.
+    val base = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val withBounds = base.flatMap { case (p, nm) => Seq(
+      p -> nm,
+      math.max(0.0, p - rankTol) -> s"${nm}_lob",
+      math.min(1.0, p + rankTol) -> s"${nm}_hib")
+    }
+    val exact = exactQuantiles(events, withBounds)
+    val sketch = events.groupBy("event_type").agg(
+      expr(s"approx_percentile(value, 0.5D, $accuracy)").as("a50"),
+      expr(s"approx_percentile(value, 0.9D, $accuracy)").as("a90"),
+      expr(s"approx_percentile(value, 0.99D, $accuracy)").as("a99"))
+    exact.join(sketch, "event_type")
+      .select(col("event_type"), col("n"),
+        roundTo(col("p50"), 4).as("p50"),
+        roundTo(col("p90"), 4).as("p90"),
+        roundTo(col("p99"), 4).as("p99"),
+        col("a50").between(col("p50_lob"), col("p50_hib")).as("p50_ok"),
+        col("a90").between(col("p90_lob"), col("p90_hib")).as("p90_ok"),
+        col("a99").between(col("p99_lob"), col("p99_hib")).as("p99_ok"))
       .orderBy("event_type")
   }
 

@@ -247,15 +247,19 @@ object Pipeline {
     * gate every training mixture runs (too-short = boilerplate,
     * too-long = concatenation junk). The bounds are ONE tiny aggregate
     * row cross-joined (broadcast) onto the corpus, so the gate itself
-    * is a map-side predicate; exact `percentile` here, with
-    * `approx_percentile` (q25b's rank-bound contract) as the
-    * documented swap at corpus scale. Interpolated-percentile parity
-    * with the oracle engine is already pinned by q25.
+    * is a map-side predicate. The bounds come from the two-pass exact
+    * selection ([[EventLog.exactQuantiles]] — histogram cells on the
+    * integer `n_chars` grid, then rank-select inside the two target
+    * cells), not `percentile`'s whole-corpus single buffer; the values
+    * are bit-identical (QuantileSpec) and interpolated-percentile
+    * parity with the oracle engine is already pinned by q25.
     */
   def lengthGate(docs: DataFrame, pLo: Double, pHi: Double): DataFrame = {
-    val bounds = docs.agg(
-      expr(s"percentile(n_chars, $pLo)").as("lo"),
-      expr(s"percentile(n_chars, $pHi)").as("hi"))
+    val bounds = graft.operators.EventLog.exactQuantiles(
+        docs.withColumn("_all", lit(0)),
+        Seq(pLo -> "lo", pHi -> "hi"),
+        cellsPerUnit = 1.0, groupCol = "_all", valueCol = "n_chars")
+      .select("lo", "hi")
     docs.crossJoin(broadcast(bounds))
       .where(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
