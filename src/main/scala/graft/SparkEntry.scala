@@ -612,10 +612,19 @@ object SparkEntry {
           SELECT cid, rnk, vec_id, score FROM t WHERE rnk <= $ClusterTopK
           ORDER BY cid, rnk""",
     "q18d_emb_neardup" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-          SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 ${roundSql(cosSql("a.emb", "b.emb"), 4)} AS score
-          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          d AS (SELECT e.vec_id, h,
+                  list_sum(list_transform(generate_series(1, len(e.emb)),
+                    i -> e.emb[i] * ((CAST('0x' || substr(md5(h::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 12) AS BIGINT)
+                                       % 1000001) / 500000.0 - 1.0))) AS dot
+                FROM e, UNNEST(generate_series(0, ${Similarity.NumPlanes - 1})) AS t(h)),
+          b AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS bucket
+                FROM d GROUP BY vec_id),
+          x AS (SELECT b.bucket, e.vec_id, e.label, e.emb FROM b JOIN e USING (vec_id))
+          SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+                 a.label AS label_a, b2.label AS label_b,
+                 ${roundSql(cosSql("a.emb", "b2.emb"), 4)} AS score
+          FROM x a JOIN x b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
           ORDER BY score DESC, vec_a, vec_b LIMIT $EmbPairsK""",
     "q18e_batch_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

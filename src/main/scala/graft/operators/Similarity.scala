@@ -18,8 +18,9 @@ import graft.functions.Deterministic.roundTo
   *     (partitioned window over #centroids rows per vector), and search
   *     probes only the relevant cluster — turning 100 TB of vectors into
   *     per-cluster partitions that prune like any other partition key;
-  *   - pairwise similarity uses a blocking key (here `label`; in a real
-  *     corpus an LSH bucket) so the join is per-block, never all-pairs.
+  *   - pairwise similarity blocks on an SRP-LSH bucket (an engine-tuned
+  *     hash key, never a data-controlled column) so the join is
+  *     per-block, never all-pairs.
   *
   * All folds run in index order in both engines, and every emitted score
   * is rounded, so DuckDB oracles hash-match.
@@ -305,18 +306,26 @@ object Similarity {
   }
 
   /** Q18d — most-similar intra-block pairs (embedding near-dup): cosine
-    * over pairs sharing a blocking key (`label`), top `k` pairs overall.
-    * The blocking join keeps the pair space per-block; the final top-k is
-    * again TakeOrdered.
+    * over pairs sharing an SRP bucket ([[lshSearch]]'s blocking key —
+    * cosine-similar vectors collide with high probability), top `k`
+    * pairs overall; labels ride along in the output. Blocking on the
+    * hash bucket, not a data column: a data-controlled key (label,
+    * domain, language) has unbounded block sizes — one hot value is
+    * quadratic at 100 TB — while bucket occupancy is tuned by the plane
+    * count, an engine-side dial. The final top-k is again TakeOrdered.
     */
   def nearDupPairs(emb: DataFrame, k: Int): DataFrame = {
-    val e = withEmb(emb).select(col("vec_id"), col("label"), col("emb"))
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("emb").as("emb_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("emb").as("emb_b"))
-    a.join(b, "label")
+    val e = withEmb(emb)
+      .withColumn("bucket", expr(s"srp_bucket(emb, $NumPlanes)"))
+      .select(col("bucket"), col("vec_id"), col("label"), col("emb"))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("label").as("label_a"), col("emb").as("emb_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("label").as("label_b"), col("emb").as("emb_b"))
+    a.join(b, "bucket")
       .where(col("vec_a") < col("vec_b"))
       .withColumn("score", roundTo(expr(cosSql("emb_a", "emb_b")), 4))
-      .select("label", "vec_a", "vec_b", "score")
+      .select("vec_a", "vec_b", "label_a", "label_b", "score")
       .orderBy(col("score").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }

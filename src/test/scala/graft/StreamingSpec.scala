@@ -359,6 +359,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streaming == batch)
   }
 
+  test("S3f: exact-tick-boundary schedule — replay ≡ sequential fold where the closed form diverges") {
+    import spark.implicits._
+    import graft.streaming.{SyncCore, SyncConfig}
+    val cfg = SyncConfig(50L, 10000L)
+    // Every sync lands EXACTLY on a tick multiple relative to stream
+    // start — the case the q20 sf-oracle's closed form (T = (now −
+    // start) div tick) assumes away about the corpus: the strict `>` in
+    // the tick rule (game.go:83) does NOT tick at elapsed == tickUnit,
+    // so the closed form over-counts on these boundaries. The engine
+    // must match the fold-based oracle (plain sequential SyncCore fold),
+    // not the closed form.
+    val reqs = Seq(
+      SyncRequest(0L, 1000L, "0", "e", "1"), // start
+      SyncRequest(0L, 1050L, "0", "e", "2"), // +1 tick exactly: must NOT tick
+      SyncRequest(0L, 1100L, "1", "e", "3"), // elapsed 100 > 50: both ticks arrive
+      SyncRequest(0L, 1150L, "0", "e", "4"), // +1 tick from lastTick: must NOT tick
+      SyncRequest(0L, 1250L, "1", "e", "5")) // catches up
+    // Fold-based oracle: the same pure transition applied sequentially,
+    // no Spark, no closed form.
+    var g = SyncCore.init(1000L, seed = 5L)
+    val expected = reqs.map { r =>
+      val (g2, resp) = SyncCore.process(cfg, g, r.now, r.client_id, None,
+        events = Seq((r.event_type, r.body)),
+        state = Some(Map("last_event" -> r.body)))
+      g = g2
+      (g.syncSeq, r.client_id.toLong, resp.t, resp.proxyId,
+        resp.deltaEvents.size.toLong, resp.deltaEventsHash,
+        resp.deltaStates.size.toLong, resp.deltaStatesHash)
+    }
+    val got = SyncReplay.replaySchedule(reqs.toDS(), cfg, seed = 5L)
+      .collect().sortBy(_.sync_seq)
+      .map(s => (s.sync_seq, s.user_id, s.t, s.proxy_id,
+        s.n_delta_events, s.delta_events_hash, s.n_delta_states, s.delta_states_hash))
+      .toSeq
+    assert(got == expected)
+    // Document the divergence this fixture exists for: at the second and
+    // fourth syncs the closed form claims a tick the engine didn't take.
+    assert(expected(1)._3 == 0L && (1050L - 1000L) / 50L == 1L)
+    assert(expected(3)._3 == 2L && (1150L - 1000L) / 50L == 3L)
+  }
+
   test("S3c: sync engine is correct under the RocksDB state store provider") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
