@@ -13,6 +13,15 @@ case class MediaBlob(doc_id: Long, media_type: String, payload: Array[Byte])
 case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
                      sha256: String, width: Int, height: Int, n_frames: Int)
 
+/** One stored media row: sidecar metadata columns NEXT TO the payload —
+  * the blob-store layout where metadata queries read only the small
+  * typed columns and parquet column pruning never materializes a byte
+  * of media.
+  */
+case class MediaRecord(doc_id: Long, media_type: String, byte_len: Long,
+                       sha256: String, width: Int, height: Int, n_frames: Int,
+                       payload: Array[Byte])
+
 /** Multimodal column handling (north-star LLM-pipeline surface).
   *
   * Design for 100 TB of media: payloads are opaque `binary` columns;
@@ -60,6 +69,70 @@ object Multimodal {
       }
     }
   }
+
+  /** Deterministic synthetic BINARY payloads — genuinely non-text bytes
+    * (the full 0–255 range, including invalid-UTF-8 sequences), from a
+    * seeded hash chain. The fixture for proving the blob column
+    * round-trips parquet bit-for-bit and is pruned from metadata scans;
+    * [[blobsFromDocuments]]' text.cast(binary) can't prove either,
+    * since text bytes survive any charset-lossy path too.
+    */
+  def syntheticBlobs(spark: org.apache.spark.sql.SparkSession,
+                     n: Int, seed: Long): Dataset[MediaBlob] = {
+    import spark.implicits._
+    import graft.streaming.SyncCore.hash48
+    spark.range(n.toLong).map { id =>
+      val len = 64 + (hash48(s"$seed:len:$id") % 192).toInt
+      // 6 pseudo-random bytes per hash call, little-endian slices.
+      val bytes = Array.tabulate(len) { j =>
+        ((hash48(s"$seed:$id:${j / 6}") >> (8 * (j % 6))) & 0xFF).toByte
+      }
+      MediaBlob(id, if (id % 3 == 0) "video/fake" else "image/fake", bytes)
+    }
+  }
+
+  /** Ingest into the blob-store layout: ONE per-partition decode pass
+    * computes the sidecar metadata next to the payload ([[MediaRecord]]).
+    * Downstream metadata queries then never pay for the bytes.
+    */
+  def ingest(blobs: Dataset[MediaBlob], batchSize: Int = 64): Dataset[MediaRecord] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { iter =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      iter.grouped(batchSize).flatMap { batch =>
+        batch.map { b =>
+          digest.reset()
+          val sha = digest.digest(b.payload).map("%02x".format(_)).mkString
+          val h48 = java.lang.Long.parseLong(sha.substring(0, 12), 16)
+          val (w, h, f) = decodeStub(h48)
+          MediaRecord(b.doc_id, b.media_type, b.payload.length.toLong, sha, w, h, f, b.payload)
+        }
+      }
+    }
+  }
+
+  /** Parquet blob store round-trip. */
+  def writeBlobStore(blobs: Dataset[MediaBlob], path: String): Unit =
+    ingest(blobs).write.mode("overwrite").parquet(path)
+
+  def readBlobStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** A metadata catalog query over the blob store: per media type,
+    * count/bytes/dimension stats — reads ONLY sidecar columns, so the
+    * parquet scan's ReadSchema must not contain `payload` (asserted by
+    * MultimodalSpec).
+    */
+  def blobCatalog(store: DataFrame): DataFrame =
+    store
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum("byte_len").as("total_bytes"),
+        max("width").as("max_w"),
+        max("height").as("max_h"),
+        sum("n_frames").as("total_frames"))
+      .orderBy("media_type")
 
   /** Documents → MediaBlob dataset (text bytes standing in for media
     * payloads — the test corpus has no real media).

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{MediaBlob, Multimodal}
+
+/** The binary media column with GENUINE binary payloads — random bytes
+  * including invalid UTF-8, not text cast to binary: parquet round-trip
+  * is bit-exact, ingest-time sidecar metadata matches a re-decode of
+  * the read-back payloads, and metadata queries prune the blob column
+  * out of the parquet scan entirely.
+  */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private lazy val storePath = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blobs").toString
+    Multimodal.writeBlobStore(Multimodal.syntheticBlobs(spark, 200, seed = 11L), dir)
+    dir
+  }
+
+  test("synthetic payloads are genuinely non-UTF8 binary") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val blobs = Multimodal.syntheticBlobs(spark, 200, seed = 11L).collect()
+    // A charset-lossy path (bytes -> String -> bytes) must NOT be
+    // identity for this fixture — that's what text.cast(binary) could
+    // never prove.
+    val corrupted = blobs.count { b =>
+      !java.util.Arrays.equals(new String(b.payload, UTF_8).getBytes(UTF_8), b.payload)
+    }
+    assert(corrupted > 150, s"expected mostly non-UTF8 payloads, got $corrupted/200")
+  }
+
+  test("blob store round-trips payload bytes bit-for-bit through parquet") {
+    import spark.implicits._
+    val original = Multimodal.syntheticBlobs(spark, 200, seed = 11L)
+      .collect().map(b => b.doc_id -> b.payload).toMap
+    val readBack = Multimodal.readBlobStore(spark, storePath)
+      .select("doc_id", "payload").as[(Long, Array[Byte])].collect()
+    assert(readBack.length == 200)
+    readBack.foreach { case (id, bytes) =>
+      assert(java.util.Arrays.equals(bytes, original(id)), s"payload mismatch doc $id")
+    }
+  }
+
+  test("ingest-time sidecar metadata equals a re-decode of read-back payloads") {
+    import spark.implicits._
+    val store = Multimodal.readBlobStore(spark, storePath)
+    val sidecar = store
+      .select("doc_id", "media_type", "byte_len", "sha256", "width", "height", "n_frames")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val redecoded = Multimodal.decode(
+        store.select("doc_id", "media_type", "payload").as[MediaBlob])
+      .toDF().orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(sidecar == redecoded)
+  }
+
+  test("metadata catalog query prunes the payload column from the parquet scan") {
+    val catalog = Multimodal.blobCatalog(Multimodal.readBlobStore(spark, storePath))
+    val scanned = catalog.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSet }
+    assert(scanned.nonEmpty)
+    scanned.foreach { fields =>
+      assert(!fields.contains("payload"), s"blob column reached the scan: $fields")
+      assert(!fields.contains("sha256"), s"unneeded wide column scanned: $fields")
+    }
+    assert(catalog.count() > 0)
+  }
+}
