@@ -59,6 +59,91 @@ object EventLogStore {
 
   private val written = scala.collection.mutable.Set.empty[(String, Long)]
 
+  /** Incremental append: a batch of new events lands in its buckets as
+    * ADDITIONAL files — history is never rewritten (the object-store
+    * append contract). The cost is small-file accumulation in the hot
+    * buckets: every micro-ingest adds at least one file to each bucket
+    * it touches. Pair with [[compact]] on a schedule.
+    */
+  def appendBatch(events: DataFrame, outDir: String, bucketUs: Long): Unit =
+    events
+      .select(rowCols.map(col): _*)
+      .withColumn("t_bucket", expr(s"ts_us div ${bucketUs}L"))
+      .repartition(col("t_bucket"))
+      .sortWithinPartitions("ts_us", "event_id")
+      .write
+      .partitionBy("t_bucket")
+      .mode("append")
+      .parquet(outDir)
+
+  /** Compact buckets whose file count exceeds `maxFilesPerBucket` down
+    * to ~`targetBytesPerFile` files, leaving healthy buckets untouched
+    * (dynamic partition overwrite rewrites only the buckets read). This
+    * is the operational half of the time-partitioned store at scale:
+    * unbounded ingest with bounded file counts.
+    *
+    * Files stay time-clustered: each compacted bucket is sliced into
+    * `ceil(bytes / targetBytesPerFile)` CONTIGUOUS time ranges by pure
+    * per-row math (`(ts_us mod bucket) · n / bucket` — no window, no
+    * skew pivot), so row-group min/max pruning keeps working after
+    * compaction. Returns the rewritten bucket ids.
+    */
+  def compact(
+      spark: SparkSession,
+      outDir: String,
+      bucketUs: Long,
+      maxFilesPerBucket: Int = 4,
+      targetBytesPerFile: Long = 128L << 20): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oversize = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("t_bucket="))
+      .flatMap { dir =>
+        val files = fs.listStatus(dir.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (files.length > maxFilesPerBucket)
+          Some(dir.getPath.getName.stripPrefix("t_bucket=").toLong ->
+            math.max(1L, (files.map(_.getLen).sum + targetBytesPerFile - 1) / targetBytesPerFile))
+        else None
+      }.toMap
+    if (oversize.nonEmpty) {
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        spark.read.parquet(outDir)
+          .filter(col("t_bucket").isin(oversize.keys.toSeq: _*))
+          .withColumn("_nf", element_at(typedlit(oversize), col("t_bucket")))
+          .withColumn("_slice",
+            (((col("ts_us") % bucketUs) * col("_nf")) / bucketUs).cast("int"))
+          .repartition(col("t_bucket"), col("_slice"))
+          .drop("_nf", "_slice")
+          .sortWithinPartitions("ts_us", "event_id")
+          .write
+          .partitionBy("t_bucket")
+          .mode("overwrite")
+          .parquet(outDir)
+      } finally prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    oversize.keys.toSeq.sorted
+  }
+
+  /** Parquet file count per bucket — the compaction health metric. */
+  def bucketFileCounts(spark: SparkSession, outDir: String): Map[Long, Int] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("t_bucket="))
+      .map { dir =>
+        dir.getPath.getName.stripPrefix("t_bucket=").toLong ->
+          fs.listStatus(dir.getPath).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      }.toMap
+  }
+
   /** Delta event scan over the partitioned layout — same contract as
     * [[graft.operators.EventLog.deltaEvents]] (`lastKnown < ts_us <=
     * serverT`, total `(ts_us, event_id)` order), plus an equivalent

@@ -98,6 +98,38 @@ class EventLogStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!partitionFiltersOf(df).exists(_.references.exists(_.name == "t_bucket")))
   }
 
+  test("compaction bounds bucket file counts after repeated appends, preserving contents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.events(spark, sf)
+    val maxFiles = 4
+    // Six micro-ingests (disjoint event slices): each lands one new file
+    // per touched bucket — the small-file accumulation a live log suffers.
+    (0 until 6).foreach { k =>
+      EventLogStore.appendBatch(ev.where(col("event_id") % 6 === k), dir, bucketUs)
+    }
+    val before = EventLogStore.bucketFileCounts(spark, dir)
+    assert(before.values.max > maxFiles,
+      s"fixture should accumulate small files, got ${before.values.max} max")
+    val pre = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+
+    val rewritten = EventLogStore.compact(spark, dir, bucketUs, maxFiles)
+    assert(rewritten.nonEmpty)
+    val after = EventLogStore.bucketFileCounts(spark, dir)
+    assert(after.keySet == before.keySet, "compaction must not add or drop buckets")
+    assert(after.values.max <= maxFiles,
+      s"file counts not bounded after compaction: $after")
+    val post = spark.read.parquet(dir).orderBy("event_id").collect().toSeq
+    assert(post == pre, "compaction changed the data")
+
+    // Healthy store is a fixed point: nothing left to rewrite.
+    assert(EventLogStore.compact(spark, dir, bucketUs, maxFiles).isEmpty)
+
+    // The delta-scan contract (rows + pruning) survives compaction.
+    val flat = EventLog.deltaEvents(Tables.events(spark, sf), lo, hi)
+    val pruned = EventLogStore.deltaEvents(spark, dir, lo, hi, bucketUs)
+    assert(pruned.exceptAll(flat).isEmpty && flat.exceptAll(pruned).isEmpty)
+  }
+
   test("schema evolution: mergeSchema unions old and new file schemas with null backfill") {
     // A long-lived log gains columns over time; old files must stay
     // readable with nulls in the new positions — the append-only lake
