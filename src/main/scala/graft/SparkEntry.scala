@@ -285,7 +285,7 @@ object SparkEntry {
     "q50_kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(Tables.table(s, d, "embeddings"), NumCentroids)),
     "q51_standardize" -> ((s, d) => Pipeline.standardize(Tables.events(s, d))),
-    "q52_sketch_distinct" -> ((s, d) => EventLog.mergeableDistinct(Tables.events(s, d), 0.05)),
+    "q52_sketch_distinct" -> ((s, d) => EventLog.mergeableDistinct(Tables.events(s, d))),
     "q53_state_occupancy" -> ((s, d) => Pipeline.stateOccupancy(Tables.events(s, d))),
     "q54_transitions" -> ((s, d) => Pipeline.typeTransitions(Tables.events(s, d))),
     "q55_incremental_dedup" -> ((s, d) =>
@@ -1180,8 +1180,10 @@ object SparkEntry {
                        ${exactSumSql("value * value", 4)} AS s2
                      FROM events GROUP BY event_type)
           SELECT e.event_id, e.event_type, e.value,
+                 CASE WHEN s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n) > 0 THEN
                  ${roundSql(
-                   "(e.value - s.s1 / s.n) / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))", 4)} AS z
+                   "(e.value - s.s1 / s.n) / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))", 4)}
+                 END AS z
           FROM events e JOIN s USING (event_type) ORDER BY e.event_id""",
     // Like q07b: the sketch estimate is engine-specific; the contract is
     // the exact values plus the tolerance boolean.

@@ -404,13 +404,30 @@ object EventLog {
     * re-scan of raw data; naive daily distinct counts can't be summed
     * (overlap), which is exactly what the union handles. The estimate
     * is engine-specific, so the cross-engine contract is the q07b
-    * shape: exact values + a tolerance boolean.
+    * shape: exact values + a tolerance boolean — with the tolerance
+    * derived from the sketch's own accuracy model (HLL relative
+    * standard error ≈ 1.04/√2^lgK; the bound is 3σ of the CONFIGURED
+    * sketch, not an arbitrary constant), so a future lgK change
+    * re-derives the bound instead of silently loosening the contract.
     */
-  def mergeableDistinct(events: DataFrame, tol: Double): DataFrame = {
+  def mergeableDistinct(events: DataFrame, lgK: Int = 12): DataFrame =
+    mergeableDistinctEstimates(events, lgK)
+      .select("event_type", "n_days", "n_exact", "within_tol")
+      .orderBy("event_type")
+
+  /** 3σ relative error bound of an HLL sketch with `lgK` register bits. */
+  def hllErrorBound(lgK: Int): Double = 3.0 * 1.04 / math.sqrt(math.pow(2.0, lgK))
+
+  /** [[mergeableDistinct]] with the raw estimate and relative error
+    * exposed — engine-specific values, so for logs and specs, not the
+    * cross-engine oracle (which compares the boolean only).
+    */
+  def mergeableDistinctEstimates(events: DataFrame, lgK: Int = 12): DataFrame = {
+    val tol = hllErrorBound(lgK)
     val daily = events
       .withColumn("day", expr("ts_us div 86400000000"))
       .groupBy("event_type", "day")
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr(s"hll_sketch_agg(user_id, $lgK)").as("sk"))
     val merged = daily.groupBy("event_type")
       .agg(
         count(lit(1)).as("n_days"),
@@ -419,7 +436,9 @@ object EventLog {
       .agg(countDistinct("user_id").as("n_exact"))
     merged.join(exact, "event_type")
       .select(
-        col("event_type"), col("n_days"), col("n_exact"),
+        col("event_type"), col("n_days"), col("n_exact"), col("n_est"),
+        roundTo(abs(col("n_est") - col("n_exact")).cast("double")
+          / col("n_exact"), 6).as("rel_err"),
         (abs(col("n_est") - col("n_exact")).cast("double")
           <= col("n_exact") * tol).as("within_tol"))
       .orderBy("event_type")

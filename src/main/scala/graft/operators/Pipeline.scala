@@ -186,9 +186,12 @@ object Pipeline {
     * rounding.
     */
   def typeAssociations(events: DataFrame, minSupport: Double): DataFrame = {
+    // No persist: `sets` recurs three times in one plan, and Spark's
+    // ReuseExchange serves the repeated subtree from the same shuffle
+    // output — caching here would pin executor memory for the life of
+    // the session instead.
     val sets = events.groupBy("user_id")
       .agg(sort_array(collect_set("event_type")).as("types"))
-      .persist()
     val nUsers = sets.agg(count(lit(1)).as("n_users"))
     val singles = sets
       .select(col("user_id"), explode(col("types")).as("t"))
@@ -224,9 +227,11 @@ object Pipeline {
     * contract for cross-engine float stability.
     */
   def lmScore(docs: DataFrame): DataFrame = {
+    // No persist (same reasoning as typeAssociations): the exploded
+    // token stream recurs in one plan and is cheap to recompute; a
+    // session-lifetime cache of it would leak executor memory.
     val words = graft.sources.Tables.widen(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .persist()
     val vocab = words.groupBy("word").agg(count(lit(1)).as("n_w"))
     val total = words.agg(count(lit(1)).as("n_total"))
     words
@@ -323,9 +328,15 @@ object Pipeline {
     */
   def applyStandardize(df: DataFrame, stats: DataFrame): DataFrame = {
     val m = col("s1") / col("n")
+    val variance = col("s2") / col("n") - m * m
+    // Zero-variance guard: a constant-valued type yields z = NaN/∞,
+    // whose rounded representation engines need not agree on — emit
+    // null instead (mirrored as CASE in the q51 oracle). The predicate
+    // compares identical exact-moment doubles in both engines, so the
+    // branch itself is deterministic.
     df.join(broadcast(stats), "event_type")
-      .withColumn("z", roundTo(
-        (col("value") - m) / sqrt(col("s2") / col("n") - m * m), 4))
+      .withColumn("z", when(variance > 0,
+        roundTo((col("value") - m) / sqrt(variance), 4)))
       .select("event_id", "event_type", "value", "z")
   }
 

@@ -188,4 +188,22 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
     assert(viaUnion.exceptAll(direct).isEmpty && direct.exceptAll(viaUnion).isEmpty)
   }
+
+  test("HLL estimates land inside the sketch's own 3-sigma bound (q52's contract)") {
+    // q52's within_tol is only a meaningful gate if the tolerance comes
+    // from the configured sketch's accuracy model, not a constant: at
+    // lgK=12 the 3σ relative bound is 3·1.04/√4096 ≈ 4.9%.
+    val lgK = 12
+    val bound = EventLog.hllErrorBound(lgK)
+    assert(math.abs(bound - 0.04875) < 1e-5)
+    val rows = EventLog.mergeableDistinctEstimates(Tables.events(spark, sf), lgK)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val relErr = r.getAs[Double]("rel_err")
+      assert(relErr <= bound,
+        s"${r.getAs[String]("event_type")}: rel_err $relErr > 3σ bound $bound")
+      assert(r.getAs[Boolean]("within_tol"))
+    }
+  }
 }

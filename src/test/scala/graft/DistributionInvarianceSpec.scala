@@ -77,7 +77,7 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("lmScore", f => Pipeline.lmScore(f(docs))),
       ("standardize", f => Pipeline.standardize(f(events))),
       ("kmeansStep", f => Similarity.kmeansStep(f(emb), 8)),
-      ("mergeableDistinct", f => EventLog.mergeableDistinct(f(events), 0.05)),
+      ("mergeableDistinct", f => EventLog.mergeableDistinct(f(events))),
       ("stateOccupancy", f => Pipeline.stateOccupancy(f(events))),
       ("typeTransitions", f => Pipeline.typeTransitions(f(events))),
       ("incrementalDedup", f => Dedup.incrementalDedup(f(docs), 250L)),
