@@ -81,7 +81,11 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("stateOccupancy", f => Pipeline.stateOccupancy(f(events))),
       ("typeTransitions", f => Pipeline.typeTransitions(f(events))),
       ("incrementalDedup", f => Dedup.incrementalDedup(f(docs), 250L)),
-      ("lengthGate", f => Pipeline.lengthGate(f(docs), 0.05, 0.95)))
+      ("lengthGate", f => Pipeline.lengthGate(f(docs), 0.05, 0.95)),
+      ("quantiles(two-pass)", f => EventLog.quantiles(f(events))),
+      ("ivfSearchProbes", f => Similarity.ivfSearchProbes(f(emb), 8, 4, 5, 2)),
+      ("multiTableLshSearch", f => Similarity.multiTableLshSearch(f(emb), 4, 5, 4)),
+      ("embNearDupPairs", f => Similarity.nearDupPairs(f(emb), 20)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {
