@@ -49,6 +49,9 @@ object SparkEntry {
   private val BatchTopK = 5
   /** Q18h: number of independent SRP-LSH hash tables. */
   private val LshTables = 4
+  /** Q58: eval split (doc_id % modulus == 0) and contamination flag threshold. */
+  private val ContamModulus = 25L
+  private val ContamThreshold = 0.1
   /** Q22 mixture: per-source sampling rates (rest at the default). */
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
   private val MixDefaultRate = 0.1
@@ -293,6 +296,8 @@ object SparkEntry {
     "q56_length_gate" -> ((s, d) =>
       Pipeline.lengthGate(Tables.table(s, d, "documents"), 0.05, 0.95)),
     "q57_star_join" -> ((s, d) => Relational.starJoin(s, d)),
+    "q58_contamination" -> ((s, d) =>
+      TextAnalysis.contamination(Tables.table(s, d, "documents"), ContamModulus, ContamThreshold)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1247,5 +1252,17 @@ object SparkEntry {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q58_contamination" ->
+      s"""WITH $shingleCte,
+          ev AS (SELECT DISTINCT unnest(sg) AS s FROM sh WHERE doc_id % $ContamModulus = 0),
+          tr AS (SELECT doc_id, sg FROM sh WHERE doc_id % $ContamModulus <> 0),
+          hits AS (SELECT t.doc_id, count(*) AS n_hit
+                   FROM (SELECT doc_id, unnest(sg) AS s FROM tr) t
+                   JOIN ev USING (s) GROUP BY t.doc_id)
+          SELECT tr.doc_id, CAST(len(tr.sg) AS BIGINT) AS n_shingles,
+                 CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+                 ${roundSql("CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / len(tr.sg)", 4)} AS contamination,
+                 ${roundSql("CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / len(tr.sg)", 4)} >= $ContamThreshold AS is_contaminated
+          FROM tr LEFT JOIN hits USING (doc_id) ORDER BY tr.doc_id""",
   )
 }

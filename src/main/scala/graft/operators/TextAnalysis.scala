@@ -153,6 +153,40 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Q58 — benchmark decontamination: for every training document, the
+    * fraction of its word 3-gram shingles that also occur anywhere in a
+    * held-out evaluation set (here: docs with `doc_id % evalModulus ==
+    * 0`) — the standard pre-training hygiene step that catches eval
+    * answers leaking into training data, which neither exact nor
+    * near-dup detection covers (a 2% contaminated doc is nowhere near a
+    * duplicate).
+    *
+    * Scale shape: an eval set is SMALL by definition, so its distinct
+    * shingle set is collected into one bounded row and broadcast; each
+    * training doc then computes its overlap with one per-row
+    * `array_intersect` — the corpus side is MAP-ONLY, no shuffle, no
+    * self-join. (At petabyte corpora with a large eval suite, hash
+    * shingles to 8-byte keys first — same plan shape.) Shingles come
+    * from the same native `shingle3` expression as the dedup family, so
+    * the overlap definition is shared with q17's oracles.
+    */
+  def contamination(docs: DataFrame, evalModulus: Long, threshold: Double): DataFrame = {
+    val sh = Dedup.withShingles(docs)
+    val evalSet = sh.where(col("doc_id") % evalModulus === 0)
+      .select(explode(col("shingles")).as("s"))
+      .agg(collect_set("s").as("eval_shingles"))
+    sh.where(col("doc_id") % evalModulus =!= 0)
+      .crossJoin(broadcast(evalSet))
+      .withColumn("n_shingles", size(col("shingles")).cast("long"))
+      .withColumn("n_hit",
+        size(array_intersect(col("shingles"), col("eval_shingles"))).cast("long"))
+      .withColumn("contamination",
+        roundTo(col("n_hit").cast("double") / col("n_shingles"), 4))
+      .withColumn("is_contaminated", col("contamination") >= threshold)
+      .select("doc_id", "n_shingles", "n_hit", "contamination", "is_contaminated")
+      .orderBy("doc_id")
+  }
+
   /** Built-ins-only twin of [[fingerprints]]' native `rolling_hash48`
     * (the specification form the DuckDB oracle mirrors; TextHashSpec
     * asserts equality).

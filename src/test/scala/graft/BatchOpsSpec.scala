@@ -24,6 +24,7 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -187,6 +188,24 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val direct = ev.groupBy("event_type")
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
     assert(viaUnion.exceptAll(direct).isEmpty && direct.exceptAll(viaUnion).isEmpty)
+  }
+
+  test("contamination measures eval-shingle overlap exactly on a constructed fixture") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // evalModulus=2 → eval docs {0, 2}, training docs {1, 3}.
+    val docs = Seq(
+      (0L, "a b c d e"), // eval shingles {a b c, b c d, c d e}
+      (2L, "x y z w"),   // eval shingles {x y z, y z w}
+      (1L, "a b c d q"), // train: {a b c, b c d, c d q} → 2 of 3 leaked
+      (3L, "p q r s")    // train: {p q r, q r s} → clean
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(docs, 2L, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(1L, 3L), "eval docs must be excluded from scoring")
+    assert(out(1L) == ((3L, 2L, 0.6667, true)))
+    assert(out(3L) == ((2L, 0L, 0.0, false)))
   }
 
   test("HLL estimates land inside the sketch's own 3-sigma bound (q52's contract)") {
