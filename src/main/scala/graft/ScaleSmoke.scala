@@ -97,6 +97,18 @@ object ScaleSmoke {
       ("standardize", Pipeline.standardize, c => scaledEvents(spark, dir, c)),
       ("lm_score", Pipeline.lmScore, c => scaledDocs(spark, dir, c)),
       ("kmeans_step", (df: DataFrame) => Similarity.kmeansStep(df, 8),
+        c => scaledEmb(spark, dir, c)),
+      ("quantiles_2pass", EventLog.quantiles, c => scaledEvents(spark, dir, c)),
+      // Realistic axis: the corpus grows, the eval suite does NOT — it
+      // is a fixed holdout from the base corpus.
+      ("contamination", (df: DataFrame) => TextAnalysis.contamination(
+        df,
+        Tables.table(spark, dir, "documents").where(col("doc_id") % 25 === 0),
+        0.1),
+        c => scaledDocs(spark, dir, c)),
+      ("multitable_lsh", (df: DataFrame) => Similarity.multiTableLshSearch(df, 4, 5, 4),
+        c => scaledEmb(spark, dir, c)),
+      ("emb_neardup", (df: DataFrame) => Similarity.nearDupPairs(df, 20),
         c => scaledEmb(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.

@@ -297,7 +297,7 @@ object SparkEntry {
       Pipeline.lengthGate(Tables.table(s, d, "documents"), 0.05, 0.95)),
     "q57_star_join" -> ((s, d) => Relational.starJoin(s, d)),
     "q58_contamination" -> ((s, d) =>
-      TextAnalysis.contamination(Tables.table(s, d, "documents"), ContamModulus, ContamThreshold)),
+      TextAnalysis.contaminationSplit(Tables.table(s, d, "documents"), ContamModulus, ContamThreshold)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in

@@ -161,31 +161,44 @@ object TextAnalysis {
     * near-dup detection covers (a 2% contaminated doc is nowhere near a
     * duplicate).
     *
-    * Scale shape: an eval set is SMALL by definition, so its distinct
-    * shingle set is collected into one bounded row and broadcast; each
-    * training doc then computes its overlap with one per-row
-    * `array_intersect` — the corpus side is MAP-ONLY, no shuffle, no
-    * self-join. (At petabyte corpora with a large eval suite, hash
-    * shingles to 8-byte keys first — same plan shape.) Shingles come
+    * Scale shape: an eval set is SMALL and FIXED by definition (it does
+    * not grow with the corpus), so its distinct shingles broadcast as
+    * the build side of one hash join; the corpus side explodes its
+    * shingles map-side and probes that SHARED hash table — per-row cost
+    * O(shingles), one partial-aggregated count per doc. (An
+    * `array_intersect` against a collected eval array is the tempting
+    * one-liner, but Spark rebuilds the probe set per ROW — measured
+    * superlinear in ScaleSmoke; the join form is linear.) Shingles come
     * from the same native `shingle3` expression as the dedup family, so
     * the overlap definition is shared with q17's oracles.
     */
-  def contamination(docs: DataFrame, evalModulus: Long, threshold: Double): DataFrame = {
-    val sh = Dedup.withShingles(docs)
-    val evalSet = sh.where(col("doc_id") % evalModulus === 0)
-      .select(explode(col("shingles")).as("s"))
-      .agg(collect_set("s").as("eval_shingles"))
-    sh.where(col("doc_id") % evalModulus =!= 0)
-      .crossJoin(broadcast(evalSet))
-      .withColumn("n_shingles", size(col("shingles")).cast("long"))
-      .withColumn("n_hit",
-        size(array_intersect(col("shingles"), col("eval_shingles"))).cast("long"))
+  def contamination(docs: DataFrame, evalDocs: DataFrame, threshold: Double): DataFrame = {
+    val evalSet = Dedup.withShingles(evalDocs)
+      .select(explode(col("shingles")).as("s")).distinct()
+      .withColumn("hit", lit(1))
+    Dedup.withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .join(broadcast(evalSet), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_hit"))
       .withColumn("contamination",
         roundTo(col("n_hit").cast("double") / col("n_shingles"), 4))
       .withColumn("is_contaminated", col("contamination") >= threshold)
       .select("doc_id", "n_shingles", "n_hit", "contamination", "is_contaminated")
       .orderBy("doc_id")
   }
+
+  /** [[contamination]] with the eval set carved out of the corpus by a
+    * deterministic id split (`doc_id % evalModulus == 0`) — the q58
+    * oracle shape; eval docs are excluded from scoring.
+    */
+  def contaminationSplit(docs: DataFrame, evalModulus: Long, threshold: Double): DataFrame =
+    contamination(
+      docs.where(col("doc_id") % evalModulus =!= 0),
+      docs.where(col("doc_id") % evalModulus === 0),
+      threshold)
 
   /** Built-ins-only twin of [[fingerprints]]' native `rolling_hash48`
     * (the specification form the DuckDB oracle mirrors; TextHashSpec

@@ -200,7 +200,7 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "a b c d q"), // train: {a b c, b c d, c d q} → 2 of 3 leaked
       (3L, "p q r s")    // train: {p q r, q r s} → clean
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.contamination(docs, 2L, 0.5)
+    val out = TextAnalysis.contaminationSplit(docs, 2L, 0.5)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
     assert(out.keySet == Set(1L, 3L), "eval docs must be excluded from scoring")

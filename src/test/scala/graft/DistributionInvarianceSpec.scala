@@ -86,7 +86,7 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ivfSearchProbes", f => Similarity.ivfSearchProbes(f(emb), 8, 4, 5, 2)),
       ("multiTableLshSearch", f => Similarity.multiTableLshSearch(f(emb), 4, 5, 4)),
       ("embNearDupPairs", f => Similarity.nearDupPairs(f(emb), 20)),
-      ("contamination", f => TextAnalysis.contamination(f(docs), 25L, 0.1)))
+      ("contamination", f => TextAnalysis.contaminationSplit(f(docs), 25L, 0.1)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {
