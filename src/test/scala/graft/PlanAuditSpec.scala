@@ -233,6 +233,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no dynamic partition pruning in plan:\n$physical")
   }
 
+  test("q18h: multi-table LSH joins broadcast query buckets — the corpus is never sort-merge-shuffled") {
+    val p = plan(q("q18h_multitable_lsh"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bucket join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side shuffled or crossed for the candidate join:\n$p")
+  }
+
+  test("q58: contamination probes one broadcast eval-shingle table — no corpus self-join") {
+    val p = plan(q("q58_contamination"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast eval-set join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination fell off the broadcast-probe shape:\n$p")
+  }
+
+  test("q25: two-pass quantiles broadcast the located cells; pass 2 never sort-merges the log") {
+    val p = plan(q("q25_quantiles"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast target-cell join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"raw rows shuffled for the cell join:\n$p")
+  }
+
   test("no un-partitioned window over full relations in any headline query") {
     // Window specs must always carry a partitionBy: an empty Partition
     // spec collapses the relation into one task (round-1's q10/q20
