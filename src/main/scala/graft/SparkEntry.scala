@@ -52,6 +52,9 @@ object SparkEntry {
   /** Q58: eval split (doc_id % modulus == 0) and contamination flag threshold. */
   private val ContamModulus = 25L
   private val ContamThreshold = 0.1
+  /** Q59: sequence-packing token budget (docs average ~54 tokens, so a
+    * 256-token sequence holds a handful of whole documents). */
+  private val PackBudget = 256L
   /** Q22 mixture: per-source sampling rates (rest at the default). */
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
   private val MixDefaultRate = 0.1
@@ -298,6 +301,10 @@ object SparkEntry {
     "q57_star_join" -> ((s, d) => Relational.starJoin(s, d)),
     "q58_contamination" -> ((s, d) =>
       TextAnalysis.contaminationSplit(Tables.table(s, d, "documents"), ContamModulus, ContamThreshold)),
+    "q59_chunk_pack" -> ((s, d) =>
+      Packing.chunkPack(Tables.table(s, d, "documents"), PackBudget)),
+    "q59b_greedy_pack" -> ((s, d) =>
+      Packing.greedyPackDf(Tables.table(s, d, "documents"), PackBudget)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1264,5 +1271,41 @@ object SparkEntry {
                  ${roundSql("CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / len(tr.sg)", 4)} AS contamination,
                  ${roundSql("CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / len(tr.sg)", 4)} >= $ContamThreshold AS is_contaminated
           FROM tr LEFT JOIN hits USING (doc_id) ORDER BY tr.doc_id""",
+    // Q59: concat-and-chunk packing — pure integer window arithmetic, so
+    // the mirror is exact (no float contract).
+    "q59_chunk_pack" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % ${Packing.DefaultShards} AS shard,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+          c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS tok_start
+                FROM t)
+          SELECT doc_id, shard, n_tokens, tok_start,
+                 CAST(tok_start // $PackBudget AS BIGINT) AS seq_first,
+                 CAST((tok_start + n_tokens - 1) // $PackBudget AS BIGINT) AS seq_last,
+                 CAST((tok_start + n_tokens - 1) // $PackBudget
+                   - tok_start // $PackBudget + 1 AS BIGINT) AS n_seqs,
+                 CAST(tok_start % $PackBudget AS BIGINT) AS seq_offset
+          FROM c ORDER BY doc_id""",
+    // Q59b: greedy first-fit packing — the bin boundary depends on its
+    // own history, so the oracle replays the identical fold as a
+    // recursive CTE stepping row_number within each shard.
+    "q59b_greedy_pack" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, doc_id % ${Packing.DefaultShards} AS shard,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+          r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+          g AS (
+            SELECT shard, doc_id, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+            FROM r WHERE rn = 1
+            UNION ALL
+            SELECT r.shard, r.doc_id, r.n_tokens, r.rn,
+                   CASE WHEN g.fill + r.n_tokens > $PackBudget THEN g.bin + 1 ELSE g.bin END,
+                   CASE WHEN g.fill + r.n_tokens > $PackBudget THEN r.n_tokens
+                        ELSE g.fill + r.n_tokens END
+            FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)
+          SELECT doc_id, shard, bin, fill FROM g ORDER BY doc_id""",
   )
 }

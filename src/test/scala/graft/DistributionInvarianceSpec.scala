@@ -86,7 +86,9 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ivfSearchProbes", f => Similarity.ivfSearchProbes(f(emb), 8, 4, 5, 2)),
       ("multiTableLshSearch", f => Similarity.multiTableLshSearch(f(emb), 4, 5, 4)),
       ("embNearDupPairs", f => Similarity.nearDupPairs(f(emb), 20)),
-      ("contamination", f => TextAnalysis.contaminationSplit(f(docs), 25L, 0.1)))
+      ("contamination", f => TextAnalysis.contaminationSplit(f(docs), 25L, 0.1)),
+      ("chunkPack", f => Packing.chunkPack(f(docs), 256L)),
+      ("greedyPack", f => Packing.greedyPackDf(f(docs), 256L)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {
