@@ -125,6 +125,14 @@ object SparkEntry {
     * (`sig(doc_id, sg, sig)`). 1-based list indexing here ↔ 0-based
     * array indexing on the Spark side.
     */
+  /** Q60: DuckDB mirror of [[Snapshot.syntheticOld]] / [[Snapshot.syntheticNew]],
+    * each reduced to (doc_id, md5) exactly as the engine does pre-join. */
+  private val snapshotCtes =
+    """o AS (SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 10 <> 3),
+       n AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN md5(text || ' rev2') ELSE md5(text) END AS new_hash
+             FROM documents WHERE doc_id % 7 <> 2)"""
+
   private val shingleCte =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        sh AS (SELECT doc_id,
@@ -305,6 +313,18 @@ object SparkEntry {
       Packing.chunkPack(Tables.table(s, d, "documents"), PackBudget)),
     "q59b_greedy_pack" -> ((s, d) =>
       Packing.greedyPackDf(Tables.table(s, d, "documents"), PackBudget)),
+    "q59c_pack_stats" -> ((s, d) =>
+      Packing.packStats(Tables.table(s, d, "documents"), PackBudget)),
+    "q60_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      Snapshot.diff(Snapshot.syntheticOld(docs), Snapshot.syntheticNew(docs))
+    }),
+    "q60b_diff_summary" -> ((s, d) => {
+      val docs = Tables.table(s, d, "documents")
+      Snapshot.diffSummary(Snapshot.syntheticOld(docs), Snapshot.syntheticNew(docs))
+    }),
+    "q61_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.table(s, d, "documents"))),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1307,5 +1327,81 @@ object SparkEntry {
                         ELSE g.fill + r.n_tokens END
             FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)
           SELECT doc_id, shard, bin, fill FROM g ORDER BY doc_id""",
+    // Q59c: utilization summary over the same greedy fold (HUGEINT sums
+    // cast back to BIGINT to match Spark's long aggregates).
+    "q59c_pack_stats" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, doc_id % ${Packing.DefaultShards} AS shard,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+          r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+          g AS (
+            SELECT shard, doc_id, n_tokens, rn,
+                   CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+            FROM r WHERE rn = 1
+            UNION ALL
+            SELECT r.shard, r.doc_id, r.n_tokens, r.rn,
+                   CASE WHEN g.fill + r.n_tokens > $PackBudget THEN g.bin + 1 ELSE g.bin END,
+                   CASE WHEN g.fill + r.n_tokens > $PackBudget THEN r.n_tokens
+                        ELSE g.fill + r.n_tokens END
+            FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1),
+          b AS (SELECT shard, bin, max(fill) AS bin_tokens, count(*) AS n_docs
+                FROM g GROUP BY shard, bin)
+          SELECT shard, CAST(count(*) AS BIGINT) AS n_bins,
+                 CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                 CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+                 CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+                 ${roundSql(s"CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * $PackBudget)", 4)} AS utilization
+          FROM b GROUP BY shard ORDER BY shard""",
+    // Q60: corpus snapshot diff — both sides reduce to (doc_id, md5)
+    // before the full-outer join; DuckDB and Spark md5() agree on
+    // lowercase hex.
+    "q60_snapshot_diff" ->
+      s"""WITH $snapshotCtes
+          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_hash, n.new_hash,
+                 CASE WHEN o.old_hash IS NULL THEN 'added'
+                      WHEN n.new_hash IS NULL THEN 'removed'
+                      WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+          ORDER BY 1""",
+    "q60b_diff_summary" ->
+      s"""WITH $snapshotCtes,
+          d AS (SELECT CASE WHEN o.old_hash IS NULL THEN 'added'
+                            WHEN n.new_hash IS NULL THEN 'removed'
+                            WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+          FROM d GROUP BY status ORDER BY status""",
+    // Q61: repetition metrics — the oracle computes the same quantities
+    // set-wise (unnest → count → max) where the engine uses a per-row
+    // sorted-run fold; agreement across formulations is the point.
+    "q61_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(ws) >= 2 THEN
+                       list_transform(generate_series(1, len(ws) - 1),
+                         i -> ws[i] || ' ' || ws[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END AS bg
+                   FROM t),
+          uc AS (SELECT doc_id, tok, count(*) AS c
+                 FROM (SELECT doc_id, unnest(ws) AS tok FROM t) GROUP BY 1, 2),
+          us AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok,
+                   CAST(count(*) AS BIGINT) AS n_types FROM uc GROUP BY 1),
+          bc AS (SELECT doc_id, b, count(*) AS c
+                 FROM (SELECT doc_id, unnest(bg) AS b FROM base) GROUP BY 1, 2),
+          bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram,
+                   CAST(count(*) AS BIGINT) AS n_bigram_types FROM bc GROUP BY 1)
+          SELECT base.doc_id, base.n_tokens, us.n_types, us.top_tok,
+                 ${roundSql("CAST(us.top_tok AS DOUBLE) / base.n_tokens", 4)} AS top_tok_frac,
+                 CAST(greatest(base.n_tokens - 1, 0) AS BIGINT) AS n_bigrams,
+                 CAST(COALESCE(bs.n_bigram_types, 0) AS BIGINT) AS n_bigram_types,
+                 CAST(COALESCE(bs.top_bigram, 0) AS BIGINT) AS top_bigram,
+                 CASE WHEN base.n_tokens > 1 THEN
+                   ${roundSql("CAST(bs.top_bigram AS DOUBLE) / (base.n_tokens - 1)", 4)} END AS top_bigram_frac,
+                 CASE WHEN base.n_tokens > 1 THEN
+                   ${roundSql("CAST(bs.n_bigram_types AS DOUBLE) / (base.n_tokens - 1)", 4)} END AS distinct_bigram_ratio
+          FROM base JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
+          ORDER BY base.doc_id""",
   )
 }

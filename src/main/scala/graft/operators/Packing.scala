@@ -110,4 +110,28 @@ object Packing {
   /** [[greedyPack]] as an oracle-comparable frame (deterministic order). */
   def greedyPackDf(docs: DataFrame, budget: Long, nShards: Int = DefaultShards): DataFrame =
     greedyPack(docs, budget, nShards).toDF().orderBy("doc_id")
+
+  /** Q59c — packing utilization summary: the dashboard a pipeline
+    * operator reads before committing a packed corpus to training. Per
+    * shard: bins produced, docs and tokens packed, the fullest bin, and
+    * `utilization` = packed tokens / (bins × budget) — the complement of
+    * the padding-waste fraction the trainer pays (can exceed 1 only if
+    * an oversized doc overflows its solo bin). Two map-side-combinable
+    * aggregations over the fold output; the shuffle key is (shard, bin)
+    * then shard — token text never moves.
+    */
+  def packStats(docs: DataFrame, budget: Long, nShards: Int = DefaultShards): DataFrame = {
+    val bins = greedyPack(docs, budget, nShards).toDF()
+      .groupBy("shard", "bin")
+      .agg(max("fill").as("bin_tokens"), count(lit(1)).as("n_docs"))
+    bins.groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum("n_docs").as("n_docs"),
+        sum("bin_tokens").as("total_tokens"),
+        max("bin_tokens").as("max_bin_tokens"),
+        graft.functions.Deterministic.roundTo(
+          sum("bin_tokens").cast("double") / (count(lit(1)) * budget), 4).as("utilization"))
+      .orderBy("shard")
+  }
 }

@@ -214,4 +214,55 @@ object TextAnalysis {
               CAST(0 AS BIGINT), (acc, h) -> acc + h)"""))
       .select(col("doc_id"), md5(col("text")).as("content_md5"), col("rolling_hash"))
       .orderBy("doc_id")
+
+  /** The most-frequent-element count of a string multiset, computed as
+    * the longest equal-run of its sorted order: `array_sort` + one O(n)
+    * codegen'd fold. This keeps the repetition metrics per-row — the
+    * explode→groupBy formulation would shuffle every token of every
+    * document just to compute a per-document number.
+    */
+  private def maxRunExpr(sortedArr: String): String =
+    s"""aggregate($sortedArr,
+          named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+          (a, x) -> named_struct(
+            'prev', x,
+            'run',  CASE WHEN x <=> a.prev THEN a.run + 1L ELSE 1L END,
+            'best', greatest(a.best, CASE WHEN x <=> a.prev THEN a.run + 1L ELSE 1L END)),
+          a -> a.best)"""
+
+  /** Q61 — per-document repetition metrics, the Gopher-style repetition
+    * quality gates (token-level variants of "fraction of tokens in the
+    * most common n-gram"): top-token and top-bigram fractions plus the
+    * distinct-bigram ratio. Boilerplate/spam scores high (one phrase
+    * repeated), natural prose low.
+    *
+    * Scale shape: pure per-row array math ([[maxRunExpr]]) — zero
+    * shuffle, zero explode; the parquet scan IS the operator, so it
+    * runs at I/O speed on any corpus size. The DuckDB oracle states the
+    * same quantities set-wise (unnest → count → max), deliberately a
+    * different algorithm arriving at the same numbers.
+    */
+  def repetition(docs: DataFrame): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(words) < 2 THEN CAST(array() AS ARRAY<STRING>)
+           ELSE transform(sequence(0, size(words) - 2),
+                  i -> concat(words[i], ' ', words[i + 1])) END"""))
+      .withColumn("n_types", size(array_distinct(col("words"))).cast("long"))
+      .withColumn("top_tok", expr(maxRunExpr("array_sort(words)")))
+      .withColumn("n_bigrams", greatest(col("n_tokens") - 1, lit(0L)))
+      .withColumn("n_bigram_types", size(array_distinct(col("bigrams"))).cast("long"))
+      .withColumn("top_bigram", expr(maxRunExpr("array_sort(bigrams)")))
+      .withColumn("top_tok_frac",
+        roundTo(col("top_tok").cast("double") / col("n_tokens"), 4))
+      .withColumn("top_bigram_frac", when(col("n_bigrams") > 0,
+        roundTo(col("top_bigram").cast("double") / col("n_bigrams"), 4)))
+      .withColumn("distinct_bigram_ratio", when(col("n_bigrams") > 0,
+        roundTo(col("n_bigram_types").cast("double") / col("n_bigrams"), 4)))
+      .select("doc_id", "n_tokens", "n_types", "top_tok", "top_tok_frac",
+        "n_bigrams", "n_bigram_types", "top_bigram", "top_bigram_frac",
+        "distinct_bigram_ratio")
+      .orderBy("doc_id")
 }

@@ -88,7 +88,10 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("embNearDupPairs", f => Similarity.nearDupPairs(f(emb), 20)),
       ("contamination", f => TextAnalysis.contaminationSplit(f(docs), 25L, 0.1)),
       ("chunkPack", f => Packing.chunkPack(f(docs), 256L)),
-      ("greedyPack", f => Packing.greedyPackDf(f(docs), 256L)))
+      ("greedyPack", f => Packing.greedyPackDf(f(docs), 256L)),
+      ("packStats", f => Packing.packStats(f(docs), 256L)),
+      ("snapshotDiff", f => Snapshot.diff(Snapshot.syntheticOld(f(docs)), Snapshot.syntheticNew(f(docs)))),
+      ("repetition", f => TextAnalysis.repetition(f(docs))))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {

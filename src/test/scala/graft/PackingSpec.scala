@@ -132,4 +132,21 @@ class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 9 cannot join (25 + 3 > 10) → bin 1; doc 17 fits with doc 9.
     assert(out.toSeq == Seq((1L, 0L, 25L), (9L, 1L, 3L), (17L, 1L, 7L)))
   }
+
+  test("pack stats agree with a driver-side replay of the greedy assignment") {
+    val stats = Packing.packStats(docs, Budget).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    greedy.groupBy(_.shard).foreach { case (shard, rows) =>
+      val (nBins, nDocs, totalTokens, maxBin, util) = stats(shard)
+      val binTotals = rows.groupBy(_.bin).map { case (_, ms) => ms.map(m => tokensOf(m.docId)).sum }
+      assert(nBins == rows.map(_.bin).distinct.size)
+      assert(nDocs == rows.size)
+      assert(totalTokens == rows.map(r => tokensOf(r.docId)).sum)
+      assert(maxBin == binTotals.max)
+      val expected = math.floor(totalTokens.toDouble / (nBins * Budget) * 1e4 + 0.5) / 1e4
+      assert(util == expected, s"shard $shard utilization $util != $expected")
+      assert(util > 0.5 && util <= 1.0, s"shard $shard utilization $util out of sane range")
+    }
+  }
 }
