@@ -44,7 +44,7 @@ object Packing {
   /** Deterministic shard count — the packing parallelism axis. */
   val DefaultShards = 8
 
-  private def tokenized(docs: DataFrame, nShards: Int): DataFrame =
+  private[graft] def tokenized(docs: DataFrame, nShards: Int): DataFrame =
     docs.select(
       col("doc_id"),
       (col("doc_id") % nShards).as("shard"),

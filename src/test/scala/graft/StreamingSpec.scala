@@ -726,4 +726,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id", "split").orderBy("doc_id").collect().toSeq
     assert(gotS == wantS)
   }
+
+  test("S12: streaming chunk packing ≡ batch chunkPack across arbitrary microbatch splits") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // Docs of varying token counts; per-shard doc_id order holds across
+    // batches (the ordered-delivery contract), but batch boundaries cut
+    // mid-shard and mid-sequence, and intra-batch order is scrambled —
+    // the packer must sort within the batch and carry the cursor across.
+    val budget = 16L
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill((i % 7 + 1).toInt)(s"w$i").mkString(" "))
+    }
+    val src = MemoryStream[(Long, String)]
+    src.addData(scala.util.Random.shuffle(docs.take(23)): _*)
+    src.addData(scala.util.Random.shuffle(docs.slice(23, 24)): _*) // single-doc batch
+    src.addData(scala.util.Random.shuffle(docs.drop(24)): _*)
+
+    val q = graft.streaming.StreamingPacking
+      .chunkAssignments(src.toDF().toDF("doc_id", "text"), budget)
+      .writeStream.format("memory").queryName("s12").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("s12").orderBy("doc_id").collect().toSeq
+    val want = graft.operators.Packing
+      .chunkPack(docs.toDF("doc_id", "text"), budget)
+      .collect().toSeq
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+    assert(got.size == 60)
+  }
 }
