@@ -264,4 +264,39 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bad.isEmpty, s"$name has an un-partitioned window: $bad")
     }
   }
+
+  test("selective dim → fact joins get a Bloom runtime filter on the fact scan at scale") {
+    // At 100 TB the fact side of q24/q57-shaped joins dwarfs the
+    // filtered dimension; Spark's InjectRuntimeFilter then semi-filters
+    // the fact scan with a Bloom filter built from the dim's join keys,
+    // cutting shuffle input before the join. The rule only fires when
+    // the application-side scan exceeds a size threshold (default
+    // 10 GB), so test data never triggers it naturally — here the
+    // threshold is dropped to simulate the at-scale decision and pin
+    // that nothing in the engine's session/query shape defeats the rule
+    // (a non-equi join, a disabled flag, or an expression on the key
+    // would all suppress injection and this assertion).
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+    val prev = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // At scale the filtered dim exceeds the broadcast threshold and the
+    // join shuffles — that shuffle join is what the rule targets; at
+    // sf0.001 the dim would broadcast, so force the at-scale join shape.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions.col
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no Bloom runtime filter injected:\n$optimized")
+    } finally {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
 }
