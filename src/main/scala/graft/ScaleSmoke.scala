@@ -109,7 +109,15 @@ object ScaleSmoke {
       ("multitable_lsh", (df: DataFrame) => Similarity.multiTableLshSearch(df, 4, 5, 4),
         c => scaledEmb(spark, dir, c)),
       ("emb_neardup", (df: DataFrame) => Similarity.nearDupPairs(df, 20),
-        c => scaledEmb(spark, dir, c)))
+        c => scaledEmb(spark, dir, c)),
+      ("chunk_pack", (df: DataFrame) => Packing.chunkPack(df, 256L),
+        c => scaledDocs(spark, dir, c)),
+      ("greedy_pack", (df: DataFrame) => Packing.greedyPackDf(df, 256L),
+        c => scaledDocs(spark, dir, c)),
+      ("snapshot_diff", (df: DataFrame) => Snapshot.diff(
+        Snapshot.syntheticOld(df), Snapshot.syntheticNew(df)),
+        c => scaledDocs(spark, dir, c)),
+      ("repetition", TextAnalysis.repetition, c => scaledDocs(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

@@ -55,6 +55,11 @@ object SparkEntry {
   /** Q59: sequence-packing token budget (docs average ~54 tokens, so a
     * 256-token sequence holds a handful of whole documents). */
   private val PackBudget = 256L
+  /** Q62: training-token budget (~1/3 of the sf0.01 corpus's ~27k
+    * tokens, so the quality threshold lands mid-distribution) and the
+    * quality-histogram cell count. */
+  private val SelectBudget = 10000L
+  private val BudgetBins = 20
   /** Q22 mixture: per-source sampling rates (rest at the default). */
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
   private val MixDefaultRate = 0.1
@@ -325,6 +330,8 @@ object SparkEntry {
     }),
     "q61_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.table(s, d, "documents"))),
+    "q62_budget_select" -> ((s, d) =>
+      TextAnalysis.budgetSelect(Tables.table(s, d, "documents"), SelectBudget, BudgetBins)),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1403,5 +1410,33 @@ object SparkEntry {
                    ${roundSql("CAST(bs.n_bigram_types AS DOUBLE) / (base.n_tokens - 1)", 4)} END AS distinct_bigram_ratio
           FROM base JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
           ORDER BY base.doc_id""",
+    // Q62: budget selection — the oracle replays the identical two-pass
+    // histogram (cells → suffix-sum threshold → semi-join); the quality
+    // score is q19b's formula verbatim, so the per-row cell assignment
+    // is the same IEEE arithmetic in both engines.
+    "q62_budget_select" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          m AS (SELECT doc_id,
+                  CAST(len(ws) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+                  len(list_filter(ws, w -> w IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+                FROM d),
+          r AS (SELECT doc_id, n_tokens,
+                  ${roundSql("CAST(n_types AS DOUBLE) / n_tokens", 4)} AS ttr,
+                  ${roundSql("CAST(n_stop AS DOUBLE) / n_tokens", 4)} AS stop_ratio
+                FROM m),
+          scored AS (SELECT doc_id, n_tokens,
+                  ${roundSql("0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) + 0.4 * ttr + 0.3 * stop_ratio", 4)} AS quality
+                FROM r),
+          sc AS (SELECT *, CAST(least(${BudgetBins - 1},
+                   CAST(floor(quality * $BudgetBins) AS BIGINT)) AS INTEGER) AS cell
+                 FROM scored),
+          cells AS (SELECT cell, CAST(sum(n_tokens) AS BIGINT) AS cell_tokens
+                    FROM sc GROUP BY cell),
+          cum AS (SELECT a.cell, CAST(sum(b.cell_tokens) AS BIGINT) AS cum_tokens
+                  FROM cells a JOIN cells b ON b.cell >= a.cell GROUP BY a.cell),
+          keep AS (SELECT cell FROM cum WHERE cum_tokens <= $SelectBudget)
+          SELECT doc_id, n_tokens, quality, cell
+          FROM sc SEMI JOIN keep USING (cell) ORDER BY doc_id""",
   )
 }

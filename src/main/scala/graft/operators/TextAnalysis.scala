@@ -47,6 +47,14 @@ object TextAnalysis {
     *     is cross-engine stable.
     */
   def qualityLangId(docs: DataFrame): DataFrame =
+    qualityCore(docs)
+      .select("doc_id", "n_tokens", "n_tokens_re", "n_types", "ttr",
+        "stop_ratio", "mean_wlen", "quality", "lang_pred", "lang_match")
+      .orderBy("doc_id")
+
+  /** [[qualityLangId]] without the presentation sort/projection, for
+    * operators that consume the quality score mid-pipeline. */
+  private[graft] def qualityCore(docs: DataFrame): DataFrame =
     graft.sources.Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")).cast("long"))
@@ -66,9 +74,6 @@ object TextAnalysis {
       .withColumn("lang_pred",
         when(col("stop_ratio") >= 0.05, lit("en")).otherwise(lit("other")))
       .withColumn("lang_match", (col("lang_pred") === col("lang")).cast("boolean"))
-      .select("doc_id", "n_tokens", "n_tokens_re", "n_types", "ttr",
-        "stop_ratio", "mean_wlen", "quality", "lang_pred", "lang_match")
-      .orderBy("doc_id")
 
   /** Q19c — document fingerprints:
     *   - content_md5: exact-content digest;
@@ -265,4 +270,42 @@ object TextAnalysis {
         "n_bigrams", "n_bigram_types", "top_bigram", "top_bigram_frac",
         "distinct_bigram_ratio")
       .orderBy("doc_id")
+
+  /** Q62 — corpus selection under a token budget: keep the
+    * highest-quality documents whose total token count fits `budget`
+    * (the "how much of this crawl do we train on" decision). The naive
+    * formulation — sort the corpus by quality and cut a running
+    * cumulative sum — is the single-task anti-pattern (an un-partitioned
+    * window over everything). This is the two-pass histogram form, the
+    * same shape as the engine's exact quantiles:
+    *
+    *   - pass 1: bucket the quality score into `bins` cells and
+    *     aggregate each cell's token total (bounded: ≤ `bins` rows);
+    *   - threshold: a suffix-sum over the bounded cells table (a
+    *     bins²-bounded self-join, never a corpus window) picks the
+    *     largest top-quality cell set whose total fits the budget;
+    *   - pass 2: a map-only broadcast semi-join of the corpus against
+    *     the kept cells (≤ `bins` ints).
+    *
+    * Admission is conservative at cell granularity: the boundary cell
+    * that would overflow is excluded whole, so the selection never
+    * exceeds the budget and needs no intra-cell tie-breaking;
+    * granularity loss is at most the boundary cell's share, tunable via
+    * `bins`.
+    */
+  def budgetSelect(docs: DataFrame, tokenBudget: Long, bins: Int = 20): DataFrame = {
+    val scored = qualityCore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .withColumn("cell",
+        least(lit((bins - 1).toLong), floor(col("quality") * bins)).cast("int"))
+    val cells = scored.groupBy("cell").agg(sum("n_tokens").as("cell_tokens"))
+    val cum = cells.as("a")
+      .join(cells.as("b"), col("b.cell") >= col("a.cell"))
+      .groupBy(col("a.cell").as("cell"))
+      .agg(sum(col("b.cell_tokens")).as("cum_tokens"))
+    val keep = cum.filter(col("cum_tokens") <= tokenBudget).select("cell")
+    scored.join(broadcast(keep), Seq("cell"), "left_semi")
+      .select("doc_id", "n_tokens", "quality", "cell")
+      .orderBy("doc_id")
+  }
 }
