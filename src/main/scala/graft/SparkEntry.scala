@@ -332,6 +332,8 @@ object SparkEntry {
       TextAnalysis.repetition(Tables.table(s, d, "documents"))),
     "q62_budget_select" -> ((s, d) =>
       TextAnalysis.budgetSelect(Tables.table(s, d, "documents"), SelectBudget, BudgetBins)),
+    "q63_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMixture(Tables.table(s, d, "documents"))),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1438,5 +1440,24 @@ object SparkEntry {
           keep AS (SELECT cell FROM cum WHERE cum_tokens <= $SelectBudget)
           SELECT doc_id, n_tokens, quality, cell
           FROM sc SEMI JOIN keep USING (cell) ORDER BY doc_id""",
+    // Q63: temperature mixture — sqrt is IEEE-correctly-rounded in both
+    // engines; per-source weights grid-round before the exact integer
+    // total; boost composes the already-rounded shares.
+    "q63_temperature_mix" ->
+      s"""WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+          s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                FROM t GROUP BY source),
+          w AS (SELECT *, ${roundSql("sqrt(CAST(n_tokens AS DOUBLE))", 6)} AS w FROM s),
+          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                    ${exactSumSql("w", 6)} AS total_w FROM w)
+          SELECT source, n_docs, n_tokens,
+                 ${roundSql("CAST(n_tokens AS DOUBLE) / total_tokens", 6)} AS p_raw,
+                 ${roundSql("w / total_w", 6)} AS p_temp,
+                 ${roundSql(
+                   s"${roundSql("w / total_w", 6)} / ${roundSql("CAST(n_tokens AS DOUBLE) / total_tokens", 6)}",
+                   4)} AS boost
+          FROM w CROSS JOIN tot ORDER BY source""",
   )
 }

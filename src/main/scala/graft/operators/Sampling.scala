@@ -38,4 +38,44 @@ object Sampling {
       .select("doc_id", "source", "lang", "n_chars", "keep_rate")
       .orderBy("doc_id")
   }
+
+  /** Q63 — temperature mixture reweighting, the corpus-composition step
+    * that decides each source's share of the training mix: raw share
+    * `p_raw ∝ n_tokens` overfits the biggest crawl, so sources are
+    * reweighted by `n_tokens^α` with α = 1/2 (temperature-2 sampling —
+    * the standard low-resource upweighting), and `boost = p_temp/p_raw`
+    * is the per-source over/undersampling factor to feed
+    * [[stratifiedSample]].
+    *
+    * α is fixed at 1/2 because `sqrt` is the one power IEEE 754
+    * requires correctly rounded — bit-identical in every engine —
+    * whereas `pow(x, α)` tolerates a ulp of libm drift (a general-α
+    * variant would have the same plan shape, only a weaker float
+    * contract). Cross-group totals come from a 1-row aggregate
+    * broadcast back by crossJoin (the bounded pattern, not a window
+    * over the sources); per-source weights are grid-rounded before the
+    * exact integer total, per the engine-wide float rule.
+    *
+    * Scale shape: one map-side-combinable aggregation over the corpus
+    * (shuffle = one row per source per partition), then arithmetic on
+    * the #sources-row result. Nothing else moves.
+    */
+  def temperatureMixture(docs: DataFrame): DataFrame = {
+    import graft.functions.Deterministic.{exactSum, roundTo}
+    val bySource = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("w", roundTo(sqrt(col("n_tokens").cast("double")), 6))
+    val totals = bySource.agg(
+      sum("n_tokens").as("total_tokens"),
+      exactSum(col("w"), 6).as("total_w"))
+    bySource.crossJoin(broadcast(totals))
+      .withColumn("p_raw",
+        roundTo(col("n_tokens").cast("double") / col("total_tokens"), 6))
+      .withColumn("p_temp", roundTo(col("w") / col("total_w"), 6))
+      .withColumn("boost", roundTo(col("p_temp") / col("p_raw"), 4))
+      .select("source", "n_docs", "n_tokens", "p_raw", "p_temp", "boost")
+      .orderBy("source")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, DenseId, EventLog, Multimodal, Temporal}
+import graft.operators.{Dedup, DenseId, EventLog, Multimodal, Sampling, Temporal}
 import graft.sources.Tables
 
 /** Batch operator spot-checks that the DuckDB oracle gate can't express:
@@ -223,6 +223,29 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(relErr <= bound,
         s"${r.getAs[String]("event_type")}: rel_err $relErr > 3σ bound $bound")
       assert(r.getAs[Boolean]("within_tol"))
+    }
+  }
+
+  test("temperature mixture: shares sum to 1 and boost strictly upweights smaller sources") {
+    val rows = Sampling.temperatureMixture(Tables.table(spark, sf, "documents"))
+      .collect()
+    assert(rows.length > 1, "needs multiple sources to mean anything")
+    // Both share columns are per-source rounded to 1e-6, so the totals
+    // sit within #sources ulps of 1.
+    val tol = rows.length * 1e-6
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) <= tol)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) <= tol)
+    // boost(n) = Σn / (sqrt(n)·Σsqrt) is strictly decreasing in source
+    // size: temperature sampling upweights small sources, downweights
+    // large ones, and brackets 1 whenever sizes differ.
+    val bySize = rows.sortBy(_.getLong(2)).map(r => (r.getLong(2), r.getDouble(5)))
+    bySize.sliding(2).foreach {
+      case Array((n1, b1), (n2, b2)) if n1 < n2 =>
+        assert(b1 > b2, s"boost not decreasing: $n1→$b1 vs $n2→$b2")
+      case _ => ()
+    }
+    if (bySize.head._1 != bySize.last._1) {
+      assert(bySize.head._2 > 1.0 && bySize.last._2 < 1.0)
     }
   }
 }

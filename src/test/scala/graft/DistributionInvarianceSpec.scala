@@ -91,7 +91,9 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("greedyPack", f => Packing.greedyPackDf(f(docs), 256L)),
       ("packStats", f => Packing.packStats(f(docs), 256L)),
       ("snapshotDiff", f => Snapshot.diff(Snapshot.syntheticOld(f(docs)), Snapshot.syntheticNew(f(docs)))),
-      ("repetition", f => TextAnalysis.repetition(f(docs))))
+      ("repetition", f => TextAnalysis.repetition(f(docs))),
+      ("budgetSelect", f => TextAnalysis.budgetSelect(f(docs), 3000L, 20)),
+      ("temperatureMixture", f => Sampling.temperatureMixture(f(docs))))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {
