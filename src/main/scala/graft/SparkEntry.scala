@@ -320,6 +320,8 @@ object SparkEntry {
       Packing.greedyPackDf(Tables.table(s, d, "documents"), PackBudget)),
     "q59c_pack_stats" -> ((s, d) =>
       Packing.packStats(Tables.table(s, d, "documents"), PackBudget)),
+    "q59d_seq_manifest" -> ((s, d) =>
+      Packing.sequenceManifest(Tables.table(s, d, "documents"), PackBudget)),
     "q60_snapshot_diff" -> ((s, d) => {
       val docs = Tables.table(s, d, "documents")
       Snapshot.diff(Snapshot.syntheticOld(docs), Snapshot.syntheticNew(docs))
@@ -1361,6 +1363,26 @@ object SparkEntry {
                  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
                  ${roundSql(s"CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * $PackBudget)", 4)} AS utilization
           FROM b GROUP BY shard ORDER BY shard""",
+    // Q59d: sequence manifest — the chunk pack inverted per sequence;
+    // integer overlap arithmetic, exact mirror.
+    "q59d_seq_manifest" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % ${Packing.DefaultShards} AS shard,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+          c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS tok_start
+                FROM t),
+          e AS (SELECT doc_id, shard, n_tokens, tok_start,
+                  unnest(generate_series(tok_start // $PackBudget,
+                    (tok_start + n_tokens - 1) // $PackBudget)) AS seq
+                FROM c)
+          SELECT shard, CAST(seq AS BIGINT) AS seq,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(least(tok_start + n_tokens, (seq + 1) * $PackBudget)
+                   - greatest(tok_start, seq * $PackBudget)) AS BIGINT) AS n_tokens,
+                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM e GROUP BY shard, seq ORDER BY shard, seq""",
     // Q60: corpus snapshot diff — both sides reduce to (doc_id, md5)
     // before the full-outer join; DuckDB and Spark md5() agree on
     // lowercase hex.

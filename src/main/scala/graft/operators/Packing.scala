@@ -58,7 +58,10 @@ object Packing {
     * shards scale out; within a shard Spark's window is a single sorted
     * scan (external sort, spill-safe).
     */
-  def chunkPack(docs: DataFrame, budget: Long, nShards: Int = DefaultShards): DataFrame = {
+  def chunkPack(docs: DataFrame, budget: Long, nShards: Int = DefaultShards): DataFrame =
+    chunkCore(docs, budget, nShards).orderBy("doc_id")
+
+  private def chunkCore(docs: DataFrame, budget: Long, nShards: Int): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     tokenized(docs, nShards)
@@ -69,8 +72,28 @@ object Packing {
       .withColumn("seq_offset", col("tok_start") % budget)
       .select("doc_id", "shard", "n_tokens", "tok_start",
         "seq_first", "seq_last", "n_seqs", "seq_offset")
-      .orderBy("doc_id")
   }
+
+  /** Q59d — the sequence manifest: [[chunkPack]] inverted to the view a
+    * trainer consumes, one row per (shard, seq) with the contributing
+    * doc count, token count, and doc-id range. Every interior sequence
+    * carries exactly `budget` tokens (the zero-waste tiling property,
+    * re-assertable from this output alone); only each shard's last
+    * sequence may be short. Explode fan-out is bounded — a doc spanning
+    * k sequences emits k rows, so total rows ≈ total_tokens/budget +
+    * n_docs — and the aggregation keys on (shard, seq), map-side
+    * combinable.
+    */
+  def sequenceManifest(docs: DataFrame, budget: Long, nShards: Int = DefaultShards): DataFrame =
+    chunkCore(docs, budget, nShards)
+      .withColumn("seq", explode(sequence(col("seq_first"), col("seq_last"))))
+      .withColumn("tok_in_seq",
+        least(col("tok_start") + col("n_tokens"), (col("seq") + 1) * budget)
+          - greatest(col("tok_start"), col("seq") * budget))
+      .groupBy("shard", "seq")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_in_seq").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard", "seq")
 
   /** Q59b — greedy first-fit contiguous packing: per shard, in doc_id
     * order, a document joins the open bin unless it would push the fill

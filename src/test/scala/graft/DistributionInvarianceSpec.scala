@@ -90,6 +90,7 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("chunkPack", f => Packing.chunkPack(f(docs), 256L)),
       ("greedyPack", f => Packing.greedyPackDf(f(docs), 256L)),
       ("packStats", f => Packing.packStats(f(docs), 256L)),
+      ("seqManifest", f => Packing.sequenceManifest(f(docs), 256L)),
       ("snapshotDiff", f => Snapshot.diff(Snapshot.syntheticOld(f(docs)), Snapshot.syntheticNew(f(docs)))),
       ("repetition", f => TextAnalysis.repetition(f(docs))),
       ("budgetSelect", f => TextAnalysis.budgetSelect(f(docs), 3000L, 20)),

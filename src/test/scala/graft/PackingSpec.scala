@@ -133,6 +133,36 @@ class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 0L, 25L), (9L, 1L, 3L), (17L, 1L, 7L)))
   }
 
+  test("sequence manifest: interior sequences carry exactly `budget` tokens, ids bracket correctly") {
+    val manifest = Packing.sequenceManifest(docs, Budget).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val byShard = manifest.groupBy(_._1._1)
+    chunked.groupBy(_.shard).foreach { case (shard, rows) =>
+      val total = rows.map(_.nTokens).sum
+      val lastSeq = (total - 1) / Budget
+      val seqs = byShard(shard).map { case ((_, s), v) => s -> v }.toMap
+      assert(seqs.keySet == (0L to lastSeq).toSet, s"shard $shard manifest skipped a sequence")
+      (0L until lastSeq).foreach { s =>
+        assert(seqs(s)._2 == Budget, s"shard $shard seq $s tokens ${seqs(s)._2} != $Budget")
+      }
+      assert(seqs(lastSeq)._2 == total - lastSeq * Budget)
+      // Doc-id ranges: first/last doc of each sequence are consistent
+      // with the per-doc spans from chunkPack.
+      rows.foreach { r =>
+        (r.seqFirst to r.seqLast).foreach { s =>
+          assert(seqs(s)._3 <= r.docId && r.docId <= seqs(s)._4,
+            s"shard $shard seq $s does not bracket doc ${r.docId}")
+        }
+      }
+      // n_docs per sequence equals the number of per-doc spans touching it.
+      val touch = rows.flatMap(r => (r.seqFirst to r.seqLast).map(s => s -> r.docId))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      seqs.foreach { case (s, (nDocs, _, _, _)) =>
+        assert(nDocs == touch(s), s"shard $shard seq $s n_docs $nDocs != ${touch(s)}")
+      }
+    }
+  }
+
   test("pack stats agree with a driver-side replay of the greedy assignment") {
     val stats = Packing.packStats(docs, Budget).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
