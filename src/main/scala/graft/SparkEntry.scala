@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.sources.{EventLogStore, Tables}
+import graft.sources.{DocStore, EventLogStore, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §2C for the declared query
   * inventory. Every entry in [[queries]] has, where SQL-expressible, an
@@ -60,6 +60,11 @@ object SparkEntry {
     * quality-histogram cell count. */
   private val SelectBudget = 10000L
   private val BudgetBins = 20
+  /** Q64: doc-store bucket span (50 ids ⇒ 10 buckets at sf0.01's 500
+    * docs) and the lookup's id range (spans 2 of the 10 buckets). */
+  private val DocSpan = 50L
+  private val DocLookupLo = 120L
+  private val DocLookupHi = 180L
   /** Q22 mixture: per-source sampling rates (rest at the default). */
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
   private val MixDefaultRate = 0.1
@@ -336,6 +341,14 @@ object SparkEntry {
       TextAnalysis.budgetSelect(Tables.table(s, d, "documents"), SelectBudget, BudgetBins)),
     "q63_temperature_mix" -> ((s, d) =>
       Sampling.temperatureMixture(Tables.table(s, d, "documents"))),
+    "q64_doc_lookup" -> ((s, d) => {
+      // Round-trip through the id-partitioned corpus store: write once
+      // per SF dir, then answer an id-range lookup with partition
+      // pruning (the q01b pattern for documents).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_docstore_${new java.io.File(d).getName}"
+      DocStore.writeOnce(Tables.table(s, d, "documents"), out, DocSpan)
+      DocStore.lookup(s, out, DocLookupLo, DocLookupHi, DocSpan)
+    }),
   )
 
   /** DuckDB oracle for Q20 — the full `Process` replay, reproduced in
@@ -1481,5 +1494,11 @@ object SparkEntry {
                    s"${roundSql("w / total_w", 6)} / ${roundSql("CAST(n_tokens AS DOUBLE) / total_tokens", 6)}",
                    4)} AS boost
           FROM w CROSS JOIN tot ORDER BY source""",
+    // Q64: the id-partitioned store must answer exactly what the flat
+    // table answers — the pruning is a layout property, not a
+    // semantics change.
+    "q64_doc_lookup" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+          WHERE doc_id BETWEEN $DocLookupLo AND $DocLookupHi ORDER BY doc_id""",
   )
 }

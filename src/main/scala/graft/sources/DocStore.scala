@@ -42,9 +42,41 @@ object DocStore {
       .mode("overwrite")
       .parquet(outDir)
 
+  /** [[write]] once per (outDir, span) per JVM — the layout is a pure
+    * function of its inputs, and query paths against it (q64) should
+    * measure the pruned lookup, not re-ingestion (same idempotence
+    * contract as [[EventLogStore.writePartitioned]]).
+    */
+  def writeOnce(docs: DataFrame, outDir: String, span: Long): Unit = {
+    val key = (outDir, span)
+    if (!written.contains(key)) synchronized {
+      if (!written.contains(key)) {
+        write(docs, outDir, span)
+        written += key
+      }
+    }
+  }
+
+  private val written = scala.collection.mutable.Set.empty[(String, Long)]
+
   /** The stored corpus (canonical column set, bucket column retained). */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Id-range lookup over the partitioned layout. The bucket range is
+    * implied by the row predicate but Catalyst does not infer it across
+    * the div, so it is stated explicitly — partition pruning happens at
+    * file-listing time (PartitionFilters), and the within-bucket sort
+    * gives row-group min/max stats the rest. I/O is O(matching
+    * buckets), not O(corpus).
+    */
+  def lookup(spark: SparkSession, dir: String, loId: Long, hiId: Long, span: Long): DataFrame =
+    read(spark, dir)
+      .filter(
+        col("d_bucket") >= loId / span && col("d_bucket") <= hiId / span &&
+          col("doc_id") >= loId && col("doc_id") <= hiId)
+      .select(rowCols.map(col): _*)
+      .orderBy("doc_id")
 
   /** Refresh the store to match `newSnapshot`, rewriting only the
     * buckets the content diff touches. Returns the rewritten bucket ids

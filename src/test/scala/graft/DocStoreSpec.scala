@@ -88,6 +88,32 @@ class DocStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files(dir) == after)
   }
 
+  test("id-range lookup prunes partitions at listing time and returns the exact range") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Files.createTempDirectory("docstore_lk").toString
+    DocStore.write(docs, dir, Span)
+
+    val lk = DocStore.lookup(spark, dir, 120L, 180L, Span)
+    assert(lk.collect().map(_.getLong(0)).toSeq == (120L to 180L))
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scan = scansOf(lk.queryExecution.executedPlan).head
+    val pf = scan.metadata("PartitionFilters")
+    assert(pf.contains("d_bucket"), s"no partition filter: $pf")
+    // 500 docs / span 50 = 10 buckets, one file each (repartitioned by
+    // bucket at write); ids 120-180 live in buckets 2-3, so the
+    // executed scan must have opened exactly 2 of the 10 files.
+    assert(scan.metrics("numFiles").value == 2,
+      s"pruning read ${scan.metrics("numFiles").value} files")
+  }
+
   test("a bucket whose docs are all removed is cleared from the store") {
     import spark.implicits._
     val oldV = Seq(
