@@ -65,6 +65,9 @@ object SparkEntry {
   private val DocSpan = 50L
   private val DocLookupLo = 120L
   private val DocLookupHi = 180L
+  /** Q63b: training-token budget (~2× the sf0.01 corpus, so upweighted
+    * sources plan >1 epoch and downweighted ones <1). */
+  private val EpochBudget = 50000L
   /** Q22 mixture: per-source sampling rates (rest at the default). */
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
   private val MixDefaultRate = 0.1
@@ -341,6 +344,8 @@ object SparkEntry {
       TextAnalysis.budgetSelect(Tables.table(s, d, "documents"), SelectBudget, BudgetBins)),
     "q63_temperature_mix" -> ((s, d) =>
       Sampling.temperatureMixture(Tables.table(s, d, "documents"))),
+    "q63b_epoch_plan" -> ((s, d) =>
+      Sampling.epochPlan(Tables.table(s, d, "documents"), EpochBudget)),
     "q64_doc_lookup" -> ((s, d) => {
       // Round-trip through the id-partitioned corpus store: write once
       // per SF dir, then answer an id-range lookup with partition
@@ -1494,6 +1499,22 @@ object SparkEntry {
                    s"${roundSql("w / total_w", 6)} / ${roundSql("CAST(n_tokens AS DOUBLE) / total_tokens", 6)}",
                    4)} AS boost
           FROM w CROSS JOIN tot ORDER BY source""",
+    // Q63b: epoch plan — planned_tokens floors the rounded share times
+    // the budget; epochs composes the already-derived columns.
+    "q63b_epoch_plan" ->
+      s"""WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                     FROM documents),
+          s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                FROM t GROUP BY source),
+          w AS (SELECT *, ${roundSql("sqrt(CAST(n_tokens AS DOUBLE))", 6)} AS w FROM s),
+          tot AS (SELECT ${exactSumSql("w", 6)} AS total_w FROM w),
+          p AS (SELECT source, n_tokens,
+                  ${roundSql("w / total_w", 6)} AS p_temp
+                FROM w CROSS JOIN tot),
+          q AS (SELECT *, CAST(floor(p_temp * $EpochBudget) AS BIGINT) AS planned_tokens FROM p)
+          SELECT source, n_tokens, p_temp, planned_tokens,
+                 ${roundSql("CAST(planned_tokens AS DOUBLE) / n_tokens", 4)} AS epochs
+          FROM q ORDER BY source""",
     // Q64: the id-partitioned store must answer exactly what the flat
     // table answers — the pruning is a layout property, not a
     // semantics change.

@@ -78,4 +78,24 @@ object Sampling {
       .select("source", "n_docs", "n_tokens", "p_raw", "p_temp", "boost")
       .orderBy("source")
   }
+
+  /** Q63b — the epoch plan: [[temperatureMixture]] extended with a
+    * training-token budget, yielding per source its planned token
+    * allocation (`p_temp · budget`) and the number of passes over the
+    * source that allocation implies (`epochs` > 1 ⇒ the source repeats;
+    * ≪ 1 ⇒ it is subsampled) — the table a mixture designer actually
+    * reads before a run. Same plan shape as the mixture (one agg + a
+    * 1-row broadcast); both derived columns compose already-rounded
+    * shares, per the cross-engine float rule.
+    */
+  def epochPlan(docs: DataFrame, tokenBudget: Long): DataFrame = {
+    import graft.functions.Deterministic.roundTo
+    temperatureMixture(docs)
+      .withColumn("planned_tokens",
+        floor(col("p_temp") * tokenBudget).cast("long"))
+      .withColumn("epochs",
+        roundTo(col("planned_tokens").cast("double") / col("n_tokens"), 4))
+      .select("source", "n_tokens", "p_temp", "planned_tokens", "epochs")
+      .orderBy("source")
+  }
 }

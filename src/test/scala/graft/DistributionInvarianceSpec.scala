@@ -94,7 +94,8 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("snapshotDiff", f => Snapshot.diff(Snapshot.syntheticOld(f(docs)), Snapshot.syntheticNew(f(docs)))),
       ("repetition", f => TextAnalysis.repetition(f(docs))),
       ("budgetSelect", f => TextAnalysis.budgetSelect(f(docs), 3000L, 20)),
-      ("temperatureMixture", f => Sampling.temperatureMixture(f(docs))))
+      ("temperatureMixture", f => Sampling.temperatureMixture(f(docs))),
+      ("epochPlan", f => Sampling.epochPlan(f(docs), 50000L)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {
