@@ -117,7 +117,12 @@ object ScaleSmoke {
       ("snapshot_diff", (df: DataFrame) => Snapshot.diff(
         Snapshot.syntheticOld(df), Snapshot.syntheticNew(df)),
         c => scaledDocs(spark, dir, c)),
-      ("repetition", TextAnalysis.repetition, c => scaledDocs(spark, dir, c)))
+      ("repetition", TextAnalysis.repetition, c => scaledDocs(spark, dir, c)),
+      // Fixed budget is fine here: the cost is the two corpus scans,
+      // not the selection size.
+      ("budget_select", (df: DataFrame) => TextAnalysis.budgetSelect(df, 100000L, 20),
+        c => scaledDocs(spark, dir, c)),
+      ("temperature_mix", Sampling.temperatureMixture, c => scaledDocs(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

@@ -727,6 +727,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotS == wantS)
   }
 
+  test("S13: streaming corpus monitor — running per-source text stats equal the batch aggregation") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.Tables
+    // An ingest monitor keeps per-(lang, source) doc/char/token totals
+    // current as the crawl streams in: textStats is a single
+    // map-side-combinable aggregation, so it streams in complete mode
+    // unchanged. After all arrivals the monitor must equal the batch
+    // answer over the same corpus.
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val src = MemoryStream[(Long, String, String, String, Long)]
+    src.addData(docs.take(200): _*)
+    src.addData(docs.drop(200): _*)
+
+    val stream = src.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = graft.operators.TextAnalysis.textStats(stream).writeStream
+      .format("memory").queryName("s13").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("s13").orderBy("lang", "source").collect().toSeq
+    val want = graft.operators.TextAnalysis.textStats(
+      Tables.table(spark, "/root/testdata/sf0.001", "documents")).collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("S12: streaming chunk packing ≡ batch chunkPack across arbitrary microbatch splits") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
