@@ -68,6 +68,13 @@ object SparkEntry {
   /** Q63b: training-token budget (~2× the sf0.01 corpus, so upweighted
     * sources plan >1 epoch and downweighted ones <1). */
   private val EpochBudget = 50000L
+  /** Q65: funnel gates chosen mid-distribution for the corpus (tokens
+    * 10–99 median 56; quality median ≈0.38; top-token fraction median
+    * ≈0.09, p90 ≈0.14) so every stage visibly bites. */
+  private val FunnelMinTok = 20L
+  private val FunnelMaxTok = 90L
+  private val FunnelMinQuality = 0.37
+  private val FunnelMaxTopTok = 0.12
   /** Q22 mixture: per-source sampling rates (rest at the default). */
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
   private val MixDefaultRate = 0.1
@@ -346,6 +353,9 @@ object SparkEntry {
       Sampling.temperatureMixture(Tables.table(s, d, "documents"))),
     "q63b_epoch_plan" -> ((s, d) =>
       Sampling.epochPlan(Tables.table(s, d, "documents"), EpochBudget)),
+    "q65_curation_funnel" -> ((s, d) =>
+      TextAnalysis.curationFunnel(Tables.table(s, d, "documents"),
+        FunnelMinTok, FunnelMaxTok, FunnelMinQuality, FunnelMaxTopTok)),
     "q64_doc_lookup" -> ((s, d) => {
       // Round-trip through the id-partitioned corpus store: write once
       // per SF dir, then answer an id-range lookup with partition
@@ -1515,6 +1525,49 @@ object SparkEntry {
           SELECT source, n_tokens, p_temp, planned_tokens,
                  ${roundSql("CAST(planned_tokens AS DOUBLE) / n_tokens", 4)} AS epochs
           FROM q ORDER BY source""",
+    // Q65: curation funnel — quality formula as in q62, repetition
+    // restated set-wise as in q61, dedup survivors via md5 min; gates
+    // composed cumulatively.
+    "q65_curation_funnel" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+          m AS (SELECT doc_id,
+                  CAST(len(ws) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+                  len(list_filter(ws, w -> w IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+                FROM d),
+          r AS (SELECT doc_id, n_tokens,
+                  ${roundSql("CAST(n_types AS DOUBLE) / n_tokens", 4)} AS ttr,
+                  ${roundSql("CAST(n_stop AS DOUBLE) / n_tokens", 4)} AS stop_ratio
+                FROM m),
+          q AS (SELECT doc_id, n_tokens,
+                  ${roundSql("0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) + 0.4 * ttr + 0.3 * stop_ratio", 4)} AS quality
+                FROM r),
+          u AS (SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS tok FROM d) GROUP BY 1, 2),
+          tt AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok FROM u GROUP BY 1),
+          f AS (SELECT d.doc_id, md5(d.text) AS h, q.n_tokens, q.quality,
+                  ${roundSql("CAST(tt.top_tok AS DOUBLE) / q.n_tokens", 4)} AS ttf
+                FROM d JOIN q USING (doc_id) JOIN tt USING (doc_id)),
+          surv AS (SELECT h, min(doc_id) AS keep_id FROM f GROUP BY h),
+          fl AS (SELECT f.*, s.keep_id,
+                   (n_tokens BETWEEN $FunnelMinTok AND $FunnelMaxTok) AS f_len,
+                   (quality >= $FunnelMinQuality) AS f_q,
+                   (ttf <= $FunnelMaxTopTok) AS f_r,
+                   (f.doc_id = s.keep_id) AS f_u
+                 FROM f JOIN surv s USING (h)),
+          agg AS (SELECT CAST(count(*) AS BIGINT) AS i,
+                    CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                    CAST(sum(CASE WHEN f_len AND f_q THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                    CAST(sum(CASE WHEN f_len AND f_q AND f_r THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+                    CAST(sum(CASE WHEN f_len AND f_q AND f_r AND f_u THEN 1 ELSE 0 END) AS BIGINT) AS s4
+                  FROM fl)
+          SELECT stage, n_docs FROM (
+            SELECT 'a0_ingested' AS stage, i AS n_docs FROM agg
+            UNION ALL SELECT 'a1_length', s1 FROM agg
+            UNION ALL SELECT 'a2_quality', s2 FROM agg
+            UNION ALL SELECT 'a3_repetition', s3 FROM agg
+            UNION ALL SELECT 'a4_dedup', s4 FROM agg)
+          ORDER BY stage""",
     // Q64: the id-partitioned store must answer exactly what the flat
     // table answers — the pruning is a layout property, not a
     // semantics change.

@@ -293,6 +293,52 @@ object TextAnalysis {
     * granularity loss is at most the boundary cell's share, tunable via
     * `bins`.
     */
+  /** Q65 — the curation funnel: the whole quality pipeline composed
+    * into one report of how many documents survive each successive
+    * gate (length band → quality floor → repetition cap → exact-dedup
+    * survivor), i.e. the "where did my corpus go" table every curation
+    * run publishes. Gates are cumulative — a doc counts at stage k iff
+    * it passed stages 1..k.
+    *
+    * One scan computes every per-doc flag (quality and the repetition
+    * fold share the tokenized words column); the dedup stage reuses the
+    * exact-dedup shape — group on md5, join survivors back on the
+    * 32-byte digest — so nothing shuffles text. Output is 5 rows via
+    * `stack`, aggregated from map-side-combinable conditional sums.
+    */
+  def curationFunnel(
+      docs: DataFrame,
+      minTok: Long, maxTok: Long,
+      minQuality: Double, maxTopTokFrac: Double): DataFrame = {
+    val scored = qualityCore(docs)
+      .withColumn("top_tok", expr(maxRunExpr("array_sort(words)")))
+      .withColumn("top_tok_frac",
+        roundTo(col("top_tok").cast("double") / col("n_tokens"), 4))
+      .withColumn("content_hash", md5(col("text")))
+      .select("doc_id", "content_hash", "n_tokens", "quality", "top_tok_frac")
+    val survivors = scored.groupBy("content_hash").agg(min("doc_id").as("keep_id"))
+    val flagged = scored.join(survivors, Seq("content_hash"))
+      .withColumn("f_len", col("n_tokens").between(minTok, maxTok))
+      .withColumn("f_quality", col("quality") >= minQuality)
+      .withColumn("f_rep", col("top_tok_frac") <= maxTopTokFrac)
+      .withColumn("f_uniq", col("doc_id") === col("keep_id"))
+    flagged.agg(
+      count(lit(1)).as("ingested"),
+      sum(when(col("f_len"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("f_len") && col("f_quality"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("f_len") && col("f_quality") && col("f_rep"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("f_len") && col("f_quality") && col("f_rep") && col("f_uniq"), 1L)
+        .otherwise(0L)).as("s4"))
+      .selectExpr(
+        """stack(5,
+             'a0_ingested', ingested,
+             'a1_length', s1,
+             'a2_quality', s2,
+             'a3_repetition', s3,
+             'a4_dedup', s4) AS (stage, n_docs)""")
+      .orderBy("stage")
+  }
+
   def budgetSelect(docs: DataFrame, tokenBudget: Long, bins: Int = 20): DataFrame = {
     val scored = qualityCore(docs)
       .select(col("doc_id"), col("n_tokens"), col("quality"))

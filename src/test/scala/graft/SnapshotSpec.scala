@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.lit
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Snapshot, TextAnalysis}
@@ -92,6 +93,32 @@ class SnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d4 = out(4L)
     assert(d4.getLong(5) == 0)                  // n_bigrams
     assert(d4.isNullAt(8) && d4.isNullAt(9))    // fracs undefined
+  }
+
+  test("curation funnel: every gate fires on a hand-built corpus, counts are cumulative") {
+    import spark.implicits._
+    val good = "the data of and to in pipeline filters documents cleanly across stages" // 12 toks, stopword-rich
+    val docs = Seq(
+      (1L, good),                         // survives everything
+      (2L, good),                         // exact dup of 1 → killed at dedup
+      (3L, "short text"),                 // killed at length (2 < 5)
+      // quality 0.41 (passes) but "the" is 5/8 of tokens → repetition kill
+      (4L, "the the the the the data x y"),
+      // ttr 0.5, no stopwords → quality 0.224 < 0.3 (top token only 1/4)
+      (5L, "z1 z1 z2 z2 z3 z3 z4 z4")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")) // qualityCore's language-ID check needs it
+    val out = TextAnalysis.curationFunnel(docs,
+      minTok = 5L, maxTok = 50L, minQuality = 0.3, maxTopTokFrac = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a0_ingested") == 5)
+    assert(out("a1_length") == 4)     // doc 3 out
+    assert(out("a2_quality") == 3)    // doc 5 out
+    assert(out("a3_repetition") == 2) // doc 4 out
+    assert(out("a4_dedup") == 1)      // doc 2 out (dup of 1)
+    // Monotone by construction.
+    val ordered = Seq("a0_ingested", "a1_length", "a2_quality", "a3_repetition", "a4_dedup").map(out)
+    assert(ordered == ordered.sorted.reverse)
   }
 
   test("repetition is a single map-only scan — no shuffle except the output sort") {
