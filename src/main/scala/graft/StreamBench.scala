@@ -29,6 +29,7 @@ import scala.collection.mutable
 object StreamBench {
   private case class Point(streams: Int, syncs: Long, wallSec: Double,
                            syncsPerSec: Double, batchMsP50: Long, batchMsMax: Long)
+  private case class PackPoint(shards: Int, docs: Long, wallSec: Double, docsPerSec: Double)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,13 +48,55 @@ object StreamBench {
         f"=> ${p.syncsPerSec}%.0f syncs/s (batch p50=${p.batchMsP50}ms max=${p.batchMsMax}ms)")
       p
     }
+    // Second surface: sustained docs/s through the streaming sequence
+    // packer (S12's operator) across shard counts — shards are the
+    // packer's scale-out axis exactly as streams are the sync engine's.
+    runPackerPoint(spark, shards = 4, totalDocs = 4000, microbatches = 4) // warm-up
+    val packPoints = streamCounts.map { n =>
+      val p = runPackerPoint(spark, n, totalDocs = 40000, microbatches = 10)
+      System.err.println(f"[streambench] pack shards=$n docs=${p.docs} wall=${p.wallSec}%.2fs " +
+        f"=> ${p.docsPerSec}%.0f docs/s")
+      p
+    }
+
     val js = points.map { p =>
       f"""{"streams":${p.streams},"syncs":${p.syncs},"wall_s":${p.wallSec}%.3f,""" +
       f""""syncs_per_sec":${p.syncsPerSec}%.1f,"batch_ms_p50":${p.batchMsP50},"batch_ms_max":${p.batchMsMax}}"""
     }.mkString("[", ",", "]")
+    val pjs = packPoints.map { p =>
+      f"""{"shards":${p.shards},"docs":${p.docs},"wall_s":${p.wallSec}%.3f,"docs_per_sec":${p.docsPerSec}%.1f}"""
+    }.mkString("[", ",", "]")
     val best = points.map(_.syncsPerSec).max
-    println(f"""{"metric":"stream_syncs_per_sec","value":$best%.1f,"unit":"syncs/sec","points":$js,"cores":$cpus,"reference":{"ticks_per_sec":20,"syncs_per_sec_per_client":5}}""")
+    val bestPack = packPoints.map(_.docsPerSec).max
+    println(f"""{"metric":"stream_syncs_per_sec","value":$best%.1f,"unit":"syncs/sec","points":$js,""" +
+      f""""packer_docs_per_sec":$bestPack%.1f,"packer_points":$pjs,""" +
+      f""""cores":$cpus,"reference":{"ticks_per_sec":20,"syncs_per_sec_per_client":5}}""")
     spark.stop()
+  }
+
+  /** Drive the streaming chunk packer at one shard count: `totalDocs`
+    * ~50-token docs in doc_id order, split into microbatches, noop
+    * sink. Per-shard state is one Long, so the measured cost is the
+    * tokenize + fold + state round-trip itself.
+    */
+  private def runPackerPoint(spark: org.apache.spark.sql.SparkSession,
+                             shards: Int, totalDocs: Int, microbatches: Int): PackPoint = {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val text = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val src = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingPacking.chunkAssignments(
+      src.toDF().toDF("doc_id", "text"), budget = 1024L, nShards = shards)
+    val q = out.writeStream.format("noop").outputMode("append").start()
+    val t0 = System.nanoTime()
+    try {
+      (0 until totalDocs).map(i => (i.toLong, text))
+        .grouped(totalDocs / microbatches + 1).foreach { chunk =>
+          src.addData(chunk: _*); q.processAllAvailable()
+        }
+    } finally q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    PackPoint(shards, totalDocs.toLong, wall, totalDocs / wall)
   }
 
   /** Drive one (streams, syncs/stream) configuration; returns measured
