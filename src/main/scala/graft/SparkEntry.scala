@@ -75,6 +75,10 @@ object SparkEntry {
   private val FunnelMaxTok = 90L
   private val FunnelMinQuality = 0.37
   private val FunnelMaxTopTok = 0.12
+  /** Q67: within-cluster cosine threshold (p99 of within-cluster pairs
+    * ≈0.32 on this corpus, so ~1% of pairs qualify) and the skew cap. */
+  private val SemThreshold = 0.3
+  private val SemMaxCluster = 512
   /** Q22 mixture: per-source sampling rates (rest at the default). */
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
   private val MixDefaultRate = 0.1
@@ -356,6 +360,11 @@ object SparkEntry {
     "q65_curation_funnel" -> ((s, d) =>
       TextAnalysis.curationFunnel(Tables.table(s, d, "documents"),
         FunnelMinTok, FunnelMaxTok, FunnelMinQuality, FunnelMaxTopTok)),
+    "q66_shingle_card" -> ((s, d) =>
+      TextAnalysis.shingleCardinality(Tables.table(s, d, "documents"))),
+    "q67_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.table(s, d, "embeddings"),
+        NumCentroids, SemThreshold, SemMaxCluster)),
     "q64_doc_lookup" -> ((s, d) => {
       // Round-trip through the id-partitioned corpus store: write once
       // per SF dir, then answer an id-range lookup with partition
@@ -1568,6 +1577,41 @@ object SparkEntry {
             UNION ALL SELECT 'a3_repetition', s3 FROM agg
             UNION ALL SELECT 'a4_dedup', s4 FROM agg)
           ORDER BY stage""",
+    // Q66: distinct-shingle cardinality — q52's sketch contract (counts
+    // + boolean; the estimate itself is engine-specific).
+    "q66_shingle_card" ->
+      s"""WITH $shingleCte,
+          u AS (SELECT d.source, unnest(sh.sg) AS s
+                FROM sh JOIN documents d USING (doc_id))
+          SELECT source, CAST(count(*) AS BIGINT) AS n_instances,
+                 CAST(count(DISTINCT s) AS BIGINT) AS n_exact,
+                 true AS within_tol
+          FROM u GROUP BY source ORDER BY source""",
+    // Q67: semantic dedup — the q18b assignment CTE, the same
+    // lowest-id cap (rank by vec_id within cluster), within-cluster
+    // pairs, then per-duplicate argmin survivor.
+    "q67_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $NumCentroids),
+          s AS (SELECT e.vec_id, e.emb, c.cid, ${cosSql("emb", "cemb")} AS sim FROM e, c),
+          r AS (SELECT vec_id, emb, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY ${roundSql("sim", 6)} DESC, cid) AS rn
+                FROM s),
+          a AS (SELECT vec_id, emb, cid FROM r WHERE rn = 1),
+          cap AS (SELECT vec_id, emb, cid,
+                    row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rk
+                  FROM a),
+          k AS (SELECT vec_id, emb, cid FROM cap WHERE rk <= $SemMaxCluster),
+          p AS (SELECT l.cid, l.vec_id AS keep_id, rr.vec_id AS dup_id,
+                  ${roundSql(cosSql("l.emb", "rr.emb"), 4)} AS cos
+                FROM k l JOIN k rr ON l.cid = rr.cid AND l.vec_id < rr.vec_id),
+          f AS (SELECT cid, dup_id, keep_id, cos,
+                  row_number() OVER (PARTITION BY dup_id
+                    ORDER BY keep_id) AS pr
+                FROM p WHERE cos >= $SemThreshold)
+          SELECT dup_id AS vec_id, cid, keep_id AS dup_of, cos
+          FROM f WHERE pr = 1 ORDER BY vec_id""",
     // Q64: the id-partitioned store must answer exactly what the flat
     // table answers — the pruning is a layout property, not a
     // semantics change.

@@ -329,4 +329,42 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }
+
+  /** Q67 — SemDeDup-style semantic dedup: an embedding is a duplicate
+    * iff some lower-id vector in its OWN k-means cluster sits above the
+    * cosine threshold; it reports the lowest such id as its survivor.
+    * The cluster assignment doubles as the blocking key (the SemDeDup
+    * recipe: cluster first, compare only within clusters), so candidate
+    * generation is an equi-join on `cid`, never all-pairs.
+    *
+    * Cluster size is data-dependent, so — like the LSH family's
+    * `MaxBucket` — `maxCluster` caps each cluster at its lowest-id
+    * members before pairing: the worst case is bounded at
+    * maxCluster²/2 per cluster regardless of skew, at a documented
+    * recall cost on overflow (in practice nCentroids is chosen so
+    * clusters sit far below the cap). The cap rule is deterministic
+    * (rank by vec_id inside the cid partition — a partitioned window)
+    * and mirrored verbatim in the oracle.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      nCentroids: Int,
+      threshold: Double,
+      maxCluster: Int = 512): DataFrame = {
+    val capped = assignments(emb, nCentroids)
+      .withColumn("rk", row_number().over(Window.partitionBy("cid").orderBy("vec_id")))
+      .filter(col("rk") <= maxCluster)
+      .select("cid", "vec_id", "emb")
+    val keep = capped.select(col("cid"), col("vec_id").as("keep_id"), col("emb").as("kemb"))
+    val dup = capped.select(col("cid"), col("vec_id").as("dup_id"), col("emb").as("demb"))
+    keep.join(dup, Seq("cid"))
+      .where(col("keep_id") < col("dup_id"))
+      .withColumn("cos", roundTo(expr(cosSql("kemb", "demb")), 4))
+      .where(col("cos") >= threshold)
+      .groupBy(col("cid"), col("dup_id").as("vec_id"))
+      .agg(min(struct(col("keep_id"), col("cos"))).as("m"))
+      .select(col("vec_id"), col("cid"), col("m.keep_id").as("dup_of"),
+        col("m.cos").as("cos"))
+      .orderBy("vec_id")
+  }
 }

@@ -293,6 +293,31 @@ object TextAnalysis {
     * granularity loss is at most the boundary cell's share, tunable via
     * `bins`.
     */
+  /** Q66 — distinct-shingle cardinality per source: the LSH-sizing
+    * input (distinct 3-gram count drives band/row parameters and the
+    * dedup index's memory plan). The scale path is the mergeable HLL
+    * sketch — partial sketches merge map-side, so the shuffle carries
+    * one 2^lgK-register sketch per (source, partition), not shingles —
+    * checked here against the exact distinct count with the engine's
+    * principled 3σ bound (same contract as Q52: the cross-engine oracle
+    * compares counts and the boolean, never the engine-specific
+    * estimate).
+    */
+  def shingleCardinality(docs: DataFrame, lgK: Int = 12): DataFrame = {
+    val tol = EventLog.hllErrorBound(lgK)
+    val sg = graft.sources.Tables.widen(docs)
+      .select(col("source"), explode(expr("shingle3(split(text, ' '))")).as("sg"))
+    val est = sg.groupBy("source").agg(
+      count(lit(1)).as("n_instances"),
+      expr(s"hll_sketch_estimate(hll_sketch_agg(sg, $lgK))").as("n_est"))
+    val exact = sg.groupBy("source").agg(countDistinct("sg").as("n_exact"))
+    est.join(exact, "source")
+      .select(col("source"), col("n_instances"), col("n_exact"),
+        (abs(col("n_est") - col("n_exact")).cast("double")
+          <= col("n_exact") * tol).as("within_tol"))
+      .orderBy("source")
+  }
+
   /** Q65 — the curation funnel: the whole quality pipeline composed
     * into one report of how many documents survive each successive
     * gate (length band → quality floor → repetition cap → exact-dedup

@@ -95,7 +95,12 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("repetition", f => TextAnalysis.repetition(f(docs))),
       ("budgetSelect", f => TextAnalysis.budgetSelect(f(docs), 3000L, 20)),
       ("temperatureMixture", f => Sampling.temperatureMixture(f(docs))),
-      ("epochPlan", f => Sampling.epochPlan(f(docs), 50000L)))
+      ("epochPlan", f => Sampling.epochPlan(f(docs), 50000L)),
+      ("curationFunnel", f => TextAnalysis.curationFunnel(f(docs), 20L, 90L, 0.37, 0.12)),
+      // HLL register-max merge is commutative, so even the sketch column
+      // is partition-order invariant.
+      ("shingleCardinality", f => TextAnalysis.shingleCardinality(f(docs))),
+      ("semanticDedup", f => Similarity.semanticDedup(f(emb), 8, 0.3)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {
