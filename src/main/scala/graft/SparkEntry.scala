@@ -79,6 +79,13 @@ object SparkEntry {
     * ≈0.32 on this corpus, so ~1% of pairs qualify) and the skew cap. */
   private val SemThreshold = 0.3
   private val SemMaxCluster = 512
+  /** Q70: span-dedup chunk length in tokens (docs average ~54 tokens,
+    * so a typical doc is ~5 chunks and the 30-word shared vocabulary
+    * makes cross-document chunk collisions common enough to bite). */
+  private val SpanLen = 10
+  /** Q71: training-shard count and shuffle salt. */
+  private val NumShards = 16
+  private val ShuffleSalt = "g5"
   /** Q22 mixture: per-source sampling rates (rest at the default). */
   private val MixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
   private val MixDefaultRate = 0.1
@@ -365,6 +372,16 @@ object SparkEntry {
     "q67_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(Tables.table(s, d, "embeddings"),
         NumCentroids, SemThreshold, SemMaxCluster)),
+    "q68_pii_scrub" -> ((s, d) =>
+      Curation.piiScrub(Tables.table(s, d, "documents"))),
+    "q69_source_cap" -> ((s, d) =>
+      Curation.sourceCap(Tables.table(s, d, "documents"))),
+    "q70_span_dedup" -> ((s, d) =>
+      Curation.spanDedup(Tables.table(s, d, "documents"), SpanLen)),
+    "q71_global_shuffle" -> ((s, d) =>
+      Curation.globalShuffle(Tables.table(s, d, "documents"), NumShards, ShuffleSalt)),
+    "q72_hashed_classifier" -> ((s, d) =>
+      Curation.hashedClassifier(Tables.table(s, d, "documents"))),
     "q64_doc_lookup" -> ((s, d) => {
       // Round-trip through the id-partitioned corpus store: write once
       // per SF dir, then answer an id-range lookup with partition
@@ -1612,6 +1629,99 @@ object SparkEntry {
                 FROM p WHERE cos >= $SemThreshold)
           SELECT dup_id AS vec_id, cid, keep_id AS dup_of, cos
           FROM f WHERE pr = 1 ORDER BY vec_id""",
+    // Q68: PII scrub — identical salt expression (VARCHAR casts), the
+    // same three backslash-free regexes, counts via regexp_extract_all
+    // and redaction via regexp_replace with the 'g' flag (DuckDB
+    // replaces first-match-only by default; Spark replaces all).
+    "q68_pii_scrub" -> {
+      val salt =
+        "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+          "'@mail.example.com at 10.', CAST(doc_id % 200 AS VARCHAR), '.0.', " +
+          "CAST(doc_id % 250 AS VARCHAR), " +
+          "CASE WHEN doc_id % 3 = 0 THEN concat(' call +1 555 01', " +
+          "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) ELSE '' END, ' end')"
+      val (e, i, ph) = (Curation.EmailRe, Curation.Ipv4Re, Curation.PhoneRe)
+      s"""WITH p AS (SELECT doc_id, $salt AS pii_text FROM documents),
+          r AS (SELECT doc_id, pii_text,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    pii_text, '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'),
+                    '$ph', '<PHONE>', 'g') AS red
+                FROM p)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(pii_text, '$e')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(pii_text, '$i')) AS BIGINT) AS n_ips,
+                 CAST(len(regexp_extract_all(pii_text, '$ph')) AS BIGINT) AS n_phones,
+                 CAST(len(regexp_extract_all(red, '$e'))
+                      + len(regexp_extract_all(red, '$i'))
+                      + len(regexp_extract_all(red, '$ph')) AS BIGINT) AS n_residual,
+                 md5(red) AS redacted_md5
+          FROM r ORDER BY doc_id"""
+    },
+    // Q69: per-source cap — the q65 quality CTE, then row_number with
+    // the Aggregator's exact tie contract (quality DESC, doc_id ASC).
+    "q69_source_cap" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+          m AS (SELECT doc_id, source,
+                  CAST(len(ws) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+                  len(list_filter(ws, w -> w IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+                FROM d),
+          r AS (SELECT doc_id, source, n_tokens,
+                  ${roundSql("CAST(n_types AS DOUBLE) / n_tokens", 4)} AS ttr,
+                  ${roundSql("CAST(n_stop AS DOUBLE) / n_tokens", 4)} AS stop_ratio
+                FROM m),
+          q AS (SELECT doc_id, source,
+                  ${roundSql("0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) + 0.4 * ttr + 0.3 * stop_ratio", 4)} AS quality
+                FROM r),
+          rk AS (SELECT source, doc_id, quality,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY quality DESC, doc_id) AS rnk
+                 FROM q)
+          SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
+          FROM rk WHERE rnk <= $TopK ORDER BY source, rnk""",
+    // Q70: span dedup — 1-based list slices mirror the Spark slice()
+    // chunks; first-occurrence = row_number over (doc_id, chunk_idx).
+    "q70_span_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                  md5(array_to_string(ws[i*$SpanLen+1 : i*$SpanLen+$SpanLen], ' ')) AS h,
+                  CAST(least($SpanLen, len(ws) - i*$SpanLen) AS BIGINT) AS c_tokens
+                FROM d CROSS JOIN unnest(range(CAST(ceil(len(ws) / $SpanLen.0) AS BIGINT))) AS t(i)),
+          k AS (SELECT *, row_number() OVER (PARTITION BY h
+                  ORDER BY doc_id, chunk_idx) AS rn FROM c)
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_chunks,
+                 CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(sum(c_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN rn = 1 THEN c_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+                 ${roundSql("CAST(sum(CASE WHEN rn = 1 THEN c_tokens ELSE 0 END) AS DOUBLE) / sum(c_tokens)", 4)} AS kept_ratio
+          FROM k GROUP BY doc_id ORDER BY doc_id""",
+    // Q71: global shuffle — the portable 48-bit hash, mod, rank within
+    // shard; h is positive so % ≡ pmod.
+    "q71_global_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+                  ${graft.functions.PortableHash.hash48Sql(s"'$ShuffleSalt:' || CAST(doc_id AS VARCHAR)")} AS h
+                FROM documents),
+          s AS (SELECT doc_id, n_chars, h, h % $NumShards AS shard FROM h)
+          SELECT shard, CAST(row_number() OVER (PARTITION BY shard
+                   ORDER BY h, doc_id) AS BIGINT) AS pos, doc_id, n_chars
+          FROM s ORDER BY shard, pos""",
+    // Q72: hashed classifier — per-token integer weights summed exactly
+    // (BIGINT), one division, one rounding; the fold order is
+    // irrelevant because integer addition commutes.
+    "q72_hashed_classifier" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          t AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+          s AS (SELECT doc_id,
+                  CAST(sum(${graft.functions.PortableHash.hash48Sql("'w:' || tok")} % 2001 - 1000) AS BIGINT) AS score_raw
+                FROM t GROUP BY doc_id),
+          n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM d),
+          m AS (SELECT n.doc_id, n.n_tokens, s.score_raw,
+                  ${roundSql("CAST(s.score_raw AS DOUBLE) / (n.n_tokens * 1000.0)", 4)} AS margin
+                FROM n JOIN s USING (doc_id))
+          SELECT doc_id, n_tokens, score_raw, margin,
+                 CASE WHEN margin >= 0 THEN 'keep' ELSE 'drop' END AS label
+          FROM m ORDER BY doc_id""",
     // Q64: the id-partitioned store must answer exactly what the flat
     // table answers — the pruning is a layout property, not a
     // semantics change.

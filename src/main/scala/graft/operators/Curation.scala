@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Deterministic.roundTo
+import graft.functions.PortableHash.hash48
+
+/** Corpus-curation operators for the LLM-training-data surface
+  * (SURVEY.md §2D): PII detection/redaction, per-source quota capping,
+  * span-level (C4-style) cross-document dedup, deterministic global
+  * shuffle/sharding, and a hashed-feature linear quality classifier.
+  *
+  * All five are map-dominant: the only shuffles are a bounded top-k
+  * aggregation (source cap), a hash-keyed min aggregation over chunk
+  * digests (span dedup), and a single shard exchange (global shuffle).
+  * Nothing is driver-side, nothing all-pairs, nothing buffers an
+  * unbounded group — each survives a 100 TB corpus by construction.
+  */
+object Curation {
+
+  /** Shared Java-regex/RE2 subset (no lookaround, no backreferences, no
+    * alternation) so Spark and the DuckDB oracle match byte-for-byte.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val PhoneRe = "[+][0-9][0-9 ]{5,}[0-9]"
+
+  /** SQL fragment: deterministically salt a document with synthetic PII
+    * (the test corpus is clean, so the scrubber needs planted targets —
+    * the same expression runs in DuckDB, so the oracle plants the exact
+    * same bytes). Every doc gets an email + an IP; docs with
+    * `doc_id % 3 = 0` get a phone number too.
+    */
+  private[graft] val piiSaltSql: String =
+    "concat(text, ' contact user', CAST(doc_id AS STRING), " +
+      "'@mail.example.com at 10.', CAST(doc_id % 200 AS STRING), '.0.', " +
+      "CAST(doc_id % 250 AS STRING), " +
+      "CASE WHEN doc_id % 3 = 0 THEN concat(' call +1 555 01', " +
+      "lpad(CAST(doc_id % 100 AS STRING), 2, '0')) ELSE '' END, ' end')"
+
+  /** Q68 — PII scrub: count and redact emails, IPv4 addresses and
+    * phone numbers. Pure per-row regex work (codegen'd `RegExpReplace`/
+    * `RegExpExtractAll`) — map-only, no shuffle; at 100 TB this is an
+    * embarrassingly parallel scan whose cost is the regex engine, not
+    * the plan. Redaction order is fixed (email → ip → phone) so later
+    * patterns cannot re-match the `<TAG>` placeholders; `n_residual`
+    * re-runs all three counters over the redacted text and must be 0 —
+    * the scrubber's own acceptance check, shipped in-band.
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .withColumn("pii_text", expr(piiSaltSql))
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all(pii_text, '$EmailRe', 0)")).cast("long"))
+      .withColumn("n_ips",
+        size(expr(s"regexp_extract_all(pii_text, '$Ipv4Re', 0)")).cast("long"))
+      .withColumn("n_phones",
+        size(expr(s"regexp_extract_all(pii_text, '$PhoneRe', 0)")).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+      .withColumn("n_residual",
+        (size(expr(s"regexp_extract_all(redacted, '$EmailRe', 0)"))
+          + size(expr(s"regexp_extract_all(redacted, '$Ipv4Re', 0)"))
+          + size(expr(s"regexp_extract_all(redacted, '$PhoneRe', 0)"))).cast("long"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("n_residual"), md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  /** Q69 — per-source quota cap (RefinedWeb-style domain capping): keep
+    * the `cap` highest-quality documents per source. Uses the bounded
+    * top-k Aggregator (`graft_top10`), NOT a window: a window must sort
+    * every source's full candidate set, while the Aggregator's
+    * partial-merge reduces each map task's slice to k rows before the
+    * shuffle — O(sources·k) exchanged rows even when one source holds
+    * half the corpus (the hot-domain case that makes windowed capping
+    * fall over at scale). Tie contract: quality desc, doc_id asc,
+    * mirrored by the oracle's ORDER BY.
+    */
+  def sourceCap(docs: DataFrame): DataFrame =
+    TextAnalysis.qualityCore(docs)
+      .select(col("source"), col("quality"), col("doc_id"))
+      .groupBy("source")
+      .agg(expr("graft_top10(quality, doc_id)").as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("doc_id"), col("col._1").as("quality"))
+      .orderBy("source", "rnk")
+
+  /** Q70 — span-level cross-document exact dedup (the C4 recipe, which
+    * drops any three-sentence span seen before, restated over
+    * fixed-`span`-token chunks because the corpus has no sentence
+    * boundaries): a chunk instance survives iff it is the first
+    * occurrence of its content corpus-wide, "first" = lowest
+    * (doc_id, chunk_idx).
+    *
+    * Scale shape: explode to chunk instances, shuffle ONLY the 32-byte
+    * md5 digest + coordinates (never the chunk text) to a min-
+    * aggregation keyed by digest, then join the winners back on the
+    * digest. Both the aggregation and the join key on the hash, so
+    * skew is bounded by duplicate-set size, the same contract as the
+    * q17 dedup family; per-doc reassembly is a groupBy on doc_id.
+    */
+  def spanDedup(docs: DataFrame, span: Int): DataFrame = {
+    val chunks = graft.sources.Tables.widen(docs)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(words) / $span.0) AS INT) - 1),
+              i -> struct(array_join(slice(words, i * $span + 1, $span), ' ') AS txt,
+                          size(slice(words, i * $span + 1, $span)) AS c_tokens))""")))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        md5(col("col.txt")).as("h"), col("col.c_tokens").cast("long").as("c_tokens"))
+    val keepers = chunks
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("kp"))
+    chunks.join(keepers, "h")
+      .withColumn("kept",
+        col("doc_id") === col("kp.doc_id") && col("chunk_idx") === col("kp.chunk_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum("c_tokens").as("n_tokens"),
+        sum(when(col("kept"), col("c_tokens")).otherwise(0L)).as("n_tokens_kept"))
+      .withColumn("kept_ratio",
+        roundTo(col("n_tokens_kept").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Q71 — deterministic global shuffle + shard manifest (the "mix the
+    * corpus before training" step): shard = portable-hash(salt, doc_id)
+    * mod `numShards`, position = rank of the hash within the shard.
+    * One exchange on the shard key, then a per-shard sort — there is no
+    * global sort in the plan (PlanAuditSpec pins this): shards are the
+    * unit of training-reader parallelism, so order across shards is
+    * meaningless and a total order would serialize the write. Shard
+    * sizes concentrate around n/numShards (hash uniformity), so the
+    * per-shard sort is the balanced-partition case windows are good at.
+    */
+  def globalShuffle(docs: DataFrame, numShards: Int, salt: String): DataFrame =
+    docs
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("h", expr(hash48(s"concat('$salt:', CAST(doc_id AS STRING))")))
+      .withColumn("shard", pmod(col("h"), lit(numShards.toLong)))
+      .repartition(col("shard"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id")).cast("long"))
+      .select("shard", "pos", "doc_id", "n_chars")
+      .orderBy("shard", "pos")
+
+  /** Q72 — hashed-feature linear classifier (the fastText-style quality
+    * gate, with hash-derived weights standing in for trained ones —
+    * the serving plan is identical, only the weight source differs):
+    * each token hashes to an integer weight in [-1000, 1000], the raw
+    * score is the exact BIGINT sum over the token stream, the margin
+    * normalizes by 1000·n_tokens into [-1, 1]. Per-row lambda fold —
+    * map-only, zero shuffle, and the score is integer-exact across
+    * engines (the cross-engine float rule: sum integers, divide once,
+    * round once). No sigmoid: exp() is not ulp-stable across engines
+    * and the decision rule only needs the margin's sign.
+    */
+  def hashedClassifier(docs: DataFrame): DataFrame = {
+    val w = "CAST(conv(substring(md5(concat('w:', t)), 1, 12), 16, 10) AS BIGINT) % 2001 - 1000"
+    graft.sources.Tables.widen(docs)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("score_raw",
+        expr(s"aggregate(words, CAST(0 AS BIGINT), (acc, t) -> acc + ($w))"))
+      .withColumn("margin",
+        roundTo(col("score_raw").cast("double") / (col("n_tokens") * 1000.0), 4))
+      .withColumn("label",
+        when(col("margin") >= 0, lit("keep")).otherwise(lit("drop")))
+      .select("doc_id", "n_tokens", "score_raw", "margin", "label")
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+import graft.sources.Tables
+
+/** Semantic contracts of the curation operators (Q68–Q72) that the
+  * row-hash oracle can't articulate: the scrubber's planted-PII
+  * accounting and zero-residual guarantee, the source cap's agreement
+  * with the windowed formulation it replaces, span-dedup's
+  * first-occurrence-wins rule on crafted duplicates, the shuffle's
+  * determinism/density, and the classifier's integer-exactness against
+  * an independent explode-based formulation.
+  */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftSession.registerUdafs(s)
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private lazy val docs =
+    Tables.table(spark, "/root/testdata/sf0.001", "documents")
+
+  test("q68: planted PII is found exactly and nothing survives redaction") {
+    val rows = Curation.piiScrub(docs)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "n_residual")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, e, ip, ph, res) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // The corpus text is letters-only words, so the only matches are
+      // the salt's: one email, one IP, a phone iff doc_id % 3 == 0.
+      assert(e == 1, s"doc $id emails $e")
+      assert(ip == 1, s"doc $id ips $ip")
+      assert(ph == (if (id % 3 == 0) 1 else 0), s"doc $id phones $ph")
+      assert(res == 0, s"doc $id residual $res")
+    }
+  }
+
+  test("q69: the bounded-buffer cap agrees with the windowed top-k it replaces") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Curation.sourceCap(docs)
+      .select("source", "rnk", "doc_id", "quality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = graft.operators.TextAnalysis.qualityCore(docs)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))).cast("long"))
+      .where(col("rnk") <= 10)
+      .select("source", "rnk", "doc_id", "quality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    // Ranks are dense 1..k per source and quality is non-increasing.
+    got.groupBy(_._1).foreach { case (src, rs) =>
+      val byRank = rs.toSeq.sortBy(_._2)
+      assert(byRank.map(_._2) == (1L to byRank.size).toSeq, s"ranks not dense in $src")
+      assert(byRank.map(_._4).zip(byRank.map(_._4).tail).forall { case (a, b) => a >= b },
+        s"quality not sorted in $src")
+    }
+  }
+
+  test("q70: first occurrence wins — across documents, and within one") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")     // chunks A0, A1
+    val shared = (1 to 10).map(i => s"a$i").mkString(" ") // == A0
+    val b = shared + " " + (1 to 10).map(i => s"b$i").mkString(" ")
+    val selfDup = shared + " " + shared                   // A0 twice more
+    val tiny = Seq((1L, a), (2L, b), (3L, selfDup)).toDF("doc_id", "text")
+    val out = Curation.spanDedup(tiny, 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out(1L) == ((2L, 2L, 20L)), s"doc1 ${out(1L)}") // first sighting keeps all
+    assert(out(2L) == ((2L, 1L, 10L)), s"doc2 ${out(2L)}") // shared chunk dropped
+    assert(out(3L) == ((2L, 0L, 0L)), s"doc3 ${out(3L)}")  // both copies dropped
+  }
+
+  test("q70: kept chunk instances equal distinct chunk contents corpus-wide") {
+    val out = Curation.spanDedup(docs, 10)
+    val kept = out.agg(sum("n_kept")).collect()(0).getLong(0)
+    val distinctChunks = docs
+      .withColumn("words", split(col("text"), " "))
+      .select(explode(expr(
+        """transform(sequence(0, CAST(ceil(size(words) / 10.0) AS INT) - 1),
+             i -> array_join(slice(words, i * 10 + 1, 10), ' '))""")).as("c"))
+      .agg(countDistinct("c")).collect()(0).getLong(0)
+    assert(kept == distinctChunks, s"$kept kept vs $distinctChunks distinct")
+  }
+
+  test("q71: shuffle is deterministic, shards bounded, positions dense, nothing lost") {
+    val out = Curation.globalShuffle(docs, 16, "g5").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val again = Curation.globalShuffle(docs, 16, "g5").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq, "shuffle not deterministic")
+    assert(out.forall(r => r._1 >= 0 && r._1 < 16))
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.size).toSeq,
+        s"positions not dense in shard $shard")
+    }
+    assert(out.map(_._3).toSet == docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // A different salt produces a different permutation (sanity that the
+    // salt actually feeds the hash).
+    val salted = Curation.globalShuffle(docs, 16, "other").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq != out.toSeq, "salt has no effect")
+  }
+
+  test("q72: the per-row fold matches an independent explode-sum formulation exactly") {
+    val got = Curation.hashedClassifier(docs)
+      .select("doc_id", "score_raw").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = "CAST(conv(substring(md5(concat('w:', tok)), 1, 12), 16, 10) AS BIGINT) % 2001 - 1000"
+    val want = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id").agg(sum(expr(w)).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val margins = Curation.hashedClassifier(docs).select("margin").collect().map(_.getDouble(0))
+    assert(margins.forall(m => m >= -1.0 && m <= 1.0))
+  }
+}

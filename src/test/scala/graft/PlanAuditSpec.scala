@@ -299,4 +299,43 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
     }
   }
+
+  test("q68: PII scrubbing is map-only — no hash shuffle, no join") {
+    // widen() may round-robin a small scan; what must never appear is a
+    // keyed shuffle or a join — the scrubber is a pure per-row regex map.
+    val p = plan(q("q68_pii_scrub"))
+    assert(!p.contains("Exchange hashpartitioning"), s"scrubber shuffles:\n$p")
+    assert(!p.contains("Join"), s"scrubber joins:\n$p")
+  }
+
+  test("q69: the source cap aggregates partially — O(sources·k) shuffle rows, no window sort") {
+    val p = plan(q("q69_source_cap"))
+    assert(p.contains("partial_graft_top10"),
+      s"no partial top-k phase before the shuffle:\n$p")
+    assert(!p.contains("Window"), s"cap regressed to a windowed sort:\n$p")
+  }
+
+  test("q70: span dedup shuffles 32-byte digests into a partial min-aggregation, no window") {
+    val p = plan(q("q70_span_dedup"))
+    assert(p.contains("partial_min"), s"no partial keeper aggregation:\n$p")
+    assert(!p.contains("Window"), s"dedup regressed to a corpus window:\n$p")
+    // The keeper join keys on the digest — never a nested loop.
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"keeper join degenerated:\n$p")
+  }
+
+  test("q71: one hash exchange feeds both shard placement and the in-shard rank") {
+    // repartition(shard) and Window.partitionBy(shard) must share one
+    // exchange; the only other exchange is the final presentation sort's
+    // range partitioning (which a training writer would not run).
+    val p = plan(q("q71_global_shuffle"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"shard exchange not reused:\n$p")
+  }
+
+  test("q72: classifier scoring is map-only — the fold happens per row, not via explode") {
+    val p = plan(q("q72_hashed_classifier"))
+    assert(!p.contains("Exchange hashpartitioning"), s"classifier shuffles:\n$p")
+    assert(!p.contains("Generate"), s"classifier explodes the token stream:\n$p")
+  }
 }
