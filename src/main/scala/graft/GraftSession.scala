@@ -35,8 +35,14 @@ object GraftSession {
     * (score, id)` → the k-best pairs as `array<struct<_1, _2>>` with the
     * bounded-buffer partial-merge shape (O(groups·k) shuffle rows).
     */
-  def registerUdafs(spark: SparkSession): Unit =
+  def registerUdafs(spark: SparkSession): Unit = {
     spark.udf.register(
       "graft_top10",
       org.apache.spark.sql.functions.udaf(new graft.functions.TopKAggregator(10)))
+    // Wider buffer for shortlist generation (PQ-ADC candidates before
+    // exact re-rank): still O(k) per group, still partial-merged.
+    spark.udf.register(
+      "graft_top50",
+      org.apache.spark.sql.functions.udaf(new graft.functions.TopKAggregator(50)))
+  }
 }

@@ -79,6 +79,12 @@ object SparkEntry {
     * ≈0.32 on this corpus, so ~1% of pairs qualify) and the skew cap. */
   private val SemThreshold = 0.3
   private val SemMaxCluster = 512
+  /** Q73: product quantization — 4 subspaces of 16 dims, 8 codes per
+    * sub-codebook (codes per vector: 4 small ints vs 64 floats). */
+  private val PqSub = 4
+  private val PqCodes = 8
+  /** Q73c: ADC shortlist size before the exact re-rank. */
+  private val PqShortlist = 50
   /** Q70: span-dedup chunk length in tokens (docs average ~54 tokens,
     * so a typical doc is ~5 chunks and the 30-word shared vocabulary
     * makes cross-document chunk collisions common enough to bite). */
@@ -163,6 +169,38 @@ object SparkEntry {
        n AS (SELECT doc_id,
                CASE WHEN doc_id % 5 = 0 THEN md5(text || ' rev2') ELSE md5(text) END AS new_hash
              FROM documents WHERE doc_id % 7 <> 2)"""
+
+  /** Shared CTEs for the PQ family (q73/b/c): embeddings as double
+    * lists, the dense 0..n-1 sub-codebook, and every
+    * (vector, subspace, code) squared-L2 on the exact 1e-6 integer
+    * grid — 1-based DuckDB list slices of the 0-based Spark fold.
+    */
+  private val pqCte = {
+    val sub = 64 / PqSub
+    val sq = s"(e.emb[ms.m*$sub+i] - c.cemb[ms.m*$sub+i]) * (e.emb[ms.m*$sub+i] - c.cemb[ms.m*$sub+i])"
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $PqCodes),
+        d AS (SELECT e.vec_id, ms.m, c.cid,
+                CAST(floor(list_sum(list_transform(generate_series(1, $sub),
+                  i -> $sq)) * 1e6 + 0.5) AS BIGINT) AS erri
+              FROM e CROSS JOIN (SELECT unnest(range($PqSub)) AS m) ms CROSS JOIN c)"""
+  }
+
+  /** ADC scoring CTEs on top of [[pqCte]]: corpus code table, exact
+    * BIGINT LUT sums per (query, vector), rounded `adc` (`sc`). */
+  private val pqAdcCte =
+    s"""codes AS (SELECT vec_id, m, cid AS code FROM
+                    (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                       ORDER BY erri, cid) AS rn FROM d)
+                  WHERE rn = 1 AND vec_id >= $BatchQueries),
+        adc AS (SELECT d.vec_id AS qid, codes.vec_id,
+                  CAST(sum(d.erri) AS BIGINT) AS adci
+                FROM codes JOIN d ON d.m = codes.m AND d.cid = codes.code
+                WHERE d.vec_id < $BatchQueries
+                GROUP BY 1, 2),
+        sc AS (SELECT qid, vec_id,
+                 ${roundSql("CAST(adci AS DOUBLE) / 1e6", 4)} AS adc
+               FROM adc)"""
 
   private val shingleCte =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -382,6 +420,14 @@ object SparkEntry {
       Curation.globalShuffle(Tables.table(s, d, "documents"), NumShards, ShuffleSalt)),
     "q72_hashed_classifier" -> ((s, d) =>
       Curation.hashedClassifier(Tables.table(s, d, "documents"))),
+    "q73_pq_encode" -> ((s, d) =>
+      Similarity.pqEncode(Tables.table(s, d, "embeddings"), PqSub, PqCodes)),
+    "q73b_adc_search" -> ((s, d) =>
+      Similarity.pqAdcSearch(Tables.table(s, d, "embeddings"),
+        PqSub, PqCodes, BatchQueries, BatchTopK)),
+    "q73c_pq_rerank" -> ((s, d) =>
+      Similarity.pqRerankSearch(Tables.table(s, d, "embeddings"),
+        PqSub, PqCodes, BatchQueries, PqShortlist, BatchTopK)),
     "q64_doc_lookup" -> ((s, d) => {
       // Round-trip through the id-partitioned corpus store: write once
       // per SF dir, then answer an id-range lookup with partition
@@ -1722,6 +1768,45 @@ object SparkEntry {
           SELECT doc_id, n_tokens, score_raw, margin,
                  CASE WHEN margin >= 0 THEN 'keep' ELSE 'drop' END AS label
           FROM m ORDER BY doc_id""",
+    // Q73: PQ encode — identical 1-based subspace slices (DuckDB lists)
+    // of the 0-based Spark fold; distances snapped to the 1e-6 integer
+    // grid in both engines before the argmin, tie → lowest code.
+    "q73_pq_encode" ->
+      s"""WITH $pqCte,
+          r AS (SELECT vec_id, m, cid, erri, row_number() OVER
+                  (PARTITION BY vec_id, m ORDER BY erri, cid) AS rn FROM d)
+          SELECT vec_id, CAST(m AS INT) AS m, cid AS code,
+                 CAST(erri AS DOUBLE) / 1e6 AS err
+          FROM r WHERE rn = 1 ORDER BY vec_id, m""",
+    // Q73b: ADC search — the q73 code table for the corpus, the same
+    // integer LUT per query, exact BIGINT sums, rank by (adc, vec_id).
+    "q73b_adc_search" ->
+      s"""WITH $pqCte,
+          $pqAdcCte,
+          rk AS (SELECT qid, vec_id, adc, row_number() OVER
+                   (PARTITION BY qid ORDER BY adc, vec_id) AS rnk FROM sc)
+          SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
+          FROM rk WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
+    // Q73c: shortlist + exact re-rank — the q73b ranking truncated at
+    // `PqShortlist`, then exact squared-L2 only on shortlist rows.
+    "q73c_pq_rerank" ->
+      s"""WITH $pqCte,
+          $pqAdcCte,
+          short AS (SELECT qid, vec_id FROM
+                      (SELECT qid, vec_id, row_number() OVER
+                         (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM sc)
+                    WHERE rn <= $PqShortlist),
+          ex AS (SELECT s.qid, s.vec_id,
+                   ${roundSql(
+                     "list_sum(list_transform(generate_series(1, 64), " +
+                       "i -> (eq.emb[i] - ec.emb[i]) * (eq.emb[i] - ec.emb[i])))", 4)} AS dist
+                 FROM short s
+                 JOIN e eq ON eq.vec_id = s.qid
+                 JOIN e ec ON ec.vec_id = s.vec_id),
+          rk AS (SELECT qid, vec_id, dist, row_number() OVER
+                   (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM ex)
+          SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, dist
+          FROM rk WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
     // Q64: the id-partitioned store must answer exactly what the flat
     // table answers — the pruning is a layout property, not a
     // semantics change.

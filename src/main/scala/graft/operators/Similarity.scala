@@ -367,4 +367,143 @@ object Similarity {
         col("m.cos").as("cos"))
       .orderBy("vec_id")
   }
+
+  /** Codebook for product quantization, shared by [[pqEncode]] and
+    * [[pqAdcSearch]]: the bounded centroid set (vec_id < nCodes, the
+    * q18b deterministic stand-in for trained sub-codebooks) folded into
+    * one broadcast row, cid-sorted so positional indexing by cid is
+    * valid in the per-row lambdas.
+    */
+  private def sortedCents(emb: DataFrame, nCodes: Int): DataFrame =
+    withEmb(emb).filter(col("vec_id") < nCodes)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cid"),
+        col("emb").as("cemb")))).as("cents"))
+
+  /** Spark SQL fragment: the subspace-`m` squared-L2 distance between
+    * row vector `emb` and codebook entry `c.cemb`, scaled to an exact
+    * integer on the 1e-6 grid (index-order fold, multiplication not
+    * pow() — the cross-engine float rules).
+    */
+  private def subErrIntSql(subLen: Int): String =
+    s"""CAST(floor(aggregate(sequence(m * $subLen, (m + 1) * $subLen - 1),
+          CAST(0.0 AS DOUBLE),
+          (acc, i) -> acc + (emb[i] - c.cemb[i]) * (emb[i] - c.cemb[i])) * 1e6 + 0.5) AS BIGINT)"""
+
+  /** Q73 — Product-Quantization encode: split each embedding into
+    * `nSub` contiguous subvectors and snap each to its nearest of
+    * `nCodes` sub-codebook entries (squared L2, tie → lowest code).
+    * Output is the long-form code table (vec_id, m, code, err).
+    *
+    * This is the ANN scale path beyond IVF: the encoded corpus is
+    * `nSub` small integers per vector (4 bytes here vs 256 for the
+    * float[64]) — at 100 TB of embeddings the code table is ~1.6 % of
+    * the source bytes, small enough to rescan exhaustively per query
+    * batch. The encode itself is map-only: one broadcast codebook row,
+    * per-row argmin folds, no shuffle of the corpus (same contract as
+    * IVF assignment).
+    */
+  def pqEncode(emb: DataFrame, nSub: Int, nCodes: Int): DataFrame = {
+    val subLen = 64 / nSub
+    withEmb(emb).crossJoin(broadcast(sortedCents(emb, nCodes)))
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, $nSub - 1), m ->
+              array_min(transform(cents, c -> named_struct(
+                'erri', ${subErrIntSql(subLen)},
+                'cid', c.cid))))""")))
+      .select(col("vec_id"), col("pos").as("m"),
+        col("col.cid").as("code"),
+        (col("col.erri").cast("double") / 1e6).as("err"))
+      .orderBy("vec_id", "m")
+  }
+
+  /** Q73b — asymmetric-distance (ADC) search over the PQ codes: each
+    * query precomputes a lookup table of subspace distances to every
+    * codebook entry (nSub × nCodes integers — bounded, broadcast), and
+    * every corpus vector is scored by summing `nSub` table lookups
+    * selected by its stored codes. The approximate distance is an exact
+    * BIGINT sum of 1e-6-grid integers (order-free), divided and rounded
+    * once.
+    *
+    * Scale shape: the corpus side touches ONLY the code table (never
+    * the float vectors), the LUT row is a broadcast, and the per-query
+    * ranking runs through the bounded-buffer top-k Aggregator — so the
+    * exchange moves O(queries · k) rows for an exhaustive scan of any
+    * corpus size. That combination (tiny codes + cheap metric +
+    * bounded top-k) is what makes exhaustive ANN viable at 100 TB.
+    */
+  /** ADC scores for every (query, corpus-vector) pair, from codes and
+    * per-query LUTs alone: `adc` = rounded approximate squared-L2.
+    * The corpus side carries only its `nSub` small code integers into
+    * the scoring lambda; the LUT row (nQueries × nSub × nCodes
+    * integers — bounded) is a broadcast.
+    */
+  private def adcScored(emb: DataFrame, nSub: Int, nCodes: Int,
+                        nQueries: Int): DataFrame = {
+    val subLen = 64 / nSub
+    // Corpus codes, wide form: codes[m] = nearest sub-code (the q73
+    // fold, keeping only the cid — valid as a LUT index because the
+    // stand-in codebook ids are dense 0..nCodes-1).
+    val codes = withEmb(emb).filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(sortedCents(emb, nCodes)))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, $nSub - 1), m ->
+              array_min(transform(cents, c -> named_struct(
+                'erri', ${subErrIntSql(subLen)},
+                'cid', c.cid))).cid)""").as("codes"))
+    val luts = withEmb(emb).filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(sortedCents(emb, nCodes)))
+      .select(col("vec_id").as("qid"), expr(
+        s"""transform(sequence(0, $nSub - 1), m ->
+              transform(cents, c -> ${subErrIntSql(subLen)}))""").as("lut"))
+      .agg(collect_list(struct(col("qid"), col("lut"))).as("qluts"))
+    codes.crossJoin(broadcast(luts))
+      .select(col("vec_id"), col("codes"), explode(col("qluts")).as("q"))
+      .withColumn("adc", roundTo(expr(
+        s"""aggregate(sequence(0, $nSub - 1), CAST(0 AS BIGINT),
+              (acc, m) -> acc + q.lut[m][CAST(codes[m] AS INT)])""").cast("double") / 1e6, 4))
+      .select(col("q.qid").as("qid"), col("vec_id"), col("adc"))
+  }
+
+  def pqAdcSearch(emb: DataFrame, nSub: Int, nCodes: Int,
+                  nQueries: Int, k: Int): DataFrame =
+    adcScored(emb, nSub, nCodes, nQueries)
+      .groupBy("qid")
+      .agg(expr(s"slice(graft_top10(-adc, vec_id), 1, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("vec_id"), (-col("col._1")).as("adc"))
+      .orderBy("qid", "rnk")
+
+  /** Q73c — PQ shortlist + exact re-rank, the production ANN pipeline:
+    * the cheap ADC metric scans the code table and keeps a bounded
+    * shortlist per query (`graft_top50` — O(queries·50) shuffle rows
+    * for an exhaustive corpus scan), then ONLY the shortlist rows are
+    * joined back to their float vectors for the exact squared-L2
+    * re-rank. At 100 TB the float table is touched for
+    * queries × shortlist rows — the expensive bytes are read
+    * post-pruning, which is the entire point of PQ.
+    */
+  def pqRerankSearch(emb: DataFrame, nSub: Int, nCodes: Int,
+                     nQueries: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist <= 50, "shortlist is capped by the graft_top50 buffer")
+    val e = withEmb(emb)
+    val short = adcScored(emb, nSub, nCodes, nQueries)
+      .groupBy("qid")
+      .agg(expr(s"slice(graft_top50(-adc, vec_id), 1, $shortlist)").as("top"))
+      .select(col("qid"), explode(expr("transform(top, t -> t._2)")).as("vec_id"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    short
+      .join(e.select(col("vec_id"), col("emb")), "vec_id")
+      .join(broadcast(queries), "qid")
+      .withColumn("dist", roundTo(expr(
+        """aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+             (acc, i) -> acc + (emb[i] - qemb[i]) * (emb[i] - qemb[i]))"""), 4))
+      .groupBy("qid")
+      .agg(expr(s"slice(graft_top10(-dist, vec_id), 1, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("vec_id"), (-col("col._1")).as("dist"))
+      .orderBy("qid", "rnk")
+  }
 }

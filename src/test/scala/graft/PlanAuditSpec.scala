@@ -333,6 +333,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shard exchange not reused:\n$p")
   }
 
+  test("q73: PQ encode never shuffles the corpus — codebook is a broadcast, argmin is per-row") {
+    // The only permitted exchanges are widen()'s round-robin and the
+    // final presentation sort's range partitioning — never a hash
+    // exchange of the embedding table.
+    val p = plan(q("q73_pq_encode"))
+    assert(!p.contains("Exchange hashpartitioning"), s"encode shuffles the corpus:\n$p")
+    assert(!p.contains("Window"), s"encode regressed to a window argmin:\n$p")
+  }
+
+  test("q73b: ADC search ranks through the bounded top-k buffer, not a per-query sort") {
+    val p = plan(q("q73b_adc_search"))
+    assert(p.contains("partial_graft_top10"),
+      s"no partial top-k phase — the exchange would carry every candidate:\n$p")
+    assert(!p.contains("Window"), s"ADC ranking regressed to a window sort:\n$p")
+  }
+
+  test("q73c: the exact re-rank joins float vectors only for shortlist rows") {
+    val p = plan(q("q73c_pq_rerank"))
+    assert(p.contains("partial_graft_top50"),
+      s"shortlist not generated through the bounded buffer:\n$p")
+    // The vector fetch must be a keyed hash join on vec_id (shortlist
+    // ids → embeddings). The plan's nested-loop joins are the 1-row
+    // codebook/LUT broadcasts — bounded by construction; what must not
+    // appear is an unkeyed product of two unbounded sides
+    // (CartesianProduct is the shuffle-side degeneration).
+    assert(p.matches("(?s).*HashJoin \\[vec_id.*"),
+      s"re-rank fetch is not a keyed hash join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"re-rank fetch degenerated:\n$p")
+  }
+
   test("q72: classifier scoring is map-only — the fold happens per row, not via explode") {
     val p = plan(q("q72_hashed_classifier"))
     assert(!p.contains("Exchange hashpartitioning"), s"classifier shuffles:\n$p")
