@@ -122,7 +122,17 @@ object ScaleSmoke {
       // not the selection size.
       ("budget_select", (df: DataFrame) => TextAnalysis.budgetSelect(df, 100000L, 20),
         c => scaledDocs(spark, dir, c)),
-      ("temperature_mix", Sampling.temperatureMixture, c => scaledDocs(spark, dir, c)))
+      ("temperature_mix", Sampling.temperatureMixture, c => scaledDocs(spark, dir, c)),
+      ("pii_scrub", Curation.piiScrub, c => scaledDocs(spark, dir, c)),
+      ("span_dedup", (df: DataFrame) => Curation.spanDedup(df, 10),
+        c => scaledDocs(spark, dir, c)),
+      ("source_cap", Curation.sourceCap, c => scaledDocs(spark, dir, c)),
+      ("global_shuffle", (df: DataFrame) => Curation.globalShuffle(df, 16, "g5"),
+        c => scaledDocs(spark, dir, c)),
+      ("hashed_classifier", Curation.hashedClassifier, c => scaledDocs(spark, dir, c)),
+      // Corpus grows; the query batch and codebook do not.
+      ("pq_rerank", (df: DataFrame) => Similarity.pqRerankSearch(df, 4, 8, 4, 50, 5),
+        c => scaledEmb(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

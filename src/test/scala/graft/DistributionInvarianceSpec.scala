@@ -100,7 +100,15 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       // HLL register-max merge is commutative, so even the sketch column
       // is partition-order invariant.
       ("shingleCardinality", f => TextAnalysis.shingleCardinality(f(docs))),
-      ("semanticDedup", f => Similarity.semanticDedup(f(emb), 8, 0.3)))
+      ("semanticDedup", f => Similarity.semanticDedup(f(emb), 8, 0.3)),
+      ("piiScrub", f => Curation.piiScrub(f(docs))),
+      ("sourceCap", f => Curation.sourceCap(f(docs))),
+      ("spanDedup", f => Curation.spanDedup(f(docs), 10)),
+      ("globalShuffle", f => Curation.globalShuffle(f(docs), 16, "g5")),
+      ("hashedClassifier", f => Curation.hashedClassifier(f(docs))),
+      ("pqEncode", f => Similarity.pqEncode(f(emb), 4, 8)),
+      ("pqAdcSearch", f => Similarity.pqAdcSearch(f(emb), 4, 8, 4, 5)),
+      ("pqRerankSearch", f => Similarity.pqRerankSearch(f(emb), 4, 8, 4, 50, 5)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {
