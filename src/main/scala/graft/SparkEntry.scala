@@ -428,6 +428,10 @@ object SparkEntry {
     "q73c_pq_rerank" -> ((s, d) =>
       Similarity.pqRerankSearch(Tables.table(s, d, "embeddings"),
         PqSub, PqCodes, BatchQueries, PqShortlist, BatchTopK)),
+    "q74_corpus_pipeline" -> ((s, d) =>
+      Curation.corpusPipeline(Tables.table(s, d, "documents"),
+        FunnelMinTok, FunnelMaxTok, FunnelMinQuality, FunnelMaxTopTok,
+        NumShards, ShuffleSalt)),
     "q64_doc_lookup" -> ((s, d) => {
       // Round-trip through the id-partitioned corpus store: write once
       // per SF dir, then answer an id-range lookup with partition
@@ -1807,6 +1811,49 @@ object SparkEntry {
                    (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM ex)
           SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, dist
           FROM rk WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
+    // Q74: the end-to-end pipeline — q65's gate CTEs (quality,
+    // top-token run, md5 survivors), q69's per-source rank at the cap,
+    // q71's shard hash; composed exactly as the Spark plan composes
+    // the operators.
+    "q74_corpus_pipeline" ->
+      s"""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
+          m AS (SELECT doc_id, source,
+                  CAST(len(ws) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+                  len(list_filter(ws, w -> w IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+                FROM d),
+          r AS (SELECT doc_id, source, n_tokens,
+                  ${roundSql("CAST(n_types AS DOUBLE) / n_tokens", 4)} AS ttr,
+                  ${roundSql("CAST(n_stop AS DOUBLE) / n_tokens", 4)} AS stop_ratio
+                FROM m),
+          q AS (SELECT doc_id, source, n_tokens,
+                  ${roundSql("0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) + 0.4 * ttr + 0.3 * stop_ratio", 4)} AS quality
+                FROM r),
+          u AS (SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS tok FROM d) GROUP BY 1, 2),
+          tt AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok FROM u GROUP BY 1),
+          surv AS (SELECT md5(text) AS h2, min(doc_id) AS keep_id
+                   FROM d GROUP BY 1),
+          kept AS (SELECT q.doc_id, q.source, q.n_tokens, q.quality
+                   FROM q
+                   JOIN d USING (doc_id)
+                   JOIN tt USING (doc_id)
+                   JOIN surv s ON s.h2 = md5(d.text)
+                   WHERE q.n_tokens BETWEEN $FunnelMinTok AND $FunnelMaxTok
+                     AND q.quality >= $FunnelMinQuality
+                     AND ${roundSql("CAST(tt.top_tok AS DOUBLE) / q.n_tokens", 4)} <= $FunnelMaxTopTok
+                     AND q.doc_id = s.keep_id),
+          capped AS (SELECT * FROM (SELECT kept.*, row_number() OVER
+                       (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+                     FROM kept) WHERE rnk <= $TopK),
+          sh AS (SELECT doc_id, source, n_tokens, quality,
+                   ${graft.functions.PortableHash.hash48Sql(s"'$ShuffleSalt:' || CAST(doc_id AS VARCHAR)")} AS h
+                 FROM capped)
+          SELECT h % $NumShards AS shard,
+                 CAST(row_number() OVER (PARTITION BY h % $NumShards
+                   ORDER BY h, doc_id) AS BIGINT) AS pos,
+                 doc_id, source, n_tokens, quality
+          FROM sh ORDER BY shard, pos""",
     // Q64: the id-partitioned store must answer exactly what the flat
     // table answers — the pruning is a layout property, not a
     // semantics change.

@@ -105,8 +105,11 @@ object Curation {
     * skew is bounded by duplicate-set size, the same contract as the
     * q17 dedup family; per-doc reassembly is a groupBy on doc_id.
     */
-  def spanDedup(docs: DataFrame, span: Int): DataFrame = {
-    val chunks = graft.sources.Tables.widen(docs)
+  /** Chunk instances of a docs frame: (doc_id, chunk_idx, digest,
+    * token count) — the shared explode for batch [[spanDedup]] and
+    * [[graft.streaming.StreamingSpanDedup]]. */
+  private[graft] def spanChunks(docs: DataFrame, span: Int): DataFrame =
+    docs
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, CAST(ceil(size(words) / $span.0) AS INT) - 1),
@@ -114,6 +117,9 @@ object Curation {
                           size(slice(words, i * $span + 1, $span)) AS c_tokens))""")))
       .select(col("doc_id"), col("pos").as("chunk_idx"),
         md5(col("col.txt")).as("h"), col("col.c_tokens").cast("long").as("c_tokens"))
+
+  def spanDedup(docs: DataFrame, span: Int): DataFrame = {
+    val chunks = spanChunks(graft.sources.Tables.widen(docs), span)
     val keepers = chunks
       .groupBy("h")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("kp"))
@@ -151,6 +157,58 @@ object Curation {
         row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id")).cast("long"))
       .select("shard", "pos", "doc_id", "n_chars")
       .orderBy("shard", "pos")
+
+  /** Q74 — the end-to-end corpus pipeline, composed as ONE declarative
+    * plan: quality/length/repetition gates and exact dedup (the q65
+    * gate metrics), per-source quota capping (the q69 semantics), and
+    * deterministic shard assignment (the q71 manifest). Output is the
+    * training-shard manifest a reader fleet would consume:
+    * (shard, pos, doc_id, source, n_tokens, quality).
+    *
+    * Plan shape (PlanAuditSpec pins it): the text is scanned and
+    * tokenized exactly ONCE — every gate metric comes from that single
+    * pass, dedup survivorship is a min-over-digest window (partition =
+    * one duplicate set), the cap is a per-source rank window over
+    * already-gated survivors, and the only corpus-wide exchange is the
+    * shard placement. Composing via windows instead of the standalone
+    * operators' agg+join shapes is deliberate: the self-join
+    * formulations would each rescan and retokenize the corpus (the
+    * dominant cost at 100 TB), while a window exchanges the same rows
+    * once. The trade is the cap window's per-source partition size —
+    * data-controlled where q69's bounded-buffer Aggregator is O(k); a
+    * deployment capping millions of hot domains should run q69's form
+    * on the gated survivors instead (one extra pass, skew-proof cap).
+    */
+  def corpusPipeline(
+      docs: DataFrame,
+      minTok: Long, maxTok: Long,
+      minQuality: Double, maxTopTokFrac: Double,
+      numShards: Int, salt: String): DataFrame = {
+    val scored = TextAnalysis.qualityCore(docs)
+      .withColumn("top_tok_frac", roundTo(
+        expr(TextAnalysis.maxRunExpr("array_sort(words)")).cast("double")
+          / col("n_tokens"), 4))
+      .withColumn("content_hash", md5(col("text")))
+      .select("doc_id", "source", "content_hash", "n_tokens", "quality", "top_tok_frac")
+    val kept = scored
+      .withColumn("keep_id",
+        min("doc_id").over(Window.partitionBy("content_hash")))
+      .where(col("n_tokens").between(minTok, maxTok)
+        && col("quality") >= minQuality
+        && col("top_tok_frac") <= maxTopTokFrac
+        && col("doc_id") === col("keep_id"))
+    kept
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))))
+      .where(col("rnk") <= 10)
+      .withColumn("h", expr(hash48(s"concat('$salt:', CAST(doc_id AS STRING))")))
+      .withColumn("shard", pmod(col("h"), lit(numShards.toLong)))
+      .repartition(col("shard"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id")).cast("long"))
+      .select("shard", "pos", "doc_id", "source", "n_tokens", "quality")
+      .orderBy("shard", "pos")
+  }
 
   /** Q72 — hashed-feature linear classifier (the fastText-style quality
     * gate, with hash-derived weights standing in for trained ones —

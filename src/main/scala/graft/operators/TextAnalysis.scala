@@ -226,7 +226,7 @@ object TextAnalysis {
     * explode→groupBy formulation would shuffle every token of every
     * document just to compute a per-document number.
     */
-  private def maxRunExpr(sortedArr: String): String =
+  private[graft] def maxRunExpr(sortedArr: String): String =
     s"""aggregate($sortedArr,
           named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
           (a, x) -> named_struct(

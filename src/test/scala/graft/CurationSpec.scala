@@ -118,6 +118,47 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.toSeq != out.toSeq, "salt has no effect")
   }
 
+  test("q74: manifest docs pass every gate, respect the cap, and shard deterministically") {
+    import graft.operators.TextAnalysis
+    val out = Curation.corpusPipeline(docs, 20L, 90L, 0.37, 0.12, 16, "g5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // Independent pure-Scala recompute of gates + cap on the raw corpus.
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val raw = docs.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val firstOfText = raw.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._1).min }
+    val kept = raw.flatMap { case (id, text, src) =>
+      val ws = text.split(" ")
+      val n = ws.length
+      val ttr = r4(ws.distinct.length.toDouble / n)
+      val stop = r4(ws.count(TextAnalysis.Stopwords.contains).toDouble / n)
+      val q = r4(0.3 * math.min(1.0, n / 100.0) + 0.4 * ttr + 0.3 * stop)
+      val top = r4(ws.groupBy(identity).values.map(_.size).max.toDouble / n)
+      if (n >= 20 && n <= 90 && q >= 0.37 && top <= 0.12 && firstOfText(text) == id)
+        Some((src, q, id))
+      else None
+    }
+    val expected = kept.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(10).toSeq
+    }.map(_._3).toSet
+    assert(out.map(_._3).toSet == expected,
+      s"manifest ids ${out.map(_._3).toSet} != expected $expected")
+    out.groupBy(_._4).foreach { case (src, rows) =>
+      assert(rows.size <= 10, s"source $src over cap: ${rows.size}")
+    }
+    // Shard placement is exactly the q71 rule for the surviving id set.
+    val shardOf = Curation.globalShuffle(docs, 16, "g5").collect()
+      .map(r => r.getLong(2) -> r.getLong(0)).toMap
+    out.foreach { case (shard, _, id, _) =>
+      assert(shard == shardOf(id), s"doc $id shard $shard != ${shardOf(id)}")
+    }
+    // Positions dense per shard.
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.size).toSeq,
+        s"positions not dense in shard $shard")
+    }
+  }
+
   test("q72: the per-row fold matches an independent explode-sum formulation exactly") {
     val got = Curation.hashedClassifier(docs)
       .select("doc_id", "score_raw").collect()

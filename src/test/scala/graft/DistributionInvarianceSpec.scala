@@ -108,7 +108,9 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("hashedClassifier", f => Curation.hashedClassifier(f(docs))),
       ("pqEncode", f => Similarity.pqEncode(f(emb), 4, 8)),
       ("pqAdcSearch", f => Similarity.pqAdcSearch(f(emb), 4, 8, 4, 5)),
-      ("pqRerankSearch", f => Similarity.pqRerankSearch(f(emb), 4, 8, 4, 50, 5)))
+      ("pqRerankSearch", f => Similarity.pqRerankSearch(f(emb), 4, 8, 4, 50, 5)),
+      ("corpusPipeline", f =>
+        Curation.corpusPipeline(f(docs), 20L, 90L, 0.37, 0.12, 16, "g5")))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {

@@ -363,6 +363,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"re-rank fetch degenerated:\n$p")
   }
 
+  test("q74: the composed pipeline scans and tokenizes the corpus exactly once") {
+    // Gates + dedup survivorship + cap + shard placement from ONE scan:
+    // the window composition exists precisely so no stage rescans the
+    // text (the agg+join formulations would read it 4×).
+    val df = q("q74_corpus_pipeline")
+    assert(scans(df).size == 1, s"corpus scanned ${scans(df).size}× :\n${plan(df)}")
+    val p = plan(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"more exchanges than digest-window + cap-window + shard:\n$p")
+  }
+
   test("q72: classifier scoring is map-only — the fold happens per row, not via explode") {
     val p = plan(q("q72_hashed_classifier"))
     assert(!p.contains("Exchange hashpartitioning"), s"classifier shuffles:\n$p")

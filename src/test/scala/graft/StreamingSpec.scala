@@ -754,6 +754,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want && got.nonEmpty)
   }
 
+  test("S14: streaming span dedup ≡ batch spanDedup under doc-id-ordered delivery") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // Repetitive corpus: 40 docs over a 6-word vocabulary in 15-token
+    // texts (chunks of 10 collide often, within and across docs).
+    // Batches cut anywhere; intra-batch order is scrambled.
+    val docs = (0L until 40L).map { i =>
+      (i, (0 until 15).map(j => s"w${(i + j) % 6}").mkString(" "))
+    }
+    val src = MemoryStream[(Long, String)]
+    src.addData(scala.util.Random.shuffle(docs.take(17)): _*)
+    src.addData(scala.util.Random.shuffle(docs.slice(17, 18)): _*)
+    src.addData(scala.util.Random.shuffle(docs.drop(18)): _*)
+
+    val q = graft.streaming.StreamingSpanDedup
+      .chunkKeeps(src.toDF().toDF("doc_id", "text"), 10)
+      .writeStream.format("memory").queryName("s14").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // Streaming verdicts aggregated per doc must equal the batch report.
+    val got = spark.table("s14")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum("c_tokens").as("n_tokens"),
+        sum(when(col("kept"), col("c_tokens")).otherwise(0L)).as("n_tokens_kept"))
+      .orderBy("doc_id").collect().toSeq
+    val want = graft.operators.Curation.spanDedup(docs.toDF("doc_id", "text"), 10)
+      .select("doc_id", "n_chunks", "n_kept", "n_tokens", "n_tokens_kept")
+      .orderBy("doc_id").collect().toSeq
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+    assert(got.size == 40)
+  }
+
   test("S12: streaming chunk packing ≡ batch chunkPack across arbitrary microbatch splits") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
