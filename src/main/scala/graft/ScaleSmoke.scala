@@ -132,7 +132,9 @@ object ScaleSmoke {
       ("hashed_classifier", Curation.hashedClassifier, c => scaledDocs(spark, dir, c)),
       // Corpus grows; the query batch and codebook do not.
       ("pq_rerank", (df: DataFrame) => Similarity.pqRerankSearch(df, 4, 8, 4, 50, 5),
-        c => scaledEmb(spark, dir, c)))
+        c => scaledEmb(spark, dir, c)),
+      ("heavy_hitters", (df: DataFrame) => TextAnalysis.heavyHitters(df, 64, 50L),
+        c => scaledDocs(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

@@ -106,6 +106,12 @@ object SparkEntry {
   private val VocabMinOcc = 2L
   /** Q35c: TF-IDF terms kept per document. */
   private val TfIdfTopK = 3
+  /** Q75: Misra–Gries summary capacity (map-task state bound). */
+  private val HhCapacity = 64
+  /** Q75: heavy-hitter share gate denominator — token qualifies iff
+    * n_occ · HhShareDen > n_total (share > 2%); must be ≤ HhCapacity+1
+    * for the sketch's candidate-superset guarantee. */
+  private val HhShareDen = 50L
   /** Q48 association-rule support floor (applied to the ROUNDED support,
     * identically in both engines). */
   private val MinSupport = 0.05
@@ -432,6 +438,9 @@ object SparkEntry {
       Curation.corpusPipeline(Tables.table(s, d, "documents"),
         FunnelMinTok, FunnelMaxTok, FunnelMinQuality, FunnelMaxTopTok,
         NumShards, ShuffleSalt)),
+    "q75_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(Tables.table(s, d, "documents"),
+        HhCapacity, HhShareDen)),
     "q64_doc_lookup" -> ((s, d) => {
       // Round-trip through the id-partitioned corpus store: write once
       // per SF dir, then answer an id-range lookup with partition
@@ -1854,6 +1863,17 @@ object SparkEntry {
                    ORDER BY h, doc_id) AS BIGINT) AS pos,
                  doc_id, source, n_tokens, quality
           FROM sh ORDER BY shard, pos""",
+    // Q75: the two-pass sketch-then-verify result is EXACT, so the
+    // oracle is the naive full GROUP BY with an all-integer share gate
+    // (n_occ · den > n_total — no float threshold to disagree on).
+    "q75_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          t AS (SELECT count(*) AS n_total FROM w)
+          SELECT word, count(*) AS n_occ,
+                 ${roundSql("CAST(count(*) AS DOUBLE) / (SELECT n_total FROM t)", 6)} AS share
+          FROM w GROUP BY word
+          HAVING count(*) * $HhShareDen > (SELECT n_total FROM t)
+          ORDER BY word""",
     // Q64: the id-partitioned store must answer exactly what the flat
     // table answers — the pruning is a layout property, not a
     // semantics change.

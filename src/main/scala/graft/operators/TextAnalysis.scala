@@ -379,4 +379,42 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "quality", "cell")
       .orderBy("doc_id")
   }
+
+  /** Q75 — exact heavy hitters with bounded memory, the sketch-then-
+    * verify recipe for hot tokens/domains at corpus scale:
+    *
+    *   pass 1: one aggregation folds every token into a Misra–Gries
+    *     summary ([[graft.functions.FreqSketchAggregator]]) alongside
+    *     the exact token total. Each map task's state is O(capacity);
+    *     the shuffle moves one ≤capacity-entry map per partition — the
+    *     corpus's distinct-token count never matters.
+    *   pass 2: the ≤capacity candidates (a guaranteed superset of every
+    *     token with share > 1/(capacity+1)) are broadcast back over the
+    *     token stream for exact counts; the share gate compares pure
+    *     integers (n_occ · shareDen > n_total) so the result is
+    *     bit-exact across engines and, unlike the raw sketch, fully
+    *     deterministic under any partitioning of the input.
+    *
+    * The final answer is EXACT — the sketch only bounds the candidate
+    * set — which is why the DuckDB oracle can be a plain GROUP BY …
+    * HAVING. `shareDen ≤ capacity+1` is the precondition that makes the
+    * MG superset guarantee cover the gate.
+    */
+  def heavyHitters(docs: DataFrame, capacity: Int, shareDen: Long): DataFrame = {
+    require(shareDen >= 1 && shareDen <= capacity + 1,
+      s"MG superset guarantee needs shareDen in [1, capacity+1], got $shareDen vs capacity $capacity")
+    val mg = udaf(new graft.functions.FreqSketchAggregator(capacity))
+    val words = graft.sources.Tables.widen(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val sketch = words.agg(mg(col("word")).as("cand"), count(lit(1)).as("n_total"))
+    val candidates = sketch
+      .select(explode(map_keys(col("cand"))).as("word"), col("n_total"))
+    words.join(broadcast(candidates), Seq("word"))
+      .groupBy("word", "n_total")
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") * shareDen > col("n_total"))
+      .select(col("word"), col("n_occ"),
+        roundTo(col("n_occ").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy("word")
+  }
 }

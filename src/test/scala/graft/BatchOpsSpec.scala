@@ -208,6 +208,22 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((2L, 0L, 0.0, false)))
   }
 
+  test("two-pass heavy hitters stay exact with sketch capacity far below distinct count") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 201 distinct words vs capacity 8: the MG decrement path fires
+    // constantly in pass 1, yet pass 2's exact gate must leave the
+    // answer identical to the naive full GROUP BY.
+    val fillerDocs = (0 until 40).map(i =>
+      (i.toLong, (0 until 5).map(j => s"f${i * 5 + j}").mkString(" ")))
+    val hotDocs = (40 until 46).map(i => (i.toLong, Seq.fill(10)("hot").mkString(" ")))
+    val docs = (fillerDocs ++ hotDocs).toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHitters(docs, capacity = 8, shareDen = 9L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // n_total = 260; only "hot" (60/260 ≈ 23%) clears share > 1/9.
+    assert(out.toSeq == Seq(("hot", 60L, 0.230769)))
+  }
+
   test("HLL estimates land inside the sketch's own 3-sigma bound (q52's contract)") {
     // q52's within_tol is only a meaningful gate if the tolerance comes
     // from the configured sketch's accuracy model, not a constant: at

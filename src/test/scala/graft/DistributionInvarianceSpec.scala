@@ -110,7 +110,10 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("pqAdcSearch", f => Similarity.pqAdcSearch(f(emb), 4, 8, 4, 5)),
       ("pqRerankSearch", f => Similarity.pqRerankSearch(f(emb), 4, 8, 4, 50, 5)),
       ("corpusPipeline", f =>
-        Curation.corpusPipeline(f(docs), 20L, 90L, 0.37, 0.12, 16, "g5")))
+        Curation.corpusPipeline(f(docs), 20L, 90L, 0.37, 0.12, 16, "g5")),
+      // The MG candidate SET varies with partitioning; the exact pass-2
+      // gate must erase that variance from the final answer.
+      ("heavyHitters", f => TextAnalysis.heavyHitters(f(docs), 64, 50L)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {

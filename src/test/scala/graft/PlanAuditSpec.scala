@@ -240,6 +240,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus side shuffled or crossed for the candidate join:\n$p")
   }
 
+  test("q75: heavy-hitter verification joins a broadcast candidate set — never sort-merges the token stream") {
+    val p = plan(q("q75_heavy_hitters"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast candidate join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"heavy hitters fell off the broadcast-verify shape:\n$p")
+  }
+
   test("q58: contamination probes one broadcast eval-shingle table — no corpus self-join") {
     val p = plan(q("q58_contamination"))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast eval-set join:\n$p")
