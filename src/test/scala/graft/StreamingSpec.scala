@@ -789,6 +789,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 40)
   }
 
+  test("S15: streaming MG panes hold every true heavy hitter with O(panes·capacity) state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // 181 distinct words vs 4 panes × capacity 8 = 32 state slots: the
+    // decrement path fires constantly, yet "hot" (40% of tokens) must
+    // survive in its pane with an undercount-only bound.
+    val docs = (0L until 60L).map { i =>
+      (i, s"hot hot f${3 * i} f${3 * i + 1} f${3 * i + 2}")
+    }
+    val src = MemoryStream[(Long, String)]
+    src.addData(scala.util.Random.shuffle(docs.take(23)): _*)
+    src.addData(scala.util.Random.shuffle(docs.slice(23, 41)): _*)
+    src.addData(scala.util.Random.shuffle(docs.drop(41)): _*)
+
+    val q = graft.streaming.StreamingHeavyHitters
+      .candidates(src.toDF().toDF("doc_id", "text"), capacity = 8, nPanes = 4)
+      .writeStream.format("memory").queryName("s15").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // Latest snapshot per pane = that pane's max pane_total emission.
+    val all = spark.table("s15")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val latestTotal = all.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+    val snapshot = all.filter { case (p, _, _, t) => t == latestTotal(p) }
+
+    val exact = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = exact.values.sum
+    assert(snapshot.groupBy(_._1).forall(_._2.size <= 8), "pane over capacity")
+    // Superset guarantee: share > 1/(capacity+1) must be present.
+    val heavies = exact.filter { case (_, c) => c * 9 > n }.keySet
+    assert(heavies == Set("hot") && heavies.subsetOf(snapshot.map(_._2).toSet))
+    // Stored counts undercount only, within the pane's own MG bound.
+    assert(snapshot.forall { case (_, w, lb, t) =>
+      lb <= exact(w) && (exact(w) - lb) <= t.toDouble / 9 })
+    // The streaming candidate set covers the batch q75 answer.
+    val batch = graft.operators.TextAnalysis
+      .heavyHitters(docs.toDF("doc_id", "text"), capacity = 8, shareDen = 9L)
+      .collect().map(_.getString(0)).toSet
+    assert(batch.subsetOf(snapshot.map(_._2).toSet))
+  }
+
   test("S12: streaming chunk packing ≡ batch chunkPack across arbitrary microbatch splits") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
