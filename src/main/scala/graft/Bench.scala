@@ -109,7 +109,18 @@ object Bench {
     val suspects = results.filter(r => r.suspect && r.err.isEmpty).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val retried = results.filter(_.retried).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val nErr = results.count(_.err.isDefined)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu_s":${numMap(_.cpu)},"gc_s":${numMap(_.gc)},"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"cores":$cpus,"suspect":$suspects,"retried":$retried,"errors":$nErr,"sf":"$sfDir"}""")
+    val errNames = results.filter(_.err.isDefined).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    // Field ORDER is survivability engineering: the driver retains only a
+    // tail of stdout, so the headline totals + environment stamp go LAST
+    // (after the wide per-query map) where a tail-truncation keeps them.
+    // The complete artifact (incl. per-query cpu/gc) is also written to a
+    // file in the repo so no capture window can lose it.
+    val line = f"""{"metric":"total","unit":"sec","queries":$qs,"suspect":$suspects,"retried":$retried,"errors":$nErr,"error_names":$errNames,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
+    println(line)
+    val full = f"""{"metric":"total","unit":"sec","queries":$qs,"cpu_s":${numMap(_.cpu)},"gc_s":${numMap(_.gc)},"suspect":$suspects,"retried":$retried,"errors":$nErr,"error_names":$errNames,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

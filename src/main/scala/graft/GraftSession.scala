@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** One place that knows how to build a correctly-configured session, so
   * Verify / Bench / tests can't drift:
   *   - UTC session timezone (cross-engine date determinism);
-  *   - `nanosAsLong` set up-front — `events.parquet` stores
-  *     TIMESTAMP(NANOS), which the vanilla reader rejects; setting the
-  *     flag at build time (not as a read-path side effect) keeps reads
-  *     order-independent (see [[graft.sources.Tables.events]]);
+  *   - parquet TIMESTAMP_NTZ inference OFF — tz-less parquet timestamps
+  *     (e.g. `events.ts`) read as plain TimestampType (raw micros = UTC
+  *     instant under the pinned TZ), which keeps range predicates on the
+  *     raw scan column pushdown-eligible; [[graft.sources.Tables.events]]
+  *     still branches on the actual read schema so sessions built
+  *     elsewhere (NTZ on, or a legacy nanos-as-long Spark) work too;
   *   - shuffle partitions sized to the local core count, not the 200
   *     default (on a real cluster this would be ~2-3× total cores /
   *     AQE-coalesced);
@@ -22,7 +24,7 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()

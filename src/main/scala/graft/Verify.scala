@@ -10,11 +10,20 @@ object Verify {
     val spark = GraftSession.build(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query failures must be VISIBLE in the artifact, not just on
+    // stderr: a silently-absent output dir reads as "query not declared"
+    // downstream, and a whole round's regressions can vanish from the
+    // correctness report (this happened: 42 queries, round 5). Failures
+    // are collected into errors.json; the driver (or any reader of the
+    // artifact) can distinguish "broken" from "not attempted".
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg.linesIterator.take(3).mkString(" | ").take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -32,6 +41,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Environment stamp + failure manifest: spark.version in the artifact
+    // turns "silent environment flip" into a 1-line diagnosis.
+    val errJson = (Seq(s"${q("_spark_version")}: ${q(spark.version)}") ++
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }).mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Exit 0 even with failures — the driver must still harvest the
+    // green outputs + errors.json; the manifest is the failure signal.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -31,20 +31,20 @@ object EventLog {
     * half-open-at-left interval reproduces the reference predicate
     * `event.T <= stream.T && event.T > lastT` (eventStream.go:66).
     *
-    * The range is expressed on the RAW stored column (`ts_ns`), not the
-    * derived `ts_us = ts_ns div 1000`: a predicate on a derived column
-    * never reaches the scan, while on `ts_ns` it lands in PushedFilters
-    * and prunes parquet row groups — on a time-partitioned 100 TB log,
-    * the difference between reading the delta and reading everything.
-    * For non-negative timestamps, `floor(ns/1000) > a ⟺ ns ≥ 1000(a+1)`
-    * and `floor(ns/1000) ≤ b ⟺ ns < 1000(b+1)` — exact, no boundary
-    * drift.
+    * The range is expressed on the RAW stored column (`ts`, a parquet
+    * TIMESTAMP read as TimestampType — see [[graft.sources.Tables.events]]),
+    * not a derived integer column: a predicate on a derived column never
+    * reaches the scan, while on `ts` against foldable timestamp literals
+    * it lands in PushedFilters and prunes parquet row groups — on a
+    * time-partitioned 100 TB log, the difference between reading the
+    * delta and reading everything. Micros-resolution bounds are exact:
+    * `t > a ⟺ ts ≥ a+1 µs` and `t ≤ b ⟺ ts < b+1 µs`.
     */
   def deltaEvents(events: DataFrame, lastKnownUs: Long, serverTUs: Long): DataFrame =
     events
       .filter(
-        col("ts_ns") >= (lastKnownUs + 1) * 1000L &&
-          col("ts_ns") < (serverTUs + 1) * 1000L)
+        col("ts") >= timestamp_micros(lit(lastKnownUs + 1)) &&
+          col("ts") < timestamp_micros(lit(serverTUs + 1)))
       .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
       .orderBy("ts_us", "event_id")
 

@@ -85,20 +85,39 @@ object DocStore {
     * cannot clear those, so their partition directories are deleted
     * explicitly.
     */
+  /** Driver-side guard for [[applyDiff]]'s touched-bucket collect. The
+    * collect is bounded by the BUCKET count, not the doc count, and
+    * id-local churn keeps it small — but that is an assumption about
+    * the workload, so it is asserted, not trusted: a diff touching more
+    * buckets than this fails fast (at which point an incremental
+    * rewrite is the wrong tool anyway — a full [[write]] costs the same
+    * and needs no driver-side bucket list).
+    */
+  val MaxTouchedBuckets: Long = 1000000L
+
   def applyDiff(
       spark: SparkSession,
       storeDir: String,
       newSnapshot: DataFrame,
-      span: Long): Seq[Long] = {
+      span: Long,
+      maxTouchedBuckets: Long = MaxTouchedBuckets): Seq[Long] = {
     import spark.implicits._
     val stored = read(spark, storeDir)
-    // Bucket ids of every non-unchanged doc; bounded by the bucket
-    // count, so the driver-side collect is as safe as a partition
-    // listing.
-    val touched = Snapshot.diff(stored, newSnapshot)
+    // Bucket ids of every non-unchanged doc. The collect is guarded by
+    // a LIMIT cap+1 (one job, driver memory bounded by the cap itself),
+    // so a churn-locality violation surfaces as a crisp error instead
+    // of a driver OOM.
+    val touched0 = Snapshot.diff(stored, newSnapshot)
       .filter(col("status") =!= "unchanged")
       .select(expr(s"doc_id div ${span}L").as("d_bucket"))
-      .distinct().as[Long].collect().sorted.toSeq
+      .distinct()
+      .limit((maxTouchedBuckets + 1).toInt)
+      .as[Long].collect()
+    require(
+      touched0.length <= maxTouchedBuckets,
+      s"applyDiff touches > $maxTouchedBuckets buckets (the cap): churn is not id-local " +
+        "here — rewrite the store with DocStore.write instead of an incremental diff")
+    val touched = touched0.sorted.toSeq
     if (touched.nonEmpty) {
       val replacement = withBucket(newSnapshot, span)
         .filter(col("d_bucket").isin(touched: _*))

@@ -17,30 +17,57 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * vanilla Spark reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it via
-    * `spark.sql.legacy.parquet.nanosAsLong` as a Long of epoch-nanos and
-    * derive:
+  /** Normalized events table. The contract every downstream operator
+    * relies on, regardless of how the parquet file encodes event time:
+    *   - `ts`:  TimestampType (microsecond precision, UTC session TZ) —
+    *     for date/window functions AND for scan-range predicates; when
+    *     the file stores a parquet TIMESTAMP this is the raw scan column,
+    *     so range filters land in PushedFilters and prune row groups.
     *   - `ts_us`: epoch-microseconds Long — the canonical cross-engine
-    *     event-time column. DuckDB truncates parquet ns timestamps to its
-    *     native microsecond TIMESTAMP, so `ts_us === epoch_us(ts)` there;
-    *     floor-division by 1000 on the ns Long gives the identical value.
-    *   - `ts`: a real TimestampType (microsecond precision) for
-    *     date/window functions.
+    *     arithmetic column (DuckDB: `epoch_us(ts)`).
+    *   - `ts_ns`: epoch-nanoseconds Long (the reference keeps event time
+    *     as an int64 tick, event.go:8; an integer column is the faithful
+    *     analogue).
     *
-    * The reference keeps event time as an int64 tick (event.go:8); an
-    * integer event-time column is the faithful analogue.
+    * The reader BRANCHES ON THE ACTUAL READ SCHEMA instead of assuming a
+    * fixed encoding — Spark 4.1 removed `spark.sql.legacy.parquet
+    * .nanosAsLong`, and the testdata has been re-encoded from
+    * TIMESTAMP(NANOS) to TIMESTAMP(MICROS) across environment updates;
+    * assuming either shape breaks every events query the moment the
+    * environment moves. Three shapes are handled:
+    *   - LongType (nanos-as-long legacy conf, older Sparks): `ts_us =
+    *     ts_ns div 1000` — exact floor division, matching DuckDB's
+    *     ns→us truncation.
+    *   - TimestampType (tz-adjusted parquet, or NTZ inference disabled):
+    *     raw column kept as `ts`; `ts_us = unix_micros(ts)`.
+    *   - TimestampNTZType (Spark ≥3.4 default for tz-less parquet):
+    *     session TZ is pinned UTC, so NTZ wall time ≡ UTC instant;
+    *     cast to TimestampType then as above.
+    * GraftSession disables NTZ inference so the TimestampType branch —
+    * the one with raw-column predicate pushdown — is the one taken.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // GraftSession.build sets this at session-build time (the correct
-    // place); this defensive idempotent set only covers sessions built
-    // elsewhere (e.g. the driver's own harness).
-    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("ts_ns", col("ts_us") * 1000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("ts_ns", col("ts_us") * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type $other — " +
+            "extend Tables.events for this encoding")
+    }
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -58,7 +85,13 @@ object Tables {
     */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // File count (a listing lookup) instead of rdd.getNumPartitions —
+    // the latter forces a full physical planning of the scan per call.
+    // One file CAN split into several partitions (maxPartitionBytes),
+    // so this may widen when it strictly needn't; the repartition moves
+    // only raw rows and a many-files-at-scale corpus short-circuits it.
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
   }
 
   /** Register all tables as temp views (for spark.sql surfaces/tests). */

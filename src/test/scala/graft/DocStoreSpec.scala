@@ -21,7 +21,7 @@ class DocStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -86,6 +86,25 @@ class DocStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Idempotence: a second apply finds nothing to do and moves no file.
     assert(DocStore.applyDiff(spark, dir, newV, Span).isEmpty)
     assert(files(dir) == after)
+  }
+
+  test("applyDiff fails fast when the diff touches more buckets than the cap") {
+    // Non-id-local churn: every doc revised → every bucket touched.
+    // With the cap below the bucket count the driver-side collect must
+    // refuse (crisp error, no unbounded collect) and leave the store
+    // untouched.
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Files.createTempDirectory("docstore-cap").toString
+    DocStore.write(docs, dir, Span)
+    val before = files(dir)
+    val revised = docs.withColumn("text", concat(col("text"), lit(" v2")))
+    val e = intercept[IllegalArgumentException] {
+      DocStore.applyDiff(spark, dir, revised, Span, maxTouchedBuckets = 3L)
+    }
+    assert(e.getMessage.contains("churn is not id-local"))
+    assert(files(dir) == before, "a refused diff must not modify the store")
+    // The same diff under the default cap succeeds (sanity).
+    assert(DocStore.applyDiff(spark, dir, revised, Span).nonEmpty)
   }
 
   test("id-range lookup prunes partitions at listing time and returns the exact range") {

@@ -789,6 +789,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 40)
   }
 
+  test("S14b: span-dedup TTL — no re-admit within horizon, evict + re-admit after") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // One 10-token text = exactly one chunk digest. TTL long enough that
+    // batch 2 lands inside the horizon, short enough to expire during
+    // the sleep. (Timers fire only on batches where the key has no
+    // data, so the post-sleep probe batch carries an unrelated doc.)
+    val ttl = java.time.Duration.ofMillis(1500)
+    val text = (0 until 10).map(j => s"t$j").mkString(" ")
+    val other = (0 until 10).map(j => s"u$j").mkString(" ")
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingSpanDedup
+      .chunkKeeps(src.toDF().toDF("doc_id", "text"), 10, ttl)
+      .writeStream.format("memory").queryName("s14b").outputMode("append").start()
+    // processAllAvailable() is unusable here: with a processing-time
+    // timeout registered, shouldRunAnotherBatch is always true, batches
+    // run back-to-back forever, and `noNewData` is never signalled (the
+    // documented "may block forever" case). Poll the sink instead.
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("s14b").count() < n && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(spark.table("s14b").count() >= n, s"timed out waiting for $n output rows")
+    }
+    try {
+      src.addData((1L, text)); awaitRows(1)   // fresh digest: kept
+      src.addData((2L, text)); awaitRows(2)   // within TTL: dropped
+      Thread.sleep(2500)                      // idle past the TTL
+      src.addData((50L, other)); awaitRows(3) // a batch with no data for the digest fires its timer → evict
+      src.addData((3L, text)); awaitRows(4)   // horizon passed: re-admitted
+    } finally q.stop()
+    val kept = spark.table("s14b").select("doc_id", "kept")
+      .as[(Long, Boolean)].collect().toMap
+    assert(kept(1L), "first sighting must be kept")
+    assert(!kept(2L), "duplicate within the TTL horizon must be dropped")
+    assert(kept(3L), "duplicate after idle-past-TTL eviction must be re-admitted")
+  }
+
   test("S15: streaming MG panes hold every true heavy hitter with O(panes·capacity) state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
