@@ -313,6 +313,7 @@ object SparkEntry {
     "q19_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.table(s, d, "documents"))),
     "q19b_quality" -> ((s, d) => TextAnalysis.qualityLangId(Tables.table(s, d, "documents"))),
     "q19c_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.table(s, d, "documents"))),
+    "q19d_bpe_tokens" -> ((s, d) => TextAnalysis.bpePretokenize(Tables.table(s, d, "documents"))),
     "q09b_session_ids" -> ((s, d) => EventLog.syncReplay(Tables.events(s, d), SessionGapUs)),
     "q20_sync_replay" -> ((s, d) =>
       SyncReplay.replay(Tables.events(s, d), graft.streaming.SyncConfig(SyncTickUs, SessionGapUs))),
@@ -379,6 +380,8 @@ object SparkEntry {
     "q54_transitions" -> ((s, d) => Pipeline.typeTransitions(Tables.events(s, d))),
     "q55_incremental_dedup" -> ((s, d) =>
       Dedup.incrementalDedup(Tables.table(s, d, "documents"), IncrementalSplitId)),
+    "q76_incremental_neardup" -> ((s, d) =>
+      Dedup.incrementalNearDup(Tables.table(s, d, "documents"), IncrementalSplitId, NearDupThreshold)),
     "q56_length_gate" -> ((s, d) =>
       Pipeline.lengthGate(Tables.table(s, d, "documents"), 0.05, 0.95)),
     "q57_star_join" -> ((s, d) => Relational.starJoin(s, d)),
@@ -896,6 +899,21 @@ object SparkEntry {
                   CAST('0x' || substr(md5((i - 1)::VARCHAR || ':' || ws[i]), 1, 12) AS BIGINT)))
                   AS BIGINT) AS rolling_hash
          FROM d ORDER BY doc_id""",
+    "q19d_bpe_tokens" ->
+      raw"""WITH t AS (SELECT doc_id, n_chars,
+            regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+') AS toks
+          FROM documents),
+         c AS (SELECT doc_id, n_chars,
+            CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+            CAST(len(list_filter(toks, t -> regexp_matches(t, '^ ?\p{L}+$$'))) AS BIGINT) AS n_word_toks,
+            CAST(len(list_filter(toks, t -> regexp_matches(t, '^ ?\p{N}+$$'))) AS BIGINT) AS n_num_toks,
+            CAST(len(list_filter(toks, t -> regexp_matches(t, '^''(?:s|t|re|ve|m|ll|d)$$'))) AS BIGINT) AS n_contr_toks,
+            CAST(len(list_filter(toks, t -> regexp_matches(t, '^\s+$$'))) AS BIGINT) AS n_ws_toks
+          FROM t)
+         SELECT doc_id, n_bpe_tokens, n_word_toks, n_num_toks, n_contr_toks, n_ws_toks,
+                n_bpe_tokens - n_word_toks - n_num_toks - n_contr_toks - n_ws_toks AS n_other_toks,
+                ${roundSql("CAST(n_chars AS DOUBLE) / n_bpe_tokens", 4)} AS chars_per_tok
+         FROM c ORDER BY doc_id""",
     "q21_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,
                 CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
@@ -1382,6 +1400,31 @@ object SparkEntry {
                             WHERE c.doc_id < $IncrementalSplitId
                               AND sha256(c.text) = b.content_hash)
           ORDER BY content_hash""",
+    "q76_incremental_neardup" ->
+      s"""WITH $shingleCte,
+          bands AS (SELECT doc_id, b, md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS bsig
+                    FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+          cb AS (SELECT * FROM bands WHERE doc_id < $IncrementalSplitId),
+          bb AS (SELECT * FROM bands WHERE doc_id >= $IncrementalSplitId),
+          keep AS (SELECT b, bsig FROM cb GROUP BY b, bsig
+                   HAVING count(*) <= ${Dedup.MaxBucket}),
+          cand AS (SELECT DISTINCT bb.doc_id AS doc_id, cb.doc_id AS match_id
+                   FROM bb JOIN cb USING (b, bsig) JOIN keep USING (b, bsig)),
+          j AS (SELECT cand.doc_id, cand.match_id,
+                  ${roundSql(
+                    "CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)" +
+                    " / len(list_distinct(list_concat(sa.sg, sb.sg)))", 4)} AS jaccard
+                FROM cand
+                JOIN sh sa ON sa.doc_id = cand.doc_id
+                JOIN sh sb ON sb.doc_id = cand.match_id),
+          f AS (SELECT doc_id, match_id, jaccard,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY jaccard DESC, match_id ASC) AS rn
+                FROM j WHERE jaccard >= $NearDupThreshold)
+          SELECT d.doc_id, f.match_id IS NOT NULL AS is_neardup, f.match_id, f.jaccard
+          FROM (SELECT doc_id FROM documents WHERE doc_id >= $IncrementalSplitId) d
+          LEFT JOIN (SELECT * FROM f WHERE rn = 1) f USING (doc_id)
+          ORDER BY doc_id""",
     "q56_length_gate" ->
       s"""WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
                        quantile_cont(n_chars, 0.95) AS hi

@@ -221,6 +221,89 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Q76 — incremental near-dup ingest: an arriving batch admitted
+    * against the EXISTING corpus's LSH signature index — the online
+    * companion to [[nearDupPairs]] the way [[incrementalDedup]] is to
+    * [[exactDedup]]. Per batch doc: does it near-duplicate anything
+    * already in the corpus, and what is its best match?
+    *
+    * Scale shape:
+    *   - the corpus side is only its banded signature rows (doc_id,
+    *     band, band_sig) — the same narrow index [[nearDupPairs]]
+    *     materializes; at 100 TB it is stored and INCREMENTALLY grown
+    *     (append the admitted batch's bands each cycle), never
+    *     recomputed. Here it is derived from the id split so the
+    *     oracle can reproduce it;
+    *   - candidate generation is a keyed equi join of batch bands
+    *     against index bands — cost O(batch · collisions), independent
+    *     of corpus size; corpus buckets over [[MaxBucket]] are gated
+    *     out exactly as in [[nearDupPairs]] (boilerplate clusters);
+    *   - exact Jaccard re-shingles ONLY candidate docs (semi-join
+    *     first), and the batch verdict is a left join back — clean
+    *     docs never enter the expensive path;
+    *   - best-match argmax is a struct max over (jaccard, -match_id),
+    *     both sides rounded to the 1e-4 grid BEFORE comparison so the
+    *     tie-break (lowest corpus id) is cross-engine deterministic.
+    *
+    * Within-batch duplicates are deliberately out of scope here
+    * ([[incrementalDedup]] / [[nearDupPairs]] own that); production
+    * runs this after the batch's own dedup pass.
+    */
+  def incrementalNearDup(docs: DataFrame, splitId: Long, threshold: Double,
+                         maxBucket: Int = MaxBucket): DataFrame = {
+    def banded(side: DataFrame): DataFrame = side
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesSql))
+      .withColumn("sig", expr(signatureSql))
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${NumBands - 1}),
+              b -> md5(concat(sig[2 * b], '|', sig[2 * b + 1])))""")))
+      .toDF("doc_id", "band", "band_sig")
+
+    val corpusDocs = docs.where(col("doc_id") < splitId)
+    val batchDocs = docs.where(col("doc_id") >= splitId)
+
+    val index = banded(graft.sources.Tables.widen(corpusDocs)).persist()
+    val keep = index
+      .groupBy("band", "band_sig").agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxBucket)
+      .select("band", "band_sig")
+    val cand = banded(graft.sources.Tables.widen(batchDocs))
+      .join(index.join(keep, Seq("band", "band_sig"))
+          .select(col("band"), col("band_sig"), col("doc_id").as("match_id")),
+        Seq("band", "band_sig"))
+      .select("doc_id", "match_id")
+      .distinct()
+      .persist()
+
+    def candShingles(side: DataFrame, ids: DataFrame): DataFrame = side
+      .join(ids, Seq("doc_id"), "left_semi")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesSql))
+      .select("doc_id", "shingles")
+
+    val scored = cand
+      .join(candShingles(batchDocs, cand.select("doc_id"))
+        .withColumnRenamed("shingles", "sh_a"), "doc_id")
+      .join(candShingles(corpusDocs, cand.select(col("match_id").as("doc_id")))
+        .select(col("doc_id").as("match_id"), col("shingles").as("sh_b")), "match_id")
+      .withColumn("jac", roundTo(
+        expr("size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))"), 4))
+      .where(col("jac") >= threshold)
+    val best = scored
+      .groupBy("doc_id")
+      .agg(max(struct(col("jac").as("j"), (-col("match_id")).as("nid"))).as("m"))
+      .select(col("doc_id"), (-col("m.nid")).as("match_id"), col("m.j").as("jaccard"))
+
+    batchDocs.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("is_neardup", col("match_id").isNotNull)
+      .select("doc_id", "is_neardup", "match_id", "jaccard")
+      .orderBy("doc_id")
+  }
+
   /** Q40 — near-duplicate clusters: connected components over the
     * [[nearDupPairs]] graph, because a production dedup keeps ONE
     * survivor per duplicate *group*, and pair lists alone over-delete

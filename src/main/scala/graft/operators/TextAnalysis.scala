@@ -89,6 +89,54 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("text")).as("content_md5"), col("rolling_hash"))
       .orderBy("doc_id")
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the Java-regex /
+    * RE2 shared subset so Spark (Java) and the DuckDB oracle (RE2) run
+    * the identical bytes: contractions, optionally-space-prefixed
+    * letter runs, digit runs, other-symbol runs, then whitespace runs.
+    * The one divergence from the original BPE pattern is deliberate:
+    * `\s+(?!\S)` (trailing-whitespace lookahead) is not in RE2, so a
+    * run of k>1 inter-word spaces tokenizes as one whitespace token
+    * here instead of k-1 + a word prefix — same token COUNT either
+    * way for single-spaced text, and counts are this operator's output.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Q19d — BPE-style pre-tokenization counts per document: the token
+    * accounting a training-data pipeline budgets with when "tokens"
+    * means a subword tokenizer's input segments, not whitespace words.
+    * Per doc: total pre-tokens plus the category split (letter / digit
+    * / contraction / whitespace / other runs) and bytes-per-token (the
+    * fertility proxy that flags tokenizer-hostile text).
+    *
+    * Scale shape: one codegen'd regex map over the text — no shuffle,
+    * no explode; the per-category recounts are array lambdas over the
+    * already-extracted token array, so the regex engine runs once per
+    * row, category tests run on short tokens.
+    */
+  def bpePretokenize(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{filter => afilter}
+    graft.sources.Tables.widen(docs)
+      .withColumn("toks", regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .withColumn("n_bpe_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_word_toks",
+        size(afilter(col("toks"), t => t.rlike("^ ?\\p{L}+$"))).cast("long"))
+      .withColumn("n_num_toks",
+        size(afilter(col("toks"), t => t.rlike("^ ?\\p{N}+$"))).cast("long"))
+      .withColumn("n_contr_toks",
+        size(afilter(col("toks"), t => t.rlike("^'(?:s|t|re|ve|m|ll|d)$"))).cast("long"))
+      .withColumn("n_ws_toks",
+        size(afilter(col("toks"), t => t.rlike("^\\s+$"))).cast("long"))
+      .withColumn("n_other_toks",
+        col("n_bpe_tokens") - col("n_word_toks") - col("n_num_toks")
+          - col("n_contr_toks") - col("n_ws_toks"))
+      .withColumn("chars_per_tok",
+        roundTo(col("n_chars").cast("double") / col("n_bpe_tokens"), 4))
+      .select("doc_id", "n_bpe_tokens", "n_word_toks", "n_num_toks",
+        "n_contr_toks", "n_ws_toks", "n_other_toks", "chars_per_tok")
+      .orderBy("doc_id")
+  }
+
   /** Q35 — corpus vocabulary: term frequency + document frequency per
     * token. The classic word count: explode → hash aggregate, with
     * map-side partial aggregation collapsing each partition's repeats

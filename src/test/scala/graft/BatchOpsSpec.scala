@@ -264,4 +264,67 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bySize.head._2 > 1.0 && bySize.last._2 < 1.0)
     }
   }
+
+  test("q76 incremental near-dup agrees with the batch pair operator across the split") {
+    // Every cross-split near-dup pair the full nearDupPairs run finds
+    // must surface in the incremental verdict, with the SAME best
+    // jaccard — ties the ingest path to the independent q17c path
+    // rather than to its own oracle mirror. (The two gates differ only
+    // for buckets near MaxBucket — combined vs corpus-side count —
+    // which this corpus never approaches.)
+    val docs = Tables.table(spark, sf, "documents")
+    val split = 250L
+    val thr = 0.2
+    val cross = Dedup.nearDupPairs(docs, thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect { case (a, b, j) if a < split && b >= split => (b, a, j) } // (batch, corpus, jac)
+    assert(cross.nonEmpty, "fixture should have cross-split near-dups")
+    val bestByBatch = cross.groupBy(_._1).map { case (b, ps) =>
+      // q76's tie-break: highest jaccard, then lowest corpus id.
+      b -> ps.map(p => (p._3, -p._2)).max
+    }
+    val verdicts = Dedup.incrementalNearDup(docs, split, thr).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    bestByBatch.foreach { case (b, (jac, negCid)) =>
+      val (isDup, mid, vj) = verdicts(b)
+      assert(isDup, s"batch doc $b near-dups corpus doc ${-negCid} but verdict is clean")
+      assert(mid == -negCid && vj == jac,
+        s"batch doc $b: verdict ($mid, $vj) != pair-path best (${-negCid}, $jac)")
+    }
+    // And no extra: batch docs the pair path never flags must be clean.
+    val flagged = bestByBatch.keySet
+    verdicts.foreach { case (b, (isDup, _, _)) =>
+      assert(isDup == flagged.contains(b), s"batch doc $b verdict mismatch")
+    }
+  }
+
+  test("q19d BPE pre-tokenizer: hand-computed segmentation on mixed text") {
+    // The corpus is lowercase-words-only, so the oracle gate only
+    // exercises the letter branch; this fixture drives every branch —
+    // contraction, digits, punctuation runs, multi-space — against a
+    // hand-segmented expectation (Java regex side; the RE2 oracle runs
+    // the same bytes at gate time on the corpus).
+    import spark.implicits._
+    val text = "I don't have 42 apples!!  Really?"
+    // Hand segmentation under BpePattern (leftmost-first alternation):
+    //   "I" " don" "'t" " have" " 42" " apples" "!!" "  " "Really" "?"
+    val df = Seq((1L, text, "en", "web", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextAnalysis.bpePretokenize(df).head()
+    assert(r.getAs[Long]("n_bpe_tokens") == 10, r.toString)
+    assert(r.getAs[Long]("n_word_toks") == 5)    // I, don, have, apples, Really
+    assert(r.getAs[Long]("n_num_toks") == 1)     // " 42"
+    assert(r.getAs[Long]("n_contr_toks") == 1)   // "'t"
+    assert(r.getAs[Long]("n_ws_toks") == 1)      // the double space
+    assert(r.getAs[Long]("n_other_toks") == 2)   // "!!", "?"
+    // Exact token list via the same pattern, pinning segmentation order.
+    val toks = df.select(
+      regexp_extract_all(col("text"),
+        lit(graft.operators.TextAnalysis.BpePattern), lit(0)).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("I", " don", "'t", " have", " 42", " apples", "!!", "  ", "Really", "?"),
+      toks.mkString("[", "|", "]"))
+  }
 }
