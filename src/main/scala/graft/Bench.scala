@@ -74,10 +74,11 @@ object Bench {
                    "q20_sync_replay" -> warmSf,
                    "q17b_minhash" -> warmSf,
                    "q18_similarity_topk" -> warmSf,
-                   // One-time partitioned-layout ingest happens here so
-                   // the timed q01b measures the pruned scan, not the
-                   // write (EventLogStore.writePartitioned memoizes).
-                   "q01b_delta_pruned" -> sfDir))
+                   // One-time partitioned-layout ingests happen here so
+                   // the timed q01b / q64 measure the pruned scan, not
+                   // the write (writePartitioned / writeOnce memoize).
+                   "q01b_delta_pruned" -> sfDir,
+                   "q64_doc_lookup" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Optional comma-separated name filter for single-query iteration.

@@ -134,6 +134,16 @@ object ScaleSmoke {
       ("pq_rerank", (df: DataFrame) => Similarity.pqRerankSearch(df, 4, 8, 4, 50, 5),
         c => scaledEmb(spark, dir, c)),
       ("heavy_hitters", (df: DataFrame) => TextAnalysis.heavyHitters(df, 64, 50L),
+        c => scaledDocs(spark, dir, c)),
+      ("bpe_tokens", TextAnalysis.bpePretokenize, c => scaledDocs(spark, dir, c)),
+      // Production axis: the CORPUS (index side) grows, the arriving
+      // batch stays fixed — the batch is a shifted base copy at ids
+      // ≥ 1e9, the split admits it against everything below.
+      ("incr_neardup", (df: DataFrame) => Dedup.incrementalNearDup(
+        df.unionAll(Tables.table(spark, dir, "documents")
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+          .withColumn("text", concat(lit("cq "), col("text")))),
+        1000000000L, 0.2),
         c => scaledDocs(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
