@@ -250,7 +250,22 @@ object Dedup {
     * runs this after the batch's own dedup pass.
     */
   def incrementalNearDup(docs: DataFrame, splitId: Long, threshold: Double,
-                         maxBucket: Int = MaxBucket): DataFrame = {
+                         maxBucket: Int = MaxBucket): DataFrame =
+    nearDupAdmit(
+      docs.where(col("doc_id") < splitId),
+      docs.where(col("doc_id") >= splitId),
+      threshold, maxBucket)
+
+  /** [[incrementalNearDup]]'s core with the corpus and batch as
+    * separate frames — the form the STREAMING ingest path drives per
+    * microbatch (`foreachBatch`, StreamingSpec S16): each arriving
+    * microbatch is admitted against the same static corpus, so the
+    * union of per-batch verdicts equals one batch run over the union —
+    * split-invariant by construction because admission never consults
+    * other stream docs.
+    */
+  def nearDupAdmit(corpusDocs: DataFrame, batchDocs: DataFrame, threshold: Double,
+                   maxBucket: Int = MaxBucket): DataFrame = {
     def banded(side: DataFrame): DataFrame = side
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesSql))
@@ -261,9 +276,6 @@ object Dedup {
           s"""transform(sequence(0, ${NumBands - 1}),
               b -> md5(concat(sig[2 * b], '|', sig[2 * b + 1])))""")))
       .toDF("doc_id", "band", "band_sig")
-
-    val corpusDocs = docs.where(col("doc_id") < splitId)
-    val batchDocs = docs.where(col("doc_id") >= splitId)
 
     val index = banded(graft.sources.Tables.widen(corpusDocs)).persist()
     val keep = index

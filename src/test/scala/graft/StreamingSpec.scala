@@ -22,6 +22,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -825,6 +826,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept(1L), "first sighting must be kept")
     assert(!kept(2L), "duplicate within the TTL horizon must be dropped")
     assert(kept(3L), "duplicate after idle-past-TTL eviction must be re-admitted")
+  }
+
+  test("S16: streaming near-dup admission against a static corpus ≡ batch, any microbatch split") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.Tables
+    // Curation-at-ingest: each arriving microbatch is admitted against
+    // the same static corpus index via foreachBatch + nearDupAdmit.
+    // Admission never consults other stream docs, so the union of
+    // per-batch verdicts must equal ONE batch q76 run over the union —
+    // regardless of how the stream is cut.
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val split = 250L
+    val thr = 0.2
+    val corpus = docs.where(col("doc_id") < split).select("doc_id", "text").cache()
+    val arriving = docs.where(col("doc_id") >= split)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val src = MemoryStream[(Long, String)]
+    src.addData(arriving.take(100): _*)
+    src.addData(arriving.slice(100, 130): _*)
+    src.addData(arriving.drop(130): _*)
+    type V = (Long, Boolean, Option[Long], Option[Double])
+    def tup(r: org.apache.spark.sql.Row): V =
+      (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val got = scala.collection.mutable.ArrayBuffer.empty[V]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = graft.operators.Dedup.nearDupAdmit(corpus, b, thr).collect().map(tup)
+        got.synchronized { got ++= v }
+        ()
+      }
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val want = graft.operators.Dedup.incrementalNearDup(docs, split, thr)
+      .collect().map(tup).toSeq
+    assert(got.size == arriving.size)
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1))
+    assert(want.exists(_._2), "fixture should flag at least one near-dup")
   }
 
   test("S15: streaming MG panes hold every true heavy hitter with O(panes·capacity) state") {
