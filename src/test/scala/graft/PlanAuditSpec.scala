@@ -103,6 +103,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sampling plan shuffles:\n$p")
   }
 
+  test("q19d: BPE pre-tokenization is map-only — the regex pass never shuffles") {
+    // The presentation orderBy range-partitions; the claim is that no
+    // hash shuffle (agg/join) sneaks into the per-row token counting.
+    val p = plan(q("q19d_bpe_tokens"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pre-tokenization plan shuffles:\n$p")
+  }
+
   test("q18: brute-force similarity top-k plans as TakeOrdered") {
     val p = plan(q("q18_similarity_topk"))
     assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to global sort:\n$p")
