@@ -58,6 +58,13 @@ class SyncHttpServer(
   private val streams = new java.util.HashMap[String, Cell]
   private val registryLock = new Object
 
+  // TCP_NODELAY on the exchange sockets: headers and body are separate
+  // small writes, so with Nagle on, the body packet waits for the
+  // client's (delayed, ~40 ms) ACK of the headers packet — capping a
+  // sync round-trip at ~25/s per connection regardless of work done.
+  // Must be set before the server class initializes its config.
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
   server.setExecutor(Executors.newFixedThreadPool(8))
