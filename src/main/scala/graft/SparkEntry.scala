@@ -382,6 +382,10 @@ object SparkEntry {
       Dedup.incrementalDedup(Tables.table(s, d, "documents"), IncrementalSplitId)),
     "q76_incremental_neardup" -> ((s, d) =>
       Dedup.incrementalNearDup(Tables.table(s, d, "documents"), IncrementalSplitId, NearDupThreshold)),
+    "q77_sliding_chunks" -> ((s, d) =>
+      Packing.slidingChunks(Tables.table(s, d, "documents"), 64, 32)),
+    "q78_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(Tables.table(s, d, "documents"), 30)),
     "q56_length_gate" -> ((s, d) =>
       Pipeline.lengthGate(Tables.table(s, d, "documents"), 0.05, 0.95)),
     "q57_star_join" -> ((s, d) => Relational.starJoin(s, d)),
@@ -1425,6 +1429,29 @@ object SparkEntry {
           FROM (SELECT doc_id FROM documents WHERE doc_id >= $IncrementalSplitId) d
           LEFT JOIN (SELECT * FROM f WHERE rn = 1) f USING (doc_id)
           ORDER BY doc_id""",
+    "q77_sliding_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          d AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+                  1 + (greatest(CAST(len(ws) AS BIGINT) - 64, 0) + 31) // 32 AS n_chunks
+                FROM w),
+          c AS (SELECT doc_id, n, ws, CAST(i - 1 AS BIGINT) AS chunk_idx
+                FROM d, UNNEST(generate_series(1, n_chunks)) AS t(i))
+          SELECT doc_id, chunk_idx,
+                 chunk_idx * 32 AS tok_start,
+                 least(n - chunk_idx * 32, 64) AS c_tokens,
+                 md5(array_to_string(
+                   ws[chunk_idx * 32 + 1 : chunk_idx * 32 + least(n - chunk_idx * 32, 64)],
+                   ' ')) AS chunk_md5
+          FROM c ORDER BY doc_id, chunk_idx""",
+    "q78_bpe_pairs" ->
+      """WITH v AS (SELECT word, count(*) AS freq
+                    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                    WHERE len(word) >= 2 GROUP BY word),
+          p AS (SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+                  i -> substr(word, i, 1) || substr(word, i + 1, 1))) AS pair, freq
+                FROM v)
+          SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair
+          ORDER BY cnt DESC, pair ASC LIMIT 30""",
     "q56_length_gate" ->
       s"""WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
                        quantile_cont(n_chars, 0.95) AS hi

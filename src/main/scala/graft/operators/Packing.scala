@@ -44,6 +44,42 @@ object Packing {
   /** Deterministic shard count — the packing parallelism axis. */
   val DefaultShards = 8
 
+  /** Q77 — sliding-window chunking (the RAG/embedding-index dual of
+    * training packing): fixed `size`-token windows at `stride`-token
+    * hops, so consecutive chunks overlap by `size - stride` tokens and
+    * no token is more than `stride` away from a chunk start. The last
+    * window starts as soon as it reaches the end (no trailing
+    * fully-contained duplicate): chunk count = 1 + ceil(max(n-size,0)
+    * / stride), exact integer arithmetic in both engines.
+    *
+    * Scale shape: pure per-row compute → posexplode. Fan-out ≈
+    * n_tokens/stride rows per doc; each output row carries token
+    * COORDINATES + an md5 of the chunk text (what an embedding/dedup
+    * consumer keys on), never the text itself, so the exchange after
+    * this operator moves fixed-width rows.
+    */
+  def slidingChunks(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, "need stride >= 1 and size >= stride")
+    graft.sources.Tables.widen(docs)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("words")).cast("long"))
+      .withColumn("n_chunks",
+        expr(s"1L + (greatest(n - ${size}L, 0L) + ${stride - 1}L) div ${stride}L"))
+      .select(
+        col("doc_id"), col("n"), col("words"),
+        posexplode(expr(s"sequence(0, n_chunks - 1)")))
+      .withColumn("tok_start", col("col") * stride)
+      .withColumn("c_tokens", least(col("n") - col("tok_start"), lit(size.toLong)))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("tok_start"),
+        col("c_tokens"),
+        md5(concat_ws(" ",
+          expr(s"slice(words, CAST(tok_start AS INT) + 1, CAST(c_tokens AS INT))"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   private[graft] def tokenized(docs: DataFrame, nShards: Int): DataFrame =
     docs.select(
       col("doc_id"),

@@ -137,6 +137,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Q78 — the BPE-training merge decision: corpus-weighted adjacent
+    * symbol-pair counts at the character stage (the quantity whose
+    * argmax IS the first merge of BPE vocabulary induction; iterating
+    * re-runs this over re-segmented words). Top `k` pairs by (count
+    * desc, pair asc — the deterministic tie order both engines share).
+    *
+    * Scale shape: the corpus collapses to the VOCABULARY first (word →
+    * total occurrences, one map-side-combining agg), so the character
+    * work runs once per distinct word, not once per token; pair
+    * explosion is then vocabulary-bounded, and the final agg's key
+    * space is the symbol-pair alphabet. The corpus-sized exchange is
+    * the wordcount's partial-agg shuffle — everything after is bounded.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(
+        col("freq"),
+        explode(expr(
+          """transform(sequence(1, length(word) - 1),
+               i -> concat(substring(word, i, 1), substring(word, i + 1, 1)))""")).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+
   /** Q35 — corpus vocabulary: term frequency + document frequency per
     * token. The classic word count: explode → hash aggregate, with
     * map-side partial aggregation collapsing each partition's repeats
