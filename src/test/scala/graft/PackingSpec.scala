@@ -163,6 +163,35 @@ class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sliding chunks: full coverage, exact overlap, no trailing duplicate") {
+    val size = 64; val stride = 32
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val chunks = Packing.slidingChunks(docs, size, stride)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val lens = docs.selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == lens.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val n = lens(doc)
+      val sorted = cs.sortBy(_._2)
+      // Contiguous indices from 0; starts on the stride grid.
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, idx, start, cTok) =>
+        assert(start == idx * stride)
+        assert(cTok == math.min(n - start, size.toLong) && cTok > 0)
+      }
+      // Full coverage: the last chunk reaches the end of the doc...
+      val (_, _, lastStart, lastTok) = sorted.last
+      assert(lastStart + lastTok == n)
+      // ...and is the FIRST window that does (no trailing duplicate
+      // window fully contained in its predecessor).
+      if (sorted.length > 1) assert(sorted.dropRight(1).last._3 + size < n || n <= size)
+      // Exact chunk count.
+      assert(sorted.length == 1 + math.ceil(math.max(n - size, 0).toDouble / stride).toLong)
+    }
+  }
+
   test("pack stats agree with a driver-side replay of the greedy assignment") {
     val stats = Packing.packStats(docs, Budget).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
