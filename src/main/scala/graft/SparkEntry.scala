@@ -905,14 +905,14 @@ object SparkEntry {
          FROM d ORDER BY doc_id""",
     "q19d_bpe_tokens" ->
       raw"""WITH t AS (SELECT doc_id, n_chars,
-            regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+') AS toks
+            regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+') AS toks
           FROM documents),
          c AS (SELECT doc_id, n_chars,
             CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
             CAST(len(list_filter(toks, t -> regexp_matches(t, '^ ?\p{L}+$$'))) AS BIGINT) AS n_word_toks,
             CAST(len(list_filter(toks, t -> regexp_matches(t, '^ ?\p{N}+$$'))) AS BIGINT) AS n_num_toks,
             CAST(len(list_filter(toks, t -> regexp_matches(t, '^''(?:s|t|re|ve|m|ll|d)$$'))) AS BIGINT) AS n_contr_toks,
-            CAST(len(list_filter(toks, t -> regexp_matches(t, '^\s+$$'))) AS BIGINT) AS n_ws_toks
+            CAST(len(list_filter(toks, t -> regexp_matches(t, '^[ \t\n\f\r]+$$'))) AS BIGINT) AS n_ws_toks
           FROM t)
          SELECT doc_id, n_bpe_tokens, n_word_toks, n_num_toks, n_contr_toks, n_ws_toks,
                 n_bpe_tokens - n_word_toks - n_num_toks - n_contr_toks - n_ws_toks AS n_other_toks,

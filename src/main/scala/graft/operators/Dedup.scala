@@ -309,11 +309,19 @@ object Dedup {
       .agg(max(struct(col("jac").as("j"), (-col("match_id")).as("nid"))).as("m"))
       .select(col("doc_id"), (-col("m.nid")).as("match_id"), col("m.j").as("jaccard"))
 
-    batchDocs.select("doc_id")
+    val out = batchDocs.select("doc_id")
       .join(best, Seq("doc_id"), "left")
       .withColumn("is_neardup", col("match_id").isNotNull)
       .select("doc_id", "is_neardup", "match_id", "jaccard")
       .orderBy("doc_id")
+      .localCheckpoint()
+    // The checkpoint materialized every path through index/cand, so the
+    // caches can be dropped eagerly — a per-microbatch driver
+    // (foreachBatch, StreamingSpec S16) would otherwise accumulate one
+    // cached pair per admitted batch for the session lifetime.
+    index.unpersist()
+    cand.unpersist()
+    out
   }
 
   /** Q40 — near-duplicate clusters: connected components over the

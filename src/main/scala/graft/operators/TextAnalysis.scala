@@ -98,9 +98,13 @@ object TextAnalysis {
     * run of k>1 inter-word spaces tokenizes as one whitespace token
     * here instead of k-1 + a word prefix — same token COUNT either
     * way for single-spaced text, and counts are this operator's output.
+    * Whitespace is the explicit class `[ \t\n\f\r]` instead of `\s`:
+    * Java's `\s` includes U+000B (vertical tab) while RE2's does not,
+    * so the shorthand would segment `\x0B`-bearing text differently
+    * across engines (the class is RE2's `\s` set, spelled out).
     */
   val BpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   /** Q19d — BPE-style pre-tokenization counts per document: the token
     * accounting a training-data pipeline budgets with when "tokens"
@@ -126,7 +130,7 @@ object TextAnalysis {
       .withColumn("n_contr_toks",
         size(afilter(col("toks"), t => t.rlike("^'(?:s|t|re|ve|m|ll|d)$"))).cast("long"))
       .withColumn("n_ws_toks",
-        size(afilter(col("toks"), t => t.rlike("^\\s+$"))).cast("long"))
+        size(afilter(col("toks"), t => t.rlike("^[ \\t\\n\\f\\r]+$"))).cast("long"))
       .withColumn("n_other_toks",
         col("n_bpe_tokens") - col("n_word_toks") - col("n_num_toks")
           - col("n_contr_toks") - col("n_ws_toks"))

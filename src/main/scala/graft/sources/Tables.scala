@@ -90,8 +90,18 @@ object Tables {
     // One file CAN split into several partitions (maxPartitionBytes),
     // so this may widen when it strictly needn't; the repartition moves
     // only raw rows and a many-files-at-scale corpus short-circuits it.
-    val nFiles = df.inputFiles.length
-    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
+    // Non-file-backed frames (unit-test fixtures, foreachBatch
+    // microbatches) have no input files; for those the planning cost is
+    // trivial (LocalRelation / in-memory scan), so fall back to the
+    // actual partition count rather than silently skipping the widen.
+    // (.rdd is illegal on a streaming frame — those widen downstream,
+    // per-microbatch, so a no-op here is correct, not a regression.)
+    if (df.isStreaming) return df
+    val nSplits = df.inputFiles.length match {
+      case 0 => df.rdd.getNumPartitions
+      case n => n
+    }
+    if (nSplits > 0 && nSplits < target) df.repartition(target) else df
   }
 
   /** Register all tables as temp views (for spark.sql surfaces/tests). */

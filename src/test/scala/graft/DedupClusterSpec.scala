@@ -95,6 +95,59 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact >= 10, s"expected the 10 verbatim re-ingests flagged exact, got $exact")
   }
 
+  test("S8b: near-dup index TTL — flags within horizon, evicts + re-seeds after idle") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // One 25-word doc = one fixed set of band buckets; `other` shares no
+    // vocabulary, so its buckets are disjoint (it only drives batches so
+    // idle timers can fire). Same scheduling contract as S14b: the
+    // timer starts when doc 1's batch processes (at or after t0), so if
+    // doc 2's batch lands within ttl of t0 the flag is guaranteed; on a
+    // host contended past the ttl, skip that assertion rather than flake.
+    val ttl = java.time.Duration.ofMillis(4000)
+    val words = (0 until 30).map(i => f"w$i%03d")
+    val text = words.take(25).mkString(" ")
+    val other = (0 until 25).map(i => f"z$i%03d").mkString(" ")
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup
+      .nearDupHits(src.toDF().toDF("doc_id", "text"), 0.5, ttl = ttl)
+      .writeStream.format("memory").queryName("s8b").outputMode("append").start()
+    // With a processing-time timeout registered, processAllAvailable()
+    // can block forever (batches run back-to-back); poll the sink for
+    // flagged hits and use fixed waits for the no-hit steps.
+    def hitsFor(id: Long): Long =
+      spark.table("s8b").where(org.apache.spark.sql.functions.col("doc_id") === id).count()
+    def awaitHit(id: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (hitsFor(id) == 0 && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(hitsFor(id) > 0, s"timed out waiting for a dup hit on doc $id")
+    }
+    def settle(): Unit = Thread.sleep(700)
+    try {
+      val t0 = System.currentTimeMillis
+      src.addData((1L, text)); settle()        // seeds the buckets
+      src.addData((2L, text))                  // within TTL: flagged against doc 1
+      // Poll until the hit lands or the TTL window has provably closed;
+      // only a hit observed inside the window is a guaranteed outcome.
+      while (hitsFor(2L) == 0 && System.currentTimeMillis - t0 < ttl.toMillis + 2000)
+        Thread.sleep(50)
+      assert(hitsFor(2L) > 0 || System.currentTimeMillis - t0 >= ttl.toMillis,
+        "duplicate within the TTL horizon must be flagged")
+      Thread.sleep(ttl.toMillis + 1500)        // idle past the TTL
+      src.addData((50L, other)); settle()      // empty-for-the-bucket batch fires the timers → evict
+      src.addData((3L, text)); settle()        // horizon passed: re-seeds, NOT flagged
+      assert(hitsFor(3L) == 0,
+        "duplicate after idle-past-TTL eviction must re-seed as fresh, not flag")
+      // And the re-seeded index is live again: a further duplicate hits doc 3.
+      src.addData((4L, text)); awaitHit(4L)
+      val dupOf = spark.table("s8b")
+        .where(org.apache.spark.sql.functions.col("doc_id") === 4L)
+        .select("dup_of").distinct().as[Long].collect().toSet
+      assert(dupOf == Set(3L), s"post-eviction duplicate must match the re-seed, got $dupOf")
+    } finally q.stop()
+  }
+
   test("S8 property: random corpora and batch splits — streaming hits ≡ batch reference") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
