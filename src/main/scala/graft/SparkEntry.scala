@@ -429,6 +429,8 @@ object SparkEntry {
       Curation.sourceCap(Tables.table(s, d, "documents"))),
     "q70_span_dedup" -> ((s, d) =>
       Curation.spanDedup(Tables.table(s, d, "documents"), SpanLen)),
+    "q70b_offset_span_dedup" -> ((s, d) =>
+      Curation.spanDedupOffsets(Tables.table(s, d, "documents"), SpanLen)),
     "q71_global_shuffle" -> ((s, d) =>
       Curation.globalShuffle(Tables.table(s, d, "documents"), NumShards, ShuffleSalt)),
     "q72_hashed_classifier" -> ((s, d) =>
@@ -1825,6 +1827,31 @@ object SparkEntry {
                  CAST(sum(CASE WHEN rn = 1 THEN c_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
                  ${roundSql("CAST(sum(CASE WHEN rn = 1 THEN c_tokens ELSE 0 END) AS DOUBLE) / sum(c_tokens)", 4)} AS kept_ratio
           FROM k GROUP BY doc_id ORDER BY doc_id""",
+    // Q70b: two stride grids (offsets 0 and span/2), first-seen per
+    // digest ACROSS grids ordered by (doc_id, start) — grid-0 and
+    // grid-1 starts never coincide so the order is total — then the
+    // union of dup-instance token intervals per doc. Grid 1 keeps only
+    // full-length chunks (the engine's rule, see spanDedupOffsets).
+    "q70b_offset_span_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          g AS (SELECT 0 AS o UNION ALL SELECT ${SpanLen / 2}),
+          inst AS (SELECT doc_id, CAST(st AS BIGINT) AS st,
+                     CAST(least(len(ws) - st, $SpanLen) AS BIGINT) AS clen,
+                     md5(array_to_string(
+                       ws[st + 1 : st + least(len(ws) - st, $SpanLen)], ' ')) AS h
+                   FROM w CROSS JOIN g
+                   CROSS JOIN UNNEST(generate_series(o, len(ws) - 1, $SpanLen)) AS t(st)
+                   WHERE o = 0 OR len(ws) - st >= $SpanLen),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY h
+                   ORDER BY doc_id, st) AS rn FROM inst),
+          pos AS (SELECT DISTINCT doc_id, p
+                  FROM rk CROSS JOIN UNNEST(generate_series(st, st + clen - 1)) AS t(p)
+                  WHERE rn > 1),
+          pd AS (SELECT doc_id, count(*) AS n_dup_tokens FROM pos GROUP BY doc_id)
+          SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(pd.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+                 ${roundSql("CAST(COALESCE(pd.n_dup_tokens, 0) AS DOUBLE) / len(ws)", 4)} AS dup_ratio
+          FROM w LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
     // Q71: global shuffle — the portable 48-bit hash, mod, rank within
     // shard; h is positive so % ≡ pmod.
     "q71_global_shuffle" ->

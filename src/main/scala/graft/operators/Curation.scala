@@ -137,6 +137,72 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Q70b — boundary-free span dedup: [[spanDedup]]'s fixed grid misses
+    * any duplicate span offset from the chunk boundaries (a duplicate
+    * shifted by <span tokens digests differently on every chunk — the
+    * exact-substring blind spot of grid-aligned C4 dedup). This variant
+    * digests chunks on TWO stride grids — offsets 0 and span/2 — and
+    * computes first-seen per digest ACROSS grids, so a span aligned in
+    * one document and shifted by span/2 in another still collides. The
+    * report is token-level: per doc, how many token positions are
+    * covered by at least one non-first chunk instance (the union of the
+    * dup instances' intervals), i.e. the duplicated-text mass a
+    * curation pass would cut.
+    *
+    * Grid-1 keeps only FULL span-length chunks: grid 0 already covers
+    * every token exhaustively (including tails); the offset grid exists
+    * solely to catch misaligned full spans, and its sub-span tails
+    * would only add noise collisions.
+    *
+    * Scale shape: identical to [[spanDedup]] — one corpus scan, the
+    * shuffle carries digests + coordinates (never text; ~2× the grid-0
+    * volume), first-seen is a min-aggregation keyed by digest, and only
+    * DUP instances explode to positions (span-bounded fan-out on the
+    * duplicate mass, not the corpus).
+    */
+  def spanDedupOffsets(docs: DataFrame, span: Int): DataFrame = {
+    val half = span / 2
+    val base = graft.sources.Tables.widen(docs)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), col("words"),
+        size(col("words")).cast("long").as("n_tokens"))
+    // Chunk instances of both grids in ONE pass over the scan: starts
+    // are sequence(o, n-1, span); the greatest() guard keeps the
+    // sequence bounds legal for docs shorter than the offset (the
+    // filter then drops the stray start).
+    val inst = base.select(
+        col("doc_id"), col("n_tokens"),
+        explode(expr(
+          s"""flatten(transform(array(0, $half), o ->
+                filter(
+                  transform(sequence(o, greatest(size(words) - 1, o), $span),
+                    st -> named_struct(
+                      'start', CAST(st AS BIGINT),
+                      'clen', CAST(least(size(words) - st, $span) AS BIGINT),
+                      'h', md5(array_join(slice(words, st + 1, $span), ' ')))),
+                  c -> c.start < size(words)
+                    AND (o = 0 OR c.clen = CAST($span AS BIGINT)))))""")).as("c"))
+      .select(col("doc_id"), col("c.start").as("start"),
+        col("c.clen").as("clen"), col("c.h").as("h"))
+    // First sighting per digest across BOTH grids (grid-0 and grid-1
+    // starts never coincide, so (doc_id, start) is a total order here).
+    val first = inst.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("start"))).as("kp"))
+    val dupPositions = inst.join(first, "h")
+      .where(!(col("doc_id") === col("kp.doc_id") && col("start") === col("kp.start")))
+      .select(col("doc_id"),
+        explode(expr("sequence(start, start + clen - 1)")).as("p"))
+    val perDoc = dupPositions
+      .groupBy("doc_id")
+      .agg(countDistinct(col("p")).as("n_dup_tokens"))
+    base.select("doc_id", "n_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+      .withColumn("dup_ratio",
+        roundTo(col("n_dup_tokens").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Q71 — deterministic global shuffle + shard manifest (the "mix the
     * corpus before training" step): shard = portable-hash(salt, doc_id)
     * mod `numShards`, position = rank of the hash within the shard.

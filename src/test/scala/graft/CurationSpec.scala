@@ -87,6 +87,48 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((2L, 0L, 0L)), s"doc3 ${out(3L)}")  // both copies dropped
   }
 
+  test("q70b: a duplicate span OFFSET from the chunk grid is invisible to q70 and caught here") {
+    import spark.implicits._
+    // Doc 1 carries span S = s1..s10 grid-ALIGNED (positions 0-9).
+    // Doc 2 carries the same S at positions 5-14 — misaligned with the
+    // span-10 grid, so every grid-0 chunk of doc 2 digests differently
+    // and plain spanDedup keeps all of doc 2 (the Lee-et-al. exact-
+    // substring blind spot). The offset grid (start 5) slices doc 2's
+    // S exactly, and first-seen ACROSS grids matches it against doc
+    // 1's aligned copy.
+    val s = (1 to 10).map(i => s"s$i").mkString(" ")
+    val doc1 = s + " " + (1 to 10).map(i => s"x$i").mkString(" ")
+    val doc2 = (1 to 5).map(i => s"y$i").mkString(" ") + " " + s + " " +
+      (1 to 5).map(i => s"z$i").mkString(" ")
+    val tiny = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+
+    // Plain q70 misses it: doc 2 keeps every chunk.
+    val plain = Curation.spanDedup(tiny, 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(plain(2L) == ((2L, 2L)), s"fixture must defeat the fixed grid, got ${plain(2L)}")
+
+    // q70b catches exactly S's 10 tokens in doc 2 and nothing in doc 1.
+    val offs = Curation.spanDedupOffsets(tiny, 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(offs(1L) == ((20L, 0L)), s"doc1 is the first sighting, got ${offs(1L)}")
+    assert(offs(2L) == ((20L, 10L)), s"doc2's offset copy of S must be flagged, got ${offs(2L)}")
+  }
+
+  test("q70b: dup coverage is a superset of q70's dropped-chunk mass on the natural corpus") {
+    // Every token q70 drops sits in a non-first grid-0 instance, which
+    // is also a non-first instance (same digest, same order rule) in
+    // the dual-grid pass — so per doc, n_dup_tokens >= q70's
+    // (n_tokens - n_tokens_kept). The offset grid can only ADD mass.
+    val plain = Curation.spanDedup(docs, 10)
+      .select(col("doc_id"), (col("n_tokens") - col("n_tokens_kept")).as("dropped"))
+    val offs = Curation.spanDedupOffsets(docs, 10)
+      .select(col("doc_id"), col("n_dup_tokens"), col("n_tokens"))
+    val joined = plain.join(offs, "doc_id")
+    assert(joined.where(col("n_dup_tokens") < col("dropped")).count() == 0)
+    val bounds = joined.where(col("n_dup_tokens") > col("n_tokens")).count()
+    assert(bounds == 0, "dup coverage can never exceed the doc's tokens")
+  }
+
   test("q70: kept chunk instances equal distinct chunk contents corpus-wide") {
     val out = Curation.spanDedup(docs, 10)
     val kept = out.agg(sum("n_kept")).collect()(0).getLong(0)
