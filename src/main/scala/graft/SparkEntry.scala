@@ -85,6 +85,10 @@ object SparkEntry {
   private val PqCodes = 8
   /** Q73c: ADC shortlist size before the exact re-rank. */
   private val PqShortlist = 50
+  /** Q50b/Q18i: Lloyd-iteration cap for in-engine k-means training —
+    * the oracle unrolls exactly this many rounds; the engine may stop
+    * earlier at a fixpoint (provably the same output). */
+  private val KmeansIters = 3
   /** Q70: span-dedup chunk length in tokens (docs average ~54 tokens,
     * so a typical doc is ~5 chunks and the 30-word shared vocabulary
     * makes cross-document chunk collisions common enough to bite). */
@@ -207,6 +211,37 @@ object SparkEntry {
         sc AS (SELECT qid, vec_id,
                  ${roundSql("CAST(adci AS DOUBLE) / 1e6", 4)} AS adc
                FROM adc)"""
+
+  /** DuckDB mirror of [[graft.operators.Similarity.kmeansTrain]]: the
+    * q50 single-step oracle unrolled `iters` times. Round r assigns
+    * every vector to its best round-(r-1) centroid (argmax by rounded
+    * sim DESC, cid ASC — the assignments contract), recomputes
+    * per-(cid, dim) means on the exact-integer grid, rounds to 1e-4,
+    * and rebuilds the centroid lists ordered by dim. Exposes
+    * `m{iters}` (long-form final means) and `c{iters}` (list-form
+    * centroids) to the consuming query.
+    */
+  private def kmeansRoundsCte(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""s$r AS (SELECT e.vec_id, c.cid,
+                ${roundSql(cosSql("e.emb", "c.cemb"), 6)} AS sim
+              FROM e CROSS JOIN c${r - 1} c),
+          a$r AS (SELECT vec_id, cid FROM
+                  (SELECT vec_id, cid, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s$r)
+                WHERE rn = 1),
+          u$r AS (SELECT a.cid, unnest(e.emb) AS val,
+                  generate_subscripts(e.emb, 1) - 1 AS dim
+                FROM a$r a JOIN e ON e.vec_id = a.vec_id),
+          m$r AS (SELECT cid, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                  ${roundSql(s"(${exactSumSql("val", 6)}) / count(*)", 4)} AS mean_val
+                FROM u$r GROUP BY cid, dim),
+          c$r AS (SELECT cid, list(mean_val ORDER BY dim) AS cemb FROM m$r GROUP BY cid)"""
+    }.mkString(",\n          ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $NumCentroids),
+        $rounds"""
+  }
 
   private val shingleCte =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -374,6 +409,11 @@ object SparkEntry {
     "q49_lm_score" -> ((s, d) => Pipeline.lmScore(Tables.table(s, d, "documents"))),
     "q50_kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(Tables.table(s, d, "embeddings"), NumCentroids)),
+    "q50b_kmeans_train" -> ((s, d) =>
+      Similarity.kmeansTrain(Tables.table(s, d, "embeddings"), NumCentroids, KmeansIters)),
+    "q18i_trained_search" -> ((s, d) =>
+      Similarity.ivfSearchTrained(Tables.table(s, d, "embeddings"),
+        NumCentroids, KmeansIters, BatchQueries, BatchTopK)),
     "q51_standardize" -> ((s, d) => Pipeline.standardize(Tables.events(s, d))),
     "q52_sketch_distinct" -> ((s, d) => EventLog.mergeableDistinct(Tables.events(s, d))),
     "q53_state_occupancy" -> ((s, d) => Pipeline.stateOccupancy(Tables.events(s, d))),
@@ -1354,6 +1394,33 @@ object SparkEntry {
           SELECT cid, CAST(dim AS BIGINT) AS dim, count(*) AS n,
                  ${roundSql(s"(${exactSumSql("val", 6)}) / count(*)", 4)} AS mean_val
           FROM u GROUP BY cid, dim ORDER BY cid, dim""",
+    // Q50b: the q50 step unrolled KmeansIters times — the engine's
+    // early-exit-at-fixpoint is provably the same function (a converged
+    // round reproduces itself), so the unrolled form is exact.
+    "q50b_kmeans_train" ->
+      s"""WITH ${kmeansRoundsCte(KmeansIters)}
+          SELECT cid, dim, n, mean_val FROM m$KmeansIters ORDER BY cid, dim""",
+    // Q18i: assignment + batch search (the q18e shape) over the TRAINED
+    // centroids c{KmeansIters} instead of the vec_id<n stand-in.
+    "q18i_trained_search" ->
+      s"""WITH ${kmeansRoundsCte(KmeansIters)},
+          sf AS (SELECT e.vec_id, c.cid,
+                   ${roundSql(cosSql("e.emb", "c.cemb"), 6)} AS sim
+                 FROM e CROSS JOIN c$KmeansIters c),
+          af AS (SELECT vec_id, cid FROM
+                   (SELECT vec_id, cid, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM sf)
+                 WHERE rn = 1),
+          asg AS (SELECT af.vec_id, af.cid, e.emb FROM af JOIN e USING (vec_id)),
+          q AS (SELECT vec_id AS qid, cid, emb AS qemb FROM asg WHERE vec_id < $BatchQueries),
+          corp AS (SELECT cid, vec_id, emb FROM asg WHERE vec_id >= $BatchQueries),
+          sc AS (SELECT q.qid, corp.vec_id,
+                   ${roundSql(cosSql("corp.emb", "q.qemb"), 4)} AS score
+                 FROM corp JOIN q USING (cid)),
+          rk AS (SELECT qid, vec_id, score, row_number() OVER
+                   (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc)
+          SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, score
+          FROM rk WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
     "q51_standardize" ->
       s"""WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
                        ${exactSumSql("value", 2)} AS s1,

@@ -86,6 +86,82 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gen == base)
   }
 
+  test("trained-centroid IVF (q18i): inverted lists stay balanced and recall meets its floor") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // On UNIFORM random embeddings cluster structure is noise, so raw
+    // nProbe=1 recall is not comparable between seeds (measured: the
+    // raw-vector stand-in happens to score 0.95, trained 0.75, with
+    // near-identical candidate counts — both are artifacts of where
+    // arbitrary Voronoi boundaries fall). The durable contracts: the
+    // trained index never worsens the largest inverted list (the
+    // 100 TB skew bound), covers the corpus, and keeps a recall floor;
+    // structure-dependent quality is pinned on the separable fixture
+    // below, and the nProbe dial's exactness in the next test.
+    def occupancy(cents: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity.assignTo(Similarity.withEmb(emb), cents)
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val standCents = Similarity.withEmb(emb)
+      .where(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val trainCents = Similarity.trainedCentroids(emb, NCentroids, iters = 3)
+    val standOcc = occupancy(standCents)
+    val trainOcc = occupancy(trainCents)
+
+    val trainRecall = recall(hits(
+      Similarity.ivfSearchTrained(emb, NCentroids, iters = 3, NQueries, K)))
+
+    assert(trainOcc.values.max <= standOcc.values.max,
+      s"training must not worsen the largest inverted list: " +
+        s"trained ${trainOcc.values.max} vs stand-in ${standOcc.values.max}")
+    assert(trainOcc.values.sum == standOcc.values.sum,
+      "assignment must cover the corpus under either index")
+    assert(trainRecall >= 0.6,
+      s"trained nProbe=1 recall@$K = $trainRecall (measured 0.75; floor 0.6)")
+  }
+
+  test("trained IVF recall is monotone in nProbe and exact at full probe") {
+    // The nProbe dial must behave identically on the trained index:
+    // wider probes only add candidates, and probing every cluster is
+    // exhaustive search regardless of where training put the centroids.
+    val curve = Seq(1, 2, 4, NCentroids).map { np =>
+      np -> recall(hits(Similarity.ivfSearchTrainedProbes(
+        emb, NCentroids, iters = 3, NQueries, K, np)))
+    }
+    curve.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, s"trained recall dropped widening nProbe $np1->$np2: $r1 -> $r2")
+    }
+    assert(curve.last._2 == 1.0,
+      s"full probe of the trained index must be exhaustive, got ${curve.last._2}")
+  }
+
+  test("kmeansTrain converges on separable data and early-exit equals the full unroll") {
+    import spark.implicits._
+    // Three well-separated direction clusters (orthogonal axes with a
+    // small deterministic wobble): Lloyd must settle in a couple of
+    // rounds, after which every extra round is a no-op — so a converged
+    // run at iters=3 must equal iters=8 exactly (the early-exit
+    // soundness claim behind the oracle's fixed unroll), and each true
+    // cluster must land in one trained centroid.
+    val vecs = (0L until 60L).map { i =>
+      val axis = (i % 3).toInt
+      val emb = Array.tabulate(16) { d =>
+        val base = if (d == axis * 5) 10.0 else 0.0
+        base + 0.01 * ((i * 31 + d * 7) % 11)
+      }
+      (i, s"c$axis", emb)
+    }.toDF("vec_id", "label", "embedding")
+    def rows(iters: Int): Set[Seq[Any]] =
+      Similarity.kmeansTrain(vecs, 3, iters).collect().map(_.toSeq).toSet
+    val at3 = rows(3)
+    assert(at3 == rows(8), "converged training must be invariant to extra capped rounds")
+    // Every vector of a true cluster shares its trained centroid.
+    val asg = Similarity
+      .assignTo(Similarity.withEmb(vecs), Similarity.trainedCentroids(vecs, 3, 3))
+      .select("label", "cid").distinct().collect()
+    assert(asg.length == 3, s"three separable clusters must map 1:1 to centroids, got ${asg.length}")
+  }
+
   test("SRP-LSH recall@5 meets its floor") {
     val r = recall(hits(Similarity.lshSearch(emb, NQueries, K)))
     assert(r >= 0.15, s"LSH recall@$K = $r (measured 0.2 for one 6-plane table; floor 0.15)")
