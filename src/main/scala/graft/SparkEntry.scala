@@ -196,6 +196,42 @@ object SparkEntry {
               FROM e CROSS JOIN (SELECT unnest(range($PqSub)) AS m) ms CROSS JOIN c)"""
   }
 
+  /** DuckDB mirror of [[graft.operators.Similarity.pqTrain]]: the
+    * per-subspace Lloyd loop unrolled `iters` times over the
+    * (vec_id, m, subvector) explosion — the q73 distance contract
+    * (exact 1e-6-grid squared L2, tie → lowest code) per round, means
+    * rounded to 1e-4 and fed back as the next round's codebook.
+    * Exposes `pe` (subvectors), `pm{iters}` (final long-form means)
+    * and `pc{iters}` (final list-form codebooks).
+    */
+  private def pqTrainRoundsCte(iters: Int): String = {
+    val sub = 64 / PqSub
+    val sq = "(pe.sv[i] - c.cemb[i]) * (pe.sv[i] - c.cemb[i])"
+    val rounds = (1 to iters).map { r =>
+      s"""ps$r AS (SELECT pe.vec_id, pe.m, c.cid,
+                 CAST(floor(list_sum(list_transform(generate_series(1, $sub),
+                   i -> $sq)) * 1e6 + 0.5) AS BIGINT) AS erri
+               FROM pe JOIN pc${r - 1} c ON c.m = pe.m),
+          pa$r AS (SELECT vec_id, m, cid, erri FROM
+                   (SELECT *, row_number() OVER
+                      (PARTITION BY vec_id, m ORDER BY erri, cid) AS rn FROM ps$r)
+                 WHERE rn = 1),
+          pu$r AS (SELECT a.m, a.cid, unnest(pe.sv) AS val,
+                   generate_subscripts(pe.sv, 1) - 1 AS dim
+                 FROM pa$r a JOIN pe ON pe.vec_id = a.vec_id AND pe.m = a.m),
+          pm$r AS (SELECT m, cid, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+                   ${roundSql(s"(${exactSumSql("val", 6)}) / count(*)", 4)} AS mean_val
+                 FROM pu$r GROUP BY m, cid, dim),
+          pc$r AS (SELECT m, cid, list(mean_val ORDER BY dim) AS cemb
+                 FROM pm$r GROUP BY m, cid)"""
+    }.mkString(",\n          ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        pe AS (SELECT vec_id, ms.m, e.emb[ms.m * $sub + 1 : ms.m * $sub + $sub] AS sv
+               FROM e CROSS JOIN (SELECT unnest(range($PqSub)) AS m) ms),
+        pc0 AS (SELECT m, vec_id AS cid, sv AS cemb FROM pe WHERE vec_id < $PqCodes),
+        $rounds"""
+  }
+
   /** ADC scoring CTEs on top of [[pqCte]]: corpus code table, exact
     * BIGINT LUT sums per (query, vector), rounded `adc` (`sc`). */
   private val pqAdcCte =
@@ -480,6 +516,11 @@ object SparkEntry {
     "q73b_adc_search" -> ((s, d) =>
       Similarity.pqAdcSearch(Tables.table(s, d, "embeddings"),
         PqSub, PqCodes, BatchQueries, BatchTopK)),
+    "q73d_pq_train" -> ((s, d) =>
+      Similarity.pqTrain(Tables.table(s, d, "embeddings"), PqSub, PqCodes, KmeansIters)),
+    "q73e_pq_encode_trained" -> ((s, d) =>
+      Similarity.pqEncodeTrained(Tables.table(s, d, "embeddings"),
+        PqSub, PqCodes, KmeansIters)),
     "q73c_pq_rerank" -> ((s, d) =>
       Similarity.pqRerankSearch(Tables.table(s, d, "embeddings"),
         PqSub, PqCodes, BatchQueries, PqShortlist, BatchTopK)),
@@ -1955,6 +1996,26 @@ object SparkEntry {
           SELECT vec_id, CAST(m AS INT) AS m, cid AS code,
                  CAST(erri AS DOUBLE) / 1e6 AS err
           FROM r WHERE rn = 1 ORDER BY vec_id, m""",
+    // Q73d: per-subspace Lloyd loop unrolled KmeansIters times (the
+    // q50b argument: engine early-exit at a fixpoint ≡ fixed unroll).
+    "q73d_pq_train" ->
+      s"""WITH ${pqTrainRoundsCte(KmeansIters)}
+          SELECT CAST(m AS INT) AS m, cid, dim, n, mean_val
+          FROM pm$KmeansIters ORDER BY m, cid, dim""",
+    // Q73e: the q73 encode against the TRAINED codebooks pc{iters}.
+    "q73e_pq_encode_trained" ->
+      s"""WITH ${pqTrainRoundsCte(KmeansIters)},
+          psf AS (SELECT pe.vec_id, pe.m, c.cid,
+                    CAST(floor(list_sum(list_transform(generate_series(1, ${64 / PqSub}),
+                      i -> (pe.sv[i] - c.cemb[i]) * (pe.sv[i] - c.cemb[i]))) * 1e6 + 0.5) AS BIGINT) AS erri
+                  FROM pe JOIN pc$KmeansIters c ON c.m = pe.m),
+          paf AS (SELECT vec_id, m, cid, erri FROM
+                    (SELECT *, row_number() OVER
+                       (PARTITION BY vec_id, m ORDER BY erri, cid) AS rn FROM psf)
+                  WHERE rn = 1)
+          SELECT vec_id, CAST(m AS INT) AS m, cid AS code,
+                 CAST(erri AS DOUBLE) / 1e6 AS err
+          FROM paf ORDER BY vec_id, m""",
     // Q73b: ADC search — the q73 code table for the corpus, the same
     // integer LUT per query, exact BIGINT sums, rank by (adc, vec_id).
     "q73b_adc_search" ->

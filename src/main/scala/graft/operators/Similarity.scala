@@ -595,6 +595,100 @@ object Similarity {
         col("col._2").as("vec_id"), (-col("col._1")).as("adc"))
       .orderBy("qid", "rnk")
 
+  /** Q73d — PQ sub-codebook TRAINING: [[kmeansTrain]]'s capped-fixpoint
+    * Lloyd loop run independently in every subspace, producing the
+    * trained sub-codebooks (m, cid, dim, n, mean_val) that replace the
+    * `vec_id < nCodes` stand-in of the q73 family. All `nSub` subspace
+    * trainings run as ONE distributed computation per round: vectors
+    * explode to (m, subvector) — a map-side ×nSub fan-out of short
+    * fixed-width rows — assignment is an argmin against the broadcast
+    * per-subspace codebook (squared L2 on the exact 1e-6 integer grid,
+    * tie → lowest code, the q73 contract), and means reduce on the
+    * bounded (nSub × nCodes × subLen) key space. Per-round means are
+    * rounded to 1e-4 and localCheckpointed (512 rows at the registered
+    * config), so the fed-back codebooks are bit-identical across
+    * engines and plan depth stays constant; the same early-exit-at-
+    * fixpoint argument as [[kmeansTrain]] makes the engine loop equal
+    * the oracle's fixed unroll.
+    */
+  def pqTrain(emb: DataFrame, nSub: Int, nCodes: Int, iters: Int): DataFrame = {
+    val (subs, _) = pqTrainLoop(emb, nSub, nCodes, iters)
+    subs.orderBy("m", "cid", "dim")
+  }
+
+  /** Q73e — PQ encode against the TRAINED sub-codebooks: the q73
+    * assignment (argmin erri, tie lowest code) with [[pqTrain]]'s
+    * output as the codebook. Same map-only shape as [[pqEncode]].
+    */
+  def pqEncodeTrained(emb: DataFrame, nSub: Int, nCodes: Int, iters: Int): DataFrame = {
+    val (_, cents) = pqTrainLoop(emb, nSub, nCodes, iters)
+    subVectors(emb, nSub)
+      .join(broadcast(cents.groupBy("m")
+        .agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))), "m")
+      .withColumn("best", expr(
+        s"""array_min(transform(cents, c -> named_struct(
+              'erri', ${svErrIntSql(64 / nSub)},
+              'cid', c.cid)))"""))
+      .select(col("vec_id"), col("m"),
+        col("best.cid").as("code"),
+        (col("best.erri").cast("double") / 1e6).as("err"))
+      .orderBy("vec_id", "m")
+  }
+
+  /** (vec_id, m, sv): every vector split into its `nSub` subvectors. */
+  private def subVectors(emb: DataFrame, nSub: Int): DataFrame = {
+    val subLen = 64 / nSub
+    withEmb(emb).select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, $nSub - 1), m -> slice(emb, m * $subLen + 1, $subLen))")))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+  }
+
+  /** Subspace squared-L2 between row subvector `sv` and codebook entry
+    * `c.cemb`, scaled to the exact 1e-6 integer grid (index-order
+    * fold — the q73 float contract on subvector slices).
+    */
+  private def svErrIntSql(subLen: Int): String =
+    s"""CAST(floor(aggregate(sequence(0, $subLen - 1), CAST(0.0 AS DOUBLE),
+          (acc, i) -> acc + (sv[i] - c.cemb[i]) * (sv[i] - c.cemb[i])) * 1e6 + 0.5) AS BIGINT)"""
+
+  /** The shared training loop: returns (long-form means of the final
+    * round, list-form codebooks (m, cid, cemb) of the final round).
+    */
+  private def pqTrainLoop(emb: DataFrame, nSub: Int, nCodes: Int,
+                          iters: Int): (DataFrame, DataFrame) = {
+    val subLen = 64 / nSub
+    val pe = subVectors(emb, nSub)
+    var means: DataFrame = null
+    var cents = pe.where(col("vec_id") < nCodes)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cemb"))
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val next = pe
+        .join(broadcast(cents.groupBy("m")
+          .agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))), "m")
+        .withColumn("best", expr(
+          s"""array_min(transform(cents, c -> named_struct(
+                'erri', ${svErrIntSql(subLen)},
+                'cid', c.cid)))"""))
+        .select(col("m"), col("best.cid").as("cid"), posexplode(col("sv")))
+        .groupBy(col("m"), col("cid"), col("pos").cast("long").as("dim"))
+        .agg(
+          count(lit(1)).as("n"),
+          roundTo(graft.functions.Deterministic.exactSum(col("col"), 6)
+            / count(lit(1)), 4).as("mean_val"))
+        .localCheckpoint()
+      converged = means != null &&
+        next.join(means, Seq("m", "cid", "dim", "n", "mean_val"), "left_anti").isEmpty &&
+        means.join(next, Seq("m", "cid", "dim", "n", "mean_val"), "left_anti").isEmpty
+      means = next
+      cents = next.groupBy("m", "cid")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, mean_val))), s -> s.mean_val)")
+          .as("cemb"))
+    }
+    (means, cents)
+  }
+
   /** Q73c — PQ shortlist + exact re-rank, the production ANN pipeline:
     * the cheap ADC metric scans the code table and keeps a bounded
     * shortlist per query (`graft_top50` — O(queries·50) shuffle rows
