@@ -89,6 +89,8 @@ object SparkEntry {
     * the oracle unrolls exactly this many rounds; the engine may stop
     * earlier at a fixpoint (provably the same output). */
   private val KmeansIters = 3
+  /** Q79: number of BPE merges learned over the corpus vocabulary. */
+  private val NumMerges = 8
   /** Q70: span-dedup chunk length in tokens (docs average ~54 tokens,
     * so a typical doc is ~5 chunks and the 30-word shared vocabulary
     * makes cross-document chunk collisions common enough to bite). */
@@ -279,6 +281,37 @@ object SparkEntry {
         $rounds"""
   }
 
+  /** DuckDB mirror of [[graft.operators.TextAnalysis.bpeTrain]]'s
+    * induction loop, unrolled `nMerges` rounds: v0 is the char-spaced
+    * word-count vocabulary; each round counts adjacent symbol pairs
+    * (weighted by word freq), picks the max by (cnt DESC, lhs, rhs),
+    * and applies it with [[graft.operators.TextAnalysis.MergePasses]]
+    * nested single-pass replaces — the same pass count the engine
+    * runs, so the two sides agree even before the fixpoint argument.
+    * Exposes b1..b{n} (winning pairs) and v{n} (final segmentation).
+    */
+  private def bpeRoundsCte(nMerges: Int): String = {
+    val repK = (1 to graft.operators.TextAnalysis.MergePasses)
+      .foldLeft("' ' || syms || ' '")((s, _) =>
+        s"replace($s, ' ' || b.lhs || ' ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' ')")
+    val rounds = (1 to nMerges).map { r =>
+      s"""pr$r AS (SELECT sa[i] AS lhs, sa[i + 1] AS rhs, freq
+               FROM (SELECT string_split(syms, ' ') AS sa, freq FROM v${r - 1}) t
+               CROSS JOIN UNNEST(generate_series(1, len(sa) - 1)) AS u(i)
+               WHERE len(sa) >= 2),
+          pc$r AS (SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
+               FROM pr$r GROUP BY lhs, rhs),
+          b$r AS (SELECT lhs, rhs, cnt FROM pc$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+          v$r AS (SELECT word, freq, trim($repK) AS syms
+               FROM v${r - 1} CROSS JOIN b$r b)"""
+    }.mkString(",\n          ")
+    s"""v0 AS (SELECT word, count(*) AS freq,
+               rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms
+             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             GROUP BY word),
+        $rounds"""
+  }
+
   private val shingleCte =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        sh AS (SELECT doc_id,
@@ -460,6 +493,10 @@ object SparkEntry {
       Dedup.incrementalNearDup(Tables.table(s, d, "documents"), IncrementalSplitId, NearDupThreshold)),
     "q77_sliding_chunks" -> ((s, d) =>
       Packing.slidingChunks(Tables.table(s, d, "documents"), 64, 32)),
+    "q79_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(Tables.table(s, d, "documents"), NumMerges)),
+    "q79b_bpe_tokenize" -> ((s, d) =>
+      TextAnalysis.bpeTokenize(Tables.table(s, d, "documents"), NumMerges)),
     "q78_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.table(s, d, "documents"), 30)),
     "q56_length_gate" -> ((s, d) =>
@@ -1562,6 +1599,25 @@ object SparkEntry {
                 FROM v)
           SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair
           ORDER BY cnt DESC, pair ASC LIMIT 30""",
+    // Q79: the q78 merge decision iterated NumMerges rounds (unrolled
+    // CTE chain; same nested-replace pass count as the engine).
+    "q79_bpe_train" ->
+      s"""WITH ${bpeRoundsCte(NumMerges)}
+          ${(1 to NumMerges).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, lhs || rhs AS merged, cnt FROM b$r")
+            .mkString("\n          UNION ALL ")}
+          ORDER BY merge_round""",
+    // Q79b: tokenization-with-merges = join corpus words against the
+    // final vocabulary segmentation (a word's split depends only on
+    // the word), then per-doc subword accounting.
+    "q79b_bpe_tokenize" ->
+      s"""WITH ${bpeRoundsCte(NumMerges)},
+          dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          j AS (SELECT dw.doc_id, len(string_split(v.syms, ' ')) AS n_sub
+                FROM dw JOIN v$NumMerges v USING (word))
+          SELECT doc_id, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+                 ${roundSql("CAST(sum(n_sub) AS DOUBLE) / count(*)", 4)} AS fertility
+          FROM j GROUP BY doc_id ORDER BY doc_id""",
     "q56_length_gate" ->
       s"""WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
                        quantile_cont(n_chars, 0.95) AS hi

@@ -168,6 +168,117 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
 
+  /** Number of iterated-replace passes used to apply ONE merge to a
+    * symbol string. A single left-to-right literal replace pass misses
+    * an occurrence whose leading delimiter was consumed by the previous
+    * match (runs of identical symbols), and a run of length n needs
+    * up to ceil(n/2) passes — 15 covers any word up to 30 symbols.
+    * Both engines run exactly this many single-pass replaces, so
+    * results agree even before the fixpoint argument; BpeSpec pins
+    * that one more pass is a no-op on the corpus vocabulary.
+    *
+    * DOCUMENTED DEVIATION from canonical BPE merge application: at the
+    * chain's fixpoint the number of merged pairs equals canonical
+    * greedy left-to-right (floor(run/2) within any identical-symbol
+    * run), but in an odd run of length >= 5 the unpaired singleton may
+    * sit mid-run ("aa a aa") where canonical leaves it trailing
+    * ("aa aa a"). Token counts are canonical everywhere; only the
+    * singleton's position within such runs differs. The chain form is
+    * used because it is the largest merge-apply semantics expressible
+    * identically in Spark AND the DuckDB oracle (RE2 has no lookbehind
+    * and DuckDB no general list fold), the same trade as BpePattern's
+    * lookahead note; BpeSpec pins the deviation on the exact fixture.
+    */
+  val MergePasses = 15
+
+  /** One learned merge: round number, the winning adjacent pair, the
+    * merged symbol it becomes, and its corpus-weighted count. */
+  private case class BpeMerge(merge_round: Long, lhs: String, rhs: String,
+                              merged: String, cnt: Long)
+
+  /** The BPE induction loop shared by [[bpeTrain]] and [[bpeTokenize]]:
+    * returns (merge table, final segmented vocabulary (word, freq,
+    * syms)).
+    *
+    * Scale shape: the corpus collapses to the word-count VOCABULARY
+    * once (the q78 observation — this is how production BPE trainers
+    * operate on web-scale corpora: the unit of work is the distinct
+    * word, not the token), then every round runs two bounded steps on
+    * the vocab frame: adjacent-pair counts (key space = the symbol-pair
+    * alphabet) and a merge application (per-row string replaces). The
+    * only driver-side data is ONE argmax row per round (the q40
+    * convergence-probe pattern); the vocab is localCheckpointed per
+    * round so plan depth stays constant. Determinism: the winning pair
+    * is max by (cnt DESC, lhs ASC, rhs ASC) — a total order both
+    * engines share — and merge application is [[MergePasses]] identical
+    * single-pass literal replaces in both engines.
+    */
+  private def bpeTrainLoop(docs: DataFrame, nMerges: Int): (Seq[BpeMerge], DataFrame) = {
+    var vocab = graft.sources.Tables.widen(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", rtrim(regexp_replace(col("word"), "(.)", "$1 ")))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    for (round <- 1 to nMerges) {
+      val best = vocab
+        .withColumn("sa", split(col("syms"), " "))
+        .where(size(col("sa")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(sa) - 2), i -> struct(sa[i] AS lhs, sa[i + 1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(best.nonEmpty, s"vocabulary exhausted before merge $round")
+      val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += BpeMerge(round.toLong, l, r, l + r, cnt)
+      var padded = concat(lit(" "), col("syms"), lit(" "))
+      for (_ <- 1 to MergePasses)
+        padded = call_function("replace", padded, lit(s" $l $r "), lit(s" $l$r "))
+      vocab = vocab.withColumn("syms", trim(padded)).localCheckpoint()
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** Test hook: the final segmented vocabulary (word, freq, syms). */
+  private[graft] def bpeSegmentation(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeTrainLoop(docs, nMerges)._2
+
+  /** Q79 — BPE vocabulary induction: iterate the q78 merge decision
+    * `nMerges` times, applying each round's winning pair to the
+    * segmented vocabulary before recounting. Output is the learned
+    * merge table (merge_round, lhs, rhs, merged, cnt) — the artifact a
+    * tokenizer ships.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, _) = bpeTrainLoop(docs, nMerges)
+    merges.toDF().orderBy("merge_round")
+  }
+
+  /** Q79b — corpus tokenization with the learned merges: because a
+    * word's segmentation depends only on the word, applying the merge
+    * table corpus-wide is a JOIN of corpus words against the trained
+    * vocabulary's final segmentation — no per-token merge replay.
+    * Per doc: word count, subword count, and fertility
+    * (subwords per word — the tokenizer-quality dial q19d proxies).
+    */
+  def bpeTokenize(docs: DataFrame, nMerges: Int): DataFrame = {
+    val (_, vocab) = bpeTrainLoop(docs, nMerges)
+    graft.sources.Tables.widen(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(vocab.select(col("word"), size(split(col("syms"), " ")).as("n_sub")), "word")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subwords"))
+      .withColumn("fertility",
+        roundTo(col("n_subwords").cast("double") / col("n_words"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Q35 — corpus vocabulary: term frequency + document frequency per
     * token. The classic word count: explode → hash aggregate, with
     * map-side partial aggregation collapsing each partition's repeats
