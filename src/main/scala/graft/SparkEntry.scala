@@ -424,6 +424,8 @@ object SparkEntry {
     "q21_multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.table(s, d, "documents"))),
     "q21b_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Tables.table(s, d, "documents"), MaxFrames)),
+    "q21d_image_decode" -> ((s, d) =>
+      Multimodal.imageDecode(Tables.table(s, d, "documents"))),
     "q21c_resize_meta" -> ((s, d) =>
       Multimodal.resizeMeta(Tables.table(s, d, "documents"), MaxResizeDim)),
     "q22_stratified_sample" -> ((s, d) =>
@@ -1074,6 +1076,21 @@ object SparkEntry {
                  CAST(floor(width * scale + 0.5) AS INTEGER) AS resized_w,
                  CAST(floor(height * scale + 0.5) AS INTEGER) AS resized_h
           FROM s ORDER BY doc_id""",
+    // Q21d: the engine ENCODES a deterministic PNG per doc and DECODES
+    // it with the real JDK codec; the oracle recomputes dims + gray
+    // pixel sum from the generator's closed form — verifying a real
+    // decode without decoding anything itself.
+    "q21d_image_decode" ->
+      """WITH d AS (SELECT doc_id,
+                      8 + (doc_id * 37) % 24 AS w,
+                      8 + (doc_id * 53) % 24 AS h
+                    FROM documents)
+         SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                CAST(sum((7 * gx + 13 * gy + doc_id) % 256) AS BIGINT) AS px_sum
+         FROM d
+         CROSS JOIN UNNEST(generate_series(0, w - 1)) AS tx(gx)
+         CROSS JOIN UNNEST(generate_series(0, h - 1)) AS ty(gy)
+         GROUP BY doc_id, w, h ORDER BY doc_id""",
     "q22_stratified_sample" -> {
       val rateCase = MixRates.toSeq.sortBy(_._1)
         .map { case (s, r) => s"WHEN '$s' THEN $r" }

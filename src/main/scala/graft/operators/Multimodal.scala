@@ -31,16 +31,20 @@ case class MediaRecord(doc_id: Long, media_type: String, byte_len: Long,
   * into plain typed columns so Parquet scans of metadata never touch
   * payload bytes (column pruning drops the binary column entirely).
   *
-  * The actual image/audio decode is STUBBED — no media codecs ship in
-  * this environment — with a deterministic fake that derives plausible
-  * dimensions from a content hash. The Spark-side plumbing (schema,
-  * typed Dataset path, per-partition batching, binary column pruning)
-  * is real and is what the tests exercise.
+  * IMAGE decode is REAL: `javax.imageio` ships in the JDK (PNG, JPEG,
+  * GIF, BMP), so `image/...` payloads are actually decoded
+  * ([[decodeImage]], exercised end-to-end by q21d's encode→decode
+  * round-trip against a closed-form oracle). Codecs the JDK lacks
+  * (video/audio) remain STUBBED with a deterministic fake that derives
+  * plausible dimensions from a content hash; the Spark-side plumbing
+  * (schema, typed Dataset path, per-partition batching, binary column
+  * pruning) is identical for both paths.
   */
 object Multimodal {
 
-  /** Deterministic fake "decode" of one payload — stands in for an image
-    * codec. Real deployments swap only this function.
+  /** Deterministic fake "decode" of one payload — stands in for codecs
+    * the JDK does not ship (video, audio). Image formats take the REAL
+    * [[decodeImage]] path.
     */
   def decodeStub(payloadSha48: Long): (Int, Int, Int) = {
     val width = 64 + (payloadSha48 % 960).toInt
@@ -49,9 +53,22 @@ object Multimodal {
     (width, height, nFrames)
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP
+    * ship in every JRE — no new dependency): returns (width, height)
+    * or None when the bytes are not a decodable image. Used by
+    * [[decode]]/[[ingest]] for image-typed payloads; everything else
+    * (and undecodable image bytes) falls back to [[decodeStub]].
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None else Some((img.getWidth, img.getHeight))
+    } catch { case _: java.io.IOException => None }
+
   /** Typed per-partition decode: one "decoder" per partition, payloads
-    * processed in partition-local batches. This is the extension point a
-    * real codec plugs into (`iter.grouped(batch)` keeps peak memory at
+    * processed in partition-local batches. Image media types are
+    * decoded for REAL ([[decodeImage]]); non-image types use the
+    * documented stub (`iter.grouped(batch)` keeps peak memory at
     * batch × payload size per task).
     */
   def decode(blobs: Dataset[MediaBlob], batchSize: Int = 64): Dataset[MediaMeta] = {
@@ -63,7 +80,12 @@ object Multimodal {
           digest.reset()
           val sha = digest.digest(b.payload).map("%02x".format(_)).mkString
           val h48 = java.lang.Long.parseLong(sha.substring(0, 12), 16)
-          val (w, h, f) = decodeStub(h48)
+          val real =
+            if (b.media_type.startsWith("image/")) decodeImage(b.payload) else None
+          val (w, h, f) = real match {
+            case Some((rw, rh)) => (rw, rh, 1)
+            case None => decodeStub(h48)
+          }
           MediaMeta(b.doc_id, b.media_type, b.payload.length.toLong, sha, w, h, f)
         }
       }
@@ -92,8 +114,10 @@ object Multimodal {
   }
 
   /** Ingest into the blob-store layout: ONE per-partition decode pass
-    * computes the sidecar metadata next to the payload ([[MediaRecord]]).
-    * Downstream metadata queries then never pay for the bytes.
+    * computes the sidecar metadata next to the payload ([[MediaRecord]])
+    * — the same real-image/stub split as [[decode]], so the sidecar
+    * always equals a re-decode of the stored bytes. Downstream metadata
+    * queries then never pay for the bytes.
     */
   def ingest(blobs: Dataset[MediaBlob], batchSize: Int = 64): Dataset[MediaRecord] = {
     import blobs.sparkSession.implicits._
@@ -104,7 +128,12 @@ object Multimodal {
           digest.reset()
           val sha = digest.digest(b.payload).map("%02x".format(_)).mkString
           val h48 = java.lang.Long.parseLong(sha.substring(0, 12), 16)
-          val (w, h, f) = decodeStub(h48)
+          val real =
+            if (b.media_type.startsWith("image/")) decodeImage(b.payload) else None
+          val (w, h, f) = real match {
+            case Some((rw, rh)) => (rw, rh, 1)
+            case None => decodeStub(h48)
+          }
           MediaRecord(b.doc_id, b.media_type, b.payload.length.toLong, sha, w, h, f, b.payload)
         }
       }
@@ -117,6 +146,69 @@ object Multimodal {
 
   def readBlobStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Deterministic tiny REAL PNGs: image `id` is (8 + id·37 mod 24) ×
+    * (8 + id·53 mod 24) pixels of gray v(x,y) = (7x + 13y + id) mod 256,
+    * encoded by `javax.imageio` into genuine PNG bytes. The dims and
+    * the pixel sum are closed-form in `id`, so a SQL oracle can verify
+    * a REAL decode without being able to decode anything itself.
+    */
+  def pngBlob(id: Long): MediaBlob = {
+    val w = (8 + id * 37 % 24).toInt
+    val h = (8 + id * 53 % 24).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((7L * x + 13L * y + id) % 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    MediaBlob(id, "image/png", bos.toByteArray)
+  }
+
+  /** Q21d — REAL image decode, oracle-checkable: per document id, emit
+    * a deterministic PNG ([[pngBlob]]), then DECODE the bytes with the
+    * actual codec and report what the decoder saw — dimensions and the
+    * gray-channel pixel sum. The oracle recomputes all three from the
+    * generator's closed form; any codec misbehavior (wrong dims, pixel
+    * corruption, channel order) breaks the hash. Encode and decode both
+    * run inside the partition map — the per-partition batch shape every
+    * real media pipeline uses; nothing but (id, small ints) ever
+    * reaches the shuffle.
+    */
+  def imageDecode(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val out = graft.sources.Tables.widen(docs)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val blob = pngBlob(id)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob.payload))
+          require(img != null, s"PNG round-trip failed for doc $id")
+          var pxSum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              pxSum += img.getRGB(x, y) & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          (id, img.getWidth, img.getHeight, pxSum)
+        }
+      }
+      .toDF("doc_id", "width", "height", "px_sum")
+    out.orderBy("doc_id")
+  }
 
   /** A metadata catalog query over the blob store: per media type,
     * count/bytes/dimension stats — reads ONLY sidecar columns, so the

@@ -69,6 +69,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sidecar == redecoded)
   }
 
+  test("image/* payloads are decoded by the REAL codec; non-image stays on the stub") {
+    import spark.implicits._
+    // Real tiny PNGs: decode must report the GENERATOR's dimensions
+    // (8..31 px — outside the stub's 64+ range, so a stub leak is
+    // detectable), one frame, and the true byte length.
+    val pngs = spark.range(20L).map(id => Multimodal.pngBlob(id))
+    val decoded = Multimodal.decode(pngs).collect()
+    assert(decoded.length == 20)
+    decoded.foreach { m =>
+      val (ew, eh) = ((8 + m.doc_id * 37 % 24).toInt, (8 + m.doc_id * 53 % 24).toInt)
+      assert((m.width, m.height, m.n_frames) == ((ew, eh, 1)),
+        s"doc ${m.doc_id}: real decode must see the generated dims, got ${(m.width, m.height)}")
+      assert(m.width < 64 && m.height < 64, "stub dims start at 64 — these must be real")
+    }
+    // Corrupt image bytes and non-image media types fall back to the stub.
+    val junk = Seq(
+      MediaBlob(100L, "image/png", Array[Byte](1, 2, 3, 4)),
+      MediaBlob(101L, "video/fake", Multimodal.pngBlob(0L).payload)).toDS()
+    val fallback = Multimodal.decode(junk).collect().sortBy(_.doc_id)
+    assert(fallback.forall(m => m.width >= 64 && m.height >= 64),
+      "undecodable or non-image payloads must take the stub path")
+  }
+
   test("metadata catalog query prunes the payload column from the parquet scan") {
     val catalog = Multimodal.blobCatalog(Multimodal.readBlobStore(spark, storePath))
     val scanned = catalog.queryExecution.sparkPlan.collectLeaves()
