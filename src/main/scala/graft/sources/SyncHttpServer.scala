@@ -49,9 +49,39 @@ class SyncHttpServer(
     port: Int = 0,
     clock: () => Long = () => System.currentTimeMillis(),
     gameTimeout: Long = 60000L,
-    seed: Long = SyncCore.hash48("graft")) {
+    seed: Long = SyncCore.hash48("graft"),
+    spoolPath: Option[String] = None) {
 
   private val mapper = new ObjectMapper
+
+  // Request spool: every ACCEPTED request is appended as one JSON line
+  // ([[WireJson.spoolSchema]]) BEFORE its response is computed, inside
+  // the stream's lock — so spool order equals processing order per
+  // stream, and the spool is a faithful request log. This closes the
+  // live→engine loop: the Structured Streaming engine (S4-style file
+  // stream) or the batch replay can re-fold the exact live schedule
+  // (HttpSyncSpec/StreamingSpec pin the three-way equivalence). A
+  // deployment would rotate files per interval; flush-per-line keeps
+  // the test path simple and the cost is one syscall per sync.
+  private val spoolSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val spoolWriter: Option[java.io.Writer] = spoolPath.map { p =>
+    Option(java.nio.file.Paths.get(p).getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    new java.io.BufferedWriter(new java.io.FileWriter(p, StandardCharsets.UTF_8, true))
+  }
+
+  private def spool(stream: String, now: Long, clientId: String,
+                    lastKnownT: Long, body: String): Unit =
+    spoolWriter.foreach { w =>
+      val line = mapper.createObjectNode
+      line.put("seq", spoolSeq.incrementAndGet())
+      line.put("stream", stream)
+      line.put("now", now)
+      line.put("client_id", clientId)
+      line.put("last_known_t", lastKnownT)
+      line.put("body", body)
+      w.synchronized { w.write(mapper.writeValueAsString(line)); w.write("\n"); w.flush() }
+    }
 
   /** Per-stream cell: lock target + mutable state (single-writer). */
   private final class Cell { var state: GameState = _ }
@@ -79,7 +109,10 @@ class SyncHttpServer(
   def startSweeper(periodMs: Long = 60000L): Unit =
     sweeper.scheduleAtFixedRate(() => sweep(clock()), periodMs, periodMs, TimeUnit.MILLISECONDS)
 
-  def stop(): Unit = { server.stop(0); sweeper.shutdownNow() }
+  def stop(): Unit = {
+    server.stop(0); sweeper.shutdownNow()
+    spoolWriter.foreach(w => w.synchronized(w.close()))
+  }
 
   /** Bound address (ephemeral-port tests read the real port here). */
   def address: InetSocketAddress = server.getAddress
@@ -143,8 +176,11 @@ class SyncHttpServer(
             if (c == null) { c = new Cell; c.state = SyncCore.init(now, seed); streams.put(streamName, c) }
             c
           }
-          // ...process under the stream's own lock (game.go:61-62).
+          // ...process under the stream's own lock (game.go:61-62); the
+          // spool append sits inside the same lock so the log order IS
+          // the processing order per stream.
           val resp = cell.synchronized {
+            spool(streamName, now, clientId, lastKnownT, body)
             val (g1, r) = SyncCore.process(cfg, cell.state, now, clientId, Some(lastKnownT), events, state)
             cell.state = g1
             r

@@ -59,6 +59,39 @@ object WireJson {
       .withColumn("state", col("_req.State"))
       .drop("_req")
 
+  /** One spooled listener request ([[SyncHttpServer]]'s request log):
+    * the URL-path fields plus the raw GameRequest body, one JSON object
+    * per accepted request, appended in per-stream processing order.
+    */
+  val spoolSchema: StructType = StructType(Seq(
+    StructField("seq", LongType),
+    StructField("stream", StringType),
+    StructField("now", LongType),
+    StructField("client_id", StringType),
+    StructField("last_known_t", LongType),
+    StructField("body", StringType)))
+
+  /** Lift a listener spool into typed [[graft.operators.SyncRequest]]s
+    * — the live→engine loop closure: the same rows drive the
+    * Structured Streaming engine (S4 shape) or the batch replay, and
+    * both must reproduce the live responses (StreamingSpec S4b).
+    * Restrictions of the SyncRequest model, by design: stream names
+    * must be numeric (the engine keys streams by long id) and one
+    * event per request (the testdata sync model; multi-event requests
+    * would need the list-typed request row instead).
+    */
+  def spooledSyncRequests(spool: DataFrame): Dataset[graft.operators.SyncRequest] = {
+    import spool.sparkSession.implicits._
+    parseRequests(spool, "body")
+      .select(
+        col("stream").cast("long").as("stream_id"),
+        col("now"),
+        col("client_id"),
+        coalesce(element_at(col("events"), 1).getField("Type"), lit("")).as("event_type"),
+        coalesce(element_at(col("events"), 1).getField("Body"), lit("")).as("body"))
+      .as[graft.operators.SyncRequest]
+  }
+
   /** Serialize one sync response to the reference's wire JSON
     * (main.go:101-115). Row shape in: (t, proxy_id,
     * events array<struct>, states array<struct>) — see

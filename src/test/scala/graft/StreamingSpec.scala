@@ -629,6 +629,86 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streaming == batch)
   }
 
+  test("S4b: live HTTP listener -> spool -> streaming engine == live responses == batch replay") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{SyncHttpServer, WireJson}
+    // The live-path loop closed: the listener spools every accepted
+    // request (inside the per-stream lock, so spool order = processing
+    // order), the S4-shaped file stream re-folds the spool through the
+    // Structured Streaming engine, and the batch replay folds it again
+    // — all three must agree sync-by-sync. Clients are well-behaved
+    // echo clients (lastKnownT = last response T), which is exactly the
+    // None-watermark contract the engine and replay thread internally.
+    val cfg = SyncConfig(50L, 10000L)
+    val spoolDir = java.nio.file.Files.createTempDirectory("graft_spool").toString
+    val spoolFile = s"$spoolDir/requests.jsonl"
+    @volatile var nowMs = 9000000L
+    val server = new SyncHttpServer(cfg, port = 0, clock = () => nowMs,
+      gameTimeout = 600000L, seed = 42L, spoolPath = Some(spoolFile)).start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val lastT = scala.collection.mutable.Map.empty[(Long, String), Long].withDefaultValue(0L)
+      val live = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int, Int)]
+      // 48 requests over 2 streams × 3 clients; advances cross tick
+      // boundaries and (once per stream) the 10 s session timeout.
+      for (i <- 0 until 48) {
+        val stream = (i % 2).toLong
+        val cid = ((i / 2) % 3).toString
+        nowMs += 37L + (i * 13L) % 91L + (if (i % 19 == 7) 12000L else 0L)
+        val body = s"""{"Events":[{"Type":"e","Body":"$i"}],"State":{"x":"$i"}}"""
+        val url = java.net.URI.create(
+          s"http://127.0.0.1:${server.address.getPort}/$stream/$cid/${lastT((stream, cid))}")
+        val resp = http.send(
+          java.net.http.HttpRequest.newBuilder(url)
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200)
+        val r = mapper.readTree(resp.body())
+        lastT((stream, cid)) = r.get("T").asLong
+        live += ((stream, r.get("T").asLong, r.get("ProxyId").asText.toLong,
+          r.get("Events").size, r.get("States").size))
+      }
+
+      // Path 2: the spool file-streamed through the engine (S4 shape).
+      val stream = WireJson.spooledSyncRequests(
+        spark.readStream.schema(WireJson.spoolSchema).json(spoolDir))
+      val q = SyncEngine(stream, cfg, seed = 42L, gameTimeoutUs = 0L)
+        .writeStream.format("memory").queryName("s4b").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val engine = spark.table("s4b")
+        .orderBy("stream_id", "sync_seq").collect()
+        .map(r => (r.getAs[Long]("stream_id"), r.getAs[Long]("t"), r.getAs[Long]("proxy_id"),
+          r.getAs[Long]("n_delta_events").toInt, r.getAs[Long]("n_delta_states").toInt)).toSeq
+
+      // Path 3: batch replay of the same spool.
+      val batchReqs = WireJson.spooledSyncRequests(
+        spark.read.schema(WireJson.spoolSchema).json(spoolDir))
+      val batch = SyncReplay.replaySchedule(batchReqs, cfg, seed = 42L)
+        .toDF().orderBy("stream_id", "sync_seq").collect()
+        .map(r => (r.getAs[Long]("stream_id"), r.getAs[Long]("t"), r.getAs[Long]("proxy_id"),
+          r.getAs[Long]("n_delta_events").toInt, r.getAs[Long]("n_delta_states").toInt)).toSeq
+
+      // Live responses, regrouped to (stream, order) like sync_seq.
+      val liveSorted = live.zipWithIndex
+        .sortBy { case ((s, _, _, _, _), i) => (s, i) }
+        .map(_._1).map { case (s, t, p, ne, ns) => (s, t, p, ne, ns) }.toSeq
+
+      assert(engine.size == 48 && batch.size == 48)
+      assert(engine == batch, "streaming engine and batch replay diverged on the spool")
+      assert(liveSorted == engine, "live responses diverged from the engine's re-fold")
+      // Full-payload check between the two engine paths (order-exact
+      // delta hashes, not just counts).
+      val hashesE = spark.table("s4b").orderBy("stream_id", "sync_seq")
+        .select("delta_events_hash", "delta_states_hash").collect().map(_.toSeq).toSeq
+      val hashesB = SyncReplay.replaySchedule(batchReqs, cfg, seed = 42L)
+        .toDF().orderBy("stream_id", "sync_seq")
+        .select("delta_events_hash", "delta_states_hash").collect().map(_.toSeq).toSeq
+      assert(hashesE == hashesB)
+    } finally server.stop()
+  }
+
   test("S3b: incremental streaming LWW final state equals batch latest-state (Q2)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
