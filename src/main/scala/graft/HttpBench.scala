@@ -32,17 +32,28 @@ object HttpBench {
         val syncs = n * clientsPerStream * syncsPerClient
         val pool = Executors.newFixedThreadPool(n)
         val done = new CountDownLatch(n)
+        // Per-sync round-trip latency (request build → response body),
+        // recorded per thread, aggregated after the run. The reference's
+        // envelope is a LATENCY bound (≤200 ms lag at design load,
+        // README.md:23), so the artifact must carry percentiles, not
+        // just throughput — and these are measured at saturation (every
+        // thread firing back-to-back), the worst case for latency.
+        val lats = Array.fill(n)(new Array[Long](clientsPerStream * syncsPerClient))
         val t0 = System.nanoTime()
         (0 until n).foreach { s =>
           pool.execute { () =>
             val client = HttpClient.newHttpClient()
             var lastT = 0L
+            var k = 0
             try {
               for (i <- 0 until syncsPerClient; c <- 0 until clientsPerStream) {
+                val l0 = System.nanoTime()
                 val r = client.send(
                   HttpRequest.newBuilder(URI.create(s"$base/s$s/c$c/$lastT"))
                     .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
                   HttpResponse.BodyHandlers.ofString())
+                lats(s)(k) = System.nanoTime() - l0
+                k += 1
                 // Track the stream watermark like a real client: resync
                 // from the last delivered tick (keeps deltas bounded).
                 val t = r.body()
@@ -55,14 +66,19 @@ object HttpBench {
         done.await(10, TimeUnit.MINUTES)
         pool.shutdown()
         val wall = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[httpbench] streams=$n syncs=$syncs wall=$wall%.2fs => ${syncs / wall}%.0f syncs/s")
-        (n, syncs, wall, syncs / wall)
+        val sorted = lats.flatten.sorted
+        def pctMs(p: Double): Double =
+          sorted(math.min(sorted.length - 1, (p * sorted.length).toInt)) / 1e6
+        val (p50, p99) = (pctMs(0.50), pctMs(0.99))
+        System.err.println(
+          f"[httpbench] streams=$n syncs=$syncs wall=$wall%.2fs => ${syncs / wall}%.0f syncs/s p50=$p50%.2fms p99=$p99%.2fms")
+        (n, syncs, wall, syncs / wall, p50, p99)
       }
       val best = points.map(_._4).max
-      val js = points.map { case (n, s, w, r) =>
-        f"""{"streams":$n,"syncs":$s,"wall_s":$w%.3f,"syncs_per_sec":$r%.1f}"""
+      val js = points.map { case (n, s, w, r, p50, p99) =>
+        f"""{"streams":$n,"syncs":$s,"wall_s":$w%.3f,"syncs_per_sec":$r%.1f,"p50_ms":$p50%.3f,"p99_ms":$p99%.3f}"""
       }.mkString("[", ",", "]")
-      val line = f"""{"metric":"http_syncs_per_sec","value":$best%.1f,"unit":"syncs/sec","points":$js,"reference_syncs_per_sec":2560}"""
+      val line = f"""{"metric":"http_syncs_per_sec","value":$best%.1f,"unit":"syncs/sec","points":$js,"reference_syncs_per_sec":2560,"reference_latency_bound_ms":200}"""
       println(line)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/HTTP_BENCH.json"), line + "\n")
     } finally server.stop()
