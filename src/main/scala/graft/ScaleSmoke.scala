@@ -144,6 +144,20 @@ object ScaleSmoke {
           .withColumn("doc_id", col("doc_id") + lit(1000000000L))
           .withColumn("text", concat(lit("cq "), col("text")))),
         1000000000L, 0.2),
+        c => scaledDocs(spark, dir, c)),
+      ("span_dedup_offsets", (df: DataFrame) => Curation.spanDedupOffsets(df, 10),
+        c => scaledDocs(spark, dir, c)),
+      // Training loops: per-round cost is the corpus scan; rounds are
+      // fixed — ratio should track the single-step cases.
+      ("kmeans_train", (df: DataFrame) => Similarity.kmeansTrain(df, 8, 3),
+        c => scaledEmb(spark, dir, c)),
+      ("pq_encode_trained", (df: DataFrame) => Similarity.pqEncodeTrained(df, 4, 8, 3),
+        c => scaledEmb(spark, dir, c)),
+      // BPE: the corpus-sized cost is the one wordcount; merge rounds
+      // run on the bounded vocabulary.
+      ("bpe_train", (df: DataFrame) => TextAnalysis.bpeTrain(df, 8),
+        c => scaledDocs(spark, dir, c)),
+      ("image_decode", Multimodal.imageDecode,
         c => scaledDocs(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
