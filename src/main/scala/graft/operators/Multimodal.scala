@@ -42,6 +42,12 @@ case class MediaRecord(doc_id: Long, media_type: String, byte_len: Long,
   */
 object Multimodal {
 
+  // ImageIO's default stream cache spools every encode/decode through a
+  // TEMP FILE (one create+delete per image) — at thousands of tiny
+  // in-memory images per partition that's the dominant cost and an
+  // executor-disk dependency. Byte-array streams need no cache.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic fake "decode" of one payload — stands in for codecs
     * the JDK does not ship (video, audio). Image formats take the REAL
     * [[decodeImage]] path.
