@@ -14,6 +14,15 @@ import graft.functions.PortableHash.hash48
   * one low-cardinality hash aggregation — embarrassingly parallel, no
   * driver-side state, linear at any corpus size.
   */
+/** One learned BPE merge: round number, the winning adjacent pair, the
+  * merged symbol it becomes, and its corpus-weighted count. (Top-level —
+  * a case class nested in the object defeats whole-stage codegen: janino
+  * cannot reference inner-class accessors and Spark falls back to
+  * interpreted row encoding for the q79 output.)
+  */
+private[graft] case class BpeMerge(merge_round: Long, lhs: String, rhs: String,
+                                   merged: String, cnt: Long)
+
 object TextAnalysis {
 
   /** Stopword list for the language-ID heuristic and quality score. */
@@ -191,10 +200,6 @@ object TextAnalysis {
     */
   val MergePasses = 15
 
-  /** One learned merge: round number, the winning adjacent pair, the
-    * merged symbol it becomes, and its corpus-weighted count. */
-  private case class BpeMerge(merge_round: Long, lhs: String, rhs: String,
-                              merged: String, cnt: Long)
 
   /** The BPE induction loop shared by [[bpeTrain]] and [[bpeTokenize]]:
     * returns (merge table, final segmented vocabulary (word, freq,

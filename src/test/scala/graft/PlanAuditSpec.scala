@@ -270,6 +270,60 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"raw rows shuffled for the cell join:\n$p")
   }
 
+  test("q70/q70b: span-dedup shuffles carry digests and coordinates, never text") {
+    // The scale argument of the C4 family: the corpus text stays in the
+    // scan stage; every KEYED exchange (aggregation/join hash
+    // partitioning) moves 32-byte digests + ints. A refactor that lets
+    // `text`/`words` reach a hash shuffle re-moves the corpus bytes at
+    // 100 TB — fail it here. (widen()'s round-robin redistribution of
+    // the raw scan is exempt: it moves each raw row once by design and
+    // short-circuits on a many-files corpus.)
+    // (sparkPlan predates EnsureRequirements — keyed exchanges only
+    // exist in the executed plan, and AQE hides that tree; audit with
+    // AQE off so the collect sees the real exchange nodes.)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("q70_span_dedup", "q70b_offset_span_dedup")) {
+        val exchanges = q(name).queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+        }
+        assert(exchanges.nonEmpty, s"$name: expected at least the digest shuffle")
+        exchanges.foreach { e =>
+          val wide = e.output.filter(a => a.name == "text" || a.name == "words")
+          assert(wide.isEmpty, s"$name hash-shuffles corpus text: ${e.output.map(_.name)}")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("q18i: trained-IVF search broadcasts queries — the corpus is never sort-merge-shuffled") {
+    val p = plan(q("q18i_trained_search"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast cid join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side shuffled or crossed in trained search:\n$p")
+  }
+
+  test("q50b: the training loop's output plan is constant-depth (checkpointed rounds)") {
+    // Each round localCheckpoints the bounded means, so the FINAL plan
+    // must be a scan of the checkpoint (plus the output sort) — not a
+    // 3-round-deep nest of assignments. A lost checkpoint shows up as
+    // joins/aggregates reappearing here.
+    val p = plan(q("q50b_kmeans_train"))
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected a checkpoint scan at the root:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+      s"training rounds leaked into the output plan:\n$p")
+  }
+
+  test("q21d: image decode is map-only — no join, no aggregation shuffle") {
+    val p = plan(q("q21d_image_decode"))
+    assert(!p.contains("Join") && !p.contains("hashpartitioning"),
+      s"decode stopped being a pure partition map:\n$p")
+  }
+
   test("no un-partitioned window over full relations in any headline query") {
     // Window specs must always carry a partitionBy: an empty Partition
     // spec collapses the relation into one task (round-1's q10/q20
