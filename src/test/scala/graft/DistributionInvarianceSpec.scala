@@ -113,7 +113,17 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
         Curation.corpusPipeline(f(docs), 20L, 90L, 0.37, 0.12, 16, "g5")),
       // The MG candidate SET varies with partitioning; the exact pass-2
       // gate must erase that variance from the final answer.
-      ("heavyHitters", f => TextAnalysis.heavyHitters(f(docs), 64, 50L)))
+      ("heavyHitters", f => TextAnalysis.heavyHitters(f(docs), 64, 50L)),
+      ("spanDedupOffsets", f => Curation.spanDedupOffsets(f(docs), 10)),
+      // Training loops: per-round rounding + exact-integer sums make
+      // every fed-back centroid partition-order-free, so the FINAL
+      // trained artifact must be layout-invariant too.
+      ("kmeansTrain", f => Similarity.kmeansTrain(f(emb), 8, 3)),
+      ("ivfSearchTrained", f => Similarity.ivfSearchTrained(f(emb), 8, 3, 4, 5)),
+      ("pqTrain", f => Similarity.pqTrain(f(emb), 4, 8, 3)),
+      ("bpeTrain", f => TextAnalysis.bpeTrain(f(docs), 8)),
+      ("bpeTokenize", f => TextAnalysis.bpeTokenize(f(docs), 8)),
+      ("imageDecode", f => Multimodal.imageDecode(f(docs))))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {

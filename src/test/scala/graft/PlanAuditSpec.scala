@@ -324,6 +324,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"decode stopped being a pure partition map:\n$p")
   }
 
+  test("widen: no-op on a many-splits corpus; widens small file and in-memory frames") {
+    // The r6 watch item as a tripwire: widen()'s repartition must never
+    // fire on a corpus that already has >= cores splits (at 100 TB the
+    // heuristic must short-circuit — a refactor that makes it fire
+    // would add a full-corpus round-robin exchange), and must still
+    // fire for the small inputs it exists for.
+    import spark.implicits._
+    import graft.sources.Tables
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def exchanges(df: DataFrame): Int =
+      df.queryExecution.sparkPlan.collect { case e: ShuffleExchangeExec => e }.size
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen").toString
+    val cores = spark.sparkContext.defaultParallelism
+    (0L until 100L).map(i => (i, s"t$i")).toDF("id", "t")
+      .repartition(cores + 2).write.mode("overwrite").parquet(s"$dir/many")
+    (0L until 100L).map(i => (i, s"t$i")).toDF("id", "t")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/one")
+
+    val many = spark.read.parquet(s"$dir/many")
+    assert(many.inputFiles.length >= cores, "fixture must have >= cores files")
+    assert(exchanges(Tables.widen(many)) == 0,
+      "widen must be a no-op on a many-splits corpus")
+    assert(exchanges(Tables.widen(spark.read.parquet(s"$dir/one"))) == 1,
+      "widen must redistribute a single-file read")
+    // Non-file-backed narrow frame (the r7 fallback): widened too.
+    val local = (0L until 100L).map(i => (i, s"t$i")).toDF("id", "t").coalesce(1)
+    assert(exchanges(Tables.widen(local)) >= 1,
+      "widen must redistribute a narrow in-memory frame")
+  }
+
   test("no un-partitioned window over full relations in any headline query") {
     // Window specs must always carry a partitionBy: an empty Partition
     // spec collapses the relation into one task (round-1's q10/q20
