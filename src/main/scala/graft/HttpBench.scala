@@ -39,6 +39,12 @@ object HttpBench {
         // just throughput — and these are measured at saturation (every
         // thread firing back-to-back), the worst case for latency.
         val lats = Array.fill(n)(new Array[Long](clientsPerStream * syncsPerClient))
+        // Syncs actually COMPLETED per thread: a mid-run connection
+        // failure must surface as a hard error, not silently leave
+        // zeroed latency slots and an inflated throughput in the
+        // committed artifact.
+        val completed = new java.util.concurrent.atomic.AtomicLongArray(n)
+        val failures = new java.util.concurrent.atomic.AtomicInteger(0)
         val t0 = System.nanoTime()
         (0 until n).foreach { s =>
           pool.execute { () =>
@@ -54,19 +60,26 @@ object HttpBench {
                   HttpResponse.BodyHandlers.ofString())
                 lats(s)(k) = System.nanoTime() - l0
                 k += 1
+                completed.set(s, k.toLong)
                 // Track the stream watermark like a real client: resync
                 // from the last delivered tick (keeps deltas bounded).
                 val t = r.body()
                 val i0 = t.indexOf("\"T\":")
                 if (i0 >= 0) lastT = t.substring(i0 + 4, t.indexWhere(ch => ch == ',' || ch == '}', i0 + 4)).toLong
               }
+            } catch {
+              case e: Exception =>
+                failures.incrementAndGet()
+                System.err.println(s"[httpbench] stream $s FAILED after $k syncs: $e")
             } finally done.countDown()
           }
         }
         done.await(10, TimeUnit.MINUTES)
         pool.shutdown()
+        require(failures.get() == 0,
+          s"${failures.get()} stream driver(s) failed — artifact would be invalid")
         val wall = (System.nanoTime() - t0) / 1e9
-        val sorted = lats.flatten.sorted
+        val sorted = (0 until n).flatMap(s => lats(s).take(completed.get(s).toInt)).sorted
         def pctMs(p: Double): Double =
           sorted(math.min(sorted.length - 1, (p * sorted.length).toInt)) / 1e6
         val (p50, p99) = (pctMs(0.50), pctMs(0.99))

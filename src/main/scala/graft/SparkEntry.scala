@@ -306,7 +306,7 @@ object SparkEntry {
                FROM v${r - 1} CROSS JOIN b$r b)"""
     }.mkString(",\n          ")
     s"""v0 AS (SELECT word, count(*) AS freq,
-               rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms
+               rtrim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g')) AS syms
              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
              GROUP BY word),
         $rounds"""

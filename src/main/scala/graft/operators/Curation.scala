@@ -161,6 +161,11 @@ object Curation {
     * duplicate mass, not the corpus).
     */
   def spanDedupOffsets(docs: DataFrame, span: Int): DataFrame = {
+    // span < 2 degenerates: half = 0 collapses the grids into identical
+    // duplicates of every instance, which the engine's value-based
+    // first-seen filter and the oracle's row_number rank then disagree
+    // on. The operator is only meaningful with a real offset grid.
+    require(span >= 2, s"spanDedupOffsets needs span >= 2, got $span")
     val half = span / 2
     val base = graft.sources.Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))

@@ -69,7 +69,13 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None else Some((img.getWidth, img.getHeight))
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // The JDK decoders throw RuntimeExceptions (IllegalArgument,
+      // NegativeArraySize, CMMException...) on malformed data, not just
+      // IOException — for untrusted web media that's the COMMON case,
+      // and a curation job must fall back, not abort.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Typed per-partition decode: one "decoder" per partition, payloads
     * processed in partition-local batches. Image media types are
@@ -77,24 +83,30 @@ object Multimodal {
     * documented stub (`iter.grouped(batch)` keeps peak memory at
     * batch × payload size per task).
     */
+  /** The shared per-payload decode: sha256, then the real image path
+    * for image types (stub fallback for everything else and for
+    * undecodable bytes). ONE spelling for [[decode]] and [[ingest]] so
+    * the sidecar-equals-re-decode invariant can't silently fork.
+    */
+  private def decodeOne(digest: java.security.MessageDigest,
+                        b: MediaBlob): MediaMeta = {
+    digest.reset()
+    val sha = digest.digest(b.payload).map("%02x".format(_)).mkString
+    val h48 = java.lang.Long.parseLong(sha.substring(0, 12), 16)
+    val real =
+      if (b.media_type.startsWith("image/")) decodeImage(b.payload) else None
+    val (w, h, f) = real match {
+      case Some((rw, rh)) => (rw, rh, 1)
+      case None => decodeStub(h48)
+    }
+    MediaMeta(b.doc_id, b.media_type, b.payload.length.toLong, sha, w, h, f)
+  }
+
   def decode(blobs: Dataset[MediaBlob], batchSize: Int = 64): Dataset[MediaMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { iter =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
-      iter.grouped(batchSize).flatMap { batch =>
-        batch.map { b =>
-          digest.reset()
-          val sha = digest.digest(b.payload).map("%02x".format(_)).mkString
-          val h48 = java.lang.Long.parseLong(sha.substring(0, 12), 16)
-          val real =
-            if (b.media_type.startsWith("image/")) decodeImage(b.payload) else None
-          val (w, h, f) = real match {
-            case Some((rw, rh)) => (rw, rh, 1)
-            case None => decodeStub(h48)
-          }
-          MediaMeta(b.doc_id, b.media_type, b.payload.length.toLong, sha, w, h, f)
-        }
-      }
+      iter.grouped(batchSize).flatMap(_.map(decodeOne(digest, _)))
     }
   }
 
@@ -129,20 +141,11 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { iter =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
-      iter.grouped(batchSize).flatMap { batch =>
-        batch.map { b =>
-          digest.reset()
-          val sha = digest.digest(b.payload).map("%02x".format(_)).mkString
-          val h48 = java.lang.Long.parseLong(sha.substring(0, 12), 16)
-          val real =
-            if (b.media_type.startsWith("image/")) decodeImage(b.payload) else None
-          val (w, h, f) = real match {
-            case Some((rw, rh)) => (rw, rh, 1)
-            case None => decodeStub(h48)
-          }
-          MediaRecord(b.doc_id, b.media_type, b.payload.length.toLong, sha, w, h, f, b.payload)
-        }
-      }
+      iter.grouped(batchSize).flatMap(_.map { b =>
+        val m = decodeOne(digest, b)
+        MediaRecord(m.doc_id, m.media_type, m.byte_len, m.sha256,
+          m.width, m.height, m.n_frames, b.payload)
+      })
     }
   }
 

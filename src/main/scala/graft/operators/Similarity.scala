@@ -67,20 +67,16 @@ object Similarity {
     */
   private def assignments(emb: DataFrame, nCentroids: Int): DataFrame = {
     val e = withEmb(emb)
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("cents"))
-    // argmax by (rounded sim DESC, cid ASC): struct comparison is
-    // field-order lexicographic, so max over (sim, -cid) picks the
-    // highest similarity and the smallest centroid id on ties — the
-    // same contract as the oracle's ORDER BY round(sim, 6) DESC, cid.
-    e.crossJoin(broadcast(cents))
-      .withColumn("best", expr(
-        s"""array_max(transform(cents, c -> named_struct(
-              'sim', floor(${cosSql("emb", "c.cemb")} * 1e6 + 0.5) / 1e6,
-              'negcid', -c.cid)))"""))
-      .withColumn("cid", -col("best.negcid"))
-      .drop("best", "cents")
+    assignTo(e, standInCentroids(e, nCentroids))
   }
+
+  /** The `vec_id < n` stand-in centroid frame (cid, cemb) — ONE spelling
+    * shared by the stand-in assignment, probe, and training-seed paths
+    * so the seed contract can't silently fork.
+    */
+  private def standInCentroids(e: DataFrame, nCentroids: Int): DataFrame =
+    e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
 
   /** Q18b — IVF cluster occupancy: how many vectors land in each
     * centroid's inverted list.
@@ -151,10 +147,7 @@ object Similarity {
     */
   def ivfSearchProbes(emb: DataFrame, nCentroids: Int, nQueries: Int,
                       k: Int, nProbe: Int): DataFrame =
-    ivfProbesCore(emb,
-      withEmb(emb).filter(col("vec_id") < nCentroids)
-        .select(col("vec_id").as("cid"), col("emb").as("cemb")),
-      nQueries, k, nProbe)
+    ivfProbesCore(emb, standInCentroids(withEmb(emb), nCentroids), nQueries, k, nProbe)
 
   /** [[ivfSearchProbes]] over the TRAINED centroids — the nProbe dial
     * on the index [[kmeansTrain]] built (RecallSpec pins the trained
@@ -252,6 +245,10 @@ object Similarity {
   private[graft] def assignTo(e: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids
       .agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))
+    // argmax by (rounded sim DESC, cid ASC): struct comparison is
+    // field-order lexicographic, so max over (sim, -cid) picks the
+    // highest similarity and the smallest centroid id on ties — the
+    // same contract as the oracle's ORDER BY round(sim, 6) DESC, cid.
     e.crossJoin(broadcast(cents))
       .withColumn("best", expr(
         s"""array_max(transform(cents, c -> named_struct(
@@ -287,10 +284,10 @@ object Similarity {
     * rows), matching the oracle's inner-join semantics.
     */
   def kmeansTrain(emb: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeansTrain needs at least one round, got $iters")
     val e = withEmb(emb)
     var means: DataFrame = null
-    var cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    var cents = standInCentroids(e, nCentroids)
     var converged = false
     for (_ <- 1 to iters if !converged) {
       val next = assignTo(e, cents)
@@ -656,6 +653,7 @@ object Similarity {
     */
   private def pqTrainLoop(emb: DataFrame, nSub: Int, nCodes: Int,
                           iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"pqTrain needs at least one round, got $iters")
     val subLen = 64 / nSub
     val pe = subVectors(emb, nSub)
     var means: DataFrame = null

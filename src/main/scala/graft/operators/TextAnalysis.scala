@@ -222,7 +222,12 @@ object TextAnalysis {
     var vocab = graft.sources.Tables.widen(docs)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("syms", rtrim(regexp_replace(col("word"), "(.)", "$1 ")))
+      // (?s) so '.' spans the engines' differing line-terminator sets:
+      // bare Java '.' excludes CR, NEL, U+2028, U+2029 while RE2's
+      // excludes only LF — the same Java-vs-RE2 class as BpePattern's
+      // \s note. With DOTALL
+      // both match every character.
+      .withColumn("syms", rtrim(regexp_replace(col("word"), "(?s)(.)", "$1 ")))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     for (round <- 1 to nMerges) {

@@ -76,9 +76,14 @@ object WireJson {
     * Structured Streaming engine (S4 shape) or the batch replay, and
     * both must reproduce the live responses (StreamingSpec S4b).
     * Restrictions of the SyncRequest model, by design: stream names
-    * must be numeric (the engine keys streams by long id) and one
-    * event per request (the testdata sync model; multi-event requests
-    * would need the list-typed request row instead).
+    * must be numeric (the engine keys streams by long id), one event
+    * per request with a NUMERIC body and numeric client ids (the
+    * testdata sync model — the replay paths sort by (now, body) and
+    * derive user_id from client_id; non-numeric values fail fast in
+    * the fold), and `now` values must be distinct within a stream for
+    * order fidelity: SyncRequest carries no spool seq, so same-
+    * millisecond requests replay in body order, not arrival order.
+    * StreamingSpec S4b's scripted scenario satisfies all four.
     */
   def spooledSyncRequests(spool: DataFrame): Dataset[graft.operators.SyncRequest] = {
     import spool.sparkSession.implicits._

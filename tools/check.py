@@ -10,7 +10,10 @@ import json, math, sys, subprocess, glob, os
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 JSON_OUT = None
 if "--json" in sys.argv:
-    JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
+    i = sys.argv.index("--json") + 1
+    if i >= len(sys.argv) or sys.argv[i].startswith("--"):
+        sys.exit("--json requires an output path")
+    JSON_OUT = sys.argv[i]
     if JSON_OUT in ARGS:
         ARGS.remove(JSON_OUT)
 SF = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.001"
