@@ -290,10 +290,14 @@ object SparkEntry {
     * runs, so the two sides agree even before the fixpoint argument.
     * Exposes b1..b{n} (winning pairs) and v{n} (final segmentation).
     */
-  private def bpeRoundsCte(nMerges: Int): String = {
-    val repK = (1 to graft.operators.TextAnalysis.MergePasses)
-      .foldLeft("' ' || syms || ' '")((s, _) =>
-        s"replace($s, ' ' || b.lhs || ' ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' ')")
+  /** [[graft.operators.TextAnalysis.MergePasses]] nested single-pass
+    * replaces of the winning pair `b.(lhs, rhs)` in a padded `syms`. */
+  private val bpeRepK = (1 to graft.operators.TextAnalysis.MergePasses)
+    .foldLeft("' ' || syms || ' '")((s, _) =>
+      s"replace($s, ' ' || b.lhs || ' ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' ')")
+
+  private def bpeRoundsCte(nMerges: Int, src: String = "documents"): String = {
+    val repK = bpeRepK
     val rounds = (1 to nMerges).map { r =>
       s"""pr$r AS (SELECT sa[i] AS lhs, sa[i + 1] AS rhs, freq
                FROM (SELECT string_split(syms, ' ') AS sa, freq FROM v${r - 1}) t
@@ -307,7 +311,7 @@ object SparkEntry {
     }.mkString(",\n          ")
     s"""v0 AS (SELECT word, count(*) AS freq,
                rtrim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g')) AS syms
-             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM $src)
              GROUP BY word),
         $rounds"""
   }
@@ -499,6 +503,9 @@ object SparkEntry {
       TextAnalysis.bpeTrain(Tables.table(s, d, "documents"), NumMerges)),
     "q79b_bpe_tokenize" -> ((s, d) =>
       TextAnalysis.bpeTokenize(Tables.table(s, d, "documents"), NumMerges)),
+    "q79c_bpe_apply_split" -> ((s, d) =>
+      TextAnalysis.bpeTokenizeSplit(Tables.table(s, d, "documents"),
+        IncrementalSplitId, NumMerges)),
     "q78_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.table(s, d, "documents"), 30)),
     "q56_length_gate" -> ((s, d) =>
@@ -555,6 +562,9 @@ object SparkEntry {
     "q73b_adc_search" -> ((s, d) =>
       Similarity.pqAdcSearch(Tables.table(s, d, "embeddings"),
         PqSub, PqCodes, BatchQueries, BatchTopK)),
+    "q80_trained_adc_search" -> ((s, d) =>
+      Similarity.pqAdcSearchTrained(Tables.table(s, d, "embeddings"),
+        PqSub, PqCodes, KmeansIters, BatchQueries, BatchTopK)),
     "q73d_pq_train" -> ((s, d) =>
       Similarity.pqTrain(Tables.table(s, d, "embeddings"), PqSub, PqCodes, KmeansIters)),
     "q73e_pq_encode_trained" -> ((s, d) =>
@@ -1635,6 +1645,27 @@ object SparkEntry {
           SELECT doc_id, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords,
                  ${roundSql("CAST(sum(n_sub) AS DOUBLE) / count(*)", 4)} AS fertility
           FROM j GROUP BY doc_id ORDER BY doc_id""",
+    // Q79c: merges trained on doc_id < split, REPLAYED (not joined)
+    // over the apply set's own distinct words — the unseen-word path.
+    "q79c_bpe_apply_split" -> {
+      val applyRounds = (1 to NumMerges).map(r =>
+        s"aw$r AS (SELECT word, trim($bpeRepK) AS syms FROM aw${r - 1} CROSS JOIN b$r b)")
+        .mkString(",\n          ")
+      s"""WITH ${bpeRoundsCte(NumMerges,
+            s"(SELECT * FROM documents WHERE doc_id < $IncrementalSplitId)")},
+          aw0 AS (SELECT DISTINCT word,
+                    rtrim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g')) AS syms
+                  FROM (SELECT unnest(string_split(text, ' ')) AS word
+                        FROM documents WHERE doc_id >= $IncrementalSplitId)),
+          $applyRounds,
+          dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents WHERE doc_id >= $IncrementalSplitId),
+          j AS (SELECT dw.doc_id, len(string_split(a.syms, ' ')) AS n_sub
+                FROM dw JOIN aw$NumMerges a USING (word))
+          SELECT doc_id, count(*) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+                 ${roundSql("CAST(sum(n_sub) AS DOUBLE) / count(*)", 4)} AS fertility
+          FROM j GROUP BY doc_id ORDER BY doc_id"""
+    },
     "q56_length_gate" ->
       s"""WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
                        quantile_cont(n_chars, 0.95) AS hi
@@ -2089,6 +2120,30 @@ object SparkEntry {
           SELECT vec_id, CAST(m AS INT) AS m, cid AS code,
                  CAST(erri AS DOUBLE) / 1e6 AS err
           FROM paf ORDER BY vec_id, m""",
+    // Q80: q73b's ADC search with the TRAINED sub-codebooks pc{iters}:
+    // corpus codes from the final assignment, the query side's exact
+    // integer distances joined on (m, code), ranked by (adc, vec_id).
+    "q80_trained_adc_search" ->
+      s"""WITH ${pqTrainRoundsCte(KmeansIters)},
+          psf AS (SELECT pe.vec_id, pe.m, c.cid,
+                    CAST(floor(list_sum(list_transform(generate_series(1, ${64 / PqSub}),
+                      i -> (pe.sv[i] - c.cemb[i]) * (pe.sv[i] - c.cemb[i]))) * 1e6 + 0.5) AS BIGINT) AS erri
+                  FROM pe JOIN pc$KmeansIters c ON c.m = pe.m),
+          paf AS (SELECT vec_id, m, cid AS code FROM
+                    (SELECT *, row_number() OVER
+                       (PARTITION BY vec_id, m ORDER BY erri, cid) AS rn FROM psf)
+                  WHERE rn = 1 AND vec_id >= $BatchQueries),
+          adc AS (SELECT q.vec_id AS qid, paf.vec_id,
+                    CAST(sum(q.erri) AS BIGINT) AS adci
+                  FROM paf JOIN psf q ON q.m = paf.m AND q.cid = paf.code
+                  WHERE q.vec_id < $BatchQueries
+                  GROUP BY 1, 2),
+          sc AS (SELECT qid, vec_id,
+                   ${roundSql("CAST(adci AS DOUBLE) / 1e6", 4)} AS adc FROM adc),
+          rk AS (SELECT qid, vec_id, adc, row_number() OVER
+                   (PARTITION BY qid ORDER BY adc, vec_id) AS rnk FROM sc)
+          SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
+          FROM rk WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
     // Q73b: ADC search — the q73 code table for the corpus, the same
     // integer LUT per query, exact BIGINT sums, rank by (adc, vec_id).
     "q73b_adc_search" ->

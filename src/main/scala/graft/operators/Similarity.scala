@@ -632,6 +632,56 @@ object Similarity {
       .orderBy("vec_id", "m")
   }
 
+  /** Q80 — ADC search over the TRAINED sub-codebooks: the full PQ
+    * pipeline (train → encode → search) on in-engine artifacts, no
+    * stand-in anywhere. Same scale shape as [[pqAdcSearch]]: the
+    * trained codebook folds into ONE broadcast row, corpus codes and
+    * per-query LUTs are computed in-row (map-only, corpus never
+    * shuffled), the approximate distance is an exact BIGINT sum of
+    * 1e-6-grid integers, and ranking runs through the bounded top-k
+    * Aggregator (O(queries·k) exchange). One difference forced by
+    * training: a sub-codebook can LOSE codes (empty clusters), so the
+    * LUT is a cid-keyed MAP per subspace, not a positional array.
+    */
+  def pqAdcSearchTrained(emb: DataFrame, nSub: Int, nCodes: Int, iters: Int,
+                         nQueries: Int, k: Int): DataFrame = {
+    val subLen = 64 / nSub
+    val (_, cents) = pqTrainLoop(emb, nSub, nCodes, iters)
+    val allCents = cents
+      .agg(collect_list(struct(col("m"), col("cid"), col("cemb"))).as("cents"))
+    // Subspace-m squared L2 between the row's subvector slice and the
+    // SUB-length trained entry c.cemb, on the exact 1e-6 grid.
+    val errSql =
+      s"""CAST(floor(aggregate(sequence(0, $subLen - 1), CAST(0.0 AS DOUBLE),
+            (acc, i) -> acc + (emb[m * $subLen + i] - c.cemb[i])
+                            * (emb[m * $subLen + i] - c.cemb[i])) * 1e6 + 0.5) AS BIGINT)"""
+    val e = withEmb(emb)
+    val codes = e.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(allCents))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, $nSub - 1), m ->
+              array_min(transform(filter(cents, c -> c.m = m),
+                c -> named_struct('erri', $errSql, 'cid', c.cid))).cid)""").as("codes"))
+    val luts = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(allCents))
+      .select(col("vec_id").as("qid"), expr(
+        s"""transform(sequence(0, $nSub - 1), m ->
+              map_from_entries(transform(filter(cents, c -> c.m = m),
+                c -> struct(c.cid, $errSql))))""").as("lut"))
+      .agg(collect_list(struct(col("qid"), col("lut"))).as("qluts"))
+    codes.crossJoin(broadcast(luts))
+      .select(col("vec_id"), col("codes"), explode(col("qluts")).as("q"))
+      .withColumn("adc", roundTo(expr(
+        s"""aggregate(sequence(0, $nSub - 1), CAST(0 AS BIGINT),
+              (acc, m) -> acc + element_at(q.lut[m], codes[m]))""").cast("double") / 1e6, 4))
+      .groupBy(col("q.qid").as("qid"))
+      .agg(expr(s"slice(graft_top10(-adc, vec_id), 1, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("vec_id"), (-col("col._1")).as("adc"))
+      .orderBy("qid", "rnk")
+  }
+
   /** (vec_id, m, sv): every vector split into its `nSub` subvectors. */
   private def subVectors(emb: DataFrame, nSub: Int): DataFrame = {
     val subLen = 64 / nSub

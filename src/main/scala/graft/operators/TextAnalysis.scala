@@ -255,6 +255,41 @@ object TextAnalysis {
   private[graft] def bpeSegmentation(docs: DataFrame, nMerges: Int): DataFrame =
     bpeTrainLoop(docs, nMerges)._2
 
+  /** Q79c — tokenize UNSEEN text with merges learned elsewhere: train
+    * on `doc_id < splitId`, tokenize `doc_id >= splitId`. Unlike
+    * [[bpeTokenize]]'s vocabulary join (valid only for words the
+    * trainer saw), this REPLAYS the learned merge table over the apply
+    * set's own distinct words — char-segment, then apply merges 1..N
+    * in learned order — which is exactly how a shipped tokenizer
+    * handles novel words. Scale shape: the replay runs once per
+    * DISTINCT apply-set word (bounded like the trainer's vocabulary),
+    * each merge the same [[MergePasses]] literal-replace chain as
+    * training (cross-engine exact); the corpus-sized work is one
+    * wordcount plus the final join back.
+    */
+  def bpeTokenizeSplit(docs: DataFrame, splitId: Long, nMerges: Int): DataFrame = {
+    val (merges, _) = bpeTrainLoop(docs.where(col("doc_id") < splitId), nMerges)
+    val applyDocs = graft.sources.Tables.widen(docs).where(col("doc_id") >= splitId)
+    val words = applyDocs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    var seg = words.select("word").distinct()
+      .withColumn("syms", rtrim(regexp_replace(col("word"), "(?s)(.)", "$1 ")))
+    for (m <- merges) {
+      var padded = concat(lit(" "), col("syms"), lit(" "))
+      for (_ <- 1 to MergePasses)
+        padded = call_function("replace", padded,
+          lit(s" ${m.lhs} ${m.rhs} "), lit(s" ${m.merged} "))
+      seg = seg.withColumn("syms", trim(padded))
+    }
+    words
+      .join(seg.select(col("word"), size(split(col("syms"), " ")).as("n_sub")), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+      .withColumn("fertility",
+        roundTo(col("n_subwords").cast("double") / col("n_words"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Q79 — BPE vocabulary induction: iterate the q78 merge decision
     * `nMerges` times, applying each round's winning pair to the
     * segmented vocabulary before recounting. Output is the learned

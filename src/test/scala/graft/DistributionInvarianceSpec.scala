@@ -123,6 +123,8 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("pqTrain", f => Similarity.pqTrain(f(emb), 4, 8, 3)),
       ("bpeTrain", f => TextAnalysis.bpeTrain(f(docs), 8)),
       ("bpeTokenize", f => TextAnalysis.bpeTokenize(f(docs), 8)),
+      ("bpeTokenizeSplit", f => TextAnalysis.bpeTokenizeSplit(f(docs), 250L, 8)),
+      ("pqAdcSearchTrained", f => Similarity.pqAdcSearchTrained(f(emb), 4, 8, 3, 4, 5)),
       ("imageDecode", f => Multimodal.imageDecode(f(docs))))
   }
 
