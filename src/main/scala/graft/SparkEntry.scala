@@ -91,6 +91,12 @@ object SparkEntry {
   private val KmeansIters = 3
   /** Q79: number of BPE merges learned over the corpus vocabulary. */
   private val NumMerges = 8
+  /** Q81: hashed-perceptron training — feature buckets, full-batch
+    * round cap (oracle unrolls exactly this many; the engine may stop
+    * earlier at a fixpoint), and the positive-class language. */
+  private val LrBuckets = 64
+  private val LrIters = 4
+  private val LrPosLang = "en"
   /** Q70: span-dedup chunk length in tokens (docs average ~54 tokens,
     * so a typical doc is ~5 chunks and the 30-word shared vocabulary
     * makes cross-document chunk collisions common enough to bite). */
@@ -281,6 +287,41 @@ object SparkEntry {
         $rounds"""
   }
 
+  /** DuckDB mirror of [[graft.operators.Classifier.trainLoop]]: the
+    * integer-perceptron full-batch update unrolled `iters` rounds over
+    * the sparse hashed-count features (absent (doc, bucket) pairs are
+    * zero counts and contribute nothing to either the margin or the
+    * update, so the sparse join equals the engine's dense arrays).
+    * Pure BIGINT arithmetic end to end — no rounding grid. Exposes
+    * `feat` (doc_id, y, j, x) and `lw{iters}` (final weights).
+    */
+  private def perceptronRoundsCte(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""lm$r AS (SELECT f.doc_id, f.y, CAST(sum(f.x * w.w) AS BIGINT) AS margin
+                FROM feat f JOIN lw${r - 1} w USING (j) GROUP BY 1, 2),
+          lu$r AS (SELECT f.j,
+                  CAST(sum((m.y - CASE WHEN m.margin >= 0 THEN 1 ELSE 0 END) * f.x) AS BIGINT) AS d
+                FROM feat f JOIN lm$r m USING (doc_id) GROUP BY 1),
+          lw$r AS (SELECT w.j, CAST(w.w + coalesce(u.d, 0) AS BIGINT) AS w
+                FROM lw${r - 1} w LEFT JOIN lu$r u USING (j))"""
+    }.mkString(",\n          ")
+    s"""dy AS (SELECT doc_id, CASE WHEN lang = '$LrPosLang' THEN 1 ELSE 0 END AS y
+              FROM documents),
+        tok AS (SELECT d.doc_id, dy.y,
+                  CAST(CAST('0x' || substr(md5('lrb:' || t.t), 1, 12) AS BIGINT)
+                    % $LrBuckets AS BIGINT) AS j
+                FROM documents d JOIN dy USING (doc_id)
+                CROSS JOIN UNNEST(string_split(d.text, ' ')) AS t(t)),
+        feat AS (SELECT doc_id, y, j, CAST(count(*) AS BIGINT) AS x
+                 FROM tok GROUP BY 1, 2, 3
+                 UNION ALL
+                 SELECT doc_id, y, CAST($LrBuckets AS BIGINT) AS j,
+                        CAST(1 AS BIGINT) AS x FROM dy),
+        lw0 AS (SELECT CAST(t.j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+                FROM range(${LrBuckets + 1}) t(j)),
+        $rounds"""
+  }
+
   /** DuckDB mirror of [[graft.operators.TextAnalysis.bpeTrain]]'s
     * induction loop, unrolled `nMerges` rounds: v0 is the char-spaced
     * word-count vocabulary; each round counts adjacent symbol pairs
@@ -430,6 +471,8 @@ object SparkEntry {
       Multimodal.sampleFrames(Tables.table(s, d, "documents"), MaxFrames)),
     "q21d_image_decode" -> ((s, d) =>
       Multimodal.imageDecode(Tables.table(s, d, "documents"))),
+    "q21e_audio_decode" -> ((s, d) =>
+      Multimodal.audioDecode(Tables.table(s, d, "documents"))),
     "q21c_resize_meta" -> ((s, d) =>
       Multimodal.resizeMeta(Tables.table(s, d, "documents"), MaxResizeDim)),
     "q22_stratified_sample" -> ((s, d) =>
@@ -565,6 +608,12 @@ object SparkEntry {
     "q80_trained_adc_search" -> ((s, d) =>
       Similarity.pqAdcSearchTrained(Tables.table(s, d, "embeddings"),
         PqSub, PqCodes, KmeansIters, BatchQueries, BatchTopK)),
+    "q81_perceptron_train" -> ((s, d) =>
+      Classifier.perceptronTrain(Tables.table(s, d, "documents"),
+        LrBuckets, LrIters, LrPosLang)),
+    "q81b_classifier_margin" -> ((s, d) =>
+      Classifier.perceptronScore(Tables.table(s, d, "documents"),
+        LrBuckets, LrIters, LrPosLang)),
     "q73d_pq_train" -> ((s, d) =>
       Similarity.pqTrain(Tables.table(s, d, "embeddings"), PqSub, PqCodes, KmeansIters)),
     "q73e_pq_encode_trained" -> ((s, d) =>
@@ -1101,6 +1150,20 @@ object SparkEntry {
          CROSS JOIN UNNEST(generate_series(0, w - 1)) AS tx(gx)
          CROSS JOIN UNNEST(generate_series(0, h - 1)) AS ty(gy)
          GROUP BY doc_id, w, h ORDER BY doc_id""",
+    // Q21e: closed form of Multimodal.wavBlob — n = 64 + id·37 mod 192
+    // 16-bit samples s(i) = ((7i² + 29i + 13·id) mod 65536) − 32768;
+    // every term is a nonnegative integer before the final shift, so %
+    // sign conventions can't diverge between engines.
+    "q21e_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 64 + (doc_id * 37) % 192 AS n FROM documents),
+          s AS (SELECT d.doc_id, d.n,
+                  (7 * t.i * t.i + 29 * t.i + 13 * d.doc_id) % 65536 - 32768 AS v
+                FROM d CROSS JOIN range(256) t(i) WHERE t.i < d.n)
+         SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST(sum(v) AS BIGINT) AS amp_sum,
+                CAST(max(abs(v)) AS BIGINT) AS amp_peak
+         FROM s GROUP BY doc_id, n ORDER BY doc_id""",
     "q22_stratified_sample" -> {
       val rateCase = MixRates.toSeq.sortBy(_._1)
         .map { case (s, r) => s"WHEN '$s' THEN $r" }
@@ -2144,6 +2207,20 @@ object SparkEntry {
                    (PARTITION BY qid ORDER BY adc, vec_id) AS rnk FROM sc)
           SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
           FROM rk WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
+    // Q81: integer-perceptron training, exact BIGINT unroll (engine
+    // early-exit at a zero update ≡ the fixed unroll, as with q50b).
+    "q81_perceptron_train" ->
+      s"""WITH ${perceptronRoundsCte(LrIters)}
+          SELECT j, w FROM lw$LrIters ORDER BY j""",
+    // Q81b: margins/predictions of the TRAINED weights over the corpus
+    // (one more lm-round against the final weights).
+    "q81b_classifier_margin" ->
+      s"""WITH ${perceptronRoundsCte(LrIters)},
+          sc AS (SELECT f.doc_id, f.y, CAST(sum(f.x * w.w) AS BIGINT) AS margin
+                 FROM feat f JOIN lw$LrIters w USING (j) GROUP BY 1, 2)
+          SELECT doc_id, CAST(y AS BIGINT) AS y, margin,
+                 CAST(CASE WHEN margin >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+          FROM sc ORDER BY doc_id""",
     // Q73b: ADC search — the q73 code table for the corpus, the same
     // integer LUT per query, exact BIGINT sums, rank by (adc, vec_id).
     "q73b_adc_search" ->

@@ -34,11 +34,13 @@ case class MediaRecord(doc_id: Long, media_type: String, byte_len: Long,
   * IMAGE decode is REAL: `javax.imageio` ships in the JDK (PNG, JPEG,
   * GIF, BMP), so `image/...` payloads are actually decoded
   * ([[decodeImage]], exercised end-to-end by q21d's encode→decode
-  * round-trip against a closed-form oracle). Codecs the JDK lacks
-  * (video/audio) remain STUBBED with a deterministic fake that derives
-  * plausible dimensions from a content hash; the Spark-side plumbing
-  * (schema, typed Dataset path, per-partition batching, binary column
-  * pruning) is identical for both paths.
+  * round-trip against a closed-form oracle). AUDIO decode is REAL too:
+  * `javax.sound.sampled` ships WAV/AIFF/AU codecs ([[decodeWav]],
+  * exercised by q21e's encode→decode round-trip). Codecs the JDK
+  * genuinely lacks (video) remain STUBBED with a deterministic fake
+  * that derives plausible dimensions from a content hash; the
+  * Spark-side plumbing (schema, typed Dataset path, per-partition
+  * batching, binary column pruning) is identical for both paths.
   */
 object Multimodal {
 
@@ -217,6 +219,103 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height", "px_sum")
     out.orderBy("doc_id")
+  }
+
+  /** Deterministic tiny REAL WAVs: clip `id` is 16-bit signed
+    * little-endian mono PCM at 8 kHz with n(id) = 64 + id·37 mod 192
+    * samples of s(i) = ((7i² + 29i + 13·id) mod 65536) − 32768,
+    * encoded by `javax.sound.sampled` into genuine RIFF/WAVE bytes.
+    * Sample count and amplitude stats are closed-form in `id`, so a
+    * SQL oracle can verify a REAL decode without a codec of its own
+    * (the q21d pattern, audio edition).
+    */
+  def wavBlob(id: Long): MediaBlob = {
+    val n = (64 + id * 37 % 192).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((7L * i * i + 29L * i + 13L * id) % 65536L) - 32768L).toInt
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    MediaBlob(id, "audio/wav", bos.toByteArray)
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV, AIFF,
+    * AU ship in every JRE — no new dependency): returns
+    * (sampleRateHz, channels, 16-bit samples) or None when the bytes
+    * are not decodable audio (the same untrusted-media fallback
+    * contract as [[decodeImage]] — JDK audio parsers also throw
+    * RuntimeExceptions on malformed headers).
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        if (fmt.isBigEndian) {
+          while (i < n) {
+            samples(i) = ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)).toShort.toInt
+            i += 1
+          }
+        } else {
+          while (i < n) {
+            samples(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort.toInt
+            i += 1
+          }
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, samples))
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Q21e — REAL audio decode, oracle-checkable: per document id, emit
+    * a deterministic WAV ([[wavBlob]]), DECODE the bytes with the
+    * actual JDK codec, and report what the decoder saw — sample rate,
+    * sample count, amplitude sum and peak. The oracle recomputes all
+    * four from the generator's closed form; any codec misbehavior
+    * (header misparse, byte-order flip, truncation) breaks the hash.
+    * Encode and decode both run inside the partition map — nothing but
+    * (id, small ints) ever reaches the shuffle.
+    */
+  def audioDecode(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.sources.Tables.widen(docs)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val blob = wavBlob(id)
+          val (rate, channels, samples) = decodeWav(blob.payload)
+            .getOrElse(sys.error(s"WAV round-trip failed for doc $id"))
+          require(channels == 1, s"WAV round-trip channel drift for doc $id")
+          var ampSum = 0L
+          var ampPeak = 0L
+          var i = 0
+          while (i < samples.length) {
+            ampSum += samples(i)
+            val a = math.abs(samples(i).toLong)
+            if (a > ampPeak) ampPeak = a
+            i += 1
+          }
+          (id, rate, samples.length.toLong, ampSum, ampPeak)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "amp_sum", "amp_peak")
+      .orderBy("doc_id")
   }
 
   /** A metadata catalog query over the blob store: per media type,

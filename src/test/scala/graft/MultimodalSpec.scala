@@ -92,6 +92,34 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "undecodable or non-image payloads must take the stub path")
   }
 
+  test("audio WAV payloads round-trip through the REAL javax.sound codec") {
+    import spark.implicits._
+    // Closed-form check against the generator: n samples, 8 kHz mono,
+    // exact amplitude sum/peak recomputed independently here.
+    val rows = Multimodal.audioDecode(
+        spark.range(20L).select(org.apache.spark.sql.functions.col("id").as("doc_id")))
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (64 + id * 37 % 192).toInt
+      var expSum = 0L
+      var expPeak = 0L
+      (0 until n).foreach { i =>
+        val v = ((7L * i * i + 29L * i + 13L * id) % 65536L) - 32768L
+        expSum += v
+        expPeak = math.max(expPeak, math.abs(v))
+      }
+      assert(r.getInt(1) == 8000, s"doc $id: sample rate drift")
+      assert(r.getLong(2) == n.toLong, s"doc $id: sample count drift")
+      assert(r.getLong(3) == expSum, s"doc $id: amplitude sum drift")
+      assert(r.getLong(4) == expPeak, s"doc $id: amplitude peak drift")
+    }
+    // Malformed audio bytes take the None fallback, never throw.
+    assert(Multimodal.decodeWav(Array[Byte](82, 73, 70, 70, 0, 1)).isEmpty)
+    assert(Multimodal.decodeWav(Array.fill[Byte](64)(0x7F)).isEmpty)
+  }
+
   test("metadata catalog query prunes the payload column from the parquet scan") {
     val catalog = Multimodal.blobCatalog(Multimodal.readBlobStore(spark, storePath))
     val scanned = catalog.queryExecution.sparkPlan.collectLeaves()
