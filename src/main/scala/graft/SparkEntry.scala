@@ -97,6 +97,12 @@ object SparkEntry {
   private val LrBuckets = 64
   private val LrIters = 4
   private val LrPosLang = "en"
+  /** Q82b: DSIR Gumbel-top-k sample size. */
+  private val DsirSampleK = 100
+  /** Q83: duplicate-coverage n-gram length and the flagging threshold
+    * (docs with ≥20% duplicated n-gram positions get cut). */
+  private val DupGramN = 8
+  private val DupGramFlag = 0.2
   /** Q70: span-dedup chunk length in tokens (docs average ~54 tokens,
     * so a typical doc is ~5 chunks and the 30-word shared vocabulary
     * makes cross-document chunk collisions common enough to bite). */
@@ -320,6 +326,37 @@ object SparkEntry {
         lw0 AS (SELECT CAST(t.j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
                 FROM range(${LrBuckets + 1}) t(j)),
         $rounds"""
+  }
+
+  /** DuckDB mirror of [[graft.operators.Pipeline.dsirModel]] plus the
+    * per-document scoring join: hashed-unigram bucket counts with
+    * Laplace smoothing over the full `DsirBuckets` grid, λ quantized to
+    * integer micro-nats by the identical formula (same ln-of-ratio
+    * shape, same cast points), per-doc weights as exact BIGINT sums.
+    * Exposes `dlam` (b, lam) and `dscore` (doc_id, weight_micros).
+    */
+  private val dsirCte: String = {
+    val b = graft.operators.Pipeline.DsirBuckets
+    val tgt = graft.operators.Pipeline.DsirTargetLang
+    s"""dtok AS (SELECT d.doc_id, d.lang,
+                  CAST(CAST('0x' || substr(md5('dsir:' || t.w), 1, 12) AS BIGINT)
+                    % $b AS INT) AS b
+                FROM documents d
+                CROSS JOIN UNNEST(string_split(d.text, ' ')) AS t(w)),
+        dcnt AS (SELECT b,
+                   CAST(sum(CASE WHEN lang = '$tgt' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt,
+                   CAST(count(*) AS BIGINT) AS raw_cnt
+                 FROM dtok GROUP BY 1),
+        dtot AS (SELECT CAST(sum(tgt_cnt) AS BIGINT) AS tgt_total,
+                        CAST(sum(raw_cnt) AS BIGINT) AS raw_total FROM dcnt),
+        dlam AS (SELECT CAST(g.b AS INT) AS b, CAST(floor(
+                   (ln(CAST(coalesce(c.tgt_cnt, 0) + 1 AS DOUBLE)
+                       / CAST(t.tgt_total + $b AS DOUBLE))
+                  - ln(CAST(coalesce(c.raw_cnt, 0) + 1 AS DOUBLE)
+                       / CAST(t.raw_total + $b AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS lam
+                 FROM range($b) g(b) LEFT JOIN dcnt c ON c.b = g.b CROSS JOIN dtot t),
+        dscore AS (SELECT k.doc_id, CAST(sum(l.lam) AS BIGINT) AS weight_micros
+                   FROM dtok k JOIN dlam l ON l.b = k.b GROUP BY 1)"""
   }
 
   /** DuckDB mirror of [[graft.operators.TextAnalysis.bpeTrain]]'s
@@ -614,6 +651,14 @@ object SparkEntry {
     "q81b_classifier_margin" -> ((s, d) =>
       Classifier.perceptronScore(Tables.table(s, d, "documents"),
         LrBuckets, LrIters, LrPosLang)),
+    "q82_dsir_weights" -> ((s, d) =>
+      Pipeline.dsirWeights(Tables.table(s, d, "documents"))),
+    "q82b_dsir_resample" -> ((s, d) =>
+      Pipeline.dsirResample(Tables.table(s, d, "documents"), DsirSampleK)),
+    "q83_dup_ngram_coverage" -> ((s, d) =>
+      Curation.dupNgramCoverage(Tables.table(s, d, "documents"), DupGramN, DupGramFlag)),
+    "q84_int8_quantize" -> ((s, d) =>
+      Similarity.int8Quantize(Tables.table(s, d, "embeddings"))),
     "q73d_pq_train" -> ((s, d) =>
       Similarity.pqTrain(Tables.table(s, d, "embeddings"), PqSub, PqCodes, KmeansIters)),
     "q73e_pq_encode_trained" -> ((s, d) =>
@@ -2221,6 +2266,80 @@ object SparkEntry {
           SELECT doc_id, CAST(y AS BIGINT) AS y, margin,
                  CAST(CASE WHEN margin >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
           FROM sc ORDER BY doc_id""",
+    // Q82: DSIR importance weights — the shared CTE fits the hashed
+    // bucket models and scores every doc with exact integer micro-nat
+    // sums; the outer query re-derives n_tokens and the double view.
+    "q82_dsir_weights" ->
+      s"""WITH $dsirCte
+          SELECT d.doc_id, d.lang,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                 s.weight_micros,
+                 CAST(s.weight_micros AS DOUBLE) / 1e6 AS weight
+          FROM documents d JOIN dscore s USING (doc_id) ORDER BY doc_id""",
+    // Q82b: Gumbel-top-k importance resampling — derandomized Gumbel
+    // keys on the portable hash, integer micro-nat quantization,
+    // (key DESC, doc_id) total order, LIMIT k.
+    "q82b_dsir_resample" ->
+      s"""WITH $dsirCte,
+          gk AS (SELECT d.doc_id, d.lang, s.weight_micros,
+                   CAST(floor(-ln(-ln(
+                     (CAST(CAST('0x' || substr(md5('gum:' || CAST(d.doc_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) AS DOUBLE) + 1.0) / 281474976710658.0))
+                     * 1e6 + 0.5) AS BIGINT) AS gumbel_micros
+                 FROM documents d JOIN dscore s USING (doc_id))
+          SELECT doc_id, lang, weight_micros, gumbel_micros,
+                 weight_micros + gumbel_micros AS key_micros
+          FROM gk ORDER BY key_micros DESC, doc_id LIMIT $DsirSampleK""",
+    // Q83: duplicate n-gram coverage — same 48-bit gram digests,
+    // distinct-doc counts, semi-join back, left join onto totals.
+    "q83_dup_ngram_coverage" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          gr AS (SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(ws) - $DupGramN + 1),
+                   i -> CAST('0x' || substr(md5(array_to_string(
+                          list_slice(ws, i, i + $DupGramN - 1), ' ')), 1, 12)
+                        AS BIGINT))) AS g
+                 FROM d WHERE len(ws) >= $DupGramN),
+          dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                                 FROM gr GROUP BY 1) WHERE nd >= 2),
+          cnt AS (SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+                  FROM gr JOIN dup USING (g) GROUP BY 1),
+          t AS (SELECT d.doc_id,
+                  CAST(greatest(len(d.ws) - $DupGramN + 1, 0) AS BIGINT) AS n_grams,
+                  CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams
+                FROM d LEFT JOIN cnt c USING (doc_id))
+          SELECT doc_id, n_grams, n_dup_grams,
+                 CASE WHEN n_grams > 0 THEN
+                   ${roundSql("CAST(n_dup_grams AS DOUBLE) / n_grams", 4)} END AS dup_frac,
+                 CASE WHEN n_grams > 0 THEN
+                   ${roundSql("CAST(n_dup_grams AS DOUBLE) / n_grams", 4)} >= $DupGramFlag
+                 END AS flagged
+          FROM t ORDER BY doc_id""",
+    // Q84: int8 scalar quantization — per-dim min/max grid, identical
+    // affine code formula (same cast points and operation order), exact
+    // integer nano-unit SSE; mse divides once by 64e9 in both engines.
+    "q84_int8_quantize" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          dims AS (SELECT g.i, min(e.emb[g.i]) AS mn, max(e.emb[g.i]) AS mx
+                   FROM e, generate_series(1, 64) g(i) GROUP BY 1),
+          mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+                 FROM dims),
+          qq AS (SELECT vec_id, emb, mns, mxs,
+                   list_transform(generate_series(1, 64), i ->
+                     CASE WHEN mxs[i] = mns[i] THEN 0
+                     ELSE least(255, greatest(0, CAST(floor(
+                       (emb[i] - mns[i]) / (mxs[i] - mns[i]) * 255 + 0.5) AS INT))) END) AS codes
+                 FROM e CROSS JOIN mm),
+          se AS (SELECT vec_id,
+                   md5(array_to_string(codes, ',')) AS codes_md5,
+                   CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                     CAST(floor((emb[i] - (mns[i] + codes[i] * (mxs[i] - mns[i]) / 255.0))
+                              * (emb[i] - (mns[i] + codes[i] * (mxs[i] - mns[i]) / 255.0))
+                              * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS sse_nanos
+                 FROM qq)
+          SELECT vec_id, codes_md5, sse_nanos,
+                 CAST(sse_nanos AS DOUBLE) / 6.4e10 AS mse
+          FROM se ORDER BY vec_id""",
     // Q73b: ADC search — the q73 code table for the corpus, the same
     // integer LUT per query, exact BIGINT sums, rank by (adc, vec_id).
     "q73b_adc_search" ->

@@ -306,4 +306,47 @@ object Curation {
       .select("doc_id", "n_tokens", "score_raw", "margin", "label")
       .orderBy("doc_id")
   }
+
+  /** Q83 — duplicate n-gram coverage (the corpus-overlap diagnostic of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): for each document, the fraction of its
+    * overlapping word n-gram positions whose n-gram also occurs in at
+    * least one OTHER document. Unlike [[spanDedup]] (which picks
+    * keepers), this is the measurement pass — the per-doc score a
+    * curation policy thresholds on, and the corpus-level duplication
+    * estimate its sum yields.
+    *
+    * Scale shape: one corpus scan explodes n-gram positions to 48-bit
+    * digests (8-byte keys — text never shuffles); the distinct-doc
+    * count per digest is a two-level aggregation with map-side partial
+    * distinct; the dup set flows back through a semi join keyed on the
+    * digest. Skew is bounded by the duplicate mass itself (a digest's
+    * row count = its occurrence count), the same contract as q17/q70.
+    */
+  def dupNgramCoverage(docs: DataFrame, n: Int, flagAt: Double): DataFrame = {
+    val d = graft.sources.Tables.widen(docs)
+      .withColumn("words", split(col("text"), " "))
+    val grams = d
+      .where(size(col("words")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(words) - $n),
+              i -> ${hash48(s"array_join(slice(words, i + 1, $n), ' ')")})""")).as("g"))
+    val dupg = grams
+      .groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select("g")
+    val dupPerDoc = grams.join(dupg, Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"))
+    d.select(col("doc_id"),
+        greatest(size(col("words")) - n + 1, lit(0)).cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup_grams", coalesce(col("n_dup_grams"), lit(0L)))
+      .withColumn("dup_frac", when(col("n_grams") > 0,
+        roundTo(col("n_dup_grams").cast("double") / col("n_grams"), 4)))
+      .withColumn("flagged", col("dup_frac") >= flagAt)
+      .select("doc_id", "n_grams", "n_dup_grams", "dup_frac", "flagged")
+      .orderBy("doc_id")
+  }
 }

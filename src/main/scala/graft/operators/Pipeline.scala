@@ -359,4 +359,103 @@ object Pipeline {
       .select("lang", "source", "rnk", "doc_id", "rank_hash")
       .orderBy("lang", "source", "rnk")
   }
+
+  /** DSIR hashed-feature space: unigrams hash into this many buckets.
+    * Small here because the synthetic vocabulary is ~30 words; the
+    * shape is identical at the paper's 10^4 buckets — the model stays
+    * a bounded single-row broadcast either way.
+    */
+  val DsirBuckets = 128
+
+  /** Target distribution for DSIR: English documents stand in for the
+    * "high-quality target domain" (the paper uses Wikipedia+books).
+    */
+  val DsirTargetLang = "en"
+
+  /** SQL fragment: DSIR feature bucket of word expression `w`. */
+  private def dsirBucket(w: String): String =
+    s"CAST(${hash48(s"concat('dsir:', $w)")} % $DsirBuckets AS INT)"
+
+  /** The fitted DSIR model as ONE broadcastable row: `lam` is the
+    * per-bucket log-likelihood-ratio table, quantized to integer
+    * micro-nats (`floor(λ·1e6 + 0.5)`) so every downstream sum is
+    * exact integer arithmetic — order-free and cross-engine identical
+    * (the one floating-point step, `ln`, happens once per bucket on
+    * exact integer counts, never per document).
+    *
+    * Laplace(+1) smoothing over `DsirBuckets` cells; buckets no word
+    * hashed into still carry the nonzero default ratio
+    * `ln((raw_total+B)/(tgt_total+B))`, which the `coalesce` inside the
+    * table builder produces for free.
+    */
+  private[graft] def dsirModel(docs: DataFrame): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(expr(dsirBucket("w")).as("b"))
+      .agg(
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("tgt_cnt"),
+        count(lit(1)).as("raw_cnt"))
+      .agg(
+        map_from_entries(collect_list(
+          struct(col("b"), struct(col("tgt_cnt"), col("raw_cnt"))))).as("m"),
+        sum("tgt_cnt").as("tgt_total"),
+        sum("raw_cnt").as("raw_total"))
+      .select(expr(
+        s"""transform(sequence(0, ${DsirBuckets - 1}), b -> CAST(floor(
+              (ln(CAST(coalesce(m[b].tgt_cnt, 0L) + 1 AS DOUBLE)
+                  / CAST(tgt_total + $DsirBuckets AS DOUBLE))
+             - ln(CAST(coalesce(m[b].raw_cnt, 0L) + 1 AS DOUBLE)
+                  / CAST(raw_total + $DsirBuckets AS DOUBLE))) * 1e6 + 0.5)
+            AS BIGINT))""").as("lam"))
+
+  /** Q82 — DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per document,
+    * `weight = Σ_w [log p_target(bucket(w)) − log p_raw(bucket(w))]`
+    * under hashed-unigram bag-of-words models of the target (English
+    * docs) and raw (whole corpus) distributions.
+    *
+    * Scale shape: fitting is one aggregation onto the bounded
+    * `DsirBuckets` key space (map-side combined — the shuffle carries
+    * ≤ B rows per task regardless of corpus size); scoring is map-only
+    * against the broadcast single-row λ table — each document folds its
+    * own words through `lam[bucket(w)]` with exact integer adds. Two
+    * linear scans, zero corpus-keyed shuffles, nothing driver-side.
+    */
+  def dsirWeights(docs: DataFrame): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .crossJoin(broadcast(dsirModel(docs)))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("weight_micros", expr(
+        s"""aggregate(words, CAST(0 AS BIGINT),
+              (acc, w) -> acc + lam[${dsirBucket("w")}])"""))
+      .withColumn("weight", col("weight_micros").cast("double") / 1e6)
+      .select("doc_id", "lang", "n_tokens", "weight_micros", "weight")
+      .orderBy("doc_id")
+
+  /** Q82b — DSIR importance RESAMPLING via the Gumbel-top-k trick:
+    * adding i.i.d. Gumbel noise to each log-weight and taking the top k
+    * is exactly sampling k documents without replacement with
+    * probability ∝ exp(weight). The Gumbel draw is derandomized through
+    * the portable hash (`u = (hash48(gum:doc_id)+1) / (2^48+2)`,
+    * `g = −ln(−ln u)`) so the "random" sample is reproducible across
+    * runs AND engines; keys are quantized to integer micro-nats with
+    * `doc_id` as the total-order tie-break.
+    *
+    * Scale shape: one map-only pass over the scored corpus, then
+    * TakeOrdered — O(k) rows per partition reach the driver, no global
+    * sort. The selection set is deterministic, so re-runs of a 100 TB
+    * selection job are idempotent.
+    */
+  def dsirResample(docs: DataFrame, k: Int): DataFrame = {
+    val u = s"(CAST(${hash48("concat('gum:', CAST(doc_id AS STRING))")} AS DOUBLE)" +
+      " + 1.0) / 281474976710658.0"
+    dsirWeights(docs)
+      .withColumn("gumbel_micros",
+        expr(s"CAST(floor(-ln(-ln($u)) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("key_micros", col("weight_micros") + col("gumbel_micros"))
+      .orderBy(col("key_micros").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "lang", "weight_micros", "gumbel_micros", "key_micros")
+  }
 }

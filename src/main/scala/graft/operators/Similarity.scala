@@ -769,4 +769,51 @@ object Similarity {
         col("col._2").as("vec_id"), (-col("col._1")).as("dist"))
       .orderBy("qid", "rnk")
   }
+
+  /** Q84 — int8 scalar quantization of the embedding column (the
+    * 4×-compression baseline every vector store ships before PQ:
+    * per-dimension affine min/max grid, codes in [0, 255]). Emits each
+    * vector's code digest plus its exact reconstruction error, the
+    * fidelity number that decides whether SQ8 suffices or PQ (q73) is
+    * needed.
+    *
+    * Scale shape: pass 1 reduces the corpus onto the bounded (dim)
+    * key space for per-dimension min/max — 64 cells, map-side combined;
+    * the resulting grid folds into ONE broadcast row (the [[assignTo]]
+    * pattern), and pass 2 quantizes map-only: no corpus shuffle, no
+    * driver-side model, nothing grows with corpus size. Per-element
+    * squared errors quantize to integer nano-units before summing, so
+    * the per-vector SSE is exact integer arithmetic, order-free and
+    * cross-engine identical.
+    */
+  def int8Quantize(emb: DataFrame): DataFrame = {
+    val e = withEmb(emb)
+    val grid = e
+      .select(posexplode(col("emb")))
+      .groupBy(col("pos"))
+      .agg(min("col").as("mn"), max("col").as("mx"))
+      .agg(map_from_entries(collect_list(
+        struct(col("pos"), struct(col("mn"), col("mx"))))).as("g"))
+      .select(
+        expr("transform(sequence(0, 63), i -> g[i].mn)").as("mns"),
+        expr("transform(sequence(0, 63), i -> g[i].mx)").as("mxs"))
+    e.crossJoin(broadcast(grid))
+      .withColumn("codes", expr(
+        """transform(sequence(0, 63), i ->
+             CASE WHEN mxs[i] = mns[i] THEN 0
+             ELSE least(255, greatest(0, CAST(floor(
+               (emb[i] - mns[i]) / (mxs[i] - mns[i]) * 255 + 0.5) AS INT))) END)"""))
+      .withColumn("sse_nanos", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc +
+             CAST(floor((emb[i] - (mns[i] + codes[i] * (mxs[i] - mns[i]) / 255.0))
+                      * (emb[i] - (mns[i] + codes[i] * (mxs[i] - mns[i]) / 255.0))
+                      * 1e9 + 0.5) AS BIGINT))"""))
+      .select(
+        col("vec_id"),
+        md5(expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')"))
+          .as("codes_md5"),
+        col("sse_nanos"),
+        (col("sse_nanos").cast("double") / 6.4e10).as("mse"))
+      .orderBy("vec_id")
+  }
 }
