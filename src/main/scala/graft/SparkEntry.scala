@@ -99,6 +99,8 @@ object SparkEntry {
   private val LrPosLang = "en"
   /** Q82b: DSIR Gumbel-top-k sample size. */
   private val DsirSampleK = 100
+  /** Q85: probed coarse cells per query in IVF-PQ search. */
+  private val IvfPqProbes = 2
   /** Q83: duplicate-coverage n-gram length and the flagging threshold
     * (docs with ≥20% duplicated n-gram positions get cut). */
   private val DupGramN = 8
@@ -218,10 +220,15 @@ object SparkEntry {
     * Exposes `pe` (subvectors), `pm{iters}` (final long-form means)
     * and `pc{iters}` (final list-form codebooks).
     */
-  private def pqTrainRoundsCte(iters: Int): String = {
+  /** The `iters` unrolled Lloyd rounds over a `pe` (vec_id, m, sv)
+    * subvector CTE seeded by `pc0` — shared by the raw-vector trainer
+    * ([[pqTrainRoundsCte]]) and q85's residual trainer, which supply
+    * their own `pe`/`pc0` headers.
+    */
+  private def pqRounds(iters: Int): String = {
     val sub = 64 / PqSub
     val sq = "(pe.sv[i] - c.cemb[i]) * (pe.sv[i] - c.cemb[i])"
-    val rounds = (1 to iters).map { r =>
+    (1 to iters).map { r =>
       s"""ps$r AS (SELECT pe.vec_id, pe.m, c.cid,
                  CAST(floor(list_sum(list_transform(generate_series(1, $sub),
                    i -> $sq)) * 1e6 + 0.5) AS BIGINT) AS erri
@@ -239,11 +246,15 @@ object SparkEntry {
           pc$r AS (SELECT m, cid, list(mean_val ORDER BY dim) AS cemb
                  FROM pm$r GROUP BY m, cid)"""
     }.mkString(",\n          ")
+  }
+
+  private def pqTrainRoundsCte(iters: Int): String = {
+    val sub = 64 / PqSub
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         pe AS (SELECT vec_id, ms.m, e.emb[ms.m * $sub + 1 : ms.m * $sub + $sub] AS sv
                FROM e CROSS JOIN (SELECT unnest(range($PqSub)) AS m) ms),
         pc0 AS (SELECT m, vec_id AS cid, sv AS cemb FROM pe WHERE vec_id < $PqCodes),
-        $rounds"""
+        ${pqRounds(iters)}"""
   }
 
   /** ADC scoring CTEs on top of [[pqCte]]: corpus code table, exact
@@ -326,6 +337,63 @@ object SparkEntry {
         lw0 AS (SELECT CAST(t.j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
                 FROM range(${LrBuckets + 1}) t(j)),
         $rounds"""
+  }
+
+  /** Shared CTE chain of the q85 family: coarse k-means, final
+    * assignment + residuals, residual-trained PQ codebooks, corpus
+    * codes, per-probed-cell query LUTs, and the rounded ADC scores
+    * (`sc2` (qid, vec_id, adc)) restricted to probed cells.
+    */
+  private val ivfPqCtes: String = {
+    val sub = 64 / PqSub
+    val n = KmeansIters
+    s"""${kmeansRoundsCte(n)},
+          sf AS (SELECT e.vec_id, c.cid,
+                   ${roundSql(cosSql("e.emb", "c.cemb"), 6)} AS sim
+                 FROM e CROSS JOIN c$n c),
+          af AS (SELECT vec_id, cid FROM
+                   (SELECT vec_id, cid, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM sf)
+                 WHERE rn = 1),
+          re AS (SELECT e.vec_id, af.cid,
+                   list_transform(generate_series(1, 64), i -> e.emb[i] - c.cemb[i]) AS emb
+                 FROM e JOIN af USING (vec_id) JOIN c$n c ON c.cid = af.cid),
+          pe AS (SELECT vec_id, ms.m, re.emb[ms.m * $sub + 1 : ms.m * $sub + $sub] AS sv
+                 FROM re CROSS JOIN (SELECT unnest(range($PqSub)) AS m) ms),
+          pc0 AS (SELECT m, vec_id AS cid, sv AS cemb FROM pe WHERE vec_id < $PqCodes),
+          ${pqRounds(n)},
+          fps AS (SELECT pe.vec_id, pe.m, b.cid,
+                    CAST(floor(list_sum(list_transform(generate_series(1, $sub),
+                      i -> (pe.sv[i] - b.cemb[i]) * (pe.sv[i] - b.cemb[i])))
+                      * 1e6 + 0.5) AS BIGINT) AS erri
+                  FROM pe JOIN pc$n b ON b.m = pe.m),
+          pco AS (SELECT vec_id, m, cid AS code FROM
+                    (SELECT *, row_number() OVER
+                       (PARTITION BY vec_id, m ORDER BY erri, cid) AS rn FROM fps)
+                  WHERE rn = 1 AND vec_id >= $BatchQueries),
+          prb AS (SELECT vec_id AS qid, cid FROM
+                    (SELECT vec_id, cid, row_number() OVER
+                       (PARTITION BY vec_id ORDER BY sim DESC, cid) AS pr
+                     FROM sf WHERE vec_id < $BatchQueries)
+                  WHERE pr <= $IvfPqProbes),
+          qre AS (SELECT p.qid, p.cid AS pcid,
+                    list_transform(generate_series(1, 64), i -> e.emb[i] - c.cemb[i]) AS emb
+                  FROM prb p JOIN e ON e.vec_id = p.qid JOIN c$n c ON c.cid = p.cid),
+          qpe AS (SELECT qid, pcid, ms.m,
+                    qre.emb[ms.m * $sub + 1 : ms.m * $sub + $sub] AS sv
+                  FROM qre CROSS JOIN (SELECT unnest(range($PqSub)) AS m) ms),
+          qlt AS (SELECT qid, pcid, qpe.m, b.cid AS code,
+                    CAST(floor(list_sum(list_transform(generate_series(1, $sub),
+                      i -> (qpe.sv[i] - b.cemb[i]) * (qpe.sv[i] - b.cemb[i])))
+                      * 1e6 + 0.5) AS BIGINT) AS erri
+                  FROM qpe JOIN pc$n b ON b.m = qpe.m),
+          cand AS (SELECT l.qid, co.vec_id, CAST(sum(l.erri) AS BIGINT) AS adci
+                   FROM pco co
+                   JOIN af ON af.vec_id = co.vec_id
+                   JOIN qlt l ON l.pcid = af.cid AND l.m = co.m AND l.code = co.code
+                   GROUP BY 1, 2),
+          sc2 AS (SELECT qid, vec_id,
+                    ${roundSql("CAST(adci AS DOUBLE) / 1e6", 4)} AS adc FROM cand)"""
   }
 
   /** DuckDB mirror of [[graft.operators.Pipeline.dsirModel]] plus the
@@ -659,6 +727,13 @@ object SparkEntry {
       Curation.dupNgramCoverage(Tables.table(s, d, "documents"), DupGramN, DupGramFlag)),
     "q84_int8_quantize" -> ((s, d) =>
       Similarity.int8Quantize(Tables.table(s, d, "embeddings"))),
+    "q85_ivfpq_search" -> ((s, d) =>
+      Similarity.ivfPqSearch(Tables.table(s, d, "embeddings"), NumCentroids,
+        PqSub, PqCodes, KmeansIters, BatchQueries, BatchTopK, IvfPqProbes)),
+    "q85b_ivfpq_rerank" -> ((s, d) =>
+      Similarity.ivfPqRerankSearch(Tables.table(s, d, "embeddings"), NumCentroids,
+        PqSub, PqCodes, KmeansIters, BatchQueries, PqShortlist, BatchTopK,
+        IvfPqProbes)),
     "q73d_pq_train" -> ((s, d) =>
       Similarity.pqTrain(Tables.table(s, d, "embeddings"), PqSub, PqCodes, KmeansIters)),
     "q73e_pq_encode_trained" -> ((s, d) =>
@@ -2340,6 +2415,36 @@ object SparkEntry {
           SELECT vec_id, codes_md5, sse_nanos,
                  CAST(sse_nanos AS DOUBLE) / 6.4e10 AS mse
           FROM se ORDER BY vec_id""",
+    // Q85: IVF-PQ residual search — coarse k-means (kmeansRoundsCte),
+    // residuals vs the final assignment, PQ training on residuals
+    // (pqRounds over a residual-sourced pe/pc0), per-probed-cell query
+    // residual LUTs, exact BIGINT ADC restricted to probed cells.
+    "q85_ivfpq_search" ->
+      s"""WITH $ivfPqCtes,
+          rk2 AS (SELECT qid, vec_id, adc, row_number() OVER
+                    (PARTITION BY qid ORDER BY adc, vec_id) AS rnk FROM sc2)
+          SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
+          FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
+    // Q85b: the q85 candidates pruned to a `PqShortlist` ADC shortlist,
+    // then exact squared-L2 re-rank on shortlist rows only (the q73c
+    // tail over the IVF-PQ candidate generator).
+    "q85b_ivfpq_rerank" ->
+      s"""WITH $ivfPqCtes,
+          short AS (SELECT qid, vec_id FROM
+                      (SELECT qid, vec_id, row_number() OVER
+                         (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM sc2)
+                    WHERE rn <= $PqShortlist),
+          ex AS (SELECT s.qid, s.vec_id,
+                   ${roundSql(
+                     "list_sum(list_transform(generate_series(1, 64), " +
+                       "i -> (eq.emb[i] - ec.emb[i]) * (eq.emb[i] - ec.emb[i])))", 4)} AS dist
+                 FROM short s
+                 JOIN e eq ON eq.vec_id = s.qid
+                 JOIN e ec ON ec.vec_id = s.vec_id),
+          rk3 AS (SELECT qid, vec_id, dist, row_number() OVER
+                    (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM ex)
+          SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, dist
+          FROM rk3 WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
     // Q73b: ADC search — the q73 code table for the corpus, the same
     // integer LUT per query, exact BIGINT sums, rank by (adc, vec_id).
     "q73b_adc_search" ->

@@ -683,9 +683,14 @@ object Similarity {
   }
 
   /** (vec_id, m, sv): every vector split into its `nSub` subvectors. */
-  private def subVectors(emb: DataFrame, nSub: Int): DataFrame = {
+  private def subVectors(emb: DataFrame, nSub: Int): DataFrame =
+    subVectorsFrom(withEmb(emb), nSub)
+
+  /** [[subVectors]] over a frame that already carries `(vec_id, emb)` —
+    * lets the PQ trainer run on derived vectors (IVF residuals). */
+  private def subVectorsFrom(e: DataFrame, nSub: Int): DataFrame = {
     val subLen = 64 / nSub
-    withEmb(emb).select(col("vec_id"), posexplode(expr(
+    e.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, $nSub - 1), m -> slice(emb, m * $subLen + 1, $subLen))")))
       .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
   }
@@ -702,10 +707,16 @@ object Similarity {
     * round, list-form codebooks (m, cid, cemb) of the final round).
     */
   private def pqTrainLoop(emb: DataFrame, nSub: Int, nCodes: Int,
-                          iters: Int): (DataFrame, DataFrame) = {
+                          iters: Int): (DataFrame, DataFrame) =
+    pqTrainLoopFrom(withEmb(emb), nSub, nCodes, iters)
+
+  /** [[pqTrainLoop]] over a frame that already carries `(vec_id, emb)`
+    * — the entry point for training sub-codebooks on IVF residuals. */
+  private def pqTrainLoopFrom(embFrame: DataFrame, nSub: Int, nCodes: Int,
+                              iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"pqTrain needs at least one round, got $iters")
     val subLen = 64 / nSub
-    val pe = subVectors(emb, nSub)
+    val pe = subVectorsFrom(embFrame, nSub)
     var means: DataFrame = null
     var cents = pe.where(col("vec_id") < nCodes)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cemb"))
@@ -815,5 +826,128 @@ object Similarity {
         col("sse_nanos"),
         (col("sse_nanos").cast("double") / 6.4e10).as("mse"))
       .orderBy("vec_id")
+  }
+
+  /** Q85 — IVF-PQ residual search: the FAISS-style composite index,
+    * built end-to-end from in-engine-trained artifacts. The coarse
+    * quantizer is [[kmeansTrain]]'s centroids; every vector is PQ-coded
+    * on its RESIDUAL from its coarse centroid (residuals are smaller
+    * and less correlated than raw vectors, which is why IVFPQ beats
+    * flat PQ at the same code budget); a query probes its `nProbe`
+    * nearest coarse cells and scores each cell's codes by ADC against
+    * a LUT built from the query's residual IN THAT CELL (the residual
+    * changes per probed cell — the asymmetric part of IVFADC).
+    *
+    * Scale shape, the production ANN serving plan: both trained
+    * artifacts are bounded single-row broadcasts (centroids:
+    * nCentroids×64 doubles; codebooks: nSub×nCodes×subLen); corpus
+    * residual + encode is map-only (corpus never shuffles); the probe
+    * list (nQueries × nProbe LUTs, bounded) broadcasts onto the code
+    * table keyed by the coarse cell, so a corpus vector is scored only
+    * for queries probing its cell — |corpus|·nProbe/nCells candidate
+    * pairs; ranking runs through the bounded top-k Aggregator
+    * (O(queries·k) exchange). ADC sums are exact BIGINTs on the 1e-6
+    * grid (order-free, cross-engine identical).
+    */
+  def ivfPqSearch(emb: DataFrame, nCentroids: Int, nSub: Int, nCodes: Int,
+                  iters: Int, nQueries: Int, k: Int, nProbe: Int): DataFrame =
+    ivfPqScored(emb, nCentroids, nSub, nCodes, iters, nQueries, nProbe)
+      .groupBy(col("qid"))
+      .agg(expr(s"slice(graft_top10(-adc, vec_id), 1, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("vec_id"), (-col("col._1")).as("adc"))
+      .orderBy("qid", "rnk")
+
+  /** Q85b — IVF-PQ shortlist + exact re-rank (IVFADC+R, the production
+    * serving pipeline): the cheap residual-ADC metric prunes each
+    * query's probed cells to a bounded shortlist, then ONLY shortlist
+    * rows touch their float vectors for the exact squared-L2 re-rank —
+    * the same two-tier cost shape as [[pqRerankSearch]], with the IVF
+    * cell pruning of [[ivfPqSearch]] underneath. At the registered
+    * config the re-rank more than doubles raw-ADC recall (RecallSpec
+    * pins both tiers).
+    */
+  def ivfPqRerankSearch(emb: DataFrame, nCentroids: Int, nSub: Int, nCodes: Int,
+                        iters: Int, nQueries: Int, shortlist: Int, k: Int,
+                        nProbe: Int): DataFrame = {
+    require(shortlist <= 50, "shortlist is capped by the graft_top50 buffer")
+    val e = withEmb(emb)
+    val short = ivfPqScored(emb, nCentroids, nSub, nCodes, iters, nQueries, nProbe)
+      .groupBy("qid")
+      .agg(expr(s"slice(graft_top50(-adc, vec_id), 1, $shortlist)").as("top"))
+      .select(col("qid"), explode(expr("transform(top, t -> t._2)")).as("vec_id"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    short
+      .join(e.select(col("vec_id"), col("emb")), "vec_id")
+      .join(broadcast(queries), "qid")
+      .withColumn("dist", roundTo(expr(
+        """aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+             (acc, i) -> acc + (emb[i] - qemb[i]) * (emb[i] - qemb[i]))"""), 4))
+      .groupBy("qid")
+      .agg(expr(s"slice(graft_top10(-dist, vec_id), 1, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("vec_id"), (-col("col._1")).as("dist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Residual-ADC scores of every (query, probed-cell corpus vector)
+    * pair — the shared candidate generator of [[ivfPqSearch]] and
+    * [[ivfPqRerankSearch]].
+    */
+  private def ivfPqScored(emb: DataFrame, nCentroids: Int, nSub: Int, nCodes: Int,
+                          iters: Int, nQueries: Int, nProbe: Int): DataFrame = {
+    val subLen = 64 / nSub
+    val e = withEmb(emb)
+    val coarse = trainedCentroids(emb, nCentroids, iters)
+    val coarseRow = coarse
+      .agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))
+    // Residuals of every vector w.r.t. its assigned coarse centroid.
+    val resid = assignTo(e, coarse)
+      .join(broadcast(coarse), "cid")
+      .withColumn("emb", expr("zip_with(emb, cemb, (x, y) -> x - y)"))
+      .select(col("vec_id"), col("cid"), col("emb"))
+    val (_, books) =
+      pqTrainLoopFrom(resid.select(col("vec_id"), col("emb")), nSub, nCodes, iters)
+    val booksRow = books
+      .agg(collect_list(struct(col("m"), col("cid"), col("cemb"))).as("books"))
+    // Subspace-m squared L2 between the row's residual slice and the
+    // subLen-length trained entry b.cemb, on the exact 1e-6 grid.
+    val errSql =
+      s"""CAST(floor(aggregate(sequence(0, $subLen - 1), CAST(0.0 AS DOUBLE),
+            (acc, i) -> acc + (emb[m * $subLen + i] - b.cemb[i])
+                            * (emb[m * $subLen + i] - b.cemb[i])) * 1e6 + 0.5) AS BIGINT)"""
+    val codes = resid.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(booksRow))
+      .select(col("vec_id"), col("cid"), expr(
+        s"""transform(sequence(0, $nSub - 1), m ->
+              array_min(transform(filter(books, b -> b.m = m),
+                b -> named_struct('erri', $errSql, 'cid', b.cid))).cid)""").as("codes"))
+    // Per (query, probed cell): the query's residual in that cell and
+    // its cid-keyed ADC lookup table against the trained codebooks.
+    val luts = e.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(coarseRow))
+      .withColumn("p", explode(expr(
+        s"""slice(array_sort(transform(cents, c -> named_struct(
+              'negsim', -(floor(${cosSql("emb", "c.cemb")} * 1e6 + 0.5) / 1e6),
+              'cid', c.cid,
+              'cemb', c.cemb))), 1, $nProbe)""")))
+      .withColumn("emb", expr("zip_with(emb, p.cemb, (x, y) -> x - y)"))
+      .select(col("vec_id").as("qid"), col("p.cid").as("pcid"), col("emb"))
+      .crossJoin(broadcast(booksRow))
+      .select(col("qid"), col("pcid"), expr(
+        s"""transform(sequence(0, $nSub - 1), m ->
+              map_from_entries(transform(filter(books, b -> b.m = m),
+                b -> struct(b.cid, $errSql))))""").as("lut"))
+      .agg(collect_list(struct(col("qid"), col("pcid"), col("lut"))).as("qluts"))
+    codes.crossJoin(broadcast(luts))
+      .select(col("vec_id"), col("cid"), col("codes"), explode(col("qluts")).as("q"))
+      .where(col("q.pcid") === col("cid"))
+      .withColumn("adc", roundTo(expr(
+        s"""aggregate(sequence(0, $nSub - 1), CAST(0 AS BIGINT),
+              (acc, m) -> acc + element_at(q.lut[m], codes[m]))""").cast("double") / 1e6, 4))
+      .select(col("q.qid").as("qid"), col("vec_id"), col("adc"))
   }
 }

@@ -214,4 +214,32 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val margins = Curation.hashedClassifier(docs).select("margin").collect().map(_.getDouble(0))
     assert(margins.forall(m => m >= -1.0 && m <= 1.0))
   }
+
+  test("q83: dup n-gram coverage counts exactly the cross-document shared positions") {
+    import spark.implicits._
+    // Doc 1: 10 unique tokens (3 8-grams, none shared). Doc 2 repeats
+    // doc 1's first 8 tokens then diverges; doc 3 is fully unique.
+    // The shared 8-token run is ONE 8-gram — position 0 in both docs.
+    val d1 = (1 to 10).map(i => s"a$i").mkString(" ")
+    val d2 = (1 to 8).map(i => s"a$i").mkString(" ") + " q1 q2"
+    val d3 = (1 to 10).map(i => s"c$i").mkString(" ")
+    val tiny = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Curation.dupNgramCoverage(tiny, 8, 0.2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L) == ((3L, 1L, true)), s"doc1 ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, true)), s"doc2 ${out(2L)}")
+    assert(out(3L) == ((3L, 0L, false)), s"doc3 ${out(3L)}")
+  }
+
+  test("q83: coverage is symmetric-aware and bounded on the natural corpus") {
+    val out = Curation.dupNgramCoverage(docs, 8, 0.2)
+    // n_dup ≤ n_grams always; flagged ⇔ dup_frac ≥ threshold.
+    assert(out.where(col("n_dup_grams") > col("n_grams")).isEmpty)
+    assert(out.where(col("flagged") && col("dup_frac") < 0.2).isEmpty)
+    assert(out.where(!col("flagged") && col("dup_frac") >= 0.2).isEmpty)
+    // A duplicated n-gram needs ≥2 docs, so the number of docs with
+    // nonzero coverage is 0 or ≥2 — never exactly one.
+    val nonzero = out.where(col("n_dup_grams") > 0).count()
+    assert(nonzero != 1, "exactly one doc with shared n-grams is impossible")
+  }
 }

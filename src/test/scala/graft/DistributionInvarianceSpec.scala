@@ -125,7 +125,16 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("bpeTokenize", f => TextAnalysis.bpeTokenize(f(docs), 8)),
       ("bpeTokenizeSplit", f => TextAnalysis.bpeTokenizeSplit(f(docs), 250L, 8)),
       ("pqAdcSearchTrained", f => Similarity.pqAdcSearchTrained(f(emb), 4, 8, 3, 4, 5)),
-      ("imageDecode", f => Multimodal.imageDecode(f(docs))))
+      ("imageDecode", f => Multimodal.imageDecode(f(docs))),
+      ("perceptronTrain", f => Classifier.perceptronTrain(f(docs), 64, 4, "en")),
+      // DSIR: the λ model reduces on a bounded bucket space with exact
+      // integer quantization, so weights AND the Gumbel sample must be
+      // layout-free.
+      ("dsirWeights", f => Pipeline.dsirWeights(f(docs))),
+      ("dsirResample", f => Pipeline.dsirResample(f(docs), 100)),
+      ("dupNgramCoverage", f => Curation.dupNgramCoverage(f(docs), 8, 0.2)),
+      ("int8Quantize", f => Similarity.int8Quantize(f(emb))),
+      ("ivfPqSearch", f => Similarity.ivfPqSearch(f(emb), 8, 4, 8, 3, 4, 5, 2)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {

@@ -188,4 +188,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Deterministic: same salt twice gives identical rows.
     assert(samp.exceptAll(Pipeline.groupSample(docs, k, "samp1")).isEmpty)
   }
+
+  test("q82: DSIR weights upweight the target distribution") {
+    // The semantic claim of importance weighting: documents drawn from
+    // the target (lang = en) must average a higher log-likelihood
+    // ratio than the raw corpus — if they don't, the model learned
+    // nothing and selection is noise.
+    val w = Pipeline.dsirWeights(docs)
+    assert(w.count() == docs.count())
+    val Array(enMean, allMean) = w
+      .agg(
+        avg(when(col("lang") === "en", col("weight"))),
+        avg(col("weight")))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(enMean > allMean,
+      s"target-language mean weight $enMean not above corpus mean $allMean")
+  }
+
+  test("q82b: Gumbel resampling is a deterministic size-k subset that shifts mass to the target") {
+    val k = 100
+    val samp = Pipeline.dsirResample(docs, k)
+    assert(samp.count() == k)
+    assert(samp.join(docs, Seq("doc_id"), "left_anti").isEmpty)
+    assert(samp.exceptAll(Pipeline.dsirResample(docs, k)).isEmpty)
+    // Importance resampling must raise the target-language share
+    // relative to the corpus base rate (en weights average higher).
+    val enShare = samp.where(col("lang") === "en").count().toDouble / k
+    val baseRate = docs.where(col("lang") === "en").count().toDouble / docs.count()
+    assert(enShare > baseRate,
+      s"sampled en share $enShare not above base rate $baseRate")
+  }
 }

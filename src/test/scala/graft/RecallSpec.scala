@@ -244,4 +244,40 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rr = recallL2(hits(Similarity.pqRerankSearch(emb, 4, 8, NQueries, 50, K)))
     assert(rr >= bare, s"rerank $rr worse than bare ADC $bare")
   }
+
+  test("IVF-PQ residual search (q85/q85b): probes monotone, raw-ADC floor, rerank recovers") {
+    // Raw residual-ADC at the registered tiny config (8 cells, 4×8
+    // codes) is honestly coarse — measured 0.2 — and widening probes
+    // must never lose candidates. The production tail (q85b: ADC
+    // shortlist + exact re-rank) recovers to 0.75 measured: the
+    // two-tier shape is what makes the coarse cheap tier acceptable.
+    val raw = Seq(1, 2, NCentroids).map { np =>
+      np -> recallL2(hits(Similarity.ivfPqSearch(
+        emb, NCentroids, 4, 8, 3, NQueries, K, np)))
+    }
+    raw.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, s"q85 recall dropped widening nProbe $np1->$np2: $r1 -> $r2")
+    }
+    assert(raw.head._2 >= 0.15,
+      s"raw residual-ADC recall@$K = ${raw.head._2} (measured 0.2; floor 0.15)")
+    val rr = recallL2(hits(Similarity.ivfPqRerankSearch(
+      emb, NCentroids, 4, 8, 3, NQueries, 50, K, 2)))
+    assert(rr >= 0.6, s"IVF-PQ rerank recall@$K = $rr (measured 0.75; floor 0.6)")
+    assert(rr >= raw(1)._2, s"rerank $rr worse than raw ADC ${raw(1)._2} at the same probes")
+  }
+
+  test("int8 quantization (q84): every vector's MSE is bounded by the worst grid step") {
+    import org.apache.spark.sql.functions._
+    // An affine [0,255] grid can be off by at most step/2 per
+    // dimension, so per-vector MSE ≤ max_dim (span/255)²/4 (plus the
+    // 1e-9 error-quantization grain). Measured worst 8.9e-7 against
+    // bound 2.7e-6 — the 4×-compression fidelity claim, pinned.
+    val e = emb.withColumn("emb", col("embedding").cast("array<double>"))
+    val bound = e.select(posexplode(col("emb")))
+      .groupBy("pos").agg((max("col") - min("col")).as("span"))
+      .agg(max(pow(col("span") / 255.0, 2) / 4.0)).head.getDouble(0)
+    val worst = Similarity.int8Quantize(emb).agg(max("mse")).head.getDouble(0)
+    assert(worst <= bound + 1e-9,
+      s"quantization MSE $worst exceeds the grid bound $bound")
+  }
 }
