@@ -158,6 +158,24 @@ object ScaleSmoke {
       ("bpe_train", (df: DataFrame) => TextAnalysis.bpeTrain(df, 8),
         c => scaledDocs(spark, dir, c)),
       ("image_decode", Multimodal.imageDecode,
+        c => scaledDocs(spark, dir, c)),
+      ("perceptron_train", (df: DataFrame) => Classifier.perceptronTrain(df, 64, 4, "en"),
+        c => scaledDocs(spark, dir, c)),
+      // DSIR: model fit reduces on the bounded bucket space; scoring is
+      // map-only — both scans linear in the corpus.
+      ("dsir_weights", Pipeline.dsirWeights, c => scaledDocs(spark, dir, c)),
+      // Duplicate coverage at 10× is a dense-collision stress like
+      // neardup_pairs: every doc gains 9 near-twins sharing most
+      // 8-grams, so the dup set — and the semi-join's matched mass —
+      // grows ~10× on top of the corpus growth.
+      ("dup_ngram_coverage", (df: DataFrame) => Curation.dupNgramCoverage(df, 8, 0.2),
+        c => scaledDocs(spark, dir, c)),
+      ("int8_quantize", Similarity.int8Quantize, c => scaledEmb(spark, dir, c)),
+      // Corpus grows; coarse cells, codebooks, and the query batch do
+      // not (the scaledEmb contract: small fixed ids from copy 0 only).
+      ("ivfpq_rerank", (df: DataFrame) => Similarity.ivfPqRerankSearch(df, 8, 4, 8, 3, 4, 50, 5, 2),
+        c => scaledEmb(spark, dir, c)),
+      ("bm25", (df: DataFrame) => TextAnalysis.bm25(df, Seq("spark", "join", "window"), 20),
         c => scaledDocs(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.

@@ -101,6 +101,12 @@ object SparkEntry {
   private val DsirSampleK = 100
   /** Q85: probed coarse cells per query in IVF-PQ search. */
   private val IvfPqProbes = 2
+  /** Q86: BM25 query terms (present in the synthetic vocabulary) and
+    * result-list size. */
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val Bm25K = 20
+  /** Q87: fused result-list size for hybrid RRF. */
+  private val RrfK = 10
   /** Q83: duplicate-coverage n-gram length and the flagging threshold
     * (docs with ≥20% duplicated n-gram positions get cut). */
   private val DupGramN = 8
@@ -394,6 +400,44 @@ object SparkEntry {
                    GROUP BY 1, 2),
           sc2 AS (SELECT qid, vec_id,
                     ${roundSql("CAST(adci AS DOUBLE) / 1e6", 4)} AS adc FROM cand)"""
+  }
+
+  /** DuckDB mirror of [[graft.operators.TextAnalysis.bm25]]: exact
+    * integer corpus stats, identical idf/avgdl cast points, per-(doc,
+    * term) contributions on the 1e-6 grid, exact integer sums. Exposes
+    * `bsc` (doc_id, dl, score_micros).
+    */
+  private val bm25Cte: String = {
+    val terms = Bm25Terms.zipWithIndex
+      .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+    val k1 = graft.operators.TextAnalysis.Bm25K1
+    val b = graft.operators.TextAnalysis.Bm25B
+    s"""bd AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                FROM documents),
+          bt AS (SELECT * FROM (VALUES $terms) AS t(i, term)),
+          bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS total_dl FROM bd),
+          bdfs AS (SELECT bt.i, CAST(sum(CASE WHEN list_contains(bd.ws, bt.term)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS df
+                  FROM bd CROSS JOIN bt GROUP BY 1),
+          bidf AS (SELECT i,
+                    ln(1.0 + (CAST(s.n_docs - df AS DOUBLE) + 0.5)
+                             / (CAST(df AS DOUBLE) + 0.5)) AS idf,
+                    CAST(s.total_dl AS DOUBLE) / s.n_docs AS avgdl
+                  FROM bdfs CROSS JOIN bstats s),
+          btfx AS (SELECT bd.doc_id, bd.dl, bt.i,
+                    CAST(len(list_filter(bd.ws, w -> w = bt.term)) AS BIGINT) AS tf
+                  FROM bd CROSS JOIN bt),
+          bcon AS (SELECT doc_id, dl,
+                        CASE WHEN tf = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(bidf.idf * (CAST(tf AS DOUBLE) * (1.0 + $k1))
+                               / (CAST(tf AS DOUBLE)
+                                  + $k1 * (1.0 - $b + $b * (CAST(dl AS DOUBLE) / bidf.avgdl)))
+                               * 1e6 + 0.5) AS BIGINT) END AS c
+                      FROM btfx JOIN bidf USING (i)),
+          bsc AS (SELECT doc_id, dl, CAST(sum(c) AS BIGINT) AS score_micros
+                 FROM bcon GROUP BY doc_id, dl)"""
   }
 
   /** DuckDB mirror of [[graft.operators.Pipeline.dsirModel]] plus the
@@ -734,6 +778,11 @@ object SparkEntry {
       Similarity.ivfPqRerankSearch(Tables.table(s, d, "embeddings"), NumCentroids,
         PqSub, PqCodes, KmeansIters, BatchQueries, PqShortlist, BatchTopK,
         IvfPqProbes)),
+    "q86_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(Tables.table(s, d, "documents"), Bm25Terms, Bm25K)),
+    "q87_hybrid_rrf" -> ((s, d) =>
+      Similarity.hybridRrf(Tables.table(s, d, "documents"),
+        Tables.table(s, d, "embeddings"), Bm25Terms, Bm25K, RrfK)),
     "q73d_pq_train" -> ((s, d) =>
       Similarity.pqTrain(Tables.table(s, d, "embeddings"), PqSub, PqCodes, KmeansIters)),
     "q73e_pq_encode_trained" -> ((s, d) =>
@@ -2445,6 +2494,42 @@ object SparkEntry {
                     (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM ex)
           SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, dist
           FROM rk3 WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
+    // Q86: BM25 — identical idf/avgdl formulas on exact integer corpus
+    // stats, per-(doc, term) contributions on the 1e-6 grid (same cast
+    // points), exact integer sums, (score DESC, doc_id) LIMIT k.
+    "q86_bm25" ->
+      s"""WITH $bm25Cte
+          SELECT doc_id, dl, score_micros,
+                 CAST(score_micros AS DOUBLE) / 1e6 AS score
+          FROM bsc WHERE score_micros > 0
+          ORDER BY score_micros DESC, doc_id LIMIT $Bm25K""",
+    // Q87: reciprocal-rank fusion — each leg's ranked list (BM25 at
+    // the q86 order; dense = the q18g cosine ranking for query 0),
+    // rank contributions as exact floor(1e9/(60+r)) integers, full
+    // outer join, (fused DESC, doc_id) LIMIT k.
+    "q87_hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+          lexr AS (SELECT id, rl FROM
+                     (SELECT doc_id AS id, CAST(row_number() OVER
+                        (ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rl
+                      FROM bsc WHERE score_micros > 0)
+                   WHERE rl <= $Bm25K),
+          e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          qv AS (SELECT emb AS qemb FROM e2 WHERE vec_id = 0),
+          dsc AS (SELECT vec_id, ${roundSql(cosSql("e2.emb", "qemb"), 4)} AS score
+                  FROM e2 CROSS JOIN qv WHERE vec_id >= 1),
+          denr AS (SELECT id, rd FROM
+                     (SELECT vec_id AS id, CAST(row_number() OVER
+                        (ORDER BY score DESC, vec_id) AS BIGINT) AS rd FROM dsc)
+                   WHERE rd <= 10),
+          fuse AS (SELECT COALESCE(l.id, d2.id) AS doc_id, l.rl, d2.rd,
+                     COALESCE(CAST(floor(1e9 / (60.0 + l.rl) + 0.5) AS BIGINT), 0) +
+                     COALESCE(CAST(floor(1e9 / (60.0 + d2.rd) + 0.5) AS BIGINT), 0)
+                       AS fused_nanos
+                   FROM lexr l FULL OUTER JOIN denr d2 ON d2.id = l.id)
+          SELECT doc_id, rl, rd, fused_nanos,
+                 CAST(fused_nanos AS DOUBLE) / 1e9 AS rrf
+          FROM fuse ORDER BY fused_nanos DESC, doc_id LIMIT $RrfK""",
     // Q73b: ADC search — the q73 code table for the corpus, the same
     // integer LUT per query, exact BIGINT sums, rank by (adc, vec_id).
     "q73b_adc_search" ->

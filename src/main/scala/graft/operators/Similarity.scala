@@ -893,6 +893,43 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Q87 — hybrid retrieval via reciprocal-rank fusion (RRF, the
+    * standard lexical+dense combiner): the BM25 ranking
+    * ([[TextAnalysis.bm25]], the lexical leg) and the exhaustive
+    * cosine top-k for the aligned query vector ([[udafTopK]], the
+    * dense leg) fuse by `Σ 1/(60 + rank)` — rank-based, so the two
+    * legs' incomparable score scales never meet. Documents surfaced by
+    * both legs rise; each leg's misses are backfilled by the other.
+    *
+    * Determinism: each leg's rank contribution quantizes to
+    * `floor(1e9/(60+rank) + 0.5)` nano-units (rank is an exact
+    * integer), so the fused key is an exact integer sum with doc_id
+    * tie-break — cross-engine identical. Scale shape: both legs
+    * already end in bounded ranked lists (TakeOrdered / bounded
+    * Aggregator); ranking the lexical leg re-collapses its ≤kLex rows
+    * into ONE row (no window, no shuffle), and the fusion joins two
+    * bounded lists — cost is the two legs, fusion is free.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                kLex: Int, kFuse: Int): DataFrame = {
+    val lex = TextAnalysis.bm25(docs, terms, kLex)
+      .agg(expr(
+        """array_sort(transform(collect_list(struct(score_micros, doc_id)),
+             s -> struct(-s.score_micros AS ns, s.doc_id AS id)))""").as("a"))
+      .select(posexplode(col("a")))
+      .select((col("pos") + 1).cast("long").as("rl"), col("col.id").as("id"))
+    val den = udafTopK(emb, 1)
+      .select(col("rnk").as("rd"), col("vec_id").as("id"))
+    lex.join(den, Seq("id"), "full_outer")
+      .withColumn("fused_nanos",
+        coalesce(expr("CAST(floor(1e9 / (60.0 + rl) + 0.5) AS BIGINT)"), lit(0L))
+          + coalesce(expr("CAST(floor(1e9 / (60.0 + rd) + 0.5) AS BIGINT)"), lit(0L)))
+      .orderBy(col("fused_nanos").desc, col("id"))
+      .limit(kFuse)
+      .select(col("id").as("doc_id"), col("rl"), col("rd"), col("fused_nanos"),
+        (col("fused_nanos").cast("double") / 1e9).as("rrf"))
+  }
+
   /** Residual-ADC scores of every (query, probed-cell corpus vector)
     * pair — the shared candidate generator of [[ivfPqSearch]] and
     * [[ivfPqRerankSearch]].

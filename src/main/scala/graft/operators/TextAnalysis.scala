@@ -652,4 +652,61 @@ object TextAnalysis {
         roundTo(col("n_occ").cast("double") / col("n_total"), 6).as("share"))
       .orderBy("word")
   }
+
+  /** BM25 parameters (the Robertson/Lucene defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Q86 — BM25 ranked retrieval: score every document against a fixed
+    * query-term set with the Lucene-shape BM25
+    * (`idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`) and return the top k. The
+    * retrieval operator the curation stack reads back with: "which
+    * training documents does this query surface" is both an eval tool
+    * (attribution, leakage probes) and the serving half of a
+    * lexical/dense hybrid next to q18.
+    *
+    * Scale shape: corpus stats (N, Σdl) and the per-term document
+    * frequencies reduce map-side onto ONE single-row broadcast model
+    * (df key space = the bounded query length); scoring is map-only —
+    * tf folds per row against the term literal, each term's
+    * contribution quantizes to 1e-6-grid integers (idf and dl/avgdl are
+    * per-row IEEE with identical cast points cross-engine) so the
+    * per-doc sum is order-free — and ranking is TakeOrdered. Nothing
+    * shuffles but the bounded df aggregation.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val termsArr = "array(" + terms.map(t => s"'$t'").mkString(", ") + ")"
+    val d = graft.sources.Tables.widen(docs)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("dl", size(col("words")).cast("long"))
+    val model = d
+      .select(col("dl"), posexplode(expr(
+        s"transform($termsArr, t -> CAST(array_contains(words, t) AS BIGINT))")))
+      .groupBy(col("pos"))
+      .agg(sum("col").as("df"), count(lit(1)).as("n"), sum("dl").as("tdl"))
+      .agg(
+        map_from_entries(collect_list(struct(col("pos"), col("df")))).as("dfm"),
+        max("n").as("n_docs"), max("tdl").as("total_dl"))
+      .select(
+        expr(s"""transform(sequence(0, ${terms.size - 1}), i ->
+              ln(1.0 + (CAST(n_docs - dfm[i] AS DOUBLE) + 0.5)
+                       / (CAST(dfm[i] AS DOUBLE) + 0.5)))""").as("idf"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    d.crossJoin(broadcast(model))
+      .withColumn("tfs", expr(
+        s"transform($termsArr, t -> CAST(size(filter(words, w -> w = t)) AS BIGINT))"))
+      .withColumn("score_micros", expr(
+        s"""aggregate(sequence(0, ${terms.size - 1}), CAST(0 AS BIGINT), (acc, i) ->
+              acc + CASE WHEN tfs[i] = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(idf[i] * (CAST(tfs[i] AS DOUBLE) * (1.0 + $Bm25K1))
+                     / (CAST(tfs[i] AS DOUBLE)
+                        + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (CAST(dl AS DOUBLE) / avgdl)))
+                     * 1e6 + 0.5) AS BIGINT) END)"""))
+      .where(col("score_micros") > 0)
+      .withColumn("score", col("score_micros").cast("double") / 1e6)
+      .select("doc_id", "dl", "score_micros", "score")
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -327,4 +327,24 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(toks == Seq("I", " don", "'t", " have", " 42", " apples", "!!", "  ", "Really", "?"),
       toks.mkString("[", "|", "]"))
   }
+
+  test("q86: BM25 returns only term-matching docs and idf orders rarer terms higher") {
+    import spark.implicits._
+    // Fixture: "rare" appears in 1 of 4 docs, "common" in all 4. With
+    // equal tf and dl, the rare-term doc must outscore a common-only
+    // doc (the idf monotonicity BM25 exists for), and docs matching no
+    // term must not appear at all.
+    val docs = Seq(
+      (1L, "rare common pad1 pad2"),
+      (2L, "common x1 x2 x3"),
+      (3L, "common y1 y2 y3"),
+      (4L, "z1 z2 z3 z4")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bm25(docs, Seq("rare", "common"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(!out.contains(4L), "doc without any query term must not score")
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) > out(2L), s"rare+common must outscore common-only: $out")
+    assert(out(2L) == out(3L), s"identical tf/dl must tie: $out")
+  }
 }

@@ -354,6 +354,52 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "widen must redistribute a narrow in-memory frame")
   }
 
+  test("q82: DSIR scoring ships the model as a broadcast — the corpus is never shuffled for it") {
+    // The λ table folds to ONE row (bounded bucket space) and reaches
+    // every scoring task as a broadcast; any SortMergeJoin or
+    // CartesianProduct would mean the corpus moved for the model.
+    val p = plan(q("q82_dsir_weights"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus shuffled for the model join:\n$p")
+  }
+
+  test("q82b: Gumbel resampling plans as TakeOrdered, not a global sort") {
+    val p = plan(q("q82b_dsir_resample"))
+    assert(p.contains("TakeOrdered"), s"expected TakeOrdered for the top-k:\n$p")
+  }
+
+  test("q83: dup-coverage reads only (doc_id, text) and joins hash-keyed digests — no nested loops") {
+    val df = q("q83_dup_ngram_coverage")
+    val read = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(read == Set("doc_id", "text"), s"unexpected read schema: $read")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"digest join fell off the hash-keyed shape:\n$p")
+  }
+
+  test("q84: the quantization grid is a broadcast single row — pass 2 is map-only") {
+    val p = plan(q("q84_int8_quantize"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"grid not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus shuffled for the grid join:\n$p")
+  }
+
+  test("q85: IVF-PQ search never sort-merge-shuffles the corpus — all model joins broadcast") {
+    val p = plan(q("q85_ivfpq_search"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus shuffled for a bounded model artifact:\n$p")
+  }
+
+  test("q86: BM25 ranks through TakeOrdered with a broadcast model — no corpus shuffle for scoring") {
+    val p = plan(q("q86_bm25"))
+    assert(p.contains("TakeOrdered"), s"expected TakeOrdered for the top-k:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus shuffled for the bounded model join:\n$p")
+  }
+
   test("no un-partitioned window over full relations in any headline query") {
     // Window specs must always carry a partitionBy: an empty Partition
     // spec collapses the relation into one task (round-1's q10/q20
