@@ -114,4 +114,38 @@ object Classifier {
         trainLoop(docs, buckets, iters, posLang))
       .select("doc_id", "y", "margin", "pred")
       .orderBy("doc_id")
+
+  /** The trained weight vector as a SERVING artifact: (buckets+1)
+    * longs, index = bucket, last = bias. Bounded by construction, so
+    * collecting it is the legitimate "export the model" step — the
+    * form a stream scorer embeds as a plan literal.
+    */
+  def trainedWeights(docs: DataFrame, buckets: Int, iters: Int,
+                     posLang: String): Array[Long] =
+    trainLoop(docs, buckets, iters, posLang)
+      .orderBy("j").collect().map(_.getLong(1))
+
+  /** Score an arriving frame against an EXPORTED weight vector — the
+    * train-offline / serve-in-stream half of q81: weights ship as a
+    * plan literal, so scoring is a stateless per-row fold that runs
+    * unchanged over a batch frame OR a streaming source (no state
+    * store, no stream-static join, any trigger). StreamingSpec S17
+    * pins stream ≡ batch scoring under arbitrary microbatch splits.
+    */
+  def scoreWith(docs: DataFrame, weights: Seq[Long], buckets: Int,
+                posLang: String): DataFrame = {
+    require(weights.length == buckets + 1,
+      s"weight vector must be buckets+1 long, got ${weights.length}")
+    docs
+      .withColumn("wlit", typedlit(weights))
+      .withColumn("y", when(col("lang") === posLang, 1L).otherwise(0L))
+      .withColumn("js", expr(
+        s"""transform(split(text, ' '),
+              t -> CAST(${hash48("concat('lrb:', t)")} % $buckets AS INT))"""))
+      .withColumn("margin", expr(
+        s"""aggregate(js, CAST(0 AS BIGINT), (acc, v) -> acc + wlit[v])
+              + wlit[$buckets]"""))
+      .withColumn("pred", when(col("margin") >= 0, 1L).otherwise(0L))
+      .select("doc_id", "y", "margin", "pred")
+  }
 }

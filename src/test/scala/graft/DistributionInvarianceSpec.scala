@@ -134,7 +134,10 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("dsirResample", f => Pipeline.dsirResample(f(docs), 100)),
       ("dupNgramCoverage", f => Curation.dupNgramCoverage(f(docs), 8, 0.2)),
       ("int8Quantize", f => Similarity.int8Quantize(f(emb))),
-      ("ivfPqSearch", f => Similarity.ivfPqSearch(f(emb), 8, 4, 8, 3, 4, 5, 2)))
+      ("ivfPqSearch", f => Similarity.ivfPqSearch(f(emb), 8, 4, 8, 3, 4, 5, 2)),
+      ("bm25", f => TextAnalysis.bm25(f(docs), Seq("spark", "join", "window"), 20)),
+      ("hybridRrf", f =>
+        Similarity.hybridRrf(f(docs), f(emb), Seq("spark", "join", "window"), 20, 10)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {

@@ -999,6 +999,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.exists(_._2), "fixture should flag at least one near-dup")
   }
 
+  test("S17: train-offline / serve-in-stream — exported perceptron scores a stream ≡ batch, stateless") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.Tables
+    import graft.operators.Classifier
+    // The production deployment shape for every trained artifact in the
+    // engine: train on the corpus in batch, EXPORT the bounded model,
+    // serve it over arriving documents as a plan literal. Scoring is a
+    // stateless per-row fold, so the streaming query needs no state
+    // store and its verdicts cannot depend on how the stream is cut.
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val w = Classifier.trainedWeights(docs, 64, 4, "en")
+    val arriving = docs.select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().toSeq
+    val src = MemoryStream[(Long, String, String)]
+    src.addData(arriving.take(200): _*)
+    src.addData(arriving.slice(200, 270): _*)
+    src.addData(arriving.drop(270): _*)
+    val scored = Classifier.scoreWith(
+      src.toDF().toDF("doc_id", "text", "lang"), w.toSeq, 64, "en")
+    val q = scored.writeStream.format("memory")
+      .queryName("s17").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("s17").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val want = graft.operators.Classifier.perceptronScore(docs, 64, 4, "en").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.length == arriving.size)
+    assert(got.toSeq == want.toSeq, "stream scoring must equal batch scoring exactly")
+    // Stateless serving: no state-store operator anywhere in the plan.
+    assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+      s"scoring must not allocate streaming state: ${q.lastProgress}")
+  }
+
   test("S15: streaming MG panes hold every true heavy hitter with O(panes·capacity) state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
