@@ -176,7 +176,11 @@ object ScaleSmoke {
       ("ivfpq_rerank", (df: DataFrame) => Similarity.ivfPqRerankSearch(df, 8, 4, 8, 3, 4, 50, 5, 2),
         c => scaledEmb(spark, dir, c)),
       ("bm25", (df: DataFrame) => TextAnalysis.bm25(df, Seq("spark", "join", "window"), 20),
-        c => scaledDocs(spark, dir, c)))
+        c => scaledDocs(spark, dir, c)),
+      // The Gram pass is the corpus-sized cost; the 64×64 artifact and
+      // the driver iteration are size-free.
+      ("pca_project", (df: DataFrame) => Similarity.pcaProject(df, 6),
+        c => scaledEmb(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

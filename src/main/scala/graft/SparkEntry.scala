@@ -107,6 +107,8 @@ object SparkEntry {
   private val Bm25K = 20
   /** Q87: fused result-list size for hybrid RRF. */
   private val RrfK = 10
+  /** Q88: power-iteration rounds for the top principal component. */
+  private val PcaRounds = 6
   /** Q83: duplicate-coverage n-gram length and the flagging threshold
     * (docs with ≥20% duplicated n-gram positions get cut). */
   private val DupGramN = 8
@@ -438,6 +440,37 @@ object SparkEntry {
                       FROM btfx JOIN bidf USING (i)),
           bsc AS (SELECT doc_id, dl, CAST(sum(c) AS BIGINT) AS score_micros
                  FROM bcon GROUP BY doc_id, dl)"""
+  }
+
+  /** DuckDB mirror of the q88 PCA family: 1e-6-grid per-dim means,
+    * centered vectors, the micro-unit Gram matrix, and the exact-
+    * integer power iteration unrolled `rounds` times ([[graft
+    * .operators.Similarity.pcaPower]]'s recipe — BIGINT mat-vec,
+    * max-norm to the 1e-4 grid, one IEEE division per round). Exposes
+    * `px` (vec_id, x), `pg` (i, j, gm) and `pv{rounds}` (i, v).
+    */
+  private def pcaCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""pw$r AS (SELECT g.i, CAST(sum(g.gm * v.v) AS BIGINT) AS w
+                 FROM pg g JOIN pv${r - 1} v ON v.i = g.j GROUP BY 1),
+          pq$r AS (SELECT greatest(max(abs(w)), 1) AS m FROM pw$r),
+          pv$r AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / m * 1e4 + 0.5) AS BIGINT) AS v
+                 FROM pw$r CROSS JOIN pq$r)"""
+    }.mkString(",\n          ")
+    s"""pe2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        pmu AS (SELECT g.i, ${roundSql(s"(${exactSumSql("e.emb[g.i]", 6)}) / count(*)", 6)} AS mu
+                FROM pe2 e, generate_series(1, 64) g(i) GROUP BY g.i),
+        px AS (SELECT e.vec_id,
+                 list_transform(generate_series(1, 64), i -> e.emb[i] - m.mus[i]) AS x
+               FROM pe2 e CROSS JOIN (SELECT list(mu ORDER BY i) AS mus FROM pmu) m),
+        pg AS (SELECT gi.i - 1 AS i, gj.j - 1 AS j,
+                 CAST(floor(CAST(sum(CAST(floor(x[gi.i] * x[gj.j] * 1e6 + 0.5) AS BIGINT))
+                   AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS gm
+               FROM px, generate_series(1, 64) gi(i), generate_series(1, 64) gj(j)
+               GROUP BY 1, 2),
+        pv0 AS (SELECT CAST(t.i AS BIGINT) AS i, CAST(10000 AS BIGINT) AS v
+                FROM range(64) t(i)),
+        $roundCtes"""
   }
 
   /** DuckDB mirror of [[graft.operators.Pipeline.dsirModel]] plus the
@@ -783,6 +816,10 @@ object SparkEntry {
     "q87_hybrid_rrf" -> ((s, d) =>
       Similarity.hybridRrf(Tables.table(s, d, "documents"),
         Tables.table(s, d, "embeddings"), Bm25Terms, Bm25K, RrfK)),
+    "q88_pca_power" -> ((s, d) =>
+      Similarity.pcaPower(Tables.table(s, d, "embeddings"), PcaRounds)),
+    "q88b_pca_project" -> ((s, d) =>
+      Similarity.pcaProject(Tables.table(s, d, "embeddings"), PcaRounds)),
     "q73d_pq_train" -> ((s, d) =>
       Similarity.pqTrain(Tables.table(s, d, "embeddings"), PqSub, PqCodes, KmeansIters)),
     "q73e_pq_encode_trained" -> ((s, d) =>
@@ -2530,6 +2567,35 @@ object SparkEntry {
           SELECT doc_id, rl, rd, fused_nanos,
                  CAST(fused_nanos AS DOUBLE) / 1e9 AS rrf
           FROM fuse ORDER BY fused_nanos DESC, doc_id LIMIT $RrfK""",
+    // Q88: PCA top component — the pcaCtes unroll; eigenvalue as the
+    // exact-integer Rayleigh quotient, trace from the Gram diagonal.
+    "q88_pca_power" ->
+      s"""WITH ${pcaCtes(PcaRounds)},
+          pwf AS (SELECT g.i, CAST(sum(g.gm * v.v) AS BIGINT) AS w
+                  FROM pg g JOIN pv$PcaRounds v ON v.i = g.j GROUP BY 1),
+          plam AS (SELECT CAST(floor(
+                     CAST(sum(f.w * v.v) AS DOUBLE)
+                     / CAST((SELECT sum(v * v) FROM pv$PcaRounds) AS DOUBLE)
+                     + 0.5) AS BIGINT) AS lam
+                   FROM pwf f JOIN pv$PcaRounds v USING (i)),
+          ptr AS (SELECT CAST(sum(gm) AS BIGINT) AS trace FROM pg WHERE i = j)
+          SELECT v.i AS dim, v.v AS v_units, CAST(v.v AS DOUBLE) / 1e4 AS v,
+                 plam.lam AS lam_micros, ptr.trace AS trace_micros
+          FROM pv$PcaRounds v CROSS JOIN plam CROSS JOIN ptr
+          ORDER BY dim""",
+    // Q88b: projection onto the trained component — the same centered
+    // vectors folded against pv{rounds}, per-term 1e-6-grid integers.
+    "q88b_pca_project" ->
+      s"""WITH ${pcaCtes(PcaRounds)},
+          pvv AS (SELECT list(v ORDER BY i) AS vs FROM pv$PcaRounds)
+          SELECT px.vec_id,
+                 CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                   CAST(floor(px.x[i] * pvv.vs[i] * 1e2 + 0.5) AS BIGINT))) AS BIGINT)
+                   AS p_micros,
+                 CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                   CAST(floor(px.x[i] * pvv.vs[i] * 1e2 + 0.5) AS BIGINT))) AS DOUBLE)
+                   / 1e6 AS p
+          FROM px CROSS JOIN pvv ORDER BY vec_id""",
     // Q73b: ADC search — the q73 code table for the corpus, the same
     // integer LUT per query, exact BIGINT sums, rank by (adc, vec_id).
     "q73b_adc_search" ->

@@ -930,6 +930,108 @@ object Similarity {
         (col("fused_nanos").cast("double") / 1e9).as("rrf"))
   }
 
+  /** Per-dimension corpus means as ONE broadcastable row (`mus`),
+    * 1e-6-grid rounded — the centering artifact of the PCA family.
+    */
+  private def dimMeans(e: DataFrame): DataFrame =
+    e.select(posexplode(col("emb")))
+      .groupBy(col("pos"))
+      .agg(roundTo(graft.functions.Deterministic.exactSum(col("col"), 6)
+        / count(lit(1)), 6).as("mu"))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("mu")))).as("g"))
+      .select(expr("transform(sequence(0, 63), i -> g[i])").as("mus"))
+
+  /** Centered vectors: `x = emb − mus`, map-only. */
+  private def centered(emb: DataFrame): DataFrame = {
+    val e = withEmb(emb)
+    e.crossJoin(broadcast(dimMeans(e)))
+      .withColumn("x", expr("zip_with(emb, mus, (a, b) -> a - b)"))
+  }
+
+  /** The covariance (Gram) matrix in 1e-6 integer units, long form
+    * (i, j, gm): per row every dim pair's product quantizes to micros,
+    * integer-sums onto the bounded 64×64 key space (map-side combined),
+    * and averages half-up. The ONLY corpus-sized work of PCA.
+    */
+  private[graft] def gramMicros(emb: DataFrame): DataFrame =
+    centered(emb)
+      .select(posexplode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+             transform(sequence(0, 63), j ->
+               CAST(floor(x[i] * x[j] * 1e6 + 0.5) AS BIGINT))))""")))
+      .groupBy(col("pos"))
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .select(
+        (col("pos") / 64).cast("long").as("i"),
+        (col("pos") % 64).cast("long").as("j"),
+        expr("CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)").as("gm"))
+
+  /** The exact-integer power-iteration recipe shared by the engine
+    * (driver loop) and the DuckDB oracle (unrolled CTEs): v lives on
+    * the 1e-4 grid max-normalized to 10000, `w = G·v` is an exact
+    * BIGINT mat-vec (all magnitudes < 2^53, so the one division per
+    * round — `w/max|w|` — converts exactly and rounds identically in
+    * any IEEE engine).
+    */
+  private def powerRound(g: Array[Array[Long]], v: Array[Long]): Array[Long] = {
+    val w = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * v(j)).sum)
+    val m = w.map(math.abs).max max 1L
+    w.map(wi => math.floor(wi.toDouble / m * 1e4 + 0.5).toLong)
+  }
+
+  /** Q88 — distributed PCA, top component by power iteration: the
+    * corpus-sized work is ONE Gram pass ([[gramMicros]] — products
+    * quantize per row, reduce on the bounded 64×64 key space); the
+    * 64×64 result is a bounded model artifact (the [[Classifier
+    * .trainedWeights]] export precedent), iterated `rounds` times on
+    * the driver with the exact-integer [[powerRound]] recipe, so the
+    * eigenvector is bit-identical across engines, runs, and layouts.
+    * Output: (dim, v_units, v) plus the Rayleigh eigenvalue and the
+    * Gram trace (both micro-grid) — `lam/trace` is the explained-
+    * variance share that decides how many components to keep.
+    */
+  def pcaPower(emb: DataFrame, rounds: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val g = Array.ofDim[Long](64, 64)
+    gramMicros(emb).collect().foreach { r =>
+      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2)
+    }
+    var v = Array.fill(64)(10000L)
+    for (_ <- 1 to rounds) v = powerRound(g, v)
+    val w = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * v(j)).sum)
+    // Rayleigh quotient on EXACT integer sums (|num| < 2^60): the one
+    // division converts Long→Double identically in any IEEE engine.
+    val num = (0 until 64).map(i => w(i) * v(i)).sum
+    val den = (0 until 64).map(i => v(i) * v(i)).sum
+    val lam = math.floor(num.toDouble / den + 0.5).toLong
+    val trace = (0 until 64).map(i => g(i)(i)).sum
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (vu, d) => (d.toLong, vu, vu.toDouble / 1e4, lam, trace) }
+      .toSeq
+      .toDF("dim", "v_units", "v", "lam_micros", "trace_micros")
+      .orderBy("dim")
+  }
+
+  /** Q88b — project the corpus onto the trained component: centered
+    * map-only fold against the eigenvector literal, per-term products
+    * quantized to the 1e-6 grid so the per-vector sum is exact. The
+    * whitening/visualization feed, and the 1-D sibling of [[int8
+    * Quantize]]'s compression story.
+    */
+  def pcaProject(emb: DataFrame, rounds: Int): DataFrame = {
+    val vu = pcaPower(emb, rounds)
+      .orderBy("dim").collect().map(_.getLong(1))
+    centered(emb)
+      .withColumn("vu", typedlit(vu.toSeq))
+      .withColumn("p_micros", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+             acc + CAST(floor(x[i] * vu[i] * 1e2 + 0.5) AS BIGINT))"""))
+      .select(col("vec_id"), col("p_micros"),
+        (col("p_micros").cast("double") / 1e6).as("p"))
+      .orderBy("vec_id")
+  }
+
   /** Residual-ADC scores of every (query, probed-cell corpus vector)
     * pair — the shared candidate generator of [[ivfPqSearch]] and
     * [[ivfPqRerankSearch]].

@@ -137,7 +137,12 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ivfPqSearch", f => Similarity.ivfPqSearch(f(emb), 8, 4, 8, 3, 4, 5, 2)),
       ("bm25", f => TextAnalysis.bm25(f(docs), Seq("spark", "join", "window"), 20)),
       ("hybridRrf", f =>
-        Similarity.hybridRrf(f(docs), f(emb), Seq("spark", "join", "window"), 20, 10)))
+        Similarity.hybridRrf(f(docs), f(emb), Seq("spark", "join", "window"), 20, 10)),
+      // PCA: the Gram matrix integer-sums onto a bounded key space and
+      // the driver iteration is a pure function of it — the trained
+      // component and every projection must be layout-free.
+      ("pcaPower", f => Similarity.pcaPower(f(emb), 6)),
+      ("pcaProject", f => Similarity.pcaProject(f(emb), 6)))
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {

@@ -266,6 +266,26 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rr >= raw(1)._2, s"rerank $rr worse than raw ADC ${raw(1)._2} at the same probes")
   }
 
+  test("PCA (q88/q88b): normalized component, λ within trace, projection variance matches λ") {
+    val comp = Similarity.pcaPower(emb, 6).orderBy("dim").collect()
+    val v = comp.map(_.getLong(1))
+    assert(v.map(math.abs).max == 10000L, "eigenvector must be max-normalized to the 1e-4 grid")
+    val lam = comp.head.getLong(3)
+    val trace = comp.head.getLong(4)
+    assert(lam > 0L && lam <= trace, s"Rayleigh λ $lam outside (0, trace $trace]")
+    // Var(x·v) = vᵀCv = λ·‖v‖² — the projection's variance must
+    // reproduce the eigenvalue (grid effects allowed 5%): the check
+    // that the power iteration converged onto a real component, not
+    // just any normalized vector.
+    val ps = Similarity.pcaProject(emb, 6).select("p").collect().map(_.getDouble(0))
+    val n = ps.length.toDouble
+    val mean = ps.sum / n
+    val varp = ps.map(x => (x - mean) * (x - mean)).sum / n
+    val expect = (lam / 1e6) * (v.map(x => x * x).sum / 1e8)
+    assert(math.abs(varp - expect) / expect < 0.05,
+      s"projection variance $varp vs λ·‖v‖² $expect")
+  }
+
   test("int8 quantization (q84): every vector's MSE is bounded by the worst grid step") {
     import org.apache.spark.sql.functions._
     // An affine [0,255] grid can be off by at most step/2 per
