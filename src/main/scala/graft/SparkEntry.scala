@@ -451,19 +451,19 @@ object SparkEntry {
     */
   private def pcaCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
-      s"""pw$r AS (SELECT g.i, CAST(sum(g.gm * v.v) AS BIGINT) AS w
+      s"""pw$r AS MATERIALIZED (SELECT g.i, CAST(sum(g.gm * v.v) AS BIGINT) AS w
                  FROM pg g JOIN pv${r - 1} v ON v.i = g.j GROUP BY 1),
           pq$r AS (SELECT greatest(max(abs(w)), 1) AS m FROM pw$r),
-          pv$r AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / m * 1e4 + 0.5) AS BIGINT) AS v
+          pv$r AS MATERIALIZED (SELECT i, CAST(floor(CAST(w AS DOUBLE) / m * 1e4 + 0.5) AS BIGINT) AS v
                  FROM pw$r CROSS JOIN pq$r)"""
     }.mkString(",\n          ")
     s"""pe2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         pmu AS (SELECT g.i, ${roundSql(s"(${exactSumSql("e.emb[g.i]", 6)}) / count(*)", 6)} AS mu
                 FROM pe2 e, generate_series(1, 64) g(i) GROUP BY g.i),
-        px AS (SELECT e.vec_id,
+        px AS MATERIALIZED (SELECT e.vec_id,
                  list_transform(generate_series(1, 64), i -> e.emb[i] - m.mus[i]) AS x
                FROM pe2 e CROSS JOIN (SELECT list(mu ORDER BY i) AS mus FROM pmu) m),
-        pg AS (SELECT gi.i - 1 AS i, gj.j - 1 AS j,
+        pg AS MATERIALIZED (SELECT gi.i - 1 AS i, gj.j - 1 AS j,
                  CAST(floor(CAST(sum(CAST(floor(x[gi.i] * x[gj.j] * 1e6 + 0.5) AS BIGINT))
                    AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS gm
                FROM px, generate_series(1, 64) gi(i), generate_series(1, 64) gj(j)
@@ -820,6 +820,8 @@ object SparkEntry {
       Similarity.pcaPower(Tables.table(s, d, "embeddings"), PcaRounds)),
     "q88b_pca_project" -> ((s, d) =>
       Similarity.pcaProject(Tables.table(s, d, "embeddings"), PcaRounds)),
+    "q88c_pca_deflate" -> ((s, d) =>
+      Similarity.pcaDeflate(Tables.table(s, d, "embeddings"), PcaRounds)),
     "q73d_pq_train" -> ((s, d) =>
       Similarity.pqTrain(Tables.table(s, d, "embeddings"), PqSub, PqCodes, KmeansIters)),
     "q73e_pq_encode_trained" -> ((s, d) =>
@@ -2583,6 +2585,46 @@ object SparkEntry {
                  plam.lam AS lam_micros, ptr.trace AS trace_micros
           FROM pv$PcaRounds v CROSS JOIN plam CROSS JOIN ptr
           ORDER BY dim""",
+    // Q88c: Hotelling deflation — λ₁·v₁·v₁ᵀ/‖v₁‖² subtracted from the
+    // Gram cells in exact integer micro units, then the same unrolled
+    // power iteration (q-prefixed CTEs) on the deflated matrix.
+    "q88c_pca_deflate" -> {
+      val n = PcaRounds
+      val rounds2 = (1 to n).map { r =>
+        s"""qw$r AS MATERIALIZED (SELECT g.i, CAST(sum(g.gm * v.v) AS BIGINT) AS w
+                   FROM pg2 g JOIN qv${r - 1} v ON v.i = g.j GROUP BY 1),
+            qq$r AS (SELECT greatest(max(abs(w)), 1) AS m FROM qw$r),
+            qv$r AS MATERIALIZED (SELECT i, CAST(floor(CAST(w AS DOUBLE) / m * 1e4 + 0.5) AS BIGINT) AS v
+                   FROM qw$r CROSS JOIN qq$r)"""
+      }.mkString(",\n          ")
+      s"""WITH ${pcaCtes(n)},
+          pwf AS (SELECT g.i, CAST(sum(g.gm * v.v) AS BIGINT) AS w
+                  FROM pg g JOIN pv$n v ON v.i = g.j GROUP BY 1),
+          plam AS (SELECT CAST(floor(CAST(sum(f.w * v.v) AS DOUBLE)
+                     / CAST((SELECT sum(v * v) FROM pv$n) AS DOUBLE)
+                     + 0.5) AS BIGINT) AS lam
+                   FROM pwf f JOIN pv$n v USING (i)),
+          pg2 AS MATERIALIZED (SELECT g.i, g.j,
+                    g.gm - CAST(floor(CAST(plam.lam * vi.v * vj.v AS DOUBLE)
+                      / CAST((SELECT sum(v * v) FROM pv$n) AS DOUBLE)
+                      + 0.5) AS BIGINT) AS gm
+                  FROM pg g JOIN pv$n vi ON vi.i = g.i
+                  JOIN pv$n vj ON vj.i = g.j CROSS JOIN plam),
+          qv0 AS (SELECT CAST(t.i AS BIGINT) AS i, CAST(10000 AS BIGINT) AS v
+                  FROM range(64) t(i)),
+          $rounds2,
+          qwf AS (SELECT g.i, CAST(sum(g.gm * v.v) AS BIGINT) AS w
+                  FROM pg2 g JOIN qv$n v ON v.i = g.j GROUP BY 1),
+          qlam AS (SELECT CAST(floor(CAST(sum(f.w * v.v) AS DOUBLE)
+                     / CAST((SELECT sum(v * v) FROM qv$n) AS DOUBLE)
+                     + 0.5) AS BIGINT) AS lam
+                   FROM qwf f JOIN qv$n v USING (i)),
+          qdot AS (SELECT CAST(sum(a.v * b.v) AS BIGINT) AS dot
+                   FROM pv$n a JOIN qv$n b USING (i))
+          SELECT v.i AS dim, v.v AS v_units, CAST(v.v AS DOUBLE) / 1e4 AS v,
+                 qlam.lam AS lam2_micros, qdot.dot AS dot_units
+          FROM qv$n v CROSS JOIN qlam CROSS JOIN qdot ORDER BY dim"""
+    },
     // Q88b: projection onto the trained component — the same centered
     // vectors folded against pv{rounds}, per-term 1e-6-grid integers.
     "q88b_pca_project" ->

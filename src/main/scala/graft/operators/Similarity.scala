@@ -1013,6 +1013,43 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Q88c — the SECOND principal component by Hotelling deflation:
+    * `G' = G − λ·v·vᵀ/‖v‖²` removes the trained component from the
+    * Gram matrix (exactly, in integer micro units — the rank-1 terms
+    * stay under 2^53 so the one division per cell rounds identically
+    * everywhere), then the same exact-integer power iteration runs on
+    * G'. Emitted with λ₂ and the v₁·v₂ dot (in 1e-8 units of the two
+    * grids) — the orthogonality witness RecallSpec bounds. Shows the
+    * PCA family extends to a subspace, not just one direction; the
+    * corpus is still touched exactly once (the q88 Gram pass).
+    */
+  def pcaDeflate(emb: DataFrame, rounds: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val g = Array.ofDim[Long](64, 64)
+    gramMicros(emb).collect().foreach { r =>
+      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2)
+    }
+    var v1 = Array.fill(64)(10000L)
+    for (_ <- 1 to rounds) v1 = powerRound(g, v1)
+    val w1 = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * v1(j)).sum)
+    val den1 = (0 until 64).map(i => v1(i) * v1(i)).sum
+    val lam1 = math.floor((0 until 64).map(i => w1(i) * v1(i)).sum.toDouble / den1 + 0.5).toLong
+    val g2 = Array.tabulate(64, 64)((i, j) =>
+      g(i)(j) - math.floor((lam1 * v1(i) * v1(j)).toDouble / den1 + 0.5).toLong)
+    var v2 = Array.fill(64)(10000L)
+    for (_ <- 1 to rounds) v2 = powerRound(g2, v2)
+    val w2 = Array.tabulate(64)(i => (0 until 64).map(j => g2(i)(j) * v2(j)).sum)
+    val den2 = (0 until 64).map(i => v2(i) * v2(i)).sum
+    val lam2 = math.floor((0 until 64).map(i => w2(i) * v2(i)).sum.toDouble / den2 + 0.5).toLong
+    val dot = (0 until 64).map(i => v1(i) * v2(i)).sum
+    import spark.implicits._
+    v2.zipWithIndex
+      .map { case (vu, d) => (d.toLong, vu, vu.toDouble / 1e4, lam2, dot) }
+      .toSeq
+      .toDF("dim", "v_units", "v", "lam2_micros", "dot_units")
+      .orderBy("dim")
+  }
+
   /** Q88b — project the corpus onto the trained component: centered
     * map-only fold against the eigenvector literal, per-term products
     * quantized to the 1e-6 grid so the per-vector sum is exact. The

@@ -284,6 +284,51 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expect = (lam / 1e6) * (v.map(x => x * x).sum / 1e8)
     assert(math.abs(varp - expect) / expect < 0.05,
       s"projection variance $varp vs λ·‖v‖² $expect")
+    // Deflation (q88c) on the natural corpus: the synthetic embeddings
+    // are near-isotropic (λ₂ within 3% of λ₁ — a flat spectrum), so
+    // power iteration's gap-driven convergence is slow and near-equal
+    // "components" are only approximately separated; the loose bound
+    // here pins that deflation still roughly de-correlates, while the
+    // separable-fixture test below pins the real convergence contract
+    // (and the oracle pins cross-engine exactness regardless).
+    val c2 = Similarity.pcaDeflate(emb, 6).orderBy("dim").collect()
+    val v2 = c2.map(_.getLong(1))
+    val lam2 = c2.head.getLong(3)
+    val dot = c2.head.getLong(4)
+    val cos = math.abs(dot.toDouble) /
+      (math.sqrt(v.map(x => x.toDouble * x).sum) * math.sqrt(v2.map(x => x.toDouble * x).sum))
+    assert(cos < 0.15, s"deflated component not de-correlated: |cos| = $cos")
+    assert(lam2 > 0L && lam2 <= trace, s"λ₂ $lam2 outside (0, trace $trace]")
+  }
+
+  test("PCA on separable data: dominant direction recovered, deflated second orthogonal") {
+    import spark.implicits._
+    // Variance concentrated on dim 0 (range ~20), a secondary signal
+    // on dim 1 (~4), then 0.01-scale wobble: a real eigen-gap, so six
+    // rounds converge — v₁ snaps to the dominant axis, deflation
+    // yields the secondary axis, and the two are orthogonal.
+    val vecs = (0L until 200L).map { i =>
+      val a = (i * 37 % 21).toDouble - 10.0
+      val b = ((i * 53 % 13).toDouble - 6.0) * 0.3
+      val e = Array.tabulate(64) { d =>
+        (if (d == 0) a else 0.0) + (if (d == 1) b else 0.0) +
+          0.01 * ((i * 31 + d * 7) % 11)
+      }
+      (i, i.toInt % 3, e)
+    }.toDF("vec_id", "label", "embedding")
+    val c1 = Similarity.pcaPower(vecs, 6).orderBy("dim").collect()
+    val v1 = c1.map(_.getLong(1))
+    val lam1 = c1.head.getLong(3)
+    assert(math.abs(v1(0)) == 10000L, s"dominant axis must carry the max component: ${v1.toSeq}")
+    val c2 = Similarity.pcaDeflate(vecs, 6).orderBy("dim").collect()
+    val v2 = c2.map(_.getLong(1))
+    val lam2 = c2.head.getLong(3)
+    val dot = c2.head.getLong(4)
+    assert(math.abs(v2(1)) == 10000L, s"second axis must dominate after deflation: ${v2.toSeq}")
+    val cos = math.abs(dot.toDouble) /
+      (math.sqrt(v1.map(x => x.toDouble * x).sum) * math.sqrt(v2.map(x => x.toDouble * x).sum))
+    assert(cos < 0.02, s"separable components must be orthogonal: |cos| = $cos")
+    assert(lam2 < lam1, s"secondary eigenvalue $lam2 must be below dominant $lam1")
   }
 
   test("int8 quantization (q84): every vector's MSE is bounded by the worst grid step") {
