@@ -1033,6 +1033,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scoring must not allocate streaming state: ${q.lastProgress}")
   }
 
+  test("S18: streaming mini-batch k-means — bounded model state, order-invariant, improves the seed") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.Tables
+    import graft.streaming.StreamingKmeans
+    // Online training: the model (k × (dim+1) numbers) is the ONLY
+    // state; every microbatch is one map-only assignment plus a
+    // bounded-key reduction folded into it on exact integer grids.
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val k = 8
+    val arriving = emb.where(col("vec_id") >= k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val cuts = Seq(arriving.take(150), arriving.slice(150, 320), arriving.drop(320))
+
+    var streamed = StreamingKmeans.seed(emb, k)
+    val src = MemoryStream[(Long, Seq[Double])]
+    val q = src.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed = StreamingKmeans.update(b, streamed)
+        ()
+      }
+      .outputMode("update").start()
+    // Feed one cut per microbatch: mini-batch training is (by design)
+    // a function of the batch sequence, so the replay below must see
+    // the same boundaries the stream processed.
+    try cuts.foreach { c => src.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    // Sequential replay of the SAME cuts with rows reversed inside
+    // each batch: exact-integer blending makes the model bit-identical
+    // under intra-batch reordering.
+    var replayed = StreamingKmeans.seed(emb, k)
+    for (c <- cuts)
+      replayed = StreamingKmeans.update(
+        c.reverse.toDF("vec_id", "embedding"), replayed)
+    assert(streamed.cents.map(_._1).toSeq == replayed.cents.map(_._1).toSeq)
+    for (((_, su, sn), (_, ru, rn)) <- streamed.cents.zip(replayed.cents)) {
+      assert(su.toSeq == ru.toSeq, "centroid units must be order-invariant")
+      assert(sn == rn)
+    }
+    // All corpus mass is accounted for exactly once (plus the seeds).
+    assert(streamed.cents.map(_._3).sum == arriving.size + k)
+
+    // Training must improve fit over the raw seeds: mean best-cosine
+    // of the corpus against the trained model vs the seed model.
+    def objective(m: StreamingKmeans.Model): Double = {
+      val e = emb.withColumn("emb", col("embedding").cast("array<double>"))
+      graft.operators.Similarity.assignTo(e, m.frame(spark))
+        .join(m.frame(spark), "cid")
+        .withColumn("sim", expr("cosine_sim(emb, cemb)"))
+        .agg(avg("sim")).head.getDouble(0)
+    }
+    val seedObj = objective(StreamingKmeans.seed(emb, k))
+    val finalObj = objective(streamed)
+    assert(finalObj > seedObj,
+      s"online training must improve the seed fit: $seedObj -> $finalObj")
+  }
+
   test("S15: streaming MG panes hold every true heavy hitter with O(panes·capacity) state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
