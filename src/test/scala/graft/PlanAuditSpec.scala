@@ -400,6 +400,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus shuffled for the bounded model join:\n$p")
   }
 
+  test("q88b: PCA projection is a broadcast-model map pass — no corpus shuffle after the Gram stage") {
+    // The projection query re-derives means + eigenvector (bounded
+    // artifacts); the projection itself must join them as broadcasts
+    // and never sort-merge the vector corpus.
+    val p = plan(q("q88b_pca_project"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus shuffled for a bounded PCA artifact:\n$p")
+  }
+
   test("no un-partitioned window over full relations in any headline query") {
     // Window specs must always carry a partitionBy: an empty Partition
     // spec collapses the relation into one task (round-1's q10/q20
