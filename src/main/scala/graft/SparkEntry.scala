@@ -655,6 +655,8 @@ object SparkEntry {
       Multimodal.imageDecode(Tables.table(s, d, "documents"))),
     "q21e_audio_decode" -> ((s, d) =>
       Multimodal.audioDecode(Tables.table(s, d, "documents"))),
+    "q21f_video_decode" -> ((s, d) =>
+      Multimodal.videoDecode(Tables.table(s, d, "documents"))),
     "q21c_resize_meta" -> ((s, d) =>
       Multimodal.resizeMeta(Tables.table(s, d, "documents"), MaxResizeDim)),
     "q22_stratified_sample" -> ((s, d) =>
@@ -1372,6 +1374,38 @@ object SparkEntry {
                 CAST(sum(v) AS BIGINT) AS amp_sum,
                 CAST(max(abs(v)) AS BIGINT) AS amp_peak
          FROM s GROUP BY doc_id, n ORDER BY doc_id""",
+    // Q21f: the generator's closed form — stride-1 luma means a
+    // frame's pixel sum is full 0..250 cycles (31375 each) plus two
+    // arithmetic tails split at the modular wrap; pure O(1) integer
+    // math per frame, no pixel enumeration oracle-side.
+    "q21f_video_decode" ->
+      """WITH vd AS (SELECT doc_id,
+                CAST(8 + 2 * ((doc_id * 13) % 12) AS BIGINT) AS w,
+                CAST(8 + 2 * ((doc_id * 7) % 8) AS BIGINT) AS h,
+                CAST(2 + doc_id % 5 AS BIGINT) AS nf,
+                CAST(24 + doc_id % 2 AS BIGINT) AS fps
+              FROM documents),
+          fr AS (SELECT doc_id, w, h, nf, fps,
+                   unnest(generate_series(0, nf - 1)) AS f FROM vd),
+          fs AS (SELECT doc_id, w, h, nf, fps, f,
+                   (w * h) // 251 AS cyc, (w * h) % 251 AS rem,
+                   CAST((7 * doc_id + 17 * f) % 251 AS BIGINT) AS base
+                 FROM fr),
+          sums AS (SELECT doc_id, w, h, nf, fps, f,
+                     CAST(cyc * 31375 +
+                       CASE WHEN base + rem <= 251
+                         THEN rem * base + rem * (rem - 1) // 2
+                         ELSE (251 - base) * base + (251 - base) * (250 - base) // 2
+                              + (rem - (251 - base)) * (rem - (251 - base) - 1) // 2
+                       END AS BIGINT) AS s
+                   FROM fs)
+          SELECT doc_id, CAST(max(w) AS INT) AS width,
+                 CAST(max(h) AS INT) AS height,
+                 CAST(max(fps) AS INT) AS fps_num,
+                 CAST(max(nf) AS BIGINT) AS n_frames,
+                 CAST(sum(s) AS BIGINT) AS luma_sum,
+                 CAST(sum(CASE WHEN f = 0 THEN s ELSE 0 END) AS BIGINT) AS luma_first
+          FROM sums GROUP BY doc_id ORDER BY doc_id""",
     "q22_stratified_sample" -> {
       val rateCase = MixRates.toSeq.sortBy(_._1)
         .map { case (s, r) => s"WHEN '$s' THEN $r" }

@@ -36,11 +36,14 @@ case class MediaRecord(doc_id: Long, media_type: String, byte_len: Long,
   * ([[decodeImage]], exercised end-to-end by q21d's encode→decode
   * round-trip against a closed-form oracle). AUDIO decode is REAL too:
   * `javax.sound.sampled` ships WAV/AIFF/AU codecs ([[decodeWav]],
-  * exercised by q21e's encode→decode round-trip). Codecs the JDK
-  * genuinely lacks (video) remain STUBBED with a deterministic fake
-  * that derives plausible dimensions from a content hash; the
-  * Spark-side plumbing (schema, typed Dataset path, per-partition
-  * batching, binary column pruning) is identical for both paths.
+  * exercised by q21e's encode→decode round-trip). VIDEO container
+  * parsing is REAL as well: Y4M/YUV4MPEG2 clips are generated and
+  * fully parsed byte-level ([[decodeY4m]], exercised by q21f) —
+  * header, frame markers, planar 4:2:0 layout, per-frame luma. Only
+  * pixel-codec video (H.26x — no JDK decoder exists) falls back to
+  * the deterministic [[decodeStub]]; the Spark-side plumbing (schema,
+  * typed Dataset path, per-partition batching, binary column pruning)
+  * is identical for all paths.
   */
 object Multimodal {
 
@@ -315,6 +318,125 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "sample_rate", "n_samples", "amp_sum", "amp_peak")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic tiny REAL Y4M (YUV4MPEG2) clips — a genuine video
+    * container the JDK can both produce and fully parse with zero
+    * dependencies: the textual `YUV4MPEG2 W.. H.. F..` header, then
+    * per frame a `FRAME\n` marker and raw planar 4:2:0 YUV bytes.
+    * Clip `id`: even dims w = 8+2·(13id mod 12), h = 8+2·(7id mod 8),
+    * 2+(id mod 5) frames at F(24+(id mod 2)):1; frame f's luma at
+    * raster index i is `(7id + 17f + i) mod 251`, chroma planes are
+    * per-frame constants. Stride-1 luma makes every frame's pixel sum
+    * CLOSED-FORM (full 0..250 cycles plus two arithmetic tails), so a
+    * SQL oracle verifies a REAL container decode in O(1) per frame.
+    */
+  def y4mBlob(id: Long): MediaBlob = {
+    val w = (8 + 2 * ((id * 13) % 12)).toInt
+    val h = (8 + 2 * ((id * 7) % 8)).toInt
+    val nFrames = (2 + id % 5).toInt
+    val fps = (24 + id % 2).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    var f = 0
+    while (f < nFrames) {
+      bos.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val base = ((7 * id + 17 * f) % 251).toInt
+      var i = 0
+      while (i < w * h) {
+        bos.write((base + i) % 251)
+        i += 1
+      }
+      val cn = (w / 2) * (h / 2)
+      val u = (64 + f) % 256
+      val v = (192 + f) % 256
+      var c = 0
+      while (c < cn) { bos.write(u); c += 1 }
+      c = 0
+      while (c < cn) { bos.write(v); c += 1 }
+      f += 1
+    }
+    MediaBlob(id, "video/x-yuv4mpeg", bos.toByteArray)
+  }
+
+  /** REAL Y4M parse: validates the magic, reads the W/H/F header
+    * tokens, then walks `FRAME` sections extracting each frame's luma
+    * plane (4:2:0 chroma skipped by size). Returns (w, h, fpsNum,
+    * luma planes) or None for bytes that are not a well-formed clip —
+    * the untrusted-media fallback contract of [[decodeImage]].
+    */
+  def decodeY4m(payload: Array[Byte]): Option[(Int, Int, Int, Seq[Array[Byte]])] =
+    try {
+      val nl = payload.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(payload, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+      val toks = header.split(" ")
+      if (toks.head != "YUV4MPEG2") return None
+      def tok(p: String): Option[String] =
+        toks.tail.find(_.startsWith(p)).map(_.drop(p.length))
+      val w = tok("W").map(_.toInt).getOrElse(return None)
+      val h = tok("H").map(_.toInt).getOrElse(return None)
+      val fpsNum = tok("F").map(_.split(":")(0).toInt).getOrElse(return None)
+      if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0) return None
+      val frameBytes = w * h + 2 * ((w / 2) * (h / 2))
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var pos = nl + 1
+      val marker = "FRAME".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      while (pos < payload.length) {
+        if (pos + marker.length > payload.length ||
+            !marker.indices.forall(k => payload(pos + k) == marker(k))) return None
+        val fnl = payload.indexOf('\n'.toByte, pos)
+        if (fnl < 0 || fnl + 1 + frameBytes > payload.length) return None
+        frames += java.util.Arrays.copyOfRange(payload, fnl + 1, fnl + 1 + w * h)
+        pos = fnl + 1 + frameBytes
+      }
+      if (frames.isEmpty) None else Some((w, h, fpsNum, frames.toSeq))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Q21f — REAL video-container decode, oracle-checkable: per
+    * document id, emit a deterministic Y4M clip ([[y4mBlob]]), PARSE
+    * the actual bytes back ([[decodeY4m]]), and report what the parser
+    * saw — dimensions, frame rate, frame count, total and first-frame
+    * luma sums. The oracle recomputes everything from the generator's
+    * closed form (stride-1 luma ⇒ arithmetic-series frame sums), so a
+    * header misparse, frame misalignment, or plane-size error breaks
+    * the hash. This clears the last decode stub: image (q21d), audio
+    * (q21e) and video containers all decode for real in-partition;
+    * only pixel-codec video (H.26x) remains outside the JDK.
+    */
+  def videoDecode(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.sources.Tables.widen(docs)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val blob = y4mBlob(id)
+          val (w, h, fps, frames) = decodeY4m(blob.payload)
+            .getOrElse(sys.error(s"Y4M round-trip failed for doc $id"))
+          var total = 0L
+          var first = 0L
+          var f = 0
+          while (f < frames.length) {
+            val plane = frames(f)
+            var s = 0L
+            var i = 0
+            while (i < plane.length) {
+              s += plane(i) & 0xFF
+              i += 1
+            }
+            if (f == 0) first = s
+            total += s
+            f += 1
+          }
+          (id, w, h, fps, frames.length.toLong, total, first)
+        }
+      }
+      .toDF("doc_id", "width", "height", "fps_num", "n_frames",
+        "luma_sum", "luma_first")
       .orderBy("doc_id")
   }
 

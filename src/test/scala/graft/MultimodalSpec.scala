@@ -120,6 +120,25 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeWav(Array.fill[Byte](64)(0x7F)).isEmpty)
   }
 
+  test("q21f: Y4M parser round-trips the generator and rejects malformed/truncated clips") {
+    val blob = Multimodal.y4mBlob(7L)
+    val parsed = Multimodal.decodeY4m(blob.payload)
+    assert(parsed.isDefined, "generated clip must parse")
+    val (w, h, fps, frames) = parsed.get
+    assert(w == (8 + 2 * ((7L * 13) % 12)).toInt && h == (8 + 2 * ((7L * 7) % 8)).toInt)
+    assert(fps == 25 && frames.length == (2 + 7 % 5))
+    assert(frames.forall(_.length == w * h), "every frame carries a full luma plane")
+    // Byte-level: first frame, raster index 3 is (7·id + 0 + 3) mod 251.
+    assert((frames.head(3) & 0xFF) == ((7 * 7 + 3) % 251))
+    // Untrusted-media fallbacks: garbage, truncation, odd dims → None.
+    assert(Multimodal.decodeY4m("not a clip\n".getBytes).isEmpty)
+    assert(Multimodal.decodeY4m(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeY4m(blob.payload.dropRight(3)).isEmpty,
+      "clip with a truncated last frame must be rejected")
+    val oddDims = "YUV4MPEG2 W9 H8 F24:1\nFRAME\n".getBytes
+    assert(Multimodal.decodeY4m(oddDims).isEmpty)
+  }
+
   test("metadata catalog query prunes the payload column from the parquet scan") {
     val catalog = Multimodal.blobCatalog(Multimodal.readBlobStore(spark, storePath))
     val scanned = catalog.queryExecution.sparkPlan.collectLeaves()
