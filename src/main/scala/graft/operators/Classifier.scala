@@ -41,14 +41,32 @@ object Classifier {
     * 65× slower at the registered 64-bucket config — the difference
     * between 80 s and ~1 s at sf0.1).
     */
+  /** The one tokenizer/hash expression of the family: any change to
+    * the salt or bucketing here reaches training ([[trainLoop]]) and
+    * exported-weight serving ([[scoreWith]]) together.
+    */
+  private def jsExpr(buckets: Int): String =
+    s"""transform(split(text, ' '),
+          t -> CAST(${hash48("concat('lrb:', t)")} % $buckets AS INT))"""
+
   private[graft] def featureRows(docs: DataFrame, buckets: Int,
                                  posLang: String): DataFrame =
     graft.sources.Tables.widen(docs)
       .withColumn("y", when(col("lang") === posLang, 1L).otherwise(0L))
-      .withColumn("js", expr(
-        s"""transform(split(text, ' '),
-              t -> CAST(${hash48("concat('lrb:', t)")} % $buckets AS INT))"""))
+      .withColumn("js", expr(jsExpr(buckets)))
       .select("doc_id", "y", "js")
+
+  /** Margin + prediction of a frame carrying `js` against a weight
+    * array column (bias last): the single O(tokens) scoring fold used
+    * by both the broadcast-row path ([[scoreAgainst]]) and the
+    * plan-literal serving path ([[scoreWith]]).
+    */
+  private def withMarginPred(feat: DataFrame): DataFrame =
+    feat
+      .withColumn("margin", expr(
+        """aggregate(js, CAST(0 AS BIGINT), (acc, v) -> acc + ws[v])
+             + ws[size(ws) - 1]"""))
+      .withColumn("pred", when(col("margin") >= 0, 1L).otherwise(0L))
 
   /** The shared training loop: final weights (j, w), both BIGINT. */
   private[graft] def trainLoop(docs: DataFrame, buckets: Int, iters: Int,
@@ -90,11 +108,7 @@ object Classifier {
   private def scoreAgainst(feat: DataFrame, ws: DataFrame): DataFrame = {
     val wsArr = ws.agg(expr(
       "transform(array_sort(collect_list(struct(j, w))), s -> s.w)").as("ws"))
-    feat.crossJoin(broadcast(wsArr))
-      .withColumn("margin", expr(
-        """aggregate(js, CAST(0 AS BIGINT), (acc, v) -> acc + ws[v])
-             + ws[size(ws) - 1]"""))
-      .withColumn("pred", when(col("margin") >= 0, 1L).otherwise(0L))
+    withMarginPred(feat.crossJoin(broadcast(wsArr)))
   }
 
   /** Q81 — the trained weight vector after `iters` full-batch rounds
@@ -136,16 +150,10 @@ object Classifier {
                 posLang: String): DataFrame = {
     require(weights.length == buckets + 1,
       s"weight vector must be buckets+1 long, got ${weights.length}")
-    docs
-      .withColumn("wlit", typedlit(weights))
-      .withColumn("y", when(col("lang") === posLang, 1L).otherwise(0L))
-      .withColumn("js", expr(
-        s"""transform(split(text, ' '),
-              t -> CAST(${hash48("concat('lrb:', t)")} % $buckets AS INT))"""))
-      .withColumn("margin", expr(
-        s"""aggregate(js, CAST(0 AS BIGINT), (acc, v) -> acc + wlit[v])
-              + wlit[$buckets]"""))
-      .withColumn("pred", when(col("margin") >= 0, 1L).otherwise(0L))
+    withMarginPred(docs
+        .withColumn("ws", typedlit(weights))
+        .withColumn("y", when(col("lang") === posLang, 1L).otherwise(0L))
+        .withColumn("js", expr(jsExpr(buckets))))
       .select("doc_id", "y", "margin", "pred")
   }
 }

@@ -380,7 +380,17 @@ object Multimodal {
       val h = tok("H").map(_.toInt).getOrElse(return None)
       val fpsNum = tok("F").map(_.split(":")(0).toInt).getOrElse(return None)
       if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0) return None
-      val frameBytes = w * h + 2 * ((w / 2) * (h / 2))
+      // Honor the colorspace tag (absent = 420 per the Y4M spec): the
+      // chroma plane sizes differ per subsampling, and misreading them
+      // would misalign the frame walk.
+      val chromaBytes = tok("C").getOrElse("420jpeg") match {
+        case c if c.startsWith("420") => 2 * ((w / 2) * (h / 2))
+        case c if c.startsWith("422") => 2 * ((w / 2) * h)
+        case c if c.startsWith("444") => 2 * (w * h)
+        case "mono"                   => 0
+        case _                        => return None
+      }
+      val frameBytes = w * h + chromaBytes
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       var pos = nl + 1
       val marker = "FRAME".getBytes(java.nio.charset.StandardCharsets.US_ASCII)

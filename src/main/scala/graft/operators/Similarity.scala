@@ -909,9 +909,17 @@ object Similarity {
     * Aggregator); ranking the lexical leg re-collapses its ≤kLex rows
     * into ONE row (no window, no shuffle), and the fusion joins two
     * bounded lists — cost is the two legs, fusion is free.
+    *
+    * The dense leg's depth is FIXED at 10 (the `graft_top10` buffer
+    * behind [[udafTopK]]) regardless of `kLex`/`kFuse` — a doc outside
+    * the dense top-10 contributes only its lexical rank; `kFuse` is
+    * capped so a fused tail can never silently consist of ranks the
+    * dense leg stopped tracking.
     */
   def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
                 kLex: Int, kFuse: Int): DataFrame = {
+    require(kFuse <= 10 && kFuse <= kLex,
+      s"kFuse must be within both legs' depth (dense leg fixed at 10), got $kFuse")
     val lex = TextAnalysis.bm25(docs, terms, kLex)
       .agg(expr(
         """array_sort(transform(collect_list(struct(score_micros, doc_id)),
@@ -944,9 +952,14 @@ object Similarity {
   /** Centered vectors: `x = emb − mus`, map-only. */
   private def centered(emb: DataFrame): DataFrame = {
     val e = withEmb(emb)
-    e.crossJoin(broadcast(dimMeans(e)))
-      .withColumn("x", expr("zip_with(emb, mus, (a, b) -> a - b)"))
+    centeredFrom(e, dimMeans(e))
   }
+
+  /** [[centered]] against a precomputed means row — lets one means
+    * aggregation feed both the Gram pass and the projection. */
+  private def centeredFrom(e: DataFrame, means: DataFrame): DataFrame =
+    e.crossJoin(broadcast(means))
+      .withColumn("x", expr("zip_with(emb, mus, (a, b) -> a - b)"))
 
   /** The covariance (Gram) matrix in 1e-6 integer units, long form
     * (i, j, gm): per row every dim pair's product quantizes to micros,
@@ -954,7 +967,10 @@ object Similarity {
     * and averages half-up. The ONLY corpus-sized work of PCA.
     */
   private[graft] def gramMicros(emb: DataFrame): DataFrame =
-    centered(emb)
+    gramMicrosFrom(centered(emb))
+
+  private def gramMicrosFrom(cent: DataFrame): DataFrame =
+    cent
       .select(posexplode(expr(
         """flatten(transform(sequence(0, 63), i ->
              transform(sequence(0, 63), j ->
@@ -979,6 +995,32 @@ object Similarity {
     w.map(wi => math.floor(wi.toDouble / m * 1e4 + 0.5).toLong)
   }
 
+  /** A Gram frame collected into the bounded 64×64 driver array. */
+  private def gramArray(gram: DataFrame): Array[Array[Long]] = {
+    val g = Array.ofDim[Long](64, 64)
+    gram.collect().foreach { r =>
+      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2)
+    }
+    g
+  }
+
+  /** `rounds` of [[powerRound]] from the all-10000 seed, plus the
+    * exact-integer Rayleigh quotient: returns (v, λ_micros, ‖v‖²) —
+    * the single training recipe shared by [[pcaPower]], [[pcaDeflate]]
+    * (both matrices) and [[pcaProject]], so the iteration can never
+    * fork between the q88 family's members.
+    */
+  private def trainComponent(g: Array[Array[Long]], rounds: Int): (Array[Long], Long, Long) = {
+    var v = Array.fill(64)(10000L)
+    for (_ <- 1 to rounds) v = powerRound(g, v)
+    val w = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * v(j)).sum)
+    // Rayleigh quotient on EXACT integer sums (|num| < 2^60): the one
+    // division converts Long→Double identically in any IEEE engine.
+    val num = (0 until 64).map(i => w(i) * v(i)).sum
+    val den = (0 until 64).map(i => v(i) * v(i)).sum
+    (v, math.floor(num.toDouble / den + 0.5).toLong, den)
+  }
+
   /** Q88 — distributed PCA, top component by power iteration: the
     * corpus-sized work is ONE Gram pass ([[gramMicros]] — products
     * quantize per row, reduce on the bounded 64×64 key space); the
@@ -992,18 +1034,8 @@ object Similarity {
     */
   def pcaPower(emb: DataFrame, rounds: Int): DataFrame = {
     val spark = emb.sparkSession
-    val g = Array.ofDim[Long](64, 64)
-    gramMicros(emb).collect().foreach { r =>
-      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2)
-    }
-    var v = Array.fill(64)(10000L)
-    for (_ <- 1 to rounds) v = powerRound(g, v)
-    val w = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * v(j)).sum)
-    // Rayleigh quotient on EXACT integer sums (|num| < 2^60): the one
-    // division converts Long→Double identically in any IEEE engine.
-    val num = (0 until 64).map(i => w(i) * v(i)).sum
-    val den = (0 until 64).map(i => v(i) * v(i)).sum
-    val lam = math.floor(num.toDouble / den + 0.5).toLong
+    val g = gramArray(gramMicros(emb))
+    val (v, lam, _) = trainComponent(g, rounds)
     val trace = (0 until 64).map(i => g(i)(i)).sum
     import spark.implicits._
     v.zipWithIndex
@@ -1025,22 +1057,11 @@ object Similarity {
     */
   def pcaDeflate(emb: DataFrame, rounds: Int): DataFrame = {
     val spark = emb.sparkSession
-    val g = Array.ofDim[Long](64, 64)
-    gramMicros(emb).collect().foreach { r =>
-      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2)
-    }
-    var v1 = Array.fill(64)(10000L)
-    for (_ <- 1 to rounds) v1 = powerRound(g, v1)
-    val w1 = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * v1(j)).sum)
-    val den1 = (0 until 64).map(i => v1(i) * v1(i)).sum
-    val lam1 = math.floor((0 until 64).map(i => w1(i) * v1(i)).sum.toDouble / den1 + 0.5).toLong
+    val g = gramArray(gramMicros(emb))
+    val (v1, lam1, den1) = trainComponent(g, rounds)
     val g2 = Array.tabulate(64, 64)((i, j) =>
       g(i)(j) - math.floor((lam1 * v1(i) * v1(j)).toDouble / den1 + 0.5).toLong)
-    var v2 = Array.fill(64)(10000L)
-    for (_ <- 1 to rounds) v2 = powerRound(g2, v2)
-    val w2 = Array.tabulate(64)(i => (0 until 64).map(j => g2(i)(j) * v2(j)).sum)
-    val den2 = (0 until 64).map(i => v2(i) * v2(i)).sum
-    val lam2 = math.floor((0 until 64).map(i => w2(i) * v2(i)).sum.toDouble / den2 + 0.5).toLong
+    val (v2, lam2, _) = trainComponent(g2, rounds)
     val dot = (0 until 64).map(i => v1(i) * v2(i)).sum
     import spark.implicits._
     v2.zipWithIndex
@@ -1057,9 +1078,13 @@ object Similarity {
     * Quantize]]'s compression story.
     */
   def pcaProject(emb: DataFrame, rounds: Int): DataFrame = {
-    val vu = pcaPower(emb, rounds)
-      .orderBy("dim").collect().map(_.getLong(1))
-    centered(emb)
+    // One means aggregation feeds BOTH the Gram pass and the
+    // projection scan (review finding: the pcaPower-then-recenter
+    // formulation aggregated the means twice).
+    val e = withEmb(emb)
+    val cent = centeredFrom(e, dimMeans(e))
+    val (vu, _, _) = trainComponent(gramArray(gramMicrosFrom(cent)), rounds)
+    cent
       .withColumn("vu", typedlit(vu.toSeq))
       .withColumn("p_micros", expr(
         """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->

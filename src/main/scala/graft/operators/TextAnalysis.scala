@@ -676,6 +676,11 @@ object TextAnalysis {
     * shuffles but the bounded df aggregation.
     */
   def bm25(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    // Terms are interpolated into SQL string literals (engine AND
+    // oracle) — restrict to the tokenizer's own alphabet so neither
+    // side can be broken (or altered) by quoting characters.
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      s"query terms must be non-empty [a-z0-9]+ tokens, got $terms")
     val termsArr = "array(" + terms.map(t => s"'$t'").mkString(", ") + ")"
     val d = graft.sources.Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
