@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 import graft.operators._
-import graft.sources.{DocStore, EventLogStore, Tables}
+import graft.sources.{DocStore, EventLogStore, Tables, VectorIndexStore}
 
 /** Driver contract — see /root/repo/SURVEY.md §2C for the declared query
   * inventory. Every entry in [[queries]] has, where SQL-expressible, an
@@ -101,6 +102,49 @@ object SparkEntry {
   private val DsirSampleK = 100
   /** Q85: probed coarse cells per query in IVF-PQ search. */
   private val IvfPqProbes = 2
+  /** Q90: vectors with vec_id ≥ this arrive AFTER the index is built
+    * and are admitted by [[graft.sources.VectorIndexStore.append]]
+    * (below the 500-row sf0.001 embedding count, so both sides are
+    * non-empty at every SF). */
+  private val AnnAppendSplit = 400L
+  /** Per-SF persisted ANN index locations (the q64 DocStore tmpdir
+    * convention): the full-corpus store (q89 family) and the
+    * base-then-append store (q90 family). */
+  private def annStoreDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_annstore_${new java.io.File(d).getName}"
+  private def annBaseStoreDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_annstore_base_${new java.io.File(d).getName}"
+  /** The stored-index build for `d`, idempotent per JVM. */
+  private def ensureAnnStore(s: SparkSession, d: String): String = {
+    val dir = annStoreDir(d)
+    VectorIndexStore.buildOnce(Tables.table(s, d, "embeddings"), dir,
+      NumCentroids, PqSub, PqCodes, KmeansIters)
+    dir
+  }
+  /** The base-trained + appended store for `d`, idempotent per JVM. */
+  private def ensureAppendedAnnStore(s: SparkSession, d: String): String = {
+    val dir = annBaseStoreDir(d)
+    val emb = Tables.table(s, d, "embeddings")
+    VectorIndexStore.buildAppendedOnce(s, dir,
+      emb.filter(col("vec_id") < AnnAppendSplit),
+      emb.filter(col("vec_id") >= AnnAppendSplit),
+      NumCentroids, PqSub, PqCodes, KmeansIters)
+    dir
+  }
+  /** Query batch (qid, emb) for the stored-index searches — the q85
+    * convention: vec_id < BatchQueries are the queries. */
+  private def annQueryBatch(s: SparkSession, d: String): DataFrame =
+    Similarity.withEmb(Tables.table(s, d, "embeddings"))
+      .filter(col("vec_id") < BatchQueries)
+      .select(col("vec_id").as("qid"), col("emb"))
+  /** The stored code table summarized for the oracle: one row per
+    * vector, codes joined to a CSV (cell id + codes pin the whole
+    * artifact). */
+  private def codesSummary(s: SparkSession, dir: String): DataFrame =
+    VectorIndexStore.codes(s, dir)
+      .select(col("vec_id"), col("cid"),
+        expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')").as("codes_csv"))
+      .orderBy("vec_id")
   /** Q86: BM25 query terms (present in the synthetic vocabulary) and
     * result-list size. */
   private val Bm25Terms = Seq("spark", "join", "window")
@@ -233,21 +277,21 @@ object SparkEntry {
     * ([[pqTrainRoundsCte]]) and q85's residual trainer, which supply
     * their own `pe`/`pc0` headers.
     */
-  private def pqRounds(iters: Int): String = {
+  private def pqRounds(iters: Int, peName: String = "pe"): String = {
     val sub = 64 / PqSub
     val sq = "(pe.sv[i] - c.cemb[i]) * (pe.sv[i] - c.cemb[i])"
     (1 to iters).map { r =>
       s"""ps$r AS (SELECT pe.vec_id, pe.m, c.cid,
                  CAST(floor(list_sum(list_transform(generate_series(1, $sub),
                    i -> $sq)) * 1e6 + 0.5) AS BIGINT) AS erri
-               FROM pe JOIN pc${r - 1} c ON c.m = pe.m),
+               FROM $peName pe JOIN pc${r - 1} c ON c.m = pe.m),
           pa$r AS (SELECT vec_id, m, cid, erri FROM
                    (SELECT *, row_number() OVER
                       (PARTITION BY vec_id, m ORDER BY erri, cid) AS rn FROM ps$r)
                  WHERE rn = 1),
           pu$r AS (SELECT a.m, a.cid, unnest(pe.sv) AS val,
                    generate_subscripts(pe.sv, 1) - 1 AS dim
-                 FROM pa$r a JOIN pe ON pe.vec_id = a.vec_id AND pe.m = a.m),
+                 FROM pa$r a JOIN $peName pe ON pe.vec_id = a.vec_id AND pe.m = a.m),
           pm$r AS (SELECT m, cid, CAST(dim AS BIGINT) AS dim, count(*) AS n,
                    ${roundSql(s"(${exactSumSql("val", 6)}) / count(*)", 4)} AS mean_val
                  FROM pu$r GROUP BY m, cid, dim),
@@ -290,25 +334,34 @@ object SparkEntry {
     * `m{iters}` (long-form final means) and `c{iters}` (list-form
     * centroids) to the consuming query.
     */
-  private def kmeansRoundsCte(iters: Int): String = {
+  /** `trainPred` (a predicate over `vec_id`) restricts the TRAINING
+    * population (`et`): Lloyd rounds assign and average only training
+    * vectors, while consumers still assign the FULL `e` against the
+    * final centroids — the q90 incremental-index contract (train on
+    * the base corpus, admit later arrivals without retraining).
+    * The default TRUE keeps every pre-q90 oracle byte-identical in
+    * effect (et = e).
+    */
+  private def kmeansRoundsCte(iters: Int, trainPred: String = "TRUE"): String = {
     val rounds = (1 to iters).map { r =>
       s"""s$r AS (SELECT e.vec_id, c.cid,
                 ${roundSql(cosSql("e.emb", "c.cemb"), 6)} AS sim
-              FROM e CROSS JOIN c${r - 1} c),
+              FROM et e CROSS JOIN c${r - 1} c),
           a$r AS (SELECT vec_id, cid FROM
                   (SELECT vec_id, cid, row_number() OVER
                      (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s$r)
                 WHERE rn = 1),
           u$r AS (SELECT a.cid, unnest(e.emb) AS val,
                   generate_subscripts(e.emb, 1) - 1 AS dim
-                FROM a$r a JOIN e ON e.vec_id = a.vec_id),
+                FROM a$r a JOIN et e ON e.vec_id = a.vec_id),
           m$r AS (SELECT cid, CAST(dim AS BIGINT) AS dim, count(*) AS n,
                   ${roundSql(s"(${exactSumSql("val", 6)}) / count(*)", 4)} AS mean_val
                 FROM u$r GROUP BY cid, dim),
           c$r AS (SELECT cid, list(mean_val ORDER BY dim) AS cemb FROM m$r GROUP BY cid)"""
     }.mkString(",\n          ")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $NumCentroids),
+        et AS (SELECT * FROM e WHERE $trainPred),
+        c0 AS (SELECT vec_id AS cid, emb AS cemb FROM et WHERE vec_id < $NumCentroids),
         $rounds"""
   }
 
@@ -352,10 +405,10 @@ object SparkEntry {
     * codes, per-probed-cell query LUTs, and the rounded ADC scores
     * (`sc2` (qid, vec_id, adc)) restricted to probed cells.
     */
-  private val ivfPqCtes: String = {
+  private def ivfPqCtesFor(trainPred: String): String = {
     val sub = 64 / PqSub
     val n = KmeansIters
-    s"""${kmeansRoundsCte(n)},
+    s"""${kmeansRoundsCte(n, trainPred)},
           sf AS (SELECT e.vec_id, c.cid,
                    ${roundSql(cosSql("e.emb", "c.cemb"), 6)} AS sim
                  FROM e CROSS JOIN c$n c),
@@ -368,8 +421,9 @@ object SparkEntry {
                  FROM e JOIN af USING (vec_id) JOIN c$n c ON c.cid = af.cid),
           pe AS (SELECT vec_id, ms.m, re.emb[ms.m * $sub + 1 : ms.m * $sub + $sub] AS sv
                  FROM re CROSS JOIN (SELECT unnest(range($PqSub)) AS m) ms),
-          pc0 AS (SELECT m, vec_id AS cid, sv AS cemb FROM pe WHERE vec_id < $PqCodes),
-          ${pqRounds(n)},
+          pet AS (SELECT * FROM pe WHERE $trainPred),
+          pc0 AS (SELECT m, vec_id AS cid, sv AS cemb FROM pet WHERE vec_id < $PqCodes),
+          ${pqRounds(n, "pet")},
           fps AS (SELECT pe.vec_id, pe.m, b.cid,
                     CAST(floor(list_sum(list_transform(generate_series(1, $sub),
                       i -> (pe.sv[i] - b.cemb[i]) * (pe.sv[i] - b.cemb[i])))
@@ -403,6 +457,79 @@ object SparkEntry {
           sc2 AS (SELECT qid, vec_id,
                     ${roundSql("CAST(adci AS DOUBLE) / 1e6", 4)} AS adc FROM cand)"""
   }
+
+  private val ivfPqCtes: String = ivfPqCtesFor("TRUE")
+
+  /** Q18i's oracle, shared verbatim by q89b (stored-centroid search):
+    * trained-centroid assignment + the q18e batch-search shape.
+    */
+  private lazy val q18iOracleSql: String =
+    s"""WITH ${kmeansRoundsCte(KmeansIters)},
+        sf AS (SELECT e.vec_id, c.cid,
+                 ${roundSql(cosSql("e.emb", "c.cemb"), 6)} AS sim
+               FROM e CROSS JOIN c$KmeansIters c),
+        af AS (SELECT vec_id, cid FROM
+                 (SELECT vec_id, cid, row_number() OVER
+                    (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM sf)
+               WHERE rn = 1),
+        asg AS (SELECT af.vec_id, af.cid, e.emb FROM af JOIN e USING (vec_id)),
+        q AS (SELECT vec_id AS qid, cid, emb AS qemb FROM asg WHERE vec_id < $BatchQueries),
+        corp AS (SELECT cid, vec_id, emb FROM asg WHERE vec_id >= $BatchQueries),
+        sc AS (SELECT q.qid, corp.vec_id,
+                 ${roundSql(cosSql("corp.emb", "q.qemb"), 4)} AS score
+               FROM corp JOIN q USING (cid)),
+        rk AS (SELECT qid, vec_id, score, row_number() OVER
+                 (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, score
+        FROM rk WHERE rnk <= $BatchTopK ORDER BY qid, rnk"""
+
+  /** Q85's oracle, shared verbatim by q89c (stored-index ADC search). */
+  private lazy val q85OracleSql: String =
+    s"""WITH $ivfPqCtes,
+        rk2 AS (SELECT qid, vec_id, adc, row_number() OVER
+                  (PARTITION BY qid ORDER BY adc, vec_id) AS rnk FROM sc2)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
+        FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk"""
+
+  /** Q85b's oracle, shared verbatim by q89d (stored-index rerank). */
+  private lazy val q85bOracleSql: String =
+    s"""WITH $ivfPqCtes,
+        short AS (SELECT qid, vec_id FROM
+                    (SELECT qid, vec_id, row_number() OVER
+                       (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM sc2)
+                  WHERE rn <= $PqShortlist),
+        ex AS (SELECT s.qid, s.vec_id,
+                 ${roundSql(
+                   "list_sum(list_transform(generate_series(1, 64), " +
+                     "i -> (eq.emb[i] - ec.emb[i]) * (eq.emb[i] - ec.emb[i])))", 4)} AS dist
+               FROM short s
+               JOIN e eq ON eq.vec_id = s.qid
+               JOIN e ec ON ec.vec_id = s.vec_id),
+        rk3 AS (SELECT qid, vec_id, dist, row_number() OVER
+                  (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM ex)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, dist
+        FROM rk3 WHERE rnk <= $BatchTopK ORDER BY qid, rnk"""
+
+  /** The q85 chain trained on the pre-append base only — the q90
+    * incremental-index oracle (assignment/encode still cover ALL
+    * vectors, exactly what build-on-base + append produces).
+    */
+  private val ivfPqAppendCtes: String = ivfPqCtesFor(s"vec_id < $AnnAppendSplit")
+
+  /** Full code-table summary on top of an [[ivfPqCtesFor]] chain: one
+    * row per vector, (coarse cell, CSV of its PQ codes) — the persisted
+    * artifact the q89/q90 build queries hash-check.
+    */
+  private val codeSummarySelect: String =
+    s"""fpa AS (SELECT vec_id, m, cid AS code FROM
+                  (SELECT *, row_number() OVER
+                     (PARTITION BY vec_id, m ORDER BY erri, cid) AS rn FROM fps)
+                WHERE rn = 1),
+        wide AS (SELECT vec_id,
+                   array_to_string(list(CAST(code AS VARCHAR) ORDER BY m), ',') AS codes_csv
+                 FROM fpa GROUP BY vec_id)
+        SELECT w.vec_id, af.cid, w.codes_csv
+        FROM wide w JOIN af USING (vec_id) ORDER BY vec_id"""
 
   /** DuckDB mirror of [[graft.operators.TextAnalysis.bm25]]: exact
     * integer corpus stats, identical idf/avgdl cast points, per-(doc,
@@ -813,6 +940,41 @@ object SparkEntry {
       Similarity.ivfPqRerankSearch(Tables.table(s, d, "embeddings"), NumCentroids,
         PqSub, PqCodes, KmeansIters, BatchQueries, PqShortlist, BatchTopK,
         IvfPqProbes)),
+    "q89_index_build" -> ((s, d) =>
+      codesSummary(s, ensureAnnStore(s, d))),
+    "q89b_stored_ivf_search" -> ((s, d) =>
+      Similarity.ivfSearchFrames(Tables.table(s, d, "embeddings"),
+        VectorIndexStore.centroids(s, ensureAnnStore(s, d)), BatchQueries, BatchTopK)),
+    "q89c_stored_adc_search" -> ((s, d) => {
+      val dir = ensureAnnStore(s, d)
+      Similarity.ivfPqSearchFrames(annQueryBatch(s, d),
+        VectorIndexStore.centroids(s, dir), VectorIndexStore.codebooks(s, dir),
+        VectorIndexStore.codes(s, dir).filter(col("vec_id") >= BatchQueries),
+        PqSub, BatchTopK, IvfPqProbes)
+    }),
+    "q89d_stored_rerank" -> ((s, d) => {
+      val dir = ensureAnnStore(s, d)
+      Similarity.ivfPqRerankFrames(annQueryBatch(s, d),
+        VectorIndexStore.centroids(s, dir), VectorIndexStore.codebooks(s, dir),
+        VectorIndexStore.codes(s, dir).filter(col("vec_id") >= BatchQueries),
+        Similarity.withEmb(Tables.table(s, d, "embeddings")),
+        PqSub, PqShortlist, BatchTopK, IvfPqProbes)
+    }),
+    "q90_index_append" -> ((s, d) =>
+      codesSummary(s, ensureAppendedAnnStore(s, d))),
+    "q90b_appended_search" -> ((s, d) => {
+      val dir = ensureAppendedAnnStore(s, d)
+      Similarity.ivfPqSearchFrames(annQueryBatch(s, d),
+        VectorIndexStore.centroids(s, dir), VectorIndexStore.codebooks(s, dir),
+        VectorIndexStore.codes(s, dir).filter(col("vec_id") >= BatchQueries),
+        PqSub, BatchTopK, IvfPqProbes)
+    }),
+    "q91_html_extract" -> ((s, d) =>
+      Html.extractText(Tables.table(s, d, "documents"))),
+    "q91b_html_main_content" -> ((s, d) =>
+      Html.mainContent(Tables.table(s, d, "documents"))),
+    "q91c_html_links" -> ((s, d) =>
+      Html.links(Tables.table(s, d, "documents"))),
     "q86_bm25" -> ((s, d) =>
       TextAnalysis.bm25(Tables.table(s, d, "documents"), Bm25Terms, Bm25K)),
     "q87_hybrid_rrf" -> ((s, d) =>
@@ -1402,6 +1564,7 @@ object SparkEntry {
           SELECT doc_id, CAST(max(w) AS INT) AS width,
                  CAST(max(h) AS INT) AS height,
                  CAST(max(fps) AS INT) AS fps_num,
+                 CAST(1 AS BIGINT) AS fps_den,
                  CAST(max(nf) AS BIGINT) AS n_frames,
                  CAST(sum(s) AS BIGINT) AS luma_sum,
                  CAST(sum(CASE WHEN f = 0 THEN s ELSE 0 END) AS BIGINT) AS luma_first
@@ -1812,25 +1975,11 @@ object SparkEntry {
           SELECT cid, dim, n, mean_val FROM m$KmeansIters ORDER BY cid, dim""",
     // Q18i: assignment + batch search (the q18e shape) over the TRAINED
     // centroids c{KmeansIters} instead of the vec_id<n stand-in.
-    "q18i_trained_search" ->
-      s"""WITH ${kmeansRoundsCte(KmeansIters)},
-          sf AS (SELECT e.vec_id, c.cid,
-                   ${roundSql(cosSql("e.emb", "c.cemb"), 6)} AS sim
-                 FROM e CROSS JOIN c$KmeansIters c),
-          af AS (SELECT vec_id, cid FROM
-                   (SELECT vec_id, cid, row_number() OVER
-                      (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM sf)
-                 WHERE rn = 1),
-          asg AS (SELECT af.vec_id, af.cid, e.emb FROM af JOIN e USING (vec_id)),
-          q AS (SELECT vec_id AS qid, cid, emb AS qemb FROM asg WHERE vec_id < $BatchQueries),
-          corp AS (SELECT cid, vec_id, emb FROM asg WHERE vec_id >= $BatchQueries),
-          sc AS (SELECT q.qid, corp.vec_id,
-                   ${roundSql(cosSql("corp.emb", "q.qemb"), 4)} AS score
-                 FROM corp JOIN q USING (cid)),
-          rk AS (SELECT qid, vec_id, score, row_number() OVER
-                   (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc)
-          SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, score
-          FROM rk WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
+    "q18i_trained_search" -> q18iOracleSql,
+    // Q89b: the same search over the PERSISTED coarse quantizer —
+    // doubles round-trip parquet bit-exactly, so the stored index must
+    // answer exactly what the just-trained one answers.
+    "q89b_stored_ivf_search" -> q18iOracleSql,
     "q51_standardize" ->
       s"""WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
                        ${exactSumSql("value", 2)} AS s1,
@@ -2541,32 +2690,71 @@ object SparkEntry {
     // residuals vs the final assignment, PQ training on residuals
     // (pqRounds over a residual-sourced pe/pc0), per-probed-cell query
     // residual LUTs, exact BIGINT ADC restricted to probed cells.
-    "q85_ivfpq_search" ->
+    "q85_ivfpq_search" -> q85OracleSql,
+    // Q85b: the q85 candidates pruned to a `PqShortlist` ADC shortlist,
+    // then exact squared-L2 re-rank on shortlist rows only (the q73c
+    // tail over the IVF-PQ candidate generator).
+    "q85b_ivfpq_rerank" -> q85bOracleSql,
+    // Q89: the persisted index IS the trained artifacts — the stored
+    // code table (cell id + PQ codes per vector, every vector) must
+    // equal the in-engine training chain's encode verbatim.
+    "q89_index_build" ->
       s"""WITH $ivfPqCtes,
+          $codeSummarySelect""",
+    // Q89c/q89d: serving from the store must answer exactly what the
+    // retrain-per-query path answers (q85/q85b oracles verbatim).
+    "q89c_stored_adc_search" -> q85OracleSql,
+    "q89d_stored_rerank" -> q85bOracleSql,
+    // Q90: build on the base (vec_id < split), append the rest against
+    // the STORED artifacts — the resulting code table equals training
+    // on the base and encoding everything.
+    "q90_index_append" ->
+      s"""WITH $ivfPqAppendCtes,
+          $codeSummarySelect""",
+    // Q90b: ADC search over the appended store — base-trained model,
+    // full (base + appended) candidate set.
+    "q90b_appended_search" ->
+      s"""WITH $ivfPqAppendCtes,
           rk2 AS (SELECT qid, vec_id, adc, row_number() OVER
                     (PARTITION BY qid ORDER BY adc, vec_id) AS rnk FROM sc2)
           SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
           FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
-    // Q85b: the q85 candidates pruned to a `PqShortlist` ADC shortlist,
-    // then exact squared-L2 re-rank on shortlist rows only (the q73c
-    // tail over the IVF-PQ candidate generator).
-    "q85b_ivfpq_rerank" ->
-      s"""WITH $ivfPqCtes,
-          short AS (SELECT qid, vec_id FROM
-                      (SELECT qid, vec_id, row_number() OVER
-                         (PARTITION BY qid ORDER BY adc, vec_id) AS rn FROM sc2)
-                    WHERE rn <= $PqShortlist),
-          ex AS (SELECT s.qid, s.vec_id,
-                   ${roundSql(
-                     "list_sum(list_transform(generate_series(1, 64), " +
-                       "i -> (eq.emb[i] - ec.emb[i]) * (eq.emb[i] - ec.emb[i])))", 4)} AS dist
-                 FROM short s
-                 JOIN e eq ON eq.vec_id = s.qid
-                 JOIN e ec ON ec.vec_id = s.vec_id),
-          rk3 AS (SELECT qid, vec_id, dist, row_number() OVER
-                    (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM ex)
-          SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, dist
-          FROM rk3 WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
+    // Q91: the generator's closed form — the extractor must recover
+    // title/body/link/para facts from REAL markup bytes (script data
+    // with unescaped '<', comments, entity-coded content), so every
+    // value here is a pure string identity over documents.text.
+    "q91_html_extract" ->
+      """SELECT doc_id,
+           'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           'home about contact ' || text || ' q&a ' || lang ||
+             ' © site' || CAST(doc_id % 5 AS VARCHAR) ||
+             '.example — terms · privacy' AS body_text,
+           CAST(5 AS BIGINT) AS n_links,
+           CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) + 1 AS n_paras
+         FROM documents ORDER BY doc_id""",
+    // Q91b: link-density boilerplate removal — nav (3 links / 3 words)
+    // and footer (2 links / 6 words) fail links*3 < words and drop;
+    // the content paragraphs and the entity-decoded tags line survive.
+    "q91b_html_main_content" ->
+      """SELECT doc_id,
+           text || ' q&a ' || lang AS main_text,
+           CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) + 3 AS n_blocks,
+           CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) + 1 AS n_kept
+         FROM documents ORDER BY doc_id""",
+    // Q91c: anchor extraction in document order — 3 nav links with
+    // per-site hrefs, then the 2 footer links.
+    "q91c_html_links" ->
+      """WITH l(rnk, anchor) AS (VALUES
+             (1, 'home'), (2, 'about'), (3, 'contact'),
+             (4, 'terms'), (5, 'privacy'))
+         SELECT d.doc_id, CAST(l.rnk AS BIGINT) AS rnk,
+           CASE WHEN l.rnk <= 3
+                THEN 'https://site' || CAST(d.doc_id % 5 AS VARCHAR)
+                     || '.example/' || l.anchor
+                ELSE '/' || l.anchor END AS href,
+           l.anchor
+         FROM documents d CROSS JOIN l
+         ORDER BY doc_id, rnk""",
     // Q86: BM25 — identical idf/avgdl formulas on exact integer corpus
     // stats, per-(doc, term) contributions on the 1e-6 grid (same cast
     // points), exact integer sums, (score DESC, doc_id) LIMIT k.

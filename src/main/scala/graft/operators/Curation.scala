@@ -322,6 +322,16 @@ object Curation {
     * distinct; the dup set flows back through a semi join keyed on the
     * digest. Skew is bounded by the duplicate mass itself (a digest's
     * row count = its occurrence count), the same contract as q17/q70.
+    *
+    * Collision regime (the repo-wide hash48 convention): keying on
+    * 48-bit digests means birthday collisions appear around ~2^24
+    * distinct n-grams and are material at billions — and a collision
+    * marks a UNIQUE n-gram as duplicated, so at production scale
+    * `dup_frac` is an over-estimate, never an under-estimate. That
+    * one-sided bias is the safe direction for a drop-threshold
+    * diagnostic (it can only flag more docs for review); widen the
+    * digest (hash48 → two-lane 96-bit, q17's escalation path) if the
+    * corpus approaches that regime.
     */
   def dupNgramCoverage(docs: DataFrame, n: Int, flagAt: Double): DataFrame = {
     val d = graft.sources.Tables.widen(docs)

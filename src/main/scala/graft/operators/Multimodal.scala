@@ -364,10 +364,12 @@ object Multimodal {
   /** REAL Y4M parse: validates the magic, reads the W/H/F header
     * tokens, then walks `FRAME` sections extracting each frame's luma
     * plane (4:2:0 chroma skipped by size). Returns (w, h, fpsNum,
-    * luma planes) or None for bytes that are not a well-formed clip —
-    * the untrusted-media fallback contract of [[decodeImage]].
+    * fpsDen, luma planes) — both sides of the F ratio, so NTSC-style
+    * rates (F30000:1001) survive the parse — or None for bytes that
+    * are not a well-formed clip — the untrusted-media fallback
+    * contract of [[decodeImage]].
     */
-  def decodeY4m(payload: Array[Byte]): Option[(Int, Int, Int, Seq[Array[Byte]])] =
+  def decodeY4m(payload: Array[Byte]): Option[(Int, Int, Int, Int, Seq[Array[Byte]])] =
     try {
       val nl = payload.indexOf('\n'.toByte)
       if (nl < 0) return None
@@ -378,7 +380,13 @@ object Multimodal {
         toks.tail.find(_.startsWith(p)).map(_.drop(p.length))
       val w = tok("W").map(_.toInt).getOrElse(return None)
       val h = tok("H").map(_.toInt).getOrElse(return None)
-      val fpsNum = tok("F").map(_.split(":")(0).toInt).getOrElse(return None)
+      val fTok = tok("F").getOrElse(return None)
+      val fParts = fTok.split(":")
+      val fpsNum = fParts(0).toInt
+      // Y4M allows a bare numerator; spec form is num:den (den = 1001
+      // for NTSC rates). Absent den defaults to 1.
+      val fpsDen = if (fParts.length > 1) fParts(1).toInt else 1
+      if (fpsDen <= 0) return None
       if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0) return None
       // Honor the colorspace tag (absent = 420 per the Y4M spec): the
       // chroma plane sizes differ per subsampling, and misreading them
@@ -402,7 +410,7 @@ object Multimodal {
         frames += java.util.Arrays.copyOfRange(payload, fnl + 1, fnl + 1 + w * h)
         pos = fnl + 1 + frameBytes
       }
-      if (frames.isEmpty) None else Some((w, h, fpsNum, frames.toSeq))
+      if (frames.isEmpty) None else Some((w, h, fpsNum, fpsDen, frames.toSeq))
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
@@ -425,7 +433,7 @@ object Multimodal {
       .mapPartitions { ids =>
         ids.map { id =>
           val blob = y4mBlob(id)
-          val (w, h, fps, frames) = decodeY4m(blob.payload)
+          val (w, h, fps, fpsDen, frames) = decodeY4m(blob.payload)
             .getOrElse(sys.error(s"Y4M round-trip failed for doc $id"))
           var total = 0L
           var first = 0L
@@ -442,10 +450,10 @@ object Multimodal {
             total += s
             f += 1
           }
-          (id, w, h, fps, frames.length.toLong, total, first)
+          (id, w, h, fps, fpsDen.toLong, frames.length.toLong, total, first)
         }
       }
-      .toDF("doc_id", "width", "height", "fps_num", "n_frames",
+      .toDF("doc_id", "width", "height", "fps_num", "fps_den", "n_frames",
         "luma_sum", "luma_first")
       .orderBy("doc_id")
   }

@@ -326,8 +326,18 @@ object Similarity {
     * map-only, and search joins the broadcast query batch on cluster id.
     */
   def ivfSearchTrained(emb: DataFrame, nCentroids: Int, iters: Int,
-                       nQueries: Int, k: Int): DataFrame = {
-    val assigned = assignTo(withEmb(emb), trainedCentroids(emb, nCentroids, iters))
+                       nQueries: Int, k: Int): DataFrame =
+    ivfSearchFrames(emb, trainedCentroids(emb, nCentroids, iters), nQueries, k)
+
+  /** [[ivfSearchTrained]]'s search half over an EXPLICIT centroid
+    * frame — the stored-index entry point: q18i passes the centroids
+    * it just trained; [[graft.sources.VectorIndexStore]] consumers
+    * pass the parquet-read coarse quantizer, so a trained-once index
+    * serves any number of query batches without re-running Lloyd.
+    */
+  def ivfSearchFrames(emb: DataFrame, centroids: DataFrame,
+                      nQueries: Int, k: Int): DataFrame = {
+    val assigned = assignTo(withEmb(emb), centroids)
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("cid"), col("emb").as("qemb"))
     val corpus = assigned
@@ -1096,39 +1106,87 @@ object Similarity {
 
   /** Residual-ADC scores of every (query, probed-cell corpus vector)
     * pair — the shared candidate generator of [[ivfPqSearch]] and
-    * [[ivfPqRerankSearch]].
+    * [[ivfPqRerankSearch]], composed from the artifact builders below
+    * (train everything in-engine, then score — the per-query-retrain
+    * path; [[graft.sources.VectorIndexStore]] persists the same
+    * artifacts for the train-once / serve-many path).
     */
   private def ivfPqScored(emb: DataFrame, nCentroids: Int, nSub: Int, nCodes: Int,
                           iters: Int, nQueries: Int, nProbe: Int): DataFrame = {
-    val subLen = 64 / nSub
-    val e = withEmb(emb)
+    val (coarse, books, codes) = ivfPqArtifacts(emb, nCentroids, nSub, nCodes, iters)
+    val queries = withEmb(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb"))
+    val luts = ivfPqQueryLuts(queries, coarse, books, nSub, nProbe)
+    adcScoreCodes(codes.filter(col("vec_id") >= nQueries), luts, nSub)
+  }
+
+  /** The three IVF-PQ index artifacts, each a plain frame: coarse
+    * centroids `(cid, cemb)` from [[kmeansTrain]], residual-trained
+    * sub-codebooks `(m, cid, cemb)`, and the code table
+    * `(vec_id, cid, codes)` covering EVERY input vector. These ARE the
+    * index — [[graft.sources.VectorIndexStore]] writes them to parquet
+    * and the `*Frames` searches below consume them from either source,
+    * so "index" is a value, not a per-query side effect.
+    */
+  private[graft] def ivfPqArtifacts(emb: DataFrame, nCentroids: Int, nSub: Int,
+                                    nCodes: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val coarse = trainedCentroids(emb, nCentroids, iters)
-    val coarseRow = coarse
-      .agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))
-    // Residuals of every vector w.r.t. its assigned coarse centroid.
-    val resid = assignTo(e, coarse)
+    val resid = residuals(withEmb(emb), coarse)
+    val (_, books) =
+      pqTrainLoopFrom(resid.select(col("vec_id"), col("emb")), nSub, nCodes, iters)
+    (coarse, books, encodeResiduals(resid, books, nSub))
+  }
+
+  /** Residuals of every vector w.r.t. its assigned coarse centroid —
+    * map-only: [[assignTo]]'s broadcast argmax plus a broadcast join
+    * back to the bounded centroid frame for the subtraction.
+    */
+  private[graft] def residuals(e: DataFrame, coarse: DataFrame): DataFrame =
+    assignTo(e, coarse)
       .join(broadcast(coarse), "cid")
       .withColumn("emb", expr("zip_with(emb, cemb, (x, y) -> x - y)"))
       .select(col("vec_id"), col("cid"), col("emb"))
-    val (_, books) =
-      pqTrainLoopFrom(resid.select(col("vec_id"), col("emb")), nSub, nCodes, iters)
+
+  /** Subspace-m squared L2 between the row's residual slice and the
+    * subLen-length trained entry b.cemb, on the exact 1e-6 grid.
+    */
+  private def residErrSql(subLen: Int): String =
+    s"""CAST(floor(aggregate(sequence(0, $subLen - 1), CAST(0.0 AS DOUBLE),
+          (acc, i) -> acc + (emb[m * $subLen + i] - b.cemb[i])
+                          * (emb[m * $subLen + i] - b.cemb[i])) * 1e6 + 0.5) AS BIGINT)"""
+
+  /** PQ-encode residual vectors `(vec_id, cid, emb)` against list-form
+    * sub-codebooks `(m, cid, cemb)`: argmin erri, tie → lowest code
+    * (the q73 contract), map-only under one broadcast codebook row.
+    * This is also the INCREMENTAL-maintenance kernel: new vectors are
+    * admitted to a stored index by running exactly this encode against
+    * the STORED books — no retraining touches the existing codes.
+    */
+  private[graft] def encodeResiduals(resid: DataFrame, books: DataFrame, nSub: Int): DataFrame = {
     val booksRow = books
       .agg(collect_list(struct(col("m"), col("cid"), col("cemb"))).as("books"))
-    // Subspace-m squared L2 between the row's residual slice and the
-    // subLen-length trained entry b.cemb, on the exact 1e-6 grid.
-    val errSql =
-      s"""CAST(floor(aggregate(sequence(0, $subLen - 1), CAST(0.0 AS DOUBLE),
-            (acc, i) -> acc + (emb[m * $subLen + i] - b.cemb[i])
-                            * (emb[m * $subLen + i] - b.cemb[i])) * 1e6 + 0.5) AS BIGINT)"""
-    val codes = resid.filter(col("vec_id") >= nQueries)
-      .crossJoin(broadcast(booksRow))
+    resid.crossJoin(broadcast(booksRow))
       .select(col("vec_id"), col("cid"), expr(
         s"""transform(sequence(0, $nSub - 1), m ->
               array_min(transform(filter(books, b -> b.m = m),
-                b -> named_struct('erri', $errSql, 'cid', b.cid))).cid)""").as("codes"))
-    // Per (query, probed cell): the query's residual in that cell and
-    // its cid-keyed ADC lookup table against the trained codebooks.
-    val luts = e.filter(col("vec_id") < nQueries)
+                b -> named_struct('erri', ${residErrSql(64 / nSub)}, 'cid', b.cid))).cid)""")
+        .as("codes"))
+  }
+
+  /** Per-(query, probed cell) residual-ADC lookup tables, long form
+    * `(qid, pcid, lut)`: each query probes its `nProbe` nearest coarse
+    * cells and builds a cid-keyed table of subspace distances from its
+    * residual IN THAT CELL (the asymmetric part of IVFADC). Bounded:
+    * nQueries × nProbe rows regardless of corpus size.
+    */
+  private[graft] def ivfPqQueryLuts(queries: DataFrame, coarse: DataFrame,
+                                    books: DataFrame, nSub: Int, nProbe: Int): DataFrame = {
+    val subLen = 64 / nSub
+    val coarseRow = coarse
+      .agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))
+    val booksRow = books
+      .agg(collect_list(struct(col("m"), col("cid"), col("cemb"))).as("books"))
+    queries
       .crossJoin(broadcast(coarseRow))
       .withColumn("p", explode(expr(
         s"""slice(array_sort(transform(cents, c -> named_struct(
@@ -1136,19 +1194,87 @@ object Similarity {
               'cid', c.cid,
               'cemb', c.cemb))), 1, $nProbe)""")))
       .withColumn("emb", expr("zip_with(emb, p.cemb, (x, y) -> x - y)"))
-      .select(col("vec_id").as("qid"), col("p.cid").as("pcid"), col("emb"))
+      .select(col("qid"), col("p.cid").as("pcid"), col("emb"))
       .crossJoin(broadcast(booksRow))
       .select(col("qid"), col("pcid"), expr(
         s"""transform(sequence(0, $nSub - 1), m ->
               map_from_entries(transform(filter(books, b -> b.m = m),
-                b -> struct(b.cid, $errSql))))""").as("lut"))
+                b -> struct(b.cid, ${residErrSql(subLen)}))))""").as("lut"))
+  }
+
+  /** ADC scores of every (query, probed-cell code row) pair from the
+    * code table and the long-form query LUTs alone — the serving-time
+    * hot path. The corpus side carries ONLY its `nSub` small code
+    * integers (float vectors are never read); the LUT set folds into
+    * one broadcast row; a code row is scored only for queries probing
+    * its cell.
+    */
+  private[graft] def adcScoreCodes(codes: DataFrame, luts: DataFrame, nSub: Int): DataFrame = {
+    val lutsRow = luts
       .agg(collect_list(struct(col("qid"), col("pcid"), col("lut"))).as("qluts"))
-    codes.crossJoin(broadcast(luts))
+    codes.crossJoin(broadcast(lutsRow))
       .select(col("vec_id"), col("cid"), col("codes"), explode(col("qluts")).as("q"))
       .where(col("q.pcid") === col("cid"))
       .withColumn("adc", roundTo(expr(
         s"""aggregate(sequence(0, $nSub - 1), CAST(0 AS BIGINT),
               (acc, m) -> acc + element_at(q.lut[m], codes[m]))""").cast("double") / 1e6, 4))
       .select(col("q.qid").as("qid"), col("vec_id"), col("adc"))
+  }
+
+  /** Stored-index IVF-PQ ADC search — [[ivfPqSearch]]'s ranking over
+    * EXPLICIT artifact frames (centroids/codebooks/codes, typically
+    * [[graft.sources.VectorIndexStore]] reads): nothing here trains;
+    * the query cost is LUT construction (bounded) plus a scan of the
+    * probed cells' code rows. Because the probe set is bounded
+    * (≤ nQueries × nProbe cell ids), it is collected and pushed into
+    * the code-table scan as an `IN` filter — with the store's
+    * cid-partitioned layout that prunes unprobed cells at FILE level,
+    * so serving reads |probed cells| / |cells| of the code bytes and
+    * none of the float bytes.
+    */
+  def ivfPqSearchFrames(queries: DataFrame, coarse: DataFrame, books: DataFrame,
+                        codes: DataFrame, nSub: Int, k: Int, nProbe: Int): DataFrame = {
+    val luts = ivfPqQueryLuts(queries, coarse, books, nSub, nProbe)
+      .localCheckpoint()
+    val probed = luts.select("pcid").distinct().collect().map(_.getLong(0))
+    adcScoreCodes(codes.filter(col("cid").isin(probed.toSeq: _*)), luts, nSub)
+      .groupBy(col("qid"))
+      .agg(expr(s"slice(graft_top10(-adc, vec_id), 1, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("vec_id"), (-col("col._1")).as("adc"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Stored-index IVFADC+R — [[ivfPqRerankSearch]] over explicit
+    * artifact frames plus the float-vector table: the stored codes
+    * prune to a bounded shortlist, then ONLY shortlist rows read their
+    * float vectors for the exact squared-L2 re-rank. `vecs` is the
+    * (vec_id, emb) float source — at scale the id-keyed vector store,
+    * touched for queries × shortlist rows post-pruning.
+    */
+  def ivfPqRerankFrames(queries: DataFrame, coarse: DataFrame, books: DataFrame,
+                        codes: DataFrame, vecs: DataFrame, nSub: Int,
+                        shortlist: Int, k: Int, nProbe: Int): DataFrame = {
+    require(shortlist <= 50, "shortlist is capped by the graft_top50 buffer")
+    val luts = ivfPqQueryLuts(queries, coarse, books, nSub, nProbe)
+      .localCheckpoint()
+    val probed = luts.select("pcid").distinct().collect().map(_.getLong(0))
+    val short = adcScoreCodes(codes.filter(col("cid").isin(probed.toSeq: _*)), luts, nSub)
+      .groupBy("qid")
+      .agg(expr(s"slice(graft_top50(-adc, vec_id), 1, $shortlist)").as("top"))
+      .select(col("qid"), explode(expr("transform(top, t -> t._2)")).as("vec_id"))
+    short
+      .join(vecs.select(col("vec_id"), col("emb")), "vec_id")
+      .join(broadcast(queries.select(col("qid"), col("emb").as("qemb"))), "qid")
+      .withColumn("dist", roundTo(expr(
+        """aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+             (acc, i) -> acc + (emb[i] - qemb[i]) * (emb[i] - qemb[i]))"""), 4))
+      .groupBy("qid")
+      .agg(expr(s"slice(graft_top10(-dist, vec_id), 1, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("vec_id"), (-col("col._1")).as("dist"))
+      .orderBy("qid", "rnk")
   }
 }

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Persisted IVF-PQ index — the train-once / serve-many artifact the
+  * per-query trainers (q18i/q80/q85) deliberately lack. `build` runs
+  * the in-engine training pipeline ([[Similarity.ivfPqArtifacts]]:
+  * coarse k-means, residual PQ sub-codebooks, corpus encode) exactly
+  * once and materializes the three artifacts as parquet; every later
+  * search loads them and pays only LUT construction plus a pruned
+  * code-table scan. The model precedent is [[DocStore]] (persisted
+  * layout + incremental refresh) and the exported perceptron weights
+  * (Classifier.trainedWeights) — this closes the same loop for ANN.
+  *
+  * Layout under `dir`:
+  *   - `centroids/` — (cid, cemb double[64]): the coarse quantizer.
+  *     nCentroids rows; a broadcast-sized model table.
+  *   - `codebooks/` — (m, cid, cemb double[subLen]): residual-trained
+  *     PQ sub-codebooks. ≤ nSub × nCodes rows; broadcast-sized.
+  *   - `codes/` — (vec_id, codes int[nSub]) PARTITIONED BY cid: the
+  *     encoded corpus. Partitioning by coarse cell is the serving
+  *     layout: a query batch probes a bounded cell set, so the scan
+  *     prunes unprobed cells at FILE-listing time and serving I/O is
+  *     |probed cells| / |cells| of the code bytes — and code bytes are
+  *     ~nSub integers/vector, ~1.6 % of the float bytes, which are not
+  *     read at all on the ADC path. At 100 TB of embeddings the index
+  *     is a few-TB store whose per-query read is a handful of cell
+  *     files.
+  *
+  * Doubles round-trip parquet bit-exactly, so searches over the loaded
+  * artifacts equal searches over the just-trained frames verbatim —
+  * the store adds durability, not a new numeric contract.
+  */
+object VectorIndexStore {
+
+  /** Train the index on `emb` and materialize it under `dir`
+    * (overwrite). The artifacts are bounded (centroids, codebooks) or
+    * map-only encodes (codes) — nothing here shuffles corpus floats;
+    * codes repartition by their cell id only (nSub ints per row).
+    */
+  def build(emb: DataFrame, dir: String, nCentroids: Int, nSub: Int,
+            nCodes: Int, iters: Int): Unit = {
+    val (coarse, books, codes) = Similarity.ivfPqArtifacts(emb, nCentroids, nSub, nCodes, iters)
+    coarse.write.mode("overwrite").parquet(s"$dir/centroids")
+    books.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes
+      .repartition(col("cid"))
+      .sortWithinPartitions("vec_id")
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Admit new vectors to an EXISTING index without retraining: assign
+    * each to its stored coarse centroid, encode its residual against
+    * the stored sub-codebooks ([[Similarity.encodeResiduals]] — the
+    * same kernel the build used), and append the new code rows to the
+    * store. Existing codes, centroids and codebooks are untouched —
+    * this is the production embedding-ingest path (the q76 admit
+    * pattern, for the trained index): per batch, one map-only encode
+    * of the NEW rows and an append of nSub ints each.
+    */
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val coarse = centroids(spark, dir)
+    val books = codebooks(spark, dir)
+    // nSub is a property of the stored codebooks (bounded read).
+    val nSub = books.agg(max("m")).first().getAs[Number](0).intValue + 1
+    val resid = Similarity.residuals(Similarity.withEmb(newVecs), coarse)
+    Similarity.encodeResiduals(resid, books, nSub)
+      .repartition(col("cid"))
+      .sortWithinPartitions("vec_id")
+      .write.partitionBy("cid").mode("append").parquet(s"$dir/codes")
+  }
+
+  /** The stored coarse quantizer (cid, cemb). */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/centroids")
+
+  /** The stored PQ sub-codebooks (m, cid, cemb). */
+  def codebooks(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codebooks")
+
+  /** The stored code table (vec_id, cid, codes) — cid is the partition
+    * column, so `filter(cid isin probed)` prunes at file level.
+    */
+  def codes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("codes"))
+
+  /** [[build]] once per (dir, params) per JVM — the trained index is a
+    * pure function of its inputs, and queries against it should
+    * measure SERVING, not re-training (the [[DocStore.writeOnce]]
+    * idempotence contract).
+    */
+  def buildOnce(emb: DataFrame, dir: String, nCentroids: Int, nSub: Int,
+                nCodes: Int, iters: Int): Unit = {
+    val key = (dir, nCentroids, nSub, nCodes, iters)
+    if (!built.contains(key)) synchronized {
+      if (!built.contains(key)) {
+        build(emb, dir, nCentroids, nSub, nCodes, iters)
+        built += key
+      }
+    }
+  }
+
+  /** Build-on-base + append-the-rest, once per JVM: the incremental-
+    * maintenance round trip as one idempotent unit (build overwrites,
+    * so a fresh JVM redoes both steps from scratch — an append is
+    * never applied twice to the same store).
+    */
+  def buildAppendedOnce(spark: SparkSession, dir: String, baseEmb: DataFrame,
+                        newEmb: DataFrame, nCentroids: Int, nSub: Int,
+                        nCodes: Int, iters: Int): Unit = {
+    val key = (dir, nCentroids, nSub, nCodes, iters)
+    if (!appended.contains(key)) synchronized {
+      if (!appended.contains(key)) {
+        build(baseEmb, dir, nCentroids, nSub, nCodes, iters)
+        append(spark, dir, newEmb)
+        appended += key
+      }
+    }
+  }
+
+  private val built = scala.collection.mutable.Set.empty[(String, Int, Int, Int, Int)]
+  private val appended = scala.collection.mutable.Set.empty[(String, Int, Int, Int, Int)]
+}

@@ -54,6 +54,9 @@ object StreamingKmeans {
       .select(col("vec_id"), expr(
         "transform(emb, x -> CAST(floor(x * 1e4 + 0.5) AS BIGINT))").as("units"))
       .orderBy("vec_id").collect()
+    require(rows.length == k,
+      s"seed needs vectors for every vec_id in [0, $k), found ${rows.length} — " +
+        "a short model would silently train with fewer centroids")
     Model(rows.map(r =>
       (r.getLong(0).toInt, r.getSeq[Long](1).toArray, 1L)))
   }
@@ -84,11 +87,14 @@ object StreamingKmeans {
           val nB = rows.head.getLong(3)
           val byDim = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
           val blended = units.zipWithIndex.map { case (u, d) =>
-            // (n_old·c_old + s_batch) in 1e-6 units stays < 2^53 for
-            // any realistic count, so the division rounds identically
-            // everywhere: c' on the 1e-4 grid.
-            val numer = nOld.toDouble * (u * 100L) + byDim(d).toDouble
-            math.floor(numer / (nOld + nB) / 100.0 + 0.5).toLong
+            // (n_old·c_old + s_batch) in 1e-6 units as a LONG product —
+            // exact (no 2^53 mantissa cliff) for counts up to ~9e12
+            // with unit-scale components (|u|·100 ≤ 1e6), far past any
+            // single-model stream; one integer round-half-up division
+            // lands c' on the 1e-4 grid.
+            val numer = nOld * (u * 100L) + byDim(d)
+            val den = (nOld + nB) * 100L
+            Math.floorDiv(2L * numer + den, 2L * den)
           }
           (cid, blended, nOld + nB)
       }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Html
+import graft.sources.Tables
+
+/** HTML extraction contract (q91 family): the declarative parse chain
+  * recovers exactly the generator's closed form from REAL markup bytes
+  * (entities decoded, script/comment data excluded, chrome dropped by
+  * link density), degrades to empty fields on markup-free input, and
+  * stays UDF-free (whole-stage-codegen'd regexp/string expressions).
+  */
+class HtmlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftSession.registerUdafs(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val docs =
+    Tables.table(spark, "/root/testdata/sf0.001", "documents").limit(8)
+
+  test("q91: extraction recovers the closed form — entities decoded, script/comment excluded") {
+    val byId = docs.select("doc_id", "text", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val got = Html.extractText(docs).collect()
+    assert(got.length == byId.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (text, lang) = byId(id)
+      assert(r.getString(1) == s"doc $id", "title must come from <title> content")
+      val expectedBody = s"home about contact $text q&a $lang " +
+        s"© site${id % 5}.example — terms · privacy"
+      assert(r.getString(2) == expectedBody,
+        s"doc $id: body text drift\n got: ${r.getString(2)}\nwant: $expectedBody")
+      assert(r.getLong(3) == 5L, "5 anchors per page")
+      val nParas = math.ceil(text.split(" ").length / 8.0).toLong + 1
+      assert(r.getLong(4) == nParas,
+        "paragraph count must ignore the <p> inside the script string")
+    }
+  }
+
+  test("q91b: link-density boilerplate removal keeps prose, drops nav/footer chrome") {
+    val byId = docs.select("doc_id", "text", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    Html.mainContent(docs).collect().foreach { r =>
+      val id = r.getLong(0)
+      val (text, lang) = byId(id)
+      assert(r.getString(1) == s"$text q&a $lang",
+        s"doc $id: main content must be the paragraphs + tags line only")
+      val nParas = math.ceil(text.split(" ").length / 8.0).toLong
+      assert(r.getLong(2) == nParas + 3, "blocks = paras + tags + nav + footer")
+      assert(r.getLong(3) == nParas + 1, "kept = paras + tags")
+    }
+  }
+
+  test("q91c: anchors extracted in document order with hrefs and decoded text") {
+    val rows = Html.links(docs.limit(1)).collect()
+    assert(rows.length == 5)
+    val id = rows.head.getLong(0)
+    val site = s"site${id % 5}.example"
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows.map(_.getString(2)).toSeq == Seq(
+      s"https://$site/home", s"https://$site/about", s"https://$site/contact",
+      "/terms", "/privacy"))
+    assert(rows.map(_.getString(3)).toSeq ==
+      Seq("home", "about", "contact", "terms", "privacy"))
+  }
+
+  test("malformed / markup-free input yields empty fields, never a throw") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "just plain text, no markup at all"),
+      (2L, "<html><head><title>only a title"),  // unterminated
+      (3L, ""),
+      (4L, "<body><p>loose <b>bold</b> tail</p>")  // no </body>
+    ).toDF("doc_id", "html")
+    val got = Html.extractFromPages(pages).collect()
+    assert(got.length == 4)
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "" && byId(1L).getString(2) == "")
+    assert(byId(1L).getLong(3) == 0L && byId(1L).getLong(4) == 0L)
+    assert(byId(2L).getString(1) == "", "unterminated <title> must not match")
+    assert(byId(3L).getString(2) == "")
+    assert(byId(4L).getString(2) == "", "no </body> → no body match")
+    // The block/link extractors share the fallback contract.
+    assert(Html.mainContentFromPages(pages).count() == 4)
+    assert(Html.linksFromPages(pages).count() == 0)
+  }
+
+  test("plan audit: the parse chain is UDF-free (codegen-eligible expressions only)") {
+    val plan = Html.extractText(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"extraction must be built-in expressions only:\n$plan")
+  }
+}

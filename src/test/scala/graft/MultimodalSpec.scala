@@ -124,9 +124,14 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val blob = Multimodal.y4mBlob(7L)
     val parsed = Multimodal.decodeY4m(blob.payload)
     assert(parsed.isDefined, "generated clip must parse")
-    val (w, h, fps, frames) = parsed.get
+    val (w, h, fps, fpsDen, frames) = parsed.get
     assert(w == (8 + 2 * ((7L * 13) % 12)).toInt && h == (8 + 2 * ((7L * 7) % 8)).toInt)
-    assert(fps == 25 && frames.length == (2 + 7 % 5))
+    assert(fps == 25 && fpsDen == 1 && frames.length == (2 + 7 % 5))
+    // NTSC-style ratio survives the parse: both sides of F are read.
+    val ntsc = ("YUV4MPEG2 W2 H2 F30000:1001 C420jpeg\nFRAME\n" +
+      new String(Array.fill(6)('x'))).getBytes
+    val ntscParsed = Multimodal.decodeY4m(ntsc)
+    assert(ntscParsed.isDefined && ntscParsed.get._3 == 30000 && ntscParsed.get._4 == 1001)
     assert(frames.forall(_.length == w * h), "every frame carries a full luma plane")
     // Byte-level: first frame, raster index 3 is (7·id + 0 + 3) mod 251.
     assert((frames.head(3) & 0xFF) == ((7 * 7 + 3) % 251))

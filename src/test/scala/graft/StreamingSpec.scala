@@ -1092,6 +1092,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"online training must improve the seed fit: $seedObj -> $finalObj")
   }
 
+  test("S19: stored ANN index serves a query-vector stream ≡ batch, stateless") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{Tables, VectorIndexStore}
+    import graft.streaming.StreamingAnnServe
+    // The serve-many half of train-once/serve-many: the PERSISTED
+    // IVF-PQ index (S17's broadcast-model pattern, for vectors)
+    // answers arriving query batches with no streaming state — the
+    // index artifact on disk is the only model, so any number of
+    // concurrent query streams share one training run.
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s19").toString
+    val (nSub, k, nProbe) = (4, 10, 2)
+    VectorIndexStore.build(emb, dir, 8, nSub, 8, 2)
+    val coarse = VectorIndexStore.centroids(spark, dir)
+    val books = VectorIndexStore.codebooks(spark, dir)
+    val codes = VectorIndexStore.codes(spark, dir).filter(col("vec_id") >= 4)
+    val queryVecs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    type R = (Long, Long, Long, Double)
+    val got = scala.collection.mutable.ArrayBuffer.empty[R]
+    val src = MemoryStream[(Long, Seq[Double])]
+    val q = src.toDF().toDF("qid", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = StreamingAnnServe.scoreBatch(b, coarse, books, codes, nSub, k, nProbe)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        got.synchronized { got ++= v }
+        ()
+      }
+      .outputMode("update").start()
+    // Two cuts: serving must be a pure per-batch function of the index.
+    try {
+      src.addData(queryVecs.take(2): _*); q.processAllAvailable()
+      src.addData(queryVecs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.Similarity.ivfPqSearchFrames(
+      emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("emb")),
+      coarse, books, codes, nSub, k, nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.sortBy(r => (r._1, r._2)).toSeq == want.sortBy(r => (r._1, r._2)),
+      "stream serving must equal the one-shot batch search exactly")
+    assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+      s"index serving must not allocate streaming state: ${q.lastProgress}")
+  }
+
   test("S15: streaming MG panes hold every true heavy hitter with O(panes·capacity) state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.sources.{Tables, VectorIndexStore}
+
+/** Operational contract of the persisted ANN index (q89/q90 families):
+  * the store is train-once / serve-many — searches over the loaded
+  * artifacts equal the retrain-per-query path row-for-row; append
+  * admits new vectors WITHOUT touching the trained model or existing
+  * codes; and serving reads only the probed cells' code files (the
+  * cid-partitioned layout prunes at file level).
+  */
+class VectorIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftSession.registerUdafs(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val (nCents, nSub, nCodes, iters, nQ, k, nProbe) = (8, 4, 8, 2, 4, 10, 2)
+  private lazy val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft_vixspec").toString
+    VectorIndexStore.build(emb, d, nCents, nSub, nCodes, iters)
+    d
+  }
+
+  private def queries = Similarity.withEmb(emb)
+    .filter(col("vec_id") < nQ).select(col("vec_id").as("qid"), col("emb"))
+
+  test("stored-index search equals the retrain-per-query path row-for-row") {
+    val fromStore = Similarity.ivfPqSearchFrames(queries,
+      VectorIndexStore.centroids(spark, dir), VectorIndexStore.codebooks(spark, dir),
+      VectorIndexStore.codes(spark, dir).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe).collect().toSeq
+    val retrained = Similarity.ivfPqSearch(emb, nCents, nSub, nCodes, iters,
+      nQ, k, nProbe).collect().toSeq
+    assert(fromStore == retrained,
+      "a persisted index must answer exactly what the just-trained one answers")
+  }
+
+  test("append admits new vectors without retraining: model frozen, existing codes untouched") {
+    val d = Files.createTempDirectory("graft_vixspec_app").toString
+    val base = emb.filter(col("vec_id") < 400)
+    VectorIndexStore.build(base, d, nCents, nSub, nCodes, iters)
+    val centsBefore = VectorIndexStore.centroids(spark, d)
+      .orderBy("cid").collect().toSeq
+    val booksBefore = VectorIndexStore.codebooks(spark, d)
+      .orderBy("m", "cid").collect().toSeq
+    val codesBefore = VectorIndexStore.codes(spark, d)
+      .orderBy("vec_id").collect().toSeq
+    VectorIndexStore.append(spark, d, emb.filter(col("vec_id") >= 400))
+    assert(VectorIndexStore.centroids(spark, d).orderBy("cid").collect().toSeq
+      == centsBefore, "append must not touch the coarse quantizer")
+    assert(VectorIndexStore.codebooks(spark, d).orderBy("m", "cid").collect().toSeq
+      == booksBefore, "append must not touch the sub-codebooks")
+    val after = VectorIndexStore.codes(spark, d).orderBy("vec_id").collect().toSeq
+    assert(after.filter(_.getLong(0) < 400) == codesBefore,
+      "existing code rows must be byte-stable under append")
+    val total = emb.count()
+    assert(after.length.toLong == total && after.map(_.getLong(0)).distinct.length.toLong == total,
+      "every vector coded exactly once after append")
+    // The appended rows are coded against the STORED model: re-encoding
+    // them from the stored artifacts reproduces them.
+    val coarse = VectorIndexStore.centroids(spark, d)
+    val books = VectorIndexStore.codebooks(spark, d)
+    val expected = Similarity.encodeResiduals(
+      Similarity.residuals(Similarity.withEmb(emb.filter(col("vec_id") >= 400)), coarse),
+      books, nSub).orderBy("vec_id").collect().toSeq
+    assert(after.filter(_.getLong(0) >= 400).map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      == expected.map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))))
+  }
+
+  test("serving prunes unprobed cells at FILE level via the cid partitioning") {
+    val codes = VectorIndexStore.codes(spark, dir)
+    // Files actually touched by the scan (input_file_name executes the
+    // pruned plan — df.inputFiles reports the UNfiltered relation).
+    def filesTouched(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val allFiles = filesTouched(codes)
+    val cells = codes.select("cid").distinct().collect().map(_.getLong(0)).sorted
+    assert(cells.length > nProbe, "fixture must have more cells than probes")
+    val probedOnly = codes.filter(col("cid").isin(cells.take(nProbe).map(Long.box): _*))
+    assert(filesTouched(probedOnly) < allFiles,
+      s"an IN filter on the partition column must prune files: " +
+        s"${filesTouched(probedOnly)} vs $allFiles")
+  }
+
+  test("ADC serving never scans the float embedding column on the corpus side") {
+    val search = Similarity.ivfPqSearchFrames(queries,
+      VectorIndexStore.centroids(spark, dir), VectorIndexStore.codebooks(spark, dir),
+      VectorIndexStore.codes(spark, dir).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val storeScans = search.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(dir)) =>
+        f.requiredSchema.fieldNames.toSet
+    }
+    assert(storeScans.nonEmpty, "the stored code table must be scanned")
+    storeScans.foreach(cols =>
+      assert(!cols.contains("emb") && !cols.contains("embedding"),
+        s"store scans must read codes only, got $cols"))
+  }
+}
