@@ -180,7 +180,11 @@ object ScaleSmoke {
       // The Gram pass is the corpus-sized cost; the 64×64 artifact and
       // the driver iteration are size-free.
       ("pca_project", (df: DataFrame) => Similarity.pcaProject(df, 6),
-        c => scaledEmb(spark, dir, c)))
+        c => scaledEmb(spark, dir, c)),
+      // Markup parse chain: per-row regex work, map-only — the ratio
+      // should track the other pure-scan text cases.
+      ("html_extract", Html.extractText, c => scaledDocs(spark, dir, c)),
+      ("html_main", Html.mainContent, c => scaledDocs(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

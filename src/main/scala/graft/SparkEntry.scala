@@ -969,6 +969,21 @@ object SparkEntry {
         VectorIndexStore.codes(s, dir).filter(col("vec_id") >= BatchQueries),
         PqSub, BatchTopK, IvfPqProbes)
     }),
+    "q90c_index_stats" -> ((s, d) => {
+      // Maintenance monitoring: per-cell occupancy of the appended
+      // store, split base vs appended — the inverted-list skew signal
+      // that tells an operator when append drift warrants a retrain.
+      val dir = ensureAppendedAnnStore(s, d)
+      VectorIndexStore.codes(s, dir)
+        .groupBy("cid")
+        .agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+            .as("n_vecs"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(col("vec_id") >= AnnAppendSplit, 1L)
+              .otherwise(0L)).as("n_appended"))
+        .orderBy("cid")
+    }),
     "q91_html_extract" -> ((s, d) =>
       Html.extractText(Tables.table(s, d, "documents"))),
     "q91b_html_main_content" -> ((s, d) =>
@@ -2719,6 +2734,14 @@ object SparkEntry {
                     (PARTITION BY qid ORDER BY adc, vec_id) AS rnk FROM sc2)
           SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
           FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
+    // Q90c: per-cell occupancy of the appended store (base vs appended
+    // split) — the assignment chain's af, counted.
+    "q90c_index_stats" ->
+      s"""WITH $ivfPqAppendCtes
+          SELECT cid, count(*) AS n_vecs,
+                 CAST(sum(CASE WHEN vec_id >= $AnnAppendSplit THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_appended
+          FROM af GROUP BY cid ORDER BY cid""",
     // Q91: the generator's closed form — the extractor must recover
     // title/body/link/para facts from REAL markup bytes (script data
     // with unescaped '<', comments, entity-coded content), so every
