@@ -142,7 +142,34 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the driver iteration is a pure function of it — the trained
       // component and every projection must be layout-free.
       ("pcaPower", f => Similarity.pcaPower(f(emb), 6)),
-      ("pcaProject", f => Similarity.pcaProject(f(emb), 6)))
+      ("pcaProject", f => Similarity.pcaProject(f(emb), 6)),
+      // Markup parse chain is per-row; ordering comes only from the
+      // presentation sort.
+      ("htmlExtract", f => Html.extractText(f(docs))),
+      ("htmlMainContent", f => Html.mainContent(f(docs))),
+      ("htmlLinks", f => Html.links(f(docs))),
+      // Stored-index serving: the ranking must not depend on how the
+      // CODE TABLE is laid out (the store's cid partitioning is an
+      // optimization, not a correctness dependency).
+      ("storedAdcSearch", f => {
+        import org.apache.spark.sql.functions.col
+        Similarity.ivfPqSearchFrames(
+          Similarity.withEmb(emb).filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("emb")),
+          graft.sources.VectorIndexStore.centroids(spark, annDir),
+          graft.sources.VectorIndexStore.codebooks(spark, annDir),
+          f(graft.sources.VectorIndexStore.codes(spark, annDir)
+            .filter(col("vec_id") >= 4)),
+          4, 5, 2)
+      }))
+  }
+
+  /** One persisted index for the storedAdcSearch case (built once). */
+  private lazy val annDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_dinv_ann").toString
+    graft.sources.VectorIndexStore.build(
+      Tables.table(spark, sf, "embeddings"), d, 8, 4, 8, 2)
+    d
   }
 
   test("results are identical under hash-scattered and single-partition inputs") {
