@@ -159,19 +159,22 @@ $paras
       .withColumn("blocks", expr(
         """regexp_extract_all(clean, '(?is)<(nav|p|footer)\\b[^>]*>.*?</\\1>', 0)"""))
       .withColumn("scored", expr(
+        // The decode chain runs ONCE per block (no CSE inside higher-
+        // order-function lambdas); word count derives from the decoded
+        // text in the filter below.
         "transform(blocks, b -> named_struct(" +
           "'txt', " + textOf("b") + ", " +
-          "'n_words', size(split(" + textOf("b") + ", ' ')), " +
           "'n_links', regexp_count(b, '(?i)<a\\\\s')))"))
       .select(
         col("doc_id"),
         expr(
           """array_join(transform(
-               filter(scored, s -> s.n_links * 3 < s.n_words), s -> s.txt), ' ')""")
+               filter(scored, s -> s.n_links * 3 < size(split(s.txt, ' '))),
+               s -> s.txt), ' ')""")
           .as("main_text"),
         expr("size(scored)").cast("long").as("n_blocks"),
-        expr("size(filter(scored, s -> s.n_links * 3 < s.n_words))").cast("long")
-          .as("n_kept"))
+        expr("size(filter(scored, s -> s.n_links * 3 < size(split(s.txt, ' '))))")
+          .cast("long").as("n_kept"))
       .orderBy("doc_id")
 
   /** Q91c — anchor extraction: every <a> in document order with its
