@@ -138,7 +138,7 @@ $paras
         expr(textOf("regexp_extract(clean, '(?is)<body\\\\b[^>]*>(.*)</body>', 1)"))
           .as("body_text"),
         expr("regexp_count(clean, '(?i)<a\\\\s')").cast("long").as("n_links"),
-        expr("regexp_count(clean, '(?i)<p[ >]')").cast("long").as("n_paras"))
+        expr("regexp_count(clean, '(?i)<p\\\\b')").cast("long").as("n_paras"))
       .orderBy("doc_id")
 
   /** Q91b — boilerplate removal by link density: segment the body

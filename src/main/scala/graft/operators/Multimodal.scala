@@ -386,7 +386,7 @@ object Multimodal {
       // Y4M allows a bare numerator; spec form is num:den (den = 1001
       // for NTSC rates). Absent den defaults to 1.
       val fpsDen = if (fParts.length > 1) fParts(1).toInt else 1
-      if (fpsDen <= 0) return None
+      if (fpsNum <= 0 || fpsDen <= 0) return None
       if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0) return None
       // Honor the colorspace tag (absent = 420 per the Y4M spec): the
       // chroma plane sizes differ per subsampling, and misreading them

@@ -1234,6 +1234,7 @@ object Similarity {
     */
   def ivfPqSearchFrames(queries: DataFrame, coarse: DataFrame, books: DataFrame,
                         codes: DataFrame, nSub: Int, k: Int, nProbe: Int): DataFrame = {
+    require(k <= 10, "k is capped by the graft_top10 buffer")
     val luts = ivfPqQueryLuts(queries, coarse, books, nSub, nProbe)
       .localCheckpoint()
     val probed = luts.select("pcid").distinct().collect().map(_.getLong(0))
@@ -1257,6 +1258,7 @@ object Similarity {
                         codes: DataFrame, vecs: DataFrame, nSub: Int,
                         shortlist: Int, k: Int, nProbe: Int): DataFrame = {
     require(shortlist <= 50, "shortlist is capped by the graft_top50 buffer")
+    require(k <= 10, "k is capped by the graft_top10 buffer")
     val luts = ivfPqQueryLuts(queries, coarse, books, nSub, nProbe)
       .localCheckpoint()
     val probed = luts.select("pcid").distinct().collect().map(_.getLong(0))

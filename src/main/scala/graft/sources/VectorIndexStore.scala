@@ -93,13 +93,14 @@ object VectorIndexStore {
     * idempotence contract).
     */
   def buildOnce(emb: DataFrame, dir: String, nCentroids: Int, nSub: Int,
-                nCodes: Int, iters: Int): Unit = {
+                nCodes: Int, iters: Int): Unit = synchronized {
+    // Whole check-and-build under the lock: an unsynchronized outer
+    // read of the mutable set would race a concurrent resize (builds
+    // are rare and expensive — a coarse lock costs nothing here).
     val key = (dir, nCentroids, nSub, nCodes, iters)
-    if (!built.contains(key)) synchronized {
-      if (!built.contains(key)) {
-        build(emb, dir, nCentroids, nSub, nCodes, iters)
-        built += key
-      }
+    if (!built.contains(key)) {
+      build(emb, dir, nCentroids, nSub, nCodes, iters)
+      built += key
     }
   }
 
@@ -110,14 +111,12 @@ object VectorIndexStore {
     */
   def buildAppendedOnce(spark: SparkSession, dir: String, baseEmb: DataFrame,
                         newEmb: DataFrame, nCentroids: Int, nSub: Int,
-                        nCodes: Int, iters: Int): Unit = {
+                        nCodes: Int, iters: Int): Unit = synchronized {
     val key = (dir, nCentroids, nSub, nCodes, iters)
-    if (!appended.contains(key)) synchronized {
-      if (!appended.contains(key)) {
-        build(baseEmb, dir, nCentroids, nSub, nCodes, iters)
-        append(spark, dir, newEmb)
-        appended += key
-      }
+    if (!appended.contains(key)) {
+      build(baseEmb, dir, nCentroids, nSub, nCodes, iters)
+      append(spark, dir, newEmb)
+      appended += key
     }
   }
 

@@ -19,9 +19,14 @@ import graft.operators.Similarity
   * artifact on disk, shared by every batch and every concurrent
   * query stream, which is what lets one trained index fan out to any
   * number of serving queries. Index maintenance (VectorIndexStore
-  * .append) and serving compose: an appended cell's new codes are
-  * visible to the next microbatch's scan with no coordination beyond
-  * parquet file visibility.
+  * .append) and serving compose — with one caveat a long-running
+  * server must respect: a codes DataFrame captured ONCE pins its
+  * parquet file listing (the InMemoryFileIndex) at read time, so
+  * codes appended later are invisible to it. [[scoreBatchFromStore]]
+  * re-reads the store per microbatch (a file listing per batch —
+  * cheap next to the scan) and therefore serves appended vectors as
+  * soon as their files land; [[scoreBatch]] over captured frames is
+  * the frozen-snapshot variant.
   */
 object StreamingAnnServe {
 
@@ -42,5 +47,23 @@ object StreamingAnnServe {
     val q = queries.select(col("qid"),
       col("embedding").cast("array<double>").as("emb"))
     Similarity.ivfPqSearchFrames(q, centroids, codebooks, codes, nSub, k, nProbe)
+  }
+
+  /** [[scoreBatch]] against a FRESHLY-READ store: re-lists the parquet
+    * each call, so codes appended between microbatches (the q90 ingest
+    * path) are served by the very next batch. `corpusFrom` excludes
+    * low vec_ids (the query-batch convention of the q89 family).
+    */
+  def scoreBatchFromStore(queries: DataFrame, dir: String, k: Int, nProbe: Int,
+                          corpusFrom: Long = 0L): DataFrame = {
+    val spark = queries.sparkSession
+    val books = graft.sources.VectorIndexStore.codebooks(spark, dir)
+    val nSub = books.agg(org.apache.spark.sql.functions.max("m"))
+      .first().getAs[Number](0).intValue + 1
+    scoreBatch(queries,
+      graft.sources.VectorIndexStore.centroids(spark, dir), books,
+      graft.sources.VectorIndexStore.codes(spark, dir)
+        .filter(col("vec_id") >= corpusFrom),
+      nSub, k, nProbe)
   }
 }

@@ -94,7 +94,10 @@ object StreamingKmeans {
             // lands c' on the 1e-4 grid.
             val numer = nOld * (u * 100L) + byDim(d)
             val den = (nOld + nB) * 100L
-            Math.floorDiv(2L * numer + den, 2L * den)
+            // den is a multiple of 100 so den/2 is exact, and adding it
+            // (instead of doubling numer) keeps the full ~9e12-count
+            // headroom: floor((numer + den/2) / den) = round-half-up.
+            Math.floorDiv(numer + den / 2, den)
           }
           (cid, blended, nOld + nB)
       }

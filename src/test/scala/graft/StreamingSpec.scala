@@ -1139,6 +1139,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"index serving must not allocate streaming state: ${q.lastProgress}")
   }
 
+  test("S19b: serving re-reads the store per batch, so mid-stream appends are served immediately") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{Tables, VectorIndexStore}
+    import graft.streaming.StreamingAnnServe
+    // Maintenance + serving composition: a frame captured once pins
+    // its file listing, so the serving loop must RE-READ the store —
+    // scoreBatchFromStore — for appended codes to be queryable. Batch
+    // 1 runs against the base index; vectors 400+ are appended between
+    // microbatches; batch 2 must rank them.
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s19b").toString
+    VectorIndexStore.build(emb.filter(col("vec_id") < 400), dir, 8, 4, 8, 2)
+    val queryVecs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    type R = (Long, Long, Long, Double)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val src = MemoryStream[(Long, Seq[Double])]
+    val q = src.toDF().toDF("qid", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (b.count() > 0) {
+          val v = StreamingAnnServe.scoreBatchFromStore(b, dir, 10, 8, corpusFrom = 4L)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          perBatch.synchronized { perBatch += v.toSeq }
+        }
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      src.addData(queryVecs.take(2): _*); q.processAllAvailable()
+      VectorIndexStore.append(spark, dir, emb.filter(col("vec_id") >= 400))
+      src.addData(queryVecs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.size == 2)
+    // Batch 1 (pre-append) saw only base candidates; batch 2 ranks
+    // appended vectors (nProbe=8 probes every cell, so an appended
+    // vector near its query must appear if it scores into the top 10).
+    assert(perBatch(0).forall(_._3 < 400L), "pre-append batch must not see future codes")
+    val fresh = graft.operators.Similarity.ivfPqSearchFrames(
+      emb.filter(col("vec_id") >= 2 && col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("emb")),
+      VectorIndexStore.centroids(spark, dir), VectorIndexStore.codebooks(spark, dir),
+      VectorIndexStore.codes(spark, dir).filter(col("vec_id") >= 4), 4, 10, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(perBatch(1).sortBy(r => (r._1, r._2)) == fresh.sortBy(r => (r._1, r._2)),
+      "post-append batch must equal a fresh full-store search")
+    assert(fresh.exists(_._3 >= 400L),
+      "fixture should surface at least one appended vector in some top-10")
+  }
+
   test("S15: streaming MG panes hold every true heavy hitter with O(panes·capacity) state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
