@@ -184,7 +184,8 @@ object ScaleSmoke {
       // Markup parse chain: per-row regex work, map-only — the ratio
       // should track the other pure-scan text cases.
       ("html_extract", Html.extractText, c => scaledDocs(spark, dir, c)),
-      ("html_main", Html.mainContent, c => scaledDocs(spark, dir, c)))
+      ("html_main", Html.mainContent, c => scaledDocs(spark, dir, c)),
+      ("url_normalize", Html.urlNormalize, c => scaledDocs(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

@@ -990,6 +990,10 @@ object SparkEntry {
       Html.mainContent(Tables.table(s, d, "documents"))),
     "q91c_html_links" -> ((s, d) =>
       Html.links(Tables.table(s, d, "documents"))),
+    "q92_url_normalize" -> ((s, d) =>
+      Html.urlNormalize(Tables.table(s, d, "documents"))),
+    "q92b_host_stats" -> ((s, d) =>
+      Html.hostStats(Tables.table(s, d, "documents"))),
     "q86_bm25" -> ((s, d) =>
       TextAnalysis.bm25(Tables.table(s, d, "documents"), Bm25Terms, Bm25K)),
     "q87_hybrid_rrf" -> ((s, d) =>
@@ -2742,6 +2746,20 @@ object SparkEntry {
                  CAST(sum(CASE WHEN vec_id >= $AnnAppendSplit THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_appended
           FROM af GROUP BY cid ORDER BY cid""",
+    // Q92: the canonical form is closed-form from the salt — host
+    // lowered, :443 stripped, trailing slash trimmed, fragment gone,
+    // params sorted, path case PRESERVED.
+    "q92_url_normalize" ->
+      """SELECT doc_id,
+           'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example/Path/'
+             || CAST(doc_id % 10 AS VARCHAR) || '?a=1&b=2' AS url_norm,
+           'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+           CAST(2 AS BIGINT) AS n_params
+         FROM documents ORDER BY doc_id""",
+    "q92b_host_stats" ->
+      """SELECT 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+                count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY host""",
     // Q91: the generator's closed form — the extractor must recover
     // title/body/link/para facts from REAL markup bytes (script data
     // with unescaped '<', comments, entity-coded content), so every

@@ -183,6 +183,84 @@ $paras
   def links(docs: DataFrame): DataFrame =
     linksFromPages(htmlDocs(docs))
 
+  /** SQL fragment: deterministically salt each document with a messy
+    * URL (the piiScrub fixture convention — the corpus has no URL
+    * column, and the same expression runs in DuckDB so the oracle
+    * plants the exact bytes): uppercase scheme+host, an explicit
+    * default port, mixed-case path, optional trailing slash, unsorted
+    * query params, optional fragment.
+    */
+  private[graft] val urlSaltSql: String =
+    "concat('HTTPS://WWW.Site', CAST(doc_id % 7 AS STRING), " +
+      "'.Example:443/Path/', CAST(doc_id % 10 AS STRING), " +
+      "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END, " +
+      "'?b=2&a=1', " +
+      "CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END)"
+
+  /** Canonicalization fragments over a URL column `u` — the crawl
+    * pipeline's URL-dedup/frontier key: scheme+host lowercased (they
+    * are case-insensitive; the path is NOT and keeps its case),
+    * default port stripped (443/https, 80/http; non-default ports
+    * kept), trailing path slashes trimmed (empty path → '/'),
+    * fragment dropped, query params sorted. Pure codegen'd
+    * regexp/string expressions, map-only.
+    */
+  private def urlParts(u: String): (String, String, String, String, String) = {
+    val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val hostport = s"regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    val rest = s"regexp_replace($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')"
+    val nofrag = s"regexp_replace($rest, '#.*$$', '')"
+    val query = s"regexp_extract($nofrag, '[?](.*)$$', 1)"
+    (scheme, hostport, rest, nofrag, query)
+  }
+
+  /** Q92 — URL normalization over the salted corpus: emits the
+    * canonical form, the lowercased host, and the param count. Rows
+    * whose URL has no parseable scheme://host normalize to NULL (the
+    * untrusted-input fallback convention).
+    */
+  def urlNormalize(docs: DataFrame): DataFrame =
+    urlNormalizeCol(
+      graft.sources.Tables.widen(docs).withColumn("url", expr(urlSaltSql)))
+
+  /** [[urlNormalize]] over an explicit (doc_id, url) frame. */
+  def urlNormalizeCol(withUrl: DataFrame): DataFrame = {
+    val (scheme, hostport, _, nofrag, query) = urlParts("url")
+    withUrl
+      .withColumn("scheme", expr(scheme))
+      .withColumn("host", expr(s"lower(regexp_extract($hostport, '^([^:]*)', 1))"))
+      .withColumn("port", expr(s"regexp_extract($hostport, ':([0-9]+)$$', 1)"))
+      .withColumn("path0", expr(s"regexp_extract($nofrag, '^([^?]*)', 1)"))
+      .withColumn("path", expr(
+        "CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/' " +
+          "ELSE regexp_replace(path0, '/+$', '') END"))
+      .withColumn("q", expr(query))
+      .withColumn("n_params",
+        expr("CASE WHEN q = '' THEN 0 ELSE size(split(q, '&')) END").cast("long"))
+      .withColumn("url_norm", expr(
+        """CASE WHEN scheme = '' OR host = '' THEN CAST(NULL AS STRING)
+             ELSE concat(scheme, '://', host,
+               CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                         OR (scheme = 'http' AND port = '80')
+                    THEN '' ELSE concat(':', port) END,
+               path,
+               CASE WHEN q = '' THEN ''
+                    ELSE concat('?', array_join(array_sort(split(q, '&')), '&')) END)
+           END"""))
+      .select("doc_id", "url_norm", "host", "n_params")
+      .orderBy("doc_id")
+  }
+
+  /** Q92b — per-host document counts over the normalized URLs: the
+    * crawl-frontier / domain-cap statistic. One bounded-key
+    * aggregation (hosts, not documents) with map-side combine.
+    */
+  def hostStats(docs: DataFrame): DataFrame =
+    urlNormalize(docs)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("host")
+
   /** [[links]] over an explicit (doc_id, html) frame. */
   def linksFromPages(pages: DataFrame): DataFrame =
     pages

@@ -101,6 +101,28 @@ class HtmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Html.linksFromPages(pages).count() == 0)
   }
 
+  test("q92: URL canonicalization handles ports, case, slashes, fragments, params") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://Host.Example:443/A/B/?z=1&a=2#f"),   // default port + trailing slash + frag
+      (2L, "http://host.example:80/"),                    // default http port, root path
+      (3L, "http://host.example:8080/x"),                 // NON-default port kept
+      (4L, "https://host.example"),                       // no path → '/'
+      (5L, "https://host.example/CaseKept/Path"),         // path case preserved
+      (6L, "not a url at all"),                           // unparseable → NULL
+      (7L, "https://host.example/p?single=1")             // one param, no sort change
+    ).toDF("doc_id", "url")
+    val got = Html.urlNormalizeCol(urls).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getString(2), r.getLong(3))).toMap
+    assert(got(1L) == (Some("https://host.example/A/B?a=2&z=1"), "host.example", 2L))
+    assert(got(2L) == (Some("http://host.example/"), "host.example", 0L))
+    assert(got(3L) == (Some("http://host.example:8080/x"), "host.example", 0L))
+    assert(got(4L) == (Some("https://host.example/"), "host.example", 0L))
+    assert(got(5L)._1.get.endsWith("/CaseKept/Path"), "path case must be preserved")
+    assert(got(6L)._1.isEmpty, "garbage input normalizes to NULL, never throws")
+    assert(got(7L) == (Some("https://host.example/p?single=1"), "host.example", 1L))
+  }
+
   test("plan audit: the parse chain is UDF-free (codegen-eligible expressions only)") {
     val plan = Html.extractText(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
