@@ -102,6 +102,12 @@ object SparkEntry {
   private val DsirSampleK = 100
   /** Q85: probed coarse cells per query in IVF-PQ search. */
   private val IvfPqProbes = 2
+  /** Q93: web-funnel token gate + per-host cap (bites at every SF:
+    * docs run ~8-100 words, main content adds 2; hosts hold ~71 docs
+    * per 500). */
+  private val WebMinTok = 20L
+  private val WebMaxTok = 95L
+  private val WebHostCap = 40
   /** Q90: vectors with vec_id ≥ this arrive AFTER the index is built
     * and are admitted by [[graft.sources.VectorIndexStore.append]]
     * (below the 500-row sf0.001 embedding count, so both sides are
@@ -994,6 +1000,8 @@ object SparkEntry {
       Html.urlNormalize(Tables.table(s, d, "documents"))),
     "q92b_host_stats" -> ((s, d) =>
       Html.hostStats(Tables.table(s, d, "documents"))),
+    "q93_web_funnel" -> ((s, d) =>
+      Html.webFunnel(Tables.table(s, d, "documents"), WebMinTok, WebMaxTok, WebHostCap)),
     "q86_bm25" -> ((s, d) =>
       TextAnalysis.bm25(Tables.table(s, d, "documents"), Bm25Terms, Bm25K)),
     "q87_hybrid_rrf" -> ((s, d) =>
@@ -2760,6 +2768,22 @@ object SparkEntry {
       """SELECT 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
                 count(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY host""",
+    // Q93: the funnel's closed form — main text and host are string
+    // identities over (text, lang, doc_id), the gate and the per-host
+    // cap are plain SQL over the derived token counts.
+    "q93_web_funnel" ->
+      s"""WITH m AS (SELECT doc_id,
+                text || ' q&a ' || lang AS main_text,
+                'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host
+              FROM documents),
+          t AS (SELECT doc_id, host,
+                  CAST(len(string_split(main_text, ' ')) AS BIGINT) AS n_tokens
+                FROM m),
+          g AS (SELECT * FROM t WHERE n_tokens BETWEEN $WebMinTok AND $WebMaxTok),
+          r AS (SELECT doc_id, host, n_tokens, row_number() OVER
+                  (PARTITION BY host ORDER BY n_tokens DESC, doc_id) AS rnk FROM g)
+          SELECT doc_id, host, n_tokens, CAST(rnk AS BIGINT) AS rnk
+          FROM r WHERE rnk <= $WebHostCap ORDER BY host, rnk""",
     // Q91: the generator's closed form — the extractor must recover
     // title/body/link/para facts from REAL markup bytes (script data
     // with unescaped '<', comments, entity-coded content), so every

@@ -261,6 +261,46 @@ $paras
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("host")
 
+  /** Q93 — the web-corpus funnel, composed as ONE plan: raw markup →
+    * main-content extraction (the q91b block/link-density pass) →
+    * token-length gate → per-host cap (the q69 domain-cap rule keyed
+    * on the q92 host). This is the crawl→training-corpus path end to
+    * end: the page text is scanned ONCE (every stage derives from the
+    * same rendered frame — no self-joins between the content and URL
+    * legs), the gate is a map-side filter, and the only corpus
+    * exchanges are the per-host cap window and the presentation sort.
+    * Scale note: at a million-host crawl the cap window inherits q69's
+    * hot-domain caveat — swap in the bounded top-k Aggregator form if
+    * one host owns a significant corpus fraction.
+    */
+  def webFunnel(docs: DataFrame, minTok: Long, maxTok: Long, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    htmlDocs(docs)
+      .withColumn("url", expr(urlSaltSql))
+      .withColumn("host", expr(
+        "lower(regexp_extract(regexp_extract(url, " +
+          "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1))"))
+      .withColumn("clean", expr(dropNonContent("html")))
+      .withColumn("blocks", expr(
+        """regexp_extract_all(clean, '(?is)<(nav|p|footer)\\b[^>]*>.*?</\\1>', 0)"""))
+      .withColumn("scored", expr(
+        "transform(blocks, b -> named_struct(" +
+          "'txt', " + textOf("b") + ", " +
+          "'n_links', regexp_count(b, '(?i)<a\\\\s')))"))
+      .withColumn("main_text", expr(
+        """array_join(transform(
+             filter(scored, s -> s.n_links * 3 < size(split(s.txt, ' '))),
+             s -> s.txt), ' ')"""))
+      .withColumn("n_tokens", size(split(col("main_text"), " ")).cast("long"))
+      .where(col("n_tokens").between(minTok, maxTok))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= cap)
+      .select("doc_id", "host", "n_tokens", "rnk")
+      .orderBy("host", "rnk")
+  }
+
   /** [[links]] over an explicit (doc_id, html) frame. */
   def linksFromPages(pages: DataFrame): DataFrame =
     pages
