@@ -157,6 +157,9 @@ object SparkEntry {
   private val Bm25K = 20
   /** Q87: fused result-list size for hybrid RRF. */
   private val RrfK = 10
+  /** Q94: posting-store hash buckets (enough that a 3-term query's
+    * bucket set prunes most files at every SF). */
+  private val TextIndexBuckets = 16
   /** Q88: power-iteration rounds for the top principal component. */
   private val PcaRounds = 6
   /** Q83: duplicate-coverage n-gram length and the flagging threshold
@@ -488,6 +491,14 @@ object SparkEntry {
                  (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc)
         SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, score
         FROM rk WHERE rnk <= $BatchTopK ORDER BY qid, rnk"""
+
+  /** Q86's oracle, shared verbatim by q94 (stored-postings BM25). */
+  private lazy val q86OracleSql: String =
+    s"""WITH $bm25Cte
+        SELECT doc_id, dl, score_micros,
+               CAST(score_micros AS DOUBLE) / 1e6 AS score
+        FROM bsc WHERE score_micros > 0
+        ORDER BY score_micros DESC, doc_id LIMIT $Bm25K"""
 
   /** Q85's oracle, shared verbatim by q89c (stored-index ADC search). */
   private lazy val q85OracleSql: String =
@@ -1002,6 +1013,11 @@ object SparkEntry {
       Html.hostStats(Tables.table(s, d, "documents"))),
     "q93_web_funnel" -> ((s, d) =>
       Html.webFunnel(Tables.table(s, d, "documents"), WebMinTok, WebMaxTok, WebHostCap)),
+    "q94_stored_bm25" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_${new java.io.File(d).getName}"
+      graft.sources.TextIndexStore.buildOnce(Tables.table(s, d, "documents"), dir, TextIndexBuckets)
+      TextAnalysis.bm25Stored(s, dir, Bm25Terms, Bm25K, TextIndexBuckets)
+    }),
     "q86_bm25" -> ((s, d) =>
       TextAnalysis.bm25(Tables.table(s, d, "documents"), Bm25Terms, Bm25K)),
     "q87_hybrid_rrf" -> ((s, d) =>
@@ -2823,12 +2839,10 @@ object SparkEntry {
     // Q86: BM25 — identical idf/avgdl formulas on exact integer corpus
     // stats, per-(doc, term) contributions on the 1e-6 grid (same cast
     // points), exact integer sums, (score DESC, doc_id) LIMIT k.
-    "q86_bm25" ->
-      s"""WITH $bm25Cte
-          SELECT doc_id, dl, score_micros,
-                 CAST(score_micros AS DOUBLE) / 1e6 AS score
-          FROM bsc WHERE score_micros > 0
-          ORDER BY score_micros DESC, doc_id LIMIT $Bm25K""",
+    "q86_bm25" -> q86OracleSql,
+    // Q94: the stored-postings ranking must equal the full-scan BM25
+    // verbatim (df/idf/avgdl/contribution cast points shared).
+    "q94_stored_bm25" -> q86OracleSql,
     // Q87: reciprocal-rank fusion — each leg's ranked list (BM25 at
     // the q86 order; dense = the q18g cosine ranking for query 0),
     // rank contributions as exact floor(1e9/(60+r)) integers, full

@@ -714,4 +714,51 @@ object TextAnalysis {
       .orderBy(col("score_micros").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Q94 — BM25 over the PERSISTED inverted index
+    * ([[graft.sources.TextIndexStore]]): the q86 ranking, bit-identical
+    * (same cast points, same 1e-6 contribution grid, same tie order —
+    * the oracle is q86's verbatim), but the query never scans the
+    * corpus text. Cost shape: the postings scan prunes to the query
+    * terms' hash buckets at FILE level (bounded bucket list pushed as
+    * a partition `IN`) with the `term IN` predicate pushed to parquet;
+    * df comes from the pruned read itself (a bounded per-term count);
+    * idf/avgdl fold into one broadcast model row; scoring is map-only
+    * over posting rows (tf and dl are IN the row) and the final
+    * ranking is one exact-integer sum per candidate doc + TakeOrdered.
+    * Exchanges: O(candidate docs) for the per-doc sum — candidates are
+    * the query terms' postings, not the corpus.
+    */
+  def bm25Stored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 terms: Seq[String], k: Int, nBuckets: Int): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      s"query terms must be non-empty [a-z0-9]+ tokens, got $terms")
+    import graft.sources.TextIndexStore
+    val buckets = terms.map(TextIndexStore.bucketOf(_, nBuckets)).distinct
+    val p = TextIndexStore.postings(spark, dir)
+      .filter(col("t_bucket").isin(buckets.map(Long.box): _*)
+        && col("term").isin(terms: _*))
+    // df(term) = the term's posting count within its pruned bucket;
+    // idf/avgdl reproduce q86's cast points exactly.
+    val model = p.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(TextIndexStore.stats(spark, dir)))
+      .withColumn("idf", expr(
+        """ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))"""))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .select("term", "idf", "avgdl")
+    p.join(broadcast(model), "term")
+      .withColumn("c", expr(
+        s"""CAST(floor(idf * (CAST(tf AS DOUBLE) * (1.0 + $Bm25K1))
+               / (CAST(tf AS DOUBLE)
+                  + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (CAST(dl AS DOUBLE) / avgdl)))
+               * 1e6 + 0.5) AS BIGINT)"""))
+      .groupBy("doc_id", "dl")
+      .agg(sum("c").as("score_micros"))
+      .where(col("score_micros") > 0)
+      .withColumn("score", col("score_micros").cast("double") / 1e6)
+      .select("doc_id", "dl", "score_micros", "score")
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+import graft.sources.{Tables, TextIndexStore}
+
+/** Operational contract of the persisted inverted index (q94): stored
+  * BM25 equals the full-scan q86 ranking row-for-row, the Scala bucket
+  * hash equals the SQL one the build used (so the driver-pushed bucket
+  * list is sound), and a query's postings scan prunes unqueried
+  * buckets at FILE level.
+  */
+class TextIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftSession.registerUdafs(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val nBuckets = 16
+  private lazy val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft_tixspec").toString
+    TextIndexStore.build(docs, d, nBuckets)
+    d
+  }
+
+  test("stored BM25 equals the full-scan ranking row-for-row") {
+    val terms = Seq("spark", "join", "window")
+    val fromStore = TextAnalysis.bm25Stored(spark, dir, terms, 20, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fullScan = TextAnalysis.bm25(docs, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fromStore == fullScan,
+      "the persisted postings must reproduce the full-scan scores exactly")
+  }
+
+  test("Scala bucketOf equals the SQL hash the build partitioned by, on the whole vocabulary") {
+    import graft.functions.PortableHash.hash48
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("term")).distinct()
+      .withColumn("b_sql", pmod(expr(hash48("term")), lit(nBuckets.toLong)))
+      .collect()
+    assert(vocab.nonEmpty)
+    vocab.foreach { r =>
+      assert(TextIndexStore.bucketOf(r.getString(0), nBuckets) == r.getLong(1),
+        s"bucket drift for term '${r.getString(0)}'")
+    }
+  }
+
+  test("a query's postings scan prunes unqueried buckets at FILE level") {
+    def filesTouched(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val p = TextIndexStore.postings(spark, dir)
+    val all = filesTouched(p)
+    val b = TextIndexStore.bucketOf("spark", nBuckets)
+    val pruned = filesTouched(p.filter(col("t_bucket") === b))
+    assert(pruned < all, s"bucket filter must prune files: $pruned vs $all")
+    // And the term's postings really live there.
+    assert(p.filter(col("t_bucket") === b && col("term") === "spark").count() > 0)
+  }
+
+  test("a term absent from the corpus contributes nothing and breaks nothing") {
+    val got = TextAnalysis.bm25Stored(spark, dir,
+      Seq("spark", "zzzznotaword"), 10, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val want = TextAnalysis.bm25(docs, Seq("spark", "zzzznotaword"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+}
