@@ -137,6 +137,12 @@ object SparkEntry {
       NumCentroids, PqSub, PqCodes, KmeansIters)
     dir
   }
+  /** The persisted inverted index for `d`, idempotent per JVM. */
+  private def ensureTextIndex(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_${new java.io.File(d).getName}"
+    graft.sources.TextIndexStore.buildOnce(Tables.table(s, d, "documents"), dir, TextIndexBuckets)
+    dir
+  }
   /** Query batch (qid, emb) for the stored-index searches — the q85
     * convention: vec_id < BatchQueries are the queries. */
   private def annQueryBatch(s: SparkSession, d: String): DataFrame =
@@ -1013,11 +1019,14 @@ object SparkEntry {
       Html.hostStats(Tables.table(s, d, "documents"))),
     "q93_web_funnel" -> ((s, d) =>
       Html.webFunnel(Tables.table(s, d, "documents"), WebMinTok, WebMaxTok, WebHostCap)),
-    "q94_stored_bm25" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_${new java.io.File(d).getName}"
-      graft.sources.TextIndexStore.buildOnce(Tables.table(s, d, "documents"), dir, TextIndexBuckets)
-      TextAnalysis.bm25Stored(s, dir, Bm25Terms, Bm25K, TextIndexBuckets)
-    }),
+    "q94_stored_bm25" -> ((s, d) =>
+      TextAnalysis.bm25Stored(s, ensureTextIndex(s, d), Bm25Terms, Bm25K, TextIndexBuckets)),
+    "q95_stored_hybrid" -> ((s, d) =>
+      Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
+        Bm25Terms, Bm25K, RrfK, TextIndexBuckets, PqSub, IvfPqProbes,
+        Similarity.withEmb(Tables.table(s, d, "embeddings"))
+          .filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("emb")),
+        BatchQueries.toLong)),
     "q86_bm25" -> ((s, d) =>
       TextAnalysis.bm25(Tables.table(s, d, "documents"), Bm25Terms, Bm25K)),
     "q87_hybrid_rrf" -> ((s, d) =>
@@ -2843,6 +2852,32 @@ object SparkEntry {
     // Q94: the stored-postings ranking must equal the full-scan BM25
     // verbatim (df/idf/avgdl/contribution cast points shared).
     "q94_stored_bm25" -> q86OracleSql,
+    // Q95: hybrid RRF with BOTH legs from the stores — lex = the q86
+    // ranking, dense = the q85 chain's ADC ranking for query 0 (the
+    // stored-index candidate rule: corpus = vec_id ≥ BatchQueries),
+    // fused with q87's exact-integer rule. The two CTE chains share no
+    // names, so they concatenate.
+    "q95_stored_hybrid" ->
+      s"""WITH $bm25Cte,
+          $ivfPqCtes,
+          lexr AS (SELECT id, rl FROM
+                     (SELECT doc_id AS id, CAST(row_number() OVER
+                        (ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rl
+                      FROM bsc WHERE score_micros > 0)
+                   WHERE rl <= $Bm25K),
+          denr AS (SELECT id, rd FROM
+                     (SELECT vec_id AS id, CAST(row_number() OVER
+                        (ORDER BY adc, vec_id) AS BIGINT) AS rd
+                      FROM sc2 WHERE qid = 0)
+                   WHERE rd <= 10),
+          fuse AS (SELECT COALESCE(l.id, d2.id) AS doc_id, l.rl, d2.rd,
+                     COALESCE(CAST(floor(1e9 / (60.0 + l.rl) + 0.5) AS BIGINT), 0) +
+                     COALESCE(CAST(floor(1e9 / (60.0 + d2.rd) + 0.5) AS BIGINT), 0)
+                       AS fused_nanos
+                   FROM lexr l FULL OUTER JOIN denr d2 ON d2.id = l.id)
+          SELECT doc_id, rl, rd, fused_nanos,
+                 CAST(fused_nanos AS DOUBLE) / 1e9 AS rrf
+          FROM fuse ORDER BY fused_nanos DESC, doc_id LIMIT $RrfK""",
     // Q87: reciprocal-rank fusion — each leg's ranked list (BM25 at
     // the q86 order; dense = the q18g cosine ranking for query 0),
     // rank contributions as exact floor(1e9/(60+r)) integers, full

@@ -948,6 +948,47 @@ object Similarity {
         (col("fused_nanos").cast("double") / 1e9).as("rrf"))
   }
 
+  /** Q95 — hybrid RRF where BOTH legs serve from PERSISTED indexes:
+    * the lexical ranking from the stored postings
+    * ([[TextAnalysis.bm25Stored]] — q94) and the dense ranking from
+    * the stored IVF-PQ index ([[ivfPqSearchFrames]] over the q89
+    * artifacts, query vector 0 vs the vec_id ≥ `denseFrom` corpus),
+    * fused with q87's exact-integer reciprocal-rank rule
+    * (`floor(1e9/(60+r))`, full outer join, fused DESC / doc_id).
+    * This is the retrieval stack's serving configuration: no corpus
+    * text and no corpus floats are scanned at query time — only the
+    * query terms' posting buckets and the probed cells' code files.
+    */
+  def hybridRrfStored(spark: org.apache.spark.sql.SparkSession,
+                      textDir: String, annDir: String, terms: Seq[String],
+                      kLex: Int, kFuse: Int, nBuckets: Int, nSub: Int,
+                      nProbe: Int, queryVec: DataFrame,
+                      denseFrom: Long): DataFrame = {
+    require(kFuse <= 10 && kFuse <= kLex,
+      s"kFuse must be within both legs' depth (dense leg fixed at 10), got $kFuse")
+    import graft.sources.{TextIndexStore, VectorIndexStore}
+    val lex = TextAnalysis.bm25Stored(spark, textDir, terms, kLex, nBuckets)
+      .agg(expr(
+        """array_sort(transform(collect_list(struct(score_micros, doc_id)),
+             s -> struct(-s.score_micros AS ns, s.doc_id AS id)))""").as("a"))
+      .select(posexplode(col("a")))
+      .select((col("pos") + 1).cast("long").as("rl"), col("col.id").as("id"))
+    val den = ivfPqSearchFrames(queryVec,
+      VectorIndexStore.centroids(spark, annDir),
+      VectorIndexStore.codebooks(spark, annDir),
+      VectorIndexStore.codes(spark, annDir).filter(col("vec_id") >= denseFrom),
+      nSub, 10, nProbe)
+      .select(col("rnk").as("rd"), col("vec_id").as("id"))
+    lex.join(den, Seq("id"), "full_outer")
+      .withColumn("fused_nanos",
+        coalesce(expr("CAST(floor(1e9 / (60.0 + rl) + 0.5) AS BIGINT)"), lit(0L))
+          + coalesce(expr("CAST(floor(1e9 / (60.0 + rd) + 0.5) AS BIGINT)"), lit(0L)))
+      .orderBy(col("fused_nanos").desc, col("id"))
+      .limit(kFuse)
+      .select(col("id").as("doc_id"), col("rl"), col("rd"), col("fused_nanos"),
+        (col("fused_nanos").cast("double") / 1e9).as("rrf"))
+  }
+
   /** Per-dimension corpus means as ONE broadcastable row (`mus`),
     * 1e-6-grid rounded — the centering artifact of the PCA family.
     */
