@@ -166,6 +166,9 @@ object SparkEntry {
   /** Q94: posting-store hash buckets (enough that a 3-term query's
     * bucket set prunes most files at every SF). */
   private val TextIndexBuckets = 16
+  /** Q96: documents with doc_id ≥ this arrive AFTER the text index is
+    * built (below the 500-row sf0.001 doc count). */
+  private val TextAppendSplit = 400L
   /** Q88: power-iteration rounds for the top principal component. */
   private val PcaRounds = 6
   /** Q83: duplicate-coverage n-gram length and the flagging threshold
@@ -1021,6 +1024,17 @@ object SparkEntry {
       Html.webFunnel(Tables.table(s, d, "documents"), WebMinTok, WebMaxTok, WebHostCap)),
     "q94_stored_bm25" -> ((s, d) =>
       TextAnalysis.bm25Stored(s, ensureTextIndex(s, d), Bm25Terms, Bm25K, TextIndexBuckets)),
+    "q96_appended_bm25" -> ((s, d) => {
+      // Lexical ingest: build the postings on the base corpus, admit
+      // the rest via append, then serve — scores must equal a
+      // from-scratch index over everything (= the q86 oracle).
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_app_${new java.io.File(d).getName}"
+      val docs = Tables.table(s, d, "documents")
+      graft.sources.TextIndexStore.buildAppendedOnce(s, dir,
+        docs.filter(col("doc_id") < TextAppendSplit),
+        docs.filter(col("doc_id") >= TextAppendSplit), TextIndexBuckets)
+      TextAnalysis.bm25Stored(s, dir, Bm25Terms, Bm25K, TextIndexBuckets)
+    }),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
         Bm25Terms, Bm25K, RrfK, TextIndexBuckets, PqSub, IvfPqProbes,
@@ -2852,6 +2866,10 @@ object SparkEntry {
     // Q94: the stored-postings ranking must equal the full-scan BM25
     // verbatim (df/idf/avgdl/contribution cast points shared).
     "q94_stored_bm25" -> q86OracleSql,
+    // Q96: append-maintained postings must score exactly like a
+    // from-scratch index over the full corpus — q86's oracle again
+    // (df derives from postings; stats advanced by exact integers).
+    "q96_appended_bm25" -> q86OracleSql,
     // Q95: hybrid RRF with BOTH legs from the stores — lex = the q86
     // ranking, dense = the q85 chain's ADC ranking for query 0 (the
     // stored-index candidate rule: corpus = vec_id ≥ BatchQueries),

@@ -39,19 +39,51 @@ object TextIndexStore {
 
   /** One corpus scan → postings + stats (overwrite). */
   def build(docs: DataFrame, dir: String, nBuckets: Int): Unit = {
-    val d = Tables.widen(docs)
+    writePostings(docs, dir, nBuckets, "overwrite")
+    docLengths(docs)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Admit new documents to an EXISTING index: their postings append
+    * (same bucketing — `nBuckets` must match the build's, the caller's
+    * contract exactly as VectorIndexStore.append's artifact frames),
+    * and the one-row corpus stats advance by the batch's exact integer
+    * counts. Existing posting files are untouched; df needs no
+    * maintenance because it is derived from the postings at query
+    * time — so a stored-BM25 query after append scores EXACTLY as a
+    * from-scratch build over the full corpus (TextIndexStoreSpec pins
+    * this), which is what makes the ingest path safe to run
+    * continuously.
+    */
+  def append(spark: SparkSession, dir: String, newDocs: DataFrame, nBuckets: Int): Unit = {
+    // Read-then-overwrite on the one-row stats: collect the single row
+    // BEFORE the write clears the path.
+    val old = stats(spark, dir).select(col("n_docs"), col("total_dl")).first()
+    val batch = docLengths(newDocs)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")).first()
+    writePostings(newDocs, dir, nBuckets, "append")
+    import spark.implicits._
+    Seq((old.getLong(0) + batch.getLong(0), old.getLong(1) + batch.getLong(1)))
+      .toDF("n_docs", "total_dl")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  private def docLengths(docs: DataFrame): DataFrame =
+    Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
       .withColumn("dl", size(col("words")).cast("long"))
-    d.select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
+
+  private def writePostings(docs: DataFrame, dir: String, nBuckets: Int,
+                            mode: String): Unit =
+    docLengths(docs)
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
       .withColumn("t_bucket", pmod(expr(hash48("term")), lit(nBuckets.toLong)))
       .repartition(col("t_bucket"))
       .sortWithinPartitions("term", "doc_id")
-      .write.partitionBy("t_bucket").mode("overwrite").parquet(s"$dir/postings")
-    d.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
-  }
+      .write.partitionBy("t_bucket").mode(mode).parquet(s"$dir/postings")
 
   /** The stored postings (term, doc_id, tf, dl, t_bucket). */
   def postings(spark: SparkSession, dir: String): DataFrame =
@@ -84,4 +116,21 @@ object TextIndexStore {
   }
 
   private val built = scala.collection.mutable.Set.empty[(String, Int)]
+
+  /** Build-on-base + append-the-rest, once per JVM (the
+    * [[VectorIndexStore.buildAppendedOnce]] contract: build overwrites,
+    * so a fresh JVM redoes both steps and an append never applies
+    * twice).
+    */
+  def buildAppendedOnce(spark: SparkSession, dir: String, baseDocs: DataFrame,
+                        newDocs: DataFrame, nBuckets: Int): Unit = synchronized {
+    val key = (dir, nBuckets)
+    if (!appended.contains(key)) {
+      build(baseDocs, dir, nBuckets)
+      append(spark, dir, newDocs, nBuckets)
+      appended += key
+    }
+  }
+
+  private val appended = scala.collection.mutable.Set.empty[(String, Int)]
 }

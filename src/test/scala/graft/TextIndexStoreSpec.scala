@@ -75,6 +75,30 @@ class TextIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.filter(col("t_bucket") === b && col("term") === "spark").count() > 0)
   }
 
+  test("append admits new documents: existing postings untouched, stats exact, ranking ≡ from-scratch") {
+    val d = Files.createTempDirectory("graft_tixspec_app").toString
+    TextIndexStore.build(docs.filter(col("doc_id") < 400), d, nBuckets)
+    val before = TextIndexStore.postings(spark, d)
+      .orderBy("term", "doc_id").collect().toSeq
+    TextIndexStore.append(spark, d, docs.filter(col("doc_id") >= 400), nBuckets)
+    val after = TextIndexStore.postings(spark, d)
+      .orderBy("term", "doc_id").collect().toSeq
+    assert(after.filter(_.getLong(1) < 400) == before,
+      "existing posting rows must be byte-stable under append")
+    val st = TextIndexStore.stats(spark, d).first()
+    assert(st.getLong(0) == docs.count(), "n_docs must advance by the batch count")
+    val wantDl = docs.select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(st.getLong(1) == wantDl, "total_dl must advance by exact integers")
+    val terms = Seq("spark", "join", "window")
+    val appended = TextAnalysis.bm25Stored(spark, d, terms, 20, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val scratch = TextAnalysis.bm25Stored(spark, dir, terms, 20, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(appended == scratch,
+      "an append-maintained index must score exactly like a from-scratch build")
+  }
+
   test("a term absent from the corpus contributes nothing and breaks nothing") {
     val got = TextAnalysis.bm25Stored(spark, dir,
       Seq("spark", "zzzznotaword"), 10, nBuckets)
