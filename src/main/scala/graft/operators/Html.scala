@@ -152,26 +152,35 @@ $paras
   def mainContent(docs: DataFrame): DataFrame =
     mainContentFromPages(htmlDocs(docs))
 
-  /** [[mainContent]] over an explicit (doc_id, html) frame. */
-  def mainContentFromPages(pages: DataFrame): DataFrame =
+  /** pages + `scored` (per-block text/link structs) + `main_text` —
+    * the ONE copy of the block-segmentation and link-density chain
+    * (q91b and q93 share it, so an escaping or boundary fix — like
+    * this round's `<p` word-boundary patch — cannot land in one
+    * consumer and miss the other).
+    */
+  private def withMainText(pages: DataFrame): DataFrame =
     pages
       .withColumn("clean", expr(dropNonContent("html")))
       .withColumn("blocks", expr(
         """regexp_extract_all(clean, '(?is)<(nav|p|footer)\\b[^>]*>.*?</\\1>', 0)"""))
       .withColumn("scored", expr(
         // The decode chain runs ONCE per block (no CSE inside higher-
-        // order-function lambdas); word count derives from the decoded
-        // text in the filter below.
+        // order-function lambdas); word counts derive from the decoded
+        // text where needed.
         "transform(blocks, b -> named_struct(" +
           "'txt', " + textOf("b") + ", " +
           "'n_links', regexp_count(b, '(?i)<a\\\\s')))"))
+      .withColumn("main_text", expr(
+        """array_join(transform(
+             filter(scored, s -> s.n_links * 3 < size(split(s.txt, ' '))),
+             s -> s.txt), ' ')"""))
+
+  /** [[mainContent]] over an explicit (doc_id, html) frame. */
+  def mainContentFromPages(pages: DataFrame): DataFrame =
+    withMainText(pages)
       .select(
         col("doc_id"),
-        expr(
-          """array_join(transform(
-               filter(scored, s -> s.n_links * 3 < size(split(s.txt, ' '))),
-               s -> s.txt), ' ')""")
-          .as("main_text"),
+        col("main_text"),
         expr("size(scored)").cast("long").as("n_blocks"),
         expr("size(filter(scored, s -> s.n_links * 3 < size(split(s.txt, ' '))))")
           .cast("long").as("n_kept"))
@@ -214,6 +223,11 @@ $paras
     (scheme, hostport, rest, nofrag, query)
   }
 
+  /** Lowercased host of URL column `u` — the one spelling shared by
+    * [[urlNormalizeCol]] and [[webFunnel]]. */
+  private def hostSql(u: String): String =
+    s"lower(regexp_extract(${urlParts(u)._2}, '^([^:]*)', 1))"
+
   /** Q92 — URL normalization over the salted corpus: emits the
     * canonical form, the lowercased host, and the param count. Rows
     * whose URL has no parseable scheme://host normalize to NULL (the
@@ -228,7 +242,7 @@ $paras
     val (scheme, hostport, _, nofrag, query) = urlParts("url")
     withUrl
       .withColumn("scheme", expr(scheme))
-      .withColumn("host", expr(s"lower(regexp_extract($hostport, '^([^:]*)', 1))"))
+      .withColumn("host", expr(hostSql("url")))
       .withColumn("port", expr(s"regexp_extract($hostport, ':([0-9]+)$$', 1)"))
       .withColumn("path0", expr(s"regexp_extract($nofrag, '^([^?]*)', 1)"))
       .withColumn("path", expr(
@@ -277,22 +291,9 @@ $paras
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("host")
       .orderBy(col("n_tokens").desc, col("doc_id"))
-    htmlDocs(docs)
+    withMainText(htmlDocs(docs))
       .withColumn("url", expr(urlSaltSql))
-      .withColumn("host", expr(
-        "lower(regexp_extract(regexp_extract(url, " +
-          "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1))"))
-      .withColumn("clean", expr(dropNonContent("html")))
-      .withColumn("blocks", expr(
-        """regexp_extract_all(clean, '(?is)<(nav|p|footer)\\b[^>]*>.*?</\\1>', 0)"""))
-      .withColumn("scored", expr(
-        "transform(blocks, b -> named_struct(" +
-          "'txt', " + textOf("b") + ", " +
-          "'n_links', regexp_count(b, '(?i)<a\\\\s')))"))
-      .withColumn("main_text", expr(
-        """array_join(transform(
-             filter(scored, s -> s.n_links * 3 < size(split(s.txt, ' '))),
-             s -> s.txt), ' ')"""))
+      .withColumn("host", expr(hostSql("url")))
       .withColumn("n_tokens", size(split(col("main_text"), " ")).cast("long"))
       .where(col("n_tokens").between(minTok, maxTok))
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -930,14 +930,29 @@ object Similarity {
                 kLex: Int, kFuse: Int): DataFrame = {
     require(kFuse <= 10 && kFuse <= kLex,
       s"kFuse must be within both legs' depth (dense leg fixed at 10), got $kFuse")
-    val lex = TextAnalysis.bm25(docs, terms, kLex)
+    rrfFuse(
+      lexRanksOf(TextAnalysis.bm25(docs, terms, kLex)),
+      udafTopK(emb, 1).select(col("rnk").as("rd"), col("vec_id").as("id")),
+      kFuse)
+  }
+
+  /** The BM25 frame collapsed to (rl, id) lexical ranks — a k-row fold
+    * (no global window), shared by both hybrid variants.
+    */
+  private def lexRanksOf(bm25Frame: DataFrame): DataFrame =
+    bm25Frame
       .agg(expr(
         """array_sort(transform(collect_list(struct(score_micros, doc_id)),
              s -> struct(-s.score_micros AS ns, s.doc_id AS id)))""").as("a"))
       .select(posexplode(col("a")))
       .select((col("pos") + 1).cast("long").as("rl"), col("col.id").as("id"))
-    val den = udafTopK(emb, 1)
-      .select(col("rnk").as("rd"), col("vec_id").as("id"))
+
+  /** q87's exact-integer reciprocal-rank fusion of a lexical (rl, id)
+    * and dense (rd, id) leg — ONE definition so the fusion rule (rank
+    * constant, rounding, tie order) cannot diverge between the
+    * full-scan and stored-index hybrids.
+    */
+  private def rrfFuse(lex: DataFrame, den: DataFrame, kFuse: Int): DataFrame =
     lex.join(den, Seq("id"), "full_outer")
       .withColumn("fused_nanos",
         coalesce(expr("CAST(floor(1e9 / (60.0 + rl) + 0.5) AS BIGINT)"), lit(0L))
@@ -946,7 +961,6 @@ object Similarity {
       .limit(kFuse)
       .select(col("id").as("doc_id"), col("rl"), col("rd"), col("fused_nanos"),
         (col("fused_nanos").cast("double") / 1e9).as("rrf"))
-  }
 
   /** Q95 — hybrid RRF where BOTH legs serve from PERSISTED indexes:
     * the lexical ranking from the stored postings
@@ -966,27 +980,16 @@ object Similarity {
                       denseFrom: Long): DataFrame = {
     require(kFuse <= 10 && kFuse <= kLex,
       s"kFuse must be within both legs' depth (dense leg fixed at 10), got $kFuse")
-    import graft.sources.{TextIndexStore, VectorIndexStore}
-    val lex = TextAnalysis.bm25Stored(spark, textDir, terms, kLex, nBuckets)
-      .agg(expr(
-        """array_sort(transform(collect_list(struct(score_micros, doc_id)),
-             s -> struct(-s.score_micros AS ns, s.doc_id AS id)))""").as("a"))
-      .select(posexplode(col("a")))
-      .select((col("pos") + 1).cast("long").as("rl"), col("col.id").as("id"))
+    import graft.sources.VectorIndexStore
     val den = ivfPqSearchFrames(queryVec,
       VectorIndexStore.centroids(spark, annDir),
       VectorIndexStore.codebooks(spark, annDir),
       VectorIndexStore.codes(spark, annDir).filter(col("vec_id") >= denseFrom),
       nSub, 10, nProbe)
       .select(col("rnk").as("rd"), col("vec_id").as("id"))
-    lex.join(den, Seq("id"), "full_outer")
-      .withColumn("fused_nanos",
-        coalesce(expr("CAST(floor(1e9 / (60.0 + rl) + 0.5) AS BIGINT)"), lit(0L))
-          + coalesce(expr("CAST(floor(1e9 / (60.0 + rd) + 0.5) AS BIGINT)"), lit(0L)))
-      .orderBy(col("fused_nanos").desc, col("id"))
-      .limit(kFuse)
-      .select(col("id").as("doc_id"), col("rl"), col("rd"), col("fused_nanos"),
-        (col("fused_nanos").cast("double") / 1e9).as("rrf"))
+    rrfFuse(
+      lexRanksOf(TextAnalysis.bm25Stored(spark, textDir, terms, kLex, nBuckets)),
+      den, kFuse)
   }
 
   /** Per-dimension corpus means as ONE broadcastable row (`mus`),

@@ -737,7 +737,14 @@ object TextAnalysis {
     val buckets = terms.map(TextIndexStore.bucketOf(_, nBuckets)).distinct
     val p = TextIndexStore.postings(spark, dir)
       .filter(col("t_bucket").isin(buckets.map(Long.box): _*)
-        && col("term").isin(terms: _*))
+        && col("term").isin(terms.distinct: _*))
+    // A term listed n times in the query contributes n times in q86's
+    // per-position fold — the postings join sees each (term, doc) row
+    // once, so the multiplicity becomes a weight. Weighting AFTER the
+    // floor keeps the sum bit-equal to n separate floored occurrences.
+    val wCase = terms.groupBy(identity).map { case (t, g) =>
+      s"WHEN '$t' THEN ${g.size}L"
+    }.mkString("CASE term ", " ", " ELSE 1L END")
     // df(term) = the term's posting count within its pruned bucket;
     // idf/avgdl reproduce q86's cast points exactly.
     val model = p.groupBy("term").agg(count(lit(1)).as("df"))
@@ -749,7 +756,7 @@ object TextAnalysis {
       .select("term", "idf", "avgdl")
     p.join(broadcast(model), "term")
       .withColumn("c", expr(
-        s"""CAST(floor(idf * (CAST(tf AS DOUBLE) * (1.0 + $Bm25K1))
+        s"""($wCase) * CAST(floor(idf * (CAST(tf AS DOUBLE) * (1.0 + $Bm25K1))
                / (CAST(tf AS DOUBLE)
                   + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (CAST(dl AS DOUBLE) / avgdl)))
                * 1e6 + 0.5) AS BIGINT)"""))

@@ -53,15 +53,27 @@ object TextIndexStore {
     * maintenance because it is derived from the postings at query
     * time — so a stored-BM25 query after append scores EXACTLY as a
     * from-scratch build over the full corpus (TextIndexStoreSpec pins
-    * this), which is what makes the ingest path safe to run
-    * continuously.
+    * this).
+    *
+    * Durability contract: the object lock makes appends single-writer
+    * within a JVM, but the postings-then-stats sequence is NOT a
+    * transaction — a crash between the two writes leaves postings
+    * ahead of stats, and a concurrent reader can hit the stats
+    * overwrite window. The recovery rule is `build` (a full overwrite
+    * restores consistency); a production deployment stages both writes
+    * under one manifest/table-format commit (the Delta/Iceberg shape)
+    * instead of raw parquet directories.
     */
-  def append(spark: SparkSession, dir: String, newDocs: DataFrame, nBuckets: Int): Unit = {
+  def append(spark: SparkSession, dir: String, newDocs: DataFrame,
+             nBuckets: Int): Unit = synchronized {
+    val batch = docLengths(newDocs)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")).first()
+    // Empty batch: a no-op tick of the ingest loop (sum over zero rows
+    // is null — nothing to write, nothing to advance).
+    if (batch.getLong(0) == 0L) return
     // Read-then-overwrite on the one-row stats: collect the single row
     // BEFORE the write clears the path.
     val old = stats(spark, dir).select(col("n_docs"), col("total_dl")).first()
-    val batch = docLengths(newDocs)
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")).first()
     writePostings(newDocs, dir, nBuckets, "append")
     import spark.implicits._
     Seq((old.getLong(0) + batch.getLong(0), old.getLong(1) + batch.getLong(1)))
