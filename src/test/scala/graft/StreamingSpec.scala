@@ -1190,6 +1190,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixture should surface at least one appended vector in some top-10")
   }
 
+  test("S20: stored postings serve a term-set query stream ≡ batch, stateless") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{Tables, TextIndexStore}
+    import graft.streaming.StreamingBm25Serve
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s20").toString
+    val nBuckets = 16
+    TextIndexStore.build(docs, dir, nBuckets)
+    val queries = Seq(
+      (0L, Seq("spark", "join", "window")),
+      (1L, Seq("merge", "table")),
+      (2L, Seq("spark")),
+      (3L, Seq("zzzznotaword", "filter")))
+    type R = (Long, Long, Long)
+    val got = scala.collection.mutable.ArrayBuffer.empty[R]
+    val src = MemoryStream[(Long, Seq[String])]
+    val q = src.toDF().toDF("qid", "terms").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = StreamingBm25Serve.scoreBatch(b, dir, 10, nBuckets)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        got.synchronized { got ++= v }
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      src.addData(queries.take(2): _*); q.processAllAvailable()
+      src.addData(queries.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = queries.flatMap { case (qid, terms) =>
+      graft.operators.TextAnalysis.bm25Stored(spark, dir, terms, 10, nBuckets)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(2)))
+    }
+    assert(got.nonEmpty && want.nonEmpty)
+    assert(got.sortBy(r => (r._1, r._2)).toSeq == want.sortBy(r => (r._1, r._2)),
+      "stream serving must equal the per-query batch rankings exactly")
+    assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+      s"postings serving must not allocate streaming state: ${q.lastProgress}")
+  }
+
   test("S15: streaming MG panes hold every true heavy hitter with O(panes·capacity) state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

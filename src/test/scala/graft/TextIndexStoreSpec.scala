@@ -99,6 +99,26 @@ class TextIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "an append-maintained index must score exactly like a from-scratch build")
   }
 
+  test("stored BM25 never scans document text — postings and stats only") {
+    val q = TextAnalysis.bm25Stored(spark, dir, Seq("spark", "join"), 20, nBuckets)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = q.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec =>
+        (f.relation.location.rootPaths.mkString(","), f.requiredSchema.fieldNames.toSet)
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { case (path, cols) =>
+      assert(!path.contains("documents"), s"query-time scan of the corpus: $path")
+      assert(!cols.contains("text"), s"query-time scan reads text: $cols")
+    }
+    // And the duplicate-term weighting matches the full-scan fold.
+    val dup = TextAnalysis.bm25Stored(spark, dir, Seq("spark", "spark"), 20, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val want = TextAnalysis.bm25(docs, Seq("spark", "spark"), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(dup == want, "a term listed twice must contribute twice, as in the per-position fold")
+  }
+
   test("a term absent from the corpus contributes nothing and breaks nothing") {
     val got = TextAnalysis.bm25Stored(spark, dir,
       Seq("spark", "zzzznotaword"), 10, nBuckets)
