@@ -729,6 +729,64 @@ object TextAnalysis {
     * Exchanges: O(candidate docs) for the per-doc sum — candidates are
     * the query terms' postings, not the corpus.
     */
+  /** Q97 — MULTI-query BM25 over the stored postings as ONE
+    * distributed plan: the production serving shape (a query batch,
+    * not a driver loop). All queries' terms prune the postings scan
+    * together (one bucket `IN` + one `term IN`); per-occurrence
+    * contributions are computed once per (term, doc) and fan out to
+    * queries through a broadcast (qid, term, weight) frame — a term
+    * shared by many queries is scored once; the per-(query, doc) sum
+    * is exact integers; ranking runs per query through the bounded
+    * top-k Aggregator, so the final exchange is O(queries · k) no
+    * matter how many candidates a query touches. Same math as
+    * [[bm25Stored]] per query (q97's oracle stacks one q86 chain per
+    * query); duplicate terms weight after the floor as there.
+    */
+  def bm25BatchStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      queries: Seq[(Long, Seq[String])], k: Int,
+                      nBuckets: Int): DataFrame = {
+    require(k <= 10, "k is capped by the graft_top10 buffer")
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty)
+      && queries.flatMap(_._2).forall(_.matches("[a-z0-9]+")),
+      s"query terms must be non-empty [a-z0-9]+ tokens, got $queries")
+    import graft.sources.TextIndexStore
+    val allTerms = queries.flatMap(_._2).distinct
+    val buckets = allTerms.map(TextIndexStore.bucketOf(_, nBuckets)).distinct
+    val p = TextIndexStore.postings(spark, dir)
+      .filter(col("t_bucket").isin(buckets.map(Long.box): _*)
+        && col("term").isin(allTerms: _*))
+    val model = p.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(TextIndexStore.stats(spark, dir)))
+      .withColumn("idf", expr(
+        """ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))"""))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .select("term", "idf", "avgdl")
+    import spark.implicits._
+    val qw = queries.flatMap { case (qid, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (qid, t, g.size.toLong) }
+    }.toDF("qid", "term", "w")
+    p.join(broadcast(model), "term")
+      .withColumn("c1", expr(
+        s"""CAST(floor(idf * (CAST(tf AS DOUBLE) * (1.0 + $Bm25K1))
+               / (CAST(tf AS DOUBLE)
+                  + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (CAST(dl AS DOUBLE) / avgdl)))
+               * 1e6 + 0.5) AS BIGINT)"""))
+      .join(broadcast(qw), "term")
+      .groupBy("qid", "doc_id", "dl")
+      .agg(sum(col("w") * col("c1")).as("score_micros"))
+      .where(col("score_micros") > 0)
+      .groupBy("qid")
+      .agg(expr(
+        s"slice(graft_top10(CAST(score_micros AS DOUBLE), doc_id), 1, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("doc_id"),
+        col("col._1").cast("long").as("score_micros"),
+        (col("col._1") / 1e6).as("score"))
+      .orderBy("qid", "rnk")
+  }
+
   def bm25Stored(spark: org.apache.spark.sql.SparkSession, dir: String,
                  terms: Seq[String], k: Int, nBuckets: Int): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
