@@ -85,6 +85,28 @@ object Bench {
                    "q94_stored_bm25" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
+    // Fixed-work CPU calibration: a constant amount of pure computation
+    // (2^32 xxhash64 rows through a sum, no I/O, SF-independent), timed
+    // like a query. Cross-round wall comparisons divide by this row to
+    // cancel host contention — the r6→r7 artifacts showed a uniform
+    // ~1.35× wall drift across UNCHANGED queries (proportionally scaled
+    // cpu), which a fixed-work reference run in the same JVM makes
+    // quantifiable inside the artifact itself. Suspect-retried like any
+    // query so one descheduled run can't poison the normalizer.
+    val (calibWall, calibCpu) = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      // % keeps the running sum within 2^53 of zero — ANSI mode makes a
+      // raw sum(xxhash64) a guaranteed long-overflow error at 2^32 rows.
+      val fn = (s: SparkSession, _: String) =>
+        s.range(1L << 32).select(sum(xxhash64(col("id")) % 1000000L).as("h"))
+      val (w1, c1, _, e1) = timeOnce(spark, "calibration", fn, sfDir)
+      e1.foreach(e => System.err.println(s"[bench] calibration failed: $e"))
+      if (e1.isDefined) (-1.0, -1.0) // never report a failure's timing
+      else if (isSuspect(w1, c1)) {
+        val (w2, c2, _, e2) = timeOnce(spark, "calibration", fn, sfDir)
+        if (e2.isEmpty && w2 < w1) (w2, c2) else (w1, c1)
+      } else (w1, c1)
+    }
     // Optional comma-separated name filter for single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -120,9 +142,9 @@ object Bench {
     // (after the wide per-query map) where a tail-truncation keeps them.
     // The complete artifact (incl. per-query cpu/gc) is also written to a
     // file in the repo so no capture window can lose it.
-    val line = f"""{"metric":"total","unit":"sec","queries":$qs,"suspect":$suspects,"retried":$retried,"errors":$nErr,"error_names":$errNames,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
+    val line = f"""{"metric":"total","unit":"sec","queries":$qs,"suspect":$suspects,"retried":$retried,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
     println(line)
-    val full = f"""{"metric":"total","unit":"sec","queries":$qs,"cpu_s":${numMap(_.cpu)},"gc_s":${numMap(_.gc)},"suspect":$suspects,"retried":$retried,"errors":$nErr,"error_names":$errNames,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
+    val full = f"""{"metric":"total","unit":"sec","queries":$qs,"cpu_s":${numMap(_.cpu)},"gc_s":${numMap(_.gc)},"suspect":$suspects,"retried":$retried,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }

@@ -823,6 +823,8 @@ object SparkEntry {
       Multimodal.audioDecode(Tables.table(s, d, "documents"))),
     "q21f_video_decode" -> ((s, d) =>
       Multimodal.videoDecode(Tables.table(s, d, "documents"))),
+    "q21g_mjpeg_decode" -> ((s, d) =>
+      Multimodal.mjpegDecode(Tables.table(s, d, "documents"))),
     "q21c_resize_meta" -> ((s, d) =>
       Multimodal.resizeMeta(Tables.table(s, d, "documents"), MaxResizeDim)),
     "q22_stratified_sample" -> ((s, d) =>
@@ -1651,6 +1653,32 @@ object SparkEntry {
                  CAST(sum(s) AS BIGINT) AS luma_sum,
                  CAST(sum(CASE WHEN f = 0 THEN s ELSE 0 END) AS BIGINT) AS luma_first
           FROM sums GROUP BY doc_id ORDER BY doc_id""",
+    // Q21g: the engine writes an MJPEG/AVI clip per doc (every frame a
+    // REAL JDK-encoded JPEG), demuxes the RIFF container byte-level and
+    // decodes every frame with the real codec; the oracle recomputes
+    // dims + per-frame gray sums from the generator's closed form.
+    // Block-aligned two-band frames round-trip the lossy codec exactly,
+    // which is what makes a closed-form oracle possible for JPEG.
+    "q21g_mjpeg_decode" ->
+      """WITH vd AS (SELECT doc_id,
+                CAST(16 * (2 + doc_id % 3) AS BIGINT) AS w,
+                CAST(8 * (2 + doc_id % 4) AS BIGINT) AS h,
+                CAST(2 + doc_id % 5 AS BIGINT) AS nf,
+                CAST(24 + doc_id % 2 AS BIGINT) AS fps
+              FROM documents),
+          fr AS (SELECT doc_id, w, h, nf, fps,
+                   unnest(generate_series(0, nf - 1)) AS f FROM vd),
+          fs AS (SELECT doc_id, w, h, nf, fps, f,
+                   (w // 2) * h * (((7 * doc_id + 17 * f) % 256)
+                                 + ((11 * doc_id + 29 * f + 101) % 256)) AS s
+                 FROM fr)
+          SELECT doc_id, CAST(max(w) AS INT) AS width,
+                 CAST(max(h) AS INT) AS height,
+                 CAST(max(fps) AS INT) AS fps,
+                 CAST(max(nf) AS BIGINT) AS n_frames,
+                 CAST(sum(s) AS BIGINT) AS px_sum,
+                 CAST(sum(CASE WHEN f = 0 THEN s ELSE 0 END) AS BIGINT) AS px_first
+          FROM fs GROUP BY doc_id ORDER BY doc_id""",
     "q22_stratified_sample" -> {
       val rateCase = MixRates.toSeq.sortBy(_._1)
         .map { case (s, r) => s"WHEN '$s' THEN $r" }

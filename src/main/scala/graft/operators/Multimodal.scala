@@ -39,11 +39,14 @@ case class MediaRecord(doc_id: Long, media_type: String, byte_len: Long,
   * exercised by q21e's encode→decode round-trip). VIDEO container
   * parsing is REAL as well: Y4M/YUV4MPEG2 clips are generated and
   * fully parsed byte-level ([[decodeY4m]], exercised by q21f) —
-  * header, frame markers, planar 4:2:0 layout, per-frame luma. Only
-  * pixel-codec video (H.26x — no JDK decoder exists) falls back to
-  * the deterministic [[decodeStub]]; the Spark-side plumbing (schema,
-  * typed Dataset path, per-partition batching, binary column pruning)
-  * is identical for all paths.
+  * header, frame markers, planar 4:2:0 layout, per-frame luma. PIXEL-
+  * CODEC video is REAL too: MJPEG-in-AVI clips are written and demuxed
+  * byte-level ([[mjpegAviBlob]]/[[decodeAvi]]) with every frame's JPEG
+  * decoded by the JDK codec (q21g). Only inter-frame codecs (H.26x —
+  * no JDK decoder exists) fall back to the deterministic
+  * [[decodeStub]]; the Spark-side plumbing (schema, typed Dataset
+  * path, per-partition batching, binary column pruning) is identical
+  * for all paths.
   */
 object Multimodal {
 
@@ -455,6 +458,218 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height", "fps_num", "fps_den", "n_frames",
         "luma_sum", "luma_first")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // MJPEG-in-AVI: PIXEL-CODEC video with zero new dependencies. The JDK
+  // ships a real JPEG codec (javax.imageio), so a Motion-JPEG stream —
+  // every frame an independent JPEG — is the one pixel-coded video
+  // format this engine can both produce and genuinely decode. The AVI
+  // (RIFF) container is written and parsed byte-level like Y4M.
+  // ---------------------------------------------------------------------
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  private def fcc(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** One RIFF chunk: fourcc + LE size + body, padded to even length
+    * (the RIFF word-alignment rule — the pad byte is NOT counted in the
+    * size field).
+    */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    fcc(id) ++ le32(body.length) ++ body ++ pad
+  }
+
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fcc(listType) ++ body)
+
+  /** One two-band gray frame encoded by the REAL JDK JPEG codec: left
+    * half gray `vL`, right half gray `vR`. Both bands are 8×8-block
+    * aligned (w is a multiple of 16, the split at w/2 a multiple of 8),
+    * so every DCT block is uniform and the lossy codec round-trips the
+    * pixels EXACTLY (verified across all 256 grays) — which is what
+    * makes a closed-form SQL oracle possible for a lossy format.
+    */
+  def jpegFrame(w: Int, h: Int, vL: Int, vR: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (x < w / 2) vL else vR
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic tiny REAL MJPEG/AVI clips: clip `id` is
+    * w = 16·(2 + id mod 3) × h = 8·(2 + id mod 4) pixels,
+    * 2 + id mod 5 frames at (24 + id mod 2) fps; frame f is two gray
+    * bands vL = (7·id + 17·f) mod 256, vR = (11·id + 29·f + 101) mod
+    * 256 ([[jpegFrame]]). The container is a genuine RIFF/AVI file —
+    * `hdrl` (avih + strl with a 'vids'/'MJPG' strh and a
+    * BITMAPINFOHEADER strf), `movi` with one '00dc' chunk per JPEG
+    * frame, and an idx1 keyframe index — any standard AVI demuxer can
+    * play it.
+    */
+  def mjpegAviBlob(id: Long): MediaBlob = {
+    val w = (16 * (2 + id % 3)).toInt
+    val h = (8 * (2 + id % 4)).toInt
+    val nFrames = (2 + id % 5).toInt
+    val fps = (24 + id % 2).toInt
+    val frames = Array.tabulate(nFrames) { f =>
+      val vL = ((7 * id + 17 * f) % 256).toInt
+      val vR = ((11 * id + 29 * f + 101) % 256).toInt
+      jpegFrame(w, h, vL, vR)
+    }
+    val maxFrame = frames.map(_.length).max
+
+    val avih = riffChunk("avih",
+      le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0x10) ++ // AVIF_HASINDEX
+        le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = riffChunk("strh",
+      fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(nFrames) ++
+        le32(maxFrame) ++ le32(0) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = riffChunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+
+    val moviChunks = frames.map(riffChunk("00dc", _))
+    val movi = riffList("movi", moviChunks.flatten)
+    // idx1 entries: offset is relative to the 'movi' fourcc position,
+    // pointing at each '00dc' header; 0x10 = AVIIF_KEYFRAME.
+    var off = 4
+    val idxEntries = moviChunks.zip(frames).flatMap { case (c, fr) =>
+      val e = fcc("00dc") ++ le32(0x10) ++ le32(off) ++ le32(fr.length)
+      off += c.length
+      e
+    }
+    val idx1 = riffChunk("idx1", idxEntries)
+
+    val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+    val payload = fcc("RIFF") ++ le32(body.length) ++ body
+    MediaBlob(id, "video/x-msvideo", payload)
+  }
+
+  /** REAL AVI parse: validates the RIFF/'AVI ' magic, reads the avih
+    * header (dims + declared frame count), walks the `movi` list
+    * extracting every '00dc' video chunk's JPEG payload. Returns
+    * (w, h, fps, declaredFrames, jpeg byte arrays) or None for bytes
+    * that are not a well-formed clip — the untrusted-media fallback
+    * contract of [[decodeImage]]. The JPEG payloads are NOT decoded
+    * here; pixel decode is the caller's per-frame [[decodeImage]] step,
+    * keeping container demux and pixel codec as separate stages the
+    * way a real media pipeline stages them.
+    */
+  def decodeAvi(payload: Array[Byte]): Option[(Int, Int, Int, Int, Seq[Array[Byte]])] =
+    try {
+      def str(pos: Int, n: Int): String =
+        new String(payload, pos, n, java.nio.charset.StandardCharsets.US_ASCII)
+      def rdLe32(pos: Int): Int =
+        (payload(pos) & 0xFF) | ((payload(pos + 1) & 0xFF) << 8) |
+          ((payload(pos + 2) & 0xFF) << 16) | ((payload(pos + 3) & 0xFF) << 24)
+      if (payload.length < 12 || str(0, 4) != "RIFF" || str(8, 4) != "AVI ")
+        return None
+      val riffEnd = math.min(payload.length.toLong, 8L + rdLe32(4)).toInt
+      var w = -1; var h = -1; var fps = -1; var declared = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      // Walk chunks in [from, to); recurse into LIST hdrl/strl/movi.
+      def walk(from: Int, to: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = str(pos, 4)
+          val size = rdLe32(pos + 4)
+          if (size < 0 || pos + 8 + size > to) return
+          if (id == "LIST" && size >= 4) {
+            val lt = str(pos + 8, 4)
+            if (lt == "hdrl" || lt == "strl" || lt == "movi")
+              walk(pos + 12, pos + 8 + size)
+          } else if (id == "avih" && size >= 40) {
+            declared = rdLe32(pos + 8 + 16)
+            w = rdLe32(pos + 8 + 32)
+            h = rdLe32(pos + 8 + 36)
+            val usPerFrame = rdLe32(pos + 8)
+            if (usPerFrame > 0) fps = 1000000 / usPerFrame
+          } else if (id == "00dc") {
+            frames += java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size)
+          }
+          pos += 8 + size + (size & 1)
+        }
+      }
+      walk(12, riffEnd)
+      if (w <= 0 || h <= 0 || declared < 0 || frames.isEmpty) None
+      else Some((w, h, fps, declared, frames.toSeq))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Q21g — REAL pixel-codec video decode, oracle-checkable: per
+    * document id, emit a deterministic MJPEG/AVI clip
+    * ([[mjpegAviBlob]]), demux the container byte-level
+    * ([[decodeAvi]]), then decode EVERY frame's JPEG with the actual
+    * JDK codec and report what the decoder saw — dims, frame count,
+    * total and first-frame gray sums. Block-aligned two-band frames
+    * round-trip the lossy codec exactly, so the oracle recomputes the
+    * sums from the generator's closed form: any container misparse,
+    * frame mis-extraction, or codec drift breaks the hash. This closes
+    * the last decode stub: container demux (q21f) AND pixel codec
+    * (here) both run for real in-partition.
+    */
+  def mjpegDecode(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.sources.Tables.widen(docs)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val blob = mjpegAviBlob(id)
+          val (w, h, fps, declared, frames) = decodeAvi(blob.payload)
+            .getOrElse(sys.error(s"AVI round-trip failed for doc $id"))
+          require(declared == frames.length,
+            s"AVI header/chunk frame-count drift for doc $id")
+          var total = 0L
+          var first = 0L
+          var f = 0
+          while (f < frames.length) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frames(f)))
+            require(img != null && img.getWidth == w && img.getHeight == h,
+              s"JPEG frame decode drift for doc $id frame $f")
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                s += img.getRGB(x, y) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            if (f == 0) first = s
+            total += s
+            f += 1
+          }
+          (id, w, h, fps, frames.length.toLong, total, first)
+        }
+      }
+      .toDF("doc_id", "width", "height", "fps", "n_frames", "px_sum", "px_first")
       .orderBy("doc_id")
   }
 

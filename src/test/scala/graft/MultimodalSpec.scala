@@ -144,6 +144,41 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeY4m(oddDims).isEmpty)
   }
 
+  test("q21g: AVI demux round-trips the generator; frame JPEGs decode to the closed form") {
+    val id = 11L
+    val blob = Multimodal.mjpegAviBlob(id)
+    val parsed = Multimodal.decodeAvi(blob.payload)
+    assert(parsed.isDefined, "generated AVI must parse")
+    val (w, h, fps, declared, frames) = parsed.get
+    assert(w == (16 * (2 + id % 3)).toInt && h == (8 * (2 + id % 4)).toInt)
+    assert(fps == (24 + id % 2).toInt && declared == (2 + id % 5).toInt)
+    assert(frames.length == declared, "header count must equal '00dc' chunk count")
+    // Every frame is a genuine standalone JPEG (SOI marker) that the
+    // real codec decodes back to the EXACT two-band grays.
+    frames.zipWithIndex.foreach { case (jp, f) =>
+      assert((jp(0) & 0xFF) == 0xFF && (jp(1) & 0xFF) == 0xD8, "JPEG SOI")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jp))
+      assert(img.getWidth == w && img.getHeight == h)
+      val vL = ((7 * id + 17 * f) % 256).toInt
+      val vR = ((11 * id + 29 * f + 101) % 256).toInt
+      assert((img.getRGB(0, 0) & 0xFF) == vL, "left band gray must round-trip exactly")
+      assert((img.getRGB(w - 1, h - 1) & 0xFF) == vR, "right band gray must round-trip exactly")
+    }
+    // Untrusted-media fallbacks: garbage, wrong magic, truncation → None.
+    assert(Multimodal.decodeAvi("not a clip".getBytes).isEmpty)
+    assert(Multimodal.decodeAvi(Array[Byte]()).isEmpty)
+    val wrongForm = blob.payload.clone()
+    wrongForm(8) = 'W'.toByte
+    assert(Multimodal.decodeAvi(wrongForm).isEmpty, "non-AVI RIFF form must be rejected")
+    // Truncating the trailing idx1 leaves the demuxed frames intact
+    // (the bounds-checked walk just stops); truncating INTO the movi
+    // list loses the stream and must reject.
+    val idxTrunc = Multimodal.decodeAvi(blob.payload.dropRight(3))
+    assert(idxTrunc.isDefined && idxTrunc.get._5.length == declared)
+    val moviTrunc = Multimodal.decodeAvi(blob.payload.dropRight(200))
+    assert(moviTrunc.isEmpty || moviTrunc.get._5.length < declared)
+  }
+
   test("metadata catalog query prunes the payload column from the parquet scan") {
     val catalog = Multimodal.blobCatalog(Multimodal.readBlobStore(spark, storePath))
     val scanned = catalog.queryExecution.sparkPlan.collectLeaves()
