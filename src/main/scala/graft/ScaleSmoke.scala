@@ -159,6 +159,11 @@ object ScaleSmoke {
         c => scaledDocs(spark, dir, c)),
       ("image_decode", Multimodal.imageDecode,
         c => scaledDocs(spark, dir, c)),
+      // Container demux + per-frame JPEG codec: pure per-row codec
+      // work in-partition, nothing but small ints shuffled — should
+      // track image_decode's ratio at ~frames× the constant.
+      ("mjpeg_decode", Multimodal.mjpegDecode,
+        c => scaledDocs(spark, dir, c)),
       ("perceptron_train", (df: DataFrame) => Classifier.perceptronTrain(df, 64, 4, "en"),
         c => scaledDocs(spark, dir, c)),
       // DSIR: model fit reduces on the bounded bucket space; scoring is

@@ -113,6 +113,13 @@ object SparkEntry {
     * (below the 500-row sf0.001 embedding count, so both sides are
     * non-empty at every SF). */
   private val AnnAppendSplit = 400L
+  /** Q98: tombstone-deleted corpus vec_ids — residue `AnnDeleteRes`
+    * mod `AnnDeleteMod` (≈1/7 of the corpus, so deletion visibly
+    * reshapes top-k at every SF; query ids `< BatchQueries` are
+    * exempt — queries come from outside the index).
+    */
+  private val AnnDeleteMod = 7L
+  private val AnnDeleteRes = 3L
   /** Per-SF persisted ANN index locations (the q64 DocStore tmpdir
     * convention): the full-corpus store (q89 family) and the
     * base-then-append store (q90 family). */
@@ -135,6 +142,31 @@ object SparkEntry {
       emb.filter(col("vec_id") < AnnAppendSplit),
       emb.filter(col("vec_id") >= AnnAppendSplit),
       NumCentroids, PqSub, PqCodes, KmeansIters)
+    dir
+  }
+  /** Q99: PageRank power-iteration rounds (oracle unrolls exactly
+    * this many; exact-integer grid, so engine and oracle agree
+    * bit-for-bit at every round).
+    */
+  private val PrRounds = 4
+  /** The q98 tombstone set for `d`: corpus ids of the delete residue. */
+  private def annDeleteIds(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "embeddings")
+      .select(col("vec_id"))
+      .filter(col("vec_id") % AnnDeleteMod === AnnDeleteRes &&
+        col("vec_id") >= BatchQueries)
+  /** The built-then-tombstoned store for `d`, idempotent per JVM. */
+  private def ensureDeletedAnnStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_annstore_del_${new java.io.File(d).getName}"
+    VectorIndexStore.buildDeletedOnce(s, dir, Tables.table(s, d, "embeddings"),
+      annDeleteIds(s, d), NumCentroids, PqSub, PqCodes, KmeansIters)
+    dir
+  }
+  /** The built-deleted-COMPACTED store for `d`, idempotent per JVM. */
+  private def ensureCompactedAnnStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_annstore_cmp_${new java.io.File(d).getName}"
+    VectorIndexStore.buildCompactedOnce(s, dir, Tables.table(s, d, "embeddings"),
+      annDeleteIds(s, d), NumCentroids, PqSub, PqCodes, KmeansIters)
     dir
   }
   /** The persisted inverted index for `d`, idempotent per JVM. */
@@ -548,6 +580,45 @@ object SparkEntry {
     * vectors, exactly what build-on-base + append produces).
     */
   private val ivfPqAppendCtes: String = ivfPqCtesFor(s"vec_id < $AnnAppendSplit")
+
+  /** Q98/q98b: the full-corpus q85 chain with the tombstoned residue
+    * excluded from the CANDIDATES only — the model (centroids,
+    * codebooks, encodes) was trained before the deletion and is
+    * untouched by it, exactly what tombstone-delete (and its physical
+    * compaction) produce. Shared verbatim by both: compaction must not
+    * change a single answer.
+    */
+  /** Q99: the closed-form link graph (`e`) and `PrRounds` unrolled
+    * PageRank rounds (`r0`..`r$PrRounds`) — integer `//` at exactly
+    * the two points the engine uses `div`, all values nonnegative, so
+    * the grids agree bit-for-bit.
+    */
+  private lazy val pageRankCtes: String = {
+    val rounds = (1 to PrRounds).map { k =>
+      s"""r$k AS (SELECT d.doc_id,
+               CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+             FROM documents d LEFT JOIN (
+               SELECT e.dst AS doc_id, sum(r${k - 1}.r // e.deg) AS s
+               FROM e JOIN r${k - 1} ON r${k - 1}.doc_id = e.src
+               GROUP BY 1) s USING (doc_id))"""
+    }.mkString(",\n        ")
+    s"""nn AS (SELECT count(*) AS n FROM documents),
+        e AS (SELECT d.doc_id AS src,
+                (d.doc_id * 31 + j.j * 17 + 1) % nn.n AS dst,
+                1 + d.doc_id % 3 AS deg
+              FROM documents d CROSS JOIN nn
+              CROSS JOIN UNNEST(generate_series(0, d.doc_id % 3)) AS j(j)),
+        r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+        $rounds"""
+  }
+
+  private lazy val q98OracleSql: String =
+    s"""WITH $ivfPqCtes,
+        rk2 AS (SELECT qid, vec_id, adc, row_number() OVER
+                  (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+                FROM sc2 WHERE vec_id % $AnnDeleteMod <> $AnnDeleteRes)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
+        FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk"""
 
   /** Full code-table summary on top of an [[ivfPqCtesFor]] chain: one
     * row per vector, (coarse cell, CSV of its PQ codes) — the persisted
@@ -1052,6 +1123,40 @@ object SparkEntry {
         docs.filter(col("doc_id") < TextAppendSplit),
         docs.filter(col("doc_id") >= TextAppendSplit), TextIndexBuckets)
       TextAnalysis.bm25Stored(s, dir, Bm25Terms, Bm25K, TextIndexBuckets)
+    }),
+    "q99_link_stats" -> ((s, d) => WebGraph.linkStats(Tables.table(s, d, "documents"))),
+    "q99b_pagerank" -> ((s, d) => WebGraph.pageRank(Tables.table(s, d, "documents"), PrRounds)),
+    "q99c_host_rank" -> ((s, d) => WebGraph.hostRank(Tables.table(s, d, "documents"), PrRounds)),
+    "q98_deleted_search" -> ((s, d) => {
+      // Takedown serving: the stored index with ~1/7 of the corpus
+      // tombstoned; search reads the live view (codes anti-join
+      // tombstones) — no code file was rewritten.
+      val dir = ensureDeletedAnnStore(s, d)
+      Similarity.ivfPqSearchFrames(annQueryBatch(s, d),
+        VectorIndexStore.centroids(s, dir), VectorIndexStore.codebooks(s, dir),
+        VectorIndexStore.liveCodes(s, dir).filter(col("vec_id") >= BatchQueries),
+        PqSub, BatchTopK, IvfPqProbes)
+    }),
+    "q98b_compacted_search" -> ((s, d) => {
+      // After physical compaction (dead rows dropped, one file per
+      // cell, tombstones cleared) the plain code table must answer
+      // exactly what the tombstone-serving view answered (same oracle
+      // as q98).
+      val dir = ensureCompactedAnnStore(s, d)
+      Similarity.ivfPqSearchFrames(annQueryBatch(s, d),
+        VectorIndexStore.centroids(s, dir), VectorIndexStore.codebooks(s, dir),
+        VectorIndexStore.codes(s, dir).filter(col("vec_id") >= BatchQueries),
+        PqSub, BatchTopK, IvfPqProbes)
+    }),
+    "q98c_compacted_stats" -> ((s, d) => {
+      // Maintenance monitoring: per-cell occupancy AFTER compaction —
+      // the tombstoned residue must be physically gone from every cell.
+      val dir = ensureCompactedAnnStore(s, d)
+      VectorIndexStore.codes(s, dir)
+        .groupBy("cid")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_live"))
+        .orderBy("cid")
     }),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
@@ -2837,6 +2942,41 @@ object SparkEntry {
                  CAST(sum(CASE WHEN vec_id >= $AnnAppendSplit THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_appended
           FROM af GROUP BY cid ORDER BY cid""",
+    // Q99: destination-side degree stats of the closed-form graph.
+    "q99_link_stats" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+          e AS (SELECT d.doc_id AS src,
+                  (d.doc_id * 31 + j.j * 17 + 1) % nn.n AS dst
+                FROM documents d CROSS JOIN nn
+                CROSS JOIN UNNEST(generate_series(0, d.doc_id % 3)) AS j(j))
+          SELECT dst, count(*) AS in_deg, count(DISTINCT src) AS n_src
+          FROM e GROUP BY dst ORDER BY dst""",
+    // Q99b: the engine's power iteration vs the unrolled rounds —
+    // bit-exact on the integer micros grid.
+    "q99b_pagerank" ->
+      s"""WITH $pageRankCtes
+          SELECT doc_id, r AS rank_micros FROM r$PrRounds ORDER BY doc_id""",
+    // Q99c: host-level rollup of the final round (q92's host fixture).
+    "q99c_host_rank" ->
+      s"""WITH $pageRankCtes
+          SELECT 'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+                 count(*) AS n_pages, CAST(sum(r) AS BIGINT) AS rank_micros_sum
+          FROM r$PrRounds GROUP BY 1 ORDER BY host""",
+    // Q98/q98b: tombstone-deleted then compacted serving — one oracle,
+    // twice: physical compaction must preserve every answer of the
+    // tombstone view.
+    "q98_deleted_search" -> q98OracleSql,
+    "q98b_compacted_search" -> q98OracleSql,
+    // Q98c: post-compaction occupancy — the full-corpus assignment
+    // chain minus the deleted residue (query ids are exempt from
+    // deletion and still encoded).
+    "q98c_compacted_stats" ->
+      s"""WITH $ivfPqCtes
+          SELECT cid, count(*) AS n_live
+          FROM af
+          WHERE NOT (vec_id % $AnnDeleteMod = $AnnDeleteRes
+                     AND vec_id >= $BatchQueries)
+          GROUP BY cid ORDER BY cid""",
     // Q92: the canonical form is closed-form from the salt — host
     // lowered, :443 stripped, trailing slash trimmed, fragment gone,
     // params sorted, path case PRESERVED.

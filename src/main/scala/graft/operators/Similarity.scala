@@ -362,7 +362,7 @@ object Similarity {
     */
   private[graft] def declarativeSrpBuckets(emb: DataFrame, nPlanes: Int): DataFrame = {
     val e0 = withEmb(emb)
-    val dim = e0.select(size(col("emb"))).head.getInt(0)
+    val dim = e0.select(size(col("emb"))).head().getInt(0)
     val planes = graft.functions.SrpBucket.planes(nPlanes, dim).map(_.toSeq).toSeq
     e0
       .withColumn("srp_planes", typedlit(planes))

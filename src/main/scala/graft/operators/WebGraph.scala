@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Web-graph centrality (north-star LLM-pipeline surface): a crawl
+  * curation pipeline ranks pages/hosts by link centrality (the
+  * CommonCrawl-style quality prior) before spending tokens on them.
+  * The graph here is a deterministic closed-form fixture over the
+  * documents table (the q92 salted-URL convention): page `i` links to
+  * `outdeg(i) = 1 + i mod 3` pages `dst = (31·i + 17·j + 1) mod N`,
+  * j < outdeg — varying out- AND in-degree, no dangling nodes, and
+  * every edge recomputable by a SQL oracle in O(1).
+  *
+  * [[pageRank]] is the standard damped power iteration, kept on an
+  * exact integer grid (the q88 PCA discipline): ranks live in micros
+  * (BIGINT), each round is `r' = 150000 + (85 · Σ_u r_u div deg_u)
+  * div 100` — integer `div` at the same two points the oracle uses
+  * `//`, all values nonnegative, so Spark and DuckDB agree bit-for-bit
+  * with no float drift across rounds.
+  *
+  * Scale shape: per round ONE shuffle keyed on the edge destination
+  * (the canonical distributed-PageRank exchange) plus the map-side
+  * contribution join; rank rows are (id, one long). Rounds are a fixed
+  * small constant and each round ends in `localCheckpoint`, so plan
+  * depth stays constant (the kmeansTrain loop contract) instead of
+  * growing linearly with rounds.
+  */
+object WebGraph {
+
+  /** The closed-form link graph: (src, dst, deg) — deg denormalized
+    * onto every edge (it is closed-form in src, so no degree join is
+    * ever needed). N comes from a broadcast one-row count frame, not a
+    * driver collect.
+    */
+  def linkGraph(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n"))
+    docs.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n))
+      .select(col("src"), col("n"),
+        explode(expr("sequence(0, CAST(src % 3 AS INT))")).as("j"))
+      .select(
+        col("src"),
+        ((col("src") * 31 + col("j") * 17 + 1) % col("n")).as("dst"),
+        (col("src") % 3 + 1).as("deg"))
+  }
+
+  /** Q99 — the graph itself, summarized per destination: in-degree and
+    * the distinct-source count (self-links and collisions make them
+    * differ), the frontier statistics a crawl scheduler reads.
+    */
+  def linkStats(docs: DataFrame): DataFrame =
+    linkGraph(docs)
+      .groupBy("dst")
+      .agg(
+        count(lit(1)).as("in_deg"),
+        countDistinct(col("src")).as("n_src"))
+      .orderBy("dst")
+
+  /** Q99b — damped PageRank on the exact-integer micros grid, `rounds`
+    * iterations from the uniform start (1e6 micros per page).
+    */
+  def pageRank(docs: DataFrame, rounds: Int): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val edges = linkGraph(docs)
+    var ranks = ids.withColumn("r", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val inMass = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("s"))
+      ranks = ids
+        .join(inMass, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) + expr("85 * coalesce(s, 0L) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("doc_id"), col("r").as("rank_micros")).orderBy("doc_id")
+  }
+
+  /** Q99c — host-level centrality: page ranks rolled up to the q92
+    * host fixture (`site(id mod 5).example`) — the domain-quality
+    * prior a curation mixture consumes; bounded key space, map-side
+    * combine.
+    */
+  def hostRank(docs: DataFrame, rounds: Int): DataFrame =
+    pageRank(docs, rounds)
+      .withColumn("host",
+        concat(lit("site"), (col("doc_id") % 5).cast("string"), lit(".example")))
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_pages"),
+        sum("rank_micros").as("rank_micros_sum"))
+      .orderBy("host")
+}

@@ -49,6 +49,10 @@ object VectorIndexStore {
       .repartition(col("cid"))
       .sortWithinPartitions("vec_id")
       .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/codes")
+    // A rebuild is a new index: tombstones against the OLD code table
+    // (a prior process's partial state) must not shadow fresh rows.
+    val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    ts.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration).delete(ts, true)
   }
 
   /** Admit new vectors to an EXISTING index without retraining: assign
@@ -70,6 +74,61 @@ object VectorIndexStore {
       .repartition(col("cid"))
       .sortWithinPartitions("vec_id")
       .write.partitionBy("cid").mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Tombstone-delete: mark `ids` (a (vec_id) frame) dead WITHOUT
+    * touching a single code file — deletion at 100 TB must not rewrite
+    * the store on every takedown request. Serving reads
+    * [[liveCodes]]; [[compact]] later folds tombstones into a physical
+    * rewrite. Appends, so repeated delete batches accumulate (duplicate
+    * ids are harmless — anti-join semantics).
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** The current tombstone set — empty frame when no delete has ever
+    * run against this store.
+    */
+  def tombstones(spark: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/tombstones").exists())
+      spark.read.parquet(s"$dir/tombstones")
+    else {
+      import spark.implicits._
+      spark.emptyDataset[Long].toDF("vec_id")
+    }
+
+  /** The serving view of the code table: stored codes minus tombstoned
+    * ids (left-anti). The tombstone side is broadcast — between
+    * compactions it is operationally small (compact precisely when it
+    * is not); cell pruning still happens on the codes side first, so
+    * the anti-join touches only probed-cell rows.
+    */
+  def liveCodes(spark: SparkSession, dir: String): DataFrame =
+    codes(spark, dir).join(broadcast(tombstones(spark, dir)), Seq("vec_id"), "left_anti")
+
+  /** Physical compaction: rewrite the code table without tombstoned
+    * rows — ONE file per coarse cell (the repartition on cid maps each
+    * cell to exactly one task, so append-accumulated small files merge)
+    * — then drop the tombstone set. Writes to a scratch subdir first
+    * and swaps via rename: the live table is never read and overwritten
+    * in the same plan. After compact, [[liveCodes]] ≡ [[codes]] and
+    * search results are IDENTICAL to the tombstone-serving view
+    * (VectorIndexStoreSpec pins both).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$dir/codes_compacting")
+    fs.delete(tmp, true)
+    liveCodes(spark, dir)
+      .repartition(col("cid"))
+      .sortWithinPartitions("vec_id")
+      .write.partitionBy("cid").mode("overwrite").parquet(tmp.toString)
+    val live = new Path(s"$dir/codes")
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"compaction swap failed for $dir")
+    fs.delete(new Path(s"$dir/tombstones"), true)
   }
 
   /** The stored coarse quantizer (cid, cemb). */
@@ -120,6 +179,38 @@ object VectorIndexStore {
     }
   }
 
+  /** Build + tombstone-delete, once per JVM: the takedown-serving state
+    * (live view = codes minus tombstones) as one idempotent unit.
+    */
+  def buildDeletedOnce(spark: SparkSession, dir: String, emb: DataFrame,
+                       delIds: DataFrame, nCentroids: Int, nSub: Int,
+                       nCodes: Int, iters: Int): Unit = synchronized {
+    val key = (dir, nCentroids, nSub, nCodes, iters)
+    if (!deletedBuilt.contains(key)) {
+      build(emb, dir, nCentroids, nSub, nCodes, iters)
+      delete(spark, dir, delIds)
+      deletedBuilt += key
+    }
+  }
+
+  /** Build + delete + physical [[compact]], once per JVM — the full
+    * maintenance cycle ending in a tombstone-free, one-file-per-cell
+    * store.
+    */
+  def buildCompactedOnce(spark: SparkSession, dir: String, emb: DataFrame,
+                         delIds: DataFrame, nCentroids: Int, nSub: Int,
+                         nCodes: Int, iters: Int): Unit = synchronized {
+    val key = (dir, nCentroids, nSub, nCodes, iters)
+    if (!compacted.contains(key)) {
+      build(emb, dir, nCentroids, nSub, nCodes, iters)
+      delete(spark, dir, delIds)
+      compact(spark, dir)
+      compacted += key
+    }
+  }
+
   private val built = scala.collection.mutable.Set.empty[(String, Int, Int, Int, Int)]
   private val appended = scala.collection.mutable.Set.empty[(String, Int, Int, Int, Int)]
+  private val deletedBuilt = scala.collection.mutable.Set.empty[(String, Int, Int, Int, Int)]
+  private val compacted = scala.collection.mutable.Set.empty[(String, Int, Int, Int, Int)]
 }

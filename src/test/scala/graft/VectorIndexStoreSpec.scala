@@ -102,6 +102,47 @@ class VectorIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${filesTouched(probedOnly)} vs $allFiles")
   }
 
+  test("tombstone delete hides rows from serving without touching code files; compact preserves answers") {
+    val d = Files.createTempDirectory("graft_vixspec_del").toString
+    VectorIndexStore.build(emb, d, nCents, nSub, nCodes, iters)
+    def codeFiles(): Set[String] =
+      VectorIndexStore.codes(spark, d).inputFiles.toSet
+    val filesBefore = codeFiles()
+    def search(codes: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqSearchFrames(queries,
+        VectorIndexStore.centroids(spark, d), VectorIndexStore.codebooks(spark, d),
+        codes.filter(col("vec_id") >= nQ), nSub, k, nProbe).collect().toSeq
+    val before = search(VectorIndexStore.codes(spark, d))
+
+    // Tombstone ~1/7 of the corpus: serving flips to the live view,
+    // yet not one code file changed (deletion is metadata-only).
+    val dead = emb.select(col("vec_id"))
+      .filter(col("vec_id") % 7 === 3 && col("vec_id") >= nQ)
+    VectorIndexStore.delete(spark, d, dead)
+    val live = search(VectorIndexStore.liveCodes(spark, d))
+    assert(codeFiles() == filesBefore, "delete must not rewrite code files")
+    assert(live != before, "a 1/7 deletion must visibly reshape top-k on the fixture")
+    assert(!live.exists(r => r.getLong(2) % 7 == 3),
+      "no tombstoned id may be served")
+
+    // Physical compaction: identical answers from the plain code
+    // table, tombstones gone, exactly one file per cell.
+    VectorIndexStore.compact(spark, d)
+    assert(search(VectorIndexStore.codes(spark, d)) == live,
+      "compaction must not change a single answer")
+    assert(VectorIndexStore.tombstones(spark, d).count() == 0)
+    val perCell = VectorIndexStore.codes(spark, d)
+      .select(col("cid"), input_file_name().as("f"))
+      .distinct()
+      .groupBy("cid").count()
+      .collect()
+    assert(perCell.nonEmpty && perCell.forall(_.getLong(1) == 1L),
+      s"compaction must leave one file per cell: ${perCell.mkString(",")}")
+    // liveCodes degenerates to codes once tombstones are folded in.
+    assert(VectorIndexStore.liveCodes(spark, d).count() ==
+      VectorIndexStore.codes(spark, d).count())
+  }
+
   test("ADC serving never scans the float embedding column on the corpus side") {
     val search = Similarity.ivfPqSearchFrames(queries,
       VectorIndexStore.centroids(spark, dir), VectorIndexStore.codebooks(spark, dir),
