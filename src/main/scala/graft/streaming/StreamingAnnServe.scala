@@ -51,8 +51,13 @@ object StreamingAnnServe {
 
   /** [[scoreBatch]] against a FRESHLY-READ store: re-lists the parquet
     * each call, so codes appended between microbatches (the q90 ingest
-    * path) are served by the very next batch. `corpusFrom` excludes
-    * low vec_ids (the query-batch convention of the q89 family).
+    * path) are served by the very next batch — and vec_ids tombstoned
+    * between microbatches (the q98 takedown path, served through
+    * [[graft.sources.VectorIndexStore.liveCodes]]) disappear from the
+    * very next batch too; both maintenance directions compose with a
+    * long-running server through file visibility alone. `corpusFrom`
+    * excludes low vec_ids (the query-batch convention of the q89
+    * family).
     */
   def scoreBatchFromStore(queries: DataFrame, dir: String, k: Int, nProbe: Int,
                           corpusFrom: Long = 0L): DataFrame = {
@@ -62,7 +67,7 @@ object StreamingAnnServe {
       .first().getAs[Number](0).intValue + 1
     scoreBatch(queries,
       graft.sources.VectorIndexStore.centroids(spark, dir), books,
-      graft.sources.VectorIndexStore.codes(spark, dir)
+      graft.sources.VectorIndexStore.liveCodes(spark, dir)
         .filter(col("vec_id") >= corpusFrom),
       nSub, k, nProbe)
   }

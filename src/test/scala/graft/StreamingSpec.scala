@@ -1190,6 +1190,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixture should surface at least one appended vector in some top-10")
   }
 
+  test("S19c: mid-stream tombstone deletes disappear from the very next batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{Tables, VectorIndexStore}
+    import graft.streaming.StreamingAnnServe
+    // The takedown half of maintenance + serving composition:
+    // scoreBatchFromStore serves the LIVE view (codes minus
+    // tombstones), so ids deleted between microbatches are gone from
+    // the very next batch — no server restart, no index rebuild.
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s19c").toString
+    VectorIndexStore.build(emb, dir, 8, 4, 8, 2)
+    val queryVecs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    type R = (Long, Long, Long, Double)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val src = MemoryStream[(Long, Seq[Double])]
+    val q = src.toDF().toDF("qid", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (b.count() > 0) {
+          val v = StreamingAnnServe.scoreBatchFromStore(b, dir, 10, 8, corpusFrom = 4L)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          perBatch.synchronized { perBatch += v.toSeq }
+        }
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      src.addData(queryVecs.take(2): _*); q.processAllAvailable()
+      VectorIndexStore.delete(spark, dir,
+        emb.select(col("vec_id")).filter(col("vec_id") % 7 === 3 && col("vec_id") >= 4))
+      src.addData(queryVecs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.size == 2)
+    assert(perBatch(0).exists(_._3 % 7 == 3),
+      "fixture should rank at least one to-be-deleted id pre-delete")
+    assert(perBatch(1).forall(_._3 % 7 != 3),
+      "post-delete batch must not serve a tombstoned id")
+    val fresh = graft.operators.Similarity.ivfPqSearchFrames(
+      emb.filter(col("vec_id") >= 2 && col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("emb")),
+      VectorIndexStore.centroids(spark, dir), VectorIndexStore.codebooks(spark, dir),
+      VectorIndexStore.liveCodes(spark, dir).filter(col("vec_id") >= 4), 4, 10, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(perBatch(1).sortBy(r => (r._1, r._2)) == fresh.sortBy(r => (r._1, r._2)),
+      "post-delete batch must equal a fresh live-view search")
+  }
+
   test("S20: stored postings serve a term-set query stream ≡ batch, stateless") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
