@@ -82,7 +82,14 @@ object Bench {
                    // q89b-d after it (name order) measure serving.
                    "q01b_delta_pruned" -> sfDir,
                    "q64_doc_lookup" -> sfDir,
-                   "q94_stored_bm25" -> sfDir))
+                   "q94_stored_bm25" -> sfDir,
+                   // The q98 deleted/compacted stores: their build is
+                   // the same training pipeline q89_index_build times
+                   // explicitly; the timed q98/q98b should measure
+                   // tombstone-view / compacted serving, not re-bill
+                   // the build.
+                   "q98_deleted_search" -> sfDir,
+                   "q98b_compacted_search" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Fixed-work CPU calibration: a constant amount of pure computation
