@@ -1124,6 +1124,8 @@ object SparkEntry {
         docs.filter(col("doc_id") >= TextAppendSplit), TextIndexBuckets)
       TextAnalysis.bm25Stored(s, dir, Bm25Terms, Bm25K, TextIndexBuckets)
     }),
+    "q100_cluster_split" -> ((s, d) =>
+      Pipeline.clusterSafeSplit(Tables.table(s, d, "documents"), NearDupThreshold, SplitSalt)),
     "q99_link_stats" -> ((s, d) => WebGraph.linkStats(Tables.table(s, d, "documents"))),
     "q99b_pagerank" -> ((s, d) => WebGraph.pageRank(Tables.table(s, d, "documents"), PrRounds)),
     "q99c_host_rank" -> ((s, d) => WebGraph.hostRank(Tables.table(s, d, "documents"), PrRounds)),
@@ -2942,6 +2944,30 @@ object SparkEntry {
                  CAST(sum(CASE WHEN vec_id >= $AnnAppendSplit THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_appended
           FROM af GROUP BY cid ORDER BY cid""",
+    // Q100: leakage-safe split — q40's recursive component chain, every
+    // doc labeled by its component (or itself), then the q43 hash split
+    // keyed on the LABEL: a near-dup cluster cannot straddle splits.
+    "q100_cluster_split" ->
+      s"""WITH RECURSIVE $nearDupCte,
+          p AS (SELECT doc_a, doc_b FROM j WHERE jac >= $NearDupThreshold),
+          e AS (SELECT doc_a AS s, doc_b AS d FROM p
+                UNION ALL SELECT doc_b, doc_a FROM p),
+          nodes AS (SELECT DISTINCT s AS doc FROM e),
+          reach AS (
+            SELECT doc, doc AS lbl FROM nodes
+            UNION
+            SELECT e.d AS doc, r.lbl FROM reach r JOIN e ON e.s = r.doc),
+          comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+          lab AS (SELECT dd.doc_id, COALESCE(comp.cluster_id, dd.doc_id) AS cluster_label
+                  FROM documents dd LEFT JOIN comp ON comp.doc = dd.doc_id),
+          bb AS (SELECT doc_id, cluster_label,
+                   CAST('0x' || substr(md5('$SplitSalt:' || CAST(cluster_label AS VARCHAR)), 1, 12)
+                     AS BIGINT) % 10 AS bucket
+                 FROM lab)
+          SELECT doc_id, cluster_label,
+                 CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM bb ORDER BY doc_id""",
     // Q99: destination-side degree stats of the closed-form graph.
     "q99_link_stats" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -91,6 +91,35 @@ object Pipeline {
       when(bucket < 8, lit("train")).when(bucket === 8, lit("val")).otherwise(lit("test")))
   }
 
+  /** Q100 — LEAKAGE-SAFE split: the q43 hash split at near-dup-CLUSTER
+    * granularity. Per-document splitting ([[withSplit]]) lets two
+    * near-duplicate documents straddle train/test — the classic
+    * contamination hole where the "held-out" example is a paraphrase
+    * of a training row. Here every document hashes on its connected-
+    * component label from [[Dedup.nearDupClusters]] (singletons label
+    * as themselves), so a whole near-dup cluster lands in ONE split by
+    * construction — the bucket is a pure function of the label.
+    *
+    * Scale shape: the cluster pass is q40's pointer-jumping loop
+    * (O(log n) rounds, localCheckpoint-bounded); the split itself adds
+    * one left join of docs against the (pairs-only) label frame and a
+    * per-row hash — no new corpus exchange beyond q40's.
+    */
+  def clusterSafeSplit(docs: DataFrame, threshold: Double, salt: String): DataFrame = {
+    val labels = graft.operators.Dedup.nearDupClusters(docs, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val bucket = expr(
+      s"${hash48(s"concat('$salt', ':', CAST(cluster_label AS STRING))")} % 10")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_label", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 8, lit("train")).when(bucket === 8, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("cluster_label"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Q44 — SCD2 state history: the reference's state stream
     * (stateStream.go:19-21) keeps only the latest write per key (Q2's
     * LWW); the temporal-table formulation keeps EVERY write as a

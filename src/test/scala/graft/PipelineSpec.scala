@@ -23,6 +23,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -53,6 +54,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(split.select("split").distinct().count() == 3)
     val other = Pipeline.trainSplit(docs, "split2")
     assert(split.exceptAll(other).count() > 0)
+  }
+
+  test("q100: cluster-safe split is leakage-free and covers the corpus exactly once") {
+    val split = Pipeline.clusterSafeSplit(docs, 0.2, "split1")
+    // Exactly one row per document.
+    assert(split.count() == docs.count())
+    assert(split.select("doc_id").distinct().count() == docs.count())
+    // The leakage contract: every near-dup cluster lies WHOLLY inside
+    // one split — no cluster label maps to two split values.
+    val straddling = split.groupBy("cluster_label")
+      .agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1)
+    assert(straddling.count() == 0, "a near-dup cluster straddles splits")
+    // And the hole it closes is real on this corpus: the per-document
+    // q43 assignment DOES place some near-dup pair across splits.
+    val perDoc = Pipeline.withSplit(docs, "split1").select(col("doc_id"), col("split"))
+    val pairs = graft.operators.Dedup.nearDupPairs(docs, 0.2).select("doc_a", "doc_b")
+    val leaked = pairs
+      .join(perDoc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+      .join(perDoc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+      .where(col("sa") =!= col("sb"))
+    assert(leaked.count() > 0,
+      "fixture should exhibit per-doc split leakage for the contrast to matter")
   }
 
   test("state history intervals tile each user's timeline with one current row") {
