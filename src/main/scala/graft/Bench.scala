@@ -89,7 +89,9 @@ object Bench {
                    // tombstone-view / compacted serving, not re-bill
                    // the build.
                    "q98_deleted_search" -> sfDir,
-                   "q98b_compacted_search" -> sfDir))
+                   "q98b_compacted_search" -> sfDir,
+                   "q101_deleted_bm25" -> sfDir,
+                   "q101b_compacted_bm25" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Fixed-work CPU calibration: a constant amount of pure computation

@@ -169,6 +169,30 @@ object SparkEntry {
       annDeleteIds(s, d), NumCentroids, PqSub, PqCodes, KmeansIters)
     dir
   }
+  /** Q101: tombstone-deleted documents of the lexical index — residue
+    * `TextDeleteRes` mod `TextDeleteMod` (distinct from the ANN
+    * residue; ~1/9 of the corpus so deletion reshapes rankings AND the
+    * df/avgdl model at every SF).
+    */
+  private val TextDeleteMod = 9L
+  private val TextDeleteRes = 4L
+  private def textDeleteIds(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % TextDeleteMod === TextDeleteRes)
+  /** The built-then-tombstoned lexical index for `d`, idempotent per JVM. */
+  private def ensureDeletedTextIndex(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_del_${new java.io.File(d).getName}"
+    graft.sources.TextIndexStore.buildDeletedOnce(s, dir,
+      Tables.table(s, d, "documents"), textDeleteIds(s, d), TextIndexBuckets)
+    dir
+  }
+  /** The built-deleted-compacted lexical index for `d`, idempotent per JVM. */
+  private def ensureCompactedTextIndex(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_cmp_${new java.io.File(d).getName}"
+    graft.sources.TextIndexStore.buildCompactedOnce(s, dir,
+      Tables.table(s, d, "documents"), textDeleteIds(s, d), TextIndexBuckets)
+    dir
+  }
   /** The persisted inverted index for `d`, idempotent per JVM. */
   private def ensureTextIndex(s: SparkSession, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_${new java.io.File(d).getName}"
@@ -548,6 +572,18 @@ object SparkEntry {
         FROM bsc WHERE score_micros > 0
         ORDER BY score_micros DESC, doc_id LIMIT $Bm25K"""
 
+  /** Q101/q101b: the q86 chain restricted to the live corpus — the
+    * base CTE's doc predicate excludes the tombstoned residue, so df,
+    * n_docs and avgdl all follow the deletion (exactly what the stats
+    * retreat + live-postings df produce engine-side).
+    */
+  private lazy val q101OracleSql: String =
+    s"""WITH ${bm25CteFor(Bm25Terms, "b", s"doc_id % $TextDeleteMod <> $TextDeleteRes")}
+        SELECT doc_id, dl, score_micros,
+               CAST(score_micros AS DOUBLE) / 1e6 AS score
+        FROM bsc WHERE score_micros > 0
+        ORDER BY score_micros DESC, doc_id LIMIT $Bm25K"""
+
   /** Q85's oracle, shared verbatim by q89c (stored-index ADC search). */
   private lazy val q85OracleSql: String =
     s"""WITH $ivfPqCtes,
@@ -644,14 +680,15 @@ object SparkEntry {
     * the q97 multi-query oracle stacks one chain per query; the
     * default prefix "b" keeps every existing consumer's names.
     */
-  private def bm25CteFor(termSeq: Seq[String], p: String): String = {
+  private def bm25CteFor(termSeq: Seq[String], p: String,
+                         docPred: String = "TRUE"): String = {
     val terms = termSeq.zipWithIndex
       .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
     val k1 = graft.operators.TextAnalysis.Bm25K1
     val b = graft.operators.TextAnalysis.Bm25B
     s"""${p}d AS (SELECT doc_id, string_split(text, ' ') AS ws,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-                FROM documents),
+                FROM documents WHERE $docPred),
           ${p}t AS (SELECT * FROM (VALUES $terms) AS t(i, term)),
           ${p}stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                       CAST(sum(dl) AS BIGINT) AS total_dl FROM ${p}d),
@@ -1110,6 +1147,17 @@ object SparkEntry {
       Html.webFunnel(Tables.table(s, d, "documents"), WebMinTok, WebMaxTok, WebHostCap)),
     "q94_stored_bm25" -> ((s, d) =>
       TextAnalysis.bm25Stored(s, ensureTextIndex(s, d), Bm25Terms, Bm25K, TextIndexBuckets)),
+    "q101_deleted_bm25" -> ((s, d) =>
+      // Lexical takedown serving: ~1/9 of the corpus tombstoned (no
+      // posting file rewritten, stats retreated by exact counts);
+      // scores must equal a from-scratch index over the live corpus.
+      TextAnalysis.bm25StoredLive(s, ensureDeletedTextIndex(s, d),
+        Bm25Terms, Bm25K, TextIndexBuckets)),
+    "q101b_compacted_bm25" -> ((s, d) =>
+      // After physical postings compaction the plain store must answer
+      // exactly what the tombstone view answered (same oracle, twice).
+      TextAnalysis.bm25Stored(s, ensureCompactedTextIndex(s, d),
+        Bm25Terms, Bm25K, TextIndexBuckets)),
     "q97_batch_bm25" -> ((s, d) =>
       TextAnalysis.bm25BatchStored(s, ensureTextIndex(s, d),
         BatchBm25Queries, BatchBm25K, TextIndexBuckets)),
@@ -3076,6 +3124,11 @@ object SparkEntry {
     // Q94: the stored-postings ranking must equal the full-scan BM25
     // verbatim (df/idf/avgdl/contribution cast points shared).
     "q94_stored_bm25" -> q86OracleSql,
+    // Q101/q101b: the q86 chain over the LIVE corpus only — deletion
+    // moves rankings AND the model (df, n_docs, avgdl all retreat);
+    // compaction must then preserve every answer (same oracle, twice).
+    "q101_deleted_bm25" -> q101OracleSql,
+    "q101b_compacted_bm25" -> q101OracleSql,
     // Q97: one q86 chain per query in the batch (prefixed CTE names),
     // each ranked (score DESC, doc_id) and cut at k — the one-plan
     // engine must reproduce the per-query closed forms, including

@@ -788,12 +788,29 @@ object TextAnalysis {
   }
 
   def bm25Stored(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 terms: Seq[String], k: Int, nBuckets: Int): DataFrame = {
+                 terms: Seq[String], k: Int, nBuckets: Int): DataFrame =
+    bm25Served(graft.sources.TextIndexStore.postings(spark, dir),
+      graft.sources.TextIndexStore.stats(spark, dir), terms, k, nBuckets)
+
+  /** [[bm25Stored]] over the LIVE view (postings minus tombstoned
+    * docs, stats already retreated at delete time): after a takedown
+    * ([[graft.sources.TextIndexStore.delete]]) scores equal a
+    * from-scratch index over the live corpus — df, idf and avgdl all
+    * follow because df derives from the (live) pruned read and the
+    * stats row was adjusted by the deleted docs' exact counts.
+    */
+  def bm25StoredLive(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     terms: Seq[String], k: Int, nBuckets: Int): DataFrame =
+    bm25Served(graft.sources.TextIndexStore.livePostings(spark, dir),
+      graft.sources.TextIndexStore.stats(spark, dir), terms, k, nBuckets)
+
+  private def bm25Served(postings: DataFrame, stats: DataFrame,
+                         terms: Seq[String], k: Int, nBuckets: Int): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
       s"query terms must be non-empty [a-z0-9]+ tokens, got $terms")
     import graft.sources.TextIndexStore
     val buckets = terms.map(TextIndexStore.bucketOf(_, nBuckets)).distinct
-    val p = TextIndexStore.postings(spark, dir)
+    val p = postings
       .filter(col("t_bucket").isin(buckets.map(Long.box): _*)
         && col("term").isin(terms.distinct: _*))
     // A term listed n times in the query contributes n times in q86's
@@ -806,7 +823,7 @@ object TextAnalysis {
     // df(term) = the term's posting count within its pruned bucket;
     // idf/avgdl reproduce q86's cast points exactly.
     val model = p.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(TextIndexStore.stats(spark, dir)))
+      .crossJoin(broadcast(stats))
       .withColumn("idf", expr(
         """ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
                     / (CAST(df AS DOUBLE) + 0.5))"""))

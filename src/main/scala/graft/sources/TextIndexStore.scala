@@ -43,6 +43,10 @@ object TextIndexStore {
     docLengths(docs)
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
+    // A rebuild is a new index: tombstones against the old postings
+    // must not shadow fresh rows (the VectorIndexStore.build contract).
+    val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    ts.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration).delete(ts, true)
   }
 
   /** Admit new documents to an EXISTING index: their postings append
@@ -79,6 +83,74 @@ object TextIndexStore {
     Seq((old.getLong(0) + batch.getLong(0), old.getLong(1) + batch.getLong(1)))
       .toDF("n_docs", "total_dl")
       .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Tombstone-delete documents from the index WITHOUT touching a
+    * posting file (the VectorIndexStore.delete takedown contract, for
+    * the lexical store): the ids append to a tombstone frame, and the
+    * one-row corpus stats retreat by the deleted docs' exact (count,
+    * Σdl) — recovered from the postings themselves (one distinct
+    * (doc_id, dl) pass over the dead ids' rows), so the caller needs no
+    * text. df needs no maintenance either direction: it is derived
+    * from the (live) postings at query time. Ids already tombstoned
+    * are excluded from the decrement, so overlapping delete batches
+    * are idempotent. Serving reads [[livePostings]]; after that,
+    * stored-BM25 scores EXACTLY as a from-scratch build over the live
+    * corpus (TextIndexStoreSpec pins this).
+    */
+  def delete(spark: SparkSession, dir: String, docIds: DataFrame): Unit = synchronized {
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
+    val newDead = ids.join(tombstones(spark, dir), Seq("doc_id"), "left_anti")
+    val gone = postings(spark, dir)
+      .join(broadcast(newDead), "doc_id")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), sum("dl").as("s")).first()
+    if (gone.getLong(0) == 0L) return // nothing indexed to delete
+    val old = stats(spark, dir).select(col("n_docs"), col("total_dl")).first()
+    newDead.write.mode("append").parquet(s"$dir/tombstones")
+    import spark.implicits._
+    Seq((old.getLong(0) - gone.getLong(0), old.getLong(1) - gone.getLong(1)))
+      .toDF("n_docs", "total_dl")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The current tombstone set — empty when no delete has ever run. */
+  def tombstones(spark: SparkSession, dir: String): DataFrame =
+    if (new java.io.File(s"$dir/tombstones").exists())
+      spark.read.parquet(s"$dir/tombstones")
+    else {
+      import spark.implicits._
+      spark.emptyDataset[Long].toDF("doc_id")
+    }
+
+  /** The serving view: postings minus tombstoned documents. Bucket and
+    * term pruning stay effective — the filters sit on the postings
+    * side and push below the anti-join, so the tombstone pass touches
+    * only the query terms' already-pruned rows.
+    */
+  def livePostings(spark: SparkSession, dir: String): DataFrame =
+    postings(spark, dir)
+      .join(broadcast(tombstones(spark, dir)), Seq("doc_id"), "left_anti")
+
+  /** Physical compaction: rewrite the postings without tombstoned
+    * docs (one file per bucket — append-accumulated small files
+    * merge), scratch-dir + rename swap, tombstones dropped. Stats were
+    * already adjusted at delete time, so compaction changes no number
+    * (the VectorIndexStore.compact contract).
+    */
+  def compact(spark: SparkSession, dir: String): Unit = synchronized {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$dir/postings_compacting")
+    fs.delete(tmp, true)
+    livePostings(spark, dir)
+      .repartition(col("t_bucket"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.partitionBy("t_bucket").mode("overwrite").parquet(tmp.toString)
+    val live = new Path(s"$dir/postings")
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"compaction swap failed for $dir")
+    fs.delete(new Path(s"$dir/tombstones"), true)
   }
 
   private def docLengths(docs: DataFrame): DataFrame =
@@ -145,4 +217,34 @@ object TextIndexStore {
   }
 
   private val appended = scala.collection.mutable.Set.empty[(String, Int)]
+
+  /** Build + tombstone-delete, once per JVM (the
+    * [[VectorIndexStore.buildDeletedOnce]] contract).
+    */
+  def buildDeletedOnce(spark: SparkSession, dir: String, docs: DataFrame,
+                       delIds: DataFrame, nBuckets: Int): Unit = synchronized {
+    val key = (dir, nBuckets)
+    if (!deletedBuilt.contains(key)) {
+      build(docs, dir, nBuckets)
+      delete(spark, dir, delIds)
+      deletedBuilt += key
+    }
+  }
+
+  /** Build + delete + physical [[compact]], once per JVM (the
+    * [[VectorIndexStore.buildCompactedOnce]] contract).
+    */
+  def buildCompactedOnce(spark: SparkSession, dir: String, docs: DataFrame,
+                         delIds: DataFrame, nBuckets: Int): Unit = synchronized {
+    val key = (dir, nBuckets)
+    if (!compacted.contains(key)) {
+      build(docs, dir, nBuckets)
+      delete(spark, dir, delIds)
+      compact(spark, dir)
+      compacted += key
+    }
+  }
+
+  private val deletedBuilt = scala.collection.mutable.Set.empty[(String, Int)]
+  private val compacted = scala.collection.mutable.Set.empty[(String, Int)]
 }

@@ -99,6 +99,47 @@ class TextIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "an append-maintained index must score exactly like a from-scratch build")
   }
 
+  test("tombstone delete: no posting file touched, stats retreat exactly, live ranking ≡ from-scratch on the live corpus") {
+    val d = Files.createTempDirectory("graft_tixspec_del").toString
+    TextIndexStore.build(docs, d, nBuckets)
+    val terms = Seq("spark", "join", "window")
+    def postingFiles(): Set[String] = TextIndexStore.postings(spark, d).inputFiles.toSet
+    val filesBefore = postingFiles()
+    val before = TextAnalysis.bm25Stored(spark, d, terms, 20, nBuckets).collect().toSeq
+
+    val dead = docs.select(col("doc_id")).filter(col("doc_id") % 9 === 4)
+    TextIndexStore.delete(spark, d, dead)
+    // Overlapping re-delete must not double-retreat the stats.
+    TextIndexStore.delete(spark, d, dead)
+    assert(postingFiles() == filesBefore, "delete must not rewrite posting files")
+    val live = TextAnalysis.bm25StoredLive(spark, d, terms, 20, nBuckets).collect().toSeq
+    assert(live != before, "a 1/9 deletion must reshape the ranking on the fixture")
+    assert(!live.exists(_.getLong(0) % 9 == 4), "no tombstoned doc may rank")
+    // The live view scores EXACTLY like an index built on the live
+    // corpus — df, n_docs, avgdl all followed the deletion.
+    val fresh = Files.createTempDirectory("graft_tixspec_fresh").toString
+    TextIndexStore.build(docs.filter(col("doc_id") % 9 =!= 4), fresh, nBuckets)
+    assert(live == TextAnalysis.bm25Stored(spark, fresh, terms, 20, nBuckets).collect().toSeq,
+      "tombstone serving must equal a from-scratch live-corpus index")
+    val st = TextIndexStore.stats(spark, d).first()
+    val want = docs.filter(col("doc_id") % 9 =!= 4)
+      .agg(count(lit(1)), sum(size(split(col("text"), " ")).cast("long"))).first()
+    assert(st.getLong(0) == want.getLong(0) && st.getLong(1) == want.getLong(1),
+      "stats must retreat by the deleted docs' exact counts")
+
+    // Physical compaction: identical answers, tombstones gone, one
+    // file per bucket.
+    TextIndexStore.compact(spark, d)
+    assert(TextAnalysis.bm25Stored(spark, d, terms, 20, nBuckets).collect().toSeq == live,
+      "compaction must not change a single answer")
+    assert(TextIndexStore.tombstones(spark, d).count() == 0)
+    val perBucket = TextIndexStore.postings(spark, d)
+      .select(col("t_bucket"), org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().groupBy("t_bucket").count().collect()
+    assert(perBucket.nonEmpty && perBucket.forall(_.getLong(1) == 1L),
+      "compaction must leave one file per bucket")
+  }
+
   test("stored BM25 never scans document text — postings and stats only") {
     val q = TextAnalysis.bm25Stored(spark, dir, Seq("spark", "join"), 20, nBuckets)
     import org.apache.spark.sql.execution.FileSourceScanExec
