@@ -985,6 +985,16 @@ object SparkEntry {
       Pipeline.groupSample(Tables.table(s, d, "documents"), GroupSampleK, SampleSalt)),
     "q48_assoc_rules" -> ((s, d) => Pipeline.typeAssociations(Tables.events(s, d), MinSupport)),
     "q49_lm_score" -> ((s, d) => Pipeline.lmScore(Tables.table(s, d, "documents"))),
+    "q102_stored_lm" -> ((s, d) => {
+      // The q49 scorer deployed: model persisted from the base corpus
+      // (doc_id < split) once, the arriving batch (the rest) scored
+      // against the store with OOV backoff — no corpus rescan.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lmstore_${new java.io.File(d).getName}"
+      val docs = Tables.table(s, d, "documents")
+      graft.sources.LmStore.buildOnce(
+        docs.filter(col("doc_id") < TextAppendSplit), dir, TextIndexBuckets)
+      Pipeline.lmScoreStored(s, dir, docs.filter(col("doc_id") >= TextAppendSplit))
+    }),
     "q50_kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(Tables.table(s, d, "embeddings"), NumCentroids)),
     "q50b_kmeans_train" -> ((s, d) =>
@@ -2215,6 +2225,23 @@ object SparkEntry {
                    ${roundSql("-ln(CAST(v.n_w AS DOUBLE) / t.n_total)", 4)} AS nll
                  FROM w JOIN v USING (word) CROSS JOIN t)
           SELECT doc_id, count(*) AS n_tokens,
+                 ${roundSql(s"(${exactSumSql("nll", 4)}) / count(*)", 4)} AS mean_nll
+          FROM x GROUP BY doc_id ORDER BY doc_id""",
+    // Q102: the q49 chain with the model fit on the base corpus only
+    // and the arriving batch scored against it — OOV backs off to a
+    // singleton count, and the OOV count itself is surfaced.
+    "q102_stored_lm" ->
+      s"""WITH bw AS (SELECT unnest(string_split(text, ' ')) AS word
+                      FROM documents WHERE doc_id < $TextAppendSplit),
+           v AS (SELECT word, count(*) AS n_w FROM bw GROUP BY word),
+           t AS (SELECT count(*) AS n_total FROM bw),
+           aw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents WHERE doc_id >= $TextAppendSplit),
+           x AS (SELECT aw.doc_id, v.n_w IS NULL AS oov,
+                   ${roundSql("-ln(CAST(COALESCE(v.n_w, 1) AS DOUBLE) / t.n_total)", 4)} AS nll
+                 FROM aw LEFT JOIN v USING (word) CROSS JOIN t)
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
                  ${roundSql(s"(${exactSumSql("nll", 4)}) / count(*)", 4)} AS mean_nll
           FROM x GROUP BY doc_id ORDER BY doc_id""",
     "q50_kmeans_step" ->

@@ -276,6 +276,38 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Q102 — LM scoring against the PERSISTED model
+    * ([[graft.sources.LmStore]]): an arriving candidate batch scores
+    * against the stored reference-corpus frequency table — the
+    * production deployment shape of q49 (model from a fixed reference
+    * corpus, candidates stream through it). Out-of-vocabulary tokens
+    * back off to a singleton count (`n_w → 1`), and the per-document
+    * OOV count is surfaced — the domain-shift signal a curation
+    * pipeline monitors alongside the score. The scoring join moves
+    * batch tokens against the type table; the reference corpus is
+    * never rescanned.
+    */
+  def lmScoreStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    newDocs: DataFrame): DataFrame = {
+    import graft.sources.LmStore
+    val words = graft.sources.Tables.widen(newDocs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    words
+      .join(LmStore.vocab(spark, dir), Seq("word"), "left")
+      .crossJoin(broadcast(LmStore.stats(spark, dir)))
+      .withColumn("oov", col("n_w").isNull)
+      .withColumn("nll", roundTo(
+        -log(coalesce(col("n_w"), lit(1L)).cast("double")
+          / col("n_total").cast("double")), 4))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("oov").cast("long")).as("n_oov"),
+        roundTo(graft.functions.Deterministic.exactSum(col("nll"), 4)
+          / count(lit(1)), 4).as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
   /** Q56 — percentile length gate: keep documents whose length falls
     * inside the corpus's [pLo, pHi] band — the outlier-trimming quality
     * gate every training mixture runs (too-short = boilerplate,

@@ -79,6 +79,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixture should exhibit per-doc split leakage for the contrast to matter")
   }
 
+  test("q102: stored-LM scoring matches in-query scoring in-vocab and backs off on OOV") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmspec").toString
+    graft.sources.LmStore.build(docs, dir, 16)
+    // In-vocab: scoring the training corpus against its own stored
+    // model must reproduce q49 exactly (and report zero OOV).
+    val stored = Pipeline.lmScoreStored(spark, dir, docs)
+    assert(stored.agg(sum("n_oov")).first().getLong(0) == 0L)
+    val q49 = Pipeline.lmScore(docs).collect().toSeq
+    assert(stored.select("doc_id", "n_tokens", "mean_nll").collect().toSeq == q49,
+      "stored-model scoring of the training corpus must equal q49 row-for-row")
+    // OOV: invented tokens back off to the singleton count
+    // -ln(1 / n_total), and the OOV count is surfaced per doc.
+    import spark.implicits._
+    val nTotal = graft.sources.LmStore.stats(spark, dir).first().getLong(0)
+    val batch = Seq((9001L, "zzqx1 zzqx2 zzqx3")).toDF("doc_id", "text")
+    val row = Pipeline.lmScoreStored(spark, dir, batch).first()
+    assert(row.getLong(1) == 3L && row.getLong(2) == 3L, s"all three tokens are OOV: $row")
+    val want = BigDecimal(-math.log(1.0 / nTotal))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getDouble(3) - want) < 1e-9,
+      s"OOV backoff must score -ln(1/n_total): got ${row.getDouble(3)}, want $want")
+  }
+
   test("state history intervals tile each user's timeline with one current row") {
     val h = Pipeline.stateHistory(events)
     // Exactly one open (current) interval per user.
