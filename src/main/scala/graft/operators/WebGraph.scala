@@ -62,7 +62,10 @@ object WebGraph {
     */
   def pageRank(docs: DataFrame, rounds: Int): DataFrame = {
     val ids = docs.select(col("doc_id"))
-    val edges = linkGraph(docs)
+    // Every round joins the SAME edge frame — materialize it once
+    // (the nearDupClusters loop convention) instead of re-deriving it
+    // from the corpus scan each iteration.
+    val edges = linkGraph(docs).persist()
     var ranks = ids.withColumn("r", lit(1000000L))
     for (_ <- 1 to rounds) {
       val inMass = edges
@@ -76,6 +79,7 @@ object WebGraph {
           (lit(150000L) + expr("85 * coalesce(s, 0L) div 100")).as("r"))
         .localCheckpoint()
     }
+    edges.unpersist()
     ranks.select(col("doc_id"), col("r").as("rank_micros")).orderBy("doc_id")
   }
 
