@@ -114,14 +114,19 @@ object TextIndexStore {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  /** The current tombstone set — empty when no delete has ever run. */
-  def tombstones(spark: SparkSession, dir: String): DataFrame =
-    if (new java.io.File(s"$dir/tombstones").exists())
+  /** The current tombstone set — empty when no delete has ever run.
+    * Existence via the Hadoop FileSystem API (the
+    * VectorIndexStore.tombstones portability contract).
+    */
+  def tombstones(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       spark.read.parquet(s"$dir/tombstones")
     else {
       import spark.implicits._
       spark.emptyDataset[Long].toDF("doc_id")
     }
+  }
 
   /** The serving view: postings minus tombstoned documents. Bucket and
     * term pruning stay effective — the filters sit on the postings

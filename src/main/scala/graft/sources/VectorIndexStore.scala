@@ -88,15 +88,19 @@ object VectorIndexStore {
       .write.mode("append").parquet(s"$dir/tombstones")
 
   /** The current tombstone set — empty frame when no delete has ever
-    * run against this store.
+    * run against this store. Existence goes through the Hadoop
+    * FileSystem API (not java.io) so the store works on any filesystem
+    * the cluster mounts, exactly like the read/write paths.
     */
-  def tombstones(spark: SparkSession, dir: String): DataFrame =
-    if (new java.io.File(s"$dir/tombstones").exists())
+  def tombstones(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       spark.read.parquet(s"$dir/tombstones")
     else {
       import spark.implicits._
       spark.emptyDataset[Long].toDF("vec_id")
     }
+  }
 
   /** The serving view of the code table: stored codes minus tombstoned
     * ids (left-anti). The tombstone side is broadcast — between
