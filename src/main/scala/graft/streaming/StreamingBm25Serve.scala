@@ -13,7 +13,11 @@ import graft.operators.TextAnalysis
   * only model, shared by every concurrent query stream, and q96
   * appends become visible through parquet file listing exactly as in
   * [[StreamingAnnServe.scoreBatchFromStore]] (the postings frame is
-  * re-read per query here, so no captured file index pins staleness).
+  * re-read per query here, so no captured file index pins staleness)
+  * — and q101 tombstone deletes disappear from the very next batch
+  * the same way: each query serves the LIVE view
+  * ([[TextAnalysis.bm25StoredLive]]), which degenerates to the plain
+  * stored read when no delete has ever run.
   *
   * The per-batch driver iteration over query rows is bounded by the
   * MICROBATCH's query count (queries are small; the corpus-sized work
@@ -31,7 +35,7 @@ object StreamingBm25Serve {
     val spark = queries.sparkSession
     val qs = queries.select(col("qid"), col("terms")).collect()
     val legs = qs.toSeq.map { r =>
-      TextAnalysis.bm25Stored(spark, dir, r.getSeq[String](1), k, nBuckets)
+      TextAnalysis.bm25StoredLive(spark, dir, r.getSeq[String](1), k, nBuckets)
         .withColumn("qid", lit(r.getLong(0)))
         .select("qid", "doc_id", "dl", "score_micros", "score")
     }

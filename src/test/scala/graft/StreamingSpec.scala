@@ -1279,6 +1279,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"postings serving must not allocate streaming state: ${q.lastProgress}")
   }
 
+  test("S20b: mid-stream lexical deletes disappear from the very next batch, model included") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{Tables, TextIndexStore}
+    import graft.streaming.StreamingBm25Serve
+    // The q101 takedown composed with the serving stream: scoreBatch
+    // serves the LIVE view, so docs tombstoned between microbatches —
+    // and the df/avgdl retreat that goes with them — apply to the very
+    // next query batch.
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s20b").toString
+    val nBuckets = 16
+    TextIndexStore.build(docs, dir, nBuckets)
+    val terms = Seq("spark", "join", "window")
+    type R = (Long, Long, Long)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val src = MemoryStream[(Long, Seq[String])]
+    val q = src.toDF().toDF("qid", "terms").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (b.count() > 0) {
+          val v = StreamingBm25Serve.scoreBatch(b, dir, 10, nBuckets)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+          perBatch.synchronized { perBatch += v.toSeq }
+        }
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      src.addData((0L, terms)); q.processAllAvailable()
+      TextIndexStore.delete(spark, dir,
+        docs.select(col("doc_id")).filter(col("doc_id") % 9 === 4))
+      src.addData((1L, terms)); q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.size == 2)
+    assert(perBatch(0).exists(_._2 % 9 == 4),
+      "fixture should rank at least one to-be-deleted doc pre-delete")
+    assert(perBatch(1).forall(_._2 % 9 != 4),
+      "post-delete batch must not serve a tombstoned doc")
+    // Not just membership: SCORES equal a from-scratch index over the
+    // live corpus (df/n_docs/avgdl all retreated).
+    val fresh = java.nio.file.Files.createTempDirectory("graft_s20b_fresh").toString
+    TextIndexStore.build(docs.filter(col("doc_id") % 9 =!= 4), fresh, nBuckets)
+    val want = graft.operators.TextAnalysis.bm25Stored(spark, fresh, terms, 10, nBuckets)
+      .collect().map(r => (1L, r.getLong(0), r.getLong(2))).toSeq
+    assert(perBatch(1).sortBy(r => (r._1, r._2)) == want.sortBy(r => (r._1, r._2)),
+      "post-delete serving must equal a from-scratch live-corpus index")
+  }
+
   test("S15: streaming MG panes hold every true heavy hitter with O(panes·capacity) state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -127,6 +127,21 @@ class TextIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.getLong(0) == want.getLong(0) && st.getLong(1) == want.getLong(1),
       "stats must retreat by the deleted docs' exact counts")
 
+    // Bucket pruning SURVIVES the tombstone anti-join: the t_bucket
+    // filter pushes below the join and lands on the parquet scan as a
+    // PARTITION filter — the takedown path must not un-scale serving.
+    val pruned = TextIndexStore.livePostings(spark, d)
+      .filter(col("t_bucket") === TextIndexStore.bucketOf("spark", nBuckets))
+    val storeScans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(s"$d/postings")) => f
+    }
+    assert(storeScans.nonEmpty)
+    assert(storeScans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "t_bucket"))),
+      s"bucket filter must reach the scan's partition filters through the anti-join: " +
+        storeScans.map(_.partitionFilters).mkString(";"))
+
     // Physical compaction: identical answers, tombstones gone, one
     // file per bucket.
     TextIndexStore.compact(spark, d)

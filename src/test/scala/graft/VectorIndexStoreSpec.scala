@@ -125,6 +125,22 @@ class VectorIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!live.exists(r => r.getLong(2) % 7 == 3),
       "no tombstoned id may be served")
 
+    // Cell pruning SURVIVES the tombstone anti-join: a cid filter on
+    // the live view pushes below the join and lands on the parquet
+    // scan as a PARTITION filter — without this the takedown path
+    // would silently un-scale serving.
+    val pruned = VectorIndexStore.liveCodes(spark, d)
+      .filter(col("cid").isin(0L, 1L))
+    val storeScans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(s"$d/codes")) => f
+    }
+    assert(storeScans.nonEmpty)
+    assert(storeScans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "cid"))),
+      s"cid filter must reach the scan's partition filters through the anti-join: " +
+        storeScans.map(_.partitionFilters).mkString(";"))
+
     // Physical compaction: identical answers from the plain code
     // table, tombstones gone, exactly one file per cell.
     VectorIndexStore.compact(spark, d)
