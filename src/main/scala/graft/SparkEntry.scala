@@ -1184,6 +1184,19 @@ object SparkEntry {
     }),
     "q100_cluster_split" -> ((s, d) =>
       Pipeline.clusterSafeSplit(Tables.table(s, d, "documents"), NearDupThreshold, SplitSalt)),
+    "q103_retrieval_eval" -> ((s, d) => {
+      // IR-metrics loop over the brute-force cosine ranking against a
+      // closed-form relevance fixture ((vec_id + 3·qid) mod 5 = 0).
+      val emb = Tables.table(s, d, "embeddings")
+      val ranking = Similarity.udafTopK(emb, BatchQueries)
+        .where(col("rnk") <= BatchTopK)
+      val qids = s.range(BatchQueries).toDF("qid")
+      val labels = emb.select(col("vec_id")).filter(col("vec_id") >= BatchQueries)
+        .crossJoin(org.apache.spark.sql.functions.broadcast(qids))
+        .filter((col("vec_id") + col("qid") * 3) % 5 === 0)
+        .select("qid", "vec_id")
+      Similarity.retrievalEval(ranking, labels, BatchTopK)
+    }),
     "q99_link_stats" -> ((s, d) => WebGraph.linkStats(Tables.table(s, d, "documents"))),
     "q99b_pagerank" -> ((s, d) => WebGraph.pageRank(Tables.table(s, d, "documents"), PrRounds)),
     "q99c_host_rank" -> ((s, d) => WebGraph.hostRank(Tables.table(s, d, "documents"), PrRounds)),
@@ -3019,6 +3032,42 @@ object SparkEntry {
                  CAST(sum(CASE WHEN vec_id >= $AnnAppendSplit THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_appended
           FROM af GROUP BY cid ORDER BY cid""",
+    // Q103: the q18g ranking chain + the closed-form label fixture +
+    // the eval tail — recall/RR on the exact micros grid (// ≡ div),
+    // DCG/IDCG/nDCG on the rounded-component convention.
+    "q103_retrieval_eval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $BatchQueries),
+          corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= $BatchQueries),
+          sc AS (SELECT q.qid, corp.vec_id, ${roundSql(cosSql("corp.emb", "qemb"), 4)} AS score
+                 FROM corp, q),
+          t AS (SELECT qid, vec_id, score,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+                FROM sc),
+          r AS (SELECT qid, vec_id, rnk FROM t WHERE rnk <= $BatchTopK),
+          lab AS (SELECT qq.qid, cc.vec_id
+                  FROM (SELECT unnest(range($BatchQueries)) AS qid) qq
+                  CROSS JOIN (SELECT vec_id FROM e WHERE vec_id >= $BatchQueries) cc
+                  WHERE (cc.vec_id + qq.qid * 3) % 5 = 0),
+          nr AS (SELECT qid, count(*) AS n_rel FROM lab GROUP BY qid),
+          j AS (SELECT r.qid, r.rnk,
+                  CASE WHEN lab.vec_id IS NULL THEN 0 ELSE 1 END AS is_rel
+                FROM r LEFT JOIN lab ON lab.qid = r.qid AND lab.vec_id = r.vec_id),
+          ag AS (SELECT qid, CAST(sum(is_rel) AS BIGINT) AS hits_at_k,
+                   min(CASE WHEN is_rel = 1 THEN rnk END) AS first_rel,
+                   ${roundSql(
+                     "sum(CASE WHEN is_rel = 1 THEN 1.0 / log2(rnk + 1.0) ELSE 0.0 END)", 4)} AS dcg
+                 FROM j GROUP BY qid),
+          fin AS (SELECT ag.qid, CAST(nr.n_rel AS BIGINT) AS n_rel, ag.hits_at_k,
+                    CAST(ag.hits_at_k * 1000000 // nr.n_rel AS BIGINT) AS recall_micros,
+                    CAST(COALESCE(1000000 // ag.first_rel, 0) AS BIGINT) AS rr_micros,
+                    ${roundSql(
+                      s"ag.dcg / (${roundSql(
+                        s"list_sum(list_transform(generate_series(1, CAST(least(nr.n_rel, $BatchTopK) AS INT)), i -> 1.0 / log2(i + 1.0)))", 4)})", 4)} AS ndcg
+                  FROM ag JOIN nr USING (qid))
+          SELECT qid, n_rel, hits_at_k, recall_micros, rr_micros, ndcg
+          FROM fin ORDER BY qid""",
     // Q100: leakage-safe split — q40's recursive component chain, every
     // doc labeled by its component (or itself), then the q43 hash split
     // keyed on the LABEL: a near-dup cluster cannot straddle splits.

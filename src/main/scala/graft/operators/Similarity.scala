@@ -215,6 +215,56 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Q103 — retrieval evaluation: the IR-metrics loop every retrieval
+    * stack closes with. Given a ranking frame (qid, vec_id, rnk) and a
+    * relevance-label frame (qid, vec_id), report per query: label
+    * count, hits@k, recall@k, MRR's reciprocal rank, and nDCG@k.
+    * Recall and RR live on the exact integer micros grid (`div` —
+    * oracle `//`); DCG/IDCG need log2, so they follow the cosine
+    * convention instead: each component rounded to the 1e-4 grid
+    * before the ratio, which absorbs cross-engine log ULP noise.
+    *
+    * Scale shape: the ranking is O(queries·k) rows and labels are
+    * per-query bounded, so the whole evaluation is a small join + one
+    * aggregation — negligible next to producing the ranking, which is
+    * the point: eval can run after EVERY index rebuild.
+    */
+  def retrievalEval(ranking: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    val nRel = labels.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val topk = ranking.filter(col("rnk") <= k)
+      .join(labels.withColumn("rel", lit(1L)), Seq("qid", "vec_id"), "left")
+      .withColumn("is_rel", coalesce(col("rel"), lit(0L)))
+    topk
+      .groupBy("qid")
+      .agg(
+        sum("is_rel").as("hits_at_k"),
+        min(when(col("is_rel") === 1, col("rnk"))).as("first_rel"),
+        graft.functions.Deterministic.roundTo(
+          sum(when(col("is_rel") === 1,
+            lit(1.0) / log2(col("rnk").cast("double") + 1.0)).otherwise(lit(0.0))), 4)
+          .as("dcg"))
+      .join(nRel, Seq("qid"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("recall_micros",
+        when(col("n_rel") > 0, expr("hits_at_k * 1000000L div n_rel"))
+          .otherwise(lit(0L)))
+      .withColumn("rr_micros",
+        coalesce(expr("1000000L div first_rel"), lit(0L)))
+      // sequence(1, 0) DESCENDS through 0 in Spark — the n_rel = 0
+      // case must never reach it (log2(1) = 0 would divide by zero).
+      .withColumn("idcg", when(col("n_rel") > 0,
+        graft.functions.Deterministic.roundTo(expr(
+          s"""aggregate(sequence(1, CAST(least(n_rel, $k) AS INT)),
+                CAST(0.0 AS DOUBLE), (a, i) -> a + 1.0 / log2(CAST(i AS DOUBLE) + 1.0))"""), 4))
+        .otherwise(lit(0.0)))
+      .withColumn("ndcg",
+        when(col("idcg") > 0,
+          graft.functions.Deterministic.roundTo(col("dcg") / col("idcg"), 4))
+          .otherwise(lit(0.0)))
+      .select("qid", "n_rel", "hits_at_k", "recall_micros", "rr_micros", "ndcg")
+      .orderBy("qid")
+  }
+
   /** Q50 — one Lloyd (k-means) iteration: re-estimate every centroid as
     * the per-dimension mean of its assigned vectors — the training step
     * that pairs with [[assignments]]' inference step, showing the IVF

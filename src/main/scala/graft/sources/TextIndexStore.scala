@@ -141,7 +141,10 @@ object TextIndexStore {
     * docs (one file per bucket — append-accumulated small files
     * merge), scratch-dir + rename swap, tombstones dropped. Stats were
     * already adjusted at delete time, so compaction changes no number
-    * (the VectorIndexStore.compact contract).
+    * (the VectorIndexStore.compact contract — including its durability
+    * caveat: a crash between the delete and the rename leaves only the
+    * scratch dir, whose contents are the complete new table; recovery
+    * = finish the rename).
     */
   def compact(spark: SparkSession, dir: String): Unit = synchronized {
     import org.apache.hadoop.fs.Path

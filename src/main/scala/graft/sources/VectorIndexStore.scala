@@ -119,6 +119,14 @@ object VectorIndexStore {
     * in the same plan. After compact, [[liveCodes]] ≡ [[codes]] and
     * search results are IDENTICAL to the tombstone-serving view
     * (VectorIndexStoreSpec pins both).
+    *
+    * Durability contract (the TextIndexStore.append caveat, compaction
+    * edition): delete-old-then-rename is not a transaction — a crash
+    * between the two leaves only `codes_compacting` on disk, and the
+    * recovery rule is "finish the rename" (the scratch dir holds the
+    * complete new table). A production deployment stages the swap
+    * under one manifest/table-format commit (the Delta/Iceberg shape)
+    * instead of raw directory renames.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
     import org.apache.hadoop.fs.Path

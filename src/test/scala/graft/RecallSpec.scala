@@ -345,4 +345,27 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(worst <= bound + 1e-9,
       s"quantization MSE $worst exceeds the grid bound $bound")
   }
+
+  test("q103 retrievalEval edges: perfect hit, miss, and zero-label queries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // qid 0: relevant doc at rank 1 of 2 labels; qid 1: no relevant in
+    // top-k; qid 2: NO labels at all (the n_rel = 0 guard).
+    val ranking = Seq(
+      (0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 10L, 1L), (2L, 11L, 2L), (2L, 12L, 3L)
+    ).toDF("qid", "vec_id", "rnk")
+    val labels = Seq((0L, 10L), (0L, 99L), (1L, 98L)).toDF("qid", "vec_id")
+    val rows = Similarity.retrievalEval(ranking, labels, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toList
+    // qid 0: 2 labels, 1 hit at rank 1 -> recall 1/2, RR 1.0,
+    // nDCG = round(1.0 / round(1 + 1/log2(3), 4), 4) = 0.6132.
+    assert(rows(0) == (0L, 2L, 1L, 500000L, 1000000L, 0.6132), rows(0).toString)
+    // qid 1: 1 label, zero hits -> everything zero.
+    assert(rows(1) == (1L, 1L, 0L, 0L, 0L, 0.0), rows(1).toString)
+    // qid 2: zero labels -> guarded zeros, no division blowup.
+    assert(rows(2) == (2L, 0L, 0L, 0L, 0L, 0.0), rows(2).toString)
+  }
 }
