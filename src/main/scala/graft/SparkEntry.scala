@@ -225,6 +225,13 @@ object SparkEntry {
   /** Q96: documents with doc_id ≥ this arrive AFTER the text index is
     * built (below the 500-row sf0.001 doc count). */
   private val TextAppendSplit = 400L
+  /** Q104: LmStore lifecycle splits — base build < LmBaseSplit, the
+    * append batch fills [LmBaseSplit, TextAppendSplit); the delete
+    * batch is [LmDeleteFrom, TextAppendSplit). All three bands are
+    * non-empty at every SF (500-row sf0.001 documents floor).
+    */
+  private val LmBaseSplit = 200L
+  private val LmDeleteFrom = 300L
   /** Q97: the fixed query batch — query 2 repeats a term so the
     * multiplicity weighting is oracle-pinned. */
   private val BatchBm25Queries: Seq[(Long, Seq[String])] = Seq(
@@ -571,6 +578,28 @@ object SparkEntry {
                CAST(score_micros AS DOUBLE) / 1e6 AS score
         FROM bsc WHERE score_micros > 0
         ORDER BY score_micros DESC, doc_id LIMIT $Bm25K"""
+
+  /** Q102/q104 family: the q49 scoring chain with the MODEL CTEs
+    * restricted by `modelPred` and the arriving batch fixed at
+    * doc_id ≥ TextAppendSplit — one oracle shape for every LmStore
+    * lifecycle state (built, appended, negative-segment-deleted,
+    * compacted): whatever maintenance ran, scores must equal ONE
+    * model over the live corpus.
+    */
+  private def storedLmOracleSql(modelPred: String): String =
+    s"""WITH bw AS (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents WHERE $modelPred),
+         v AS (SELECT word, count(*) AS n_w FROM bw GROUP BY word),
+         t AS (SELECT count(*) AS n_total FROM bw),
+         aw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents WHERE doc_id >= $TextAppendSplit),
+         x AS (SELECT aw.doc_id, v.n_w IS NULL AS oov,
+                 ${roundSql("-ln(CAST(COALESCE(v.n_w, 1) AS DOUBLE) / t.n_total)", 4)} AS nll
+               FROM aw LEFT JOIN v USING (word) CROSS JOIN t)
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               ${roundSql(s"(${exactSumSql("nll", 4)}) / count(*)", 4)} AS mean_nll
+        FROM x GROUP BY doc_id ORDER BY doc_id"""
 
   /** Q101/q101b: the q86 chain restricted to the live corpus — the
     * base CTE's doc predicate excludes the tombstoned residue, so df,
@@ -993,6 +1022,41 @@ object SparkEntry {
       val docs = Tables.table(s, d, "documents")
       graft.sources.LmStore.buildOnce(
         docs.filter(col("doc_id") < TextAppendSplit), dir, TextIndexBuckets)
+      Pipeline.lmScoreStored(s, dir, docs.filter(col("doc_id") >= TextAppendSplit))
+    }),
+    "q104_appended_lm" -> ((s, d) => {
+      // Log-structured maintenance, append direction: the new batch's
+      // counts land as a positive segment; serving nets segments, so
+      // scores equal one model over the union.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lmstore_app_${new java.io.File(d).getName}"
+      val docs = Tables.table(s, d, "documents")
+      graft.sources.LmStore.buildAppendedOnce(s, dir,
+        docs.filter(col("doc_id") < LmBaseSplit),
+        docs.filter(col("doc_id") >= LmBaseSplit && col("doc_id") < TextAppendSplit),
+        TextIndexBuckets)
+      Pipeline.lmScoreStored(s, dir, docs.filter(col("doc_id") >= TextAppendSplit))
+    }),
+    "q104b_deleted_lm" -> ((s, d) => {
+      // Delete direction: an aggregated store has no per-doc rows to
+      // tombstone — the deleted docs' counts enter as a NEGATIVE
+      // segment and the serving net equals a live-corpus model.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lmstore_del_${new java.io.File(d).getName}"
+      val docs = Tables.table(s, d, "documents")
+      graft.sources.LmStore.buildDeletedOnce(s, dir,
+        docs.filter(col("doc_id") < TextAppendSplit),
+        docs.filter(col("doc_id") >= LmDeleteFrom && col("doc_id") < TextAppendSplit),
+        TextIndexBuckets)
+      Pipeline.lmScoreStored(s, dir, docs.filter(col("doc_id") >= TextAppendSplit))
+    }),
+    "q104c_compacted_lm" -> ((s, d) => {
+      // Compaction folds the segment stack to one net row per word
+      // (zero nets dropped) and must not change a single score.
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lmstore_cmp_${new java.io.File(d).getName}"
+      val docs = Tables.table(s, d, "documents")
+      graft.sources.LmStore.buildCompactedOnce(s, dir,
+        docs.filter(col("doc_id") < TextAppendSplit),
+        docs.filter(col("doc_id") >= LmDeleteFrom && col("doc_id") < TextAppendSplit),
+        TextIndexBuckets)
       Pipeline.lmScoreStored(s, dir, docs.filter(col("doc_id") >= TextAppendSplit))
     }),
     "q50_kmeans_step" -> ((s, d) =>
@@ -2243,20 +2307,14 @@ object SparkEntry {
     // Q102: the q49 chain with the model fit on the base corpus only
     // and the arriving batch scored against it — OOV backs off to a
     // singleton count, and the OOV count itself is surfaced.
-    "q102_stored_lm" ->
-      s"""WITH bw AS (SELECT unnest(string_split(text, ' ')) AS word
-                      FROM documents WHERE doc_id < $TextAppendSplit),
-           v AS (SELECT word, count(*) AS n_w FROM bw GROUP BY word),
-           t AS (SELECT count(*) AS n_total FROM bw),
-           aw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                  FROM documents WHERE doc_id >= $TextAppendSplit),
-           x AS (SELECT aw.doc_id, v.n_w IS NULL AS oov,
-                   ${roundSql("-ln(CAST(COALESCE(v.n_w, 1) AS DOUBLE) / t.n_total)", 4)} AS nll
-                 FROM aw LEFT JOIN v USING (word) CROSS JOIN t)
-          SELECT doc_id, count(*) AS n_tokens,
-                 CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-                 ${roundSql(s"(${exactSumSql("nll", 4)}) / count(*)", 4)} AS mean_nll
-          FROM x GROUP BY doc_id ORDER BY doc_id""",
+    "q102_stored_lm" -> storedLmOracleSql(s"doc_id < $TextAppendSplit"),
+    // Q104: build-then-append maintenance must equal one model over
+    // the union (q102's oracle, same model predicate).
+    "q104_appended_lm" -> storedLmOracleSql(s"doc_id < $TextAppendSplit"),
+    // Q104b/c: negative-segment deletion (then compaction) must equal
+    // a model over the LIVE corpus only — same oracle, twice.
+    "q104b_deleted_lm" -> storedLmOracleSql(s"doc_id < $LmDeleteFrom"),
+    "q104c_compacted_lm" -> storedLmOracleSql(s"doc_id < $LmDeleteFrom"),
     "q50_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
           c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < $NumCentroids),

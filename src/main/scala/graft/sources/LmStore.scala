@@ -15,11 +15,14 @@ import graft.functions.PortableHash.hash48
   * pattern), candidates stream through it.
   *
   * Layout under `dir`:
-  *   - `vocab/` — (word, n_w) PARTITIONED BY `w_bucket = hash48(word)
-  *     mod nBuckets`. Scoring joins on `word`, so bucketing is not a
-  *     per-query pruning device like TextIndexStore's (every batch
-  *     token needs a lookup) — it bounds file sizes and keeps the
-  *     store layout consistent with the postings convention.
+  *   - `vocab/` — count SEGMENTS (word, n_w) PARTITIONED BY `w_bucket
+  *     = hash48(word) mod nBuckets`; the serving view ([[vocab]]) is
+  *     the per-word NET across segments (appends positive, deletes
+  *     negative — see the maintenance doc below). Scoring joins on
+  *     `word`, so bucketing is not a per-query pruning device like
+  *     TextIndexStore's (every batch token needs a lookup) — it
+  *     bounds file sizes and keeps the store layout consistent with
+  *     the postings convention.
   *   - `stats/` — ONE row (n_total).
   *
   * At 100 TB the vocabulary is the type table (millions of rows, far
@@ -30,20 +33,99 @@ import graft.functions.PortableHash.hash48
 object LmStore {
 
   def build(docs: DataFrame, dir: String, nBuckets: Int): Unit = {
-    val words = Tables.widen(docs)
-      .select(explode(split(col("text"), " ")).as("word"))
-    words.groupBy("word").agg(count(lit(1)).as("n_w"))
-      .withColumn("w_bucket", pmod(expr(hash48("word")), lit(nBuckets.toLong)))
-      .repartition(col("w_bucket"))
-      .sortWithinPartitions("word")
-      .write.partitionBy("w_bucket").mode("overwrite").parquet(s"$dir/vocab")
-    words.agg(count(lit(1)).as("n_total"))
+    writeSegment(docs, dir, nBuckets, sign = 1L, mode = "overwrite")
+    tokenCounts(docs)._2
+      .agg(count(lit(1)).as("n_total"))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
-  /** The stored frequency table (word, n_w). */
+  /** Maintenance is LOG-STRUCTURED (the LSM/compacted-topic shape,
+    * deliberately contrasting the tombstone-id sets of
+    * [[TextIndexStore]]/[[VectorIndexStore]]): the stored table is a
+    * stack of count SEGMENTS and the serving view ([[vocab]]) sums
+    * them per word. [[append]] writes the new batch's counts as a
+    * positive segment; [[deleteDocs]] writes the deleted docs' counts
+    * NEGATED — an aggregated store has no per-doc rows to tombstone,
+    * so the caller supplies the doc content (in production, a
+    * [[DocStore]] lookup) and subtraction happens at read time.
+    * [[compact]] folds the segment stack into one net row per word,
+    * dropping words whose net count reached zero.
+    */
+  def append(spark: SparkSession, dir: String, newDocs: DataFrame,
+             nBuckets: Int): Unit = synchronized {
+    advance(spark, dir, newDocs, nBuckets, sign = 1L)
+  }
+
+  /** Remove documents from the model: their per-word counts enter as a
+    * negative segment and the token total retreats — after which
+    * [[vocab]] (and every score) equals a model built on the live
+    * corpus (PipelineSpec pins this).
+    */
+  def deleteDocs(spark: SparkSession, dir: String, delDocs: DataFrame,
+                 nBuckets: Int): Unit = synchronized {
+    advance(spark, dir, delDocs, nBuckets, sign = -1L)
+  }
+
+  private def advance(spark: SparkSession, dir: String, docs: DataFrame,
+                      nBuckets: Int, sign: Long): Unit = {
+    val batch = tokenCounts(docs)._2.agg(count(lit(1)).as("n")).first()
+    if (batch.getLong(0) == 0L) return
+    val old = stats(spark, dir).first()
+    writeSegment(docs, dir, nBuckets, sign, mode = "append")
+    import spark.implicits._
+    Seq(old.getLong(0) + sign * batch.getLong(0)).toDF("n_total")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Fold the segment stack into one net row per word (one file per
+    * bucket; zero-or-negative nets dropped), scratch + rename swap —
+    * the [[VectorIndexStore.compact]] contract, summed instead of
+    * anti-joined. Serving reads are IDENTICAL before and after.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = synchronized {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$dir/vocab_compacting")
+    fs.delete(tmp, true)
+    rawSegments(spark, dir)
+      .groupBy("word", "w_bucket").agg(sum("n_w").as("n_w"))
+      .filter(col("n_w") > 0)
+      .repartition(col("w_bucket"))
+      .sortWithinPartitions("word")
+      .write.partitionBy("w_bucket").mode("overwrite").parquet(tmp.toString)
+    val live = new Path(s"$dir/vocab")
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"compaction swap failed for $dir")
+  }
+
+  private def tokenCounts(docs: DataFrame): (DataFrame, DataFrame) = {
+    val words = Tables.widen(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+    (words.groupBy("word").agg(count(lit(1)).as("n_w")), words)
+  }
+
+  private def writeSegment(docs: DataFrame, dir: String, nBuckets: Int,
+                           sign: Long, mode: String): Unit =
+    tokenCounts(docs)._1
+      .withColumn("n_w", col("n_w") * sign)
+      .withColumn("w_bucket", pmod(expr(hash48("word")), lit(nBuckets.toLong)))
+      .repartition(col("w_bucket"))
+      .sortWithinPartitions("word")
+      .write.partitionBy("w_bucket").mode(mode).parquet(s"$dir/vocab")
+
+  private def rawSegments(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/vocab")
+      .select(col("word"), col("n_w"), col("w_bucket").cast("long").as("w_bucket"))
+
+  /** The SERVING view of the frequency table (word, n_w): net count
+    * per word across all segments, zero-or-negative nets invisible.
+    * One aggregation over the type table — model-sized, not
+    * corpus-sized work.
+    */
   def vocab(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/vocab").select(col("word"), col("n_w"))
+    rawSegments(spark, dir)
+      .groupBy("word").agg(sum("n_w").as("n_w"))
+      .filter(col("n_w") > 0)
 
   /** The one-row token total (n_total). */
   def stats(spark: SparkSession, dir: String): DataFrame =
@@ -60,5 +142,42 @@ object LmStore {
     }
   }
 
+  /** Build-on-base + append-the-rest, once per JVM. */
+  def buildAppendedOnce(spark: SparkSession, dir: String, baseDocs: DataFrame,
+                        newDocs: DataFrame, nBuckets: Int): Unit = synchronized {
+    val key = (dir, nBuckets)
+    if (!appended.contains(key)) {
+      build(baseDocs, dir, nBuckets)
+      append(spark, dir, newDocs, nBuckets)
+      appended += key
+    }
+  }
+
+  /** Build + negative-segment delete, once per JVM. */
+  def buildDeletedOnce(spark: SparkSession, dir: String, docs: DataFrame,
+                       delDocs: DataFrame, nBuckets: Int): Unit = synchronized {
+    val key = (dir, nBuckets)
+    if (!deletedBuilt.contains(key)) {
+      build(docs, dir, nBuckets)
+      deleteDocs(spark, dir, delDocs, nBuckets)
+      deletedBuilt += key
+    }
+  }
+
+  /** Build + delete + [[compact]], once per JVM. */
+  def buildCompactedOnce(spark: SparkSession, dir: String, docs: DataFrame,
+                         delDocs: DataFrame, nBuckets: Int): Unit = synchronized {
+    val key = (dir, nBuckets)
+    if (!compacted.contains(key)) {
+      build(docs, dir, nBuckets)
+      deleteDocs(spark, dir, delDocs, nBuckets)
+      compact(spark, dir)
+      compacted += key
+    }
+  }
+
   private val built = scala.collection.mutable.Set.empty[(String, Int)]
+  private val appended = scala.collection.mutable.Set.empty[(String, Int)]
+  private val deletedBuilt = scala.collection.mutable.Set.empty[(String, Int)]
+  private val compacted = scala.collection.mutable.Set.empty[(String, Int)]
 }

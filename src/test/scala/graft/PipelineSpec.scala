@@ -102,6 +102,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"OOV backoff must score -ln(1/n_total): got ${row.getDouble(3)}, want $want")
   }
 
+  test("q104: negative-segment delete nets out exactly; compaction folds the stack") {
+    import spark.implicits._
+    import graft.sources.LmStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm104").toString
+    val base = Seq((0L, "alpha beta beta"), (1L, "alpha gamma")).toDF("doc_id", "text")
+    LmStore.build(base, dir, 4)
+    LmStore.deleteDocs(spark, dir, base.filter(col("doc_id") === 1L), 4)
+    // The serving net: alpha 2-1=1, beta 2, gamma 1-1=0 → INVISIBLE.
+    val v = LmStore.vocab(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("alpha" -> 1L, "beta" -> 2L), v.toString)
+    assert(LmStore.stats(spark, dir).first().getLong(0) == 3L,
+      "token total must retreat by the deleted docs' exact count")
+    // The raw store really is a segment stack (a negative row exists) —
+    // deletion wrote a segment, it didn't rewrite history.
+    val raw = spark.read.parquet(s"$dir/vocab")
+    assert(raw.filter(col("n_w") < 0).count() > 0)
+    // A fully-netted-out word scores as OOV, not as a ghost.
+    val ghost = Pipeline.lmScoreStored(spark, dir,
+      Seq((7L, "gamma")).toDF("doc_id", "text")).first()
+    assert(ghost.getLong(2) == 1L, s"netted-out word must be OOV: $ghost")
+    // Compaction: identical serving view, no non-positive rows left,
+    // segment stack folded to one net row per word.
+    val before = LmStore.vocab(spark, dir).orderBy("word").collect().toSeq
+    LmStore.compact(spark, dir)
+    assert(LmStore.vocab(spark, dir).orderBy("word").collect().toSeq == before)
+    val rawAfter = spark.read.parquet(s"$dir/vocab")
+    assert(rawAfter.count() == 2 && rawAfter.filter(col("n_w") <= 0).count() == 0)
+  }
+
   test("state history intervals tile each user's timeline with one current row") {
     val h = Pipeline.stateHistory(events)
     // Exactly one open (current) interval per user.
