@@ -91,7 +91,12 @@ object Bench {
                    "q98_deleted_search" -> sfDir,
                    "q98b_compacted_search" -> sfDir,
                    "q101_deleted_bm25" -> sfDir,
-                   "q101b_compacted_bm25" -> sfDir))
+                   "q101b_compacted_bm25" -> sfDir,
+                   "q96_appended_bm25" -> sfDir,
+                   "q102_stored_lm" -> sfDir,
+                   "q104_appended_lm" -> sfDir,
+                   "q104b_deleted_lm" -> sfDir,
+                   "q104c_compacted_lm" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Fixed-work CPU calibration: a constant amount of pure computation

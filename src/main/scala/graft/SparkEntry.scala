@@ -3117,13 +3117,21 @@ object SparkEntry {
                    ${roundSql(
                      "sum(CASE WHEN is_rel = 1 THEN 1.0 / log2(rnk + 1.0) ELSE 0.0 END)", 4)} AS dcg
                  FROM j GROUP BY qid),
-          fin AS (SELECT ag.qid, CAST(nr.n_rel AS BIGINT) AS n_rel, ag.hits_at_k,
-                    CAST(ag.hits_at_k * 1000000 // nr.n_rel AS BIGINT) AS recall_micros,
+          -- LEFT join + zero-guards: a query with NO labels must yield
+          -- the engine's guarded-zero row, not vanish (and not divide
+          -- by zero).
+          fin AS (SELECT ag.qid, CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel,
+                    ag.hits_at_k,
+                    CAST(CASE WHEN COALESCE(nr.n_rel, 0) > 0
+                         THEN ag.hits_at_k * 1000000 // nr.n_rel
+                         ELSE 0 END AS BIGINT) AS recall_micros,
                     CAST(COALESCE(1000000 // ag.first_rel, 0) AS BIGINT) AS rr_micros,
-                    ${roundSql(
-                      s"ag.dcg / (${roundSql(
-                        s"list_sum(list_transform(generate_series(1, CAST(least(nr.n_rel, $BatchTopK) AS INT)), i -> 1.0 / log2(i + 1.0)))", 4)})", 4)} AS ndcg
-                  FROM ag JOIN nr USING (qid))
+                    CASE WHEN COALESCE(nr.n_rel, 0) > 0 THEN
+                      ${roundSql(
+                        s"ag.dcg / (${roundSql(
+                          s"list_sum(list_transform(generate_series(1, CAST(least(nr.n_rel, $BatchTopK) AS INT)), i -> 1.0 / log2(i + 1.0)))", 4)})", 4)}
+                    ELSE 0.0 END AS ndcg
+                  FROM ag LEFT JOIN nr USING (qid))
           SELECT qid, n_rel, hits_at_k, recall_micros, rr_micros, ndcg
           FROM fin ORDER BY qid""",
     // Q100: leakage-safe split — q40's recursive component chain, every

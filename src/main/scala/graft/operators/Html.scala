@@ -166,14 +166,19 @@ $paras
       .withColumn("scored", expr(
         // The decode chain runs ONCE per block (no CSE inside higher-
         // order-function lambdas); word counts derive from the decoded
-        // text where needed.
+        // text where needed. `keep` — the link-density verdict — is
+        // computed HERE, in the struct, so main_text and the n_kept
+        // accounting read the SAME decision (a threshold fix cannot
+        // land in one consumer and miss the other).
         "transform(blocks, b -> named_struct(" +
           "'txt', " + textOf("b") + ", " +
           "'n_links', regexp_count(b, '(?i)<a\\\\s')))"))
+      .withColumn("scored", expr(
+        """transform(scored, s -> named_struct(
+             'txt', s.txt, 'n_links', s.n_links,
+             'keep', s.n_links * 3 < size(split(s.txt, ' '))))"""))
       .withColumn("main_text", expr(
-        """array_join(transform(
-             filter(scored, s -> s.n_links * 3 < size(split(s.txt, ' '))),
-             s -> s.txt), ' ')"""))
+        "array_join(transform(filter(scored, s -> s.keep), s -> s.txt), ' ')"))
 
   /** [[mainContent]] over an explicit (doc_id, html) frame. */
   def mainContentFromPages(pages: DataFrame): DataFrame =
@@ -182,8 +187,7 @@ $paras
         col("doc_id"),
         col("main_text"),
         expr("size(scored)").cast("long").as("n_blocks"),
-        expr("size(filter(scored, s -> s.n_links * 3 < size(split(s.txt, ' '))))")
-          .cast("long").as("n_kept"))
+        expr("size(filter(scored, s -> s.keep))").cast("long").as("n_kept"))
       .orderBy("doc_id")
 
   /** Q91c — anchor extraction: every <a> in document order with its

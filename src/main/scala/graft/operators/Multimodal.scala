@@ -570,16 +570,19 @@ object Multimodal {
   }
 
   /** REAL AVI parse: validates the RIFF/'AVI ' magic, reads the avih
-    * header (dims + declared frame count), walks the `movi` list
-    * extracting every '00dc' video chunk's JPEG payload. Returns
-    * (w, h, fps, declaredFrames, jpeg byte arrays) or None for bytes
-    * that are not a well-formed clip — the untrusted-media fallback
-    * contract of [[decodeImage]]. The JPEG payloads are NOT decoded
-    * here; pixel decode is the caller's per-frame [[decodeImage]] step,
-    * keeping container demux and pixel codec as separate stages the
-    * way a real media pipeline stages them.
+    * header (dims + declared frame count) and the video strh's
+    * RATIONAL dwRate/dwScale frame rate (the q21f lesson, AVI
+    * edition: NTSC 29.97 is 30000/1001 — deriving fps from avih's
+    * integer µs-per-frame alone truncates it to 29), walks the `movi`
+    * list extracting every '00dc' video chunk's JPEG payload. Returns
+    * (w, h, fpsNum, fpsDen, declaredFrames, jpeg byte arrays) or None
+    * for bytes that are not a well-formed clip — the untrusted-media
+    * fallback contract of [[decodeImage]]. The JPEG payloads are NOT
+    * decoded here; pixel decode is the caller's per-frame
+    * [[decodeImage]] step, keeping container demux and pixel codec as
+    * separate stages the way a real media pipeline stages them.
     */
-  def decodeAvi(payload: Array[Byte]): Option[(Int, Int, Int, Int, Seq[Array[Byte]])] =
+  def decodeAvi(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int, Seq[Array[Byte]])] =
     try {
       def str(pos: Int, n: Int): String =
         new String(payload, pos, n, java.nio.charset.StandardCharsets.US_ASCII)
@@ -589,7 +592,8 @@ object Multimodal {
       if (payload.length < 12 || str(0, 4) != "RIFF" || str(8, 4) != "AVI ")
         return None
       val riffEnd = math.min(payload.length.toLong, 8L + rdLe32(4)).toInt
-      var w = -1; var h = -1; var fps = -1; var declared = -1
+      var w = -1; var h = -1; var declared = -1
+      var fpsNum = -1; var fpsDen = 1
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       // Walk chunks in [from, to); recurse into LIST hdrl/strl/movi.
       def walk(from: Int, to: Int): Unit = {
@@ -606,8 +610,13 @@ object Multimodal {
             declared = rdLe32(pos + 8 + 16)
             w = rdLe32(pos + 8 + 32)
             h = rdLe32(pos + 8 + 36)
+            // Fallback rate only — the video strh's rational wins.
             val usPerFrame = rdLe32(pos + 8)
-            if (usPerFrame > 0) fps = 1000000 / usPerFrame
+            if (fpsNum < 0 && usPerFrame > 0) { fpsNum = 1000000 / usPerFrame; fpsDen = 1 }
+          } else if (id == "strh" && size >= 32 && str(pos + 8, 4) == "vids") {
+            val scale = rdLe32(pos + 8 + 20)
+            val rate = rdLe32(pos + 8 + 24)
+            if (rate > 0 && scale > 0) { fpsNum = rate; fpsDen = scale }
           } else if (id == "00dc") {
             frames += java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + size)
           }
@@ -616,7 +625,7 @@ object Multimodal {
       }
       walk(12, riffEnd)
       if (w <= 0 || h <= 0 || declared < 0 || frames.isEmpty) None
-      else Some((w, h, fps, declared, frames.toSeq))
+      else Some((w, h, fpsNum, fpsDen, declared, frames.toSeq))
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
@@ -640,8 +649,10 @@ object Multimodal {
       .mapPartitions { ids =>
         ids.map { id =>
           val blob = mjpegAviBlob(id)
-          val (w, h, fps, declared, frames) = decodeAvi(blob.payload)
+          val (w, h, fpsNum, fpsDen, declared, frames) = decodeAvi(blob.payload)
             .getOrElse(sys.error(s"AVI round-trip failed for doc $id"))
+          require(fpsDen == 1, s"generator emits den=1; parse drift for doc $id")
+          val fps = fpsNum
           require(declared == frames.length,
             s"AVI header/chunk frame-count drift for doc $id")
           var total = 0L

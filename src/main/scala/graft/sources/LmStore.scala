@@ -33,10 +33,17 @@ import graft.functions.PortableHash.hash48
 object LmStore {
 
   def build(docs: DataFrame, dir: String, nBuckets: Int): Unit = {
-    writeSegment(docs, dir, nBuckets, sign = 1L, mode = "overwrite")
-    tokenCounts(docs)._2
-      .agg(count(lit(1)).as("n_total"))
+    // ONE tokenization: the segment's per-word counts also yield the
+    // token total (n_total = Σ n_w of what was just written).
+    val seg = segCounts(docs).persist()
+    writeSegment(seg, dir, nBuckets, sign = 1L, mode = "overwrite")
+    seg.agg(coalesce(sum("n_w"), lit(0L)).as("n_total"))
       .write.mode("overwrite").parquet(s"$dir/stats")
+    seg.unpersist()
+    // A rebuild is a new model: the delete ledger of the old one must
+    // not swallow future takedowns against fresh content.
+    val led = new org.apache.hadoop.fs.Path(s"$dir/deleted_ids")
+    led.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration).delete(led, true)
   }
 
   /** Maintenance is LOG-STRUCTURED (the LSM/compacted-topic shape,
@@ -54,27 +61,72 @@ object LmStore {
   def append(spark: SparkSession, dir: String, newDocs: DataFrame,
              nBuckets: Int): Unit = synchronized {
     advance(spark, dir, newDocs, nBuckets, sign = 1L)
+    // Re-ingest of a previously-deleted doc works by pure count
+    // algebra (its negative segment nets against the fresh positive
+    // one) — but the delete LEDGER must forget the id, or a FUTURE
+    // takedown of the re-ingested doc would be swallowed as a
+    // duplicate.
+    unrecordDeleted(spark, dir,
+      newDocs.select(col("doc_id").cast("long").as("doc_id")).distinct())
   }
 
   /** Remove documents from the model: their per-word counts enter as a
     * negative segment and the token total retreats — after which
     * [[vocab]] (and every score) equals a model built on the live
-    * corpus (PipelineSpec pins this).
+    * corpus (PipelineSpec pins this). IDEMPOTENT under retries and
+    * overlapping batches: a per-doc delete LEDGER (`deleted_ids/`)
+    * filters out ids already subtracted, so a replayed takedown tick
+    * cannot double-subtract (segments alone can't tell — they hold no
+    * per-doc rows).
     */
   def deleteDocs(spark: SparkSession, dir: String, delDocs: DataFrame,
                  nBuckets: Int): Unit = synchronized {
-    advance(spark, dir, delDocs, nBuckets, sign = -1L)
+    val newDead = delDocs
+      .join(broadcast(deletedIds(spark, dir)), Seq("doc_id"), "left_anti")
+    if (newDead.isEmpty) return
+    advance(spark, dir, newDead, nBuckets, sign = -1L)
+    newDead.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$dir/deleted_ids")
+  }
+
+  /** The delete ledger (doc_id) — empty when no delete has ever run. */
+  def deletedIds(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deleted_ids")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.parquet(s"$dir/deleted_ids")
+    else {
+      import spark.implicits._
+      spark.emptyDataset[Long].toDF("doc_id")
+    }
+  }
+
+  private def unrecordDeleted(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/deleted_ids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val led = spark.read.parquet(p.toString)
+    if (led.join(broadcast(ids), Seq("doc_id"), "left_semi").isEmpty) return
+    val tmp = new Path(s"$dir/deleted_ids_rewriting")
+    fs.delete(tmp, true)
+    led.join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"ledger rewrite swap failed for $dir")
   }
 
   private def advance(spark: SparkSession, dir: String, docs: DataFrame,
                       nBuckets: Int, sign: Long): Unit = {
-    val batch = tokenCounts(docs)._2.agg(count(lit(1)).as("n")).first()
-    if (batch.getLong(0) == 0L) return
+    // ONE tokenization serves both the segment and the stats delta.
+    val seg = segCounts(docs).persist()
+    val batch = seg.agg(coalesce(sum("n_w"), lit(0L))).first().getLong(0)
+    if (batch == 0L) { seg.unpersist(); return }
     val old = stats(spark, dir).first()
-    writeSegment(docs, dir, nBuckets, sign, mode = "append")
+    writeSegment(seg, dir, nBuckets, sign, mode = "append")
     import spark.implicits._
-    Seq(old.getLong(0) + sign * batch.getLong(0)).toDF("n_total")
+    Seq(old.getLong(0) + sign * batch).toDF("n_total")
       .write.mode("overwrite").parquet(s"$dir/stats")
+    seg.unpersist()
   }
 
   /** Fold the segment stack into one net row per word (one file per
@@ -98,15 +150,14 @@ object LmStore {
     require(fs.rename(tmp, live), s"compaction swap failed for $dir")
   }
 
-  private def tokenCounts(docs: DataFrame): (DataFrame, DataFrame) = {
-    val words = Tables.widen(docs)
+  private def segCounts(docs: DataFrame): DataFrame =
+    Tables.widen(docs)
       .select(explode(split(col("text"), " ")).as("word"))
-    (words.groupBy("word").agg(count(lit(1)).as("n_w")), words)
-  }
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
 
-  private def writeSegment(docs: DataFrame, dir: String, nBuckets: Int,
+  private def writeSegment(seg: DataFrame, dir: String, nBuckets: Int,
                            sign: Long, mode: String): Unit =
-    tokenCounts(docs)._1
+    seg
       .withColumn("n_w", col("n_w") * sign)
       .withColumn("w_bucket", pmod(expr(hash48("word")), lit(nBuckets.toLong)))
       .repartition(col("w_bucket"))

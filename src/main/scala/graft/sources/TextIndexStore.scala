@@ -77,6 +77,17 @@ object TextIndexStore {
     if (batch.getLong(0) == 0L) return
     // Read-then-overwrite on the one-row stats: collect the single row
     // BEFORE the write clears the path.
+    // Re-ingest REVIVES a tombstoned doc — but the store still holds
+    // its OLD posting rows hidden behind the anti-join, and merely
+    // dropping the tombstone would serve BOTH generations (double tf —
+    // the resurrection gap). A revival therefore folds deletions
+    // physically first: [[compact]] drops every dead row and clears
+    // the tombstones, then the new postings land as the doc's only
+    // generation. Amortized: revivals are rare, and the rewrite is the
+    // same one the maintenance schedule owes anyway.
+    val newIds = newDocs.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    if (!tombstones(spark, dir).join(broadcast(newIds), Seq("doc_id"), "left_semi").isEmpty)
+      compact(spark, dir)
     val old = stats(spark, dir).select(col("n_docs"), col("total_dl")).first()
     writePostings(newDocs, dir, nBuckets, "append")
     import spark.implicits._

@@ -64,7 +64,18 @@ object VectorIndexStore {
     * pattern, for the trained index): per batch, one map-only encode
     * of the NEW rows and an append of nSub ints each.
     */
-  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = synchronized {
+    // Re-ingest REVIVES a tombstoned id — but the store still holds its
+    // OLD code row hidden behind the anti-join, and merely dropping the
+    // tombstone would serve BOTH generations (double ADC contributions
+    // — the resurrection gap). A revival therefore folds deletions
+    // physically first: [[compact]] drops every dead row and clears the
+    // tombstones, then the new encoding lands as the id's only
+    // generation. Amortized: revivals are rare, and the rewrite is the
+    // one the maintenance schedule owes anyway.
+    val newIds = newVecs.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    if (!tombstones(spark, dir).join(broadcast(newIds), Seq("vec_id"), "left_semi").isEmpty)
+      compact(spark, dir)
     val coarse = centroids(spark, dir)
     val books = codebooks(spark, dir)
     // nSub is a property of the stored codebooks (bounded read).
@@ -83,9 +94,10 @@ object VectorIndexStore {
     * rewrite. Appends, so repeated delete batches accumulate (duplicate
     * ids are harmless — anti-join semantics).
     */
-  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = synchronized {
     ids.select(col("vec_id").cast("long").as("vec_id"))
       .write.mode("append").parquet(s"$dir/tombstones")
+  }
 
   /** The current tombstone set — empty frame when no delete has ever
     * run against this store. Existence goes through the Hadoop
@@ -128,7 +140,7 @@ object VectorIndexStore {
     * under one manifest/table-format commit (the Delta/Iceberg shape)
     * instead of raw directory renames.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit = synchronized {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$dir/codes_compacting")

@@ -149,10 +149,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val blob = Multimodal.mjpegAviBlob(id)
     val parsed = Multimodal.decodeAvi(blob.payload)
     assert(parsed.isDefined, "generated AVI must parse")
-    val (w, h, fps, declared, frames) = parsed.get
+    val (w, h, fpsNum, fpsDen, declared, frames) = parsed.get
     assert(w == (16 * (2 + id % 3)).toInt && h == (8 * (2 + id % 4)).toInt)
-    assert(fps == (24 + id % 2).toInt && declared == (2 + id % 5).toInt)
+    assert(fpsNum == (24 + id % 2).toInt && fpsDen == 1)
+    assert(declared == (2 + id % 5).toInt)
     assert(frames.length == declared, "header count must equal '00dc' chunk count")
+    // NTSC-style RATIONAL rate survives: patch the video strh's
+    // dwScale/dwRate to 1001/30000 — the parser must report the ratio,
+    // not an integer truncation (the decodeY4m F-ratio lesson).
+    val ntsc = blob.payload.clone()
+    val strhAt = {
+      var i = 12
+      while (!(ntsc(i) == 's' && ntsc(i + 1) == 't' && ntsc(i + 2) == 'r' && ntsc(i + 3) == 'h')) i += 1
+      i
+    }
+    def putLe32(at: Int, v: Int): Unit = {
+      ntsc(at) = (v & 0xFF).toByte; ntsc(at + 1) = ((v >> 8) & 0xFF).toByte
+      ntsc(at + 2) = ((v >> 16) & 0xFF).toByte; ntsc(at + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    putLe32(strhAt + 8 + 20, 1001)  // dwScale
+    putLe32(strhAt + 8 + 24, 30000) // dwRate
+    val rational = Multimodal.decodeAvi(ntsc)
+    assert(rational.isDefined && rational.get._3 == 30000 && rational.get._4 == 1001,
+      s"rational strh rate must survive the parse: ${rational.map(r => (r._3, r._4))}")
     // Every frame is a genuine standalone JPEG (SOI marker) that the
     // real codec decodes back to the EXACT two-band grays.
     frames.zipWithIndex.foreach { case (jp, f) =>
@@ -174,9 +193,9 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (the bounds-checked walk just stops); truncating INTO the movi
     // list loses the stream and must reject.
     val idxTrunc = Multimodal.decodeAvi(blob.payload.dropRight(3))
-    assert(idxTrunc.isDefined && idxTrunc.get._5.length == declared)
+    assert(idxTrunc.isDefined && idxTrunc.get._6.length == declared)
     val moviTrunc = Multimodal.decodeAvi(blob.payload.dropRight(200))
-    assert(moviTrunc.isEmpty || moviTrunc.get._5.length < declared)
+    assert(moviTrunc.isEmpty || moviTrunc.get._6.length < declared)
   }
 
   test("metadata catalog query prunes the payload column from the parquet scan") {

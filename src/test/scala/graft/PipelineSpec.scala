@@ -109,6 +109,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val base = Seq((0L, "alpha beta beta"), (1L, "alpha gamma")).toDF("doc_id", "text")
     LmStore.build(base, dir, 4)
     LmStore.deleteDocs(spark, dir, base.filter(col("doc_id") === 1L), 4)
+    // A RETRIED delete of the same doc must be swallowed by the ledger
+    // — segments alone can't tell a retry from a new takedown.
+    LmStore.deleteDocs(spark, dir, base.filter(col("doc_id") === 1L), 4)
     // The serving net: alpha 2-1=1, beta 2, gamma 1-1=0 → INVISIBLE.
     val v = LmStore.vocab(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -123,6 +126,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ghost = Pipeline.lmScoreStored(spark, dir,
       Seq((7L, "gamma")).toDF("doc_id", "text")).first()
     assert(ghost.getLong(2) == 1L, s"netted-out word must be OOV: $ghost")
+    // REVIVAL by count algebra: re-appending doc 1 nets its negative
+    // segment back out, and the ledger forgets the id — so a FUTURE
+    // takedown of the re-ingested doc is a fresh delete, not a
+    // swallowed duplicate.
+    LmStore.append(spark, dir, base.filter(col("doc_id") === 1L), 4)
+    val revived = LmStore.vocab(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(revived == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L), revived.toString)
+    assert(LmStore.stats(spark, dir).first().getLong(0) == 5L)
+    LmStore.deleteDocs(spark, dir, base.filter(col("doc_id") === 1L), 4)
+    assert(LmStore.stats(spark, dir).first().getLong(0) == 3L,
+      "a post-revival takedown must subtract again")
+
     // Compaction: identical serving view, no non-positive rows left,
     // segment stack folded to one net row per word.
     val before = LmStore.vocab(spark, dir).orderBy("word").collect().toSeq

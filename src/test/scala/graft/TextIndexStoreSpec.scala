@@ -148,6 +148,21 @@ class TextIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextAnalysis.bm25Stored(spark, d, terms, 20, nBuckets).collect().toSeq == live,
       "compaction must not change a single answer")
     assert(TextIndexStore.tombstones(spark, d).count() == 0)
+    // REVIVAL: re-ingesting tombstoned docs must serve them again with
+    // exactly ONE generation of postings — append folds deletions
+    // physically first, so the full-corpus ranking comes back.
+    val d2 = Files.createTempDirectory("graft_tixspec_rev").toString
+    TextIndexStore.build(docs, d2, nBuckets)
+    TextIndexStore.delete(spark, d2,
+      docs.select(col("doc_id")).filter(col("doc_id") % 9 === 4))
+    TextIndexStore.append(spark, d2, docs.filter(col("doc_id") % 9 === 4), nBuckets)
+    assert(TextIndexStore.tombstones(spark, d2).count() == 0,
+      "revival must clear the revived ids' tombstones")
+    val revived = TextAnalysis.bm25StoredLive(spark, d2, terms, 20, nBuckets).collect().toSeq
+    assert(revived == before, "delete-then-reingest must restore the full-corpus ranking")
+    val stRev = TextIndexStore.stats(spark, d2).first()
+    assert(stRev.getLong(0) == docs.count(), "stats must return to the full corpus")
+
     val perBucket = TextIndexStore.postings(spark, d)
       .select(col("t_bucket"), org.apache.spark.sql.functions.input_file_name().as("f"))
       .distinct().groupBy("t_bucket").count().collect()

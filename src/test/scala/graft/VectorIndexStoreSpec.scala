@@ -157,6 +157,23 @@ class VectorIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // liveCodes degenerates to codes once tombstones are folded in.
     assert(VectorIndexStore.liveCodes(spark, d).count() ==
       VectorIndexStore.codes(spark, d).count())
+
+    // REVIVAL: re-ingesting tombstoned ids must serve them again with
+    // exactly ONE generation of codes — append folds deletions
+    // physically first, so the full-corpus ranking comes back.
+    val d2 = Files.createTempDirectory("graft_vixspec_rev").toString
+    VectorIndexStore.build(emb, d2, nCents, nSub, nCodes, iters)
+    val before2 = search(VectorIndexStore.codes(spark, d2))
+    VectorIndexStore.delete(spark, d2,
+      emb.select(col("vec_id")).filter(col("vec_id") % 7 === 3 && col("vec_id") >= nQ))
+    VectorIndexStore.append(spark, d2, emb.filter(col("vec_id") % 7 === 3 && col("vec_id") >= nQ))
+    assert(VectorIndexStore.tombstones(spark, d2).count() == 0,
+      "revival must clear the revived ids' tombstones")
+    val after2 = VectorIndexStore.codes(spark, d2)
+    assert(after2.count() == after2.select("vec_id").distinct().count(),
+      "exactly one code generation per id after revival")
+    assert(search(VectorIndexStore.liveCodes(spark, d2)) == before2,
+      "delete-then-reingest must restore the full-corpus ranking")
   }
 
   test("ADC serving never scans the float embedding column on the corpus side") {
