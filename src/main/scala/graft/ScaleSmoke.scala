@@ -188,6 +188,15 @@ object ScaleSmoke {
         c => scaledEmb(spark, dir, c)),
       // Markup parse chain: per-row regex work, map-only — the ratio
       // should track the other pure-scan text cases.
+      // Pointer-jumping components + label-keyed split: the cluster
+      // rounds are O(log n); at 10× the near-dup graph is denser (the
+      // neardup_pairs axis), so expect super-linear but bounded.
+      ("cluster_split", (df: DataFrame) => Pipeline.clusterSafeSplit(df, 0.2, "sm"),
+        c => scaledDocs(spark, dir, c)),
+      // 4 fixed PageRank rounds: per round one dst-keyed exchange over
+      // an edge set linear in the corpus — expect ~linear.
+      ("page_rank", (df: DataFrame) => WebGraph.pageRank(df, 4),
+        c => scaledDocs(spark, dir, c)),
       ("html_extract", Html.extractText, c => scaledDocs(spark, dir, c)),
       ("html_main", Html.mainContent, c => scaledDocs(spark, dir, c)),
       ("url_normalize", Html.urlNormalize, c => scaledDocs(spark, dir, c)))
