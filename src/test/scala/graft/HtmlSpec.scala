@@ -5,6 +5,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Html
 import graft.sources.Tables
+import org.apache.spark.sql.functions.col
 
 /** HTML extraction contract (q91 family): the declarative parse chain
   * recovers exactly the generator's closed form from REAL markup bytes
@@ -121,6 +122,33 @@ class HtmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L)._1.get.endsWith("/CaseKept/Path"), "path case must be preserved")
     assert(got(6L)._1.isEmpty, "garbage input normalizes to NULL, never throws")
     assert(got(7L) == (Some("https://host.example/p?single=1"), "host.example", 1L))
+  }
+
+  test("q92: canonicalization is IDEMPOTENT — normalizing a normalized URL is a fixpoint") {
+    import spark.implicits._
+    // The canonical-form contract every URL-dedup key needs: a second
+    // pass must change nothing, or two crawls of the same page can
+    // disagree on the key depending on how many normalizations each
+    // went through. Salted corpus + handcrafted edges.
+    val edges = Seq(
+      (9001L, "HTTP://Host.EX:80/A//"),
+      (9002L, "https://h.ex"),
+      (9003L, "https://h.ex:8443/Keep/Case?z=1&a=2"),
+      (9004L, "http://h.ex:443/p"),
+      (9005L, "not a url at all")).toDF("doc_id", "url")
+    val corpus = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .selectExpr("doc_id", s"${Html.urlSaltSql} AS url")
+    val once = Html.urlNormalizeCol(corpus.unionAll(edges))
+    val normed = once.where(col("url_norm").isNotNull)
+      .select(col("doc_id"), col("url_norm").as("url"))
+    val twice = Html.urlNormalizeCol(normed)
+    assert(normed.count() > 0)
+    assert(once.where(col("url_norm").isNotNull).select("doc_id", "url_norm", "host", "n_params")
+      .collect().toSeq ==
+      twice.select("doc_id", "url_norm", "host", "n_params").collect().toSeq,
+      "normalize(normalize(u)) must equal normalize(u) on every parseable URL")
+    // And the unparseable row stayed NULL rather than leaking through.
+    assert(once.where(col("doc_id") === 9005L).first().isNullAt(1))
   }
 
   test("plan audit: the parse chain is UDF-free (codegen-eligible expressions only)") {

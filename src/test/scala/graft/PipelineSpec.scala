@@ -146,6 +146,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(LmStore.vocab(spark, dir).orderBy("word").collect().toSeq == before)
     val rawAfter = spark.read.parquet(s"$dir/vocab")
     assert(rawAfter.count() == 2 && rawAfter.filter(col("n_w") <= 0).count() == 0)
+    // Compaction is IDEMPOTENT: a redundant second fold is a no-op.
+    LmStore.compact(spark, dir)
+    assert(LmStore.vocab(spark, dir).orderBy("word").collect().toSeq == before)
   }
 
   test("state history intervals tile each user's timeline with one current row") {

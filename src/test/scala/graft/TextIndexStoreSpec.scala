@@ -148,6 +148,13 @@ class TextIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextAnalysis.bm25Stored(spark, d, terms, 20, nBuckets).collect().toSeq == live,
       "compaction must not change a single answer")
     assert(TextIndexStore.tombstones(spark, d).count() == 0)
+    // Compaction is IDEMPOTENT: a redundant second pass reproduces the
+    // same posting rows.
+    val snap = TextIndexStore.postings(spark, d).orderBy("term", "doc_id").collect().toSeq
+    TextIndexStore.compact(spark, d)
+    assert(TextIndexStore.postings(spark, d).orderBy("term", "doc_id").collect().toSeq == snap,
+      "double compaction must be a no-op on the rows")
+
     // REVIVAL: re-ingesting tombstoned docs must serve them again with
     // exactly ONE generation of postings — append folds deletions
     // physically first, so the full-corpus ranking comes back.

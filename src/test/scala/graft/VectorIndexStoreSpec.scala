@@ -158,6 +158,14 @@ class VectorIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VectorIndexStore.liveCodes(spark, d).count() ==
       VectorIndexStore.codes(spark, d).count())
 
+    // Compaction is IDEMPOTENT: a second pass over an already-compacted
+    // store must reproduce the same rows (a maintenance scheduler may
+    // fire it redundantly).
+    val snap = VectorIndexStore.codes(spark, d).orderBy("vec_id").collect().toSeq
+    VectorIndexStore.compact(spark, d)
+    assert(VectorIndexStore.codes(spark, d).orderBy("vec_id").collect().toSeq == snap,
+      "double compaction must be a no-op on the rows")
+
     // REVIVAL: re-ingesting tombstoned ids must serve them again with
     // exactly ONE generation of codes — append folds deletions
     // physically first, so the full-corpus ranking comes back.
