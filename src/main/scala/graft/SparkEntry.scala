@@ -1248,6 +1248,10 @@ object SparkEntry {
     }),
     "q100_cluster_split" -> ((s, d) =>
       Pipeline.clusterSafeSplit(Tables.table(s, d, "documents"), NearDupThreshold, SplitSalt)),
+    "q105_canonical_dedup" -> ((s, d) =>
+      Curation.canonicalDedup(Tables.table(s, d, "documents"), NearDupThreshold)),
+    "q106_source_divergence" -> ((s, d) =>
+      TextAnalysis.sourceDivergence(Tables.table(s, d, "documents"))),
     "q103_retrieval_eval" -> ((s, d) => {
       // IR-metrics loop over the brute-force cosine ranking against a
       // closed-form relevance fixture ((vec_id + 3·qid) mod 5 = 0).
@@ -3090,6 +3094,62 @@ object SparkEntry {
                  CAST(sum(CASE WHEN vec_id >= $AnnAppendSplit THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_appended
           FROM af GROUP BY cid ORDER BY cid""",
+    // Q105: q40's component chain + q19b's quality formula + a
+    // per-cluster argmax window — collapse keeps the best member.
+    "q105_canonical_dedup" ->
+      s"""WITH RECURSIVE $nearDupCte,
+          p AS (SELECT doc_a, doc_b FROM j WHERE jac >= $NearDupThreshold),
+          e AS (SELECT doc_a AS s, doc_b AS d FROM p
+                UNION ALL SELECT doc_b, doc_a FROM p),
+          nodes AS (SELECT DISTINCT s AS doc FROM e),
+          reach AS (
+            SELECT doc, doc AS lbl FROM nodes
+            UNION
+            SELECT e.d AS doc, r.lbl FROM reach r JOIN e ON e.s = r.doc),
+          comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+          dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          qm AS (SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+                   len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+                 FROM dd),
+          qr AS (SELECT doc_id,
+                   ${roundSql(
+                     s"""0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                        + 0.4 * (${roundSql("CAST(n_types AS DOUBLE) / n_tokens", 4)})
+                        + 0.3 * (${roundSql("CAST(n_stop AS DOUBLE) / n_tokens", 4)})""", 4)} AS quality
+                 FROM qm),
+          lab AS (SELECT d2.doc_id, COALESCE(comp.cluster_id, d2.doc_id) AS cluster_label
+                  FROM documents d2 LEFT JOIN comp ON comp.doc = d2.doc_id),
+          jj AS (SELECT lab.doc_id, lab.cluster_label, qr.quality
+                 FROM lab JOIN qr USING (doc_id)),
+          wnd AS (SELECT doc_id, cluster_label, quality,
+                  row_number() OVER (PARTITION BY cluster_label
+                    ORDER BY quality DESC, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY cluster_label) AS n_members
+                FROM jj)
+          SELECT doc_id, cluster_label, quality, CAST(n_members AS BIGINT) AS n_members
+          FROM wnd WHERE rn = 1 ORDER BY cluster_label""",
+    // Q106: KL(source ‖ corpus) over unigram distributions — exact
+    // count CTEs, components on the 1e-6 grid, exact integer sums.
+    "q106_source_divergence" ->
+      s"""WITH wds AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+          sw AS (SELECT source, word, count(*) AS n_sw FROM wds GROUP BY 1, 2),
+          ss AS (SELECT source, count(*) AS n_s FROM wds GROUP BY 1),
+          cw AS (SELECT word, count(*) AS n_w FROM wds GROUP BY 1),
+          tt AS (SELECT count(*) AS n FROM wds),
+          cmp AS (SELECT sw.source,
+                    ${roundSql(
+                      """(CAST(sw.n_sw AS DOUBLE) / ss.n_s)
+                         * ln((CAST(sw.n_sw AS DOUBLE) / ss.n_s)
+                              / (CAST(cw.n_w AS DOUBLE) / tt.n))""", 6)} AS comp
+                  FROM sw JOIN cw USING (word) JOIN ss USING (source) CROSS JOIN tt)
+          SELECT cmp.source, CAST(max(ss.n_s) AS BIGINT) AS n_tokens,
+                 count(*) AS n_types,
+                 ${exactSumSql("comp", 6)} AS kl_nats
+          FROM cmp JOIN ss USING (source)
+          GROUP BY cmp.source ORDER BY cmp.source""",
     // Q103: the q18g ranking chain + the closed-form label fixture +
     // the eval tail — recall/RR on the exact micros grid (// ≡ div),
     // DCG/IDCG/nDCG on the rounded-component convention.

@@ -81,6 +81,37 @@ object Curation {
     * fall over at scale). Tie contract: quality desc, doc_id asc,
     * mirrored by the oracle's ORDER BY.
     */
+  /** Q105 — canonical selection under near-dup collapse: per near-dup
+    * cluster keep the HIGHEST-QUALITY member (q19b's quality score;
+    * ties to the lowest doc_id), not an arbitrary one — the curation
+    * rule real pipelines use when collapsing fuzzy duplicates, since
+    * the duplicates differ in boilerplate, truncation, and OCR noise
+    * and the kept copy is the one that trains. Singletons (no near
+    * dup) are their own cluster and survive unchanged.
+    *
+    * Scale shape: q40's pointer-jumping cluster pass + one map-only
+    * quality pass over the corpus, then a per-cluster window (the
+    * cluster id is the partition key — dup clusters are small, so no
+    * skewed partition) — no exchange beyond q40's plus the window.
+    */
+  def canonicalDedup(docs: DataFrame, threshold: Double): DataFrame = {
+    val labels = graft.operators.Dedup.nearDupClusters(docs, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val quality = graft.operators.TextAnalysis.qualityCore(docs)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("cluster_label")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_label", coalesce(col("cluster_id"), col("doc_id")))
+      .join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_label"), col("quality"), col("n_members"))
+      .orderBy("cluster_label")
+  }
+
   def sourceCap(docs: DataFrame): DataFrame =
     TextAnalysis.qualityCore(docs)
       .select(col("source"), col("quality"), col("doc_id"))

@@ -635,6 +635,45 @@ object TextAnalysis {
     * HAVING. `shareDen ≤ capacity+1` is the precondition that makes the
     * MG superset guarantee cover the gate.
     */
+  /** Q106 — per-source distribution divergence: KL(source ‖ corpus)
+    * over the unigram distributions — the domain-drift monitor a
+    * mixture pipeline watches (a source whose token distribution walks
+    * away from the corpus gets its rate revisited; DSIR's importance
+    * weights (q82) are the per-document view of the same quantity).
+    * Every source word also appears in the corpus distribution, so
+    * p > 0 ⇒ q > 0 and no log guard is needed. Components are rounded
+    * to the 1e-6 grid and exact-integer-summed (the Deterministic
+    * convention), so the per-source total is order-free and
+    * cross-engine exact.
+    *
+    * Scale shape: one tokenize pass feeds three partial-aggregated
+    * counts — (source, word), (word), (source) — keyed on at most
+    * sources × vocabulary; the divergence join moves (source, word)
+    * count rows, never text.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val words = graft.sources.Tables.widen(docs)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val bySrcWord = words.groupBy("source", "word").agg(count(lit(1)).as("n_sw"))
+    val bySrc = words.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val byWord = words.groupBy("word").agg(count(lit(1)).as("n_w"))
+    val total = words.agg(count(lit(1)).as("n"))
+    bySrcWord
+      .join(byWord, "word")
+      .join(bySrc, "source")
+      .crossJoin(broadcast(total))
+      .withColumn("comp", roundTo(
+        (col("n_sw").cast("double") / col("n_s"))
+          * log((col("n_sw").cast("double") / col("n_s"))
+            / (col("n_w").cast("double") / col("n"))), 6))
+      .groupBy("source")
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        graft.functions.Deterministic.exactSum(col("comp"), 6).as("kl_nats"))
+      .orderBy("source")
+  }
+
   def heavyHitters(docs: DataFrame, capacity: Int, shareDen: Long): DataFrame = {
     require(shareDen >= 1 && shareDen <= capacity + 1,
       s"MG superset guarantee needs shareDen in [1, capacity+1], got $shareDen vs capacity $capacity")
