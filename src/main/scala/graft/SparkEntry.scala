@@ -169,6 +169,33 @@ object SparkEntry {
       annDeleteIds(s, d), NumCentroids, PqSub, PqCodes, KmeansIters)
     dir
   }
+  /** The manifest-VERSIONED store for `d` after its full q107
+    * lifecycle (v0 build-on-base, v1 append, v2 delete, v3 compact),
+    * idempotent per JVM. Every version stays readable — the time-travel
+    * queries pin v1; the latest-serve query reads v3.
+    */
+  private def ensureVersionedAnnStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_annstore_ver_${new java.io.File(d).getName}"
+    val emb = Tables.table(s, d, "embeddings")
+    graft.sources.VersionedVectorIndex.lifecycleOnce(s, dir,
+      emb.filter(col("vec_id") < AnnAppendSplit),
+      emb.filter(col("vec_id") >= AnnAppendSplit),
+      annDeleteIds(s, d), NumCentroids, PqSub, PqCodes, KmeansIters)
+    dir
+  }
+  /** The versioned store taken one step further for `d`: the q107
+    * lifecycle plus a v4 REINDEX (full retrain from the store's own
+    * live vectors), idempotent per JVM — the q108b serving state.
+    */
+  private def ensureReindexedAnnStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_annstore_reidx_${new java.io.File(d).getName}"
+    val emb = Tables.table(s, d, "embeddings")
+    graft.sources.VersionedVectorIndex.lifecycleReindexedOnce(s, dir,
+      emb.filter(col("vec_id") < AnnAppendSplit),
+      emb.filter(col("vec_id") >= AnnAppendSplit),
+      annDeleteIds(s, d), NumCentroids, PqSub, PqCodes, KmeansIters)
+    dir
+  }
   /** Q101: tombstone-deleted documents of the lexical index — residue
     * `TextDeleteRes` mod `TextDeleteMod` (distinct from the ANN
     * residue; ~1/9 of the corpus so deletion reshapes rankings AND the
@@ -682,6 +709,67 @@ object SparkEntry {
         rk2 AS (SELECT qid, vec_id, adc, row_number() OVER
                   (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
                 FROM sc2 WHERE vec_id % $AnnDeleteMod <> $AnnDeleteRes)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
+        FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk"""
+
+  /** Q90b's oracle, shared verbatim by q107b (time travel to the
+    * post-append version): base-trained model, full candidate set.
+    */
+  private lazy val q90bOracleSql: String =
+    s"""WITH $ivfPqAppendCtes,
+        rk2 AS (SELECT qid, vec_id, adc, row_number() OVER
+                  (PARTITION BY qid ORDER BY adc, vec_id) AS rnk FROM sc2)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
+        FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk"""
+
+  /** Q107c: the latest committed version of the manifest-versioned
+    * store — base-trained model (the lifecycle never retrains) with the
+    * tombstoned residue gone from the candidates (delete at v2,
+    * compacted physically at v3 — same answers by construction).
+    */
+  private lazy val q107cOracleSql: String =
+    s"""WITH $ivfPqAppendCtes,
+        rk2 AS (SELECT qid, vec_id, adc, row_number() OVER
+                  (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+                FROM sc2 WHERE vec_id % $AnnDeleteMod <> $AnnDeleteRes)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
+        FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk"""
+
+  /** Q108: q85b's exact-re-rank tail over the q107c state — base-
+    * trained model, tombstoned residue excluded from the shortlist;
+    * the engine's file-pruned float source must change nothing.
+    */
+  private lazy val q108OracleSql: String =
+    s"""WITH $ivfPqAppendCtes,
+        short AS (SELECT qid, vec_id FROM
+                    (SELECT qid, vec_id, row_number() OVER
+                       (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+                     FROM sc2 WHERE vec_id % $AnnDeleteMod <> $AnnDeleteRes)
+                  WHERE rn <= $PqShortlist),
+        ex AS (SELECT s.qid, s.vec_id,
+                 ${roundSql(
+                   "list_sum(list_transform(generate_series(1, 64), " +
+                     "i -> (eq.emb[i] - ec.emb[i]) * (eq.emb[i] - ec.emb[i])))", 4)} AS dist
+               FROM short s
+               JOIN e eq ON eq.vec_id = s.qid
+               JOIN e ec ON ec.vec_id = s.vec_id),
+        rk3 AS (SELECT qid, vec_id, dist, row_number() OVER
+                  (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM ex)
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, dist
+        FROM rk3 WHERE rnk <= $BatchTopK ORDER BY qid, rnk"""
+
+  /** Q108b: after the v4 reindex the model is trained on the LIVE
+    * population (base + appended, minus the tombstoned residue) and
+    * only live vectors are encoded — the full q85 chain with BOTH the
+    * training predicate and the candidate set restricted to live rows.
+    */
+  private val annLivePred =
+    s"NOT (vec_id % $AnnDeleteMod = $AnnDeleteRes AND vec_id >= $BatchQueries)"
+  private lazy val q108bOracleSql: String =
+    s"""WITH ${ivfPqCtesFor(annLivePred)},
+        rk2 AS (SELECT qid, vec_id, adc, row_number() OVER
+                  (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+                FROM sc2 WHERE $annLivePred)
         SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
         FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk"""
 
@@ -1298,6 +1386,62 @@ object SparkEntry {
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_live"))
         .orderBy("cid")
+    }),
+    "q107_version_history" -> ((s, d) =>
+      // The commit log of the manifest-versioned store after its full
+      // lifecycle (build/append/delete/compact) — a metadata-only read:
+      // sizes come from the manifests, not from data files.
+      graft.sources.VersionedVectorIndex.history(s, ensureVersionedAnnStore(s, d))),
+    "q107b_time_travel_search" -> ((s, d) => {
+      // Time travel: serve the index AS OF v1 (post-append, pre-delete)
+      // even though a delete (v2) and a compaction (v3) committed since
+      // — the pinned manifest's file list is immutable, so the answer
+      // is exactly the appended store's (the q90b oracle, verbatim).
+      val dir = ensureVersionedAnnStore(s, d)
+      val V = graft.sources.VersionedVectorIndex
+      Similarity.ivfPqSearchFrames(annQueryBatch(s, d),
+        V.centroids(s, dir, 1L), V.codebooks(s, dir, 1L),
+        V.codes(s, dir, 1L).filter(col("vec_id") >= BatchQueries),
+        PqSub, BatchTopK, IvfPqProbes)
+    }),
+    "q107c_versioned_live_search" -> ((s, d) => {
+      // Serving the LATEST committed version (post-compact): base-
+      // trained model, deleted residue physically gone — and the
+      // compaction never blocked or perturbed a concurrent pinned
+      // reader, because it only ADDED files and a manifest.
+      val dir = ensureVersionedAnnStore(s, d)
+      val V = graft.sources.VersionedVectorIndex
+      Similarity.ivfPqSearchFrames(annQueryBatch(s, d),
+        V.centroids(s, dir), V.codebooks(s, dir),
+        V.liveCodes(s, dir).filter(col("vec_id") >= BatchQueries),
+        PqSub, BatchTopK, IvfPqProbes)
+    }),
+    "q108_pruned_rerank" -> ((s, d) => {
+      // IVFADC+R with the exact-float tier ALSO file-pruned: the
+      // shortlist's vectors come from the store's cell-partitioned
+      // raw-vector segments, so a query touches float files only for
+      // its probed cells (vs q89d's full id-keyed vector table scan).
+      val dir = ensureVersionedAnnStore(s, d)
+      val V = graft.sources.VersionedVectorIndex
+      Similarity.ivfPqRerankPruned(annQueryBatch(s, d),
+        V.centroids(s, dir), V.codebooks(s, dir),
+        V.liveCodes(s, dir).filter(col("vec_id") >= BatchQueries),
+        V.liveVectors(s, dir)
+          .withColumn("emb", col("embedding").cast("array<double>"))
+          .select(col("vec_id"), col("cid"), col("emb")),
+        PqSub, PqShortlist, BatchTopK, IvfPqProbes)
+    }),
+    "q108b_reindexed_search" -> ((s, d) => {
+      // Serving AFTER a reindex: the v4 model was retrained from the
+      // store's own live vectors (no corpus access), committed
+      // blue/green — pinned readers kept the old model; this query
+      // serves the new one.
+      val dir = ensureReindexedAnnStore(s, d)
+      val V = graft.sources.VersionedVectorIndex
+      Similarity.ivfPqSearchFrames(annQueryBatch(s, d),
+        V.centroids(s, dir), V.codebooks(s, dir),
+        V.liveCodes(s, dir).filter(col("vec_id") >= BatchQueries),
+        PqSub, BatchTopK, IvfPqProbes)
     }),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
@@ -3080,12 +3224,33 @@ object SparkEntry {
           $codeSummarySelect""",
     // Q90b: ADC search over the appended store — base-trained model,
     // full (base + appended) candidate set.
-    "q90b_appended_search" ->
-      s"""WITH $ivfPqAppendCtes,
-          rk2 AS (SELECT qid, vec_id, adc, row_number() OVER
-                    (PARTITION BY qid ORDER BY adc, vec_id) AS rnk FROM sc2)
-          SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
-          FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
+    "q90b_appended_search" -> q90bOracleSql,
+    // Q107: the versioned store's commit log — closed-form from the
+    // lifecycle's operation sizes over the embeddings table.
+    "q107_version_history" ->
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS all_n,
+                 CAST(count(*) FILTER (WHERE vec_id < $AnnAppendSplit) AS BIGINT) AS base_n,
+                 CAST(count(*) FILTER (WHERE vec_id % $AnnDeleteMod = $AnnDeleteRes
+                                         AND vec_id >= $BatchQueries) AS BIGINT) AS del_n
+               FROM embeddings)
+          SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS version, 'build' AS op,
+                   base_n AS codes_rows, CAST(0 AS BIGINT) AS tombstone_rows FROM n
+            UNION ALL SELECT CAST(1 AS BIGINT), 'append', all_n, CAST(0 AS BIGINT) FROM n
+            UNION ALL SELECT CAST(2 AS BIGINT), 'delete', all_n, del_n FROM n
+            UNION ALL SELECT CAST(3 AS BIGINT), 'compact', all_n - del_n, CAST(0 AS BIGINT) FROM n)
+          ORDER BY version""",
+    // Q107b: time travel to v1 must answer exactly what the appended
+    // store answered (q90b's oracle, verbatim) — the delete and the
+    // compaction that committed afterwards are invisible at v1.
+    "q107b_time_travel_search" -> q90bOracleSql,
+    "q107c_versioned_live_search" -> q107cOracleSql,
+    // Q108: pruning the float tier by probed cell must not change the
+    // exact re-rank — q85b's tail over the q107c live state.
+    "q108_pruned_rerank" -> q108OracleSql,
+    // Q108b: the reindexed model is trained on (and encodes) the live
+    // population only.
+    "q108b_reindexed_search" -> q108bOracleSql,
     // Q90c: per-cell occupancy of the appended store (base vs appended
     // split) — the assignment chain's af, counted.
     "q90c_index_stats" ->

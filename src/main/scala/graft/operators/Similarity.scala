@@ -1350,18 +1350,44 @@ object Similarity {
     */
   def ivfPqRerankFrames(queries: DataFrame, coarse: DataFrame, books: DataFrame,
                         codes: DataFrame, vecs: DataFrame, nSub: Int,
-                        shortlist: Int, k: Int, nProbe: Int): DataFrame = {
+                        shortlist: Int, k: Int, nProbe: Int): DataFrame =
+    rerankWith(queries, coarse, books, codes, nSub, shortlist, k, nProbe,
+      _ => vecs.select(col("vec_id"), col("emb")))
+
+  /** IVFADC+R with the float re-rank served from CELL-PARTITIONED
+    * vectors `(vec_id, cid, emb)` — typically the versioned store's own
+    * raw-vector segments ([[graft.sources.VersionedVectorIndex.liveVectors]]).
+    * The probe set now prunes BOTH scans at file level: codes AND
+    * floats. [[ivfPqRerankFrames]] reads shortlist floats out of an
+    * id-keyed corpus table — correct, but the lookup scans every vector
+    * file; here a query's float bytes drop to |probed cells| / |cells|
+    * of the corpus, which is the missing half of the stored-serving
+    * story at 100 TB.
+    */
+  def ivfPqRerankPruned(queries: DataFrame, coarse: DataFrame, books: DataFrame,
+                        codes: DataFrame, cellVecs: DataFrame, nSub: Int,
+                        shortlist: Int, k: Int, nProbe: Int): DataFrame =
+    rerankWith(queries, coarse, books, codes, nSub, shortlist, k, nProbe,
+      probed => cellVecs.filter(col("cid").isin(probed.toSeq: _*))
+        .select(col("vec_id"), col("emb")))
+
+  /** Shared IVFADC+R body: ADC shortlist from the probed cells' codes,
+    * then exact squared-L2 over the float source `vecsFor(probedCells)`.
+    */
+  private def rerankWith(queries: DataFrame, coarse: DataFrame, books: DataFrame,
+                         codes: DataFrame, nSub: Int, shortlist: Int, k: Int,
+                         nProbe: Int, vecsFor: Seq[Long] => DataFrame): DataFrame = {
     require(shortlist <= 50, "shortlist is capped by the graft_top50 buffer")
     require(k <= 10, "k is capped by the graft_top10 buffer")
     val luts = ivfPqQueryLuts(queries, coarse, books, nSub, nProbe)
       .localCheckpoint()
-    val probed = luts.select("pcid").distinct().collect().map(_.getLong(0))
-    val short = adcScoreCodes(codes.filter(col("cid").isin(probed.toSeq: _*)), luts, nSub)
+    val probed = luts.select("pcid").distinct().collect().map(_.getLong(0)).toSeq
+    val short = adcScoreCodes(codes.filter(col("cid").isin(probed: _*)), luts, nSub)
       .groupBy("qid")
       .agg(expr(s"slice(graft_top50(-adc, vec_id), 1, $shortlist)").as("top"))
       .select(col("qid"), explode(expr("transform(top, t -> t._2)")).as("vec_id"))
     short
-      .join(vecs.select(col("vec_id"), col("emb")), "vec_id")
+      .join(vecsFor(probed), "vec_id")
       .join(broadcast(queries.select(col("qid"), col("emb").as("qemb"))), "qid")
       .withColumn("dist", roundTo(expr(
         """aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),

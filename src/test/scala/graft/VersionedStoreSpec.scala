@@ -1,0 +1,224 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.sources.{Tables, VersionedVectorIndex => V}
+
+/** Transactional contract of the manifest-versioned index (q107
+  * family): immutable data files + atomic manifest commits give
+  * snapshot isolation (a pinned reader is unaffected by later
+  * append/delete/compact), crash-invisible partial writes, optimistic
+  * conflict detection, time travel through compaction, and vacuum that
+  * reclaims only unreferenced files — while keeping the cid-partitioned
+  * serving layout's file-level pruning.
+  */
+class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftSession.registerUdafs(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val (nCents, nSub, nCodes, iters, nQ, k, nProbe) = (8, 4, 8, 2, 4, 10, 2)
+  private lazy val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+  private def base = emb.filter(col("vec_id") < 400)
+  private def rest = emb.filter(col("vec_id") >= 400)
+  private def delIds = emb.select(col("vec_id"))
+    .filter(col("vec_id") % 7 === 3 && col("vec_id") >= nQ)
+  private def queries = Similarity.withEmb(emb)
+    .filter(col("vec_id") < nQ).select(col("vec_id").as("qid"), col("emb"))
+
+  /** One full lifecycle (v0 build, v1 append, v2 delete, v3 compact)
+    * in a fresh dir.
+    */
+  private def freshLifecycle(): String = {
+    val d = Files.createTempDirectory("graft_verspec").toString
+    V.build(emb.filter(col("vec_id") < 400), d, nCents, nSub, nCodes, iters)
+    V.append(spark, d, rest)
+    V.delete(spark, d, delIds)
+    V.compact(spark, d)
+    d
+  }
+
+  private lazy val store = freshLifecycle()
+
+  private def codesSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Seq[Long])] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getSeq[Long](2).toList: Seq[Long])).toSet
+
+  test("snapshot isolation: a reader pinned at v1 is unaffected by the delete and compaction that committed after it") {
+    val d = Files.createTempDirectory("graft_verspec_iso").toString
+    V.build(base, d, nCents, nSub, nCodes, iters)
+    V.append(spark, d, rest)
+    val pinned = codesSet(V.codes(spark, d, 1L))
+    V.delete(spark, d, delIds)
+    V.compact(spark, d)
+    assert(codesSet(V.codes(spark, d, 1L)) == pinned,
+      "the pinned version's file list is immutable — later commits must not change what it reads")
+    val latest = codesSet(V.liveCodes(spark, d))
+    assert(latest != pinned && latest.subsetOf(pinned),
+      "the latest version should be the pinned set minus the deleted rows")
+  }
+
+  test("a half-written segment with no manifest is invisible to every reader") {
+    val d = freshLifecycle()
+    val before = codesSet(V.codes(spark, d))
+    // Simulate a writer that crashed after its data files but before
+    // its manifest commit: a code segment on disk, referenced nowhere.
+    V.codes(spark, d).limit(5)
+      .write.partitionBy("cid").parquet(s"$d/seg-99999999-crashed")
+    assert(codesSet(V.codes(spark, d)) == before,
+      "reads resolve the manifest's file list — unreferenced files must not leak in")
+    assert(V.currentVersion(spark, d) == 3L)
+  }
+
+  test("optimistic concurrency: committing into an occupied version slot fails with a conflict, store intact") {
+    val d = freshLifecycle()
+    val snap = V.snapshot(spark, d)
+    val ex = intercept[IllegalStateException] {
+      V.commitForTest(spark, d, snap.copy(op = "rogue"))
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    assert(V.snapshot(spark, d).op == "compact",
+      "the losing committer must leave the committed lineage untouched")
+  }
+
+  test("time travel THROUGH compaction: v1 and v2 stay serveable after v3 rewrote the live set") {
+    val fromV1 = Similarity.ivfPqSearchFrames(queries,
+      V.centroids(spark, store, 1L), V.codebooks(spark, store, 1L),
+      V.codes(spark, store, 1L).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe).collect().toSeq
+    // v1 ≡ the un-versioned appended store's answers (the q90b contract).
+    val appended = {
+      val d2 = Files.createTempDirectory("graft_verspec_ref").toString
+      graft.sources.VectorIndexStore.build(base, d2, nCents, nSub, nCodes, iters)
+      graft.sources.VectorIndexStore.append(spark, d2, rest)
+      Similarity.ivfPqSearchFrames(queries,
+        graft.sources.VectorIndexStore.centroids(spark, d2),
+        graft.sources.VectorIndexStore.codebooks(spark, d2),
+        graft.sources.VectorIndexStore.codes(spark, d2).filter(col("vec_id") >= nQ),
+        nSub, k, nProbe).collect().toSeq
+    }
+    assert(fromV1 == appended)
+    // v2 (tombstone view) ≡ v3 (compacted) — compaction changes no answer.
+    val atV2 = Similarity.ivfPqSearchFrames(queries,
+      V.centroids(spark, store, 2L), V.codebooks(spark, store, 2L),
+      V.liveCodes(spark, store, 2L).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe).collect().toSeq
+    val atV3 = Similarity.ivfPqSearchFrames(queries,
+      V.centroids(spark, store), V.codebooks(spark, store),
+      V.liveCodes(spark, store).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe).collect().toSeq
+    assert(atV2 == atV3)
+  }
+
+  test("history is manifest-only and matches the lifecycle's operation sizes") {
+    val h = V.history(spark, store).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val nBase = base.count(); val nAll = emb.count(); val nDel = delIds.count()
+    assert(h == Seq(
+      (0L, "build", nBase, 0L),
+      (1L, "append", nAll, 0L),
+      (2L, "delete", nAll, nDel),
+      (3L, "compact", nAll - nDel, 0L)))
+  }
+
+  test("vacuum(retain=1) drops old versions and their files; the latest serves byte-identically") {
+    val d = freshLifecycle()
+    val before = Similarity.ivfPqSearchFrames(queries,
+      V.centroids(spark, d), V.codebooks(spark, d),
+      V.liveCodes(spark, d).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe).collect().toSeq
+    V.vacuum(spark, d, retain = 1)
+    intercept[IllegalArgumentException] { V.snapshot(spark, d, 0L) }
+    intercept[IllegalArgumentException] { V.snapshot(spark, d, 2L) }
+    val f = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$d/seg-00000000-build")),
+      "the build segment is unreferenced by the retained compact version and must be reclaimed")
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$d/model-v00000000")),
+      "the model is still referenced by the retained version and must survive")
+    val after = Similarity.ivfPqSearchFrames(queries,
+      V.centroids(spark, d), V.codebooks(spark, d),
+      V.liveCodes(spark, d).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe).collect().toSeq
+    assert(after == before)
+  }
+
+  test("reindex is blue/green: a reader pinned at the old model is untouched; the new version equals a from-scratch build on the live set") {
+    val d = freshLifecycle()
+    def searchLatest() = Similarity.ivfPqSearchFrames(queries,
+      V.centroids(spark, d), V.codebooks(spark, d),
+      V.liveCodes(spark, d).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe).collect().toSeq
+    def searchAt(v: Long) = Similarity.ivfPqSearchFrames(queries,
+      V.centroids(spark, d, v), V.codebooks(spark, d, v),
+      V.liveCodes(spark, d, v).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe).collect().toSeq
+    val oldModel = searchAt(3L)
+    V.reindex(spark, d)
+    assert(V.snapshot(spark, d).op == "reindex" && V.currentVersion(spark, d) == 4L)
+    assert(searchAt(3L) == oldModel,
+      "the pinned pre-reindex version must keep serving the OLD model unchanged")
+    // The reindexed store ≡ a from-scratch un-versioned build on the
+    // live population (same kernels, same training input).
+    val live = emb.filter(!(col("vec_id") % 7 === 3 && col("vec_id") >= nQ))
+    val d2 = Files.createTempDirectory("graft_verspec_fresh").toString
+    graft.sources.VectorIndexStore.build(live, d2, nCents, nSub, nCodes, iters)
+    val fresh = Similarity.ivfPqSearchFrames(queries,
+      graft.sources.VectorIndexStore.centroids(spark, d2),
+      graft.sources.VectorIndexStore.codebooks(spark, d2),
+      graft.sources.VectorIndexStore.codes(spark, d2).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe).collect().toSeq
+    assert(searchLatest() == fresh,
+      "reindex-from-store must equal retraining from scratch on the live corpus")
+  }
+
+  test("pruned re-rank from the store's cell-partitioned vectors equals the unpruned corpus-table re-rank") {
+    val cellVecs = V.liveVectors(spark, store)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("cid"), col("emb"))
+    val pruned = Similarity.ivfPqRerankPruned(queries,
+      V.centroids(spark, store), V.codebooks(spark, store),
+      V.liveCodes(spark, store).filter(col("vec_id") >= nQ),
+      cellVecs, nSub, 50, k, nProbe).collect().toSeq
+    val unpruned = Similarity.ivfPqRerankFrames(queries,
+      V.centroids(spark, store), V.codebooks(spark, store),
+      V.liveCodes(spark, store).filter(col("vec_id") >= nQ),
+      Similarity.withEmb(emb), nSub, 50, k, nProbe).collect().toSeq
+    assert(pruned == unpruned,
+      "restricting the float source to probed cells must not change the exact re-rank")
+    // And the float tier really is file-pruned: a probed-cells read
+    // touches fewer vector files than the full vector table.
+    val allFiles = V.vectors(spark, store)
+      .select(input_file_name()).distinct().count()
+    val oneCell = V.vectors(spark, store).filter(col("cid") === 0L)
+      .select(input_file_name()).distinct().count()
+    assert(oneCell < allFiles,
+      s"a one-cell vector read must touch fewer float files ($oneCell vs $allFiles)")
+  }
+
+  test("cid pruning stays file-level through the explicit-file-list snapshot read") {
+    val allFiles = V.codes(spark, store)
+      .select(input_file_name()).distinct().count()
+    val oneCell = V.codes(spark, store).filter(col("cid") === 0L)
+      .select(input_file_name()).distinct().count()
+    assert(oneCell < allFiles,
+      s"a one-cell read must touch fewer files than the full scan ($oneCell vs $allFiles)")
+  }
+}
