@@ -103,7 +103,8 @@ object Bench {
                    // time travel, not maintenance; likewise the
                    // reindexed store for q108b.
                    "q107_version_history" -> sfDir,
-                   "q108b_reindexed_search" -> sfDir))
+                   "q108b_reindexed_search" -> sfDir,
+                   "q109c_postings_history" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Fixed-work CPU calibration: a constant amount of pure computation

@@ -196,6 +196,19 @@ object SparkEntry {
       annDeleteIds(s, d), NumCentroids, PqSub, PqCodes, KmeansIters)
     dir
   }
+  /** The manifest-VERSIONED lexical index for `d` after its full q109
+    * lifecycle (v0 build-on-base, v1 append, v2 delete, v3 compact),
+    * idempotent per JVM — stats move in the same commit as postings.
+    */
+  private def ensureVersionedTextIndex(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_ver_${new java.io.File(d).getName}"
+    val docs = Tables.table(s, d, "documents")
+    graft.sources.VersionedTextIndex.lifecycleOnce(s, dir,
+      docs.filter(col("doc_id") < TextAppendSplit),
+      docs.filter(col("doc_id") >= TextAppendSplit),
+      textDeleteIds(s, d), TextIndexBuckets)
+    dir
+  }
   /** Q101: tombstone-deleted documents of the lexical index — residue
     * `TextDeleteRes` mod `TextDeleteMod` (distinct from the ANN
     * residue; ~1/9 of the corpus so deletion reshapes rankings AND the
@@ -1443,6 +1456,23 @@ object SparkEntry {
         V.liveCodes(s, dir).filter(col("vec_id") >= BatchQueries),
         PqSub, BatchTopK, IvfPqProbes)
     }),
+    "q109_versioned_bm25" -> ((s, d) =>
+      // Latest version of the manifest-versioned lexical index (post
+      // append/delete/compact): postings AND the BM25 stats moved in
+      // the same atomic commits, so scores equal a from-scratch index
+      // over the live corpus (q101's oracle, verbatim).
+      graft.sources.VersionedTextIndex.bm25(s,
+        ensureVersionedTextIndex(s, d), Bm25Terms, Bm25K)),
+    "q109b_bm25_time_travel" -> ((s, d) =>
+      // Time travel to v1 (post-append, pre-delete): the full-corpus
+      // ranking (q86's oracle) keeps serving even though a delete and a
+      // compaction committed since — including the OLD stats row, which
+      // the delete's stats retreat never touched (immutable segment).
+      graft.sources.VersionedTextIndex.bm25(s,
+        ensureVersionedTextIndex(s, d), Bm25Terms, Bm25K, version = 1L)),
+    "q109c_postings_history" -> ((s, d) =>
+      // The lexical commit log, from manifests alone.
+      graft.sources.VersionedTextIndex.history(s, ensureVersionedTextIndex(s, d))),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
         Bm25Terms, Bm25K, RrfK, TextIndexBuckets, PqSub, IvfPqProbes,
@@ -3251,6 +3281,33 @@ object SparkEntry {
     // Q108b: the reindexed model is trained on (and encodes) the live
     // population only.
     "q108b_reindexed_search" -> q108bOracleSql,
+    // Q109: the versioned lexical index's latest state ≡ a from-scratch
+    // index over the live corpus (q101's oracle verbatim — same live
+    // set: full corpus minus the TextDeleteMod residue).
+    "q109_versioned_bm25" -> q101OracleSql,
+    // Q109b: v1 is the full-corpus index (q86's oracle verbatim).
+    "q109b_bm25_time_travel" -> q86OracleSql,
+    // Q109c: the lexical commit log — closed-form from the lifecycle's
+    // operation sizes (postings rows = distinct (doc, term) pairs).
+    "q109c_postings_history" ->
+      s"""WITH pairs AS (SELECT DISTINCT doc_id, w FROM
+                           (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                            FROM documents)),
+          n AS (SELECT
+                  CAST((SELECT count(*) FROM pairs
+                        WHERE doc_id < $TextAppendSplit) AS BIGINT) AS base_n,
+                  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS all_n,
+                  CAST((SELECT count(*) FROM pairs
+                        WHERE doc_id % $TextDeleteMod <> $TextDeleteRes) AS BIGINT) AS live_n,
+                  CAST((SELECT count(*) FROM documents
+                        WHERE doc_id % $TextDeleteMod = $TextDeleteRes) AS BIGINT) AS del_n)
+          SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS version, 'build' AS op,
+                   base_n AS postings_rows, CAST(0 AS BIGINT) AS tombstone_rows FROM n
+            UNION ALL SELECT CAST(1 AS BIGINT), 'append', all_n, CAST(0 AS BIGINT) FROM n
+            UNION ALL SELECT CAST(2 AS BIGINT), 'delete', all_n, del_n FROM n
+            UNION ALL SELECT CAST(3 AS BIGINT), 'compact', live_n, CAST(0 AS BIGINT) FROM n)
+          ORDER BY version""",
     // Q90c: per-cell occupancy of the appended store (base vs appended
     // split) — the assignment chain's af, counted.
     "q90c_index_stats" ->

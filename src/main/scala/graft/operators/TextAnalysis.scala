@@ -843,7 +843,7 @@ object TextAnalysis {
     bm25Served(graft.sources.TextIndexStore.livePostings(spark, dir),
       graft.sources.TextIndexStore.stats(spark, dir), terms, k, nBuckets)
 
-  private def bm25Served(postings: DataFrame, stats: DataFrame,
+  private[graft] def bm25Served(postings: DataFrame, stats: DataFrame,
                          terms: Seq[String], k: Int, nBuckets: Int): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
       s"query terms must be non-empty [a-z0-9]+ tokens, got $terms")

@@ -1,0 +1,213 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The store-agnostic manifest/commit core shared by
+  * [[VersionedVectorIndex]] and [[VersionedTextIndex]] — the
+  * Delta/Iceberg transaction shape reduced to what these stores need:
+  *
+  *   - Data files are IMMUTABLE; a committed version is a JSON manifest
+  *     (`_versions/v%08d.json`) listing its segments' files BY NAME
+  *     (plus an optional model dir and a free-form meta map).
+  *   - Commit = write-temp + atomic rename into the version slot, with
+  *     an optimistic occupied-slot check: concurrent committers race on
+  *     the rename and the loser gets a conflict error, never a
+  *     corrupted table. (Single-JVM writers additionally serialize on
+  *     each store object's lock; cross-process writers on
+  *     rename-overwriting filesystems need an external coordinator,
+  *     exactly as Delta on S3 does.)
+  *   - Readers resolve a snapshot ONCE and read exactly its file lists
+  *     — snapshot isolation; a crashed writer's half-written segment is
+  *     invisible because no manifest names it; old versions stay
+  *     readable (time travel) until [[vacuum]] drops them.
+  *
+  * What stays store-specific in the callers: segment KINDS and their
+  * schemas, which segments a new version carries forward vs replaces,
+  * and the serving kernels.
+  */
+object ManifestLog {
+
+  /** One immutable file group: `kind` is store-defined, `dir` is
+    * relative to the store root, `files` relative to `dir` (partition
+    * subdirs included), `rows` recorded at commit time so history reads
+    * metadata only.
+    */
+  final case class Segment(kind: String, dir: String, files: Seq[String], rows: Long)
+
+  /** A resolved version: the committed manifest, parsed. */
+  final case class Snapshot(version: Long, op: String, modelDir: String,
+                            segments: Seq[Segment],
+                            meta: Map[String, String] = Map.empty) {
+    def rowsOf(kind: String): Long = segments.filter(_.kind == kind).map(_.rows).sum
+  }
+
+  /** Sentinel for "latest committed version". */
+  val Latest: Long = -1L
+
+  def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionsPath(dir: String) = new Path(s"$dir/_versions")
+
+  private def manifestPath(dir: String, v: Long) =
+    new Path(versionsPath(dir), f"v$v%08d.json")
+
+  /** All committed version numbers, ascending; empty for a fresh dir. */
+  def committedVersions(f: FileSystem, dir: String): Seq[Long] = {
+    val vp = versionsPath(dir)
+    if (!f.exists(vp)) Seq.empty
+    else f.listStatus(vp).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{8}\\.json") => n.substring(1, 9).toLong }
+      .sorted
+  }
+
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val vs = committedVersions(fs(spark, dir), dir)
+    if (vs.isEmpty) -1L else vs.last
+  }
+
+  private val mapper = new ObjectMapper
+
+  /** Atomic manifest commit — the ONLY mutation of the visible lineage. */
+  def commit(f: FileSystem, dir: String, snap: Snapshot): Unit = {
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("version", snap.version)
+    root.put("op", snap.op)
+    root.put("model", snap.modelDir)
+    val segs: ArrayNode = root.putArray("segments")
+    snap.segments.foreach { s =>
+      val n = segs.addObject()
+      n.put("kind", s.kind)
+      n.put("dir", s.dir)
+      n.put("rows", s.rows)
+      val files = n.putArray("files")
+      s.files.foreach(files.add)
+    }
+    val meta = root.putObject("meta")
+    snap.meta.toSeq.sortBy(_._1).foreach { case (k, v) => meta.put(k, v) }
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    val tmp = new Path(versionsPath(dir),
+      s".tmp-${java.util.UUID.randomUUID().toString}.json")
+    val out = f.create(tmp, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val dest = manifestPath(dir, snap.version)
+    // Optimistic concurrency: the version slot must be free. POSIX
+    // rename overwrites, so check-then-rename (atomic within a JVM
+    // under the store's object lock).
+    if (f.exists(dest)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit: version ${snap.version} already exists in $dir")
+    }
+    if (!f.rename(tmp, dest)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"manifest rename failed for $dest")
+    }
+  }
+
+  def parseManifest(f: FileSystem, dir: String, v: Long): Snapshot = {
+    val p = manifestPath(dir, v)
+    val in = f.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+    val root = mapper.readTree(bytes)
+    val segs = (0 until root.get("segments").size()).map { i =>
+      val s = root.get("segments").get(i)
+      Segment(
+        s.get("kind").asText(),
+        s.get("dir").asText(),
+        (0 until s.get("files").size()).map(j => s.get("files").get(j).asText()),
+        s.get("rows").asLong())
+    }
+    val meta = Option(root.get("meta")).map { m =>
+      val it = m.fieldNames()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val k = it.next(); b += k -> m.get(k).asText() }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
+    Snapshot(root.get("version").asLong(), root.get("op").asText(),
+      root.get("model").asText(), segs, meta)
+  }
+
+  /** The resolved manifest of `version` ([[Latest]] = newest). Throws if
+    * the version was never committed or was [[vacuum]]ed away.
+    */
+  def snapshot(spark: SparkSession, dir: String, version: Long = Latest): Snapshot = {
+    val f = fs(spark, dir)
+    val v = if (version == Latest) {
+      val vs = committedVersions(f, dir)
+      require(vs.nonEmpty, s"no committed version in $dir")
+      vs.last
+    } else version
+    require(f.exists(manifestPath(dir, v)),
+      s"version $v is not available in $dir (never committed, or vacuumed)")
+    parseManifest(f, dir, v)
+  }
+
+  /** Every committed snapshot, ascending — the history read. */
+  def snapshots(spark: SparkSession, dir: String): Seq[Snapshot] = {
+    val f = fs(spark, dir)
+    committedVersions(f, dir).map(v => parseManifest(f, dir, v))
+  }
+
+  /** Relative paths of every parquet part file under `seg`, sorted —
+    * the file list frozen into the manifest at commit time.
+    */
+  def listParquet(f: FileSystem, seg: Path): Seq[String] = {
+    val base = seg.toUri.getPath
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = f.listFiles(seg, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        out += st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    }
+    out.sorted.toSeq
+  }
+
+  /** Union of the snapshot's `kind` segments, each read by its frozen
+    * file list. `partitioned` reads recover the partition column via
+    * basePath; files added to a segment dir AFTER the commit are not in
+    * the list, so the read is a true snapshot.
+    */
+  def readSegments(spark: SparkSession, dir: String, segs: Seq[Segment],
+                   kind: String, partitioned: Boolean): Option[DataFrame] = {
+    val frames = segs.filter(s => s.kind == kind && s.files.nonEmpty).map { s =>
+      val segDir = s"$dir/${s.dir}"
+      val paths = s.files.map(f => s"$segDir/$f")
+      val r = if (partitioned) spark.read.option("basePath", segDir) else spark.read
+      r.parquet(paths: _*)
+    }
+    frames.reduceOption(_ unionByName _)
+  }
+
+  /** Drop all but the newest `retain` versions: delete their manifests,
+    * then every top-level directory no surviving manifest references
+    * (as a segment dir or model dir). Retained versions serve
+    * byte-identically — their files were never touched.
+    */
+  def vacuum(spark: SparkSession, dir: String, retain: Int): Unit = {
+    require(retain >= 1, "vacuum must retain at least the latest version")
+    val f = fs(spark, dir)
+    val vs = committedVersions(f, dir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - retain))
+    val kept = keep.map(v => parseManifest(f, dir, v))
+    val referenced = kept.flatMap(s => s.segments.map(_.dir) :+ s.modelDir).toSet
+    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    f.listStatus(new Path(dir)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n != "_versions" && !referenced.contains(n))
+        f.delete(st.getPath, true)
+    }
+  }
+}

@@ -1,0 +1,302 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash.hash48
+import graft.sources.{ManifestLog => M}
+
+/** Manifest-versioned inverted index — [[VersionedVectorIndex]]'s
+  * transaction layer for the lexical store, closing the durability
+  * caveat [[TextIndexStore.append]] documents: postings-then-stats was
+  * NOT a transaction (a crash between the two writes left postings
+  * ahead of stats, and readers could hit the stats overwrite window).
+  * Here the corpus stats are a SEGMENT like any other — every
+  * maintenance commit writes a new immutable one-row stats segment and
+  * publishes it in the SAME manifest as its postings/tombstone change,
+  * so a reader sees postings and stats move together, atomically, or
+  * not at all. BM25 is the consistency-sensitive case: df derives from
+  * the (pruned, live) postings read while n_docs/avgdl come from the
+  * stats row — a torn pair skews every score.
+  *
+  * Segment kinds: `postings` (term, doc_id, tf, dl, PARTITIONED BY
+  * t_bucket — the serving layout; a query's terms prune every other
+  * bucket at file level within each segment), `stats` (ONE row
+  * (n_docs, total_dl); exactly one stats segment referenced per
+  * version), `tombstones` (deleted doc_ids). meta records nBuckets —
+  * the store is self-describing, appends cannot mis-bucket.
+  *
+  * Compaction is ADD-only (the [[VersionedVectorIndex.compact]]
+  * contract) and — because stats were already adjusted at delete time —
+  * simply CARRIES FORWARD the prior stats segment by reference: zero
+  * stats rewrite, provably unchanged numbers.
+  */
+object VersionedTextIndex {
+
+  type Segment = M.Segment
+  type Snapshot = M.Snapshot
+
+  /** Sentinel for "latest committed version". */
+  val Latest: Long = M.Latest
+
+  def currentVersion(spark: SparkSession, dir: String): Long =
+    M.currentVersion(spark, dir)
+
+  def snapshot(spark: SparkSession, dir: String, version: Long = Latest): Snapshot =
+    M.snapshot(spark, dir, version)
+
+  // ----------------------------------------------------- segment write
+
+  private def docLengths(docs: DataFrame): DataFrame =
+    Tables.widen(docs)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("dl", size(col("words")).cast("long"))
+
+  private def writePostingsSegment(spark: SparkSession, dir: String, name: String,
+                                   docs: DataFrame, nBuckets: Int): Segment = {
+    val segDir = s"$dir/$name"
+    docLengths(docs)
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("t_bucket", pmod(expr(hash48("term")), lit(nBuckets.toLong)))
+      .repartition(col("t_bucket"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.partitionBy("t_bucket").mode("overwrite").parquet(segDir)
+    val files = M.listParquet(M.fs(spark, dir), new Path(segDir))
+    val rows = spark.read.parquet(segDir).count()
+    M.Segment("postings", name, files, rows)
+  }
+
+  /** Rewrite of an already-bucketed postings frame (compaction): one
+    * file per bucket.
+    */
+  private def writeCompactedSegment(spark: SparkSession, dir: String, name: String,
+                                    postings: DataFrame): Segment = {
+    val segDir = s"$dir/$name"
+    postings
+      .repartition(col("t_bucket"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.partitionBy("t_bucket").mode("overwrite").parquet(segDir)
+    val files = M.listParquet(M.fs(spark, dir), new Path(segDir))
+    val rows = spark.read.parquet(segDir).count()
+    M.Segment("postings", name, files, rows)
+  }
+
+  private def writeStatsSegment(spark: SparkSession, dir: String, name: String,
+                                nDocs: Long, totalDl: Long): Segment = {
+    val segDir = s"$dir/$name"
+    import spark.implicits._
+    Seq((nDocs, totalDl)).toDF("n_docs", "total_dl")
+      .coalesce(1).write.mode("overwrite").parquet(segDir)
+    val files = M.listParquet(M.fs(spark, dir), new Path(segDir))
+    M.Segment("stats", name, files, nDocs)
+  }
+
+  private def writeTombstoneSegment(spark: SparkSession, dir: String, name: String,
+                                    ids: DataFrame): Segment = {
+    val segDir = s"$dir/$name"
+    ids.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("overwrite").parquet(segDir)
+    val files = M.listParquet(M.fs(spark, dir), new Path(segDir))
+    val rows = spark.read.parquet(segDir).count()
+    M.Segment("tombstones", name, files, rows)
+  }
+
+  // ------------------------------------------------------------- reads
+
+  /** The postings at `version` (term, doc_id, tf, dl, t_bucket). */
+  def postings(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
+    val snap = snapshot(spark, dir, version)
+    M.readSegments(spark, dir, snap.segments, "postings", partitioned = true)
+      .getOrElse(sys.error(s"version ${snap.version} of $dir has no postings segment"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("t_bucket").cast("long").as("t_bucket"))
+  }
+
+  /** The one-row corpus stats at `version` — committed in the SAME
+    * manifest as the postings state it describes.
+    */
+  def stats(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
+    val snap = snapshot(spark, dir, version)
+    M.readSegments(spark, dir, snap.segments, "stats", partitioned = false)
+      .getOrElse(sys.error(s"version ${snap.version} of $dir has no stats segment"))
+  }
+
+  /** The tombstone set at `version` (empty frame when none). */
+  def tombstones(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
+    val snap = snapshot(spark, dir, version)
+    M.readSegments(spark, dir, snap.segments, "tombstones", partitioned = false)
+      .getOrElse {
+        import spark.implicits._
+        spark.emptyDataset[Long].toDF("doc_id")
+      }
+  }
+
+  /** Serving view at `version`: postings minus tombstoned docs. Bucket
+    * and term pruning stay effective — filters push below the anti-join
+    * (the [[TextIndexStore.livePostings]] contract).
+    */
+  def livePostings(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
+    val snap = snapshot(spark, dir, version)
+    val p = M.readSegments(spark, dir, snap.segments, "postings", partitioned = true)
+      .getOrElse(sys.error(s"version ${snap.version} of $dir has no postings segment"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("t_bucket").cast("long").as("t_bucket"))
+    M.readSegments(spark, dir, snap.segments, "tombstones", partitioned = false) match {
+      case Some(t) => p.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => p
+    }
+  }
+
+  /** The bucket count recorded at build time. */
+  def nBuckets(spark: SparkSession, dir: String, version: Long = Latest): Int =
+    snapshot(spark, dir, version).meta("nBuckets").toInt
+
+  /** The commit log — (version, op, postings_rows, tombstone_rows),
+    * from the manifests alone.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val rows = M.snapshots(spark, dir).map(s =>
+      (s.version, s.op, s.rowsOf("postings"), s.rowsOf("tombstones")))
+    import spark.implicits._
+    rows.toDF("version", "op", "postings_rows", "tombstone_rows")
+      .orderBy("version")
+  }
+
+  /** Stored BM25 over the `version` snapshot — q86's ranking from the
+    * pinned postings + their same-manifest stats (the torn-pair hazard
+    * this store exists to remove).
+    */
+  def bm25(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
+           version: Long = Latest): DataFrame = {
+    val snap = snapshot(spark, dir, version)
+    graft.operators.TextAnalysis.bm25Served(
+      livePostings(spark, dir, snap.version), stats(spark, dir, snap.version),
+      terms, k, snap.meta("nBuckets").toInt)
+  }
+
+  // -------------------------------------------------------- operations
+
+  /** Index `docs` and commit version 0 (wipes any prior lineage —
+    * a rebuild is a new index).
+    */
+  def build(docs: DataFrame, dir: String, nBuckets: Int): Long = synchronized {
+    val spark = docs.sparkSession
+    val f = M.fs(spark, dir)
+    f.delete(new Path(dir), true)
+    val batch = docLengths(docs)
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).first()
+    val seg = writePostingsSegment(spark, dir, "seg-00000000-build", docs, nBuckets)
+    val stat = writeStatsSegment(spark, dir, "seg-00000000-build-stats",
+      batch.getLong(0), batch.getLong(1))
+    M.commit(f, dir, M.Snapshot(0L, "build", "", Seq(seg, stat),
+      Map("nBuckets" -> nBuckets.toString)))
+    0L
+  }
+
+  /** Admit new documents: their postings land as a new segment and the
+    * stats ADVANCE by the batch's exact counts — one manifest commit
+    * carries both, so no reader ever sees postings ahead of stats (the
+    * [[TextIndexStore.append]] crash window, closed). df needs no
+    * maintenance (derived from the pruned live read), so append-then-
+    * serve scores exactly like a from-scratch build over the full
+    * corpus. Returns the committed version (unchanged for an empty
+    * batch — a no-op tick of the ingest loop).
+    */
+  def append(spark: SparkSession, dir: String, newDocs: DataFrame): Long = synchronized {
+    val batch = docLengths(newDocs)
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).first()
+    if (batch.getLong(0) == 0L) return currentVersion(spark, dir)
+    // Revival of a tombstoned doc: fold deletions physically first so
+    // the new postings land as the doc's only generation (the
+    // TextIndexStore.append resurrection contract).
+    val newIds = newDocs.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    if (!tombstones(spark, dir).join(broadcast(newIds), Seq("doc_id"), "left_semi").isEmpty)
+      compact(spark, dir)
+    val prior = snapshot(spark, dir)
+    val v = prior.version + 1
+    val old = stats(spark, dir, prior.version)
+      .select(col("n_docs"), col("total_dl")).first()
+    val seg = writePostingsSegment(spark, dir, f"seg-$v%08d-append", newDocs,
+      prior.meta("nBuckets").toInt)
+    val stat = writeStatsSegment(spark, dir, f"seg-$v%08d-append-stats",
+      old.getLong(0) + batch.getLong(0), old.getLong(1) + batch.getLong(1))
+    M.commit(M.fs(spark, dir), dir,
+      M.Snapshot(v, "append", "",
+        prior.segments.filter(_.kind != "stats") :+ seg :+ stat, prior.meta))
+    v
+  }
+
+  /** Tombstone-delete documents: no posting file touched; the stats
+    * RETREAT by the deleted docs' exact (count, Σdl) — recovered from
+    * the postings themselves — in the same manifest commit as the
+    * tombstone segment. Already-tombstoned ids are excluded from the
+    * decrement, so overlapping delete batches are idempotent. Returns
+    * the committed version (unchanged when nothing indexed matches).
+    */
+  def delete(spark: SparkSession, dir: String, docIds: DataFrame): Long = synchronized {
+    val prior = snapshot(spark, dir)
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
+    val newDead = ids.join(tombstones(spark, dir, prior.version),
+      Seq("doc_id"), "left_anti")
+    val gone = postings(spark, dir, prior.version)
+      .join(broadcast(newDead), "doc_id")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).first()
+    if (gone.getLong(0) == 0L) return prior.version
+    val v = prior.version + 1
+    val old = stats(spark, dir, prior.version)
+      .select(col("n_docs"), col("total_dl")).first()
+    val tomb = writeTombstoneSegment(spark, dir, f"seg-$v%08d-delete", newDead)
+    val stat = writeStatsSegment(spark, dir, f"seg-$v%08d-delete-stats",
+      old.getLong(0) - gone.getLong(0), old.getLong(1) - gone.getLong(1))
+    M.commit(M.fs(spark, dir), dir,
+      M.Snapshot(v, "delete", "",
+        prior.segments.filter(_.kind != "stats") :+ tomb :+ stat, prior.meta))
+    v
+  }
+
+  /** ADD-only compaction: the live postings rewrite into one merged
+    * segment (one file per bucket), tombstones drop, and the stats
+    * segment is CARRIED FORWARD BY REFERENCE — delete adjusted it
+    * already, so compaction provably changes no number (it does not
+    * even rewrite the row). Old segments stay for time travel until
+    * [[vacuum]].
+    */
+  def compact(spark: SparkSession, dir: String): Long = synchronized {
+    val prior = snapshot(spark, dir)
+    val v = prior.version + 1
+    val seg = writeCompactedSegment(spark, dir, f"seg-$v%08d-compact",
+      livePostings(spark, dir, prior.version))
+    val stat = prior.segments.filter(_.kind == "stats")
+    M.commit(M.fs(spark, dir), dir,
+      M.Snapshot(v, "compact", "", seg +: stat, prior.meta))
+    v
+  }
+
+  /** Drop all but the newest `retain` versions ([[ManifestLog.vacuum]]). */
+  def vacuum(spark: SparkSession, dir: String, retain: Int): Unit = synchronized {
+    M.vacuum(spark, dir, retain)
+  }
+
+  // ----------------------------------------------------- query helpers
+
+  /** The q109 lifecycle — build(base) v0, append(rest) v1, delete v2,
+    * compact v3 — once per (dir, nBuckets) per JVM.
+    */
+  def lifecycleOnce(spark: SparkSession, dir: String, baseDocs: DataFrame,
+                    newDocs: DataFrame, delIds: DataFrame,
+                    nBuckets: Int): Unit = synchronized {
+    val key = (dir, nBuckets)
+    if (!lifecycled.contains(key)) {
+      build(baseDocs, dir, nBuckets)
+      append(spark, dir, newDocs)
+      delete(spark, dir, delIds)
+      compact(spark, dir)
+      lifecycled += key
+    }
+  }
+
+  private val lifecycled = scala.collection.mutable.Set.empty[(String, Int)]
+}

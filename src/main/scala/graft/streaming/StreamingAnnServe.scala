@@ -71,4 +71,31 @@ object StreamingAnnServe {
         .filter(col("vec_id") >= corpusFrom),
       nSub, k, nProbe)
   }
+
+  /** [[scoreBatch]] against the MANIFEST-VERSIONED store
+    * ([[graft.sources.VersionedVectorIndex]]): each microbatch resolves
+    * one committed snapshot and serves exactly its file list — never a
+    * torn mix of two versions, which is what raw directory re-listing
+    * ([[scoreBatchFromStore]]) cannot promise while a writer is mid-
+    * flight. Maintenance commits (append/delete/compact/REINDEX)
+    * landing between microbatches are served by the very next batch,
+    * so a reindex is a zero-downtime model swap at a batch boundary
+    * (S21 pins the swap). Passing a pinned `version` instead serves
+    * that version forever — in-stream time travel, the reproducible-
+    * replay knob (S21 pins a pinned stream riding through a reindex
+    * unchanged).
+    */
+  def scoreBatchVersioned(queries: DataFrame, dir: String, k: Int, nProbe: Int,
+                          corpusFrom: Long = 0L,
+                          version: Long = graft.sources.VersionedVectorIndex.Latest): DataFrame = {
+    val spark = queries.sparkSession
+    val V = graft.sources.VersionedVectorIndex
+    val snap = V.snapshot(spark, dir, version)
+    val books = V.codebooks(spark, dir, snap.version)
+    val nSub = books.agg(org.apache.spark.sql.functions.max("m"))
+      .first().getAs[Number](0).intValue + 1
+    scoreBatch(queries, V.centroids(spark, dir, snap.version), books,
+      V.liveCodes(spark, dir, snap.version).filter(col("vec_id") >= corpusFrom),
+      nSub, k, nProbe)
+  }
 }

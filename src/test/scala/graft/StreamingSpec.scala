@@ -1239,6 +1239,81 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-delete batch must equal a fresh live-view search")
   }
 
+  test("S21: versioned-store serving swaps models at a batch boundary on reindex; a pinned stream rides through unchanged") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{Tables, VersionedVectorIndex => V}
+    import graft.streaming.StreamingAnnServe
+    // The streaming × versioning composition: one stream serves LATEST
+    // (each microbatch resolves one committed manifest — atomic, never
+    // a torn mix), a second stream is PINNED at the pre-reindex
+    // version. A reindex committed mid-stream swaps the latest
+    // stream's model at the next batch boundary (blue/green, zero
+    // downtime) while the pinned stream's answers never move.
+    // The oracle-side searches below run on THIS session (the serving
+    // path registers the top-k aggregators only on its own microbatch
+    // sessions).
+    graft.GraftSession.registerUdafs(spark)
+    val emb = Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s21").toString
+    V.build(emb.filter(col("vec_id") < 400), dir, 8, 4, 8, 2)
+    V.append(spark, dir, emb.filter(col("vec_id") >= 400))
+    V.delete(spark, dir,
+      emb.select(col("vec_id")).filter(col("vec_id") % 7 === 3 && col("vec_id") >= 4))
+    V.compact(spark, dir)
+    val preReindex = V.currentVersion(spark, dir)
+    val queryVecs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    type R = (Long, Long, Long, Double)
+    def expected(version: Long): Seq[R] =
+      graft.operators.Similarity.ivfPqSearchFrames(
+        emb.filter(col("vec_id") >= 2 && col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("emb")),
+        V.centroids(spark, dir, version), V.codebooks(spark, dir, version),
+        V.liveCodes(spark, dir, version).filter(col("vec_id") >= 4), 4, 10, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(r => (r._1, r._2))
+    val latestBatches = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val pinnedBatches = scala.collection.mutable.ArrayBuffer.empty[Seq[R]]
+    val srcLatest = MemoryStream[(Long, Seq[Double])]
+    val srcPinned = MemoryStream[(Long, Seq[Double])]
+    def serve(src: MemoryStream[(Long, Seq[Double])],
+              out: scala.collection.mutable.ArrayBuffer[Seq[R]],
+              version: Long) =
+      src.toDF().toDF("qid", "embedding").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (b.count() > 0) {
+            val v = StreamingAnnServe
+              .scoreBatchVersioned(b, dir, 10, 8, corpusFrom = 4L, version = version)
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+            out.synchronized { out += v.toSeq.sortBy(r => (r._1, r._2)) }
+          }
+          ()
+        }
+        .outputMode("update").start()
+    val qLatest = serve(srcLatest, latestBatches, V.Latest)
+    val qPinned = serve(srcPinned, pinnedBatches, preReindex)
+    try {
+      srcLatest.addData(queryVecs.drop(2): _*); qLatest.processAllAvailable()
+      srcPinned.addData(queryVecs.drop(2): _*); qPinned.processAllAvailable()
+      V.reindex(spark, dir)
+      srcLatest.addData(queryVecs.drop(2): _*); qLatest.processAllAvailable()
+      srcPinned.addData(queryVecs.drop(2): _*); qPinned.processAllAvailable()
+    } finally { qLatest.stop(); qPinned.stop() }
+    assert(latestBatches.size == 2 && pinnedBatches.size == 2)
+    val oldModel = expected(preReindex)
+    val newModel = expected(V.currentVersion(spark, dir))
+    assert(latestBatches(0) == oldModel, "pre-reindex batch serves the old model")
+    assert(latestBatches(1) == newModel, "the batch after the commit serves the new model")
+    assert(oldModel != newModel,
+      "fixture must make the reindex visible (otherwise the swap assert is vacuous)")
+    assert(pinnedBatches(0) == oldModel && pinnedBatches(1) == oldModel,
+      "a pinned stream must ride through the reindex completely unchanged")
+    assert(!qLatest.lastProgress.toString.contains("stateOperators\" : [ {"),
+      "versioned serving must stay stateless")
+  }
+
   test("S20: stored postings serve a term-set query stream ≡ batch, stateless") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Tables, TextIndexStore, VersionedTextIndex => V}
+
+/** Transactional contract of the manifest-versioned lexical index
+  * (q109 family): the BM25 stats row commits in the SAME manifest as
+  * the postings change it describes — the postings-ahead-of-stats crash
+  * window TextIndexStore.append documents is gone — plus time travel,
+  * delete idempotence, and compaction that carries the stats segment
+  * forward by reference.
+  */
+class VersionedTextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftSession.registerUdafs(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val nBuckets = 8
+  private val terms = Seq("spark", "join", "window")
+  private lazy val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+  private def base = docs.filter(col("doc_id") < 400)
+  private def rest = docs.filter(col("doc_id") >= 400)
+  private def delIds = docs.select(col("doc_id")).filter(col("doc_id") % 9 === 4)
+
+  private def freshLifecycle(): String = {
+    val d = Files.createTempDirectory("graft_vtispec").toString
+    V.build(base, d, nBuckets)
+    V.append(spark, d, rest)
+    V.delete(spark, d, delIds)
+    V.compact(spark, d)
+    d
+  }
+
+  private lazy val store = freshLifecycle()
+
+  private def bm25Rows(dir: String, version: Long): Seq[(Long, Long, Long, Double)] =
+    V.bm25(spark, dir, terms, 20, version)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  private def statsOf(dir: String, version: Long): (Long, Long) = {
+    val r = V.stats(spark, dir, version).first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def countsOf(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = d.withColumn("dl", size(split(col("text"), " ")).cast("long"))
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("every version's stats row matches exactly the corpus its postings describe") {
+    assert(statsOf(store, 0L) == countsOf(base), "v0 stats = base corpus")
+    assert(statsOf(store, 1L) == countsOf(docs), "v1 stats = full corpus")
+    val live = docs.filter(col("doc_id") % 9 =!= 4)
+    assert(statsOf(store, 2L) == countsOf(live), "v2 stats retreated to the live corpus")
+    assert(statsOf(store, 3L) == countsOf(live), "v3 stats carried forward unchanged")
+  }
+
+  test("a torn writer (postings and stats files on disk, no manifest) is invisible — the pair moves atomically or not at all") {
+    val d = freshLifecycle()
+    val before = bm25Rows(d, V.Latest)
+    val stBefore = statsOf(d, V.Latest)
+    // Simulate TextIndexStore.append's crash window: both new data
+    // files land, the commit does not.
+    V.postings(spark, d).limit(3)
+      .write.partitionBy("t_bucket").parquet(s"$d/seg-99999999-crashed")
+    import spark.implicits._
+    Seq((999999L, 999999L)).toDF("n_docs", "total_dl")
+      .write.parquet(s"$d/seg-99999999-crashed-stats")
+    assert(bm25Rows(d, V.Latest) == before && statsOf(d, V.Latest) == stBefore,
+      "uncommitted postings AND stats must both stay invisible")
+  }
+
+  test("overlapping delete batches are idempotent: the replay commits nothing and moves no number") {
+    val d = freshLifecycle()
+    val vBefore = V.currentVersion(spark, d)
+    val stBefore = statsOf(d, V.Latest)
+    // Every id in the batch is already gone (compact folded them) —
+    // nothing indexed matches, so delete must be a version no-op.
+    val v = V.delete(spark, d, delIds)
+    assert(v == vBefore, "a fully-replayed delete must not commit a version")
+    assert(statsOf(d, V.Latest) == stBefore)
+  }
+
+  test("compaction carries the stats segment forward by reference and changes no answer") {
+    val preCompact = V.snapshot(spark, store, 2L)
+    val postCompact = V.snapshot(spark, store, 3L)
+    val statDirs = (s: V.Snapshot) =>
+      s.segments.filter(_.kind == "stats").map(_.dir)
+    assert(statDirs(preCompact) == statDirs(postCompact),
+      "compact must reference the delete's stats segment, not rewrite it")
+    assert(bm25Rows(store, 2L) == bm25Rows(store, 3L),
+      "compaction must not change a single score")
+    assert(V.snapshot(spark, store, 3L).segments.count(_.kind == "postings") == 1,
+      "compaction folds the postings to one segment")
+    assert(V.tombstones(spark, store, 3L).count() == 0)
+  }
+
+  test("latest equals a from-scratch index over the live corpus; a pinned pre-delete reader is unaffected") {
+    val live = docs.filter(col("doc_id") % 9 =!= 4)
+    val d2 = Files.createTempDirectory("graft_vtispec_ref").toString
+    TextIndexStore.build(live, d2, nBuckets)
+    val fresh = graft.operators.TextAnalysis.bm25Stored(spark, d2, terms, 20, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(bm25Rows(store, V.Latest) == fresh,
+      "the versioned lifecycle must score exactly like a fresh live-corpus index")
+    // And v1 (the full-corpus index) still serves its original ranking.
+    val d3 = Files.createTempDirectory("graft_vtispec_full").toString
+    TextIndexStore.build(docs, d3, nBuckets)
+    val full = graft.operators.TextAnalysis.bm25Stored(spark, d3, terms, 20, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(bm25Rows(store, 1L) == full,
+      "time travel to the pre-delete version must serve the full-corpus ranking")
+  }
+}
