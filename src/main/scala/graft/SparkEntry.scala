@@ -1473,6 +1473,19 @@ object SparkEntry {
     "q109c_postings_history" -> ((s, d) =>
       // The lexical commit log, from manifests alone.
       graft.sources.VersionedTextIndex.history(s, ensureVersionedTextIndex(s, d))),
+    "q110_versioned_hybrid" -> ((s, d) =>
+      // Hybrid retrieval with BOTH legs pinned to committed snapshots
+      // of the versioned stores (Latest here = each store's post-
+      // maintenance live state) — the cross-store consistency the
+      // directory-read hybrid can't promise mid-maintenance, and the
+      // reproducible-replay shape an A/B audit needs.
+      Similarity.hybridRrfVersioned(s,
+        ensureVersionedTextIndex(s, d), graft.sources.VersionedTextIndex.Latest,
+        ensureVersionedAnnStore(s, d), graft.sources.VersionedVectorIndex.Latest,
+        Bm25Terms, Bm25K, RrfK, PqSub, IvfPqProbes,
+        Similarity.withEmb(Tables.table(s, d, "embeddings"))
+          .filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("emb")),
+        BatchQueries.toLong)),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
         Bm25Terms, Bm25K, RrfK, TextIndexBuckets, PqSub, IvfPqProbes,
@@ -3580,6 +3593,33 @@ object SparkEntry {
     // stored-index candidate rule: corpus = vec_id ≥ BatchQueries),
     // fused with q87's exact-integer rule. The two CTE chains share no
     // names, so they concatenate.
+    // Q110: q95's fusion with the lexical leg on the live corpus
+    // (q101's population) and the dense leg on the versioned store's
+    // live state (base-trained chain, residue excluded) — both pins
+    // named, so the fused ranking is a pure function of two committed
+    // snapshots.
+    "q110_versioned_hybrid" ->
+      s"""WITH ${bm25CteFor(Bm25Terms, "b", s"doc_id % $TextDeleteMod <> $TextDeleteRes")},
+          $ivfPqAppendCtes,
+          lexr AS (SELECT id, rl FROM
+                     (SELECT doc_id AS id, CAST(row_number() OVER
+                        (ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rl
+                      FROM bsc WHERE score_micros > 0)
+                   WHERE rl <= $Bm25K),
+          denr AS (SELECT id, rd FROM
+                     (SELECT vec_id AS id, CAST(row_number() OVER
+                        (ORDER BY adc, vec_id) AS BIGINT) AS rd
+                      FROM sc2 WHERE qid = 0
+                        AND vec_id % $AnnDeleteMod <> $AnnDeleteRes)
+                   WHERE rd <= 10),
+          fuse AS (SELECT COALESCE(l.id, d2.id) AS doc_id, l.rl, d2.rd,
+                     COALESCE(CAST(floor(1e9 / (60.0 + l.rl) + 0.5) AS BIGINT), 0) +
+                     COALESCE(CAST(floor(1e9 / (60.0 + d2.rd) + 0.5) AS BIGINT), 0)
+                       AS fused_nanos
+                   FROM lexr l FULL OUTER JOIN denr d2 ON d2.id = l.id)
+          SELECT doc_id, rl, rd, fused_nanos,
+                 CAST(fused_nanos AS DOUBLE) / 1e9 AS rrf
+          FROM fuse ORDER BY fused_nanos DESC, doc_id LIMIT $RrfK""",
     "q95_stored_hybrid" ->
       s"""WITH $bm25Cte,
           $ivfPqCtes,

@@ -1042,6 +1042,37 @@ object Similarity {
       den, kFuse)
   }
 
+  /** [[hybridRrfStored]] with BOTH legs pinned to explicit versions of
+    * the MANIFEST-VERSIONED stores — the cross-store consistency the
+    * un-versioned hybrid cannot promise: its two directory reads can
+    * interleave with maintenance and fuse a pre-delete lexical leg
+    * with a post-delete dense leg (or vice versa). Here the caller
+    * names one committed snapshot per store (Latest or pinned), each
+    * leg serves exactly that manifest's files, and the fusion is a
+    * pure function of the two pins — reproducible after any amount of
+    * later maintenance, which is what an A/B experiment or an audit
+    * replay actually needs.
+    */
+  def hybridRrfVersioned(spark: org.apache.spark.sql.SparkSession,
+                         textDir: String, textVersion: Long,
+                         annDir: String, annVersion: Long, terms: Seq[String],
+                         kLex: Int, kFuse: Int, nSub: Int, nProbe: Int,
+                         queryVec: DataFrame, denseFrom: Long): DataFrame = {
+    require(kFuse <= 10 && kFuse <= kLex,
+      s"kFuse must be within both legs' depth (dense leg fixed at 10), got $kFuse")
+    import graft.sources.{VersionedTextIndex, VersionedVectorIndex}
+    val den = ivfPqSearchFrames(queryVec,
+      VersionedVectorIndex.centroids(spark, annDir, annVersion),
+      VersionedVectorIndex.codebooks(spark, annDir, annVersion),
+      VersionedVectorIndex.liveCodes(spark, annDir, annVersion)
+        .filter(col("vec_id") >= denseFrom),
+      nSub, 10, nProbe)
+      .select(col("rnk").as("rd"), col("vec_id").as("id"))
+    rrfFuse(
+      lexRanksOf(VersionedTextIndex.bm25(spark, textDir, terms, kLex, textVersion)),
+      den, kFuse)
+  }
+
   /** Per-dimension corpus means as ONE broadcastable row (`mus`),
     * 1e-6-grid rounded — the centering artifact of the PCA family.
     */
