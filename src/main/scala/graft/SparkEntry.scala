@@ -1445,10 +1445,25 @@ object SparkEntry {
         PqSub, PqShortlist, BatchTopK, IvfPqProbes)
     }),
     "q108b_reindexed_search" -> ((s, d) => {
-      // Serving AFTER a reindex: the v4 model was retrained from the
-      // store's own live vectors (no corpus access), committed
-      // blue/green — pinned readers kept the old model; this query
-      // serves the new one.
+      // Serving the REINDEX version (v4): its model was retrained from
+      // the store's own live vectors (no corpus access), committed
+      // blue/green — pinned readers kept the old model. The lifecycle
+      // later ROLLS BACK to v3 (q107d), so the reindexed state is
+      // addressed by its version pin, exactly how a versioned store
+      // names a superseded-but-inspectable state.
+      val dir = ensureReindexedAnnStore(s, d)
+      val V = graft.sources.VersionedVectorIndex
+      Similarity.ivfPqSearchFrames(annQueryBatch(s, d),
+        V.centroids(s, dir, 4L), V.codebooks(s, dir, 4L),
+        V.liveCodes(s, dir, 4L).filter(col("vec_id") >= BatchQueries),
+        PqSub, BatchTopK, IvfPqProbes)
+    }),
+    "q107d_restored_search" -> ((s, d) => {
+      // The undo button: v5 = restore(v3) — one manifest commit, zero
+      // data movement — so LATEST serves the pre-reindex state's exact
+      // files again while v4 stays inspectable for the post-mortem.
+      // Same oracle as q107c: a restore must reproduce its target
+      // bit-for-bit.
       val dir = ensureReindexedAnnStore(s, d)
       val V = graft.sources.VersionedVectorIndex
       Similarity.ivfPqSearchFrames(annQueryBatch(s, d),
@@ -3294,6 +3309,9 @@ object SparkEntry {
     // Q108b: the reindexed model is trained on (and encodes) the live
     // population only.
     "q108b_reindexed_search" -> q108bOracleSql,
+    // Q107d: restore(v3) must reproduce the pre-reindex live state
+    // bit-for-bit (q107c's oracle, verbatim).
+    "q107d_restored_search" -> q107cOracleSql,
     // Q109: the versioned lexical index's latest state ≡ a from-scratch
     // index over the live corpus (q101's oracle verbatim — same live
     // set: full corpus minus the TextDeleteMod residue).

@@ -191,6 +191,23 @@ object ManifestLog {
     frames.reduceOption(_ unionByName _)
   }
 
+  /** Commit a NEW version that re-publishes `toVersion`'s exact state
+    * (segments, model, meta) under `op` "restore" — the undo button.
+    * Nothing is copied or rewritten: the restored version is one more
+    * manifest referencing the old immutable files, so it is as cheap as
+    * any commit, the bad intermediate versions remain inspectable for
+    * the post-mortem (until [[vacuum]]), and the lineage stays
+    * append-only (history shows the mistake AND the recovery).
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val target = snapshot(spark, dir, toVersion)
+    val prior = snapshot(spark, dir)
+    val v = prior.version + 1
+    commit(fs(spark, dir), dir,
+      Snapshot(v, "restore", target.modelDir, target.segments, target.meta))
+    v
+  }
+
   /** Drop all but the newest `retain` versions: delete their manifests,
     * then every top-level directory no surviving manifest references
     * (as a segment dir or model dir). Retained versions serve

@@ -205,6 +205,30 @@ object VersionedTextIndex {
     * batch — a no-op tick of the ingest loop).
     */
   def append(spark: SparkSession, dir: String, newDocs: DataFrame): Long = synchronized {
+    appendImpl(spark, dir, newDocs, Map.empty)
+  }
+
+  /** Exactly-once streaming ingest (the `foreachBatch` sink): commit
+    * the batch's postings+stats ONLY if `batchId` has not been
+    * committed before — Structured Streaming re-delivers the last
+    * batch after a failure-recovery, and the manifest's own
+    * `lastBatchId` (carried in meta, so it moves atomically WITH the
+    * data it admits) turns the replay into a version no-op. This is
+    * the transactional half [[graft.streaming.Sinks]]' idempotent
+    * parquet sink provides by path-keying, done instead at the commit
+    * layer — no marker files, and the dedup survives compaction
+    * because meta is carried forward (S22 pins replay-after-recovery
+    * and stream ≡ from-scratch build).
+    */
+  def appendStreamBatch(spark: SparkSession, dir: String, newDocs: DataFrame,
+                        batchId: Long): Long = synchronized {
+    val last = snapshot(spark, dir).meta.get("lastBatchId").map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) currentVersion(spark, dir)
+    else appendImpl(spark, dir, newDocs, Map("lastBatchId" -> batchId.toString))
+  }
+
+  private def appendImpl(spark: SparkSession, dir: String, newDocs: DataFrame,
+                         extraMeta: Map[String, String]): Long = {
     val batch = docLengths(newDocs)
       .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).first()
     if (batch.getLong(0) == 0L) return currentVersion(spark, dir)
@@ -224,8 +248,16 @@ object VersionedTextIndex {
       old.getLong(0) + batch.getLong(0), old.getLong(1) + batch.getLong(1))
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "append", "",
-        prior.segments.filter(_.kind != "stats") :+ seg :+ stat, prior.meta))
+        prior.segments.filter(_.kind != "stats") :+ seg :+ stat,
+        prior.meta ++ extraMeta))
     v
+  }
+
+  /** Roll back to `toVersion` as a new commit ([[ManifestLog.restore]]):
+    * one manifest, zero data movement.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = synchronized {
+    M.restore(spark, dir, toVersion)
   }
 
   /** Tombstone-delete documents: no posting file touched; the stats

@@ -323,6 +323,14 @@ object VersionedVectorIndex {
     M.vacuum(spark, dir, retain)
   }
 
+  /** Roll the live state back to `toVersion` as a NEW commit
+    * ([[ManifestLog.restore]]): one manifest, zero data movement — the
+    * recovery move when a reindex or ingest shipped bad state.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = synchronized {
+    M.restore(spark, dir, toVersion)
+  }
+
   // ----------------------------------------------------- query helpers
 
   /** The q107 lifecycle — build(base) v0, append(rest) v1, delete v2,
@@ -343,8 +351,11 @@ object VersionedVectorIndex {
     }
   }
 
-  /** The q108b lifecycle — q107's four versions plus a v4 [[reindex]]
-    * — once per (dir, params) per JVM.
+  /** The q108b/q107d lifecycle — q107's four versions plus a v4
+    * [[reindex]] and a v5 [[restore]] back to the pre-reindex state
+    * (the "reindex shipped bad state, roll it back" drill: v4 stays
+    * inspectable, v5 serves v3's exact files) — once per (dir, params)
+    * per JVM.
     */
   def lifecycleReindexedOnce(spark: SparkSession, dir: String, baseEmb: DataFrame,
                              newEmb: DataFrame, delIds: DataFrame, nCentroids: Int,
@@ -356,6 +367,7 @@ object VersionedVectorIndex {
       delete(spark, dir, delIds)
       compact(spark, dir)
       reindex(spark, dir)
+      restore(spark, dir, 3L)
       reindexed += key
     }
   }

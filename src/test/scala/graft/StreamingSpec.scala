@@ -1314,6 +1314,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "versioned serving must stay stateless")
   }
 
+  test("S22: exactly-once streaming ingest into the versioned lexical index — replayed batches are version no-ops") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{Tables, TextIndexStore, VersionedTextIndex => V}
+    // The transactional streaming sink: foreachBatch re-delivers the
+    // last batch after failure-recovery, and the manifest's own
+    // lastBatchId (carried in meta, atomically with the data) turns
+    // the replay into a no-op — the S7 idempotent-sink contract moved
+    // to the commit layer, where it also protects the BM25 stats.
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s22").toString
+    V.build(docs.filter(col("doc_id") < 200), dir, 8)
+    val arriving = docs.filter(col("doc_id") >= 200)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val (half1, half2) = arriving.splitAt(arriving.size / 2)
+    val src = MemoryStream[(Long, String, String, String, Long)]
+    val q = src.toDF().toDF("doc_id", "text", "lang", "source", "n_chars").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        V.appendStreamBatch(b.sparkSession, dir, b, id)
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      src.addData(half1: _*); q.processAllAvailable()
+      src.addData(half2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val vAfterStream = V.currentVersion(spark, dir)
+    val lastBatch = V.snapshot(spark, dir).meta("lastBatchId").toLong
+    // Failure-recovery drill: Structured Streaming re-runs the LAST
+    // batch. The replay must not commit, not double-count a posting,
+    // not advance the stats.
+    import org.apache.spark.sql.functions.{col => c}
+    val replay = docs.filter(c("doc_id") >= 200 + half1.size.toLong)
+    assert(V.appendStreamBatch(spark, dir, replay, lastBatch) == vAfterStream,
+      "a replayed batchId must be a version no-op")
+    assert(V.currentVersion(spark, dir) == vAfterStream)
+    // The streamed store scores exactly like a from-scratch index over
+    // everything — postings AND stats arrived exactly once.
+    val d2 = java.nio.file.Files.createTempDirectory("graft_s22_ref").toString
+    TextIndexStore.build(docs, d2, 8)
+    val terms = Seq("spark", "join", "window")
+    val got = V.bm25(spark, dir, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = graft.operators.TextAnalysis.bm25Stored(spark, d2, terms, 20, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want,
+      "exactly-once streamed ingest must equal a from-scratch build over the full corpus")
+  }
+
   test("S20: stored postings serve a term-set query stream ≡ batch, stateless") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -213,6 +213,32 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a one-cell vector read must touch fewer float files ($oneCell vs $allFiles)")
   }
 
+  test("restore rolls the live state back as a new commit: zero data movement, target reproduced exactly, mistake still inspectable") {
+    val d = freshLifecycle()
+    def search(v: Long) = Similarity.ivfPqSearchFrames(queries,
+      V.centroids(spark, d, v), V.codebooks(spark, d, v),
+      V.liveCodes(spark, d, v).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe).collect().toSeq
+    val atV3 = search(3L)
+    V.reindex(spark, d)
+    val atV4 = search(4L)
+    assert(atV4 != atV3, "fixture must make the reindex visible")
+    val filesBefore = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(d)).map(_.getPath.getName).toSet
+    val v5 = V.restore(spark, d, 3L)
+    assert(v5 == 5L && V.snapshot(spark, d).op == "restore")
+    val filesAfter = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(d)).map(_.getPath.getName).toSet
+    assert(filesAfter == filesBefore,
+      "restore must move no data — it is one manifest referencing old files")
+    assert(search(V.currentVersion(spark, d)) == atV3,
+      "the restored latest must reproduce its target bit-for-bit")
+    assert(search(4L) == atV4,
+      "the rolled-back version must stay inspectable for the post-mortem")
+  }
+
   test("cid pruning stays file-level through the explicit-file-list snapshot read") {
     val allFiles = V.codes(spark, store)
       .select(input_file_name()).distinct().count()
