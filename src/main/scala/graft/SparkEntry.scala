@@ -1497,7 +1497,7 @@ object SparkEntry {
       Similarity.hybridRrfVersioned(s,
         ensureVersionedTextIndex(s, d), graft.sources.VersionedTextIndex.Latest,
         ensureVersionedAnnStore(s, d), graft.sources.VersionedVectorIndex.Latest,
-        Bm25Terms, Bm25K, RrfK, PqSub, IvfPqProbes,
+        Bm25Terms, Bm25K, RrfK, IvfPqProbes,
         Similarity.withEmb(Tables.table(s, d, "embeddings"))
           .filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("emb")),
         BatchQueries.toLong)),

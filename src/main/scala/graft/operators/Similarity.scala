@@ -1056,15 +1056,24 @@ object Similarity {
   def hybridRrfVersioned(spark: org.apache.spark.sql.SparkSession,
                          textDir: String, textVersion: Long,
                          annDir: String, annVersion: Long, terms: Seq[String],
-                         kLex: Int, kFuse: Int, nSub: Int, nProbe: Int,
+                         kLex: Int, kFuse: Int, nProbe: Int,
                          queryVec: DataFrame, denseFrom: Long): DataFrame = {
     require(kFuse <= 10 && kFuse <= kLex,
       s"kFuse must be within both legs' depth (dense leg fixed at 10), got $kFuse")
     import graft.sources.{VersionedTextIndex, VersionedVectorIndex}
+    // Resolve Latest to ONE pinned snapshot before touching any
+    // accessor — three independent Latest resolutions could straddle a
+    // concurrent commit and fuse artifacts of two versions, the exact
+    // tear this function exists to rule out. nSub comes from the
+    // resolved snapshot's own recorded parameters: a caller-supplied
+    // value disagreeing with the pinned model would silently mis-slice
+    // the LUT join.
+    val annSnap = VersionedVectorIndex.snapshot(spark, annDir, annVersion)
+    val nSub = annSnap.meta("nSub").toInt
     val den = ivfPqSearchFrames(queryVec,
-      VersionedVectorIndex.centroids(spark, annDir, annVersion),
-      VersionedVectorIndex.codebooks(spark, annDir, annVersion),
-      VersionedVectorIndex.liveCodes(spark, annDir, annVersion)
+      VersionedVectorIndex.centroids(spark, annDir, annSnap.version),
+      VersionedVectorIndex.codebooks(spark, annDir, annSnap.version),
+      VersionedVectorIndex.liveCodes(spark, annDir, annSnap.version)
         .filter(col("vec_id") >= denseFrom),
       nSub, 10, nProbe)
       .select(col("rnk").as("rd"), col("vec_id").as("id"))

@@ -172,18 +172,29 @@ object TextIndexStore {
     fs.delete(new Path(s"$dir/tombstones"), true)
   }
 
-  private def docLengths(docs: DataFrame): DataFrame =
+  /** (doc_id, text …, words, dl) — shared with [[VersionedTextIndex]]
+    * so the length/tokenization convention has ONE definition.
+    */
+  private[sources] def docLengths(docs: DataFrame): DataFrame =
     Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
       .withColumn("dl", size(col("words")).cast("long"))
 
-  private def writePostings(docs: DataFrame, dir: String, nBuckets: Int,
-                            mode: String): Unit =
+  /** The postings frame (term, doc_id, dl, tf, t_bucket) — the ONE
+    * definition of the bucketing formula both stores write and
+    * [[bucketOf]]'s Scala twin must keep matching; a second copy
+    * drifting would silently prune the wrong buckets at serve time.
+    */
+  private[sources] def postingsFrame(docs: DataFrame, nBuckets: Int): DataFrame =
     docLengths(docs)
       .select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
       .withColumn("t_bucket", pmod(expr(hash48("term")), lit(nBuckets.toLong)))
+
+  private def writePostings(docs: DataFrame, dir: String, nBuckets: Int,
+                            mode: String): Unit =
+    postingsFrame(docs, nBuckets)
       .repartition(col("t_bucket"))
       .sortWithinPartitions("term", "doc_id")
       .write.partitionBy("t_bucket").mode(mode).parquet(s"$dir/postings")

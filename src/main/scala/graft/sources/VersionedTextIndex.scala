@@ -3,7 +3,6 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.PortableHash.hash48
 import graft.sources.{ManifestLog => M}
 
 /** Manifest-versioned inverted index — [[VersionedVectorIndex]]'s
@@ -47,24 +46,24 @@ object VersionedTextIndex {
 
   // ----------------------------------------------------- segment write
 
-  private def docLengths(docs: DataFrame): DataFrame =
-    Tables.widen(docs)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("dl", size(col("words")).cast("long"))
+  /** Unique segment dir name — version+op prefix for humans, UUID
+    * suffix so racing cross-process committers can never write into
+    * the same directory (the [[VersionedVectorIndex]] contract).
+    */
+  private def segName(v: Long, op: String): String =
+    f"seg-$v%08d-$op-${java.util.UUID.randomUUID().toString.take(8)}"
 
   private def writePostingsSegment(spark: SparkSession, dir: String, name: String,
                                    docs: DataFrame, nBuckets: Int): Segment = {
     val segDir = s"$dir/$name"
-    docLengths(docs)
-      .select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("t_bucket", pmod(expr(hash48("term")), lit(nBuckets.toLong)))
+    // The postings/bucketing formula is TextIndexStore's, shared — a
+    // drifting second copy would silently prune the wrong buckets.
+    TextIndexStore.postingsFrame(docs, nBuckets)
       .repartition(col("t_bucket"))
       .sortWithinPartitions("term", "doc_id")
       .write.partitionBy("t_bucket").mode("overwrite").parquet(segDir)
     val files = M.listParquet(M.fs(spark, dir), new Path(segDir))
-    val rows = spark.read.parquet(segDir).count()
+    val rows = if (files.isEmpty) 0L else spark.read.parquet(segDir).count()
     M.Segment("postings", name, files, rows)
   }
 
@@ -79,7 +78,7 @@ object VersionedTextIndex {
       .sortWithinPartitions("term", "doc_id")
       .write.partitionBy("t_bucket").mode("overwrite").parquet(segDir)
     val files = M.listParquet(M.fs(spark, dir), new Path(segDir))
-    val rows = spark.read.parquet(segDir).count()
+    val rows = if (files.isEmpty) 0L else spark.read.parquet(segDir).count()
     M.Segment("postings", name, files, rows)
   }
 
@@ -99,7 +98,7 @@ object VersionedTextIndex {
     ids.select(col("doc_id").cast("long").as("doc_id"))
       .write.mode("overwrite").parquet(segDir)
     val files = M.listParquet(M.fs(spark, dir), new Path(segDir))
-    val rows = spark.read.parquet(segDir).count()
+    val rows = if (files.isEmpty) 0L else spark.read.parquet(segDir).count()
     M.Segment("tombstones", name, files, rows)
   }
 
@@ -109,10 +108,18 @@ object VersionedTextIndex {
   def postings(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
     val snap = snapshot(spark, dir, version)
     M.readSegments(spark, dir, snap.segments, "postings", partitioned = true)
-      .getOrElse(sys.error(s"version ${snap.version} of $dir has no postings segment"))
+      .getOrElse(emptyPostings(spark))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("t_bucket").cast("long").as("t_bucket"))
   }
+
+  /** Typed empty frame for a version whose postings segments hold zero
+    * files (a fully-deleted corpus compacts to nothing).
+    */
+  private def emptyPostings(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT, t_bucket BIGINT"))
 
   /** The one-row corpus stats at `version` — committed in the SAME
     * manifest as the postings state it describes.
@@ -140,7 +147,7 @@ object VersionedTextIndex {
   def livePostings(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
     val snap = snapshot(spark, dir, version)
     val p = M.readSegments(spark, dir, snap.segments, "postings", partitioned = true)
-      .getOrElse(sys.error(s"version ${snap.version} of $dir has no postings segment"))
+      .getOrElse(emptyPostings(spark))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("t_bucket").cast("long").as("t_bucket"))
     M.readSegments(spark, dir, snap.segments, "tombstones", partitioned = false) match {
@@ -185,10 +192,10 @@ object VersionedTextIndex {
     val spark = docs.sparkSession
     val f = M.fs(spark, dir)
     f.delete(new Path(dir), true)
-    val batch = docLengths(docs)
+    val batch = TextIndexStore.docLengths(docs)
       .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).first()
-    val seg = writePostingsSegment(spark, dir, "seg-00000000-build", docs, nBuckets)
-    val stat = writeStatsSegment(spark, dir, "seg-00000000-build-stats",
+    val seg = writePostingsSegment(spark, dir, segName(0L, "build"), docs, nBuckets)
+    val stat = writeStatsSegment(spark, dir, segName(0L, "build-stats"),
       batch.getLong(0), batch.getLong(1))
     M.commit(f, dir, M.Snapshot(0L, "build", "", Seq(seg, stat),
       Map("nBuckets" -> nBuckets.toString)))
@@ -212,24 +219,34 @@ object VersionedTextIndex {
     * the batch's postings+stats ONLY if `batchId` has not been
     * committed before — Structured Streaming re-delivers the last
     * batch after a failure-recovery, and the manifest's own
-    * `lastBatchId` (carried in meta, so it moves atomically WITH the
+    * last-batch-id (carried in meta, so it moves atomically WITH the
     * data it admits) turns the replay into a version no-op. This is
     * the transactional half [[graft.streaming.Sinks]]' idempotent
     * parquet sink provides by path-keying, done instead at the commit
     * layer — no marker files, and the dedup survives compaction
     * because meta is carried forward (S22 pins replay-after-recovery
     * and stream ≡ from-scratch build).
+    *
+    * The dedup key is `(appId, batchId)` — the Delta `txn` convention —
+    * because batch ids are only monotonic WITHIN one checkpoint
+    * lineage: a query restarted with a fresh checkpoint dir restarts
+    * numbering at 0, and a bare batch-id guard would silently discard
+    * its first batches as replays. Pass a stable `appId` per streaming
+    * query (e.g. the checkpoint path or query name); distinct apps
+    * dedup independently.
     */
   def appendStreamBatch(spark: SparkSession, dir: String, newDocs: DataFrame,
-                        batchId: Long): Long = synchronized {
-    val last = snapshot(spark, dir).meta.get("lastBatchId").map(_.toLong).getOrElse(-1L)
+                        batchId: Long, appId: String = "stream"): Long = synchronized {
+    require(!appId.contains(' ') && appId.nonEmpty, "appId must be a non-empty string")
+    val key = s"lastBatchId.$appId"
+    val last = snapshot(spark, dir).meta.get(key).map(_.toLong).getOrElse(-1L)
     if (batchId <= last) currentVersion(spark, dir)
-    else appendImpl(spark, dir, newDocs, Map("lastBatchId" -> batchId.toString))
+    else appendImpl(spark, dir, newDocs, Map(key -> batchId.toString))
   }
 
   private def appendImpl(spark: SparkSession, dir: String, newDocs: DataFrame,
                          extraMeta: Map[String, String]): Long = {
-    val batch = docLengths(newDocs)
+    val batch = TextIndexStore.docLengths(newDocs)
       .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).first()
     if (batch.getLong(0) == 0L) return currentVersion(spark, dir)
     // Revival of a tombstoned doc: fold deletions physically first so
@@ -242,9 +259,9 @@ object VersionedTextIndex {
     val v = prior.version + 1
     val old = stats(spark, dir, prior.version)
       .select(col("n_docs"), col("total_dl")).first()
-    val seg = writePostingsSegment(spark, dir, f"seg-$v%08d-append", newDocs,
+    val seg = writePostingsSegment(spark, dir, segName(v, "append"), newDocs,
       prior.meta("nBuckets").toInt)
-    val stat = writeStatsSegment(spark, dir, f"seg-$v%08d-append-stats",
+    val stat = writeStatsSegment(spark, dir, segName(v, "append-stats"),
       old.getLong(0) + batch.getLong(0), old.getLong(1) + batch.getLong(1))
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "append", "",
@@ -280,8 +297,8 @@ object VersionedTextIndex {
     val v = prior.version + 1
     val old = stats(spark, dir, prior.version)
       .select(col("n_docs"), col("total_dl")).first()
-    val tomb = writeTombstoneSegment(spark, dir, f"seg-$v%08d-delete", newDead)
-    val stat = writeStatsSegment(spark, dir, f"seg-$v%08d-delete-stats",
+    val tomb = writeTombstoneSegment(spark, dir, segName(v, "delete"), newDead)
+    val stat = writeStatsSegment(spark, dir, segName(v, "delete-stats"),
       old.getLong(0) - gone.getLong(0), old.getLong(1) - gone.getLong(1))
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "delete", "",
@@ -299,7 +316,7 @@ object VersionedTextIndex {
   def compact(spark: SparkSession, dir: String): Long = synchronized {
     val prior = snapshot(spark, dir)
     val v = prior.version + 1
-    val seg = writeCompactedSegment(spark, dir, f"seg-$v%08d-compact",
+    val seg = writeCompactedSegment(spark, dir, segName(v, "compact"),
       livePostings(spark, dir, prior.version))
     val stat = prior.segments.filter(_.kind == "stats")
     M.commit(M.fs(spark, dir), dir,

@@ -57,6 +57,16 @@ object VersionedVectorIndex {
 
   // ----------------------------------------------------- segment write
 
+  /** Unique directory name for a new segment/model: version+op prefix
+    * for humans, a UUID suffix so two cross-process writers racing for
+    * the same version slot can NEVER write into the same directory —
+    * the losing committer's files are garbage for [[vacuum]], not a
+    * clobber of the winner's committed data (the manifest tmp-file
+    * pattern, applied to data dirs).
+    */
+  private def segName(v: Long, op: String): String =
+    f"seg-$v%08d-$op-${java.util.UUID.randomUUID().toString.take(8)}"
+
   /** Write `codesDf` as an immutable cid-partitioned code segment and
     * return its manifest entry. The segment is INVISIBLE until a
     * manifest referencing it commits.
@@ -70,8 +80,10 @@ object VersionedVectorIndex {
       .write.partitionBy("cid").mode("overwrite").parquet(segDir)
     val files = M.listParquet(M.fs(spark, dir), new Path(segDir))
     // Footer-level count of what actually landed (at cluster scale the
-    // write job's task metrics carry this for free).
-    val rows = spark.read.parquet(segDir).count()
+    // write job's task metrics carry this for free). An EMPTY frame
+    // writes no parquet files at all — reading the dir back would
+    // throw, and zero files means zero rows.
+    val rows = if (files.isEmpty) 0L else spark.read.parquet(segDir).count()
     M.Segment("codes", name, files, rows)
   }
 
@@ -93,7 +105,7 @@ object VersionedVectorIndex {
       .sortWithinPartitions("vec_id")
       .write.partitionBy("cid").mode("overwrite").parquet(segDir)
     val files = M.listParquet(M.fs(spark, dir), new Path(segDir))
-    val rows = spark.read.parquet(segDir).count()
+    val rows = if (files.isEmpty) 0L else spark.read.parquet(segDir).count()
     M.Segment("vectors", name, files, rows)
   }
 
@@ -103,9 +115,23 @@ object VersionedVectorIndex {
     ids.select(col("vec_id").cast("long").as("vec_id"))
       .write.mode("overwrite").parquet(segDir)
     val files = M.listParquet(M.fs(spark, dir), new Path(segDir))
-    val rows = spark.read.parquet(segDir).count()
+    val rows = if (files.isEmpty) 0L else spark.read.parquet(segDir).count()
     M.Segment("tombstones", name, files, rows)
   }
+
+  /** Typed empty frames for a version whose segments hold zero files
+    * (a fully-deleted store compacts to nothing — legitimate, not
+    * corrupt).
+    */
+  private def emptyCodes(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, cid BIGINT, codes ARRAY<BIGINT>"))
+
+  private def emptyVectors(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, cid BIGINT, embedding ARRAY<FLOAT>"))
 
   // ------------------------------------------------------------- reads
 
@@ -116,7 +142,7 @@ object VersionedVectorIndex {
   def codes(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
     val snap = snapshot(spark, dir, version)
     M.readSegments(spark, dir, snap.segments, "codes", partitioned = true)
-      .getOrElse(sys.error(s"version ${snap.version} of $dir has no code segment"))
+      .getOrElse(emptyCodes(spark))
       .select(col("vec_id"), col("cid").cast("long").as("cid"), col("codes"))
   }
 
@@ -137,7 +163,7 @@ object VersionedVectorIndex {
   def liveCodes(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
     val snap = snapshot(spark, dir, version)
     val c = M.readSegments(spark, dir, snap.segments, "codes", partitioned = true)
-      .getOrElse(sys.error(s"version ${snap.version} of $dir has no code segment"))
+      .getOrElse(emptyCodes(spark))
       .select(col("vec_id"), col("cid").cast("long").as("cid"), col("codes"))
     M.readSegments(spark, dir, snap.segments, "tombstones", partitioned = false) match {
       case Some(t) => c.join(broadcast(t), Seq("vec_id"), "left_anti")
@@ -152,7 +178,7 @@ object VersionedVectorIndex {
   def vectors(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
     val snap = snapshot(spark, dir, version)
     M.readSegments(spark, dir, snap.segments, "vectors", partitioned = true)
-      .getOrElse(sys.error(s"version ${snap.version} of $dir has no vector segment"))
+      .getOrElse(emptyVectors(spark))
       .select(col("vec_id"), col("cid").cast("long").as("cid"), col("embedding"))
   }
 
@@ -160,7 +186,7 @@ object VersionedVectorIndex {
   def liveVectors(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
     val snap = snapshot(spark, dir, version)
     val v = M.readSegments(spark, dir, snap.segments, "vectors", partitioned = true)
-      .getOrElse(sys.error(s"version ${snap.version} of $dir has no vector segment"))
+      .getOrElse(emptyVectors(spark))
       .select(col("vec_id"), col("cid").cast("long").as("cid"), col("embedding"))
     M.readSegments(spark, dir, snap.segments, "tombstones", partitioned = false) match {
       case Some(t) => v.join(broadcast(t), Seq("vec_id"), "left_anti")
@@ -202,13 +228,13 @@ object VersionedVectorIndex {
     f.delete(new Path(dir), true)
     val (coarse, books, codesDf) =
       Similarity.ivfPqArtifacts(emb, nCentroids, nSub, nCodes, iters)
-    val modelDir = "model-v00000000"
+    val modelDir = segName(0L, "model")
     coarse.write.mode("overwrite").parquet(s"$dir/$modelDir/centroids")
     books.write.mode("overwrite").parquet(s"$dir/$modelDir/codebooks")
-    val seg = writeCodeSegment(spark, dir, "seg-00000000-build", codesDf)
+    val seg = writeCodeSegment(spark, dir, segName(0L, "build"), codesDf)
     // Raw vectors, cell-partitioned under the SAME assignment the codes
     // carry (assignTo is deterministic) — map-only, one broadcast row.
-    val vseg = writeVectorSegment(spark, dir, "seg-00000000-build-vecs",
+    val vseg = writeVectorSegment(spark, dir, segName(0L, "build-vecs"),
       Similarity.assignTo(Similarity.withEmb(emb), coarse))
     M.commit(f, dir, M.Snapshot(0L, "build", modelDir, Seq(seg, vseg),
       trainParams(nCentroids, nSub, nCodes, iters)))
@@ -228,6 +254,8 @@ object VersionedVectorIndex {
     * version.
     */
   def append(spark: SparkSession, dir: String, newVecs: DataFrame): Long = synchronized {
+    // Empty batch: a no-op tick of the ingest loop, not a version.
+    if (newVecs.isEmpty) return currentVersion(spark, dir)
     // Revival of a tombstoned id must not leave two live generations:
     // fold deletions physically first (an extra committed version, the
     // same amortized rewrite VectorIndexStore.append performs).
@@ -236,13 +264,13 @@ object VersionedVectorIndex {
       compact(spark, dir)
     val prior = snapshot(spark, dir)
     val v = prior.version + 1
+    val nSub = prior.meta("nSub").toInt
     val books = codebooks(spark, dir)
-    val nSub = books.agg(max("m")).first().getAs[Number](0).intValue + 1
     val coarse = centroids(spark, dir)
     val resid = Similarity.residuals(Similarity.withEmb(newVecs), coarse)
-    val seg = writeCodeSegment(spark, dir, f"seg-$v%08d-append",
+    val seg = writeCodeSegment(spark, dir, segName(v, "append"),
       Similarity.encodeResiduals(resid, books, nSub))
-    val vseg = writeVectorSegment(spark, dir, f"seg-$v%08d-append-vecs",
+    val vseg = writeVectorSegment(spark, dir, segName(v, "append-vecs"),
       Similarity.assignTo(Similarity.withEmb(newVecs), coarse))
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "append", prior.modelDir, prior.segments :+ seg :+ vseg,
@@ -251,12 +279,19 @@ object VersionedVectorIndex {
   }
 
   /** Tombstone-delete `ids`: one new tombstone segment, no code file
-    * touched. Returns the committed version.
+    * touched. Ids already tombstoned are excluded (the
+    * [[VersionedTextIndex.delete]] idempotence contract — a replayed
+    * takedown batch must not commit a version or inflate the history's
+    * tombstone counts). Returns the committed version (unchanged when
+    * nothing new dies).
     */
   def delete(spark: SparkSession, dir: String, ids: DataFrame): Long = synchronized {
     val prior = snapshot(spark, dir)
+    val newDead = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .join(tombstones(spark, dir, prior.version), Seq("vec_id"), "left_anti")
+    if (newDead.isEmpty) return prior.version
     val v = prior.version + 1
-    val seg = writeTombstoneSegment(spark, dir, f"seg-$v%08d-delete", ids)
+    val seg = writeTombstoneSegment(spark, dir, segName(v, "delete"), newDead)
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "delete", prior.modelDir, prior.segments :+ seg, prior.meta))
     v
@@ -273,9 +308,9 @@ object VersionedVectorIndex {
   def compact(spark: SparkSession, dir: String): Long = synchronized {
     val prior = snapshot(spark, dir)
     val v = prior.version + 1
-    val seg = writeCodeSegment(spark, dir, f"seg-$v%08d-compact",
+    val seg = writeCodeSegment(spark, dir, segName(v, "compact"),
       liveCodes(spark, dir, prior.version))
-    val vseg = writeVectorSegment(spark, dir, f"seg-$v%08d-compact-vecs",
+    val vseg = writeVectorSegment(spark, dir, segName(v, "compact-vecs"),
       liveVectors(spark, dir, prior.version))
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "compact", prior.modelDir, Seq(seg, vseg), prior.meta))
@@ -303,13 +338,13 @@ object VersionedVectorIndex {
       .select(col("vec_id"), col("embedding"))
     val (coarse, books, codesDf) = Similarity.ivfPqArtifacts(vecs,
       p("nCentroids").toInt, p("nSub").toInt, p("nCodes").toInt, p("iters").toInt)
-    val modelDir = f"model-v$v%08d"
+    val modelDir = segName(v, "model")
     coarse.write.mode("overwrite").parquet(s"$dir/$modelDir/centroids")
     books.write.mode("overwrite").parquet(s"$dir/$modelDir/codebooks")
-    val seg = writeCodeSegment(spark, dir, f"seg-$v%08d-reindex", codesDf)
+    val seg = writeCodeSegment(spark, dir, segName(v, "reindex"), codesDf)
     // The new model reshapes the cells, so the vector copy re-partitions
     // under the NEW assignment (old segments stay for time travel).
-    val vseg = writeVectorSegment(spark, dir, f"seg-$v%08d-reindex-vecs",
+    val vseg = writeVectorSegment(spark, dir, segName(v, "reindex-vecs"),
       Similarity.assignTo(Similarity.withEmb(vecs), coarse))
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "reindex", modelDir, Seq(seg, vseg), prior.meta))

@@ -91,9 +91,10 @@ object StreamingAnnServe {
     val spark = queries.sparkSession
     val V = graft.sources.VersionedVectorIndex
     val snap = V.snapshot(spark, dir, version)
+    // nSub from the snapshot's own recorded parameters — no per-batch
+    // aggregation job, and it can never disagree with the pinned model.
+    val nSub = snap.meta("nSub").toInt
     val books = V.codebooks(spark, dir, snap.version)
-    val nSub = books.agg(org.apache.spark.sql.functions.max("m"))
-      .first().getAs[Number](0).intValue + 1
     scoreBatch(queries, V.centroids(spark, dir, snap.version), books,
       V.liveCodes(spark, dir, snap.version).filter(col("vec_id") >= corpusFrom),
       nSub, k, nProbe)

@@ -1342,7 +1342,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       src.addData(half2: _*); q.processAllAvailable()
     } finally q.stop()
     val vAfterStream = V.currentVersion(spark, dir)
-    val lastBatch = V.snapshot(spark, dir).meta("lastBatchId").toLong
+    val lastBatch = V.snapshot(spark, dir).meta("lastBatchId.stream").toLong
     // Failure-recovery drill: Structured Streaming re-runs the LAST
     // batch. The replay must not commit, not double-count a posting,
     // not advance the stats.

@@ -144,14 +144,17 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       V.centroids(spark, d), V.codebooks(spark, d),
       V.liveCodes(spark, d).filter(col("vec_id") >= nQ),
       nSub, k, nProbe).collect().toSeq
+    val buildSeg = V.snapshot(spark, d, 0L).segments
+      .find(_.kind == "codes").get.dir
+    val modelDir = V.snapshot(spark, d, 0L).modelDir
     V.vacuum(spark, d, retain = 1)
     intercept[IllegalArgumentException] { V.snapshot(spark, d, 0L) }
     intercept[IllegalArgumentException] { V.snapshot(spark, d, 2L) }
     val f = new org.apache.hadoop.fs.Path(d)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$d/seg-00000000-build")),
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$d/$buildSeg")),
       "the build segment is unreferenced by the retained compact version and must be reclaimed")
-    assert(f.exists(new org.apache.hadoop.fs.Path(s"$d/model-v00000000")),
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$d/$modelDir")),
       "the model is still referenced by the retained version and must survive")
     val after = Similarity.ivfPqSearchFrames(queries,
       V.centroids(spark, d), V.codebooks(spark, d),
@@ -211,6 +214,20 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(input_file_name()).distinct().count()
     assert(oneCell < allFiles,
       s"a one-cell vector read must touch fewer float files ($oneCell vs $allFiles)")
+  }
+
+  test("replayed delete batches are version no-ops: no junk version, no inflated tombstone counts") {
+    val d = freshLifecycle()
+    // freshLifecycle ends compacted (tombstones folded); delete the
+    // residue ONCE more to re-establish tombstones, then replay it.
+    val moreDead = emb.select(col("vec_id"))
+      .filter(col("vec_id") % 11 === 5 && col("vec_id") >= nQ)
+    val v1 = V.delete(spark, d, moreDead)
+    val tombAfterFirst = V.tombstones(spark, d).count()
+    val v2 = V.delete(spark, d, moreDead)
+    assert(v2 == v1, "a fully-replayed delete must not commit a version")
+    assert(V.tombstones(spark, d).count() == tombAfterFirst,
+      "a replay must not inflate the tombstone set")
   }
 
   test("restore rolls the live state back as a new commit: zero data movement, target reproduced exactly, mistake still inspectable") {
