@@ -216,6 +216,59 @@ object SparkEntry {
     */
   private val TextDeleteMod = 9L
   private val TextDeleteRes = 4L
+  /** Q111: upserted documents — residue `TextUpsertRes` mod
+    * `TextUpsertMod`, text patched with a fixed suffix. The set crosses
+    * the append boundary AND the delete residue, so the one atomic
+    * upsert commit exercises replacement of live docs and revival of
+    * tombstoned ones together.
+    */
+  private val TextUpsertMod = 5L
+  private val TextUpsertRes = 1L
+  private val TextUpsertSuffix = " spark spark window"
+  private def textPatchDocs(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "documents")
+      .filter(col("doc_id") % TextUpsertMod === TextUpsertRes)
+      .withColumn("text", expr(s"concat(text, '$TextUpsertSuffix')"))
+  /** The versioned lexical index taken one step further for `d`: the
+    * q109 lifecycle plus a v4 atomic UPSERT, idempotent per JVM.
+    */
+  private def ensureUpsertedTextIndex(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_ups_${new java.io.File(d).getName}"
+    val docs = Tables.table(s, d, "documents")
+    graft.sources.VersionedTextIndex.lifecycleUpsertedOnce(s, dir,
+      docs.filter(col("doc_id") < TextAppendSplit),
+      docs.filter(col("doc_id") >= TextAppendSplit),
+      textDeleteIds(s, d), textPatchDocs(s, d), TextIndexBuckets)
+    dir
+  }
+  /** Q111d: upserted (re-embedded) vector ids — residue `AnnUpsertRes`
+    * mod `AnnUpsertMod` among APPENDED ids only (vec_id ≥ the append
+    * split), so the DuckDB mirror's k-means/PQ training set stays
+    * byte-identical to the stored model's. The patch is a reversal of
+    * the embedding — deterministic, norm-preserving, and cheap to
+    * restate in SQL.
+    */
+  private val AnnUpsertMod = 5L
+  private val AnnUpsertRes = 2L
+  private def annPatchVecs(s: SparkSession, d: String): DataFrame =
+    Tables.table(s, d, "embeddings")
+      .filter(col("vec_id") >= AnnAppendSplit &&
+        col("vec_id") % AnnUpsertMod === AnnUpsertRes)
+      .withColumn("embedding", expr("reverse(embedding)"))
+  /** The versioned ANN store taken one step further for `d`: the q107
+    * lifecycle plus a v4 atomic UPSERT against the stored model,
+    * idempotent per JVM.
+    */
+  private def ensureUpsertedAnnStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_annstore_ups_${new java.io.File(d).getName}"
+    val emb = Tables.table(s, d, "embeddings")
+    graft.sources.VersionedVectorIndex.lifecycleUpsertedOnce(s, dir,
+      emb.filter(col("vec_id") < AnnAppendSplit),
+      emb.filter(col("vec_id") >= AnnAppendSplit),
+      annDeleteIds(s, d), annPatchVecs(s, d),
+      NumCentroids, PqSub, PqCodes, KmeansIters)
+    dir
+  }
   private def textDeleteIds(s: SparkSession, d: String): DataFrame =
     Tables.table(s, d, "documents").select(col("doc_id"))
       .filter(col("doc_id") % TextDeleteMod === TextDeleteRes)
@@ -470,7 +523,8 @@ object SparkEntry {
     * The default TRUE keeps every pre-q90 oracle byte-identical in
     * effect (et = e).
     */
-  private def kmeansRoundsCte(iters: Int, trainPred: String = "TRUE"): String = {
+  private def kmeansRoundsCte(iters: Int, trainPred: String = "TRUE",
+                              embExpr: String = "CAST(embedding AS DOUBLE[])"): String = {
     val rounds = (1 to iters).map { r =>
       s"""s$r AS (SELECT e.vec_id, c.cid,
                 ${roundSql(cosSql("e.emb", "c.cemb"), 6)} AS sim
@@ -487,7 +541,7 @@ object SparkEntry {
                 FROM u$r GROUP BY cid, dim),
           c$r AS (SELECT cid, list(mean_val ORDER BY dim) AS cemb FROM m$r GROUP BY cid)"""
     }.mkString(",\n          ")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, $embExpr AS emb FROM embeddings),
         et AS (SELECT * FROM e WHERE $trainPred),
         c0 AS (SELECT vec_id AS cid, emb AS cemb FROM et WHERE vec_id < $NumCentroids),
         $rounds"""
@@ -533,10 +587,11 @@ object SparkEntry {
     * codes, per-probed-cell query LUTs, and the rounded ADC scores
     * (`sc2` (qid, vec_id, adc)) restricted to probed cells.
     */
-  private def ivfPqCtesFor(trainPred: String): String = {
+  private def ivfPqCtesFor(trainPred: String,
+                           embExpr: String = "CAST(embedding AS DOUBLE[])"): String = {
     val sub = 64 / PqSub
     val n = KmeansIters
-    s"""${kmeansRoundsCte(n, trainPred)},
+    s"""${kmeansRoundsCte(n, trainPred, embExpr)},
           sf AS (SELECT e.vec_id, c.cid,
                    ${roundSql(cosSql("e.emb", "c.cemb"), 6)} AS sim
                  FROM e CROSS JOIN c$n c),
@@ -652,6 +707,47 @@ object SparkEntry {
                CAST(score_micros AS DOUBLE) / 1e6 AS score
         FROM bsc WHERE score_micros > 0
         ORDER BY score_micros DESC, doc_id LIMIT $Bm25K"""
+
+  /** Q111: the q86 chain over the PATCHED live corpus — every mod-5
+    * doc's text carries the upsert suffix (dl, tf, df, avgdl all
+    * follow), and the live set is (not deleted) OR upserted (the
+    * upsert revives the deleted docs it touches).
+    */
+  private lazy val q111OracleSql: String = {
+    val patched =
+      s"""(SELECT doc_id,
+             CASE WHEN doc_id % $TextUpsertMod = $TextUpsertRes
+                  THEN text || '$TextUpsertSuffix' ELSE text END AS text
+           FROM documents) pdocs"""
+    s"""WITH ${bm25CteFor(Bm25Terms, "b",
+        s"doc_id % $TextDeleteMod <> $TextDeleteRes OR doc_id % $TextUpsertMod = $TextUpsertRes",
+        patched)}
+        SELECT doc_id, dl, score_micros,
+               CAST(score_micros AS DOUBLE) / 1e6 AS score
+        FROM bsc WHERE score_micros > 0
+        ORDER BY score_micros DESC, doc_id LIMIT $Bm25K"""
+  }
+
+  /** Q111d: the q107c chain with the encode-side embeddings PATCHED
+    * for the upserted ids (training stays on the original base — the
+    * upsert set lives entirely above the append split) and the
+    * candidate set widened by the revived ids: live = (not deleted)
+    * OR upserted.
+    */
+  private lazy val q111dOracleSql: String = {
+    val upsPred =
+      s"vec_id >= $AnnAppendSplit AND vec_id % $AnnUpsertMod = $AnnUpsertRes"
+    val patchedEmb =
+      s"""CASE WHEN $upsPred THEN list_reverse(CAST(embedding AS DOUBLE[]))
+               ELSE CAST(embedding AS DOUBLE[]) END"""
+    s"""WITH ${ivfPqCtesFor(s"vec_id < $AnnAppendSplit", patchedEmb)},
+        rk2 AS (SELECT qid, vec_id, adc, row_number() OVER
+                  (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+                FROM sc2
+                WHERE vec_id % $AnnDeleteMod <> $AnnDeleteRes OR ($upsPred))
+        SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
+        FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk"""
+  }
 
   /** Q85's oracle, shared verbatim by q89c (stored-index ADC search). */
   private lazy val q85OracleSql: String =
@@ -811,14 +907,15 @@ object SparkEntry {
     * default prefix "b" keeps every existing consumer's names.
     */
   private def bm25CteFor(termSeq: Seq[String], p: String,
-                         docPred: String = "TRUE"): String = {
+                         docPred: String = "TRUE",
+                         docsFrom: String = "documents"): String = {
     val terms = termSeq.zipWithIndex
       .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
     val k1 = graft.operators.TextAnalysis.Bm25K1
     val b = graft.operators.TextAnalysis.Bm25B
     s"""${p}d AS (SELECT doc_id, string_split(text, ' ') AS ws,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-                FROM documents WHERE $docPred),
+                FROM $docsFrom WHERE $docPred),
           ${p}t AS (SELECT * FROM (VALUES $terms) AS t(i, term)),
           ${p}stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                       CAST(sum(dl) AS BIGINT) AS total_dl FROM ${p}d),
@@ -1501,6 +1598,38 @@ object SparkEntry {
         Similarity.withEmb(Tables.table(s, d, "embeddings"))
           .filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("emb")),
         BatchQueries.toLong)),
+    "q111_upserted_bm25" -> ((s, d) =>
+      // BM25 over the UPSERTED corpus: v4 replaced every mod-5 doc's
+      // text (and revived the deleted ones among them) in ONE commit —
+      // postings, version-scoped tombstones, and stats moved together,
+      // so the ranking equals a from-scratch index over the patched
+      // live corpus with no delete-then-append window in the lineage.
+      graft.sources.VersionedTextIndex.bm25(s,
+        ensureUpsertedTextIndex(s, d), Bm25Terms, Bm25K)),
+    "q111b_upsert_time_travel" -> ((s, d) =>
+      // A reader pinned to v3 (pre-upsert compact) is untouched by the
+      // upsert — q101's oracle verbatim, served from files the upsert
+      // never rewrote.
+      graft.sources.VersionedTextIndex.bm25(s,
+        ensureUpsertedTextIndex(s, d), Bm25Terms, Bm25K, version = 3L)),
+    "q111c_upsert_history" -> ((s, d) =>
+      // The upserted lexical commit log, from manifests alone — v4
+      // shows the carried-forward live postings plus the patch's new
+      // generation, and one tombstone per upserted id.
+      graft.sources.VersionedTextIndex.history(s, ensureUpsertedTextIndex(s, d))),
+    "q111d_upserted_ann_search" -> ((s, d) => {
+      // ANN serving after an atomic vector upsert: mod-5 appended ids
+      // were re-embedded (reversed) and re-encoded against the STORED
+      // model in one commit — search sees old codes for untouched ids,
+      // new codes for upserted ones, revived deleted ids, and never a
+      // half-swapped state.
+      val dir = ensureUpsertedAnnStore(s, d)
+      val V = graft.sources.VersionedVectorIndex
+      Similarity.ivfPqSearchFrames(annQueryBatch(s, d),
+        V.centroids(s, dir), V.codebooks(s, dir),
+        V.liveCodes(s, dir).filter(col("vec_id") >= BatchQueries),
+        PqSub, BatchTopK, IvfPqProbes)
+    }),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
         Bm25Terms, Bm25K, RrfK, TextIndexBuckets, PqSub, IvfPqProbes,
@@ -3339,6 +3468,43 @@ object SparkEntry {
             UNION ALL SELECT CAST(2 AS BIGINT), 'delete', all_n, del_n FROM n
             UNION ALL SELECT CAST(3 AS BIGINT), 'compact', live_n, CAST(0 AS BIGINT) FROM n)
           ORDER BY version""",
+    // Q111: upserted-corpus BM25 — the patched live corpus, restated.
+    "q111_upserted_bm25" -> q111OracleSql,
+    // Q111b: a v3 pin is untouched by the v4 upsert (q101 verbatim).
+    "q111b_upsert_time_travel" -> q101OracleSql,
+    // Q111c: the upserted lexical commit log — the q109c closed form
+    // plus a v4 row: carried-forward live pairs + the patched docs'
+    // pairs (suffix included), one tombstone per upserted id.
+    "q111c_upsert_history" ->
+      s"""WITH pairs AS (SELECT DISTINCT doc_id, w FROM
+                           (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                            FROM documents)),
+          upairs AS (SELECT DISTINCT doc_id, w FROM
+                       (SELECT doc_id,
+                          unnest(string_split(text || '$TextUpsertSuffix', ' ')) AS w
+                        FROM documents
+                        WHERE doc_id % $TextUpsertMod = $TextUpsertRes)),
+          n AS (SELECT
+                  CAST((SELECT count(*) FROM pairs
+                        WHERE doc_id < $TextAppendSplit) AS BIGINT) AS base_n,
+                  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS all_n,
+                  CAST((SELECT count(*) FROM pairs
+                        WHERE doc_id % $TextDeleteMod <> $TextDeleteRes) AS BIGINT) AS live_n,
+                  CAST((SELECT count(*) FROM documents
+                        WHERE doc_id % $TextDeleteMod = $TextDeleteRes) AS BIGINT) AS del_n,
+                  CAST((SELECT count(*) FROM upairs) AS BIGINT) AS up_pairs,
+                  CAST((SELECT count(*) FROM documents
+                        WHERE doc_id % $TextUpsertMod = $TextUpsertRes) AS BIGINT) AS up_n)
+          SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS version, 'build' AS op,
+                   base_n AS postings_rows, CAST(0 AS BIGINT) AS tombstone_rows FROM n
+            UNION ALL SELECT CAST(1 AS BIGINT), 'append', all_n, CAST(0 AS BIGINT) FROM n
+            UNION ALL SELECT CAST(2 AS BIGINT), 'delete', all_n, del_n FROM n
+            UNION ALL SELECT CAST(3 AS BIGINT), 'compact', live_n, CAST(0 AS BIGINT) FROM n
+            UNION ALL SELECT CAST(4 AS BIGINT), 'upsert', live_n + up_pairs, up_n FROM n)
+          ORDER BY version""",
+    // Q111d: ANN search over the atomically re-embedded store.
+    "q111d_upserted_ann_search" -> q111dOracleSql,
     // Q90c: per-cell occupancy of the appended store (base vs appended
     // split) — the assignment chain's af, counted.
     "q90c_index_stats" ->

@@ -191,6 +191,40 @@ object ManifestLog {
     frames.reduceOption(_ unionByName _)
   }
 
+  /** The version that created `seg`, parsed from the stores' shared
+    * `seg-VVVVVVVV-…` naming contract — the generation axis scoped
+    * tombstones compare against. The manifest needs no extra field:
+    * segment names are immutable, carried forward verbatim across
+    * later commits (append/compact/restore all re-reference them), so
+    * the stamp can never drift from the data it describes.
+    */
+  def createdVersion(seg: Segment): Long = {
+    require(seg.dir.length >= 12 && seg.dir.startsWith("seg-") &&
+      seg.dir.substring(4, 12).forall(_.isDigit),
+      s"segment dir carries no version stamp: ${seg.dir}")
+    seg.dir.substring(4, 12).toLong
+  }
+
+  /** [[readSegments]] with every row stamped (column `vCol`) with its
+    * segment's CREATING version — the input to generation-scoped
+    * tombstone joins (a tombstone kills only rows born strictly before
+    * it, so a commit can tombstone an id's old generation and publish
+    * its replacement in the same manifest). The literal column costs
+    * nothing at scan time and does not disturb pushdown.
+    */
+  def readSegmentsScoped(spark: SparkSession, dir: String, segs: Seq[Segment],
+                         kind: String, partitioned: Boolean,
+                         vCol: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    val frames = segs.filter(s => s.kind == kind && s.files.nonEmpty).map { s =>
+      val segDir = s"$dir/${s.dir}"
+      val paths = s.files.map(f => s"$segDir/$f")
+      val r = if (partitioned) spark.read.option("basePath", segDir) else spark.read
+      r.parquet(paths: _*).withColumn(vCol, lit(createdVersion(s)))
+    }
+    frames.reduceOption(_ unionByName _)
+  }
+
   /** Commit a NEW version that re-publishes `toVersion`'s exact state
     * (segments, model, meta) under `op` "restore" — the undo button.
     * Nothing is copied or rewritten: the restored version is one more

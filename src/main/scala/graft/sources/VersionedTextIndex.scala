@@ -22,8 +22,10 @@ import graft.sources.{ManifestLog => M}
   * t_bucket — the serving layout; a query's terms prune every other
   * bucket at file level within each segment), `stats` (ONE row
   * (n_docs, total_dl); exactly one stats segment referenced per
-  * version), `tombstones` (deleted doc_ids). meta records nBuckets —
-  * the store is self-describing, appends cannot mis-bucket.
+  * version), `tombstones` (deleted doc_ids, VERSION-SCOPED: a
+  * tombstone retires only generations committed before it, which is
+  * what makes the single-commit [[upsert]] sound). meta records
+  * nBuckets — the store is self-describing, appends cannot mis-bucket.
   *
   * Compaction is ADD-only (the [[VersionedVectorIndex.compact]]
   * contract) and — because stats were already adjusted at delete time —
@@ -140,19 +142,32 @@ object VersionedTextIndex {
       }
   }
 
-  /** Serving view at `version`: postings minus tombstoned docs. Bucket
-    * and term pruning stay effective — filters push below the anti-join
-    * (the [[TextIndexStore.livePostings]] contract).
+  /** Serving view at `version`: postings minus tombstoned GENERATIONS.
+    * Tombstones are version-scoped ([[ManifestLog.createdVersion]]): a
+    * tombstone kills only postings born strictly BEFORE it, which is
+    * what lets [[upsert]] retire an id's old generation and publish its
+    * replacement in ONE commit — the same-commit postings outlive the
+    * same-commit tombstone. For plain deletes (tombstone postdating
+    * every generation) this reduces exactly to the unscoped anti-join.
+    * Bucket and term pruning stay effective — filters push below the
+    * anti-join (the [[TextIndexStore.livePostings]] contract).
     */
   def livePostings(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
     val snap = snapshot(spark, dir, version)
-    val p = M.readSegments(spark, dir, snap.segments, "postings", partitioned = true)
-      .getOrElse(emptyPostings(spark))
+    val p = M.readSegmentsScoped(spark, dir, snap.segments, "postings",
+        partitioned = true, "seg_v")
+      .getOrElse(emptyPostings(spark).withColumn("seg_v", lit(0L)))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        col("t_bucket").cast("long").as("t_bucket"))
-    M.readSegments(spark, dir, snap.segments, "tombstones", partitioned = false) match {
-      case Some(t) => p.join(broadcast(t), Seq("doc_id"), "left_anti")
-      case None => p
+        col("t_bucket").cast("long").as("t_bucket"), col("seg_v"))
+    M.readSegmentsScoped(spark, dir, snap.segments, "tombstones",
+        partitioned = false, "tomb_v") match {
+      case Some(t) =>
+        val tt = t.select(col("doc_id").as("t_doc_id"), col("tomb_v"))
+        p.join(broadcast(tt),
+            p("doc_id") === tt("t_doc_id") && tt("tomb_v") > p("seg_v"),
+            "left_anti")
+          .drop("seg_v")
+      case None => p.drop("seg_v")
     }
   }
 
@@ -270,6 +285,69 @@ object VersionedTextIndex {
     v
   }
 
+  /** Atomic replace-or-insert: ONE commit carries (a) a tombstone
+    * segment for every batch id — version-scoped, so it retires only
+    * generations OLDER than this commit, (b) the batch's new postings,
+    * and (c) the net stats move (retreat by the replaced live docs'
+    * exact counts, advance by the batch's). A reader pinned to the
+    * prior version sees the old corpus; a reader of this version sees
+    * every batch doc replaced — never a state where a doc is deleted
+    * but its replacement not yet visible (the two-commit
+    * delete-then-append window, closed). Re-upserting a tombstoned doc
+    * revives it, no physical fold needed: the old tombstone predates
+    * the new generation so the scoped read keeps it. Returns the
+    * committed version (unchanged for an empty batch).
+    */
+  def upsert(spark: SparkSession, dir: String, docs: DataFrame): Long = synchronized {
+    upsertImpl(spark, dir, docs, Map.empty)
+  }
+
+  /** Exactly-once streaming upsert — [[appendStreamBatch]]'s
+    * `(appId, batchId)` replay guard over [[upsert]]: a re-delivered
+    * microbatch is a version no-op.
+    */
+  def upsertStreamBatch(spark: SparkSession, dir: String, docs: DataFrame,
+                        batchId: Long, appId: String = "stream"): Long = synchronized {
+    require(!appId.contains(' ') && appId.nonEmpty, "appId must be a non-empty string")
+    val key = s"lastBatchId.$appId"
+    val last = snapshot(spark, dir).meta.get(key).map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) currentVersion(spark, dir)
+    else upsertImpl(spark, dir, docs, Map(key -> batchId.toString))
+  }
+
+  private def upsertImpl(spark: SparkSession, dir: String, docs: DataFrame,
+                         extraMeta: Map[String, String]): Long = {
+    val batch = TextIndexStore.docLengths(docs)
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).first()
+    if (batch.getLong(0) == 0L) return currentVersion(spark, dir)
+    val ids = docs.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    require(ids.count() == batch.getLong(0),
+      "upsert batch carries duplicate doc_ids — two same-commit " +
+        "generations of one doc would both survive the scoped tombstone")
+    val prior = snapshot(spark, dir)
+    val v = prior.version + 1
+    // The batch ids' currently-live generation (if any) dies in this
+    // commit: its exact (count, Σdl) retreats from the stats the same
+    // manifest advances by the batch's own counts.
+    val replaced = livePostings(spark, dir, prior.version)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).first()
+    val old = stats(spark, dir, prior.version)
+      .select(col("n_docs"), col("total_dl")).first()
+    val tomb = writeTombstoneSegment(spark, dir, segName(v, "upsert-tomb"), ids)
+    val seg = writePostingsSegment(spark, dir, segName(v, "upsert"), docs,
+      prior.meta("nBuckets").toInt)
+    val stat = writeStatsSegment(spark, dir, segName(v, "upsert-stats"),
+      old.getLong(0) - replaced.getLong(0) + batch.getLong(0),
+      old.getLong(1) - replaced.getLong(1) + batch.getLong(1))
+    M.commit(M.fs(spark, dir), dir,
+      M.Snapshot(v, "upsert", "",
+        prior.segments.filter(_.kind != "stats") :+ tomb :+ seg :+ stat,
+        prior.meta ++ extraMeta))
+    v
+  }
+
   /** Roll back to `toVersion` as a new commit ([[ManifestLog.restore]]):
     * one manifest, zero data movement.
     */
@@ -286,12 +364,16 @@ object VersionedTextIndex {
     */
   def delete(spark: SparkSession, dir: String, docIds: DataFrame): Long = synchronized {
     val prior = snapshot(spark, dir)
-    val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
-    val newDead = ids.join(tombstones(spark, dir, prior.version),
-      Seq("doc_id"), "left_anti")
-    val gone = postings(spark, dir, prior.version)
-      .join(broadcast(newDead), "doc_id")
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    // "New dead" = batch ids with a LIVE generation — not "ids with no
+    // tombstone": an upsert-revived doc carries an old tombstone yet is
+    // live, and must die again here. Liveness is the one test that is
+    // correct under both plain deletes and upsert generations.
+    val dying = livePostings(spark, dir, prior.version)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("dl")).distinct()
+    val newDead = dying.select("doc_id")
+    val gone = dying
       .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s")).first()
     if (gone.getLong(0) == 0L) return prior.version
     val v = prior.version + 1
@@ -343,6 +425,25 @@ object VersionedTextIndex {
       append(spark, dir, newDocs)
       delete(spark, dir, delIds)
       compact(spark, dir)
+      lifecycled += key
+    }
+  }
+
+  /** The q111 lifecycle — the q109 lifecycle (v0..v3) plus a v4
+    * UPSERT of `patchDocs` (replacements for live docs AND revivals of
+    * deleted ones, one atomic commit) — once per (dir, nBuckets) per
+    * JVM.
+    */
+  def lifecycleUpsertedOnce(spark: SparkSession, dir: String, baseDocs: DataFrame,
+                            newDocs: DataFrame, delIds: DataFrame,
+                            patchDocs: DataFrame, nBuckets: Int): Unit = synchronized {
+    val key = (dir, nBuckets)
+    if (!lifecycled.contains(key)) {
+      build(baseDocs, dir, nBuckets)
+      append(spark, dir, newDocs)
+      delete(spark, dir, delIds)
+      compact(spark, dir)
+      upsert(spark, dir, patchDocs)
       lifecycled += key
     }
   }

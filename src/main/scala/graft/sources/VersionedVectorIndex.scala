@@ -162,14 +162,32 @@ object VersionedVectorIndex {
     */
   def liveCodes(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
     val snap = snapshot(spark, dir, version)
-    val c = M.readSegments(spark, dir, snap.segments, "codes", partitioned = true)
-      .getOrElse(emptyCodes(spark))
-      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("codes"))
-    M.readSegments(spark, dir, snap.segments, "tombstones", partitioned = false) match {
-      case Some(t) => c.join(broadcast(t), Seq("vec_id"), "left_anti")
-      case None => c
-    }
+    val c = M.readSegmentsScoped(spark, dir, snap.segments, "codes",
+        partitioned = true, "seg_v")
+      .getOrElse(emptyCodes(spark).withColumn("seg_v", lit(0L)))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("codes"),
+        col("seg_v"))
+    antiTombstoned(spark, dir, snap, c)
   }
+
+  /** Generation-scoped tombstone filter shared by [[liveCodes]] and
+    * [[liveVectors]]: a tombstone kills only rows born strictly BEFORE
+    * it ([[ManifestLog.createdVersion]]), so [[upsert]]'s same-commit
+    * replacement rows outlive its same-commit tombstone. For plain
+    * deletes this reduces exactly to the unscoped anti-join.
+    */
+  private def antiTombstoned(spark: SparkSession, dir: String,
+                             snap: Snapshot, rows: DataFrame): DataFrame =
+    M.readSegmentsScoped(spark, dir, snap.segments, "tombstones",
+        partitioned = false, "tomb_v") match {
+      case Some(t) =>
+        val tt = t.select(col("vec_id").as("t_vec_id"), col("tomb_v"))
+        rows.join(broadcast(tt),
+            rows("vec_id") === tt("t_vec_id") && tt("tomb_v") > rows("seg_v"),
+            "left_anti")
+          .drop("seg_v")
+      case None => rows.drop("seg_v")
+    }
 
   /** The raw-vector table at `version`: (vec_id, cid, embedding) —
     * cell-partitioned float vectors owned by the store (see
@@ -182,16 +200,17 @@ object VersionedVectorIndex {
       .select(col("vec_id"), col("cid").cast("long").as("cid"), col("embedding"))
   }
 
-  /** Serving view of the raw vectors: minus tombstoned ids. */
+  /** Serving view of the raw vectors: minus tombstoned generations
+    * (same scoped rule as [[liveCodes]]).
+    */
   def liveVectors(spark: SparkSession, dir: String, version: Long = Latest): DataFrame = {
     val snap = snapshot(spark, dir, version)
-    val v = M.readSegments(spark, dir, snap.segments, "vectors", partitioned = true)
-      .getOrElse(emptyVectors(spark))
-      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("embedding"))
-    M.readSegments(spark, dir, snap.segments, "tombstones", partitioned = false) match {
-      case Some(t) => v.join(broadcast(t), Seq("vec_id"), "left_anti")
-      case None => v
-    }
+    val v = M.readSegmentsScoped(spark, dir, snap.segments, "vectors",
+        partitioned = true, "seg_v")
+      .getOrElse(emptyVectors(spark).withColumn("seg_v", lit(0L)))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("embedding"),
+        col("seg_v"))
+    antiTombstoned(spark, dir, snap, v)
   }
 
   /** The version's coarse quantizer (cid, cemb). */
@@ -278,6 +297,39 @@ object VersionedVectorIndex {
     v
   }
 
+  /** Atomic replace-or-insert against the STORED model: ONE commit
+    * carries a version-scoped tombstone for every batch id (retiring
+    * only generations OLDER than this commit) plus the batch's new
+    * code and vector segments — so re-embedding a document (model
+    * refresh, content edit) swaps its vector with no window where the
+    * id is deleted but its replacement not yet searchable, and no
+    * physical rewrite of any existing file. Re-upserting a tombstoned
+    * id revives it (its new generation postdates the old tombstone).
+    * Returns the committed version (unchanged for an empty batch).
+    */
+  def upsert(spark: SparkSession, dir: String, newVecs: DataFrame): Long = synchronized {
+    if (newVecs.isEmpty) return currentVersion(spark, dir)
+    val prior = snapshot(spark, dir)
+    val v = prior.version + 1
+    val ids = newVecs.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    require(ids.count() == newVecs.count(),
+      "upsert batch carries duplicate vec_ids — two same-commit " +
+        "generations of one id would both survive the scoped tombstone")
+    val nSub = prior.meta("nSub").toInt
+    val books = codebooks(spark, dir)
+    val coarse = centroids(spark, dir)
+    val resid = Similarity.residuals(Similarity.withEmb(newVecs), coarse)
+    val tomb = writeTombstoneSegment(spark, dir, segName(v, "upsert-tomb"), ids)
+    val seg = writeCodeSegment(spark, dir, segName(v, "upsert"),
+      Similarity.encodeResiduals(resid, books, nSub))
+    val vseg = writeVectorSegment(spark, dir, segName(v, "upsert-vecs"),
+      Similarity.assignTo(Similarity.withEmb(newVecs), coarse))
+    M.commit(M.fs(spark, dir), dir,
+      M.Snapshot(v, "upsert", prior.modelDir,
+        prior.segments :+ tomb :+ seg :+ vseg, prior.meta))
+    v
+  }
+
   /** Tombstone-delete `ids`: one new tombstone segment, no code file
     * touched. Ids already tombstoned are excluded (the
     * [[VersionedTextIndex.delete]] idempotence contract — a replayed
@@ -287,8 +339,13 @@ object VersionedVectorIndex {
     */
   def delete(spark: SparkSession, dir: String, ids: DataFrame): Long = synchronized {
     val prior = snapshot(spark, dir)
+    // "New dead" = batch ids with a LIVE generation — not "ids with no
+    // tombstone": an upsert-revived id carries an old tombstone yet is
+    // live, and must die again here (the [[VersionedTextIndex.delete]]
+    // liveness rule).
     val newDead = ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .join(tombstones(spark, dir, prior.version), Seq("vec_id"), "left_anti")
+      .join(liveCodes(spark, dir, prior.version).select("vec_id"),
+        Seq("vec_id"), "left_semi")
     if (newDead.isEmpty) return prior.version
     val v = prior.version + 1
     val seg = writeTombstoneSegment(spark, dir, segName(v, "delete"), newDead)
@@ -407,6 +464,27 @@ object VersionedVectorIndex {
     }
   }
 
+  /** The q111d lifecycle — q107's four versions plus a v4 [[upsert]]
+    * of `patchVecs` (re-embedded replacements for live ids AND
+    * revivals of deleted ones, one atomic commit) — once per
+    * (dir, params) per JVM.
+    */
+  def lifecycleUpsertedOnce(spark: SparkSession, dir: String, baseEmb: DataFrame,
+                            newEmb: DataFrame, delIds: DataFrame,
+                            patchVecs: DataFrame, nCentroids: Int,
+                            nSub: Int, nCodes: Int, iters: Int): Unit = synchronized {
+    val key = (dir, nCentroids, nSub, nCodes, iters)
+    if (!upserted.contains(key)) {
+      build(baseEmb, dir, nCentroids, nSub, nCodes, iters)
+      append(spark, dir, newEmb)
+      delete(spark, dir, delIds)
+      compact(spark, dir)
+      upsert(spark, dir, patchVecs)
+      upserted += key
+    }
+  }
+
   private val lifecycled = scala.collection.mutable.Set.empty[(String, Int, Int, Int, Int)]
   private val reindexed = scala.collection.mutable.Set.empty[(String, Int, Int, Int, Int)]
+  private val upserted = scala.collection.mutable.Set.empty[(String, Int, Int, Int, Int)]
 }

@@ -1364,6 +1364,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "exactly-once streamed ingest must equal a from-scratch build over the full corpus")
   }
 
+  test("S23: streaming upsert (CDC document revisions) — exactly-once, last-write-wins across batches, equals a from-scratch patched build") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{Tables, TextIndexStore, VersionedTextIndex => V}
+    // A revision stream: each microbatch carries REPLACEMENT documents
+    // (the CDC shape), sunk through the one-commit upsert — no
+    // delete-then-append window inside a batch, (appId, batchId) replay
+    // guard across batches, and a doc revised in two batches serves its
+    // LAST revision only.
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s23").toString
+    V.build(docs, dir, 8)
+    val rev1 = docs.filter(col("doc_id") % 5 === 1)
+      .withColumn("text", expr("concat(text, ' spark spark')"))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    // Batch 2 re-revises the mod-10 subset of the SAME docs, from the
+    // original text — the stream's second generation supersedes the first.
+    val rev2frame = docs.filter(col("doc_id") % 10 === 1)
+      .withColumn("text", expr("concat(text, ' window join window')"))
+      .select(col("doc_id"), col("text"))
+    val rev2 = rev2frame.as[(Long, String)].collect().toSeq
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        V.upsertStreamBatch(b.sparkSession, dir, b, id, appId = "s23")
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      src.addData(rev1: _*); q.processAllAvailable()
+      src.addData(rev2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val vAfter = V.currentVersion(spark, dir)
+    val lastBatch = V.snapshot(spark, dir).meta("lastBatchId.s23").toLong
+    // Failure-recovery drill: the re-delivered last batch must not
+    // commit, not tombstone, not move the stats.
+    assert(V.upsertStreamBatch(spark, dir, rev2frame, lastBatch, "s23") == vAfter,
+      "a replayed upsert batch must be a version no-op")
+    assert(V.currentVersion(spark, dir) == vAfter)
+    // Final state ≡ a from-scratch index over the corpus with each
+    // doc's LAST revision applied.
+    val patched = docs.withColumn("text",
+      when(col("doc_id") % 10 === 1, expr("concat(text, ' window join window')"))
+        .when(col("doc_id") % 5 === 1, expr("concat(text, ' spark spark')"))
+        .otherwise(col("text")))
+    val d2 = java.nio.file.Files.createTempDirectory("graft_s23_ref").toString
+    TextIndexStore.build(patched, d2, 8)
+    val terms = Seq("spark", "join", "window")
+    val got = V.bm25(spark, dir, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = graft.operators.TextAnalysis.bm25Stored(spark, d2, terms, 20, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want,
+      "streamed revisions must serve exactly like a from-scratch build over the last-revision corpus")
+  }
+
   test("S20: stored postings serve a term-set query stream ≡ batch, stateless") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

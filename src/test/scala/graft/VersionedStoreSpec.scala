@@ -216,6 +216,41 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a one-cell vector read must touch fewer float files ($oneCell vs $allFiles)")
   }
 
+  test("vector upsert swaps generations in ONE commit: live search equals the delete-then-append lineage, pinned v3 untouched, revivals included") {
+    def res(dir: String, v: Long) = Similarity.ivfPqSearchFrames(queries,
+      V.centroids(spark, dir, v), V.codebooks(spark, dir, v),
+      V.liveCodes(spark, dir, v).filter(col("vec_id") >= nQ),
+      nSub, k, nProbe).collect().toSeq
+    val patch = emb.filter(col("vec_id") >= 400 && col("vec_id") % 5 === 2)
+      .withColumn("embedding", expr("reverse(embedding)"))
+    val d = freshLifecycle()
+    val v3 = V.currentVersion(spark, d)
+    val before = res(d, v3)
+    val v4 = V.upsert(spark, d, patch)
+    assert(v4 == v3 + 1, "an upsert is exactly one commit")
+    // Reference lineage: the same replacement via the two-commit
+    // delete-then-append path (training is exact-integer deterministic,
+    // so both stores carry the identical model).
+    val d2 = freshLifecycle()
+    V.delete(spark, d2, patch.select("vec_id"))
+    V.append(spark, d2, patch)
+    assert(res(d, V.Latest) == res(d2, V.Latest),
+      "one-commit upsert must serve exactly what delete-then-append serves")
+    assert(res(d, v3) == before,
+      "a reader pinned to the pre-upsert version is untouched")
+    // Exactly one live generation per upserted id, and the deleted ids
+    // the patch touches are live again.
+    val ups = V.liveCodes(spark, d)
+      .filter(col("vec_id") >= 400 && col("vec_id") % 5 === 2)
+    assert(ups.count() == ups.select("vec_id").distinct().count())
+    val revived = V.liveCodes(spark, d)
+      .filter(col("vec_id") % 7 === 3 && col("vec_id") >= nQ).count()
+    val expectedRevived = emb.filter(col("vec_id") >= 400 &&
+      col("vec_id") % 5 === 2 && col("vec_id") % 7 === 3).count()
+    assert(revived == expectedRevived && expectedRevived > 0,
+      s"exactly the upserted deleted ids must revive ($revived vs $expectedRevived)")
+  }
+
   test("replayed delete batches are version no-ops: no junk version, no inflated tombstone counts") {
     val d = freshLifecycle()
     // freshLifecycle ends compacted (tombstones folded); delete the

@@ -129,4 +129,57 @@ class VersionedTextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bm25Rows(store, 1L) == full,
       "time travel to the pre-delete version must serve the full-corpus ranking")
   }
+
+  test("upsert replaces live docs and revives deleted ones in ONE commit; latest equals a from-scratch index over the patched corpus") {
+    val d = freshLifecycle()
+    val v3 = V.currentVersion(spark, d)
+    val before = bm25Rows(d, V.Latest)
+    val patch = docs.filter(col("doc_id") % 5 === 1)
+      .withColumn("text", concat(col("text"), lit(" spark spark")))
+    val v4 = V.upsert(spark, d, patch)
+    assert(v4 == v3 + 1, "an upsert is exactly one commit — no " +
+      "delete-then-append window in the lineage")
+    // The patched live corpus: (not deleted) OR upserted — the upsert
+    // revives the deleted docs it touches — with upserted text patched.
+    val patched = docs
+      .filter(col("doc_id") % 9 =!= 4 || col("doc_id") % 5 === 1)
+      .withColumn("text", when(col("doc_id") % 5 === 1,
+        concat(col("text"), lit(" spark spark"))).otherwise(col("text")))
+    val d2 = Files.createTempDirectory("graft_vtispec_patch").toString
+    TextIndexStore.build(patched, d2, nBuckets)
+    val fresh = graft.operators.TextAnalysis.bm25Stored(spark, d2, terms, 20, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(bm25Rows(d, V.Latest) == fresh,
+      "post-upsert serving must score exactly like a fresh index over the patched corpus")
+    assert(statsOf(d, V.Latest) == countsOf(patched),
+      "stats must move by the exact net of the replaced docs' retreat and the batch's advance")
+    assert(bm25Rows(d, v3) == before,
+      "a reader pinned to the pre-upsert version is untouched")
+    // Revival check, explicitly: every deleted doc in the upsert set is
+    // live again — and no other deleted doc came back.
+    val revivedLive = V.livePostings(spark, d)
+      .filter(col("doc_id") % 9 === 4).select("doc_id").distinct().count()
+    val expected = docs.filter(col("doc_id") % 9 === 4 && col("doc_id") % 5 === 1).count()
+    assert(revivedLive == expected && expected > 0,
+      s"exactly the upserted deleted docs must revive ($revivedLive vs $expected)")
+  }
+
+  test("successive upserts of one doc: last write wins, exactly one live generation, no compaction needed") {
+    val d = freshLifecycle()
+    import spark.implicits._
+    val gen1 = Seq((7L, "alpha join beta")).toDF("doc_id", "text")
+    val gen2 = Seq((7L, "spark window gamma spark")).toDF("doc_id", "text")
+    V.upsert(spark, d, gen1)
+    V.upsert(spark, d, gen2)
+    val live = V.livePostings(spark, d).filter(col("doc_id") === 7L)
+      .select("term", "tf", "dl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(live == Set(("spark", 2L, 4L), ("window", 1L, 4L), ("gamma", 1L, 4L)),
+      s"only the LAST generation may serve, got $live")
+    // And the doc can still be deleted afterwards — the liveness-based
+    // delete sees through its (revival-bearing) tombstone history.
+    V.delete(spark, d, Seq(7L).toDF("doc_id"))
+    assert(V.livePostings(spark, d).filter(col("doc_id") === 7L).isEmpty,
+      "a delete after upserts must kill the final generation")
+  }
 }
