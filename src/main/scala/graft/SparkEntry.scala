@@ -728,6 +728,25 @@ object SparkEntry {
         ORDER BY score_micros DESC, doc_id LIMIT $Bm25K"""
   }
 
+  /** Q112 family: the click→last-purchase point-in-time join, stated
+    * through DuckDB's native ASOF JOIN (`joinKind` picks left/inner).
+    */
+  private def asofOracleSql(joinKind: String): String =
+    s"""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                   FROM events WHERE event_type = 'click'),
+        r0 AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_id
+               FROM events WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts_us AS purchase_ts_us, value AS purchase_value
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+                    FROM r0)
+              WHERE rn = 1)
+        SELECT l.event_id, l.user_id, l.ts_us, l.value,
+               r.purchase_ts_us, r.purchase_value
+        FROM l $joinKind r
+          ON l.user_id = r.user_id AND l.ts_us >= r.purchase_ts_us
+        ORDER BY l.event_id"""
+
   /** Q111d: the q107c chain with the encode-side embeddings PATCHED
     * for the upserted ids (training stays on the original base — the
     * upsert set lives entirely above the append split) and the
@@ -1630,6 +1649,14 @@ object SparkEntry {
         V.liveCodes(s, dir).filter(col("vec_id") >= BatchQueries),
         PqSub, BatchTopK, IvfPqProbes)
     }),
+    "q112_asof_join" -> ((s, d) =>
+      // Point-in-time join: each click carries the same user's most
+      // recent purchase at or before it — ONE key shuffle + a running
+      // window, never the per-key cross product (AsofJoin scale notes).
+      AsofJoin.clickLastPurchase(s, d)),
+    "q112b_asof_inner" -> ((s, d) =>
+      // The inner variant: clicks with no prior purchase drop out.
+      AsofJoin.clickLastPurchaseInner(s, d)),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
         Bm25Terms, Bm25K, RrfK, TextIndexBuckets, PqSub, IvfPqProbes,
@@ -3505,6 +3532,13 @@ object SparkEntry {
           ORDER BY version""",
     // Q111d: ANN search over the atomically re-embedded store.
     "q111d_upserted_ann_search" -> q111dOracleSql,
+    // Q112/q112b: DuckDB's NATIVE ASOF JOIN is the oracle — a genuinely
+    // independent implementation of the same point-in-time semantics
+    // (inclusive ≥ bound, greatest right time wins). The right side is
+    // deduped per (user, ts) by greatest event_id in BOTH engines (the
+    // deterministic-tie contract).
+    "q112_asof_join" -> asofOracleSql("ASOF LEFT JOIN"),
+    "q112b_asof_inner" -> asofOracleSql("ASOF JOIN"),
     // Q90c: per-cell occupancy of the appended store (base vs appended
     // split) — the assignment chain's af, counted.
     "q90c_index_stats" ->

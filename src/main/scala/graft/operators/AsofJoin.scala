@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Point-in-time (as-of) join — the time-series primitive Spark's
+  * built-in join surface lacks (kdb `aj`, DuckDB/QuestDB `ASOF JOIN`,
+  * Pandas `merge_asof`): for each left row, attach the single right
+  * row with the greatest right-time ≤ the left row's time within the
+  * same key. The reference's latest-state-per-key read
+  * (stateStream.go:19-21) is the degenerate case (left time = now);
+  * this is the general one a feature pipeline needs ("the price/state/
+  * model version in force when the event happened").
+  *
+  * Scale shape — why NOT the obvious plans:
+  *   - `l JOIN r ON l.k = r.k AND l.t >= r.t` + per-pair argmax is a
+  *     per-key cross product: a hot key with n lefts × m rights
+  *     materializes n·m rows before the argmax prunes them. Catalyst
+  *     can only pick sort-merge on the equi half and filters the
+  *     inequality AFTER the pair explosion.
+  *   - a correlated "max right ≤ t" subquery re-scans the right side
+  *     per left row.
+  * Instead both sides UNION into one stream, shuffle ONCE on the key,
+  * sort within partitions by (time, side), and each left row picks up
+  * the latest right payload via a running `last(ignoreNulls)` over an
+  * unbounded-preceding ROW frame — O(n log n) per partition, zero row
+  * amplification, and the running frame is the streaming-friendly
+  * WindowExec special case (UnboundedPreceding→CurrentRow needs no
+  * frame re-scan per row). Right rows sort BEFORE left rows at equal
+  * time, implementing the INCLUSIVE (≥) bound.
+  */
+object AsofJoin {
+
+  /** Backward as-of join of `left` to `right` on `key`.
+    *
+    * Contract: `right`'s columns are (key, rightTs, payload…) with
+    * payload names disjoint from `left`'s columns, and `right` is
+    * UNIQUE per (key, rightTs) — dedupe upstream (ties would make the
+    * match nondeterministic in ANY engine). `inner` drops left rows
+    * with no right row at or before them; otherwise their payload is
+    * null (left as-of).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               payload: Seq[String], inner: Boolean): DataFrame = {
+    val clash = left.columns.toSet.intersect(payload.toSet)
+    require(clash.isEmpty, s"payload columns shadow left columns: $clash")
+    val r = right.select(
+      col(key), col(rightTs).cast("long").as("_t"),
+      struct(payload.map(col): _*).as("_p"),
+      lit(0).as("_side"))
+    val l = left
+      .withColumn("_t", col(leftTs).cast("long"))
+      .withColumn("_side", lit(1))
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+    val kept = if (inner) matched.where(col("_m").isNotNull) else matched
+    payload.foldLeft(kept) { case (df, c) => df.withColumn(c, col("_m").getField(c)) }
+      .drop("_t", "_side", "_p", "_m")
+  }
+
+  /** The `purchase` stream keyed for the right side: unique per
+    * (user_id, ts_us) by keeping the greatest event_id — the
+    * deterministic-tie contract [[asofJoin]] requires, stated in the
+    * data rather than hidden in engine-specific tie-breaking.
+    */
+  private def purchasesOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "ts_us").orderBy(col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("ts_us").as("purchase_ts_us"),
+        col("value").as("purchase_value"))
+
+  /** Q112 — for each click, the same user's most recent purchase at or
+    * before it (left as-of: clicks with no prior purchase keep nulls).
+    */
+  def clickLastPurchase(spark: SparkSession, dir: String): DataFrame =
+    clickPurchase(spark, dir, inner = false)
+
+  /** Q112b — the inner variant: only clicks preceded by a purchase. */
+  def clickLastPurchaseInner(spark: SparkSession, dir: String): DataFrame =
+    clickPurchase(spark, dir, inner = true)
+
+  private def clickPurchase(spark: SparkSession, dir: String,
+                            inner: Boolean): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    asofJoin(clicks, purchasesOf(ev), "user_id", "ts_us", "purchase_ts_us",
+      Seq("purchase_ts_us", "purchase_value"), inner)
+      .orderBy("event_id")
+  }
+}
