@@ -255,6 +255,26 @@ object SparkEntry {
       .filter(col("vec_id") >= AnnAppendSplit &&
         col("vec_id") % AnnUpsertMod === AnnUpsertRes)
       .withColumn("embedding", expr("reverse(embedding)"))
+  /** Q113: the z-ordered events layout — (user_id, ts_us) interleaved,
+    * per-file stats manifest — and the box predicates the queries probe
+    * it with. The time window is SF-stable (the generator always emits
+    * January 2024); the user range selects ~5 users at every SF.
+    */
+  private val SkipFiles = 32
+  private val SkipUserLo = 3L
+  private val SkipUserHi = 7L
+  private val SkipTsLo = 1704844800000000L   // 2024-01-10T00:00:00Z, µs
+  private val SkipTsHi = 1705276800000000L   // 2024-01-15
+  private val SkipTs2Lo = 1705708800000000L  // 2024-01-20
+  private val SkipTs2Hi = 1705881600000000L  // 2024-01-22
+  private def ensureSkipStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_skipstore_${new java.io.File(d).getName}"
+    graft.sources.SkippingStore.writeOnce(
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("ts_us"), col("value")),
+      dir, Seq("user_id", "ts_us"), SkipFiles)
+    dir
+  }
   /** The versioned ANN store taken one step further for `d`: the q107
     * lifecycle plus a v4 atomic UPSERT against the stored model,
     * idempotent per JVM.
@@ -1657,6 +1677,19 @@ object SparkEntry {
     "q112b_asof_inner" -> ((s, d) =>
       // The inner variant: clicks with no prior purchase drop out.
       AsofJoin.clickLastPurchaseInner(s, d)),
+    "q113_zorder_box" -> ((s, d) =>
+      // A (user, time) box over the z-ordered layout: the manifest
+      // prunes files in BOTH dimensions before any data I/O, the
+      // residual filter pushes into the surviving scans.
+      graft.sources.SkippingStore.readBox(s, ensureSkipStore(s, d),
+        Map("user_id" -> (SkipUserLo, SkipUserHi), "ts_us" -> (SkipTsLo, SkipTsHi)))
+        .orderBy("event_id")),
+    "q113b_zorder_timeslice" -> ((s, d) =>
+      // A time-only slice — the dimension a user-sorted linear layout
+      // could not skip on at all; the interleave still prunes it.
+      graft.sources.SkippingStore.readBox(s, ensureSkipStore(s, d),
+        Map("ts_us" -> (SkipTs2Lo, SkipTs2Hi)))
+        .orderBy("event_id")),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
         Bm25Terms, Bm25K, RrfK, TextIndexBuckets, PqSub, IvfPqProbes,
@@ -3539,6 +3572,20 @@ object SparkEntry {
     // deterministic-tie contract).
     "q112_asof_join" -> asofOracleSql("ASOF LEFT JOIN"),
     "q112b_asof_inner" -> asofOracleSql("ASOF JOIN"),
+    // Q113/q113b: the skipping layout must answer exactly the plain
+    // scan — pruning is an I/O property (pinned by SkippingStoreSpec),
+    // never a semantics change.
+    "q113_zorder_box" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          FROM events
+          WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
+            AND epoch_us(ts) BETWEEN $SkipTsLo AND $SkipTsHi
+          ORDER BY event_id""",
+    "q113b_zorder_timeslice" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          FROM events
+          WHERE epoch_us(ts) BETWEEN $SkipTs2Lo AND $SkipTs2Hi
+          ORDER BY event_id""",
     // Q90c: per-cell occupancy of the appended store (base vs appended
     // split) — the assignment chain's af, counted.
     "q90c_index_stats" ->

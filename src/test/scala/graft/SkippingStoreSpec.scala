@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{SkippingStore => S, Tables}
+
+/** The data-skipping contracts of the z-ordered layout (q113 family):
+  * pruning is real (files skipped on EVERY indexed dimension), sound
+  * (an excluded file provably holds no matching row), and pure I/O
+  * (answers equal the plain scan — pinned by the q113 oracles; here we
+  * pin the file counts the oracles cannot see).
+  */
+class SkippingStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val nFiles = 16
+  private lazy val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+
+  private lazy val zDir = {
+    val d = Files.createTempDirectory("graft_skip_z").toString
+    S.write(ev, d, Seq("user_id", "ts_us"), nFiles)
+    d
+  }
+  /** The single-dimension strawman: perfectly sorted by user_id alone,
+    * with ts_us stats still recorded (stats exist for every column —
+    * the LAYOUT is what decides their skipping power).
+    */
+  private lazy val linDir = {
+    val d = Files.createTempDirectory("graft_skip_lin").toString
+    S.write(ev, d, Seq("user_id"), nFiles, Seq("user_id", "ts_us"))
+    d
+  }
+
+  private val tsLo = 1705708800000000L // 2024-01-20
+  private val tsHi = 1705881600000000L // 2024-01-22
+
+  test("a two-dimensional box prunes files AND answers exactly the plain filtered scan") {
+    val bounds = Map("user_id" -> (3L, 7L), "ts_us" -> (tsLo, tsHi))
+    val (kept, total) = S.pruneFiles(spark, zDir, bounds)
+    assert(total == nFiles)
+    assert(kept.nonEmpty && kept.size < total,
+      s"the box must skip files (${kept.size}/$total kept)")
+    val got = S.readBox(spark, zDir, bounds)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = ev.where(col("user_id").between(3, 7) &&
+        col("ts_us").between(tsLo, tsHi))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "skipping must never change an answer")
+  }
+
+  test("the interleave skips on the dimension a linear sort cannot: time-only slice, z-order vs user-sorted") {
+    val bounds = Map("ts_us" -> (tsLo, tsHi))
+    val (keptZ, totalZ) = S.pruneFiles(spark, zDir, bounds)
+    val (keptLin, totalLin) = S.pruneFiles(spark, linDir, bounds)
+    // Every user appears in the slice, so every user-sorted file
+    // overlaps it — the linear layout can skip nothing at all. (File
+    // totals differ slightly: 15 distinct users underfill the range
+    // partitioner; fractions are the honest comparison.)
+    assert(keptLin.size == totalLin,
+      s"the strawman should be unable to skip (kept ${keptLin.size}/$totalLin)")
+    assert(keptZ.size.toDouble / totalZ < keptLin.size.toDouble / totalLin,
+      s"z-order must beat the linear layout on its blind dimension " +
+        s"(${keptZ.size}/$totalZ vs ${keptLin.size}/$totalLin)")
+    // And both answer identically.
+    assert(S.readBox(spark, zDir, bounds).count() ==
+      S.readBox(spark, linDir, bounds).count())
+  }
+
+  test("skipping is SOUND: every excluded file provably holds no matching row") {
+    val bounds = Map("user_id" -> (3L, 7L), "ts_us" -> (tsLo, tsHi))
+    val (kept, _) = S.pruneFiles(spark, zDir, bounds)
+    val excluded = new java.io.File(s"$zDir/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet -- kept.toSet
+    assert(excluded.nonEmpty)
+    val leaked = spark.read.parquet(excluded.map(f => s"$zDir/data/$f").toSeq: _*)
+      .where(col("user_id").between(3, 7) && col("ts_us").between(tsLo, tsHi))
+      .count()
+    assert(leaked == 0L, s"$leaked matching rows hid in excluded files")
+  }
+
+  test("a box outside the data's range reads zero files and zero rows, safely") {
+    val bounds = Map("user_id" -> (100000L, 200000L))
+    val (kept, _) = S.pruneFiles(spark, zDir, bounds)
+    assert(kept.isEmpty)
+    assert(S.readBox(spark, zDir, bounds).count() == 0L)
+  }
+
+  test("unindexed bound names are rejected, not silently unskipped") {
+    val ex = intercept[IllegalArgumentException] {
+      S.pruneFiles(spark, zDir, Map("value" -> (0L, 1L)))
+    }
+    assert(ex.getMessage.contains("not indexed"))
+  }
+}
