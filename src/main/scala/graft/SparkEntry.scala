@@ -269,9 +269,33 @@ object SparkEntry {
   private val SkipTs2Hi = 1705881600000000L  // 2024-01-22
   private def ensureSkipStore(s: SparkSession, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_skipstore_${new java.io.File(d).getName}"
-    graft.sources.SkippingStore.writeOnce(
-      Tables.events(s, d).select(col("event_id"), col("user_id"),
-        col("ts_us"), col("value")),
+    graft.sources.SkippingStore.writeOnce(skipEvents(s, d),
+      dir, Seq("user_id", "ts_us"), SkipFiles)
+    dir
+  }
+  private def skipEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("ts_us"), col("value"))
+  /** Q114: the layout AFTER an ingest batch (every 4th event, so the
+    * batch's times span the whole month and its file boxes are wide) —
+    * pruning sound but loosened.
+    */
+  private def ensureAppendedSkipStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_skipstore_app_${new java.io.File(d).getName}"
+    val ev = skipEvents(s, d)
+    graft.sources.SkippingStore.lifecycleAppendedOnce(
+      ev.filter(col("event_id") % 4 =!= 0), ev.filter(col("event_id") % 4 === 0),
+      dir, Seq("user_id", "ts_us"), SkipFiles)
+    dir
+  }
+  /** Q114b: the appended layout after OPTIMIZE — one globally
+    * z-ordered generation again.
+    */
+  private def ensureOptimizedSkipStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_skipstore_opt_${new java.io.File(d).getName}"
+    val ev = skipEvents(s, d)
+    graft.sources.SkippingStore.lifecycleOptimizedOnce(
+      ev.filter(col("event_id") % 4 =!= 0), ev.filter(col("event_id") % 4 === 0),
       dir, Seq("user_id", "ts_us"), SkipFiles)
     dir
   }
@@ -1689,6 +1713,20 @@ object SparkEntry {
       // could not skip on at all; the interleave still prunes it.
       graft.sources.SkippingStore.readBox(s, ensureSkipStore(s, d),
         Map("ts_us" -> (SkipTs2Lo, SkipTs2Hi)))
+        .orderBy("event_id")),
+    "q114_layout_append" -> ((s, d) =>
+      // The same box AFTER an ingest batch landed as its own subdir:
+      // pruning is sound unconditionally (its stats entries are exact),
+      // just looser — and the answer is STILL the plain scan's.
+      graft.sources.SkippingStore.readBox(s, ensureAppendedSkipStore(s, d),
+        Map("user_id" -> (SkipUserLo, SkipUserHi), "ts_us" -> (SkipTsLo, SkipTsHi)))
+        .orderBy("event_id")),
+    "q114b_layout_optimized" -> ((s, d) =>
+      // After OPTIMIZE rewrote everything into one globally z-ordered
+      // generation (atomic manifest swap, old files left for vacuum):
+      // same answer, tight pruning again.
+      graft.sources.SkippingStore.readBox(s, ensureOptimizedSkipStore(s, d),
+        Map("user_id" -> (SkipUserLo, SkipUserHi), "ts_us" -> (SkipTsLo, SkipTsHi)))
         .orderBy("event_id")),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
@@ -3585,6 +3623,21 @@ object SparkEntry {
       s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
           FROM events
           WHERE epoch_us(ts) BETWEEN $SkipTs2Lo AND $SkipTs2Hi
+          ORDER BY event_id""",
+    // Q114/q114b: append-then-optimize must not change a single row —
+    // both states answer exactly the q113 box (base ∪ batch = all
+    // events); the pruning-fraction movement is SkippingStoreSpec's.
+    "q114_layout_append" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          FROM events
+          WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
+            AND epoch_us(ts) BETWEEN $SkipTsLo AND $SkipTsHi
+          ORDER BY event_id""",
+    "q114b_layout_optimized" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          FROM events
+          WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
+            AND epoch_us(ts) BETWEEN $SkipTsLo AND $SkipTsHi
           ORDER BY event_id""",
     // Q90c: per-cell occupancy of the appended store (base vs appended
     // split) — the assignment chain's af, counted.

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * Z-ORDER clustering so the stats are tight in EVERY indexed
   * dimension at once:
   *
-  *   - write: each indexed column is fixed-width-bucketed to 10 bits
+  *   - write: each order column is fixed-width-bucketed to 10 bits
   *     from its global [min, max] (one agg pass; exact integer math),
   *     the buckets BIT-INTERLEAVE into a z-value, and the frame range-
   *     partitions + sorts on it — so each written file covers a small
@@ -31,10 +31,25 @@ import org.apache.spark.sql.functions._
   *     makes ROW-GROUP min/max pruning tight too (two skipping tiers
   *     from one layout).
   *
+  * The MAINTENANCE lifecycle is Delta's OPTIMIZE ZORDER story:
+  * [[append]] lands each ingest batch as its own subdirectory with its
+  * own stats entries — correctness never degrades (excluded files are
+  * still provably matchless) but batch files z-sorted only WITHIN the
+  * batch cover wider boxes, so pruning slowly loosens; [[optimize]]
+  * rewrites everything into one fresh globally-z-ordered generation
+  * and swaps the manifest ATOMICALLY (tmp + rename — a reader resolves
+  * either the old file list or the new one, both complete), leaving
+  * old subdirectories for [[vacuum]]. Every manifest update follows
+  * the same swap, so a crash mid-append leaves data files without a
+  * manifest reference — invisible, exactly like the versioned stores'
+  * uncommitted segments.
+  *
   * This is the layout tier under [[EventLogStore]]'s time-bucket
   * partition pruning: directory partitioning can serve ONE dimension;
   * the z-order manifest serves boxes on any subset of the indexed
-  * columns without exploding directory counts.
+  * columns without exploding directory counts. (Multi-VERSION time
+  * travel belongs to [[ManifestLog]]'s stores; this store keeps one
+  * live generation and demonstrates the LAYOUT axis.)
   */
 object SkippingStore {
 
@@ -45,23 +60,17 @@ object SkippingStore {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Write `df` z-ordered on `orderCols` (integral-typed) into
-    * `nFiles` files under `dir/data`, and the per-file stats manifest
-    * over `statsCols` (default: the order columns — pass a superset to
-    * record stats for columns the layout does NOT cluster, the
-    * realistic Iceberg shape: stats exist for every column, the LAYOUT
-    * decides how much they can skip). Wipes any prior layout at `dir`.
+  private def subName(op: String): String =
+    s"$op-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Z-sort `df` on `orderCols` into `nFiles` files under `dir/$sub`
+    * and return the new files' manifest entries (relative paths +
+    * exact per-statsCol [min, max]).
     */
-  def write(df: DataFrame, dir: String, orderCols: Seq[String], nFiles: Int,
-            statsColsOpt: Seq[String] = Seq.empty): Unit = {
-    require(orderCols.nonEmpty && Bits * orderCols.length <= 60,
-      s"up to ${60 / Bits} order columns")
-    val statsCols = if (statsColsOpt.isEmpty) orderCols else statsColsOpt
-    require(orderCols.forall(statsCols.contains),
-      "statsCols must cover every order column")
+  private def writeSubdir(df: DataFrame, dir: String, sub: String,
+                          orderCols: Seq[String], statsCols: Seq[String],
+                          nFiles: Int): Seq[(String, Seq[Long], Seq[Long])] = {
     val spark = df.sparkSession
-    val f = fs(spark, dir)
-    f.delete(new Path(dir), true)
     val rangeAggs = orderCols.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"mn_$c"), max(col(c).cast("long")).as(s"mx_$c")))
     val ranges = df.agg(rangeAggs.head, rangeAggs.tail: _*).first()
@@ -81,36 +90,109 @@ object SkippingStore {
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-      .write.mode("overwrite").parquet(s"$dir/data")
+      .write.mode("overwrite").parquet(s"$dir/$sub")
     // One grouped pass: exact per-file [min, max] of every stats column.
-    val indexCols = statsCols
-    val statAggs = indexCols.flatMap(c =>
+    val statAggs = statsCols.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"mn_$c"), max(col(c).cast("long")).as(s"mx_$c")))
-    val rows = spark.read.parquet(s"$dir/data")
+    spark.read.parquet(s"$dir/$sub")
       .groupBy(input_file_name().as("_f"))
       .agg(statAggs.head, statAggs.tail: _*)
       .collect()
-    val root: ObjectNode = mapper.createObjectNode()
-    val colsArr = root.putArray("indexCols")
-    indexCols.foreach(colsArr.add)
-    val files = root.putArray("files")
-    rows.foreach { r =>
-      val n = files.addObject()
-      n.put("file", r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
-      val mins = n.putArray("min"); val maxs = n.putArray("max")
-      indexCols.indices.foreach { i =>
-        mins.add(r.getLong(1 + 2 * i)); maxs.add(r.getLong(2 + 2 * i))
-      }
-    }
-    val out = f.create(new Path(s"$dir/_skipping.json"), true)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
-      .getBytes("UTF-8")) finally out.close()
+      .map { r =>
+        val file = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+        (s"$sub/$file",
+          statsCols.indices.map(i => r.getLong(1 + 2 * i)): Seq[Long],
+          statsCols.indices.map(i => r.getLong(2 + 2 * i)): Seq[Long])
+      }.toSeq
   }
 
-  /** The manifest's file→stats table: (file, mins, maxs) aligned with
-    * `indexCols`.
+  /** Atomic manifest swap: tmp + rename — a reader sees the old
+    * complete file list or the new one, never a torn mix.
     */
-  private def manifest(spark: SparkSession, dir: String): (Seq[String], Seq[(String, Seq[Long], Seq[Long])]) = {
+  private def commitManifest(spark: SparkSession, dir: String,
+                             orderCols: Seq[String], statsCols: Seq[String],
+                             files: Seq[(String, Seq[Long], Seq[Long])]): Unit = {
+    val root: ObjectNode = mapper.createObjectNode()
+    val oArr = root.putArray("orderCols"); orderCols.foreach(oArr.add)
+    val cArr = root.putArray("indexCols"); statsCols.foreach(cArr.add)
+    val fArr = root.putArray("files")
+    files.foreach { case (f, mins, maxs) =>
+      val n = fArr.addObject()
+      n.put("file", f)
+      val mn = n.putArray("min"); val mx = n.putArray("max")
+      mins.foreach(mn.add); maxs.foreach(mx.add)
+    }
+    val f = fs(spark, dir)
+    val tmp = new Path(s"$dir/.skipping-${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+      .getBytes("UTF-8")) finally out.close()
+    val dest = new Path(s"$dir/_skipping.json")
+    f.delete(dest, false)
+    require(f.rename(tmp, dest), s"manifest rename failed for $dest")
+  }
+
+  /** Build the layout: `df` z-ordered on `orderCols` (integral-typed)
+    * into `nFiles` files, stats over `statsColsOpt` (default: the
+    * order columns — pass a superset to record stats for columns the
+    * layout does NOT cluster, the realistic Iceberg shape: stats exist
+    * for every column, the LAYOUT decides how much they can skip).
+    * Wipes any prior layout at `dir`.
+    */
+  def write(df: DataFrame, dir: String, orderCols: Seq[String], nFiles: Int,
+            statsColsOpt: Seq[String] = Seq.empty): Unit = {
+    require(orderCols.nonEmpty && Bits * orderCols.length <= 60,
+      s"up to ${60 / Bits} order columns")
+    val statsCols = if (statsColsOpt.isEmpty) orderCols else statsColsOpt
+    require(orderCols.forall(statsCols.contains),
+      "statsCols must cover every order column")
+    val spark = df.sparkSession
+    fs(spark, dir).delete(new Path(dir), true)
+    val entries = writeSubdir(df, dir, subName("base"), orderCols, statsCols, nFiles)
+    commitManifest(spark, dir, orderCols, statsCols, entries)
+  }
+
+  /** Ingest a batch: its files land in a fresh subdirectory, z-sorted
+    * WITHIN the batch (the stored order columns; batch-local ranges —
+    * the sort only tightens the new files' own boxes), and the manifest
+    * gains their stats entries in one atomic swap. Pruning stays SOUND
+    * unconditionally; it gradually loosens as batch files' boxes
+    * overlap the base generation's — [[optimize]] restores it.
+    */
+  def append(spark: SparkSession, dir: String, df: DataFrame, nFiles: Int): Unit = {
+    if (df.isEmpty) return
+    val m = readManifest(spark, dir)
+    val entries = writeSubdir(df, dir, subName("batch"), m.orderCols, m.statsCols, nFiles)
+    commitManifest(spark, dir, m.orderCols, m.statsCols, m.files ++ entries)
+  }
+
+  /** Rewrite the whole table as ONE globally-z-ordered generation and
+    * swap the manifest to reference only it (Delta's OPTIMIZE ZORDER).
+    * Old subdirectories stay on disk — a reader that resolved the old
+    * manifest keeps reading complete, untouched files — until
+    * [[vacuum]] reclaims them.
+    */
+  def optimize(spark: SparkSession, dir: String, nFiles: Int): Unit = {
+    val m = readManifest(spark, dir)
+    val entries = writeSubdir(readAll(spark, dir), dir, subName("opt"),
+      m.orderCols, m.statsCols, nFiles)
+    commitManifest(spark, dir, m.orderCols, m.statsCols, entries)
+  }
+
+  /** Delete every subdirectory the current manifest does not reference. */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val referenced = readManifest(spark, dir).files.map(_._1.split('/').head).toSet
+    val f = fs(spark, dir)
+    f.listStatus(new Path(dir)).foreach { st =>
+      if (st.isDirectory && !referenced.contains(st.getPath.getName))
+        f.delete(st.getPath, true)
+    }
+  }
+
+  private final case class Manifest(orderCols: Seq[String], statsCols: Seq[String],
+                                    files: Seq[(String, Seq[Long], Seq[Long])])
+
+  private def readManifest(spark: SparkSession, dir: String): Manifest = {
     val in = fs(spark, dir).open(new Path(s"$dir/_skipping.json"))
     val bytes =
       try {
@@ -121,14 +203,21 @@ object SkippingStore {
         buf.toByteArray
       } finally in.close()
     val root = mapper.readTree(bytes)
-    val cols = (0 until root.get("indexCols").size()).map(root.get("indexCols").get(_).asText())
+    def arr(k: String): Seq[String] =
+      (0 until root.get(k).size()).map(root.get(k).get(_).asText())
     val files = (0 until root.get("files").size()).map { i =>
       val n = root.get("files").get(i)
       (n.get("file").asText(),
         (0 until n.get("min").size()).map(n.get("min").get(_).asLong()): Seq[Long],
         (0 until n.get("max").size()).map(n.get("max").get(_).asLong()): Seq[Long])
     }
-    (cols, files)
+    Manifest(arr("orderCols"), arr("indexCols"), files)
+  }
+
+  /** Every live row (the manifest's full file list). */
+  def readAll(spark: SparkSession, dir: String): DataFrame = {
+    val m = readManifest(spark, dir)
+    spark.read.parquet(m.files.map(f => s"$dir/${f._1}"): _*)
   }
 
   /** File lists for a box predicate: (kept, total) — the metadata-only
@@ -136,15 +225,16 @@ object SkippingStore {
     */
   def pruneFiles(spark: SparkSession, dir: String,
                  bounds: Map[String, (Long, Long)]): (Seq[String], Int) = {
-    val (cols, files) = manifest(spark, dir)
-    val unknown = bounds.keySet.diff(cols.toSet)
+    val m = readManifest(spark, dir)
+    val unknown = bounds.keySet.diff(m.statsCols.toSet)
     require(unknown.isEmpty, s"not indexed by this layout: $unknown")
-    val kept = files.collect {
-      case (f, mins, maxs) if cols.indices.forall { i =>
-        bounds.get(cols(i)).forall { case (lo, hi) => maxs(i) >= lo && mins(i) <= hi }
+    val kept = m.files.collect {
+      case (f, mins, maxs) if m.statsCols.indices.forall { i =>
+        bounds.get(m.statsCols(i)).forall { case (lo, hi) =>
+          maxs(i) >= lo && mins(i) <= hi }
       } => f
     }
-    (kept, files.length)
+    (kept, m.files.length)
   }
 
   /** Read the box: only stats-overlapping files are listed to the scan
@@ -159,16 +249,43 @@ object SkippingStore {
     val pred = bounds.map { case (c, (lo, hi)) =>
       col(c).cast("long").between(lo, hi)
     }.reduce(_ && _)
-    if (kept.isEmpty) spark.read.parquet(s"$dir/data").where(lit(false))
-    else spark.read.parquet(kept.map(f => s"$dir/data/$f"): _*).where(pred)
+    if (kept.isEmpty) readAll(spark, dir).where(lit(false))
+    else spark.read.parquet(kept.map(f => s"$dir/$f"): _*).where(pred)
   }
 
   /** Idempotent-per-JVM write (the `*Once` store convention). */
   def writeOnce(df: DataFrame, dir: String, orderCols: Seq[String],
                 nFiles: Int): Unit = synchronized {
-    val key = (dir, orderCols.mkString(","), nFiles)
+    val key = (dir, orderCols.mkString(","), nFiles, "write")
     if (!written.contains(key)) { write(df, dir, orderCols, nFiles); written += key }
   }
 
-  private val written = scala.collection.mutable.Set.empty[(String, String, Int)]
+  /** The q114 pre-optimize state, idempotent per JVM: base write plus
+    * one appended batch — sound but box-loosened pruning.
+    */
+  def lifecycleAppendedOnce(baseDf: DataFrame, batchDf: DataFrame, dir: String,
+                            orderCols: Seq[String], nFiles: Int): Unit = synchronized {
+    val key = (dir, orderCols.mkString(","), nFiles, "app")
+    if (!written.contains(key)) {
+      write(baseDf, dir, orderCols, nFiles)
+      append(baseDf.sparkSession, dir, batchDf, math.max(1, nFiles / 4))
+      written += key
+    }
+  }
+
+  /** The q114 lifecycle, idempotent per JVM: base write on `baseDf`,
+    * one appended batch, then OPTIMIZE back to one generation.
+    */
+  def lifecycleOptimizedOnce(baseDf: DataFrame, batchDf: DataFrame, dir: String,
+                             orderCols: Seq[String], nFiles: Int): Unit = synchronized {
+    val key = (dir, orderCols.mkString(","), nFiles, "opt")
+    if (!written.contains(key)) {
+      write(baseDf, dir, orderCols, nFiles)
+      append(baseDf.sparkSession, dir, batchDf, math.max(1, nFiles / 4))
+      optimize(baseDf.sparkSession, dir, nFiles)
+      written += key
+    }
+  }
+
+  private val written = scala.collection.mutable.Set.empty[(String, String, Int, String)]
 }

@@ -87,10 +87,11 @@ class SkippingStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("skipping is SOUND: every excluded file provably holds no matching row") {
     val bounds = Map("user_id" -> (3L, 7L), "ts_us" -> (tsLo, tsHi))
     val (kept, _) = S.pruneFiles(spark, zDir, bounds)
-    val excluded = new java.io.File(s"$zDir/data").listFiles()
-      .map(_.getName).filter(_.endsWith(".parquet")).toSet -- kept.toSet
+    val (all, _) = S.pruneFiles(spark, zDir,
+      Map("user_id" -> (Long.MinValue, Long.MaxValue)))
+    val excluded = all.toSet -- kept.toSet
     assert(excluded.nonEmpty)
-    val leaked = spark.read.parquet(excluded.map(f => s"$zDir/data/$f").toSeq: _*)
+    val leaked = spark.read.parquet(excluded.map(f => s"$zDir/$f").toSeq: _*)
       .where(col("user_id").between(3, 7) && col("ts_us").between(tsLo, tsHi))
       .count()
     assert(leaked == 0L, s"$leaked matching rows hid in excluded files")
@@ -108,5 +109,47 @@ class SkippingStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       S.pruneFiles(spark, zDir, Map("value" -> (0L, 1L)))
     }
     assert(ex.getMessage.contains("not indexed"))
+  }
+
+  test("append stays sound but loosens pruning; OPTIMIZE restores it; vacuum reclaims only unreferenced generations") {
+    val d = Files.createTempDirectory("graft_skip_life").toString
+    val base = ev.where(col("event_id") % 4 =!= 0)
+    val batch = ev.where(col("event_id") % 4 === 0)
+    S.write(base, d, Seq("user_id", "ts_us"), nFiles)
+    S.append(spark, d, batch, 4)
+    val bounds = Map("user_id" -> (3L, 7L), "ts_us" -> (tsLo, tsHi))
+    val want = ev.where(col("user_id").between(3, 7) &&
+        col("ts_us").between(tsLo, tsHi))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    def got() = S.readBox(spark, d, bounds)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got() == want, "an appended batch must be served, exactly")
+    val (keptApp, totalApp) = S.pruneFiles(spark, d, bounds)
+    S.optimize(spark, d, nFiles)
+    assert(got() == want, "optimize must not change a single row")
+    val (keptOpt, totalOpt) = S.pruneFiles(spark, d, bounds)
+    assert(totalOpt < totalApp, "optimize folds the generations")
+    assert(keptOpt.size.toDouble / totalOpt <= keptApp.size.toDouble / totalApp,
+      s"optimize must not loosen pruning " +
+        s"(${keptOpt.size}/$totalOpt vs ${keptApp.size}/$totalApp)")
+    // Old generations linger for in-flight readers, then vacuum
+    // reclaims exactly them.
+    val subdirs = (dd: String) => new java.io.File(dd).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs(d).exists(_.startsWith("base-")) &&
+      subdirs(d).exists(_.startsWith("batch-")))
+    S.vacuum(spark, d)
+    assert(subdirs(d).forall(_.startsWith("opt-")),
+      s"vacuum must drop unreferenced generations, left ${subdirs(d)}")
+    assert(got() == want, "the optimized generation serves after vacuum")
+  }
+
+  test("a crashed append (data files on disk, no manifest swap) is invisible") {
+    val d = Files.createTempDirectory("graft_skip_crash").toString
+    S.write(ev, d, Seq("user_id", "ts_us"), nFiles)
+    val before = S.readAll(spark, d).count()
+    ev.limit(50).write.parquet(s"$d/batch-deadbeef")
+    assert(S.readAll(spark, d).count() == before,
+      "reads resolve the manifest's file list — unreferenced files must not leak in")
   }
 }
