@@ -1728,6 +1728,16 @@ object SparkEntry {
       graft.sources.SkippingStore.readBox(s, ensureOptimizedSkipStore(s, d),
         Map("user_id" -> (SkipUserLo, SkipUserHi), "ts_us" -> (SkipTsLo, SkipTsHi)))
         .orderBy("event_id")),
+    "q115_change_feed" -> ((s, d) =>
+      // The change data feed of the v4 upsert: content-based per-doc
+      // diff — revived docs surface as inserts, replaced ones as
+      // updates, and physical rewrites can never leak in.
+      graft.sources.VersionedTextIndex.changes(s,
+        ensureUpsertedTextIndex(s, d), 3L, 4L)),
+    "q115b_change_feed_deletes" -> ((s, d) =>
+      // The delete commit's feed (v1 → v2): exactly the takedown set.
+      graft.sources.VersionedTextIndex.changes(s,
+        ensureUpsertedTextIndex(s, d), 1L, 2L)),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
         Bm25Terms, Bm25K, RrfK, TextIndexBuckets, PqSub, IvfPqProbes,
@@ -3639,6 +3649,21 @@ object SparkEntry {
           WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
             AND epoch_us(ts) BETWEEN $SkipTsLo AND $SkipTsHi
           ORDER BY event_id""",
+    // Q115: the upsert's CDF, closed-form — the upsert set splits into
+    // revivals (deleted at v2, so not live at v3 → insert) and
+    // replacements (live at v3 → update).
+    "q115_change_feed" ->
+      s"""SELECT doc_id,
+                 CASE WHEN doc_id % $TextDeleteMod = $TextDeleteRes
+                      THEN 'insert' ELSE 'update' END AS change
+          FROM documents
+          WHERE doc_id % $TextUpsertMod = $TextUpsertRes
+          ORDER BY doc_id""",
+    // Q115b: the delete commit's CDF — exactly the takedown set.
+    "q115b_change_feed_deletes" ->
+      s"""SELECT doc_id, 'delete' AS change FROM documents
+          WHERE doc_id % $TextDeleteMod = $TextDeleteRes
+          ORDER BY doc_id""",
     // Q90c: per-cell occupancy of the appended store (base vs appended
     // split) — the assignment chain's af, counted.
     "q90c_index_stats" ->

@@ -175,6 +175,43 @@ object VersionedTextIndex {
   def nBuckets(spark: SparkSession, dir: String, version: Long = Latest): Int =
     snapshot(spark, dir, version).meta("nBuckets").toInt
 
+  /** Change data feed: per-document changes between two committed
+    * versions — (doc_id, change ∈ insert | update | delete). The diff
+    * is CONTENT-based: each version's live docs reduce to an exact
+    * integer fingerprint (the order-free sum of per-(term, tf) 48-bit
+    * digests — two docs differ iff their posting multisets do, modulo
+    * the hash), and the two doc→fingerprint maps full-outer-join. That
+    * makes physical maintenance invisible by construction: a compaction
+    * rewrites every row into a new segment but changes no fingerprint,
+    * so `changes(preCompact, postCompact)` is EMPTY — Delta's
+    * `dataChange = false` contract, derived rather than flagged. An
+    * upsert that re-writes identical text is likewise a no-op to
+    * consumers, which is what a downstream incremental pipeline wants
+    * (it re-processes CONTENT, not file layout).
+    *
+    * Scale shape: two column-pruned live reads (doc_id, term, tf — text
+    * never shuffles), per-doc map-side-combined sums onto the doc key
+    * space, one join of two (doc_id, fp) sets.
+    */
+  def changes(spark: SparkSession, dir: String, fromVersion: Long,
+              toVersion: Long): DataFrame = {
+    import graft.functions.PortableHash.hash48
+    def fp(v: Long): DataFrame =
+      livePostings(spark, dir, v)
+        .withColumn("h", expr(hash48("concat(term, ':', CAST(tf AS STRING))")))
+        .groupBy("doc_id").agg(sum(col("h")).as("fp"))
+    val a = fp(fromVersion).select(col("doc_id"), col("fp").as("fp_a"))
+    val b = fp(toVersion).select(col("doc_id"), col("fp").as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("fp_a").isNull, lit("insert"))
+          .when(col("fp_b").isNull, lit("delete"))
+          .when(col("fp_a") =!= col("fp_b"), lit("update")))
+      .where(col("change").isNotNull)
+      .select(col("doc_id"), col("change"))
+      .orderBy("doc_id")
+  }
+
   /** The commit log — (version, op, postings_rows, tombstone_rows),
     * from the manifests alone.
     */

@@ -1420,6 +1420,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed revisions must serve exactly like a from-scratch build over the last-revision corpus")
   }
 
+  test("S24: streaming as-of enrichment — clicks arrive in arbitrary microbatches, each picks up its point-in-time purchase ≡ batch, stateless") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    import graft.sources.Tables
+    // The stream-static shape (the S17 broadcast-model pattern with a
+    // TABLE as the model): the static right side is the purchase
+    // history; each microbatch of clicks runs the q112 as-of kernel
+    // against it. Per-left-row independence makes the result invariant
+    // to how the stream splits — no state operator, no watermark.
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "ts_us")
+          .orderBy(col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("ts_us").as("purchase_ts_us"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val want = AsofJoin.asofJoin(clicks, purchases, "user_id", "ts_us",
+        "purchase_ts_us", Seq("purchase_ts_us", "purchase_value"), inner = false)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val rows = clicks.as[(Long, Long, Long)].collect().toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 3)
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val src = MemoryStream[(Long, Long, Long)]
+    val q = src.toDF().toDF("event_id", "user_id", "ts_us").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = AsofJoin.asofJoin(b, purchases, "user_id", "ts_us",
+            "purchase_ts_us", Seq("purchase_ts_us", "purchase_value"),
+            inner = false)
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(3)) -1L else r.getLong(3)))
+        got.synchronized { got ++= v }
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      src.addData(h1: _*); q.processAllAvailable()
+      src.addData(h2: _*); q.processAllAvailable()
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.length == 0,
+        "the as-of serve must be stateless")
+    } finally q.stop()
+    assert(got.toSet == want,
+      "streamed as-of enrichment must equal the one-shot batch join under arbitrary splits")
+  }
+
   test("S20: stored postings serve a term-set query stream ≡ batch, stateless") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

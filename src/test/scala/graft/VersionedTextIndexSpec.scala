@@ -182,4 +182,35 @@ class VersionedTextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(V.livePostings(spark, d).filter(col("doc_id") === 7L).isEmpty,
       "a delete after upserts must kill the final generation")
   }
+
+  test("change feed: content-based diff matches the brute live-set diff; physical rewrites and no-op upserts emit NOTHING") {
+    val d = freshLifecycle()
+    def feed(a: Long, b: Long): Map[Long, String] =
+      V.changes(spark, d, a, b).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // v0 → v1 is the append: every appended doc is an insert, nothing else.
+    val appended = rest.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(feed(0L, 1L) == appended.map(_ -> "insert").toMap)
+    // v1 → v2 is the delete: exactly the takedown set.
+    val dead = docs.filter(col("doc_id") % 9 === 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(feed(1L, 2L) == dead.map(_ -> "delete").toMap)
+    // v2 → v3 is the COMPACTION: every row physically rewrote into a
+    // new segment, no content changed — the feed must be empty (the
+    // dataChange=false contract, derived from fingerprints rather than
+    // trusted from a flag).
+    assert(feed(2L, 3L).isEmpty,
+      "physical maintenance must be invisible to the change feed")
+    // An upsert that rewrites IDENTICAL text commits a version but
+    // changes no content — a downstream incremental consumer sees
+    // nothing to re-process.
+    import spark.implicits._
+    val sameDoc = docs.filter(col("doc_id") === 10L).select("doc_id", "text")
+    val v = V.upsert(spark, d, sameDoc)
+    assert(feed(v - 1, v).isEmpty,
+      "a content-identical upsert must be a change-feed no-op")
+    // And a REAL upsert reports exactly its doc, as an update.
+    val v2 = V.upsert(spark, d, Seq((10L, "spark gamma")).toDF("doc_id", "text"))
+    assert(feed(v2 - 1, v2) == Map(10L -> "update"))
+  }
 }
