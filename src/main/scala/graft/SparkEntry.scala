@@ -1738,6 +1738,12 @@ object SparkEntry {
       // The delete commit's feed (v1 → v2): exactly the takedown set.
       graft.sources.VersionedTextIndex.changes(s,
         ensureUpsertedTextIndex(s, d), 1L, 2L)),
+    "q115c_vector_change_feed" -> ((s, d) =>
+      // The vector upsert's feed (v3 → v4): revived ids as inserts,
+      // re-embedded live ids as updates — (cell, codes) content
+      // compared exactly, so the v3 compaction's rewrite emits nothing.
+      graft.sources.VersionedVectorIndex.changes(s,
+        ensureUpsertedAnnStore(s, d), 3L, 4L)),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
         Bm25Terms, Bm25K, RrfK, TextIndexBuckets, PqSub, IvfPqProbes,
@@ -3664,6 +3670,16 @@ object SparkEntry {
       s"""SELECT doc_id, 'delete' AS change FROM documents
           WHERE doc_id % $TextDeleteMod = $TextDeleteRes
           ORDER BY doc_id""",
+    // Q115c: the vector upsert set splits into revivals (deleted at v2
+    // → insert) and re-encoded live ids (→ update; a reversed embedding
+    // re-quantizes to different codes at every tested SF).
+    "q115c_vector_change_feed" ->
+      s"""SELECT vec_id,
+                 CASE WHEN vec_id % $AnnDeleteMod = $AnnDeleteRes
+                      THEN 'insert' ELSE 'update' END AS change
+          FROM embeddings
+          WHERE vec_id >= $AnnAppendSplit AND vec_id % $AnnUpsertMod = $AnnUpsertRes
+          ORDER BY vec_id""",
     // Q90c: per-cell occupancy of the appended store (base vs appended
     // split) — the assignment chain's af, counted.
     "q90c_index_stats" ->

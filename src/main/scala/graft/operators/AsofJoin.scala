@@ -13,6 +13,11 @@ import graft.sources.Tables
   * (stateStream.go:19-21) is the degenerate case (left time = now);
   * this is the general one a feature pipeline needs ("the price/state/
   * model version in force when the event happened").
+  * [[Temporal.asofLastView]] (q28) is the SAME-TABLE special case —
+  * when both sides are rows of one frame, a single window suffices;
+  * this operator is the general two-table form (distinct schemas,
+  * left/inner variants, payload-clash guard), and its oracle is
+  * DuckDB's NATIVE `ASOF JOIN` rather than a window restatement.
   *
   * Scale shape — why NOT the obvious plans:
   *   - `l JOIN r ON l.k = r.k AND l.t >= r.t` + per-pair argmax is a

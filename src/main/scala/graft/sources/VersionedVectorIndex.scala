@@ -221,6 +221,29 @@ object VersionedVectorIndex {
   def codebooks(spark: SparkSession, dir: String, version: Long = Latest): DataFrame =
     spark.read.parquet(s"$dir/${snapshot(spark, dir, version).modelDir}/codebooks")
 
+  /** Change data feed — (vec_id, change ∈ insert | update | delete)
+    * between two committed versions, CONTENT-based like
+    * [[VersionedTextIndex.changes]]: per live id the (cell, codes)
+    * pair IS the content (already a compact fixed-width encoding, so
+    * no fingerprinting detour is needed — the structs compare exactly
+    * in the join). Physical rewrites (compaction) emit nothing; only
+    * real re-encodes surface.
+    */
+  def changes(spark: SparkSession, dir: String, fromVersion: Long,
+              toVersion: Long): DataFrame = {
+    def gen(v: Long, as: String): DataFrame =
+      liveCodes(spark, dir, v)
+        .select(col("vec_id"), struct(col("cid"), col("codes")).as(as))
+    gen(fromVersion, "g_a").join(gen(toVersion, "g_b"), Seq("vec_id"), "full_outer")
+      .withColumn("change",
+        when(col("g_a").isNull, lit("insert"))
+          .when(col("g_b").isNull, lit("delete"))
+          .when(col("g_a") =!= col("g_b"), lit("update")))
+      .where(col("change").isNotNull)
+      .select(col("vec_id"), col("change"))
+      .orderBy("vec_id")
+  }
+
   /** The commit log as a frame — (version, op, codes_rows,
     * tombstone_rows), straight from the manifests: answering "what
     * happened to this index and how big was it" reads METADATA only,

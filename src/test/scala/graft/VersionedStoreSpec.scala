@@ -251,6 +251,34 @@ class VersionedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exactly the upserted deleted ids must revive ($revived vs $expectedRevived)")
   }
 
+  test("vector change feed: deletes and appends report exactly; compaction emits NOTHING; upsert splits into revivals and re-encodes") {
+    val d = freshLifecycle()
+    def feed(a: Long, b: Long): Map[Long, String] =
+      V.changes(spark, d, a, b).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val appendedIds = rest.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(feed(0L, 1L) == appendedIds.map(_ -> "insert").toMap)
+    val deadIds = delIds.collect().map(_.getLong(0)).toSet
+    assert(feed(1L, 2L) == deadIds.map(_ -> "delete").toMap)
+    assert(feed(2L, 3L).isEmpty,
+      "compaction rewrites every code file yet must be invisible to the feed")
+    val patch = emb.filter(col("vec_id") >= 400 && col("vec_id") % 5 === 2)
+      .withColumn("embedding", expr("reverse(embedding)"))
+    V.upsert(spark, d, patch)
+    val got = feed(3L, 4L)
+    val patchIds = patch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = patchIds.map(id =>
+      id -> (if (deadIds.contains(id)) "insert" else "update")).toMap
+    // Re-encoded ids whose reversed embedding happens to re-quantize to
+    // the SAME (cell, codes) are legitimate feed no-ops — allow them,
+    // but everything the feed DOES report must be in the patch set and
+    // correctly classified, and every revival must surface.
+    assert(got.keySet.subsetOf(patchIds), s"feed leaked ids outside the patch")
+    got.foreach { case (id, ch) => assert(ch == expected(id), s"id $id: $ch") }
+    assert(patchIds.filter(deadIds.contains).forall(got.contains),
+      "every revival must surface as an insert")
+  }
+
   test("replayed delete batches are version no-ops: no junk version, no inflated tombstone counts") {
     val d = freshLifecycle()
     // freshLifecycle ends compacted (tombstones folded); delete the
