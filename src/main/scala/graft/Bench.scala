@@ -104,7 +104,16 @@ object Bench {
                    // reindexed store for q108b.
                    "q107_version_history" -> sfDir,
                    "q108b_reindexed_search" -> sfDir,
-                   "q109c_postings_history" -> sfDir))
+                   "q109c_postings_history" -> sfDir,
+                   // The upserted lifecycles (text + ANN) and the three
+                   // z-order layouts: built here so the timed q111/q113/
+                   // q114/q115/q117 queries measure serving/pruned reads,
+                   // not store maintenance.
+                   "q111c_upsert_history" -> sfDir,
+                   "q111d_upserted_ann_search" -> sfDir,
+                   "q113_zorder_box" -> sfDir,
+                   "q114_layout_append" -> sfDir,
+                   "q114b_layout_optimized" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Fixed-work CPU calibration: a constant amount of pure computation

@@ -1744,6 +1744,15 @@ object SparkEntry {
       // compared exactly, so the v3 compaction's rewrite emits nothing.
       graft.sources.VersionedVectorIndex.changes(s,
         ensureUpsertedAnnStore(s, d), 3L, 4L)),
+    "q117_incremental_df" -> ((s, d) => {
+      // Materialized-view maintenance off the feed: the v3 df table
+      // rolls forward through the v4 upsert touching ONLY the changed
+      // docs' postings — and must equal a from-scratch df at v4.
+      val dir = ensureUpsertedTextIndex(s, d)
+      val V = graft.sources.VersionedTextIndex
+      V.dfRollForward(s, dir, V.dfTable(s, dir, 3L), 3L, 4L)
+        .orderBy("term")
+    }),
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
         Bm25Terms, Bm25K, RrfK, TextIndexBuckets, PqSub, IvfPqProbes,
@@ -3680,6 +3689,19 @@ object SparkEntry {
           FROM embeddings
           WHERE vec_id >= $AnnAppendSplit AND vec_id % $AnnUpsertMod = $AnnUpsertRes
           ORDER BY vec_id""",
+    // Q117: the rolled-forward df table must equal a from-scratch df
+    // over the v4 PATCHED live corpus — distinct (term, doc) pairs.
+    "q117_incremental_df" ->
+      s"""WITH live AS (SELECT doc_id,
+                          CASE WHEN doc_id % $TextUpsertMod = $TextUpsertRes
+                               THEN text || '$TextUpsertSuffix' ELSE text END AS text
+                        FROM documents
+                        WHERE doc_id % $TextDeleteMod <> $TextDeleteRes
+                           OR doc_id % $TextUpsertMod = $TextUpsertRes),
+          pairs AS (SELECT DISTINCT doc_id, w FROM
+                      (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM live))
+          SELECT w AS term, CAST(count(*) AS BIGINT) AS df
+          FROM pairs GROUP BY 1 ORDER BY term""",
     // Q90c: per-cell occupancy of the appended store (base vs appended
     // split) — the assignment chain's af, counted.
     "q90c_index_stats" ->

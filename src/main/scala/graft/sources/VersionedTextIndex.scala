@@ -212,9 +212,43 @@ object VersionedTextIndex {
       .orderBy("doc_id")
   }
 
-  /** The commit log — (version, op, postings_rows, tombstone_rows),
-    * from the manifests alone.
+  /** The df (document-frequency) table at `version`: (term, df) over
+    * the live postings — the BM25 model's expensive half, materialized.
+    * One full pass; [[dfRollForward]] is the incremental alternative.
     */
+  def dfTable(spark: SparkSession, dir: String, version: Long = Latest): DataFrame =
+    livePostings(spark, dir, version)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Incremental materialized-view maintenance: roll a df table built
+    * at `fromVersion` forward to `toVersion` by consuming the change
+    * feed instead of recomputing — the postings read is SEMI-JOINED to
+    * the feed's doc ids, so the work is proportional to what CHANGED,
+    * not to the corpus (the premise of every incremental pipeline; at
+    * 100 TB a full df recompute per upsert commit is the thing this
+    * exists to avoid). Deltas are exact integers: df' = df − (terms of
+    * the changed docs' OLD generations) + (terms of their NEW ones),
+    * zero nets dropped — so the rolled table EQUALS a from-scratch
+    * rebuild at `toVersion`, row for row. A physical-only commit
+    * (compaction) has an empty feed and rolls to the identical table.
+    */
+  def dfRollForward(spark: SparkSession, dir: String, dfAt: DataFrame,
+                    fromVersion: Long, toVersion: Long): DataFrame = {
+    val feed = changes(spark, dir, fromVersion, toVersion)
+    val oldIds = feed.where(col("change").isin("delete", "update")).select("doc_id")
+    val newIds = feed.where(col("change").isin("insert", "update")).select("doc_id")
+    def termCounts(v: Long, ids: DataFrame, sign: Long): DataFrame =
+      livePostings(spark, dir, v)
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .groupBy("term").agg((count(lit(1)) * sign).as("delta"))
+    val delta = termCounts(fromVersion, oldIds, -1L)
+      .unionByName(termCounts(toVersion, newIds, 1L))
+      .groupBy("term").agg(sum("delta").as("delta"))
+    dfAt.join(delta, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("delta"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+  }
   def history(spark: SparkSession, dir: String): DataFrame = {
     val rows = M.snapshots(spark, dir).map(s =>
       (s.version, s.op, s.rowsOf("postings"), s.rowsOf("tombstones")))

@@ -213,4 +213,25 @@ class VersionedTextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v2 = V.upsert(spark, d, Seq((10L, "spark gamma")).toDF("doc_id", "text"))
     assert(feed(v2 - 1, v2) == Map(10L -> "update"))
   }
+
+  test("df table rolls forward through the feed, touching only changed docs — equal to a from-scratch rebuild at every lifecycle step") {
+    val d = freshLifecycle()
+    def tbl(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Through the delete commit (real deltas).
+    assert(tbl(V.dfRollForward(spark, d, V.dfTable(spark, d, 1L), 1L, 2L))
+      == tbl(V.dfTable(spark, d, 2L)),
+      "rolling through a delete must equal the rebuild")
+    // Through the compaction (empty feed → identity, no work).
+    assert(tbl(V.dfRollForward(spark, d, V.dfTable(spark, d, 2L), 2L, 3L))
+      == tbl(V.dfTable(spark, d, 3L)),
+      "a physical-only commit must roll to the identical table")
+    // Through an upsert (inserts + updates at once).
+    val patch = docs.filter(col("doc_id") % 5 === 1)
+      .withColumn("text", concat(col("text"), lit(" spark spark")))
+    V.upsert(spark, d, patch)
+    assert(tbl(V.dfRollForward(spark, d, V.dfTable(spark, d, 3L), 3L, 4L))
+      == tbl(V.dfTable(spark, d, 4L)),
+      "rolling through an upsert must equal the rebuild")
+  }
 }
