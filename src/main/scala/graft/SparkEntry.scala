@@ -260,6 +260,11 @@ object SparkEntry {
     * it with. The time window is SF-stable (the generator always emits
     * January 2024); the user range selects ~5 users at every SF.
     */
+  /** Q112d: the nearest-as-of reach bound — 1 day in µs. At every SF
+    * the per-user purchase cadence (January-spread events) leaves some
+    * clicks with a purchase inside the day and some with none.
+    */
+  private val AsofNearestTolUs = 86400000000L
   private val SkipFiles = 32
   private val SkipUserLo = 3L
   private val SkipUserHi = 7L
@@ -775,20 +780,47 @@ object SparkEntry {
   /** Q112 family: the click→last-purchase point-in-time join, stated
     * through DuckDB's native ASOF JOIN (`joinKind` picks left/inner).
     */
-  private def asofOracleSql(joinKind: String): String =
-    s"""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
-                   FROM events WHERE event_type = 'click'),
+  private val asofClickPurchaseCtes: String =
+    s"""l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+              FROM events WHERE event_type = 'click'),
         r0 AS (SELECT user_id, epoch_us(ts) AS ts_us, value, event_id
                FROM events WHERE event_type = 'purchase'),
         r AS (SELECT user_id, ts_us AS purchase_ts_us, value AS purchase_value
               FROM (SELECT *, row_number() OVER
                       (PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
                     FROM r0)
-              WHERE rn = 1)
+              WHERE rn = 1)"""
+
+  private def asofOracleSql(joinKind: String, cmp: String = ">="): String =
+    s"""WITH $asofClickPurchaseCtes
         SELECT l.event_id, l.user_id, l.ts_us, l.value,
                r.purchase_ts_us, r.purchase_value
         FROM l $joinKind r
-          ON l.user_id = r.user_id AND l.ts_us >= r.purchase_ts_us
+          ON l.user_id = r.user_id AND l.ts_us $cmp r.purchase_ts_us
+        ORDER BY l.event_id"""
+
+  /** Q112d: nearest = the closer of two native ASOF joins (backward ≥,
+    * forward ≤), each tolerance-gated, ties to backward — the engine's
+    * exact selection rule restated over DuckDB's own ASOF operator.
+    */
+  private def asofNearestOracleSql(tolUs: Long): String =
+    s"""WITH $asofClickPurchaseCtes,
+        b AS (SELECT l.event_id, r.purchase_ts_us AS bts, r.purchase_value AS bv
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts_us >= r.purchase_ts_us),
+        f AS (SELECT l.event_id, r.purchase_ts_us AS fts, r.purchase_value AS fv
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts_us <= r.purchase_ts_us)
+        SELECT l.event_id, l.user_id, l.ts_us, l.value,
+               CASE WHEN vb AND (NOT vf OR gb <= gf) THEN bts
+                    WHEN vf THEN fts END AS purchase_ts_us,
+               CASE WHEN vb AND (NOT vf OR gb <= gf) THEN bv
+                    WHEN vf THEN fv END AS purchase_value
+        FROM (SELECT l.*, b.bts, b.bv, f.fts, f.fv,
+                     l.ts_us - b.bts AS gb, f.fts - l.ts_us AS gf,
+                     b.bts IS NOT NULL AND l.ts_us - b.bts <= $tolUs AS vb,
+                     f.fts IS NOT NULL AND f.fts - l.ts_us <= $tolUs AS vf
+              FROM l JOIN b USING (event_id) JOIN f USING (event_id)) l
         ORDER BY l.event_id"""
 
   /** Q111d: the q107c chain with the encode-side embeddings PATCHED
@@ -1701,6 +1733,17 @@ object SparkEntry {
     "q112b_asof_inner" -> ((s, d) =>
       // The inner variant: clicks with no prior purchase drop out.
       AsofJoin.clickLastPurchaseInner(s, d)),
+    "q112c_asof_forward" -> ((s, d) =>
+      // The mirrored direction: each click's NEXT purchase at or after
+      // it (time-to-conversion) — same one-shuffle running-window
+      // shape, first(ignoreNulls) over the following frame.
+      AsofJoin.clickNextPurchase(s, d)),
+    "q112d_asof_nearest" -> ((s, d) =>
+      // Pandas merge_asof(direction='nearest', tolerance=…): whichever
+      // of the backward/forward candidates is closer (ties backward),
+      // candidates beyond the reach bound are nulls — BOTH candidates
+      // from ONE sorted pass.
+      AsofJoin.clickNearestPurchase(s, d, AsofNearestTolUs)),
     "q113_zorder_box" -> ((s, d) =>
       // A (user, time) box over the z-ordered layout: the manifest
       // prunes files in BOTH dimensions before any data I/O, the
@@ -3635,6 +3678,11 @@ object SparkEntry {
     // deterministic-tie contract).
     "q112_asof_join" -> asofOracleSql("ASOF LEFT JOIN"),
     "q112b_asof_inner" -> asofOracleSql("ASOF JOIN"),
+    // Q112c: DuckDB's ASOF with the comparison FLIPPED is its native
+    // forward variant (smallest right time ≥, inclusive) — still a
+    // fully independent implementation.
+    "q112c_asof_forward" -> asofOracleSql("ASOF LEFT JOIN", "<="),
+    "q112d_asof_nearest" -> asofNearestOracleSql(AsofNearestTolUs),
     // Q113/q113b: the skipping layout must answer exactly the plain
     // scan — pruning is an I/O property (pinned by SkippingStoreSpec),
     // never a semantics change.

@@ -55,6 +55,63 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map(101L -> Some((10L, 99L)), 102L -> Some((10L, 99L))))
   }
 
+  test("forward as-of: inclusive equal-time match, smallest following wins, past-the-end keeps nulls") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, 3L), (101L, 1L, 10L), (102L, 1L, 12L),
+      (103L, 2L, 7L)).toDF("id", "k", "t")
+    val right = Seq((1L, 5L, 50L), (1L, 10L, 99L)).toDF("k", "rt", "v")
+      .select(col("k"), col("rt"), col("rt").as("r_t"), col("v").as("r_v"))
+    val got = AsofJoin.asofJoinForward(left, right, "k", "t", "rt",
+      Seq("r_t", "r_v"), inner = false)
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None
+                         else Some((r.getLong(3), r.getLong(4))))
+      }.toMap
+    assert(got == Map(
+      100L -> Some((5L, 50L)),   // smallest rt ≥ 3, not the last
+      101L -> Some((10L, 99L)),  // t == rt matches (≤, inclusive)
+      102L -> None,              // left after every right
+      103L -> None))             // key with no right rows
+  }
+
+  test("nearest as-of: smaller gap wins in either direction, ties go backward, tolerance gates both sides") {
+    import spark.implicits._
+    // key 1: rights at 4 and 10, tolerance 3.
+    val left = Seq(
+      (200L, 1L, 2L),   // only forward in reach (gap 2 to rt=4)
+      (201L, 1L, 7L),   // tie: gap 3 both ways → backward rt=4
+      (202L, 1L, 9L),   // backward gap 5 > tol, forward gap 1 → rt=10
+      (203L, 1L, 14L),  // both gaps > tol → null
+      (204L, 1L, 10L),  // exact match, gap 0 → rt=10
+      (205L, 2L, 5L)    // key with no rights → null
+    ).toDF("id", "k", "t")
+    val right = Seq((1L, 4L, 40L), (1L, 10L, 99L)).toDF("k", "rt", "v")
+      .select(col("k"), col("rt"), col("rt").as("r_t"), col("v").as("r_v"))
+    val got = AsofJoin.asofJoinNearest(left, right, "k", "t", "rt",
+      Seq("r_t", "r_v"), tolerance = 3L, inner = false)
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None
+                         else Some((r.getLong(3), r.getLong(4))))
+      }.toMap
+    assert(got == Map(
+      200L -> Some((4L, 40L)),
+      201L -> Some((4L, 40L)),
+      202L -> Some((10L, 99L)),
+      203L -> None,
+      204L -> Some((10L, 99L)),
+      205L -> None))
+  }
+
+  test("nearest as-of plan: still no join operator — both candidates come from one sorted pass") {
+    val df = AsofJoin.clickNearestPurchase(spark, "/root/testdata/sf0.001",
+      86400000000L)
+    val p = df.queryExecution.sparkPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!p.contains(j), s"$j leaked into the nearest-as-of plan:\n$p"))
+    assert(df.count() > 0)
+  }
+
   test("payload names shadowing left columns are rejected, not silently resolved") {
     import spark.implicits._
     val l = Seq((1L, 1L, 1L)).toDF("id", "k", "t")
