@@ -272,10 +272,15 @@ object SparkEntry {
   private val SkipTsHi = 1705276800000000L   // 2024-01-15
   private val SkipTs2Lo = 1705708800000000L  // 2024-01-20
   private val SkipTs2Hi = 1705881600000000L  // 2024-01-22
+  /** Q116: the Bloom-probe id set — fixed event_ids present at every
+    * SF (ids are dense from 0), scattered across the z-order so their
+    * min/max boxes are useless and only the Bloom tier can prune.
+    */
+  private val BloomProbeIds = Seq(11L, 97L, 203L, 404L, 555L, 606L, 707L, 808L, 909L, 990L)
   private def ensureSkipStore(s: SparkSession, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_skipstore_${new java.io.File(d).getName}"
     graft.sources.SkippingStore.writeOnce(skipEvents(s, d),
-      dir, Seq("user_id", "ts_us"), SkipFiles)
+      dir, Seq("user_id", "ts_us"), SkipFiles, bloomCols = Seq("event_id"))
     dir
   }
   private def skipEvents(s: SparkSession, d: String): DataFrame =
@@ -1770,6 +1775,16 @@ object SparkEntry {
       // same answer, tight pruning again.
       graft.sources.SkippingStore.readBox(s, ensureOptimizedSkipStore(s, d),
         Map("user_id" -> (SkipUserLo, SkipUserHi), "ts_us" -> (SkipTsLo, SkipTsHi)))
+        .orderBy("event_id")),
+    "q116_bloom_point_lookup" -> ((s, d) =>
+      // An IN-list probe on event_id — high-cardinality, uncorrelated
+      // with the (user, time) z-order, so every file's [min, max]
+      // spans the domain and zone maps prune NOTHING; the per-file
+      // Bloom bitsets in the manifest prune at file level before any
+      // data I/O (false positives read extra files, the residual IN
+      // keeps the answer exact).
+      graft.sources.SkippingStore.readPoint(s, ensureSkipStore(s, d),
+        "event_id", BloomProbeIds)
         .orderBy("event_id")),
     "q115_change_feed" -> ((s, d) =>
       // The change data feed of the v4 upsert: content-based per-doc
@@ -3711,6 +3726,14 @@ object SparkEntry {
           FROM events
           WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
             AND epoch_us(ts) BETWEEN $SkipTsLo AND $SkipTsHi
+          ORDER BY event_id""",
+    // Q116: like q113, the Bloom tier is pure I/O — the answer is the
+    // plain IN-list scan's, exactly (file skipping is pinned by
+    // SkippingStoreSpec, where the oracle cannot see it).
+    "q116_bloom_point_lookup" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          FROM events
+          WHERE event_id IN (${BloomProbeIds.mkString(", ")})
           ORDER BY event_id""",
     // Q115: the upsert's CDF, closed-form — the upsert set splits into
     // revivals (deleted at v2, so not live at v3 → insert) and

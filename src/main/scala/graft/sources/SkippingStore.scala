@@ -3,7 +3,8 @@ package graft.sources
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data-skipping layout — the Iceberg/Delta trick of
@@ -44,6 +45,15 @@ import org.apache.spark.sql.functions._
   * manifest reference — invisible, exactly like the versioned stores'
   * uncommitted segments.
   *
+  * A third tier serves the predicate shape min/max CANNOT: equality
+  * probes on a high-cardinality column uncorrelated with the layout
+  * (every file's [min, max] spans the whole domain — zero skipping).
+  * Declaring `bloomCols` at [[write]] adds a per-file BLOOM bitset to
+  * the manifest (Delta's bloom-filter-index story): [[readPoint]]
+  * keeps only files whose bitset may contain a probe value — false
+  * positives cost extra reads, never wrong answers, and exclusions
+  * are provably matchless.
+  *
   * This is the layout tier under [[EventLogStore]]'s time-bucket
   * partition pruning: directory partitioning can serve ONE dimension;
   * the z-order manifest serves boxes on any subset of the indexed
@@ -55,6 +65,73 @@ object SkippingStore {
 
   private val Bits = 10
 
+  /** Default Bloom sizing: 2^15 bits (4 KB) / 5 probes per file —
+    * ~10 bits per key at the store's file granularity, <1% false
+    * positives. The FP rate only costs extra files READ, never a wrong
+    * answer (the residual filter still runs), so undersizing degrades
+    * I/O, not correctness.
+    */
+  val DefaultBloomBits: Int = 1 << 15
+  val DefaultBloomK: Int = 5
+
+  /** The Bloom hash family — pure Scala (NOT a SQL builtin) because
+    * the same function must run on executors at build time (inside the
+    * Aggregator) and on the driver at probe time; self-consistency is
+    * the only requirement. Finalizer is splitmix64; probe i uses
+    * double hashing h1 + i·h2 (Kirsch–Mitzenmacher).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def bloomPositions(value: Long, m: Int, k: Int): Array[Int] = {
+    val h1 = mix64(value)
+    val h2 = mix64(value ^ 0x5851f42d4c957f2dL) | 1L
+    Array.tabulate(k)(i => java.lang.Long.remainderUnsigned(h1 + i * h2, m).toInt)
+  }
+
+  private def mayContain(bits: Array[Long], value: Long, k: Int): Boolean =
+    bloomPositions(value, bits.length * 64, k).forall(p =>
+      (bits(p >> 6) & (1L << (p & 63))) != 0L)
+
+  /** Per-file Bloom build as a typed Aggregator: buffer = the fixed
+    * m-bit bitset (m/64 longs — 4 KB at the default), reduce sets the
+    * value's k bits, merge ORs two bitsets. Executor state is constant
+    * per (file) group regardless of row count — the shape that holds
+    * at any file size.
+    */
+  private final class BloomAgg(m: Int, k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](m / 64)
+    def reduce(b: Array[Long], v: Long): Array[Long] = {
+      bloomPositions(v, m, k).foreach(p => b(p >> 6) |= 1L << (p & 63))
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  private def encodeBits(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def decodeBits(s: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
   private val mapper = new ObjectMapper
 
   private def fs(spark: SparkSession, dir: String) =
@@ -63,13 +140,20 @@ object SkippingStore {
   private def subName(op: String): String =
     s"$op-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  /** One file's manifest entry: relative path, exact per-statsCol
+    * [min, max], and (when the layout declares bloomCols) one encoded
+    * Bloom bitset per bloom column.
+    */
+  private final case class FileEntry(file: String, mins: Seq[Long],
+                                     maxs: Seq[Long], blooms: Seq[String])
+
   /** Z-sort `df` on `orderCols` into `nFiles` files under `dir/$sub`
-    * and return the new files' manifest entries (relative paths +
-    * exact per-statsCol [min, max]).
+    * and return the new files' manifest entries (stats + blooms, all
+    * from ONE grouped pass over the written files).
     */
   private def writeSubdir(df: DataFrame, dir: String, sub: String,
                           orderCols: Seq[String], statsCols: Seq[String],
-                          nFiles: Int): Seq[(String, Seq[Long], Seq[Long])] = {
+                          bloom: BloomConf, nFiles: Int): Seq[FileEntry] = {
     val spark = df.sparkSession
     val rangeAggs = orderCols.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"mn_$c"), max(col(c).cast("long")).as(s"mx_$c")))
@@ -91,18 +175,26 @@ object SkippingStore {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(s"$dir/$sub")
-    // One grouped pass: exact per-file [min, max] of every stats column.
+    // One grouped pass: exact per-file [min, max] of every stats column
+    // plus the per-file Bloom bitsets (constant 4 KB executor state per
+    // file per bloom column — the Aggregator, not a position set).
     val statAggs = statsCols.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"mn_$c"), max(col(c).cast("long")).as(s"mx_$c")))
+    val bloomUdaf = udaf(new BloomAgg(bloom.m, bloom.k))
+    val bloomAggs = bloom.cols.map(c => bloomUdaf(col(c).cast("long")).as(s"bf_$c"))
+    val aggs = statAggs ++ bloomAggs
     spark.read.parquet(s"$dir/$sub")
       .groupBy(input_file_name().as("_f"))
-      .agg(statAggs.head, statAggs.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         val file = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
-        (s"$sub/$file",
-          statsCols.indices.map(i => r.getLong(1 + 2 * i)): Seq[Long],
-          statsCols.indices.map(i => r.getLong(2 + 2 * i)): Seq[Long])
+        val bloomBase = 1 + 2 * statsCols.length
+        FileEntry(s"$sub/$file",
+          statsCols.indices.map(i => r.getLong(1 + 2 * i)),
+          statsCols.indices.map(i => r.getLong(2 + 2 * i)),
+          bloom.cols.indices.map(i =>
+            encodeBits(r.getSeq[Long](bloomBase + i).toArray)))
       }.toSeq
   }
 
@@ -111,16 +203,24 @@ object SkippingStore {
     */
   private def commitManifest(spark: SparkSession, dir: String,
                              orderCols: Seq[String], statsCols: Seq[String],
-                             files: Seq[(String, Seq[Long], Seq[Long])]): Unit = {
+                             bloom: BloomConf, files: Seq[FileEntry]): Unit = {
     val root: ObjectNode = mapper.createObjectNode()
     val oArr = root.putArray("orderCols"); orderCols.foreach(oArr.add)
     val cArr = root.putArray("indexCols"); statsCols.foreach(cArr.add)
+    if (bloom.cols.nonEmpty) {
+      val bArr = root.putArray("bloomCols"); bloom.cols.foreach(bArr.add)
+      root.put("bloomM", bloom.m)
+      root.put("bloomK", bloom.k)
+    }
     val fArr = root.putArray("files")
-    files.foreach { case (f, mins, maxs) =>
+    files.foreach { case FileEntry(f, mins, maxs, blooms) =>
       val n = fArr.addObject()
       n.put("file", f)
       val mn = n.putArray("min"); val mx = n.putArray("max")
       mins.foreach(mn.add); maxs.foreach(mx.add)
+      if (blooms.nonEmpty) {
+        val bl = n.putArray("bloom"); blooms.foreach(bl.add)
+      }
     }
     val f = fs(spark, dir)
     val tmp = new Path(s"$dir/.skipping-${java.util.UUID.randomUUID()}.tmp")
@@ -137,33 +237,45 @@ object SkippingStore {
     * order columns — pass a superset to record stats for columns the
     * layout does NOT cluster, the realistic Iceberg shape: stats exist
     * for every column, the LAYOUT decides how much they can skip).
+    * `bloomCols` adds a per-file Bloom bitset for each named column
+    * (must be non-null, integral-typed) — the skipping tier for
+    * EQUALITY probes on high-cardinality columns uncorrelated with the
+    * layout, where min/max intervals span everything and prune nothing.
     * Wipes any prior layout at `dir`.
     */
   def write(df: DataFrame, dir: String, orderCols: Seq[String], nFiles: Int,
-            statsColsOpt: Seq[String] = Seq.empty): Unit = {
+            statsColsOpt: Seq[String] = Seq.empty,
+            bloomCols: Seq[String] = Seq.empty,
+            bloomBits: Int = DefaultBloomBits, bloomK: Int = DefaultBloomK): Unit = {
     require(orderCols.nonEmpty && Bits * orderCols.length <= 60,
       s"up to ${60 / Bits} order columns")
+    require(bloomBits % 64 == 0 && bloomBits > 0 && bloomK > 0,
+      "bloomBits must be a positive multiple of 64")
     val statsCols = if (statsColsOpt.isEmpty) orderCols else statsColsOpt
     require(orderCols.forall(statsCols.contains),
       "statsCols must cover every order column")
+    val bloom = BloomConf(bloomCols, bloomBits, bloomK)
     val spark = df.sparkSession
     fs(spark, dir).delete(new Path(dir), true)
-    val entries = writeSubdir(df, dir, subName("base"), orderCols, statsCols, nFiles)
-    commitManifest(spark, dir, orderCols, statsCols, entries)
+    val entries = writeSubdir(df, dir, subName("base"), orderCols, statsCols,
+      bloom, nFiles)
+    commitManifest(spark, dir, orderCols, statsCols, bloom, entries)
   }
 
   /** Ingest a batch: its files land in a fresh subdirectory, z-sorted
     * WITHIN the batch (the stored order columns; batch-local ranges —
     * the sort only tightens the new files' own boxes), and the manifest
-    * gains their stats entries in one atomic swap. Pruning stays SOUND
+    * gains their stats entries — and Bloom bitsets, when the layout
+    * declares them — in one atomic swap. Pruning stays SOUND
     * unconditionally; it gradually loosens as batch files' boxes
     * overlap the base generation's — [[optimize]] restores it.
     */
   def append(spark: SparkSession, dir: String, df: DataFrame, nFiles: Int): Unit = {
     if (df.isEmpty) return
     val m = readManifest(spark, dir)
-    val entries = writeSubdir(df, dir, subName("batch"), m.orderCols, m.statsCols, nFiles)
-    commitManifest(spark, dir, m.orderCols, m.statsCols, m.files ++ entries)
+    val entries = writeSubdir(df, dir, subName("batch"), m.orderCols, m.statsCols,
+      m.bloom, nFiles)
+    commitManifest(spark, dir, m.orderCols, m.statsCols, m.bloom, m.files ++ entries)
   }
 
   /** Rewrite the whole table as ONE globally-z-ordered generation and
@@ -175,13 +287,13 @@ object SkippingStore {
   def optimize(spark: SparkSession, dir: String, nFiles: Int): Unit = {
     val m = readManifest(spark, dir)
     val entries = writeSubdir(readAll(spark, dir), dir, subName("opt"),
-      m.orderCols, m.statsCols, nFiles)
-    commitManifest(spark, dir, m.orderCols, m.statsCols, entries)
+      m.orderCols, m.statsCols, m.bloom, nFiles)
+    commitManifest(spark, dir, m.orderCols, m.statsCols, m.bloom, entries)
   }
 
   /** Delete every subdirectory the current manifest does not reference. */
   def vacuum(spark: SparkSession, dir: String): Unit = {
-    val referenced = readManifest(spark, dir).files.map(_._1.split('/').head).toSet
+    val referenced = readManifest(spark, dir).files.map(_.file.split('/').head).toSet
     val f = fs(spark, dir)
     f.listStatus(new Path(dir)).foreach { st =>
       if (st.isDirectory && !referenced.contains(st.getPath.getName))
@@ -189,8 +301,10 @@ object SkippingStore {
     }
   }
 
+  private final case class BloomConf(cols: Seq[String], m: Int, k: Int)
+
   private final case class Manifest(orderCols: Seq[String], statsCols: Seq[String],
-                                    files: Seq[(String, Seq[Long], Seq[Long])])
+                                    bloom: BloomConf, files: Seq[FileEntry])
 
   private def readManifest(spark: SparkSession, dir: String): Manifest = {
     val in = fs(spark, dir).open(new Path(s"$dir/_skipping.json"))
@@ -204,20 +318,26 @@ object SkippingStore {
       } finally in.close()
     val root = mapper.readTree(bytes)
     def arr(k: String): Seq[String] =
-      (0 until root.get(k).size()).map(root.get(k).get(_).asText())
+      if (!root.has(k)) Seq.empty
+      else (0 until root.get(k).size()).map(root.get(k).get(_).asText())
+    val bloom = BloomConf(arr("bloomCols"),
+      if (root.has("bloomM")) root.get("bloomM").asInt() else DefaultBloomBits,
+      if (root.has("bloomK")) root.get("bloomK").asInt() else DefaultBloomK)
     val files = (0 until root.get("files").size()).map { i =>
       val n = root.get("files").get(i)
-      (n.get("file").asText(),
-        (0 until n.get("min").size()).map(n.get("min").get(_).asLong()): Seq[Long],
-        (0 until n.get("max").size()).map(n.get("max").get(_).asLong()): Seq[Long])
+      FileEntry(n.get("file").asText(),
+        (0 until n.get("min").size()).map(n.get("min").get(_).asLong()),
+        (0 until n.get("max").size()).map(n.get("max").get(_).asLong()),
+        if (!n.has("bloom")) Seq.empty
+        else (0 until n.get("bloom").size()).map(n.get("bloom").get(_).asText()))
     }
-    Manifest(arr("orderCols"), arr("indexCols"), files)
+    Manifest(arr("orderCols"), arr("indexCols"), bloom, files)
   }
 
   /** Every live row (the manifest's full file list). */
   def readAll(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(spark, dir)
-    spark.read.parquet(m.files.map(f => s"$dir/${f._1}"): _*)
+    spark.read.parquet(m.files.map(f => s"$dir/${f.file}"): _*)
   }
 
   /** File lists for a box predicate: (kept, total) — the metadata-only
@@ -229,12 +349,47 @@ object SkippingStore {
     val unknown = bounds.keySet.diff(m.statsCols.toSet)
     require(unknown.isEmpty, s"not indexed by this layout: $unknown")
     val kept = m.files.collect {
-      case (f, mins, maxs) if m.statsCols.indices.forall { i =>
+      case FileEntry(f, mins, maxs, _) if m.statsCols.indices.forall { i =>
         bounds.get(m.statsCols(i)).forall { case (lo, hi) =>
           maxs(i) >= lo && mins(i) <= hi }
       } => f
     }
     (kept, m.files.length)
+  }
+
+  /** File lists for an equality probe through the Bloom tier: a file is
+    * kept iff its bitset claims it MAY contain at least one probe value
+    * (all k bits set). A kept file can be a false positive — extra I/O,
+    * filtered by the residual predicate; an excluded file PROVABLY
+    * holds no probe value (the build set every real value's bits).
+    */
+  def pruneFilesPoint(spark: SparkSession, dir: String, column: String,
+                      values: Seq[Long]): (Seq[String], Int) = {
+    require(values.nonEmpty, "a point probe needs at least one value")
+    val m = readManifest(spark, dir)
+    val ci = m.bloom.cols.indexOf(column)
+    require(ci >= 0, s"no Bloom filter for column $column " +
+      s"(bloom columns: ${m.bloom.cols.mkString(", ")})")
+    val kept = m.files.collect {
+      case e if e.blooms.nonEmpty && {
+        val bits = decodeBits(e.blooms(ci))
+        values.exists(v => mayContain(bits, v, m.bloom.k))
+      } => e.file
+    }
+    (kept, m.files.length)
+  }
+
+  /** Read an IN-list point lookup: only Bloom-positive files are listed
+    * to the scan, and the residual `IN` predicate is applied — and
+    * pushed down — on the survivors (two tiers again: file-level Bloom,
+    * then parquet row-group stats on the z-sorted survivors).
+    */
+  def readPoint(spark: SparkSession, dir: String, column: String,
+                values: Seq[Long]): DataFrame = {
+    val (kept, _) = pruneFilesPoint(spark, dir, column, values)
+    if (kept.isEmpty) readAll(spark, dir).where(lit(false))
+    else spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
+      .where(col(column).cast("long").isin(values: _*))
   }
 
   /** Read the box: only stats-overlapping files are listed to the scan
@@ -255,9 +410,12 @@ object SkippingStore {
 
   /** Idempotent-per-JVM write (the `*Once` store convention). */
   def writeOnce(df: DataFrame, dir: String, orderCols: Seq[String],
-                nFiles: Int): Unit = synchronized {
-    val key = (dir, orderCols.mkString(","), nFiles, "write")
-    if (!written.contains(key)) { write(df, dir, orderCols, nFiles); written += key }
+                nFiles: Int, bloomCols: Seq[String] = Seq.empty): Unit = synchronized {
+    val key = (dir, (orderCols ++ bloomCols).mkString(","), nFiles, "write")
+    if (!written.contains(key)) {
+      write(df, dir, orderCols, nFiles, bloomCols = bloomCols)
+      written += key
+    }
   }
 
   /** The q114 pre-optimize state, idempotent per JVM: base write plus

@@ -144,6 +144,72 @@ class SkippingStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got() == want, "the optimized generation serves after vacuum")
   }
 
+  /** The Bloom tier (q116): a layout whose manifest also carries a
+    * per-file Bloom bitset on event_id — the high-cardinality column
+    * the (user, time) z-order scatters, so its per-file [min, max]
+    * spans nearly everything and zone maps cannot prune equality.
+    */
+  private lazy val bloomDir = {
+    val d = Files.createTempDirectory("graft_skip_bloom").toString
+    S.write(ev, d, Seq("user_id", "ts_us"), nFiles, bloomCols = Seq("event_id"))
+    d
+  }
+  private val probeIds = Seq(11L, 203L, 555L, 909L)
+
+  test("bloom point probe prunes files zone maps cannot, and answers exactly the plain IN scan") {
+    val (kept, total) = S.pruneFilesPoint(spark, bloomDir, "event_id", probeIds)
+    assert(total == nFiles)
+    assert(kept.nonEmpty && kept.size < total,
+      s"the Bloom tier must skip files (${kept.size}/$total kept)")
+    val want = ev.where(col("event_id").isin(probeIds: _*))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = S.readPoint(spark, bloomDir, "event_id", probeIds)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && want.size == probeIds.size)
+  }
+
+  test("bloom exclusion is SOUND: an excluded file holds no probe value") {
+    val (kept, _) = S.pruneFilesPoint(spark, bloomDir, "event_id", probeIds)
+    val all = S.pruneFiles(spark, bloomDir,
+      Map("user_id" -> (Long.MinValue, Long.MaxValue)))._1
+    val excluded = all.toSet -- kept.toSet
+    assert(excluded.nonEmpty)
+    val leaked = spark.read.parquet(excluded.map(f => s"$bloomDir/$f").toSeq: _*)
+      .where(col("event_id").isin(probeIds: _*)).count()
+    assert(leaked == 0L, s"$leaked probe rows hid in Bloom-excluded files")
+  }
+
+  test("a probe for absent values reads (almost) nothing and returns zero rows") {
+    val ghosts = Seq(-5L, -77L, Long.MaxValue / 2)
+    val (kept, total) = S.pruneFilesPoint(spark, bloomDir, "event_id", ghosts)
+    // False positives are allowed but must be rare at ~10 bits/key.
+    assert(kept.size <= total / 4, s"${kept.size}/$total kept for absent values")
+    assert(S.readPoint(spark, bloomDir, "event_id", ghosts).count() == 0L)
+  }
+
+  test("appends carry Bloom bitsets: an appended row is probe-visible, via its batch file") {
+    val d = Files.createTempDirectory("graft_skip_bloom_app").toString
+    S.write(ev.where(col("event_id") =!= 500L), d, Seq("user_id", "ts_us"),
+      nFiles, bloomCols = Seq("event_id"))
+    assert(S.readPoint(spark, d, "event_id", Seq(500L)).count() == 0L)
+    S.append(spark, d, ev.where(col("event_id") === 500L), 1)
+    val (kept, _) = S.pruneFilesPoint(spark, d, "event_id", Seq(500L))
+    assert(kept.exists(_.startsWith("batch-")),
+      s"the appended batch's bloom must admit its own row, kept: $kept")
+    assert(S.readPoint(spark, d, "event_id", Seq(500L)).count() == 1L)
+  }
+
+  test("a probe on a column without a Bloom filter is rejected, not silently unskipped") {
+    val ex = intercept[IllegalArgumentException] {
+      S.pruneFilesPoint(spark, bloomDir, "value", Seq(1L))
+    }
+    assert(ex.getMessage.contains("no Bloom filter"))
+    val ex2 = intercept[IllegalArgumentException] {
+      S.pruneFilesPoint(spark, zDir, "event_id", Seq(1L))
+    }
+    assert(ex2.getMessage.contains("no Bloom filter"))
+  }
+
   test("a crashed append (data files on disk, no manifest swap) is invisible") {
     val d = Files.createTempDirectory("graft_skip_crash").toString
     S.write(ev, d, Seq("user_id", "ts_us"), nFiles)
