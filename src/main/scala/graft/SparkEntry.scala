@@ -1278,6 +1278,15 @@ object SparkEntry {
     "q25b_approx_quantiles" -> ((s, d) =>
       EventLog.approxQuantiles(Tables.events(s, d), 10000, 0.02)),
     "q28_asof_join" -> ((s, d) => Temporal.asofLastView(Tables.events(s, d))),
+    "q118_resample_ffill" -> ((s, d) =>
+      // Daily resample + forward-fill: one (user, day) agg, an output-
+      // bounded sequence/explode grid, and the as-of union trick — no
+      // (user, day) join, one user shuffle carries the fill.
+      Temporal.resampleDailyFfill(Tables.events(s, d))),
+    "q118b_resample_gaps" -> ((s, d) =>
+      // The freshness monitor over the same grid: gap days and the
+      // longest consecutive-missing run per user, counts only.
+      Temporal.resampleGapReport(Tables.events(s, d))),
     "q29_range_join" -> ((s, d) => Temporal.periodStats(
       Tables.events(s, d),
       Temporal.periods(s, PeriodStartUs, PeriodStepUs, PeriodLenUs, NumPeriods),
@@ -2507,6 +2516,39 @@ object SparkEntry {
          SELECT event_id, user_id, ts_us, view_event_id, view_ts_us,
                 ts_us - view_ts_us AS lag_us
          FROM m WHERE event_type = 'purchase' ORDER BY event_id""",
+    // Q118: the resampled daily series — per user one row per day of
+    // their observed span; a day's close (last event on the (ts_us,
+    // event_id) total order) forward-fills gap days.
+    "q118_resample_ffill" ->
+      """WITH obs AS (SELECT user_id, day, n_events, value AS close_value FROM (
+               SELECT user_id, epoch_us(ts) // 86400000000 AS day, value,
+                      count(*) OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000) AS n_events,
+                      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+                                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1),
+         span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span),
+         j AS (SELECT g.user_id, g.day, o.n_events, o.close_value
+               FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day)
+         SELECT user_id, day,
+                coalesce(n_events, CAST(0 AS BIGINT)) AS n_events,
+                last_value(close_value IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS value,
+                n_events IS NULL AS gap_filled
+         FROM j ORDER BY user_id, day""",
+    // Q118b: gap statistics per user over the observed-day set.
+    "q118b_resample_gaps" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         l AS (SELECT user_id, day,
+                      lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+               FROM d)
+         SELECT user_id, count(*) AS n_obs_days,
+                max(day) - min(day) + 1 AS span_days,
+                max(day) - min(day) + 1 - count(*) AS gap_days,
+                max(CASE WHEN prev IS NOT NULL THEN day - prev - 1
+                         ELSE CAST(0 AS BIGINT) END) AS max_gap_days
+         FROM l GROUP BY user_id ORDER BY user_id""",
     "q29_range_join" ->
       s"""WITH p AS (SELECT CAST(i AS BIGINT) AS period_id,
                             $PeriodStartUs + i * $PeriodStepUs AS lo_us,

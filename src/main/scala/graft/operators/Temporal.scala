@@ -87,4 +87,71 @@ object Temporal {
         round(exactSum(col("value"), 2), 2).as("sum_value"))
       .orderBy("period_id")
   }
+
+  private val DayUs = 86400000000L
+
+  /** Q118 — resample to a regular grid with forward-fill: each user's
+    * irregular event stream becomes one row per DAY from their first to
+    * last observed day; a day's `value` is the user's closing value
+    * (last event by the (ts_us, event_id) total order) carried forward
+    * across gap days — Pandas `resample('1D').last().ffill()`, the step
+    * that turns event logs into the aligned series feature pipelines
+    * and ML dataloaders consume.
+    *
+    * Scale shape: observations collapse to one row per (user, day)
+    * first (map-side-combining agg — the carried value is max_by on
+    * the total order, pure selection, no arithmetic), the grid comes
+    * from per-user [first, last] spans via `sequence`/explode (output-
+    * bounded: the grid IS the result), and the fill is the as-of union
+    * trick — grid and observation rows shuffle ONCE on user and a
+    * running `last(ignoreNulls)` carries the day struct forward, so
+    * there is no (user, day) join anywhere. Gap days report `n_events
+    * = 0` and `gap_filled = true` (the carried struct's day differs
+    * from the grid day).
+    */
+  def resampleDailyFfill(events: DataFrame): DataFrame = {
+    val obs = events
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${DayUs}L").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close_value"))
+    val grid = obs.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .withColumn("_side", lit(1))
+    val o = obs.select(col("user_id"), col("day"),
+        struct(col("day").as("_d"), col("n_events"), col("close_value")).as("_p"))
+      .withColumn("_side", lit(0))
+    val w = Window.partitionBy("user_id").orderBy(col("day"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.unionByName(o, allowMissingColumns = true)
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(col("user_id"), col("day"),
+        when(col("_m").getField("_d") === col("day"),
+          col("_m").getField("n_events")).otherwise(lit(0L)).as("n_events"),
+        col("_m").getField("close_value").as("value"),
+        (col("_m").getField("_d") =!= col("day")).as("gap_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Q118b — the gap report over the same day grid: per user, observed
+    * days, span, gap-day count, and the longest run of consecutive
+    * missing days (the data-freshness monitor deciding whether a
+    * forward-fill is still honest). One (user, day) distinct + a lag
+    * window + a user-keyed aggregation — counts only, never values.
+    */
+  def resampleGapReport(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    events
+      .select(col("user_id"), expr(s"ts_us DIV ${DayUs}L").as("day"))
+      .distinct()
+      .withColumn("_prev", lag(col("day"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_obs_days"),
+        (max("day") - min("day") + 1).as("span_days"),
+        (max("day") - min("day") + 1 - count(lit(1))).as("gap_days"),
+        max(when(col("_prev").isNotNull, col("day") - col("_prev") - 1)
+          .otherwise(lit(0L))).as("max_gap_days"))
+      .orderBy("user_id")
+  }
 }

@@ -107,6 +107,31 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.count() == 10)
   }
 
+  test("daily resample forward-fills gap days with the prior close and flags them") {
+    import spark.implicits._
+    val DayUs = 86400000000L
+    // user 1: days 10 (two events — close is the later), 13; user 2: day 5 only.
+    val ev = Seq(
+      (1L, 1L, 10L * DayUs + 100L, 1.0),
+      (2L, 1L, 10L * DayUs + 200L, 2.0), // same day, later → the close
+      (3L, 1L, 13L * DayUs, 9.0),
+      (4L, 2L, 5L * DayUs, 7.0)
+    ).toDF("event_id", "user_id", "ts_us", "value")
+    val got = Temporal.resampleDailyFfill(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, 10L, 2L, 2.0, false), // both events counted, later one closes
+      (1L, 11L, 0L, 2.0, true),  // gap: carried close, flagged
+      (1L, 12L, 0L, 2.0, true),
+      (1L, 13L, 1L, 9.0, false),
+      (2L, 5L, 1L, 7.0, false))) // single-day span: no gaps
+    val rep = Temporal.resampleGapReport(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rep == Seq((1L, 2L, 4L, 2L, 2L), (2L, 1L, 1L, 0L, 0L)))
+  }
+
   test("q39 core: null buckets pair up and unmatched sides survive the full outer") {
     import spark.implicits._
     // The natural corpus always carries `k`, so the defining semantics
