@@ -363,6 +363,10 @@ object SparkEntry {
   /** Q86: BM25 query terms (present in the synthetic vocabulary) and
     * result-list size. */
   private val Bm25Terms = Seq("spark", "join", "window")
+  /** Q119: the "query encoder output" — a bounded weighted-term set
+    * (vocabulary words present at every SF; exact-integer weights).
+    */
+  private val SparseQueryWeights = Seq(("spark", 5L), ("join", 3L), ("window", 1L))
   private val Bm25K = 20
   /** Q87: fused result-list size for hybrid RRF. */
   private val RrfK = 10
@@ -1528,6 +1532,13 @@ object SparkEntry {
       Html.webFunnel(Tables.table(s, d, "documents"), WebMinTok, WebMaxTok, WebHostCap)),
     "q94_stored_bm25" -> ((s, d) =>
       TextAnalysis.bm25Stored(s, ensureTextIndex(s, d), Bm25Terms, Bm25K, TextIndexBuckets)),
+    "q119_sparse_retrieval" -> ((s, d) =>
+      // Learned-sparse serving (SPLADE shape): Σ w_t · tf over the
+      // stored postings — no corpus model, exact-integer ranking,
+      // query-bucket file pruning; the third retrieval scorer next to
+      // BM25 and the dense leg.
+      TextAnalysis.sparseDotStored(s, ensureTextIndex(s, d),
+        SparseQueryWeights, Bm25K, TextIndexBuckets)),
     "q101_deleted_bm25" -> ((s, d) =>
       // Lexical takedown serving: ~1/9 of the corpus tombstoned (no
       // posting file rewritten, stats retreated by exact counts);
@@ -4055,6 +4066,23 @@ object SparkEntry {
     // Q94: the stored-postings ranking must equal the full-scan BM25
     // verbatim (df/idf/avgdl/contribution cast points shared).
     "q94_stored_bm25" -> q86OracleSql,
+    // Q119: the stored sparse dot product must equal the full-text
+    // computation — per-doc tf of each query term, weighted, summed as
+    // exact integers (no floats exist on either side).
+    "q119_sparse_retrieval" -> {
+      val inList = SparseQueryWeights.map(t => s"'${t._1}'").mkString(", ")
+      val wCase = SparseQueryWeights
+        .map { case (t, w) => s"WHEN '$t' THEN $w" }
+        .mkString("CASE term ", " ", " ELSE 0 END")
+      s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                            FROM documents)
+                      WHERE term IN ($inList)
+                      GROUP BY 1, 2)
+          SELECT doc_id, CAST(sum(($wCase) * tf) AS BIGINT) AS score
+          FROM tf GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT $Bm25K"""
+    },
     // Q101/q101b: the q86 chain over the LIVE corpus only — deletion
     // moves rankings AND the model (df, n_docs, avgdl all retreat);
     // compaction must then preserve every answer (same oracle, twice).

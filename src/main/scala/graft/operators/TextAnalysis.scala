@@ -831,6 +831,42 @@ object TextAnalysis {
     bm25Served(graft.sources.TextIndexStore.postings(spark, dir),
       graft.sources.TextIndexStore.stats(spark, dir), terms, k, nBuckets)
 
+  /** Q119 — learned-sparse (impact-weighted) retrieval over the stored
+    * postings: score(doc) = Σ w_t · tf(t, doc) for the query's bounded
+    * (term, weight) set — the SPLADE/DeepImpact serving shape, where a
+    * query encoder emits weighted terms and the inverted index answers
+    * with a pure dot product. Unlike BM25 there is NO corpus model
+    * (no df/idf/avgdl): integer weights × the posting rows' integer tf
+    * sum as exact BIGINTs, so the ranking is float-free end to end.
+    *
+    * Cost shape: same as [[bm25Stored]] minus the model pass — the
+    * postings scan file-prunes to the query terms' hash buckets, the
+    * weight lookup is a CASE literal (no join), the only exchange is
+    * the O(candidate docs) per-doc sum, and ranking is TakeOrdered k.
+    */
+  def sparseDotStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      termWeights: Seq[(String, Long)], k: Int,
+                      nBuckets: Int): DataFrame = {
+    require(termWeights.nonEmpty &&
+      termWeights.forall { case (t, w) => t.matches("[a-z0-9]+") && w > 0 },
+      s"query terms must be [a-z0-9]+ with positive weights, got $termWeights")
+    require(termWeights.map(_._1).distinct.size == termWeights.size,
+      "duplicate query terms: merge their weights upstream")
+    import graft.sources.TextIndexStore
+    val terms = termWeights.map(_._1)
+    val buckets = terms.map(TextIndexStore.bucketOf(_, nBuckets)).distinct
+    val wCase = termWeights.map { case (t, w) => s"WHEN '$t' THEN ${w}L" }
+      .mkString("CASE term ", " ", " ELSE 0L END")
+    TextIndexStore.postings(spark, dir)
+      .filter(col("t_bucket").isin(buckets.map(Long.box): _*)
+        && col("term").isin(terms: _*))
+      .withColumn("c", expr(s"($wCase) * tf"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** [[bm25Stored]] over the LIVE view (postings minus tombstoned
     * docs, stats already retreated at delete time): after a takedown
     * ([[graft.sources.TextIndexStore.delete]]) scores equal a

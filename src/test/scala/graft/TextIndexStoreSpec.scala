@@ -50,6 +50,34 @@ class TextIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the persisted postings must reproduce the full-scan scores exactly")
   }
 
+  test("stored sparse dot product equals the full-text weighted-tf ranking, exactly") {
+    val weights = Seq(("spark", 5L), ("join", 3L), ("window", 1L))
+    val fromStore = TextAnalysis.sparseDotStored(spark, dir, weights, 20, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // The naive definition straight off the text: per-doc tf per term,
+    // weighted, summed — all integers, so equality is exact.
+    val wCase = weights.map { case (t, w) => s"WHEN '$t' THEN ${w}L" }
+      .mkString("CASE term ", " ", " ELSE 0L END")
+    val naive = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(weights.map(_._1): _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("c", expr(s"($wCase) * tf"))
+      .groupBy("doc_id").agg(sum("c").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fromStore == naive,
+      "the stored postings must reproduce the weighted-tf ranking exactly")
+    // Duplicate terms and non-positive weights are contract violations.
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sparseDotStored(spark, dir,
+        Seq(("spark", 1L), ("spark", 2L)), 5, nBuckets)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sparseDotStored(spark, dir, Seq(("spark", 0L)), 5, nBuckets)
+    }
+  }
+
   test("Scala bucketOf equals the SQL hash the build partitioned by, on the whole vocabulary") {
     import graft.functions.PortableHash.hash48
     val vocab = docs
