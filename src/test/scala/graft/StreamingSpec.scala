@@ -1601,6 +1601,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.subsetOf(snapshot.map(_._2).toSet))
   }
 
+  test("S25: streaming materialized-view maintenance — the df view rolls through append/delete/compact/upsert commits, replay-safe, ≡ from-scratch at every step") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{Tables, VersionedTextIndex => V}
+    import graft.streaming.{DfViewMaintainer, StreamingMvMaintain}
+    // The commit-log → incremental-refresh loop: the store commits,
+    // a notification lands on the stream, the maintainer rolls the df
+    // table forward by exactly the changed documents' postings.
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s25").toString
+    V.build(docs.filter(col("doc_id") < 300), dir, 8)
+    val m = new DfViewMaintainer(spark, dir)
+    def viewSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def fromScratch(): Set[(String, Long)] = viewSet(V.dfTable(spark, dir))
+    assert(viewSet(m.current) == fromScratch(), "seed view must match v0")
+
+    val src = MemoryStream[Long]
+    val q = src.toDF().toDF("version").writeStream
+      .foreachBatch(StreamingMvMaintain.sink(m) _)
+      .outputMode("update").start()
+    try {
+      // Commit 1: append the rest of the corpus; notify; roll.
+      val v1 = V.append(spark, dir, docs.filter(col("doc_id") >= 300))
+      src.addData(v1); q.processAllAvailable()
+      assert(m.version == v1 && viewSet(m.current) == fromScratch(),
+        "rolled view must equal a from-scratch df after append")
+      // Commits 2+3 land BEFORE one notification: a takedown, then a
+      // physical-only compaction. One multi-commit roll must cross
+      // both — and the compaction contributes an EMPTY feed.
+      val v2 = V.delete(spark, dir,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      val v3 = V.compact(spark, dir)
+      src.addData(v3); q.processAllAvailable()
+      assert(m.version == v3 && viewSet(m.current) == fromScratch(),
+        "a skip-level roll (delete + compaction) must equal from-scratch")
+      assert(v2 == v3 - 1)
+      // Replay / reorder: stale notifications are no-ops.
+      val before = viewSet(m.current)
+      src.addData(v1); q.processAllAvailable()
+      assert(m.version == v3 && viewSet(m.current) == before,
+        "a stale notification must not move the view")
+      // Commit 4: an atomic upsert (replacements + revivals) — the
+      // feed's update/insert arithmetic.
+      val v4 = V.upsert(spark, dir,
+        docs.filter(col("doc_id") % 5 === 2)
+          .withColumn("text", expr("concat(text, ' rolled view')")))
+      src.addData(v4); q.processAllAvailable()
+      assert(m.version == v4 && viewSet(m.current) == fromScratch(),
+        "rolled view must equal a from-scratch df after the upsert")
+    } finally q.stop()
+  }
+
   test("S12: streaming chunk packing ≡ batch chunkPack across arbitrary microbatch splits") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
