@@ -346,6 +346,13 @@ object SparkEntry {
     graft.sources.TextIndexStore.buildOnce(Tables.table(s, d, "documents"), dir, TextIndexBuckets)
     dir
   }
+  /** [[ensureTextIndex]] plus its positional sidecar (q121 family). */
+  private def ensurePositionalIndex(s: SparkSession, d: String): String = {
+    val dir = ensureTextIndex(s, d)
+    graft.sources.TextIndexStore.buildPositionalOnce(
+      Tables.table(s, d, "documents"), dir, TextIndexBuckets)
+    dir
+  }
   /** Query batch (qid, emb) for the stored-index searches — the q85
     * convention: vec_id < BatchQueries are the queries. */
   private def annQueryBatch(s: SparkSession, d: String): DataFrame =
@@ -368,6 +375,21 @@ object SparkEntry {
     */
   private val SparseQueryWeights = Seq(("spark", 5L), ("join", 3L), ("window", 1L))
   private val Bm25K = 20
+  /** Q122: only vectors with this metadata label may rank (~10% of
+    * the corpus at every SF). */
+  private val FilterLabel = 3
+  /** Q123: trailing-window length (hours) and the z threshold. */
+  private val AnomalyWindow = 24
+  private val AnomalyZ = 3
+  /** Q124: minimum distinct users per released aggregate cell —
+    * chosen so every SF exercises all three outcomes (hour-level
+    * release, day-level generalization, suppression). */
+  private val KAnonK = 5
+  /** Q121: exact-phrase query (vocabulary bigram present at every SF)
+    * and the NEAR-query pair + token window for q121b. */
+  private val PhraseTerms = Seq("data", "line")
+  private val ProximityTerms = ("spark", "query")
+  private val ProximityWindow = 3
   /** Q87: fused result-list size for hybrid RRF. */
   private val RrfK = 10
   /** Q94: posting-store hash buckets (enough that a 3-term query's
@@ -1282,6 +1304,16 @@ object SparkEntry {
     "q25b_approx_quantiles" -> ((s, d) =>
       EventLog.approxQuantiles(Tables.events(s, d), 10000, 0.02)),
     "q28_asof_join" -> ((s, d) => Temporal.asofLastView(Tables.events(s, d))),
+    "q124_kanon_release" -> ((s, d) =>
+      // k-anonymity release gate: publish an aggregate cell only if
+      // >= k distinct users back it; failing cells generalize hour →
+      // day → per-type residual, and the residual itself must clear k.
+      Privacy.kAnonRelease(Tables.events(s, d), KAnonK)),
+    "q123_anomaly_zscore" -> ((s, d) =>
+      // Rolling z-score over the per-type hourly count series: exact
+      // integer inequality (x·W − s)² > z²·(W·ss − s²) on a complete
+      // hour grid — float-free anomaly verdicts.
+      Temporal.anomalyZscore(Tables.events(s, d), AnomalyWindow, AnomalyZ)),
     "q118_resample_ffill" -> ((s, d) =>
       // Daily resample + forward-fill: one (user, day) agg, an output-
       // bounded sequence/explode grid, and the as-of union trick — no
@@ -1494,6 +1526,20 @@ object SparkEntry {
         Similarity.withEmb(Tables.table(s, d, "embeddings")),
         PqSub, PqShortlist, BatchTopK, IvfPqProbes)
     }),
+    "q122_filtered_ann" -> ((s, d) => {
+      // Metadata-filtered vector search (the production "filtered
+      // ANN" surface): only label == FilterLabel vectors may rank;
+      // the filter pre-joins the code table so disallowed vectors
+      // never reach the ADC fold.
+      val dir = ensureAnnStore(s, d)
+      val allowed = Tables.table(s, d, "embeddings")
+        .filter(col("label") === FilterLabel && col("vec_id") >= BatchQueries)
+        .select("vec_id")
+      Similarity.ivfPqFilteredSearch(annQueryBatch(s, d),
+        VectorIndexStore.centroids(s, dir), VectorIndexStore.codebooks(s, dir),
+        VectorIndexStore.codes(s, dir).filter(col("vec_id") >= BatchQueries),
+        allowed, PqSub, BatchTopK, IvfPqProbes)
+    }),
     "q90_index_append" -> ((s, d) =>
       codesSummary(s, ensureAppendedAnnStore(s, d))),
     "q90b_appended_search" -> ((s, d) => {
@@ -1539,6 +1585,18 @@ object SparkEntry {
       // BM25 and the dense leg.
       TextAnalysis.sparseDotStored(s, ensureTextIndex(s, d),
         SparseQueryWeights, Bm25K, TextIndexBuckets)),
+    "q121_phrase_search" -> ((s, d) =>
+      // Exact phrase query from the positional sidecar: consecutive-
+      // offset intersection over bucket-pruned per-term legs; the
+      // corpus text is never read at query time.
+      TextAnalysis.phraseSearchStored(s, ensurePositionalIndex(s, d),
+        PhraseTerms, Bm25K, TextIndexBuckets)),
+    "q121b_proximity_search" -> ((s, d) =>
+      // NEAR/slop query from the same sidecar: nearest co-occurrence
+      // of two terms within ProximityWindow tokens, unordered.
+      TextAnalysis.proximitySearchStored(s, ensurePositionalIndex(s, d),
+        ProximityTerms._1, ProximityTerms._2, ProximityWindow, Bm25K,
+        TextIndexBuckets)),
     "q101_deleted_bm25" -> ((s, d) =>
       // Lexical takedown serving: ~1/9 of the corpus tombstoned (no
       // posting file rewritten, stats retreated by exact counts);
@@ -1834,6 +1892,17 @@ object SparkEntry {
     "q95_stored_hybrid" -> ((s, d) =>
       Similarity.hybridRrfStored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
         Bm25Terms, Bm25K, RrfK, TextIndexBuckets, PqSub, IvfPqProbes,
+        Similarity.withEmb(Tables.table(s, d, "embeddings"))
+          .filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("emb")),
+        BatchQueries.toLong)),
+    "q120_triple_hybrid" -> ((s, d) =>
+      // The full modern retrieval stack: BM25 + learned-sparse +
+      // dense IVF-PQ, every leg from a persisted index, fused by
+      // exact-integer reciprocal ranks (three incomparable score
+      // scales never meet — only ranks do).
+      Similarity.hybridRrf3Stored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
+        Bm25Terms, SparseQueryWeights, Bm25K, RrfK, TextIndexBuckets,
+        PqSub, IvfPqProbes,
         Similarity.withEmb(Tables.table(s, d, "embeddings"))
           .filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("emb")),
         BatchQueries.toLong)),
@@ -2527,6 +2596,59 @@ object SparkEntry {
          SELECT event_id, user_id, ts_us, view_event_id, view_ts_us,
                 ts_us - view_ts_us AS lag_us
          FROM m WHERE event_type = 'purchase' ORDER BY event_id""",
+    // Q124: the same three-step generalization lattice restated; every
+    // count is an exact integer, the residual row is itself gated.
+    "q124_kanon_release" ->
+      s"""WITH e AS (SELECT event_type, user_id,
+                  epoch_us(ts) // 3600000000 AS hour,
+                  epoch_us(ts) // 86400000000 AS day
+                FROM events),
+          h AS (SELECT event_type, hour, count(DISTINCT user_id) AS n_users,
+                  count(*) AS n_events FROM e GROUP BY 1, 2),
+          fe AS (SELECT e.* FROM e JOIN h
+                   ON h.event_type = e.event_type AND h.hour = e.hour
+                 WHERE h.n_users < $KAnonK),
+          dly AS (SELECT event_type, day, count(DISTINCT user_id) AS n_users,
+                    count(*) AS n_events FROM fe GROUP BY 1, 2),
+          se AS (SELECT fe.* FROM fe JOIN dly
+                   ON dly.event_type = fe.event_type AND dly.day = fe.day
+                 WHERE dly.n_users < $KAnonK),
+          sup AS (SELECT event_type, count(DISTINCT user_id) AS n_users,
+                    count(*) AS n_events FROM se GROUP BY 1)
+          SELECT * FROM (
+            SELECT event_type, 'hour' AS level, hour AS bucket, n_users, n_events
+            FROM h WHERE n_users >= $KAnonK
+            UNION ALL
+            SELECT event_type, 'day', day, n_users, n_events
+            FROM dly WHERE n_users >= $KAnonK
+            UNION ALL
+            SELECT event_type, 'suppressed', CAST(-1 AS BIGINT), n_users, n_events
+            FROM sup WHERE n_users >= $KAnonK)
+          ORDER BY event_type, level, bucket""",
+    // Q123: the same complete-grid trailing-window construction; the
+    // anomaly verdict is the identical integer inequality on both
+    // sides, so it is hash-exact.
+    "q123_anomaly_zscore" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+          obs AS (SELECT event_type, hour, count(*) AS x FROM e GROUP BY 1, 2),
+          span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+                   FROM obs GROUP BY 1),
+          grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hour
+                   FROM span),
+          f AS (SELECT g.event_type, g.hour,
+                  coalesce(o.x, CAST(0 AS BIGINT)) AS x
+                FROM grid g LEFT JOIN obs o
+                  ON g.event_type = o.event_type AND g.hour = o.hour),
+          wnd AS (SELECT *, count(*) OVER win AS n, sum(x) OVER win AS s,
+                    sum(x * x) OVER win AS ss
+                  FROM f WINDOW win AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN $AnomalyWindow PRECEDING AND 1 PRECEDING))
+          SELECT event_type, hour, x AS n_events, CAST(s AS BIGINT) AS win_sum,
+                 CAST(ss AS BIGINT) AS win_sumsq,
+                 (x * $AnomalyWindow - s) * (x * $AnomalyWindow - s)
+                   > ${AnomalyZ * AnomalyZ} * ($AnomalyWindow * ss - s * s)
+                   AS is_anomaly
+          FROM wnd WHERE n = $AnomalyWindow ORDER BY event_type, hour""",
     // Q118: the resampled daily series — per user one row per day of
     // their observed span; a day's close (last event on the (ts_us,
     // event_id) total order) forward-fills gap days.
@@ -3636,6 +3758,18 @@ object SparkEntry {
     // Q89c/q89d: serving from the store must answer exactly what the
     // retrain-per-query path answers (q85/q85b oracles verbatim).
     "q89c_stored_adc_search" -> q85OracleSql,
+    // Q122: the q85 chain with the candidate set metadata-restricted
+    // BEFORE ranking — the pre-filter contract (a post-filter of the
+    // unfiltered top-k would rank fewer/different rows).
+    "q122_filtered_ann" ->
+      s"""WITH $ivfPqCtes,
+          scf AS (SELECT s.* FROM sc2 s
+                  JOIN embeddings em ON em.vec_id = s.vec_id
+                  WHERE em.label = $FilterLabel),
+          rk2 AS (SELECT qid, vec_id, adc, row_number() OVER
+                    (PARTITION BY qid ORDER BY adc, vec_id) AS rnk FROM scf)
+          SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc
+          FROM rk2 WHERE rnk <= $BatchTopK ORDER BY qid, rnk""",
     "q89d_stored_rerank" -> q85bOracleSql,
     // Q90: build on the base (vec_id < split), append the rest against
     // the STORED artifacts — the resulting code table equals training
@@ -4083,6 +4217,47 @@ object SparkEntry {
           FROM tf GROUP BY doc_id
           ORDER BY score DESC, doc_id LIMIT $Bm25K"""
     },
+    // Q121: the phrase restated from the raw text — 1-based list scan
+    // for consecutive matches, then the same (tf DESC, doc_id) cut.
+    // Independent of the index: the oracle never sees the positional
+    // store, so a store/search bug cannot cancel out.
+    "q121_phrase_search" -> {
+      val pred = PhraseTerms.zipWithIndex
+        .map { case (t, i) => s"ws[i + $i] = '$t'" }.mkString(" AND ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          s AS (SELECT doc_id,
+                  list_filter(generate_series(1, len(ws) - ${PhraseTerms.size - 1}),
+                              i -> $pred) AS st
+                FROM d)
+          SELECT doc_id, CAST(len(st) AS BIGINT) AS phrase_tf,
+                 CAST(list_min(st) - 1 AS BIGINT) AS first_pos
+          FROM s WHERE len(st) > 0
+          ORDER BY phrase_tf DESC, doc_id LIMIT $Bm25K"""
+    },
+    // Q121b: NEAR restated from the raw text — 0-based occurrence
+    // lists per term, min pairwise |distance| and the near-occurrence
+    // count, (min_dist, n_near DESC, doc_id) cut.
+    "q121b_proximity_search" -> {
+      val (ta, tb) = ProximityTerms
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          p AS (SELECT doc_id,
+                  list_transform(list_filter(generate_series(1, len(ws)),
+                    i -> ws[i] = '$ta'), x -> x - 1) AS pa,
+                  list_transform(list_filter(generate_series(1, len(ws)),
+                    i -> ws[i] = '$tb'), x -> x - 1) AS pb
+                FROM d),
+          m AS (SELECT doc_id,
+                  CAST(list_min(flatten(list_transform(pa,
+                    p1 -> list_transform(pb, q1 -> abs(q1 - p1))))) AS BIGINT)
+                    AS min_dist,
+                  CAST(len(list_filter(pa, p1 -> len(list_filter(pb,
+                    q1 -> abs(q1 - p1) <= $ProximityWindow)) > 0)) AS BIGINT)
+                    AS n_near
+                FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+          SELECT doc_id, min_dist, n_near FROM m
+          WHERE min_dist <= $ProximityWindow
+          ORDER BY min_dist, n_near DESC, doc_id LIMIT $Bm25K"""
+    },
     // Q101/q101b: the q86 chain over the LIVE corpus only — deletion
     // moves rankings AND the model (df, n_docs, avgdl all retreat);
     // compaction must then preserve every answer (same oracle, twice).
@@ -4163,6 +4338,50 @@ object SparkEntry {
           SELECT doc_id, rl, rd, fused_nanos,
                  CAST(fused_nanos AS DOUBLE) / 1e9 AS rrf
           FROM fuse ORDER BY fused_nanos DESC, doc_id LIMIT $RrfK""",
+    // Q120: q95's two chains plus the q119 sparse leg, fused three
+    // ways — ranks from each leg's own order, fused DESC / doc_id.
+    "q120_triple_hybrid" -> {
+      val inList = SparseQueryWeights.map(t => s"'${t._1}'").mkString(", ")
+      val wCase = SparseQueryWeights
+        .map { case (t, w) => s"WHEN '$t' THEN $w" }
+        .mkString("CASE term ", " ", " ELSE 0 END")
+      s"""WITH $bm25Cte,
+          $ivfPqCtes,
+          sp_tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                          FROM documents)
+                    WHERE term IN ($inList)
+                    GROUP BY 1, 2),
+          spsc AS (SELECT doc_id, CAST(sum(($wCase) * tf) AS BIGINT) AS sscore
+                   FROM sp_tf GROUP BY doc_id),
+          lexr AS (SELECT id, rl FROM
+                     (SELECT doc_id AS id, CAST(row_number() OVER
+                        (ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rl
+                      FROM bsc WHERE score_micros > 0)
+                   WHERE rl <= $Bm25K),
+          spr AS (SELECT id, rs FROM
+                    (SELECT doc_id AS id, CAST(row_number() OVER
+                       (ORDER BY sscore DESC, doc_id) AS BIGINT) AS rs
+                     FROM spsc)
+                  WHERE rs <= $Bm25K),
+          denr AS (SELECT id, rd FROM
+                     (SELECT vec_id AS id, CAST(row_number() OVER
+                        (ORDER BY adc, vec_id) AS BIGINT) AS rd
+                      FROM sc2 WHERE qid = 0)
+                   WHERE rd <= 10),
+          fuse AS (SELECT COALESCE(l.id, s.id, d2.id) AS doc_id,
+                     l.rl, s.rs, d2.rd,
+                     COALESCE(CAST(floor(1e9 / (60.0 + l.rl) + 0.5) AS BIGINT), 0) +
+                     COALESCE(CAST(floor(1e9 / (60.0 + s.rs) + 0.5) AS BIGINT), 0) +
+                     COALESCE(CAST(floor(1e9 / (60.0 + d2.rd) + 0.5) AS BIGINT), 0)
+                       AS fused_nanos
+                   FROM lexr l
+                   FULL OUTER JOIN spr s ON s.id = l.id
+                   FULL OUTER JOIN denr d2 ON d2.id = COALESCE(l.id, s.id))
+          SELECT doc_id, rl, rs, rd, fused_nanos,
+                 CAST(fused_nanos AS DOUBLE) / 1e9 AS rrf
+          FROM fuse ORDER BY fused_nanos DESC, doc_id LIMIT $RrfK"""
+    },
     // Q87: reciprocal-rank fusion — each leg's ranked list (BM25 at
     // the q86 order; dense = the q18g cosine ranking for query 0),
     // rank contributions as exact floor(1e9/(60+r)) integers, full

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy-gated aggregate release (north-star addition; the reference
+  * — main.go:109-115 — serializes raw per-client state with no
+  * aggregate surface at all, so any release policy is new surface).
+  *
+  * The operator is the k-anonymity release gate every analytics
+  * export pipeline needs: an aggregate cell may be published only if
+  * at least `k` DISTINCT users contribute to it; failing cells
+  * generalize up a fixed time hierarchy (hour → day) and whatever
+  * still fails is suppressed outright — including the residual
+  * roll-up itself, which is withheld unless it clears `k` too (a
+  * "suppressed" row naming 3 users would be the leak the gate
+  * exists to prevent).
+  */
+object Privacy {
+
+  private val HourUs = 3600L * 1000000L
+  private val DayUs = 86400L * 1000000L
+
+  /** Q124 — k-anonymous aggregate release over the (event_type, hour)
+    * cells of the event log, generalizing along hour → day →
+    * per-type residual. Exactly one release decision per event: an
+    * event's counts surface at the FINEST level whose cell clears
+    * `k` distinct users, or not at all. Output one row per released
+    * cell: (event_type, level ∈ {hour, day, suppressed}, bucket =
+    * the hour/day index or −1, n_users, n_events) — all exact
+    * integers.
+    *
+    * Scale shape: three hash aggregations (hour cells, failing
+    * events re-keyed by day, residual per type), each map-side
+    * combined on bounded key spaces; the only event-sized exchanges
+    * are the two left-semi joins against the (bounded) failing-cell
+    * lists, which broadcast. No window, no collect; distinct-user
+    * counts are exact per cell (at 100 TB swap countDistinct for the
+    * q52 HLL sketch per cell if ±2% suffices — the gate itself is
+    * unchanged).
+    */
+  def kAnonRelease(events: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    val e = events.select(col("event_type"), col("user_id"),
+      expr(s"ts_us DIV ${HourUs}L").as("hour"),
+      expr(s"ts_us DIV ${DayUs}L").as("day"))
+    val hourly = e.groupBy("event_type", "hour")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+    val okHour = hourly.filter(col("n_users") >= k)
+    val failHours = hourly.filter(col("n_users") < k).select("event_type", "hour")
+    val failEvents = e.join(broadcast(failHours), Seq("event_type", "hour"), "left_semi")
+    val daily = failEvents.groupBy("event_type", "day")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+    val okDay = daily.filter(col("n_users") >= k)
+    val failDays = daily.filter(col("n_users") < k).select("event_type", "day")
+    val residual = failEvents
+      .join(broadcast(failDays), Seq("event_type", "day"), "left_semi")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .filter(col("n_users") >= k)
+    okHour.select(col("event_type"), lit("hour").as("level"),
+        col("hour").as("bucket"), col("n_users"), col("n_events"))
+      .unionByName(okDay.select(col("event_type"), lit("day").as("level"),
+        col("day").as("bucket"), col("n_users"), col("n_events")))
+      .unionByName(residual.select(col("event_type"),
+        lit("suppressed").as("level"), lit(-1L).as("bucket"),
+        col("n_users"), col("n_events")))
+      .orderBy("event_type", "level", "bucket")
+  }
+}

@@ -1002,6 +1002,61 @@ object Similarity {
     * constant, rounding, tie order) cannot diverge between the
     * full-scan and stored-index hybrids.
     */
+  /** [[lexRanksOf]] for the integer-scored sparse leg: collapse the
+    * bounded top list into one row and re-derive dense ranks, no
+    * window (the q87 discipline).
+    */
+  private def sparseRanksOf(sparseFrame: DataFrame): DataFrame =
+    sparseFrame
+      .agg(expr(
+        """array_sort(transform(collect_list(struct(score, doc_id)),
+             s -> struct(-s.score AS ns, s.doc_id AS id)))""").as("a"))
+      .select(posexplode(col("a")))
+      .select((col("pos") + 1).cast("long").as("rs"), col("col.id").as("id"))
+
+  /** Q120 — THREE-scorer hybrid retrieval, every leg from a persisted
+    * index: BM25 (stored postings, q94), learned-sparse dot product
+    * (same postings, q119), and dense IVF-PQ (the stored ANN
+    * artifacts, q89c) — the full modern stack (lexical + learned-
+    * sparse + dense is the production hybrid since SPLADE/ColBERT-era
+    * retrieval), fused with q87's exact-integer reciprocal-rank rule
+    * extended to three legs: `Σ floor(1e9/(60+r))` over the legs that
+    * rank the doc, (fused DESC, doc_id) tie order. Rank fusion is the
+    * point: three incomparable score scales (floats, integers, ADC
+    * distances) never meet — only ranks do. Query cost = the three
+    * bounded legs + a full-outer join of three ≤k-row lists; no
+    * corpus text, no corpus floats.
+    */
+  def hybridRrf3Stored(spark: org.apache.spark.sql.SparkSession,
+                       textDir: String, annDir: String, terms: Seq[String],
+                       termWeights: Seq[(String, Long)], kLex: Int,
+                       kFuse: Int, nBuckets: Int, nSub: Int, nProbe: Int,
+                       queryVec: DataFrame, denseFrom: Long): DataFrame = {
+    require(kFuse <= 10 && kFuse <= kLex,
+      s"kFuse must be within every leg's depth (dense leg fixed at 10), got $kFuse")
+    import graft.sources.VectorIndexStore
+    val lex = lexRanksOf(
+      TextAnalysis.bm25Stored(spark, textDir, terms, kLex, nBuckets))
+    val sp = sparseRanksOf(
+      TextAnalysis.sparseDotStored(spark, textDir, termWeights, kLex, nBuckets))
+    val den = ivfPqSearchFrames(queryVec,
+      VectorIndexStore.centroids(spark, annDir),
+      VectorIndexStore.codebooks(spark, annDir),
+      VectorIndexStore.codes(spark, annDir).filter(col("vec_id") >= denseFrom),
+      nSub, 10, nProbe)
+      .select(col("rnk").as("rd"), col("vec_id").as("id"))
+    val contrib = (r: String) =>
+      coalesce(expr(s"CAST(floor(1e9 / (60.0 + $r) + 0.5) AS BIGINT)"), lit(0L))
+    lex.join(sp, Seq("id"), "full_outer")
+      .join(den, Seq("id"), "full_outer")
+      .withColumn("fused_nanos", contrib("rl") + contrib("rs") + contrib("rd"))
+      .orderBy(col("fused_nanos").desc, col("id"))
+      .limit(kFuse)
+      .select(col("id").as("doc_id"), col("rl"), col("rs"), col("rd"),
+        col("fused_nanos"),
+        (col("fused_nanos").cast("double") / 1e9).as("rrf"))
+  }
+
   private def rrfFuse(lex: DataFrame, den: DataFrame, kFuse: Int): DataFrame =
     lex.join(den, Seq("id"), "full_outer")
       .withColumn("fused_nanos",
@@ -1366,6 +1421,33 @@ object Similarity {
     * so serving reads |probed cells| / |cells| of the code bytes and
     * none of the float bytes.
     */
+  /** Q122 — metadata-FILTERED stored-index ANN search: restrict the
+    * ADC candidate set to vectors passing a metadata predicate
+    * (`allowed` = the predicate's id set from the metadata table),
+    * then search exactly as [[ivfPqSearchFrames]]. This is the
+    * PRE-filter strategy of production vector stores (Qdrant/Milvus
+    * "filtered search"): the filter composes with IVF cell pruning as
+    * a semi-join on the code table — probed-cell file pruning still
+    * applies, the filter joins on the store's own key, and disallowed
+    * vectors never reach the ADC fold, so a selective filter makes the
+    * query CHEAPER, not a post-hoc top-k trim that can come up short
+    * (the post-filter failure mode: k survivors of a 10% filter need
+    * k×10 unfiltered candidates).
+    *
+    * Scale shape: the semi-join is id-keyed on both sides (codes ⋈
+    * allowed ids) and at production scale the id set arrives as a
+    * pushed-down predicate on an id-partitioned metadata table; no
+    * float vectors, no corpus text, state unchanged from the plain
+    * stored search.
+    */
+  def ivfPqFilteredSearch(queries: DataFrame, coarse: DataFrame,
+                          books: DataFrame, codes: DataFrame,
+                          allowed: DataFrame, nSub: Int, k: Int,
+                          nProbe: Int): DataFrame =
+    ivfPqSearchFrames(queries, coarse, books,
+      codes.join(allowed.select("vec_id"), Seq("vec_id"), "left_semi"),
+      nSub, k, nProbe)
+
   def ivfPqSearchFrames(queries: DataFrame, coarse: DataFrame, books: DataFrame,
                         codes: DataFrame, nSub: Int, k: Int, nProbe: Int): DataFrame = {
     require(k <= 10, "k is capped by the graft_top10 buffer")

@@ -154,4 +154,61 @@ object Temporal {
           .otherwise(lit(0L))).as("max_gap_days"))
       .orderBy("user_id")
   }
+
+  private val HourUs = 3600L * 1000000L
+
+  /** Q123 — rolling z-score anomaly detection over the per-type hourly
+    * event-count series (the ops-monitoring classic: flag hours whose
+    * count deviates > z·σ from the trailing window's mean). The series
+    * is the COMPLETE hour grid per event_type (missing hours count 0 —
+    * silence is signal for an anomaly detector); each point with a
+    * full `window` of priors is scored against the exact integer
+    * inequality
+    *
+    *   (x·W − s)² > z² · (W·ss − s²)      (W = window, s/ss = trailing
+    *                                       sum / sum of squares)
+    *
+    * which is (x − mean)² > z²·var with both sides multiplied by W² —
+    * float-free, so the verdict is bit-exact and oracle-checkable.
+    * Zero trailing variance makes ANY deviation anomalous (the z-score
+    * degeneracy, deterministic on both sides).
+    *
+    * Scale shape: one hash aggregation to hourly counts (map-side
+    * combined), a per-type grid explode bounded by the time span, and
+    * one partitioned window pass per type — series count × span rows,
+    * never event-count rows, in the window. Grids are per event_type,
+    * so a 1000-type corpus parallelizes across the cluster; no global
+    * window, no collect.
+    */
+  /** The complete per-type hourly count series (event_type, hour, x)
+    * — q123's input, shared with the S26 streaming detector so both
+    * score the identical grid-filled series.
+    */
+  def hourlySeries(events: DataFrame): DataFrame = {
+    val obs = events
+      .groupBy(col("event_type"), expr(s"ts_us DIV ${HourUs}L").as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val grid = obs.groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    grid.join(obs, Seq("event_type", "hour"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+  }
+
+  def anomalyZscore(events: DataFrame, window: Int = 24, z: Int = 3): DataFrame = {
+    require(window >= 2 && z >= 1, s"need window >= 2 and z >= 1, got ($window, $z)")
+    val filled = hourlySeries(events)
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-window, -1)
+    filled
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("x").over(w))
+      .withColumn("ss", sum(expr("x * x")).over(w))
+      .where(col("n") === window)
+      .withColumn("is_anomaly", expr(
+        s"(x * $window - s) * (x * $window - s) > ${z.toLong * z} * ($window * ss - s * s)"))
+      .select(col("event_type"), col("hour"), col("x").as("n_events"),
+        col("s").as("win_sum"), col("ss").as("win_sumsq"), col("is_anomaly"))
+      .orderBy("event_type", "hour")
+  }
 }

@@ -918,4 +918,80 @@ object TextAnalysis {
       .orderBy(col("score_micros").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Q121 — exact PHRASE search from the stored positional postings
+    * (TextIndexStore's `positions/` sidecar): a document matches when
+    * the phrase's words occur at consecutive token offsets. The
+    * classic positional-intersection plan: leg i reads ONLY term i's
+    * bucket-pruned posting rows and normalizes its offsets to
+    * candidate phrase STARTS (`p − i`); the legs equi-join on doc_id
+    * (each leg is df(term)-bounded — no corpus scan, no text) and one
+    * codegen'd `array_intersect` fold leaves exactly the offsets where
+    * every word lines up. phrase_tf = |starts| (offsets are distinct
+    * within a doc, so the set intersection loses nothing), first_pos =
+    * the earliest start. Ranking = (phrase_tf DESC, doc_id) over
+    * exact integers, TakeOrdered k.
+    *
+    * Scale shape: I/O is O(Σ df(phrase terms)) posting rows after
+    * file-level bucket pruning; the joins shuffle those bounded legs
+    * by doc_id; per-row work is O(Σtf) offsets in codegen'd array
+    * lambdas. The corpus text is never read.
+    */
+  def phraseSearchStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         phrase: Seq[String], k: Int, nBuckets: Int): DataFrame = {
+    require(phrase.size >= 2 && phrase.forall(_.matches("[a-z0-9]+")),
+      s"phrase must be >= 2 [a-z0-9]+ tokens, got $phrase")
+    import graft.sources.TextIndexStore
+    val buckets = phrase.map(TextIndexStore.bucketOf(_, nBuckets)).distinct
+    val pos = TextIndexStore.livePositions(spark, dir)
+      .filter(col("t_bucket").isin(buckets.map(Long.box): _*)
+        && col("term").isin(phrase.distinct: _*))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("term") === t)
+        .select(col("doc_id"),
+          expr(s"transform(positions, p -> p - ${i}L)").as(s"p$i"))
+    }
+    val joined = legs.tail.foldLeft(legs.head)(_.join(_, "doc_id"))
+    val starts = phrase.indices.tail
+      .foldLeft(col("p0"))((acc, i) => array_intersect(acc, col(s"p$i")))
+    joined.withColumn("starts", starts)
+      .withColumn("phrase_tf", size(col("starts")).cast("long"))
+      .where(col("phrase_tf") > 0)
+      .withColumn("first_pos", array_min(col("starts")))
+      .select("doc_id", "phrase_tf", "first_pos")
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Q121b — PROXIMITY search from the same positional sidecar: rank
+    * documents where `a` and `b` co-occur within `window` tokens
+    * (unordered — the Lucene slop/NEAR operator). Two bucket-pruned
+    * legs join on doc_id; per doc the codegen'd lambda pass computes
+    * min_dist = min |p_a − p_b| (O(tf_a · tf_b) over bounded posting
+    * lists) and n_near = how many `a` occurrences have some `b`
+    * within the window. Ranking = (min_dist ASC, n_near DESC, doc_id)
+    * over exact integers — nearest co-occurrence first.
+    */
+  def proximitySearchStored(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, a: String, b: String, window: Int,
+                            k: Int, nBuckets: Int): DataFrame = {
+    require(a != b && Seq(a, b).forall(_.matches("[a-z0-9]+")) && window >= 1,
+      s"need two distinct [a-z0-9]+ terms and window >= 1, got ($a, $b, $window)")
+    import graft.sources.TextIndexStore
+    val buckets = Seq(a, b).map(TextIndexStore.bucketOf(_, nBuckets)).distinct
+    val pos = TextIndexStore.livePositions(spark, dir)
+      .filter(col("t_bucket").isin(buckets.map(Long.box): _*)
+        && col("term").isin(a, b))
+    val pa = pos.filter(col("term") === a).select(col("doc_id"), col("positions").as("pa"))
+    val pb = pos.filter(col("term") === b).select(col("doc_id"), col("positions").as("pb"))
+    pa.join(pb, "doc_id")
+      .withColumn("min_dist", expr(
+        "array_min(flatten(transform(pa, p -> transform(pb, q -> abs(q - p)))))"))
+      .where(col("min_dist") <= window)
+      .withColumn("n_near", expr(
+        s"CAST(size(filter(pa, p -> exists(pb, q -> abs(q - p) <= $window))) AS BIGINT)"))
+      .select("doc_id", "min_dist", "n_near")
+      .orderBy(col("min_dist"), col("n_near").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -44,9 +44,14 @@ object TextIndexStore {
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
     // A rebuild is a new index: tombstones against the old postings
-    // must not shadow fresh rows (the VectorIndexStore.build contract).
+    // must not shadow fresh rows (the VectorIndexStore.build contract)
+    // — and an old corpus's positional sidecar must not serve next to
+    // the new postings ([[buildPositional]] recreates it on demand).
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
     val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    ts.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration).delete(ts, true)
+    ts.getFileSystem(conf).delete(ts, true)
+    val pos = new org.apache.hadoop.fs.Path(s"$dir/positions")
+    pos.getFileSystem(conf).delete(pos, true)
   }
 
   /** Admit new documents to an EXISTING index: their postings append
@@ -90,6 +95,14 @@ object TextIndexStore {
       compact(spark, dir)
     val old = stats(spark, dir).select(col("n_docs"), col("total_dl")).first()
     writePostings(newDocs, dir, nBuckets, "append")
+    // If the positional sidecar exists it admits the batch too —
+    // phrase results must never lag the frequency index's corpus.
+    val posPath = new org.apache.hadoop.fs.Path(s"$dir/positions")
+    if (posPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(posPath))
+      positionsFrame(newDocs, nBuckets)
+        .repartition(col("t_bucket"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("t_bucket").mode("append").parquet(posPath.toString)
     import spark.implicits._
     Seq((old.getLong(0) + batch.getLong(0), old.getLong(1) + batch.getLong(1)))
       .toDF("n_docs", "total_dl")
@@ -166,9 +179,26 @@ object TextIndexStore {
       .repartition(col("t_bucket"))
       .sortWithinPartitions("term", "doc_id")
       .write.partitionBy("t_bucket").mode("overwrite").parquet(tmp.toString)
+    // The positional sidecar folds its dead rows in the SAME compaction
+    // — dropping the tombstones with stale positions on disk would
+    // resurrect deleted docs in phrase/proximity results.
+    val posPath = new Path(s"$dir/positions")
+    val hasPositions = fs.exists(posPath)
+    val posTmp = new Path(s"$dir/positions_compacting")
+    if (hasPositions) {
+      fs.delete(posTmp, true)
+      livePositions(spark, dir)
+        .repartition(col("t_bucket"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("t_bucket").mode("overwrite").parquet(posTmp.toString)
+    }
     val live = new Path(s"$dir/postings")
     fs.delete(live, true)
     require(fs.rename(tmp, live), s"compaction swap failed for $dir")
+    if (hasPositions) {
+      fs.delete(posPath, true)
+      require(fs.rename(posTmp, posPath), s"positional compaction swap failed for $dir")
+    }
     fs.delete(new Path(s"$dir/tombstones"), true)
   }
 
@@ -277,4 +307,65 @@ object TextIndexStore {
 
   private val deletedBuilt = scala.collection.mutable.Set.empty[(String, Int)]
   private val compacted = scala.collection.mutable.Set.empty[(String, Int)]
+
+  /** Positional postings (term, doc_id, positions, t_bucket) — the
+    * classic proximity-index sidecar next to `postings/`: per
+    * (term, doc) the SORTED 0-based token offsets of every occurrence,
+    * bucketed by the SAME `hash48(term) mod nBuckets` formula so a
+    * phrase query's terms file-prune to a bounded bucket set exactly
+    * as BM25's do. Stored separately (not a column on the frequency
+    * postings) because positions are the index's heavy payload
+    * (Σtf offsets vs one tf long per row) and frequency-only queries
+    * must not pay to scan past them.
+    *
+    * `size(positions) == tf` by construction — the positional sidecar
+    * is an exact refinement of the frequency postings, never a second
+    * tokenization (both derive from [[docLengths]]'s split).
+    */
+  private[sources] def positionsFrame(docs: DataFrame, nBuckets: Int): DataFrame =
+    docLengths(docs)
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .withColumn("t_bucket", pmod(expr(hash48("term")), lit(nBuckets.toLong)))
+
+  /** One corpus scan → the positional sidecar (overwrite). `nBuckets`
+    * must match the frequency build's — the caller's contract, as with
+    * [[append]].
+    */
+  def buildPositional(docs: DataFrame, dir: String, nBuckets: Int): Unit =
+    positionsFrame(docs, nBuckets)
+      .repartition(col("t_bucket"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.partitionBy("t_bucket").mode("overwrite")
+      .parquet(s"$dir/positions")
+
+  /** The stored positional postings. */
+  def positions(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/positions")
+      .select(col("term"), col("doc_id"), col("positions"),
+        col("t_bucket").cast("long").as("t_bucket"))
+
+  /** The positional SERVING view: positions minus tombstoned docs —
+    * the [[livePostings]] contract for the sidecar, so phrase and
+    * proximity queries honor takedowns exactly as BM25 does (bucket
+    * pruning pushes below the anti-join the same way).
+    */
+  def livePositions(spark: SparkSession, dir: String): DataFrame =
+    positions(spark, dir)
+      .join(broadcast(tombstones(spark, dir)), Seq("doc_id"), "left_anti")
+
+  /** [[buildPositional]] once per (dir, nBuckets) per JVM (the
+    * [[buildOnce]] idempotence contract).
+    */
+  def buildPositionalOnce(docs: DataFrame, dir: String,
+                          nBuckets: Int): Unit = synchronized {
+    val key = (dir, nBuckets)
+    if (!positionalBuilt.contains(key)) {
+      buildPositional(docs, dir, nBuckets)
+      positionalBuilt += key
+    }
+  }
+
+  private val positionalBuilt = scala.collection.mutable.Set.empty[(String, Int)]
 }

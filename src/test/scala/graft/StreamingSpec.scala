@@ -1682,4 +1682,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.toSeq) == want.map(_.toSeq))
     assert(got.size == 60)
   }
+
+  test("S26: streaming rolling z-score ≡ batch q123 verdicts under arbitrary microbatch splits, O(window) state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Temporal
+    import graft.streaming.StreamingAnomaly
+    // Online anomaly detection: keyed state is the trailing `window`
+    // counts ONLY; each in-order arrival with a full window of priors
+    // is scored with the batch operator's exact integer inequality.
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val (w, z) = (24, 3)
+    val series = Temporal.hourlySeries(events)
+      .select(col("event_type"), col("hour"), col("x"))
+      .as[(String, Long, Long)].collect().sortBy(r => (r._2, r._1)).toSeq
+    val (h0, h1) = (series.map(_._2).min, series.map(_._2).max)
+    val cut1 = h0 + (h1 - h0) / 3
+    val cut2 = h0 + 2 * (h1 - h0) / 3
+    // Three microbatches split at hour boundaries (per-key hour order
+    // is the delivery contract); rows REVERSED inside each batch — the
+    // operator's intra-batch sort must make the fold order-invariant.
+    val cuts = Seq(
+      series.filter(_._2 <= cut1).reverse,
+      series.filter(r => r._2 > cut1 && r._2 <= cut2).reverse,
+      series.filter(_._2 > cut2).reverse)
+    val src = MemoryStream[(String, Long, Long)]
+    val q = StreamingAnomaly
+      .verdicts(src.toDF().toDF("event_type", "hour", "x"), w, z)
+      .writeStream.format("memory").queryName("s26_out")
+      .outputMode("update").start()
+    try cuts.foreach { c => src.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("s26_out")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val want = Temporal.anomalyZscore(events, w, z)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(want.nonEmpty && want.exists(_._6),
+      "fixture must score rows and flag at least one anomaly")
+    assert(got == want, "stream must equal the batch verdicts exactly")
+    // A gap in a series is rejected, not scored wrongly.
+    val src2 = MemoryStream[(String, Long, Long)]
+    val q2 = StreamingAnomaly
+      .verdicts(src2.toDF().toDF("event_type", "hour", "x"), w, z)
+      .writeStream.format("memory").queryName("s26_gap")
+      .outputMode("update").start()
+    src2.addData(("t", 10L, 1L), ("t", 12L, 1L))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(err.getMessage.contains("series gap")
+      || Option(err.getCause).exists(_.getMessage.contains("series gap")))
+  }
 }

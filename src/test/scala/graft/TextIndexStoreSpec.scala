@@ -233,4 +233,126 @@ class TextIndexStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(got == want)
   }
+
+  private lazy val posDir = {
+    TextIndexStore.buildPositional(docs, dir, nBuckets)
+    dir
+  }
+  /** 0-based (doc_id, p, w) token stream straight off the text — the
+    * independent recompute the positional tests compare against. */
+  private lazy val toks = docs
+    .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+
+  test("positional sidecar is an exact refinement of the frequency postings") {
+    val joined = TextIndexStore.positions(spark, posDir)
+      .join(TextIndexStore.postings(spark, dir), Seq("term", "doc_id"))
+    assert(joined.where(size(col("positions")) =!= col("tf")).isEmpty,
+      "size(positions) must equal tf for every posting row")
+    assert(joined.count() == TextIndexStore.postings(spark, dir).count(),
+      "every frequency posting must have a positional row")
+    // Offsets sorted and within [0, dl) — dl from the frequency row.
+    val rangeBad = joined.where(
+      expr("positions != array_sort(positions)")
+        || expr("array_min(positions) < 0")
+        || expr("array_max(positions) >= dl"))
+    assert(rangeBad.isEmpty, "offsets must be sorted and within [0, dl)")
+  }
+
+  test("stored phrase search equals a raw-text self-join recompute, exactly") {
+    val phrase = Seq("data", "line")
+    val got = TextAnalysis.phraseSearchStored(spark, posDir, phrase, 20, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Independent recompute: consecutive-offset SELF-JOIN on the raw
+    // token stream (no arrays, no store).
+    val a = toks.filter(col("w") === phrase(0)).select(col("doc_id"), col("p"))
+    val b = toks.filter(col("w") === phrase(1)).select(col("doc_id"), col("p").as("p2"))
+    val want = a.join(b, Seq("doc_id"))
+      .where(col("p2") === col("p") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("phrase_tf"), min(col("p").cast("long")).as("first_pos"))
+      .orderBy(col("phrase_tf").desc, col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(want.nonEmpty, "fixture phrase must occur in the corpus")
+    assert(got == want, "stored phrase search must equal the raw-text recompute")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseSearchStored(spark, posDir, Seq("data"), 5, nBuckets)
+    }
+  }
+
+  test("stored proximity search equals a raw-text pair-join recompute, exactly") {
+    val (ta, tb, w) = ("spark", "query", 3)
+    val got = TextAnalysis.proximitySearchStored(spark, posDir, ta, tb, w, 20, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val pa = toks.filter(col("w") === ta).select(col("doc_id"), col("p").cast("long").as("p1"))
+    val pb = toks.filter(col("w") === tb).select(col("doc_id"), col("p").cast("long").as("p2"))
+    val pairs = pa.join(pb, Seq("doc_id")).withColumn("dist", abs(col("p2") - col("p1")))
+    val md = pairs.groupBy("doc_id").agg(min("dist").as("min_dist"))
+    val nn = pairs.where(col("dist") <= w)
+      .select("doc_id", "p1").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    val want = md.where(col("min_dist") <= w).join(nn, Seq("doc_id"))
+      .orderBy(col("min_dist"), col("n_near").desc, col("doc_id")).limit(20)
+      .select("doc_id", "min_dist", "n_near")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(want.nonEmpty, "fixture pair must co-occur within the window")
+    assert(got == want, "stored proximity search must equal the pair-join recompute")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.proximitySearchStored(spark, posDir, "spark", "spark", w, 5, nBuckets)
+    }
+  }
+
+  test("positional sidecar follows the store lifecycle: delete hides, compact folds, append admits") {
+    val d = Files.createTempDirectory("graft_tixspec_poslc").toString
+    val base = docs.filter(col("doc_id") < 400)
+    TextIndexStore.build(base, d, nBuckets)
+    TextIndexStore.buildPositional(base, d, nBuckets)
+    val phrase = Seq("data", "line")
+    val before = TextAnalysis.phraseSearchStored(spark, d, phrase, 200, nBuckets)
+      .collect().map(_.getLong(0)).toSeq
+    assert(before.nonEmpty)
+    // Tombstone-delete: dead docs vanish from phrase results with no
+    // positional file rewritten.
+    val dead = docs.select(col("doc_id")).filter(col("doc_id") % 7 === 2)
+    TextIndexStore.delete(spark, d, dead)
+    val afterDel = TextAnalysis.phraseSearchStored(spark, d, phrase, 200, nBuckets)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!afterDel.exists(_ % 7 == 2), "no tombstoned doc may match a phrase")
+    assert(afterDel == before.filterNot(_ % 7 == 2),
+      "survivors must be exactly the live prefix of the pre-delete result")
+    // Physical compaction folds the sidecar too — the tombstones are
+    // gone but the dead positions went WITH them.
+    TextIndexStore.compact(spark, d)
+    val afterCompact = TextAnalysis.phraseSearchStored(spark, d, phrase, 200, nBuckets)
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterCompact == afterDel,
+      "compaction must not change phrase answers (dead positions must not resurrect)")
+    // Append: new docs become phrase-visible.
+    TextIndexStore.append(spark, d, docs.filter(col("doc_id") >= 400), nBuckets)
+    val afterApp = TextAnalysis.phraseSearchStored(spark, d, phrase, 200, nBuckets)
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterApp.exists(_ >= 400), "appended docs must match phrases")
+  }
+
+  test("a phrase query's positions scan prunes unqueried buckets at FILE level and never reads text") {
+    val q = TextAnalysis.phraseSearchStored(spark, posDir, Seq("data", "line"), 20, nBuckets)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = q.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec =>
+        (f.relation.location.rootPaths.mkString(","), f.requiredSchema.fieldNames.toSet)
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { case (path, cols) =>
+      assert(!path.contains("documents"), s"query-time scan of the corpus: $path")
+      assert(!cols.contains("text"), s"query-time scan reads text: $cols")
+    }
+    // File pruning: the two-term bucket set touches fewer files than
+    // the full positional sidecar holds.
+    def filesTouched(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val p = TextIndexStore.positions(spark, posDir)
+    val all = filesTouched(p)
+    val bs = Seq("data", "line").map(TextIndexStore.bucketOf(_, nBuckets)).distinct
+    val pruned = filesTouched(p.filter(col("t_bucket").isin(bs.map(Long.box): _*)))
+    assert(pruned < all, s"bucket filter must prune positional files: $pruned vs $all")
+  }
 }
