@@ -199,7 +199,23 @@ object ScaleSmoke {
         c => scaledDocs(spark, dir, c)),
       ("html_extract", Html.extractText, c => scaledDocs(spark, dir, c)),
       ("html_main", Html.mainContent, c => scaledDocs(spark, dir, c)),
-      ("url_normalize", Html.urlNormalize, c => scaledDocs(spark, dir, c)))
+      ("url_normalize", Html.urlNormalize, c => scaledDocs(spark, dir, c)),
+      // Hour grid is span-bounded, so 10× events densify the same
+      // series: agg + window over a FIXED row count — expect ~flat.
+      ("anomaly_zscore", (df: DataFrame) => Temporal.anomalyZscore(df, 24, 3),
+        c => scaledEvents(spark, dir, c)),
+      // Three bounded-key aggs + broadcast semi-joins; with disjoint
+      // user copies more cells clear k, shrinking the failing side.
+      ("kanon_release", (df: DataFrame) => Privacy.kAnonRelease(df, 5),
+        c => scaledEvents(spark, dir, c)),
+      // Two-pass grid quantiles (bounded shuffle keys) + a map-only
+      // clip over the fact table — expect ~linear.
+      ("winsorize", (df: DataFrame) => Pipeline.winsorize(df, 0.05, 0.95),
+        c => scaledEvents(spark, dir, c)),
+      // One stack-projected scan onto a bounded (feature, value) key
+      // space — expect ~linear in the scan.
+      ("dist_drift", Profile.distributionDrift,
+        c => scaledDocs(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

@@ -519,4 +519,29 @@ object Pipeline {
       .limit(k)
       .select("doc_id", "lang", "weight_micros", "gumbel_micros", "key_micros")
   }
+
+  /** Q125 — per-group winsorization (the robust-scaling feature prep
+    * that tames heavy tails before training): each event's value is
+    * clipped to its event_type's exact [pLo, pHi] percentile band.
+    * Bounds come from [[EventLog.exactQuantiles]]'s two-pass grid
+    * selection (bounded shuffle key space, never a whole-group sort)
+    * and are ROUNDED to the 1e-4 grid before comparison — the clip
+    * verdict must not hinge on the last ulp of an interpolated
+    * percentile, and the rounded bound is the value both engines
+    * agree on (the q25 contract). The clip itself is then a broadcast
+    * join + one codegen'd least/greatest per row: map-only over the
+    * fact table.
+    */
+  def winsorize(events: DataFrame, pLo: Double, pHi: Double): DataFrame = {
+    require(0 < pLo && pLo < pHi && pHi < 1, s"need 0 < pLo < pHi < 1, got ($pLo, $pHi)")
+    val bounds = EventLog.exactQuantiles(events, Seq(pLo -> "lo", pHi -> "hi"))
+      .select(col("event_type"), roundTo(col("lo"), 4).as("lo"),
+        roundTo(col("hi"), 4).as("hi"))
+    events.join(broadcast(bounds), "event_type")
+      .withColumn("value_w", least(greatest(col("value"), col("lo")), col("hi")))
+      .select(col("event_id"), col("event_type"),
+        roundTo(col("value_w"), 4).as("value_w"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+      .orderBy("event_id")
+  }
 }

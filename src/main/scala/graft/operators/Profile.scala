@@ -71,4 +71,40 @@ object Profile {
         sum(length(col("text")).cast("long")).as("total_text_len"))
       .withColumn("ids_unique", col("n_distinct_ids") === col("n_docs"))
       .orderBy("source")
+
+  /** Q126 — distribution drift between two corpus cohorts via the
+    * population stability index (the ML-ops drift monitor: PSI > 0.2
+    * conventionally triggers retraining). Three categorical features
+    * — lang, source, and the 200-char length bucket — are compared
+    * between the even-id and odd-id cohorts; each value's
+    * contribution is (p − q)·ln(p/q) with Laplace-smoothed shares
+    * (p = (n_a+1)/(t_a+V), V = the feature's value count), so an
+    * empty cell never divides by zero and the formula stays defined
+    * on both sides. Counts are exact integers; the one float step is
+    * rounded to the 1e-6 grid (the BM25 discipline) so the report is
+    * hash-exact.
+    *
+    * Scale shape: one stack-projected scan, one hash aggregation on
+    * the bounded (feature, value) key space (map-side combined), one
+    * broadcast of the per-feature totals — profiling drift at 100 TB
+    * costs one pass, like [[documentsProfile]].
+    */
+  def distributionDrift(docs: DataFrame): DataFrame = {
+    val feats = docs.select(col("doc_id"), expr(
+      """stack(3,
+           'lang', lang,
+           'source', source,
+           'len', CAST(n_chars DIV 200 AS STRING)) AS (feature, value)"""))
+    val counts = feats.groupBy("feature", "value").agg(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.groupBy("feature")
+      .agg(sum("n_a").as("ta"), sum("n_b").as("tb"), count(lit(1)).as("v"))
+    counts.join(broadcast(totals), "feature")
+      .withColumn("p", (col("n_a") + 1).cast("double") / (col("ta") + col("v")).cast("double"))
+      .withColumn("q", (col("n_b") + 1).cast("double") / (col("tb") + col("v")).cast("double"))
+      .withColumn("psi_c", roundTo((col("p") - col("q")) * log(col("p") / col("q")), 6))
+      .select("feature", "value", "n_a", "n_b", "psi_c")
+      .orderBy("feature", "value")
+  }
 }
