@@ -215,7 +215,11 @@ object ScaleSmoke {
       // One stack-projected scan onto a bounded (feature, value) key
       // space — expect ~linear in the scan.
       ("dist_drift", Profile.distributionDrift,
-        c => scaledDocs(spark, dir, c)))
+        c => scaledDocs(spark, dir, c)),
+      // One bounded-key agg + per-cell map-only noise — the event scan
+      // dominates; expect ~linear.
+      ("dp_release", (df: DataFrame) => Privacy.dpCountRelease(df, 0.5),
+        c => scaledEvents(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

@@ -353,6 +353,26 @@ object SparkEntry {
       Tables.table(s, d, "documents"), dir, TextIndexBuckets)
     dir
   }
+  /** Q127: the ONE take-down subject id set, shared by both stores. */
+  private def erasureIds(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol)).filter(col(idCol) % ErasureMod === ErasureRes)
+  /** Text index (with positional sidecar) after the q127 erasure. */
+  private def ensureErasureTextIndex(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_erasure_text_${new java.io.File(d).getName}"
+    val docs = Tables.table(s, d, "documents")
+    graft.sources.TextIndexStore.buildDeletedOnce(s, dir, docs,
+      erasureIds(docs, "doc_id"), TextIndexBuckets)
+    graft.sources.TextIndexStore.buildPositionalOnce(docs, dir, TextIndexBuckets)
+    dir
+  }
+  /** Vector store after the SAME q127 erasure. */
+  private def ensureErasureAnnStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_erasure_ann_${new java.io.File(d).getName}"
+    val emb = Tables.table(s, d, "embeddings")
+    VectorIndexStore.buildDeletedOnce(s, dir, emb,
+      erasureIds(emb, "vec_id"), NumCentroids, PqSub, PqCodes, KmeansIters)
+    dir
+  }
   /** Query batch (qid, emb) for the stored-index searches — the q85
     * convention: vec_id < BatchQueries are the queries. */
   private def annQueryBatch(s: SparkSession, d: String): DataFrame =
@@ -381,6 +401,18 @@ object SparkEntry {
   /** Q123: trailing-window length (hours) and the z threshold. */
   private val AnomalyWindow = 24
   private val AnomalyZ = 3
+  /** Q125: winsorization percentile band. */
+  private val WinsorLo = 0.05
+  private val WinsorHi = 0.95
+  /** Q128: max edit distance for a fuzzy entity match. */
+  private val FuzzyMaxDist = 2
+  /** Q129: DP budget — Laplace scale b = 1/ε = 2. */
+  private val DpEpsilon = 0.5
+  /** Q127: the erased subjects — ids ≡ ErasureRes (mod ErasureMod) in
+    * BOTH the text and vector stores (no query vector is erased:
+    * ErasureRes ≥ BatchQueries). */
+  private val ErasureMod = 13
+  private val ErasureRes = 5
   /** Q124: minimum distinct users per released aggregate cell —
     * chosen so every SF exercises all three outcomes (hour-level
     * release, day-level generalization, suppression). */
@@ -1304,6 +1336,33 @@ object SparkEntry {
     "q25b_approx_quantiles" -> ((s, d) =>
       EventLog.approxQuantiles(Tables.events(s, d), 10000, 0.02)),
     "q28_asof_join" -> ((s, d) => Temporal.asofLastView(Tables.events(s, d))),
+    "q127_erasure_audit" -> ((s, d) =>
+      // Right-to-be-forgotten audit: one take-down id set tombstoned
+      // in the text AND vector stores; every serving surface's ranked
+      // list must match a from-scratch live-corpus restatement.
+      Compliance.erasureAudit(s, ensureErasureTextIndex(s, d),
+        ensureErasureAnnStore(s, d), Bm25Terms, PhraseTerms, RrfK,
+        annQueryBatch(s, d), PqSub, BatchTopK, IvfPqProbes,
+        BatchQueries.toLong, TextIndexBuckets)),
+    "q128_fuzzy_match" -> ((s, d) =>
+      // Record linkage: distinct entities, head-noun blocking, edit
+      // distance on the variant token — sum-of-block-squares pairs on
+      // the collapsed entity table, never corpus².
+      Dedup.fuzzyEntityMatch(Tables.table(s, d, "part"), FuzzyMaxDist)),
+    "q129_dp_release" -> ((s, d) =>
+      // ε-DP count release with deterministic cell-seeded Laplace
+      // noise (inverse CDF on a portable-hash uniform) — reproducible
+      // republication, noise cost per cell not per event.
+      Privacy.dpCountRelease(Tables.events(s, d), DpEpsilon)),
+    "q125_winsorize" -> ((s, d) =>
+      // Robust-scaling feature prep: clip each value to its type's
+      // exact [p05, p95] band (bounds on the 1e-4 grid, clip map-only).
+      Pipeline.winsorize(Tables.events(s, d), WinsorLo, WinsorHi)),
+    "q126_dist_drift" -> ((s, d) =>
+      // PSI drift monitor between the even/odd doc cohorts over lang,
+      // source, and length-bucket features; Laplace-smoothed shares,
+      // 1e-6-grid contributions.
+      Profile.distributionDrift(Tables.table(s, d, "documents"))),
     "q124_kanon_release" -> ((s, d) =>
       // k-anonymity release gate: publish an aggregate cell only if
       // >= k distinct users back it; failing cells generalize hour →
@@ -2596,6 +2655,110 @@ object SparkEntry {
          SELECT event_id, user_id, ts_us, view_event_id, view_ts_us,
                 ts_us - view_ts_us AS lag_us
          FROM m WHERE event_type = 'purchase' ORDER BY event_id""",
+    // Q127: all three surfaces restated from the LIVE corpus — BM25
+    // trained/scored on survivors only (df/avgdl retreat with the
+    // erasure), phrase recomputed from surviving text, ANN candidates
+    // = the full-corpus-trained chain minus the erased ids (the store
+    // was built before the take-down; q98's contract). If any engine
+    // surface leaked an erased subject its list could not match.
+    "q127_erasure_audit" -> {
+      val livePred = s"doc_id % $ErasureMod <> $ErasureRes"
+      val phrasePred = PhraseTerms.zipWithIndex
+        .map { case (t, i) => s"ws[i + $i] = '$t'" }.mkString(" AND ")
+      s"""WITH ${bm25CteFor(Bm25Terms, "z", livePred)},
+          $ivfPqCtes,
+          lexr AS (SELECT 'bm25' AS surface, CAST(0 AS BIGINT) AS qid,
+                     CAST(row_number() OVER
+                       (ORDER BY score_micros DESC, doc_id) AS BIGINT) AS rnk,
+                     doc_id AS id,
+                     CAST(score_micros AS DOUBLE) / 1e6 AS score
+                   FROM zsc WHERE score_micros > 0),
+          pd AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents WHERE $livePred),
+          pst AS (SELECT doc_id,
+                    list_filter(generate_series(1, len(ws) - ${PhraseTerms.size - 1}),
+                                i -> $phrasePred) AS st
+                  FROM pd),
+          ph AS (SELECT doc_id, CAST(len(st) AS BIGINT) AS ptf
+                 FROM pst WHERE len(st) > 0),
+          phr AS (SELECT 'phrase' AS surface, CAST(0 AS BIGINT) AS qid,
+                    CAST(row_number() OVER
+                      (ORDER BY ptf DESC, doc_id) AS BIGINT) AS rnk,
+                    doc_id AS id, CAST(ptf AS DOUBLE) AS score
+                  FROM ph),
+          rka AS (SELECT qid, vec_id, adc, row_number() OVER
+                    (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+                  FROM sc2 WHERE vec_id % $ErasureMod <> $ErasureRes),
+          ann AS (SELECT 'ann' AS surface, qid, CAST(rnk AS BIGINT) AS rnk,
+                    vec_id AS id, adc AS score
+                  FROM rka WHERE rnk <= $BatchTopK)
+          SELECT * FROM (
+            SELECT * FROM lexr WHERE rnk <= $RrfK
+            UNION ALL SELECT * FROM phr WHERE rnk <= $RrfK
+            UNION ALL SELECT * FROM ann)
+          ORDER BY surface, qid, rnk"""
+    },
+    // Q128: identical blocking + pair rule; levenshtein is the same
+    // classic edit distance in both engines; counts/distances BIGINT.
+    "q128_fuzzy_match" ->
+      s"""WITH e AS (SELECT p_name, count(*) AS n,
+                  split_part(p_name, ' ', 2) AS block,
+                  split_part(p_name, ' ', 1) AS variant
+                FROM part GROUP BY 1)
+          SELECT a.block, a.p_name AS name_a, b.p_name AS name_b,
+                 CAST(levenshtein(a.variant, b.variant) AS BIGINT) AS lev,
+                 a.n AS n_a, b.n AS n_b
+          FROM e a JOIN e b ON a.block = b.block AND a.p_name < b.p_name
+          WHERE levenshtein(a.variant, b.variant) <= $FuzzyMaxDist
+          ORDER BY a.block, name_a, name_b""",
+    // Q129: the same cell-seeded inverse-CDF noise — identical hash,
+    // identical double pipeline, 1e-6 rounding on both sides.
+    "q129_dp_release" ->
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  count(*) AS n_raw FROM events GROUP BY 1, 2),
+          u AS (SELECT *, (CAST(${graft.functions.PortableHash.hash48Sql(
+                  "'dp:' || event_type || ':' || CAST(day AS VARCHAR)")} AS DOUBLE)
+                    + 0.5) / 281474976710656.0 AS uu
+                FROM c),
+          nz AS (SELECT *, ${roundSql(
+                  s"""-${1.0 / DpEpsilon} * (CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END)
+                      * ln(1.0 - 2.0 * abs(uu - 0.5))""", 6)} AS noise
+                 FROM u)
+          SELECT event_type, day, n_raw, noise,
+                 ${roundSql("n_raw + noise", 6)} AS released
+          FROM nz ORDER BY event_type, day""",
+    // Q125: bounds via quantile_cont (≡ Spark's percentile after the
+    // 1e-4 rounding — the q25 contract), clip + verdict restated.
+    "q125_winsorize" ->
+      s"""WITH b AS (SELECT event_type,
+                  ${roundSql(s"quantile_cont(value, $WinsorLo)", 4)} AS lo,
+                  ${roundSql(s"quantile_cont(value, $WinsorHi)", 4)} AS hi
+                FROM events GROUP BY event_type)
+          SELECT e.event_id, e.event_type,
+                 ${roundSql("least(greatest(e.value, b.lo), b.hi)", 4)} AS value_w,
+                 (e.value < b.lo OR e.value > b.hi) AS clipped
+          FROM events e JOIN b USING (event_type) ORDER BY e.event_id""",
+    // Q126: the PSI report restated — identical smoothing, identical
+    // cast points, ln on the same double ratio, 1e-6 rounding.
+    "q126_dist_drift" ->
+      s"""WITH f AS (
+           SELECT doc_id, 'lang' AS feature, lang AS value FROM documents
+           UNION ALL SELECT doc_id, 'source', source FROM documents
+           UNION ALL SELECT doc_id, 'len', CAST(n_chars // 200 AS VARCHAR) FROM documents),
+         c AS (SELECT feature, value,
+                 sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                 sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b
+               FROM f GROUP BY 1, 2),
+         t AS (SELECT feature, sum(n_a) AS ta, sum(n_b) AS tb,
+                 count(*) AS v FROM c GROUP BY 1),
+         s AS (SELECT c.feature, c.value,
+                 CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+                 CAST(c.n_a + 1 AS DOUBLE) / CAST(t.ta + t.v AS DOUBLE) AS p,
+                 CAST(c.n_b + 1 AS DOUBLE) / CAST(t.tb + t.v AS DOUBLE) AS q
+               FROM c JOIN t USING (feature))
+         SELECT feature, value, n_a, n_b,
+                ${roundSql("(p - q) * ln(p / q)", 6)} AS psi_c
+         FROM s ORDER BY feature, value""",
     // Q124: the same three-step generalization lattice restated; every
     // count is an exact integer, the residual row is itself gated.
     "q124_kanon_release" ->

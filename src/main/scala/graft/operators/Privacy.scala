@@ -67,4 +67,46 @@ object Privacy {
         col("n_users"), col("n_events")))
       .orderBy("event_type", "level", "bucket")
   }
+
+  /** Q129 — differentially-private count release with DETERMINISTIC
+    * Laplace noise: per-(event_type, day) event counts perturbed by
+    * the Laplace(b = 1/ε) inverse CDF evaluated on a portable-hash
+    * uniform, u = (hash48('dp:'‖cell) + 0.5) / 2⁴⁸ ∈ (0, 1):
+    *
+    *   noise = −b · sign(u − ½) · ln(1 − 2·|u − ½|)
+    *
+    * Seeding noise from the cell key (not a PRNG stream) is the
+    * standard reproducible-DP-pipeline trick: re-runs release
+    * byte-identical numbers (no privacy-budget double-spend from
+    * re-randomized republication), and any engine — here DuckDB —
+    * can restate the release exactly. Counts have L1 sensitivity 1
+    * per event, so Laplace(1/ε) gives ε-DP per cell. Noise and the
+    * released value land on the 1e-6 grid (the q126 ln discipline);
+    * the true count is emitted alongside for audit parity only —
+    * a production release drops `n_raw`.
+    *
+    * Scale shape: one hash aggregation on the bounded
+    * (event_type, day) key space (map-side combined), then one
+    * map-only expression per released cell. Noise cost is per CELL,
+    * not per event — free at 100 TB.
+    */
+  def dpCountRelease(events: DataFrame, epsilon: Double): DataFrame = {
+    require(epsilon > 0, s"need epsilon > 0, got $epsilon")
+    val b = 1.0 / epsilon
+    val cells = events
+      .groupBy(col("event_type"), expr(s"ts_us DIV ${DayUs}L").as("day"))
+      .agg(count(lit(1)).as("n_raw"))
+    val uExpr = s"""(CAST(${graft.functions.PortableHash.hash48(
+      "concat('dp:', event_type, ':', CAST(day AS STRING))")} AS DOUBLE)
+        + 0.5) / 281474976710656.0"""
+    cells
+      .withColumn("u", expr(uExpr))
+      .withColumn("noise", graft.functions.Deterministic.roundTo(
+        expr(s"""-$b * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+                 * ln(1.0 - 2.0 * abs(u - 0.5))"""), 6))
+      .withColumn("released", graft.functions.Deterministic.roundTo(
+        col("n_raw") + col("noise"), 6))
+      .select("event_type", "day", "n_raw", "noise", "released")
+      .orderBy("event_type", "day")
+  }
 }
