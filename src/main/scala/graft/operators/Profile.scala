@@ -89,15 +89,31 @@ object Profile {
     * broadcast of the per-feature totals — profiling drift at 100 TB
     * costs one pass, like [[documentsProfile]].
     */
-  def distributionDrift(docs: DataFrame): DataFrame = {
-    val feats = docs.select(col("doc_id"), expr(
+  def distributionDrift(docs: DataFrame): DataFrame =
+    driftFromCounts(featureCounts(docs))
+
+  /** The PSI sufficient statistics: per-(feature, value) cohort
+    * counts. Split out so the streaming monitor
+    * ([[graft.streaming.StreamingDrift]]) can MAINTAIN exactly this
+    * table incrementally (counts are the only state a drift monitor
+    * needs — bounded by the categorical value space, not the corpus)
+    * and share [[driftFromCounts]] with the batch path verbatim.
+    */
+  private[graft] def featureCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
       """stack(3,
            'lang', lang,
            'source', source,
            'len', CAST(n_chars DIV 200 AS STRING)) AS (feature, value)"""))
-    val counts = feats.groupBy("feature", "value").agg(
-      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+      .groupBy("feature", "value").agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+
+  /** PSI report from a maintained counts table — the bounded final
+    * projection over the sufficient statistics (one agg on the value
+    * space + one broadcast join; corpus never touched).
+    */
+  private[graft] def driftFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy("feature")
       .agg(sum("n_a").as("ta"), sum("n_b").as("tb"), count(lit(1)).as("v"))
     counts.join(broadcast(totals), "feature")

@@ -1736,4 +1736,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("series gap")
       || Option(err.getCause).exists(_.getMessage.contains("series gap")))
   }
+
+  test("S27: streaming drift monitor — maintained PSI counts ≡ batch report after every microbatch, state bounded by the value space") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDrift
+    // The monitor maintains only the (feature, value) cohort counts as
+    // a streaming aggregation (complete mode: the sink IS the current
+    // table); the PSI projection is shared verbatim with batch, so the
+    // report must equal the batch drift of the prefix at every cut.
+    val docs = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    val rows = docs.as[(Long, String, String, Long)].collect().toSeq
+    val n = rows.size
+    val cuts = Seq(rows.take(n / 3), rows.slice(n / 3, 2 * n / 3), rows.drop(2 * n / 3))
+    val src = MemoryStream[(Long, String, String, Long)]
+    val q = StreamingDrift
+      .counts(src.toDF().toDF("doc_id", "lang", "source", "n_chars"))
+      .writeStream.format("memory").queryName("s27_counts")
+      .outputMode("complete").start()
+    var seen = Vector.empty[(Long, String, String, Long)]
+    try cuts.foreach { c =>
+      src.addData(c: _*); q.processAllAvailable()
+      seen ++= c
+      val got = StreamingDrift.report(spark.table("s27_counts"))
+        .as[(String, String, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      val want = graft.operators.Profile.distributionDrift(
+        seen.toDF("doc_id", "lang", "source", "n_chars"))
+        .as[(String, String, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(want.nonEmpty && got == want,
+        "stream-maintained PSI must equal the batch report on the prefix")
+    } finally q.stop()
+    // The maintained state is the value space, not the corpus: every
+    // feature's rows are bounded by its distinct values.
+    val st = spark.table("s27_counts")
+    assert(st.count() == docs.select("lang").distinct().count()
+      + docs.select("source").distinct().count()
+      + docs.select(expr("CAST(n_chars DIV 200 AS STRING)")).distinct().count())
+  }
 }
