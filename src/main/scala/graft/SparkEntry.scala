@@ -406,6 +406,13 @@ object SparkEntry {
   private val WinsorHi = 0.95
   /** Q128: max edit distance for a fuzzy entity match. */
   private val FuzzyMaxDist = 2
+  /** Q130: attribution lookback window — 7 days in epoch-us (the
+    * corpus spans 30 days, so windows are non-degenerate at every SF). */
+  private val AttribWindowUs = 604800000000L
+  /** Q131: experiment salt and the squared z threshold (z = 2 ≈ the
+    * two-sided 95% gate). */
+  private val AbSalt = "ab"
+  private val AbZ2 = 4
   /** Q129: DP budget — Laplace scale b = 1/ε = 2. */
   private val DpEpsilon = 0.5
   /** Q127: the erased subjects — ids ≡ ErasureRes (mod ErasureMod) in
@@ -1363,6 +1370,21 @@ object SparkEntry {
       // source, and length-bucket features; Laplace-smoothed shares,
       // 1e-6-grid contributions.
       Profile.distributionDrift(Tables.table(s, d, "documents"))),
+    "q130_attribution" -> ((s, d) =>
+      // Multi-touch attribution (first/last/linear) on the exact ppm
+      // credit grid; the touch lookup is a banded (user, window-bucket)
+      // equi-join, never a per-user cross product.
+      Behavior.attributionReport(Tables.events(s, d), AttribWindowUs)),
+    "q131_ab_readout" -> ((s, d) =>
+      // A/B readout: hash-assigned arms, conversion ppm, and the
+      // pooled two-proportion z-test as an exact decimal(38,0)
+      // inequality — float-free significance.
+      Behavior.abReadout(Tables.events(s, d), AbSalt, AbZ2)),
+    "q132_embedding_drift" -> ((s, d) =>
+      // Dense-space drift: per-label cohort mean vs corpus mean by
+      // cosine over exact integer grid sums (scale-invariance kills
+      // the division); one pass + bounded aggs.
+      Profile.embeddingDrift(Tables.table(s, d, "embeddings"))),
     "q124_kanon_release" -> ((s, d) =>
       // k-anonymity release gate: publish an aggregate cell only if
       // >= k distinct users back it; failing cells generalize hour →
@@ -2727,6 +2749,99 @@ object SparkEntry {
           SELECT event_type, day, n_raw, noise,
                  ${roundSql("n_raw + noise", 6)} AS released
           FROM nz ORDER BY event_type, day""",
+    // Q130: the same half-open (ts_us, event_id) lookback window as a
+    // plain range join (fine at oracle scale), first/last via ordered
+    // list aggs, the identical ppm credit arithmetic.
+    "q130_attribution" ->
+      s"""WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+                     FROM events WHERE event_type = 'purchase'),
+          t AS (SELECT event_id AS tid, user_id, event_type AS touch_type,
+                       epoch_us(ts) AS tts
+                FROM events WHERE event_type IN ('view', 'click')),
+          j AS (SELECT p.pid, t.touch_type, t.tts, t.tid
+                FROM p JOIN t ON p.user_id = t.user_id
+                 AND t.tts >= p.pts - $AttribWindowUs
+                 AND (t.tts, t.tid) < (p.pts, p.pid)),
+          a AS (SELECT pid, count(*) AS n,
+                  sum(CASE WHEN touch_type = 'view' THEN 1 ELSE 0 END) AS nv,
+                  sum(CASE WHEN touch_type = 'click' THEN 1 ELSE 0 END) AS nc,
+                  list(touch_type ORDER BY tts, tid)[1] AS first_type,
+                  list(touch_type ORDER BY tts, tid)[-1] AS last_type
+                FROM j GROUP BY pid),
+          b AS (SELECT *, 1000000 // n AS base,
+                       1000000 - (1000000 // n) * n AS rem FROM a),
+          lin AS (SELECT touch_type, count(*) AS n_conv,
+                    CAST(sum(credit) AS BIGINT) AS credit_ppm
+                  FROM (SELECT 'view' AS touch_type,
+                          nv * base + CASE WHEN last_type = 'view' THEN rem ELSE 0 END AS credit
+                        FROM b
+                        UNION ALL
+                        SELECT 'click',
+                          nc * base + CASE WHEN last_type = 'click' THEN rem ELSE 0 END
+                        FROM b)
+                  WHERE credit > 0 GROUP BY touch_type)
+          SELECT * FROM (
+            SELECT 'first' AS model, first_type AS touch_type,
+                   count(*) AS n_conv,
+                   CAST(count(*) * 1000000 AS BIGINT) AS credit_ppm
+            FROM b GROUP BY 2
+            UNION ALL
+            SELECT 'last', last_type, count(*),
+                   CAST(count(*) * 1000000 AS BIGINT)
+            FROM b GROUP BY 2
+            UNION ALL
+            SELECT 'linear', touch_type, n_conv, credit_ppm FROM lin)
+          ORDER BY model, touch_type""",
+    // Q131: identical md5 arm hash, HUGEINT restatement of the
+    // decimal(38,0) pooled z² inequality.
+    "q131_ab_readout" ->
+      s"""WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+                FROM events GROUP BY 1),
+          a AS (SELECT ${graft.functions.PortableHash.hash48Sql(
+                  s"'$AbSalt:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+                  count(*) AS n_users, CAST(sum(converted) AS BIGINT) AS n_conv
+                FROM u GROUP BY 1),
+          v AS (SELECT
+                  sum(CASE WHEN arm = 0 THEN n_users END) AS n1,
+                  sum(CASE WHEN arm = 0 THEN n_conv END) AS c1,
+                  sum(CASE WHEN arm = 1 THEN n_users END) AS n2,
+                  sum(CASE WHEN arm = 1 THEN n_conv END) AS c2
+                FROM a),
+          s AS (SELECT (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+                     * (CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)
+                     * (n1 + n2)
+                   > CAST($AbZ2 AS HUGEINT) * (c1 + c2) * (n1 + n2 - c1 - c2)
+                     * n1 * n2 AS significant
+                FROM v)
+          SELECT arm, n_users, n_conv,
+                 n_conv * 1000000 // n_users AS conv_ppm, significant
+          FROM a, s ORDER BY arm""",
+    // Q132: identical 1e-4 grid units, per-(label, dim) BIGINT sums,
+    // HUGEINT cross-products, the one terminal double cosine rounded
+    // on the shared 1e-6 grid and drift_ppm derived from the ROUNDED
+    // cosine in both engines.
+    "q132_embedding_drift" ->
+      s"""WITH g AS (SELECT label, i - 1 AS dim,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS u
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS t(i)),
+          ls AS (SELECT label, dim, CAST(sum(u) AS BIGINT) AS ls
+                 FROM g GROUP BY 1, 2),
+          cs AS (SELECT dim, CAST(sum(ls) AS BIGINT) AS cs FROM ls GROUP BY 1),
+          d AS (SELECT l.label,
+                  sum(CAST(l.ls AS HUGEINT) * c.cs) AS dot,
+                  sum(CAST(l.ls AS HUGEINT) * l.ls) AS nl,
+                  sum(CAST(c.cs AS HUGEINT) * c.cs) AS nc
+                FROM ls l JOIN cs c USING (dim) GROUP BY 1),
+          n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+          r AS (SELECT label, ${roundSql(
+                  """CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(nl AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))""", 6)} AS cosine
+                FROM d)
+          SELECT r.label, n.n_vecs, r.cosine,
+                 CAST(floor((1.0 - r.cosine) * 1e6 + 0.5) AS BIGINT) AS drift_ppm
+          FROM r JOIN n USING (label) ORDER BY label""",
     // Q125: bounds via quantile_cont (≡ Spark's percentile after the
     // 1e-4 rounding — the q25 contract), clip + verdict restated.
     "q125_winsorize" ->

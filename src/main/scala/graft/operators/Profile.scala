@@ -123,4 +123,49 @@ object Profile {
       .select("feature", "value", "n_a", "n_b", "psi_c")
       .orderBy("feature", "value")
   }
+
+  /** Q132 — embedding-space drift: how far each label cohort's mean
+    * embedding points away from the corpus mean — the dense-space
+    * companion to [[distributionDrift]]'s categorical PSI (a cohort
+    * can drift semantically while every categorical marginal stays
+    * flat; this is the monitor that catches it).
+    *
+    * Exactness: cosine is scale-invariant, so cos(mean_L, mean_corpus)
+    * = cos(sum_L, sum_corpus) — the division by counts never happens.
+    * Components land on the repo's 1e-4 grid as BIGINTs, per-(label,
+    * dim) sums are exact integers, and the dot/norm cross-products run
+    * in decimal(38,0) (DuckDB HUGEINT) — exact to ~1e9 vectors — so
+    * the one terminal double (the cosine itself) is computed from
+    * identical integers in both engines and rounds identically.
+    *
+    * Plan shape: one posexplode scan → one (label, dim) hash agg
+    * (map-side combined, key space = labels × dims) → per-dim corpus
+    * sums derived FROM the label sums (bounded table, no second corpus
+    * pass) → one broadcast join on dim → per-label fold. Drift at
+    * 100 TB costs one pass, like [[distributionDrift]].
+    */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val labelSums = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("u", expr("CAST(floor(x * 1e4 + 0.5) AS BIGINT)"))
+      .groupBy("label", "dim")
+      .agg(sum("u").as("ls"))
+    val nVecs = embeddings.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    val corpusSums = labelSums.groupBy("dim").agg(sum("ls").as("cs"))
+    labelSums
+      .join(broadcast(corpusSums), "dim")
+      .groupBy("label")
+      .agg(
+        sum(expr("CAST(ls AS DECIMAL(38,0)) * cs")).as("dot"),
+        sum(expr("CAST(ls AS DECIMAL(38,0)) * ls")).as("nl"),
+        sum(expr("CAST(cs AS DECIMAL(38,0)) * cs")).as("nc"))
+      .withColumn("cosine", roundTo(
+        col("dot").cast("double") /
+          (sqrt(col("nl").cast("double")) * sqrt(col("nc").cast("double"))), 6))
+      .withColumn("drift_ppm",
+        expr("CAST(floor((1.0 - cosine) * 1e6 + 0.5) AS BIGINT)"))
+      .join(broadcast(nVecs), "label")
+      .select("label", "n_vecs", "cosine", "drift_ppm")
+      .orderBy("label")
+  }
 }

@@ -1777,4 +1777,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       + docs.select("source").distinct().count()
       + docs.select(expr("CAST(n_chars DIV 200 AS STRING)")).distinct().count())
   }
+
+  test("S28: streaming attribution serve — purchases arrive in arbitrary microbatches, each summarized against the static touch history ≡ batch, stateless") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Behavior
+    import graft.sources.Tables
+    // The S24 stream-static shape for attribution: the conversion
+    // stream probes the static touch history through the identical
+    // banded kernel; per-purchase independence makes the summary
+    // invariant to how the stream splits.
+    val winUs = 604800000000L
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val want = Behavior.conversionTouches(ev, winUs)
+      .collect().map(_.toString).toSet
+    assert(want.nonEmpty)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .selectExpr("event_id AS pid", "user_id", "ts_us AS pts")
+      .as[(Long, Long, Long)].collect().toSeq
+    val (h1, rest) = purchases.splitAt(purchases.size / 3)
+    val (h2, h3) = rest.splitAt(rest.size / 2)
+    val got = scala.collection.mutable.Set.empty[String]
+    val src = MemoryStream[(Long, Long, Long)]
+    val q = src.toDF().toDF("pid", "user_id", "pts").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = Behavior.touchSummary(b, ev, winUs).collect().map(_.toString)
+        got.synchronized { got ++= v }
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      Seq(h1, h2, h3).foreach { h => src.addData(h: _*); q.processAllAvailable() }
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.length == 0,
+        "the attribution serve must be stateless")
+    } finally q.stop()
+    assert(got.toSet == want,
+      "stream-served touch summaries must equal the batch kernel")
+  }
 }
