@@ -413,6 +413,18 @@ object SparkEntry {
     * two-sided 95% gate). */
   private val AbSalt = "ab"
   private val AbZ2 = 4
+  /** Q131: conversion = activation — a purchase within 24 h of the
+    * user's first event (~50% of users at every SF, so the readout is
+    * non-degenerate). */
+  private val ActivationUs = 86400000000L
+  /** Q133: session gap — 6 h (the q09 rule at the timescale that
+    * yields a mixed churned/censored population at every SF). */
+  private val SurvivalGapUs = 21600000000L
+  /** Q135: scale-relative CUSUM tuning — slack = μ_c div 10 (10% of
+    * the mean per hour), alarm threshold = 4·μ_c (four mean-hours of
+    * accumulated excess). */
+  private val CusumSlackDiv = 10L
+  private val CusumThresholdMult = 4L
   /** Q129: DP budget — Laplace scale b = 1/ε = 2. */
   private val DpEpsilon = 0.5
   /** Q127: the erased subjects — ids ≡ ErasureRes (mod ErasureMod) in
@@ -1376,15 +1388,31 @@ object SparkEntry {
       // equi-join, never a per-user cross product.
       Behavior.attributionReport(Tables.events(s, d), AttribWindowUs)),
     "q131_ab_readout" -> ((s, d) =>
-      // A/B readout: hash-assigned arms, conversion ppm, and the
-      // pooled two-proportion z-test as an exact decimal(38,0)
-      // inequality — float-free significance.
-      Behavior.abReadout(Tables.events(s, d), AbSalt, AbZ2)),
+      // A/B readout: hash-assigned arms, activation-conversion ppm,
+      // and the pooled two-proportion z-test as an exact
+      // decimal(38,0) inequality — float-free significance.
+      Behavior.abReadout(Tables.events(s, d), AbSalt, AbZ2, ActivationUs)),
     "q132_embedding_drift" -> ((s, d) =>
       // Dense-space drift: per-label cohort mean vs corpus mean by
       // cosine over exact integer grid sums (scale-invariance kills
       // the division); one pass + bounded aggs.
       Profile.embeddingDrift(Tables.table(s, d, "embeddings"))),
+    "q133_survival_km" -> ((s, d) =>
+      // Kaplan-Meier session-duration survival with right-censoring,
+      // float-free: the survival product folds in exact integer ppb
+      // over the bounded duration axis.
+      Temporal.sessionSurvival(Tables.events(s, d), SurvivalGapUs)),
+    "q134_triangles" -> ((s, d) =>
+      // Degree-oriented triangle counting + global clustering
+      // coefficient over the closed-form link graph — O(m^1.5) wedges,
+      // never d_max², all-BIGINT exact.
+      WebGraph.triangles(Tables.table(s, d, "documents"))),
+    "q135_cusum" -> ((s, d) =>
+      // Page's CUSUM drift detector on the per-type hourly series via
+      // the prefix-sum/running-min closed form — two stacked
+      // partitioned windows, exact integers on the centi-grid with
+      // scale-relative slack/threshold.
+      Temporal.cusumChangePoints(Tables.events(s, d), CusumSlackDiv, CusumThresholdMult)),
     "q124_kanon_release" -> ((s, d) =>
       // k-anonymity release gate: publish an aggregate cell only if
       // >= k distinct users back it; failing cells generalize hour →
@@ -2796,7 +2824,10 @@ object SparkEntry {
     // decimal(38,0) pooled z² inequality.
     "q131_ab_readout" ->
       s"""WITH u AS (SELECT user_id,
-                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+                  CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END)
+                         <= min(epoch_us(ts)) + $ActivationUs
+                       THEN 1 ELSE 0 END AS converted
                 FROM events GROUP BY 1),
           a AS (SELECT ${graft.functions.PortableHash.hash48Sql(
                   s"'$AbSalt:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
@@ -2842,6 +2873,113 @@ object SparkEntry {
           SELECT r.label, n.n_vecs, r.cosine,
                  CAST(floor((1.0 - r.cosine) * 1e6 + 0.5) AS BIGINT) AS drift_ppm
           FROM r JOIN n USING (label) ORDER BY label""",
+    // Q133: the same gap-and-island sessions, censoring rule, and the
+    // identical integer-ppb KM fold as a recursive CTE — both engines
+    // truncate the same nonnegative divisions, so the curve is
+    // hash-exact.
+    "q133_survival_km" ->
+      s"""WITH RECURSIVE
+          ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+          lg AS (SELECT *, lag(ts_us) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+                 FROM ev),
+          st AS (SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts_us - prev_ts > $SurvivalGapUs THEN 1 ELSE 0 END AS is_start
+                 FROM lg),
+          si AS (SELECT *, sum(is_start) OVER
+                   (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM st),
+          se AS (SELECT user_id, sid, min(ts_us) AS t0, max(ts_us) AS t1
+                 FROM si GROUP BY 1, 2),
+          m AS (SELECT max(ts_us) AS tmax FROM ev),
+          u AS (SELECT (t1 - t0) // 3600000000 AS dur,
+                       t1 > tmax - $SurvivalGapUs AS censored
+                FROM se, m),
+          bd AS (SELECT dur,
+                   CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_churn,
+                   CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+                 FROM u GROUP BY 1),
+          t AS (SELECT CAST(sum(n_churn + n_censored) AS BIGINT) AS total FROM bd),
+          r AS (SELECT row_number() OVER (ORDER BY dur) AS rn, dur,
+                  t.total - CAST(coalesce(sum(n_churn + n_censored) OVER
+                    (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS n_risk,
+                  n_churn, n_censored
+                FROM bd, t),
+          km AS (SELECT rn, dur, n_risk, n_churn, n_censored,
+                   1000000000 * (n_risk - n_churn) // n_risk AS surv
+                 FROM r WHERE rn = 1
+                 UNION ALL
+                 SELECT r.rn, r.dur, r.n_risk, r.n_churn, r.n_censored,
+                   km.surv * (r.n_risk - r.n_churn) // r.n_risk
+                 FROM km JOIN r ON r.rn = km.rn + 1)
+          SELECT dur AS dur_hours, n_risk, n_churn, n_censored,
+                 n_churn * 1000000 // n_risk AS hazard_ppm,
+                 CAST(surv AS BIGINT) AS survival_ppb
+          FROM km ORDER BY dur_hours""",
+    // Q134: identical canonicalization, degree orientation, wedge join,
+    // and closing-edge semi-join over the closed-form q99 edge fixture.
+    "q134_triangles" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+          e0 AS (SELECT d.doc_id AS src,
+                   (d.doc_id * 31 + j.j * 17 + 1) % nn.n AS dst
+                 FROM documents d CROSS JOIN nn
+                 CROSS JOIN UNNEST(generate_series(0, d.doc_id % 3)) AS j(j)),
+          und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                  FROM e0 WHERE src <> dst),
+          deg AS (SELECT id, count(*) AS deg FROM (
+                    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+                  GROUP BY 1),
+          o AS (SELECT CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+                            THEN und.u ELSE und.v END AS a,
+                       CASE WHEN (du.deg, und.u) < (dv.deg, und.v)
+                            THEN und.v ELSE und.u END AS b
+                FROM und JOIN deg du ON du.id = und.u
+                         JOIN deg dv ON dv.id = und.v),
+          w AS (SELECT least(e1.b, e2.b) AS lo, greatest(e1.b, e2.b) AS hi
+                FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b),
+          c AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi FROM o),
+          tri AS (SELECT count(*) AS n_triangles FROM w
+                  WHERE EXISTS (SELECT 1 FROM c
+                                WHERE c.lo = w.lo AND c.hi = w.hi)),
+          tot AS (SELECT count(*) AS n_nodes,
+                    CAST(sum(deg) AS BIGINT) // 2 AS n_edges,
+                    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+                  FROM deg)
+          SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                 3 * n_triangles * 1000000 // n_wedges AS clustering_ppm
+          FROM tot, tri""",
+    // Q135: the q123 complete-grid construction, then the CUSUM
+    // reflection identity as two stacked windows — exact integers.
+    "q135_cusum" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+          obs AS (SELECT event_type, hour, count(*) AS x FROM e GROUP BY 1, 2),
+          span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+                   FROM obs GROUP BY 1),
+          grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hour
+                   FROM span),
+          f AS (SELECT g.event_type, g.hour,
+                  coalesce(o.x, CAST(0 AS BIGINT)) AS x
+                FROM grid g LEFT JOIN obs o
+                  ON g.event_type = o.event_type AND g.hour = o.hour),
+          mu AS (SELECT event_type,
+                   CAST(100 * sum(x) AS BIGINT) // count(*) AS mu_c
+                 FROM f GROUP BY 1),
+          d AS (SELECT f.event_type, f.hour, f.x, mu.mu_c,
+                  100 * f.x - mu.mu_c - mu.mu_c // $CusumSlackDiv AS dev
+                FROM f JOIN mu USING (event_type)),
+          cw AS (SELECT *, CAST(sum(dev) OVER
+                   (PARTITION BY event_type ORDER BY hour
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                 FROM d),
+          cm AS (SELECT *, cum - least(CAST(0 AS BIGINT), min(cum) OVER
+                   (PARTITION BY event_type ORDER BY hour
+                    ROWS UNBOUNDED PRECEDING)) AS cusum_c
+                 FROM cw)
+          SELECT event_type, hour, x, cusum_c,
+                 cusum_c > mu_c * $CusumThresholdMult AS alarm
+          FROM cm ORDER BY event_type, hour""",
     // Q125: bounds via quantile_cont (≡ Spark's percentile after the
     // 1e-4 rounding — the q25 contract), clip + verdict restated.
     "q125_winsorize" ->

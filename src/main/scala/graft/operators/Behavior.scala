@@ -131,8 +131,10 @@ object Behavior {
     * Arm assignment is the q43 deterministic hash split
     * ([[Pipeline.withSplit]]'s convention): `hash48(salt:user_id) % 2`
     * — reproducible across runs, engines, and partitionings, so the
-    * readout is a pure function of the corpus. Conversion = the user
-    * has any purchase event; exposure = the user appears at all.
+    * readout is a pure function of the corpus. Conversion = ACTIVATION:
+    * the user purchases within `activationUs` of their first event
+    * (computable in ONE agg — earliest purchase ts ≤ first ts +
+    * window — no self-join); exposure = the user appears at all.
     *
     * The verdict is the pooled two-proportion z-test restated as an
     * exact integer inequality (the q123 trick):
@@ -147,12 +149,16 @@ object Behavior {
     * 2-row agg + a broadcast of the one-row verdict back onto the
     * arms.
     */
-  def abReadout(events: DataFrame, salt: String, z2: Int): DataFrame = {
+  def abReadout(
+      events: DataFrame, salt: String, z2: Int, activationUs: Long): DataFrame = {
     val arms = events
-      .select(col("user_id"),
-        (col("event_type") === "purchase").cast("long").as("p"))
       .groupBy("user_id")
-      .agg(max("p").as("converted"))
+      .agg(
+        min("ts_us").as("t0"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("tp"))
+      .withColumn("converted",
+        when(col("tp").isNotNull && col("tp") <= col("t0") + activationUs, 1L)
+          .otherwise(0L))
       .withColumn("arm", expr(s"${hash48(s"concat('$salt', ':', CAST(user_id AS STRING))")} % 2"))
       .groupBy("arm")
       .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))

@@ -211,4 +211,103 @@ object Temporal {
         col("s").as("win_sum"), col("ss").as("win_sumsq"), col("is_anomaly"))
       .orderBy("event_type", "hour")
   }
+
+  /** Q133 — Kaplan-Meier session-duration survival, float-free.
+    *
+    * The subject is the SESSION (the q09 gap-and-island unit): its
+    * lifetime is `(last − first) div 1 h`, it DIES when the inactivity
+    * gap closes it, and a session whose last event lies within `gapUs`
+    * of the corpus end is CENSORED — a later event could still extend
+    * it, so its true lifetime is unobserved. The KM estimator handles
+    * exactly this: censored sessions leave the risk set without
+    * counting as death events, which a naive "mean session length"
+    * silently gets wrong (it treats every open session as closed).
+    *
+    * Exactness: survival is the running product Π (n_risk − d)/n_risk
+    * — a float in every textbook, but the duration axis is bounded by
+    * the corpus time SPAN in hours (never session- or corpus-sized),
+    * so the per-duration table collects to the driver (the
+    * bounded-model-export contract, like the PCA Gram) and the product
+    * folds in exact integer ppb: `s' = s·(n_risk − d) div n_risk` —
+    * the identical fold a DuckDB recursive CTE restates, so the curve
+    * hash-matches bit-for-bit (exact while sessions ≤ ~9e9).
+    *
+    * Distributed cost: one per-user window pass (the q09 shape) + one
+    * per-session agg + one per-duration agg; the driver touches only
+    * the duration axis.
+    */
+  def sessionSurvival(events: DataFrame, gapUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sess = events
+      .select("user_id", "event_id", "ts_us")
+      .withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .withColumn("is_start",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("is_start").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+    val tmax = events.agg(max("ts_us").as("tmax"))
+    val byDur = sess.crossJoin(broadcast(tmax))
+      .select(expr(s"(t1 - t0) div ${HourUs}L").as("dur"),
+        (col("t1") > col("tmax") - gapUs).as("censored"))
+      .groupBy("dur")
+      .agg(
+        sum(when(col("censored"), 0L).otherwise(1L)).as("n_churn"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+      .orderBy("dur")
+      .collect() // bounded by the corpus span in hours, never the session count
+    val total = byDur.map(r => r.getLong(1) + r.getLong(2)).sum
+    var atRisk = total
+    var surv = 1000000000L
+    val rows = byDur.map { r =>
+      val (dur, nChurn, nCens) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val nRisk = atRisk
+      surv = surv * (nRisk - nChurn) / nRisk
+      atRisk -= nChurn + nCens
+      (dur, nRisk, nChurn, nCens, nChurn * 1000000L / nRisk, surv)
+    }
+    import spark.implicits._
+    rows.toSeq
+      .toDF("dur_hours", "n_risk", "n_churn", "n_censored",
+        "hazard_ppm", "survival_ppb")
+  }
+
+  /** Q135 — CUSUM change-point detection over the per-type hourly
+    * series: the drift detector q123's z-score cannot be (a z-score
+    * flags single spikes; CUSUM accumulates small sustained shifts
+    * until they cross a decision threshold — Page's test).
+    *
+    * The textbook recursion s_t = max(0, s_{t-1} + x_t − μ − k) is not
+    * window-expressible, but its closed form is: s_t = cum_t −
+    * min(0, min_{j≤t} cum_j) with cum the prefix sum of deviations —
+    * two stacked per-type window passes, exact BIGINT throughout.
+    * Everything runs on the centi-count grid (100·x) so the slack and
+    * threshold can be SCALE-RELATIVE — slack = μ_c div slackDiv,
+    * threshold = thresholdMult·μ_c — and the detector keeps firing on
+    * genuine drift (not on the corpus growing 10×) with no float ever
+    * entering: both engines floor the same nonnegative divisions.
+    * Same scale shape as [[anomalyZscore]]: everything is partitioned
+    * by event_type; series length is bounded by the time span.
+    */
+  def cusumChangePoints(
+      events: DataFrame, slackDiv: Long, thresholdMult: Long): DataFrame = {
+    require(slackDiv > 0 && thresholdMult > 0,
+      s"need slackDiv > 0 and thresholdMult > 0, got ($slackDiv, $thresholdMult)")
+    val filled = hourlySeries(events)
+    val mu = filled.groupBy("event_type")
+      .agg(expr("(100 * sum(x)) div count(1)").as("mu_c"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.join(broadcast(mu), "event_type")
+      .withColumn("dev",
+        expr(s"100 * x - mu_c - mu_c div $slackDiv"))
+      .withColumn("cum", sum("dev").over(w))
+      .withColumn("cusum_c", col("cum") - least(lit(0L), min("cum").over(w)))
+      .withColumn("alarm", col("cusum_c") > col("mu_c") * thresholdMult)
+      .select("event_type", "hour", "x", "cusum_c", "alarm")
+      .orderBy("event_type", "hour")
+  }
 }

@@ -7,11 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Behavior, Profile}
 import graft.sources.Tables
 
-/** Semantic invariants of the product-analytics operators (Q130-Q132)
+/** Semantic invariants of the product-analytics operators (Q130-Q135)
   * that the oracle hash can't state directly: attribution conserves
   * credit exactly, the lookback window's boundaries are the declared
-  * half-open (ts, id) order, arms partition the users, and the
-  * embedding-drift monitor is exact under cohort-collapse.
+  * half-open (ts, id) order, arms partition the users, the
+  * embedding-drift monitor is exact under cohort-collapse, the KM
+  * curve telescopes, and the CUSUM closed form equals the textbook
+  * recursion.
   */
 class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -87,7 +89,7 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("Q131: arms partition the exposed users and the readout is deterministic") {
-    val out = Behavior.abReadout(events, "ab", 4).collect()
+    val out = Behavior.abReadout(events, "ab", 4, 86400000000L).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
     val nUsers = out.map(r => r.getLong(r.fieldIndex("n_users"))).sum
     assert(nUsers == events.select("user_id").distinct().count())
@@ -96,7 +98,7 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getBoolean(r.fieldIndex("significant")) ==
         out.head.getBoolean(out.head.fieldIndex("significant")))
     }
-    val again = Behavior.abReadout(events, "ab", 4).collect()
+    val again = Behavior.abReadout(events, "ab", 4, 86400000000L).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
@@ -105,7 +107,7 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // operator itself, then give one arm a much higher conversion rate.
     import spark.implicits._
     val base = (0L until 400L).map(u => (u, u, u, "view")) // everyone exposed
-    val armOf = Behavior.abReadout(mkEvents(base), "ab", 4)
+    val armOf = Behavior.abReadout(mkEvents(base), "ab", 4, 86400000000L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(armOf.values.sum == 400L)
     // arm of each user via the same hash the operator uses:
@@ -115,10 +117,10 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toMap
     val sep = base ++ (0L until 400L).filter(u => assignment(u) == 0L)
       .map(u => (1000L + u, 1000L + u, u, "purchase"))
-    val verdictSep = Behavior.abReadout(mkEvents(sep), "ab", 4)
+    val verdictSep = Behavior.abReadout(mkEvents(sep), "ab", 4, 86400000000L)
       .select("significant").head.getBoolean(0)
     assert(verdictSep, "a 100%-vs-0% split must be significant")
-    val verdictFlat = Behavior.abReadout(mkEvents(base), "ab", 4)
+    val verdictFlat = Behavior.abReadout(mkEvents(base), "ab", 4, 86400000000L)
       .select("significant").head.getBoolean(0)
     assert(!verdictFlat, "identical 0% arms must not be significant")
   }
@@ -134,6 +136,60 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getDouble(r.fieldIndex("cosine")) == 1.0)
       assert(r.getLong(r.fieldIndex("drift_ppm")) == 0L)
     }
+  }
+
+  test("Q133: the KM curve telescopes — risk sets account for every exit, survival is non-increasing, censoring never moves it") {
+    import graft.operators.Temporal
+    val gapUs = 21600000000L
+    val rows = Temporal.sessionSurvival(events, gapUs)
+      .orderBy("dur_hours").collect()
+    assert(rows.length > 1)
+    val nRisk = rows.map(r => r.getLong(r.fieldIndex("n_risk")))
+    val nChurn = rows.map(r => r.getLong(r.fieldIndex("n_churn")))
+    val nCens = rows.map(r => r.getLong(r.fieldIndex("n_censored")))
+    val surv = rows.map(r => r.getLong(r.fieldIndex("survival_ppb")))
+    // Risk telescoping: each duration's exits are exactly the next
+    // risk-set drop (durations with no subject never emit a row).
+    rows.indices.dropRight(1).foreach { i =>
+      assert(nRisk(i + 1) == nRisk(i) - nChurn(i) - nCens(i))
+    }
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a })
+    assert(nChurn.sum > 0 && nCens.sum > 0,
+      "fixture must exercise both churned and censored sessions")
+    // Censored-only durations leave survival untouched; churn moves it.
+    rows.indices.dropRight(1).foreach { i =>
+      if (nChurn(i + 1) == 0L) assert(surv(i + 1) == surv(i))
+    }
+    // The driver fold replayed independently.
+    var s = 1000000000L
+    rows.indices.foreach { i =>
+      s = s * (nRisk(i) - nChurn(i)) / nRisk(i)
+      assert(surv(i) == s)
+    }
+  }
+
+  test("Q135: the window closed form equals the textbook max(0, s + dev) recursion, and alarms fire on this corpus") {
+    import graft.operators.Temporal
+    val out = Temporal.cusumChangePoints(events, 10L, 4L)
+      .orderBy("event_type", "hour").collect()
+    val series = out.groupBy(_.getString(0))
+    // Recompute each series with the literal recursion off the raw
+    // hourly counts and the same integer μ/slack.
+    series.foreach { case (_, rs) =>
+      val xs = rs.sortBy(_.getLong(1)).map(r => r.getLong(2))
+      val muC = 100L * xs.sum / xs.length
+      val dev = xs.map(x => 100L * x - muC - muC / 10L)
+      var s = 0L
+      rs.sortBy(_.getLong(1)).zip(dev).foreach { case (r, d) =>
+        s = math.max(0L, s + d)
+        assert(r.getLong(r.fieldIndex("cusum_c")) == s,
+          s"closed form diverged from the recursion at hour ${r.getLong(1)}")
+        assert(r.getBoolean(r.fieldIndex("alarm")) == (s > muC * 4L))
+      }
+    }
+    val alarms = out.count(_.getBoolean(4))
+    assert(alarms > 0 && alarms < out.length,
+      "tuning must yield a mixed alarm verdict on the corpus")
   }
 
   test("Q132: an opposed cohort reads cosine -1 against a corpus it dominates away from") {

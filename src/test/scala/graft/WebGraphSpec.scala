@@ -69,4 +69,28 @@ class WebGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = WebGraph.pageRank(docs, 2).collect().toSeq
     assert(r1 != r2, "a second round must move ranks on this fixture")
   }
+
+  test("Q134: degree-oriented triangle count equals an independent brute-force enumeration") {
+    // Independent reference: collect the canonical undirected edge set
+    // and count triangles by direct adjacency-set intersection — a
+    // different algorithm entirely (no orientation, no joins).
+    val edges = WebGraph.linkGraph(docs)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty[Long])) {
+      case (m, (u, v)) => m.updated(u, m(u) + v).updated(v, m(v) + u)
+    }
+    val brute = edges.toSeq.map { case (u, v) => (adj(u) & adj(v)).size }.sum / 3L
+    val row = WebGraph.triangles(docs).head
+    assert(row.getLong(row.fieldIndex("n_triangles")) == brute,
+      s"oriented count ${row.getLong(row.fieldIndex("n_triangles"))} != brute $brute")
+    assert(brute > 0L, "degenerate fixture: no triangles to count")
+    // Consistency of the summary row itself.
+    assert(row.getLong(row.fieldIndex("n_edges")) == edges.size.toLong)
+    assert(row.getLong(row.fieldIndex("clustering_ppm")) ==
+      3L * brute * 1000000L / row.getLong(row.fieldIndex("n_wedges")))
+  }
 }
