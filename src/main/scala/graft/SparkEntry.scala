@@ -425,6 +425,9 @@ object SparkEntry {
     * accumulated excess). */
   private val CusumSlackDiv = 10L
   private val CusumThresholdMult = 4L
+  /** Q136: priority-sample size and its hash salt. */
+  private val PriorityK = 200
+  private val PrioritySalt = "pri"
   /** Q129: DP budget — Laplace scale b = 1/ε = 2. */
   private val DpEpsilon = 0.5
   /** Q127: the erased subjects — ids ≡ ErasureRes (mod ErasureMod) in
@@ -1413,6 +1416,11 @@ object SparkEntry {
       // partitioned windows, exact integers on the centi-grid with
       // scale-relative slack/threshold.
       Temporal.cusumChangePoints(Tables.events(s, d), CusumSlackDiv, CusumThresholdMult)),
+    "q136_priority_sample" -> ((s, d) =>
+      // Priority sampling: a deterministic k-row sample carrying the
+      // Duffield-Lund-Thorup unbiased total estimator — map-only
+      // priorities, one TakeOrdered, BIGINT-exact estimate.
+      Sampling.priorityEstimate(Tables.events(s, d), PriorityK, PrioritySalt)),
     "q124_kanon_release" -> ((s, d) =>
       // k-anonymity release gate: publish an aggregate cell only if
       // >= k distinct users back it; failing cells generalize hour →
@@ -2980,6 +2988,28 @@ object SparkEntry {
           SELECT event_type, hour, x, cusum_c,
                  cusum_c > mu_c * $CusumThresholdMult AS alarm
           FROM cm ORDER BY event_type, hour""",
+    // Q136: identical hash uniforms → identical priorities → identical
+    // sample, threshold, and BIGINT estimator fold.
+    "q136_priority_sample" ->
+      s"""WITH w AS (SELECT event_id,
+                  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS w,
+                  (CAST(${graft.functions.PortableHash.hash48Sql(
+                    s"'$PrioritySalt:' || CAST(event_id AS VARCHAR)")} AS DOUBLE)
+                    + 0.5) / 281474976710656.0 AS u
+                FROM events),
+          p AS (SELECT event_id, w, w / u AS pri FROM w),
+          r AS (SELECT *, row_number() OVER (ORDER BY pri DESC, event_id) AS rn
+                FROM p),
+          tau AS (SELECT CAST(floor(pri + 0.5) AS BIGINT) AS tau_c
+                  FROM r WHERE rn = $PriorityK + 1),
+          est AS (SELECT CAST(sum(greatest(w, tau_c)) AS BIGINT) AS est_total
+                  FROM r, tau WHERE rn <= $PriorityK),
+          t AS (SELECT count(*) AS n_events,
+                  CAST(sum(w) AS BIGINT) AS true_total FROM w)
+          SELECT CAST($PriorityK AS BIGINT) AS k, n_events,
+                 true_total AS true_total_centi, est_total AS est_total_centi,
+                 abs(est_total - true_total) * 1000000 // true_total AS err_ppm
+          FROM t, est""",
     // Q125: bounds via quantile_cont (≡ Spark's percentile after the
     // 1e-4 rounding — the q25 contract), clip + verdict restated.
     "q125_winsorize" ->

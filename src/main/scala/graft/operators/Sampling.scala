@@ -19,6 +19,62 @@ import graft.functions.PortableHash.hash48
   */
 object Sampling {
 
+  /** Q136 — priority sampling (Duffield-Lund-Thorup): a k-row sample
+    * that carries an UNBIASED estimator of any weighted total — the
+    * primitive that answers "what is the total purchase value of this
+    * 100 TB table?" from a bounded sample with provably near-optimal
+    * variance (beats Bernoulli/uniform for skewed weights, which is
+    * every revenue column).
+    *
+    * Each row draws priority q = w/u with u a deterministic hash
+    * uniform (same auditability argument as [[stratifiedSample]] —
+    * re-runs, retries, and the DuckDB oracle reproduce the sample
+    * bit-for-bit). The k highest-priority rows form the sample; the
+    * (k+1)-th priority is the threshold τ, and Σ max(w_i, τ) over the
+    * sample estimates Σ w exactly unbiasedly. τ rounds to the centi
+    * grid BEFORE the fold so the estimate is a pure BIGINT sum —
+    * order-free, cross-engine exact.
+    *
+    * Scale shape: the weight/priority projection is map-only; the
+    * top-(k+1) is one TakeOrdered (O(k) per partition, never a global
+    * sort); the total is one map-side-combined agg. The driver touches
+    * k+1 rows — the bounded-model-export contract.
+    *
+    * Output: one row (k, n_events, true_total_centi, est_total_centi,
+    * err_ppm) — true_total rides along because the POINT is the
+    * estimator's accuracy; at production scale you would drop it and
+    * keep only the estimate.
+    */
+  def priorityEstimate(events: DataFrame, k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = events.sparkSession
+    val weighted = events.select(
+      col("event_id"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("w"))
+      .withColumn("u", expr(
+        s"(CAST(${hash48(s"concat('$salt', ':', CAST(event_id AS STRING))")} AS DOUBLE)" +
+          " + 0.5) / 281474976710656.0"))
+      .withColumn("pri", col("w") / col("u"))
+    val top = weighted
+      .orderBy(col("pri").desc, col("event_id"))
+      .limit(k + 1)
+      .select("event_id", "w", "pri")
+      .collect() // k+1 rows — the sample itself, bounded by k
+      .sortBy(r => (-r.getDouble(2), r.getLong(0)))
+    require(top.length == k + 1,
+      s"priority sampling needs > k rows, got ${top.length} <= $k")
+    val tauC = math.floor(top.last.getDouble(2) + 0.5).toLong
+    val est = top.take(k).map(r => math.max(r.getLong(1), tauC)).sum
+    val totals = events.agg(
+      count(lit(1)).as("n_events"),
+      sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("true_total_centi"))
+    totals.select(
+      lit(k.toLong).as("k"), col("n_events"), col("true_total_centi"),
+      lit(est).as("est_total_centi"),
+      expr(s"abs($est - true_total_centi) * 1000000L div true_total_centi")
+        .as("err_ppm"))
+  }
+
   /** Sample `docs` keeping each `source` stratum at `rates(source)`
     * (or `defaultRate` when absent), deterministically under `salt`.
     */

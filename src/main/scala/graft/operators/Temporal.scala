@@ -294,11 +294,28 @@ object Temporal {
     */
   def cusumChangePoints(
       events: DataFrame, slackDiv: Long, thresholdMult: Long): DataFrame = {
+    val filled = hourlySeries(events)
+    cusumWithMu(filled, seriesMu(filled), slackDiv, thresholdMult)
+  }
+
+  /** The per-type reference level μ_c (centi-counts per hour) — the
+    * "model" of the CUSUM detector. Split out so the streaming monitor
+    * ([[graft.streaming.StreamingCusum]]) can pin a trained μ and
+    * serve with it (the S17 broadcast-model shape), sharing the exact
+    * scoring arithmetic with batch.
+    */
+  def seriesMu(filled: DataFrame): DataFrame =
+    filled.groupBy("event_type")
+      .agg(expr("(100 * sum(x)) div count(1)").as("mu_c"))
+
+  /** The closed-form CUSUM scorer under an explicit reference level —
+    * the shared batch/stream contract.
+    */
+  def cusumWithMu(
+      filled: DataFrame, mu: DataFrame,
+      slackDiv: Long, thresholdMult: Long): DataFrame = {
     require(slackDiv > 0 && thresholdMult > 0,
       s"need slackDiv > 0 and thresholdMult > 0, got ($slackDiv, $thresholdMult)")
-    val filled = hourlySeries(events)
-    val mu = filled.groupBy("event_type")
-      .agg(expr("(100 * sum(x)) div count(1)").as("mu_c"))
     val w = Window.partitionBy("event_type").orderBy("hour")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     filled.join(broadcast(mu), "event_type")

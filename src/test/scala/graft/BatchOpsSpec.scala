@@ -372,4 +372,27 @@ class BatchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) > out(2L), s"rare+common must outscore common-only: $out")
     assert(out(2L) == out(3L), s"identical tf/dl must tie: $out")
   }
+
+  test("q136: priority estimator is deterministic, its salt-ensemble mean converges on the true total, and under-sampling is rejected") {
+    val ev = Tables.events(spark, sf)
+    val one = Sampling.priorityEstimate(ev, 100, "s0").collect().head
+    val again = Sampling.priorityEstimate(ev, 100, "s0").collect().head
+    assert(one.toString == again.toString, "hash sampling must be reproducible")
+    val trueTotal = one.getLong(one.fieldIndex("true_total_centi"))
+    // Unbiasedness in practice: 16 independent (deterministic) salts'
+    // estimates must average well inside one-draw error. Every number
+    // here is a pure hash function — this never flakes.
+    val ests = (0 until 16).map { i =>
+      val r = Sampling.priorityEstimate(ev, 100, s"s$i").collect().head
+      r.getLong(r.fieldIndex("est_total_centi"))
+    }
+    val meanErrPpm = math.abs(ests.sum / ests.length - trueTotal) * 1000000L / trueTotal
+    assert(meanErrPpm < 80000L,
+      s"ensemble mean drifted ${meanErrPpm} ppm from the true total")
+    // k >= n has no (k+1)-th threshold row — loud, not a wrong answer.
+    val tiny = ev.limit(50)
+    intercept[IllegalArgumentException] {
+      Sampling.priorityEstimate(tiny, 50, "s0").collect()
+    }
+  }
 }

@@ -1815,4 +1815,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == want,
       "stream-served touch summaries must equal the batch kernel")
   }
+
+  test("S29: streaming CUSUM with a pinned reference level ≡ the batch closed form under arbitrary microbatch splits, O(1) state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Temporal
+    import graft.streaming.StreamingCusum
+    // The deployed-detector shape: μ is commissioned from the batch
+    // window and PINNED; the stream scores against it with three longs
+    // of state per series. The recursion and the window closed form
+    // are the same arithmetic, so verdicts match bit-for-bit.
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val (slackDiv, thrMult) = (10L, 4L)
+    val filled = Temporal.hourlySeries(events)
+    val mu = Temporal.seriesMu(filled)
+      .as[(String, Long)].collect().toMap
+    val series = filled
+      .select(col("event_type"), col("hour"), col("x"))
+      .as[(String, Long, Long)].collect().sortBy(r => (r._2, r._1)).toSeq
+    val (h0, h1) = (series.map(_._2).min, series.map(_._2).max)
+    val cut1 = h0 + (h1 - h0) / 3
+    val cut2 = h0 + 2 * (h1 - h0) / 3
+    val cuts = Seq(
+      series.filter(_._2 <= cut1).reverse,
+      series.filter(r => r._2 > cut1 && r._2 <= cut2).reverse,
+      series.filter(_._2 > cut2).reverse)
+    val src = MemoryStream[(String, Long, Long)]
+    val q = StreamingCusum
+      .verdicts(src.toDF().toDF("event_type", "hour", "x"), mu, slackDiv, thrMult)
+      .writeStream.format("memory").queryName("s29_out")
+      .outputMode("update").start()
+    try cuts.foreach { c => src.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("s29_out")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val want = Temporal.cusumWithMu(filled, Temporal.seriesMu(filled),
+        slackDiv, thrMult)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(want.nonEmpty && got == want,
+      "stream must equal the batch closed form exactly")
+    // An uncommissioned series is rejected loudly, not scored with a
+    // silently-invented level.
+    val src2 = MemoryStream[(String, Long, Long)]
+    val q2 = StreamingCusum
+      .verdicts(src2.toDF().toDF("event_type", "hour", "x"), mu, slackDiv, thrMult)
+      .writeStream.format("memory").queryName("s29_rej")
+      .outputMode("update").start()
+    val err = intercept[Exception] {
+      src2.addData(("brand-new-series", h0, 1L)); q2.processAllAvailable()
+    }
+    q2.stop()
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("no pinned reference level"))
+        || mentions(t.getCause))
+    assert(mentions(err))
+  }
 }
