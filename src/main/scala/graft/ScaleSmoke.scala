@@ -219,6 +219,34 @@ object ScaleSmoke {
       // One bounded-key agg + per-cell map-only noise — the event scan
       // dominates; expect ~linear.
       ("dp_release", (df: DataFrame) => Privacy.dpCountRelease(df, 0.5),
+        c => scaledEvents(spark, dir, c)),
+      // Banded (user, window-bucket) equi-join: pairs scale with
+      // touches-per-window × conversions — expect ~linear (disjoint
+      // user copies keep per-user windows constant).
+      ("attribution", (df: DataFrame) => Behavior.attributionReport(df, 604800000000L),
+        c => scaledEvents(spark, dir, c)),
+      // One distinct-user agg to a two-row arm table — expect ~linear
+      // in the scan.
+      ("ab_readout", (df: DataFrame) => Behavior.abReadout(df, "ab", 4, 86400000000L),
+        c => scaledEvents(spark, dir, c)),
+      // posexplode scan onto the (label, dim) key space — ~linear.
+      ("embedding_drift", Profile.embeddingDrift,
+        c => scaledEmb(spark, dir, c)),
+      // Per-user window + session/duration aggs; the duration axis is
+      // span-bounded so the driver fold is fixed — expect ~linear.
+      ("survival_km", (df: DataFrame) => Temporal.sessionSurvival(df, 21600000000L),
+        c => scaledEvents(spark, dir, c)),
+      // Degree-oriented wedge join: denser 10× graph grows wedges
+      // super-linearly but the orientation caps out-degrees at
+      // O(sqrt m) — expect bounded super-linear, tracking output.
+      ("triangles", WebGraph.triangles, c => scaledDocs(spark, dir, c)),
+      // Span-bounded hour grid + two stacked windows — expect ~flat
+      // beyond the scan, like anomaly_zscore.
+      ("cusum", (df: DataFrame) => Temporal.cusumChangePoints(df, 10L, 4L),
+        c => scaledEvents(spark, dir, c)),
+      // Map-only priorities + TakeOrdered(k+1) + one agg — expect
+      // ~linear in the scan with a constant driver tail.
+      ("priority_sample", (df: DataFrame) => Sampling.priorityEstimate(df, 200, "pri"),
         c => scaledEvents(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.

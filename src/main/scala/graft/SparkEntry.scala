@@ -1421,6 +1421,12 @@ object SparkEntry {
       // Duffield-Lund-Thorup unbiased total estimator — map-only
       // priorities, one TakeOrdered, BIGINT-exact estimate.
       Sampling.priorityEstimate(Tables.events(s, d), PriorityK, PrioritySalt)),
+    "q137_trend_ols" -> ((s, d) =>
+      // Grouped OLS trend: slope/intercept/R² of value-vs-time per
+      // type from ONE pass of sufficient statistics — the distributed
+      // regression shape; decimal(38,0) cross-products, terminal
+      // doubles on the 1e-6 grid.
+      Temporal.trendOls(Tables.events(s, d))),
     "q124_kanon_release" -> ((s, d) =>
       // k-anonymity release gate: publish an aggregate cell only if
       // >= k distinct users back it; failing cells generalize hour →
@@ -3010,6 +3016,33 @@ object SparkEntry {
                  true_total AS true_total_centi, est_total AS est_total_centi,
                  abs(est_total - true_total) * 1000000 // true_total AS err_ppm
           FROM t, est""",
+    // Q137: identical sufficient statistics, HUGEINT restatement of
+    // the decimal(38,0) closed forms, shared 1e-6 terminal rounding.
+    "q137_trend_ols" ->
+      s"""WITH b AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 - 473352 AS x,
+                  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS y
+                FROM events),
+          s AS (SELECT event_type, count(*) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(y * y) AS BIGINT) AS syy
+                FROM b GROUP BY 1),
+          d AS (SELECT *,
+                  CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS snum,
+                  CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS sden,
+                  CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS yden
+                FROM s)
+          SELECT event_type, n,
+                 ${roundSql("CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE)", 6)}
+                   AS slope_centi_per_hour,
+                 ${roundSql(
+                   """CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
+                      / CAST(sden AS DOUBLE)""", 6)} AS intercept_centi,
+                 ${roundSql(
+                   "CAST(snum * snum AS DOUBLE) / CAST(sden * yden AS DOUBLE)", 6)} AS r2
+          FROM d ORDER BY event_type""",
     // Q125: bounds via quantile_cont (≡ Spark's percentile after the
     // 1e-4 rounding — the q25 contract), clip + verdict restated.
     "q125_winsorize" ->

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Deterministic.exactSum
+import graft.functions.Deterministic.{exactSum, roundTo}
 
 /** Temporal join operators (north-star additions; the reference's only
   * temporal primitive is the delta scan, model/eventStream.go:63-71 —
@@ -307,6 +307,53 @@ object Temporal {
   def seriesMu(filled: DataFrame): DataFrame =
     filled.groupBy("event_type")
       .agg(expr("(100 * sum(x)) div count(1)").as("mu_c"))
+
+  /** Q137 — grouped OLS trend: per event type, the least-squares line
+    * of value against time (is the revenue-per-event drifting up or
+    * down, and how much of the variance does time explain?) — the
+    * regression primitive a metrics warehouse computes per segment.
+    *
+    * Everything reduces to the five sufficient statistics (n, Σx, Σy,
+    * Σxy, Σx², plus Σy² for R²) in ONE map-side-combined agg — the
+    * textbook distributed-OLS shape: no per-group sort, no second
+    * pass, 100 TB costs one scan. x = hours since the corpus epoch
+    * (bounded magnitude keeps products exact), y = value on the centi
+    * grid; the closed-form slope/intercept/R² assemble from
+    * decimal(38,0) cross-products of the BIGINT sums (DuckDB HUGEINT)
+    * — exact through ~1e12 rows per group — with the three terminal
+    * doubles rounded on the shared 1e-6 grid.
+    */
+  def trendOls(events: DataFrame): DataFrame = {
+    // 2024-01-01T00Z in epoch-hours: bounded x keeps Σx² small.
+    val epochHour = 19723L * 24L
+    events
+      .select(col("event_type"),
+        (expr(s"ts_us div ${HourUs}L") - epochHour).as("x"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .withColumn("snum", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("sden", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("yden", expr(
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("slope_centi_per_hour",
+        roundTo(col("snum").cast("double") / col("sden").cast("double"), 6))
+      .withColumn("intercept_centi", roundTo(
+        expr("CAST(CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy AS DOUBLE)")
+          / col("sden").cast("double"), 6))
+      .withColumn("r2", roundTo(
+        expr("CAST(snum * snum AS DOUBLE)") /
+          expr("CAST(sden * yden AS DOUBLE)"), 6))
+      .select("event_type", "n", "slope_centi_per_hour", "intercept_centi", "r2")
+      .orderBy("event_type")
+  }
 
   /** The closed-form CUSUM scorer under an explicit reference level —
     * the shared batch/stream contract.
