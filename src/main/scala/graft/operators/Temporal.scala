@@ -323,7 +323,18 @@ object Temporal {
     * — exact through ~1e12 rows per group — with the three terminal
     * doubles rounded on the shared 1e-6 grid.
     */
-  def trendOls(events: DataFrame): DataFrame = {
+  def trendOls(events: DataFrame): DataFrame =
+    trendFromStats(trendStats(events))
+
+  /** The OLS sufficient statistics: per-type (n, Σx, Σy, Σxy, Σx²,
+    * Σy²). Split out because these six sums are THE canonical
+    * mergeable state — a streaming aggregation maintains exactly this
+    * table (state bounded by the type space, never the event count),
+    * so [[graft.streaming.StreamingTrend]] shares [[trendFromStats]]
+    * with batch verbatim (the S27 maintenance contract, for
+    * regression).
+    */
+  private[graft] def trendStats(events: DataFrame): DataFrame = {
     // 2024-01-01T00Z in epoch-hours: bounded x keeps Σx² small.
     val epochHour = 19723L * 24L
     events
@@ -337,6 +348,13 @@ object Temporal {
         sum(expr("x * y")).as("sxy"),
         sum(expr("x * x")).as("sxx"),
         sum(expr("y * y")).as("syy"))
+  }
+
+  /** The OLS closed forms over a (maintained or one-shot) stats table
+    * — the bounded final projection.
+    */
+  private[graft] def trendFromStats(stats: DataFrame): DataFrame =
+    stats
       .withColumn("snum", expr(
         "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
       .withColumn("sden", expr(
@@ -353,7 +371,6 @@ object Temporal {
           expr("CAST(sden * yden AS DOUBLE)"), 6))
       .select("event_type", "n", "slope_centi_per_hour", "intercept_centi", "r2")
       .orderBy("event_type")
-  }
 
   /** The closed-form CUSUM scorer under an explicit reference level —
     * the shared batch/stream contract.

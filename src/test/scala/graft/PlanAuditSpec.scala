@@ -534,4 +534,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), s"classifier shuffles:\n$p")
     assert(!p.contains("Generate"), s"classifier explodes the token stream:\n$p")
   }
+
+  test("q130: the attribution touch lookup is a banded equi-join, never a theta/nested-loop plan") {
+    // The whole point of the window-bucket band: `t.ts in [p.ts-W, p)`
+    // must reach the join as an equi-key on (user, bucket) with the
+    // range as a residual filter — a BNL or cartesian here is the
+    // hot-user detonation the operator exists to avoid.
+    val p = plan(q("q130_attribution"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"attribution degenerated to a non-equi join:\n$p")
+  }
+
+  test("q134: triangle counting joins only on equi-keys and the closing probe is a semi-join") {
+    val p = plan(q("q134_triangles"))
+    // Nested loops may appear ONLY as the deliberate one-row broadcast
+    // crosses (linkGraph's count frame, totals × triangle count); a
+    // CONDITIONAL nested loop (Inner/Semi with a range predicate)
+    // would mean a corpus-sized join lost its equi-key.
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert("BroadcastNestedLoopJoin [^,\n]*, (?!Cross)".r.findAllIn(p).isEmpty,
+      s"a non-cross nested loop appeared — an equi-join degenerated:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).size >= 3,
+      s"wedge/closing/degree joins must be equi-joins:\n$p")
+    assert(p.contains("LeftSemi"), s"closing-edge probe must be a semi-join:\n$p")
+  }
+
+  test("q137: the OLS fit is ONE aggregation pass — a single exchange on the group key, no join, no window") {
+    val df = q("q137_trend_ols")
+    val p = df.queryExecution.executedPlan.toString
+    // One exchange for the stats agg; the terminal orderBy adds a
+    // range-partitioning exchange for the sort, nothing else.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"sufficient statistics must need exactly one hash exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the closed forms must not re-touch data:\n$p")
+    assert(p.contains("partial"), s"map-side combine missing:\n$p")
+  }
 }

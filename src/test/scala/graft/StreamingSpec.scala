@@ -1872,4 +1872,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         || mentions(t.getCause))
     assert(mentions(err))
   }
+
+  test("S30: streaming OLS maintenance — maintained sufficient statistics ≡ batch regression after every microbatch, state bounded by the type space") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingTrend
+    // The six OLS sums are mergeable state: the streaming hash agg IS
+    // the maintenance loop, and the closed-form report (shared
+    // verbatim with batch) must equal a from-scratch fit of the prefix
+    // at every cut.
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "ts_us", "value")
+    val rows = ev.as[(String, Long, Double)].collect().toSeq
+    val n = rows.size
+    val cuts = Seq(rows.take(n / 3), rows.slice(n / 3, 2 * n / 3), rows.drop(2 * n / 3))
+    val src = MemoryStream[(String, Long, Double)]
+    val q = StreamingTrend
+      .stats(src.toDF().toDF("event_type", "ts_us", "value"))
+      .writeStream.format("memory").queryName("s30_stats")
+      .outputMode("complete").start()
+    var seen = Vector.empty[(String, Long, Double)]
+    try cuts.foreach { c =>
+      src.addData(c: _*); q.processAllAvailable()
+      seen ++= c
+      val got = StreamingTrend.report(spark.table("s30_stats"))
+        .as[(String, Long, Double, Double, Double)].collect()
+        .sortBy(_._1).toSeq
+      val want = graft.operators.Temporal.trendOls(
+        seen.toDF("event_type", "ts_us", "value"))
+        .as[(String, Long, Double, Double, Double)].collect()
+        .sortBy(_._1).toSeq
+      assert(want.nonEmpty && got == want,
+        "stream-maintained regression must equal the batch fit on the prefix")
+    } finally q.stop()
+    assert(spark.table("s30_stats").count() ==
+      ev.select("event_type").distinct().count(),
+      "state must be one row per type, never per event")
+  }
 }
