@@ -247,6 +247,10 @@ object ScaleSmoke {
       // Map-only priorities + TakeOrdered(k+1) + one agg — expect
       // ~linear in the scan with a constant driver tail.
       ("priority_sample", (df: DataFrame) => Sampling.priorityEstimate(df, 200, "pri"),
+        c => scaledEvents(spark, dir, c)),
+      // One user shuffle + linear O(1)-state folds; disjoint user
+      // copies keep per-user sequences constant — expect ~linear.
+      ("cep_matches", (df: DataFrame) => Behavior.cepMatches(df, 172800000000L),
         c => scaledEvents(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.

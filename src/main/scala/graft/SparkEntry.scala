@@ -428,6 +428,10 @@ object SparkEntry {
   /** Q136: priority-sample size and its hash salt. */
   private val PriorityK = 200
   private val PrioritySalt = "pri"
+  /** Q138: CEP step window — 2 days (per-user event gaps average
+    * ~11 h, so both the match and the step-timeout branch fire at
+    * every SF). */
+  private val CepWithinUs = 172800000000L
   /** Q129: DP budget — Laplace scale b = 1/ε = 2. */
   private val DpEpsilon = 0.5
   /** Q127: the erased subjects — ids ≡ ErasureRes (mod ErasureMod) in
@@ -1427,6 +1431,11 @@ object SparkEntry {
       // regression shape; decimal(38,0) cross-products, terminal
       // doubles on the 1e-6 grid.
       Temporal.trendOls(Tables.events(s, d))),
+    "q138_cep_matches" -> ((s, d) =>
+      // CEP: every view→click→purchase occurrence with step timeouts
+      // and non-overlap, as a deterministic per-user automaton — one
+      // user shuffle, O(1) fold state, recursive-CTE oracle.
+      Behavior.cepMatches(Tables.events(s, d), CepWithinUs)),
     "q124_kanon_release" -> ((s, d) =>
       // k-anonymity release gate: publish an aggregate cell only if
       // >= k distinct users back it; failing cells generalize hour →
@@ -3043,6 +3052,71 @@ object SparkEntry {
                  ${roundSql(
                    "CAST(snum * snum AS DOUBLE) / CAST(sden * yden AS DOUBLE)", 6)} AS r2
           FROM d ORDER BY event_type""",
+    // Q138: the identical automaton replayed as a recursive CTE — one
+    // recursion step per per-user event, the same timeout-then-
+    // reprocess rule (`eff` = the state after the timeout check,
+    // inlined twice), the same strict-first-match and skip-past-last
+    // semantics. Purely integer state, so matches are hash-exact.
+    "q138_cep_matches" ->
+      s"""WITH RECURSIVE
+          ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS i
+                 FROM events
+                 WHERE event_type IN ('view', 'click', 'purchase')),
+          m AS (
+            SELECT user_id, CAST(0 AS BIGINT) AS i, 0 AS state,
+                   CAST(0 AS BIGINT) AS v_id, CAST(0 AS BIGINT) AS v_ts,
+                   CAST(0 AS BIGINT) AS c_id, CAST(0 AS BIGINT) AS c_ts,
+                   CAST(0 AS BIGINT) AS match_no,
+                   FALSE AS emit, CAST(0 AS BIGINT) AS p_id,
+                   CAST(0 AS BIGINT) AS p_ts
+            FROM (SELECT DISTINCT user_id FROM ev)
+            UNION ALL
+            SELECT m.user_id, e.i,
+              CASE
+                WHEN (CASE WHEN m.state = 1 AND e.ts_us > m.v_ts + $CepWithinUs THEN 0
+                           WHEN m.state = 2 AND e.ts_us > m.c_ts + $CepWithinUs THEN 0
+                           ELSE m.state END) = 0 AND e.event_type = 'view' THEN 1
+                WHEN (CASE WHEN m.state = 1 AND e.ts_us > m.v_ts + $CepWithinUs THEN 0
+                           WHEN m.state = 2 AND e.ts_us > m.c_ts + $CepWithinUs THEN 0
+                           ELSE m.state END) = 1 AND e.event_type = 'click' THEN 2
+                WHEN (CASE WHEN m.state = 1 AND e.ts_us > m.v_ts + $CepWithinUs THEN 0
+                           WHEN m.state = 2 AND e.ts_us > m.c_ts + $CepWithinUs THEN 0
+                           ELSE m.state END) = 2 AND e.event_type = 'purchase' THEN 0
+                ELSE (CASE WHEN m.state = 1 AND e.ts_us > m.v_ts + $CepWithinUs THEN 0
+                           WHEN m.state = 2 AND e.ts_us > m.c_ts + $CepWithinUs THEN 0
+                           ELSE m.state END) END AS state,
+              CASE WHEN (CASE WHEN m.state = 1 AND e.ts_us > m.v_ts + $CepWithinUs THEN 0
+                              WHEN m.state = 2 AND e.ts_us > m.c_ts + $CepWithinUs THEN 0
+                              ELSE m.state END) = 0 AND e.event_type = 'view'
+                   THEN e.event_id ELSE m.v_id END AS v_id,
+              CASE WHEN (CASE WHEN m.state = 1 AND e.ts_us > m.v_ts + $CepWithinUs THEN 0
+                              WHEN m.state = 2 AND e.ts_us > m.c_ts + $CepWithinUs THEN 0
+                              ELSE m.state END) = 0 AND e.event_type = 'view'
+                   THEN e.ts_us ELSE m.v_ts END AS v_ts,
+              CASE WHEN (CASE WHEN m.state = 1 AND e.ts_us > m.v_ts + $CepWithinUs THEN 0
+                              WHEN m.state = 2 AND e.ts_us > m.c_ts + $CepWithinUs THEN 0
+                              ELSE m.state END) = 1 AND e.event_type = 'click'
+                   THEN e.event_id ELSE m.c_id END AS c_id,
+              CASE WHEN (CASE WHEN m.state = 1 AND e.ts_us > m.v_ts + $CepWithinUs THEN 0
+                              WHEN m.state = 2 AND e.ts_us > m.c_ts + $CepWithinUs THEN 0
+                              ELSE m.state END) = 1 AND e.event_type = 'click'
+                   THEN e.ts_us ELSE m.c_ts END AS c_ts,
+              m.match_no + CASE WHEN (CASE WHEN m.state = 1 AND e.ts_us > m.v_ts + $CepWithinUs THEN 0
+                                           WHEN m.state = 2 AND e.ts_us > m.c_ts + $CepWithinUs THEN 0
+                                           ELSE m.state END) = 2
+                                      AND e.event_type = 'purchase'
+                                 THEN 1 ELSE 0 END AS match_no,
+              (CASE WHEN m.state = 1 AND e.ts_us > m.v_ts + $CepWithinUs THEN 0
+                    WHEN m.state = 2 AND e.ts_us > m.c_ts + $CepWithinUs THEN 0
+                    ELSE m.state END) = 2 AND e.event_type = 'purchase' AS emit,
+              e.event_id AS p_id, e.ts_us AS p_ts
+            FROM m JOIN ev e ON e.user_id = m.user_id AND e.i = m.i + 1)
+          SELECT user_id, match_no, v_id AS view_event_id,
+                 c_id AS click_event_id, p_id AS purchase_event_id,
+                 p_ts - v_ts AS view_to_purchase_us
+          FROM m WHERE emit ORDER BY user_id, match_no""",
     // Q125: bounds via quantile_cont (≡ Spark's percentile after the
     // 1e-4 rounding — the q25 contract), clip + verdict restated.
     "q125_winsorize" ->

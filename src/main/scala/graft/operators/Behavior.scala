@@ -4,6 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash.hash48
 
+/** One emitted CEP match — the q138 row shape. */
+case class CepMatch(user_id: Long, match_no: Long,
+                    view_event_id: Long, click_event_id: Long,
+                    purchase_event_id: Long, view_to_purchase_us: Long)
+
 /** Marketing/product-analytics operators over the event log:
   * multi-touch conversion attribution and A/B experiment readout
   * (north-star additions; the reference's only analytics surface is
@@ -123,6 +128,70 @@ object Behavior {
       .select(lit("linear").as("model"), col("touch_type"), col("n_conv"), col("credit_ppm"))
     first.unionByName(last).unionByName(linear)
       .orderBy("model", "touch_type")
+  }
+
+  /** Q138 — complex event processing: ordered pattern matching over
+    * per-user event sequences (the MATCH_RECOGNIZE / Flink-CEP
+    * capability Spark's SQL surface lacks). Pattern: view → click →
+    * purchase with each step within `withinUs` of the PREVIOUS step,
+    * non-overlapping matches (AFTER MATCH SKIP PAST LAST ROW), and a
+    * fully deterministic automaton on the (ts_us, event_id) total
+    * order:
+    *
+    *   - state 0 (seek view): a view anchors a partial match.
+    *   - state 1 (seek click): a step timeout (event beyond
+    *     view_ts + within) resets to state 0 and the CURRENT event is
+    *     reprocessed there (a timing-out view starts the next anchor);
+    *     additional views inside the window do NOT re-anchor (strict
+    *     first-match, the deterministic choice).
+    *   - state 2 (seek purchase): same timeout rule against click_ts;
+    *     a purchase emits the match and resets.
+    *
+    * The q42/q93 funnels answer "how many USERS converted"; this
+    * answers "every OCCURRENCE, with its event ids and latency" — the
+    * per-match table sessions, attribution audits, and fraud rules
+    * consume.
+    *
+    * Scale shape: ONE shuffle on user_id, then a linear per-user fold
+    * with O(1) state ([[graft.operators.Packing]]'s ordered-fold
+    * contract; per-user memory is that user's event list, the same
+    * bound every per-user window pass in this repo carries). The
+    * DuckDB oracle replays the identical automaton as a recursive CTE,
+    * so matches are hash-exact.
+    */
+  def cepMatches(events: DataFrame, withinUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id", "event_id", "ts_us", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user, it) =>
+        val evs = it.toVector.sortBy(e => (e._3, e._2))
+        val out = Vector.newBuilder[CepMatch]
+        var state = 0
+        var vId = 0L; var vTs = 0L; var cId = 0L; var cTs = 0L
+        var matchNo = 0L
+        evs.foreach { case (_, id, ts, tpe) =>
+          // Step timeout first: fall back to state 0 and let the
+          // current event be considered there.
+          if (state == 1 && ts > vTs + withinUs) state = 0
+          else if (state == 2 && ts > cTs + withinUs) state = 0
+          state match {
+            case 0 => if (tpe == "view") { vId = id; vTs = ts; state = 1 }
+            case 1 => if (tpe == "click") { cId = id; cTs = ts; state = 2 }
+            case 2 => if (tpe == "purchase") {
+              matchNo += 1
+              out += CepMatch(user, matchNo, vId, cId, id, ts - vTs)
+              state = 0
+            }
+          }
+        }
+        out.result().iterator
+      }
+      .toDF()
+      .orderBy("user_id", "match_no")
   }
 
   /** Q131 — A/B experiment readout with a float-free significance

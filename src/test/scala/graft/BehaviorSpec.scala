@@ -125,6 +125,35 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!verdictFlat, "identical 0% arms must not be significant")
   }
 
+  test("Q138: the CEP automaton — inclusive step boundary, timeout re-anchoring, strict first match, non-overlap") {
+    val W = 1000L
+    def run(evs: (Long, Long, Long, String)*) =
+      Behavior.cepMatches(mkEvents(evs), W)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // Inclusive boundary: click exactly AT view_ts + W is inside.
+    assert(run((1, 0, 1, "view"), (2, W, 1, "click"), (3, W + 10, 1, "purchase"))
+      == Seq((1L, 1L, 1L, 2L, 3L, W + 10L)))
+    // One past the boundary times out — and a timing-out VIEW
+    // re-anchors (the reprocess-in-state-0 rule).
+    assert(run((1, 0, 1, "view"), (2, W + 1, 1, "click"), (3, W + 2, 1, "purchase")).isEmpty)
+    assert(run((1, 0, 1, "view"), (2, W + 1, 1, "view"),
+      (3, W + 2, 1, "click"), (4, W + 3, 1, "purchase"))
+      == Seq((1L, 1L, 2L, 3L, 4L, 2L)))
+    // Strict first match: a second view INSIDE the window is ignored;
+    // credit stays with the first anchor.
+    assert(run((1, 0, 1, "view"), (2, 10, 1, "view"),
+      (3, 20, 1, "click"), (4, 30, 1, "purchase"))
+      == Seq((1L, 1L, 1L, 3L, 4L, 30L)))
+    // Non-overlap: the purchase consumes the partial state — a second
+    // purchase needs a whole new view→click chain.
+    assert(run((1, 0, 1, "view"), (2, 10, 1, "click"),
+      (3, 20, 1, "purchase"), (4, 30, 1, "purchase")).size == 1)
+    assert(run((1, 0, 1, "view"), (2, 10, 1, "click"), (3, 20, 1, "purchase"),
+      (4, 30, 1, "view"), (5, 40, 1, "click"), (6, 50, 1, "purchase"))
+      .map(_._2) == Seq(1L, 2L))
+  }
+
   test("Q132: collapsed cohorts — when every vector is identical, every label's drift is exactly zero") {
     import spark.implicits._
     val vecs = (0L until 50L)

@@ -161,7 +161,21 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
           f(graft.sources.VectorIndexStore.codes(spark, annDir)
             .filter(col("vec_id") >= 4)),
           4, 5, 2)
-      }))
+      }),
+      // Round-8 closing additions: banded joins, grouped windows, and
+      // hash sampling must all be layout-free; the KM/priority driver
+      // folds consume sorted bounded tables, so they inherit it.
+      ("attributionReport", f => Behavior.attributionReport(f(events), 604800000000L)),
+      ("abReadout", f => Behavior.abReadout(f(events), "ab", 4, 86400000000L)),
+      ("embeddingDrift", f => Profile.embeddingDrift(f(emb))),
+      ("sessionSurvival", f => Temporal.sessionSurvival(f(events), 21600000000L)),
+      ("triangles", f => WebGraph.triangles(f(docs))),
+      ("cusum", f => Temporal.cusumChangePoints(f(events), 10L, 4L)),
+      ("trendOls", f => Temporal.trendOls(f(events))),
+      ("priorityEstimate", f => Sampling.priorityEstimate(f(events), 100, "pri")),
+      // The CEP fold sorts within each user group, so the automaton's
+      // input order — hence every match — is layout-free.
+      ("cepMatches", f => Behavior.cepMatches(f(events), 172800000000L)))
   }
 
   /** One persisted index for the storedAdcSearch case (built once). */
