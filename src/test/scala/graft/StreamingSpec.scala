@@ -1909,4 +1909,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ev.select("event_type").distinct().count(),
       "state must be one row per type, never per event")
   }
+
+  test("S31: streaming CEP ≡ batch pattern matches under arbitrary microbatch splits, O(1) state, out-of-order rejected") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingCep
+    // The q138 automaton online: per-user state is phase + anchors +
+    // counter; the fold is shared with batch, so every emitted match
+    // row must be identical no matter how the stream splits — cut the
+    // stream mid-pattern (time-ordered thirds) to prove partial
+    // matches survive batch boundaries in state.
+    val W = 172800000000L
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val want = graft.operators.Behavior.cepMatches(ev, W)
+      .as[graft.operators.CepMatch].collect().map(_.toString).toSeq.sorted
+    assert(want.nonEmpty)
+    val rows = ev
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id", "event_id", "ts_us", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(e => (e._3, e._2)).toSeq
+    val n = rows.size
+    val cuts = Seq(rows.take(n / 3), rows.slice(n / 3, 2 * n / 3), rows.drop(2 * n / 3))
+    val src = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamingCep
+      .matches(src.toDF().toDF("user_id", "event_id", "ts_us", "event_type"), W)
+      .writeStream.format("memory").queryName("s31_out")
+      .outputMode("update").start()
+    try cuts.foreach { c => src.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("s31_out")
+      .as[graft.operators.CepMatch].collect().map(_.toString).toSeq.sorted
+    assert(got == want, "stream must emit exactly the batch matches")
+    // A cross-batch time regression is a pipeline bug — rejected, not
+    // silently matched out of order.
+    val src2 = MemoryStream[(Long, Long, Long, String)]
+    val q2 = StreamingCep
+      .matches(src2.toDF().toDF("user_id", "event_id", "ts_us", "event_type"), W)
+      .writeStream.format("memory").queryName("s31_rej")
+      .outputMode("update").start()
+    src2.addData((7L, 10L, 1000L, "view")); q2.processAllAvailable()
+    val err = intercept[Exception] {
+      src2.addData((7L, 11L, 999L, "click")); q2.processAllAvailable()
+    }
+    q2.stop()
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("out-of-order event"))
+        || mentions(t.getCause))
+    assert(mentions(err))
+  }
 }
