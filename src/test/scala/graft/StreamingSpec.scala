@@ -1958,4 +1958,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         || mentions(t.getCause))
     assert(mentions(err))
   }
+
+  test("S32: streaming priority sample — the maintained top-(k+1) sample yields the exact batch-on-prefix estimate at every cut, O(k) state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingPrioritySample
+    // Mergeability is the contract: the top-(k+1) priorities of a
+    // union are the top-(k+1) of the parts, so the estimate after any
+    // sequence of microbatches equals a one-shot fold of the prefix.
+    val k = 20
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type").as("key"), col("event_id"),
+        col("value"))
+    // Reference priorities via the operator's own projection (pure
+    // hash — deterministic), folded independently per prefix in Scala.
+    val withPri = ev.select(col("key"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("w"),
+        expr(
+          s"(CAST(${graft.functions.PortableHash.hash48(
+            "concat('s32', ':', CAST(event_id AS STRING))")} AS DOUBLE)" +
+            " + 0.5) / 281474976710656.0").as("u"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._3 / r._4)).toSeq
+    def refEstimate(prefix: Seq[(String, Long, Long, Double)]): Map[String, Long] =
+      prefix.groupBy(_._1).map { case (key, rs) =>
+        val top = rs.sortBy(t => (-t._4, t._2)).take(k + 1)
+        val (sample, tauC) =
+          if (top.length <= k) (top, 0L)
+          else (top.take(k), math.floor(top.last._4 + 0.5).toLong)
+        key -> sample.map(t => math.max(t._3, tauC)).sum
+      }
+    val rows = ev.as[(String, Long, Double)].collect().toSeq
+    val n = rows.size
+    val cuts = Seq(rows.take(n / 3), rows.slice(n / 3, 2 * n / 3), rows.drop(2 * n / 3))
+    val src = MemoryStream[(String, Long, Double)]
+    val q = StreamingPrioritySample
+      .estimates(src.toDF().toDF("key", "event_id", "value"), k, "s32")
+      .writeStream.format("memory").queryName("s32_out")
+      .outputMode("update").start()
+    // Expected emissions: after each cut, one estimate per key touched
+    // in that cut, valued at the prefix fold.
+    var seen = Vector.empty[(String, Long, Double)]
+    val wantAll = scala.collection.mutable.Buffer.empty[(String, Long)]
+    try cuts.foreach { c =>
+      src.addData(c: _*); q.processAllAvailable()
+      seen ++= c
+      val prefixIds = seen.map(_._2).toSet
+      val ref = refEstimate(withPri.filter(p => prefixIds.contains(p._2)))
+      c.map(_._1).distinct.foreach(key => wantAll += (key -> ref(key)))
+    } finally q.stop()
+    val got = spark.table("s32_out")
+      .select("key", "est_total_centi")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(wantAll.nonEmpty && got == wantAll.toSeq.sorted,
+      s"stream estimates must equal the per-cut prefix folds")
+  }
 }
