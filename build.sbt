@@ -34,4 +34,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // -Xmx1g). Promote survivors immediately instead of copying them
   // around — accumulating state belongs in old gen.
   s"-XX:MaxTenuringThreshold=${sys.env.getOrElse("SPARK_TENURING", "1")}",
+  // The 226-query bench runs thousands of whole-stage-codegen classes
+  // through one JVM; JDK 17's default 240 MB ReservedCodeCacheSize can
+  // saturate mid-run, at which point HotSpot disables JIT compilation
+  // and hot query loops fall back to the interpreter — the bimodal
+  // 4.8x CPU-inflating pathology the round-8 driver bench recorded
+  // (BENCH_r08.json: 81/226 queries >2x with proportional CPU, GC
+  // flat). spark-submit's default spark-env sets 1g for the same
+  // reason; forked sbt JVMs don't inherit it, so pin it here.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODECACHE", "1g")}",
+  "-XX:+UseCodeCacheFlushing",
 )

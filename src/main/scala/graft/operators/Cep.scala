@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One step of a CEP pattern.
+  *
+  * @param eventType the event type this step matches
+  * @param minValue  optional per-step predicate: the event's `value`
+  *                  must be >= this (null values never match)
+  * @param timeoutUs step timeout: while SEEKING this step, an event
+  *                  whose ts exceeds the PREVIOUS matched step's ts by
+  *                  more than this resets the partial match (ignored on
+  *                  step 0 — the anchor has nothing to time out
+  *                  against). Long.MaxValue = no timeout.
+  */
+case class CepStep(eventType: String, minValue: Option[Double] = None,
+                   timeoutUs: Long = Long.MaxValue)
+
+/** One emitted generic pattern match: the matched step event ids in
+  * step order, plus the anchor and terminal timestamps. */
+case class CepGenMatch(user_id: Long, match_no: Long,
+                       step_event_ids: Seq[Long],
+                       start_ts_us: Long, end_ts_us: Long)
+
+/** The automaton cursor — O(pattern) state per key, forever: the index
+  * of the step being sought, the matched anchors so far, and the match
+  * counter. Encodes cleanly (fixed schema) so the streaming engine can
+  * carry it in a state store. */
+case class CepCursor(state: Int, anchorIds: Seq[Long], anchorTs: Seq[Long],
+                     matchNo: Long)
+
+/** Generalized complex-event-processing: MATCH_RECOGNIZE-class ordered
+  * sequence detection with per-step predicates and timeouts, strict
+  * first-match, and skip-past-last-row (non-overlapping matches) — the
+  * contraction of Flink CEP / SQL MATCH_RECOGNIZE that a product
+  * funnel, fraud rule, or attribution audit actually uses. The
+  * reference's surface is the per-stream ordered event list
+  * (eventStream.go:63-71); cross-event inference is north-star surface.
+  *
+  * ONE automaton kernel ([[Cep.step]]) is shared verbatim by:
+  *   - the batch operator ([[Cep.matchesGeneric]], q138/q139),
+  *   - the streaming operator ([[graft.streaming.StreamingCep]], S31),
+  * so stream ≡ batch bit-for-bit under any microbatch split, and the
+  * recursive-CTE oracles replay the identical integer state machine.
+  *
+  * Semantics, fixed deterministically (the q138 contract):
+  *   - strict first-match: while seeking step k, a fresh step-0-type
+  *     event does NOT re-anchor — the earliest live partial match wins;
+  *   - timeout-then-reprocess: a step timeout resets to step 0 and the
+  *     CURRENT event is evaluated there (a timing-out anchor's
+  *     replacement can itself anchor);
+  *   - skip past last: an emitted match consumes its events — the next
+  *     match starts fresh after the terminal event.
+  *
+  * Scale shape (the q59b ordered-fold contract, Packing.scala): ONE
+  * shuffle on user_id, an EXTERNAL sort within partitions (spills,
+  * never OOMs — no per-group materialization, so a 10⁸-event bot user
+  * streams through in O(pattern) memory), then one mapPartitions scan
+  * whose cursor resets at user boundaries.
+  */
+object Cep {
+
+  /** The q138 funnel as a pattern spec: view → click → purchase, each
+    * non-anchor step under the shared `withinUs` timeout. */
+  def funnel3(withinUs: Long): Seq[CepStep] = Seq(
+    CepStep("view"),
+    CepStep("click", timeoutUs = withinUs),
+    CepStep("purchase", timeoutUs = withinUs))
+
+  val initCursor: CepCursor = CepCursor(0, Nil, Nil, 0L)
+
+  /** The event `value` as a predicate-safe double: SQL null → NaN
+    * (NaN >= t is false for every t, so nulls never satisfy a minValue
+    * predicate), and a frame WITHOUT a value column — e.g. the
+    * S31 4-column stream, whose patterns carry no value predicates —
+    * folds as all-NaN rather than failing to resolve. */
+  private[graft] def valueExpr(events: DataFrame) =
+    if (events.columns.contains("value"))
+      coalesce(col("value"), lit(Double.NaN)).as("value")
+    else lit(Double.NaN).as("value")
+
+  /** Advance the cursor by one event; returns the new cursor and the
+    * match emitted, if any. Pure — the single shared batch/stream
+    * kernel. `value` null-safety: callers pass NaN for SQL null, and
+    * NaN >= t is false for every t, so null values never satisfy a
+    * minValue predicate. */
+  def step(pattern: IndexedSeq[CepStep], cur: CepCursor, user: Long,
+           id: Long, ts: Long, tpe: String, value: Double): (CepCursor, Option[CepGenMatch]) = {
+    // Step timeout first: fall back to step 0 and let the current
+    // event be considered there.
+    val c =
+      if (cur.state >= 1 && ts > cur.anchorTs(cur.state - 1) + pattern(cur.state).timeoutUs)
+        cur.copy(state = 0, anchorIds = Nil, anchorTs = Nil)
+      else cur
+    val st = pattern(c.state)
+    if (tpe == st.eventType && st.minValue.forall(value >= _)) {
+      val ids = c.anchorIds :+ id
+      val tss = c.anchorTs :+ ts
+      if (c.state == pattern.length - 1) {
+        val n = c.matchNo + 1
+        (CepCursor(0, Nil, Nil, n), Some(CepGenMatch(user, n, ids, tss.head, ts)))
+      } else (CepCursor(c.state + 1, ids, tss, c.matchNo), None)
+    } else (c, None)
+  }
+
+  /** Pattern matches over the event log as a DataFrame of
+    * (user_id, match_no, step_event_ids, start_ts_us, end_ts_us,
+    * duration_us). Requires columns user_id, event_id, ts_us,
+    * event_type, value. */
+  def matchesGeneric(events: DataFrame, pattern: Seq[CepStep]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pat = pattern.toIndexedSeq
+    require(pat.nonEmpty, "CEP pattern needs at least one step")
+    val types = pat.map(_.eventType).distinct
+    events
+      .where(col("event_type").isin(types: _*))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), valueExpr(events))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us", "event_id")
+      .as[(Long, Long, Long, String, Double)]
+      .mapPartitions { it =>
+        var user = Long.MinValue
+        var started = false
+        var cur = initCursor
+        it.flatMap { case (u, id, ts, tpe, v) =>
+          if (!started || u != user) { user = u; started = true; cur = initCursor }
+          val (c2, m) = step(pat, cur, u, id, ts, tpe, v)
+          cur = c2
+          m
+        }
+      }
+      .toDF()
+      .withColumn("duration_us", col("end_ts_us") - col("start_ts_us"))
+      .orderBy("user_id", "match_no")
+  }
+}

@@ -24,7 +24,10 @@ object Compliance {
   /** Dense ranks over a BOUNDED integer-scored top list without a
     * window: collapse to one row, sort (score DESC, id), posexplode —
     * the q87 no-global-window discipline. Input is already LIMIT-ed,
-    * so the collect_list is k-bounded.
+    * so the collect_list is k-bounded. CALLER CONTRACT: never hand
+    * this an unbounded frame — the single-row collect_list is only
+    * safe because every caller passes a ≤k·|queries| index-probe
+    * result; a corpus-sized input would buffer in one task.
     */
   private def rankedDesc(df: DataFrame, scoreCol: String,
                          idCol: String): DataFrame =
@@ -39,20 +42,31 @@ object Compliance {
   /** Q127 — the post-erasure serving audit: BM25 (stored postings,
     * live view), exact phrase (positional sidecar, live view), and
     * IVF-PQ ADC (stored codes, live view) ranked lists after the SAME
-    * subject id set was tombstoned in both stores. One unified report
-    * (surface, qid, rnk, id, score), ordered — every row is a claim
-    * "this id ranks here with this score on this surface now", and
-    * the oracle restates all three from the live corpus.
+    * subject id set was tombstoned in both stores — PLUS the RAW
+    * document lake itself ([[graft.sources.FactStore]], `rawDir`): the
+    * round-8 gap was that the indexes forgot the subject while the
+    * source-of-truth table had no transactional takedown. The `raw`
+    * surface emits one row per subject document still LIVE in the raw
+    * store (none, when the erasure landed) and a `raw_total` row with
+    * the live row count, so a leak OR an over-delete both break the
+    * hash. One unified report (surface, qid, rnk, id, score), ordered
+    * — every row is a claim "this id ranks here with this score on
+    * this surface now", and the oracle restates all four surfaces from
+    * the live corpus.
     *
     * Scale shape: identical to the underlying serving queries (each
     * leg file-pruned, anti-joins against broadcast tombstones) plus a
-    * union of three ≤k·|queries| row lists — erasure auditing costs
-    * three index probes, never a corpus scan.
+    * union of three ≤k·|queries| row lists; the raw leg is one
+    * tombstone-filtered aggregate over the fact store (subject rows
+    * are residue-filtered BEFORE the bounded rank window) — erasure
+    * auditing costs three index probes and one raw-store pass, never
+    * an unpruned corpus join.
     */
   def erasureAudit(spark: SparkSession, textDir: String, annDir: String,
                    terms: Seq[String], phrase: Seq[String], kLex: Int,
                    queries: DataFrame, nSub: Int, kAnn: Int, nProbe: Int,
-                   denseFrom: Long, nBuckets: Int): DataFrame = {
+                   denseFrom: Long, nBuckets: Int,
+                   rawDir: String, rawMod: Long, rawRes: Long): DataFrame = {
     import graft.sources.VectorIndexStore
     val lex = rankedDesc(
       TextAnalysis.bm25StoredLive(spark, textDir, terms, kLex, nBuckets),
@@ -72,6 +86,20 @@ object Compliance {
         nSub, kAnn, nProbe)
       .select(lit("ann").as("surface"), col("qid"), col("rnk"),
         col("vec_id").as("id"), col("adc").as("score"))
-    lex.unionByName(phr).unionByName(den).orderBy("surface", "qid", "rnk")
+    // Raw-lake leg: live subject rows (expected none) + the live total.
+    val rawLive = graft.sources.FactStore.read(spark, rawDir)
+    val rawLeak = rankedDesc(
+      rawLive.where(col("doc_id") % rawMod === rawRes)
+        .select(col("doc_id"), lit(1L).as("one")),
+      "one", "doc_id")
+      .select(lit("raw").as("surface"), lit(0L).as("qid"), col("rnk"),
+        col("id"), col("sc").cast("double").as("score"))
+    val rawTotal = rawLive
+      .agg(count(lit(1)).as("n"))
+      .select(lit("raw_total").as("surface"), lit(0L).as("qid"),
+        lit(0L).as("rnk"), col("n").as("id"), lit(0.0).as("score"))
+    lex.unionByName(phr).unionByName(den)
+      .unionByName(rawLeak).unionByName(rawTotal)
+      .orderBy("surface", "qid", "rnk")
   }
 }

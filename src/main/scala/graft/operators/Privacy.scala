@@ -75,15 +75,21 @@ object Privacy {
     *
     *   noise = −b · sign(u − ½) · ln(1 − 2·|u − ½|)
     *
-    * Seeding noise from the cell key (not a PRNG stream) is the
-    * standard reproducible-DP-pipeline trick: re-runs release
-    * byte-identical numbers (no privacy-budget double-spend from
-    * re-randomized republication), and any engine — here DuckDB —
-    * can restate the release exactly. Counts have L1 sensitivity 1
-    * per event, so Laplace(1/ε) gives ε-DP per cell. Noise and the
-    * released value land on the 1e-6 grid (the q126 ln discipline);
-    * the true count is emitted alongside for audit parity only —
-    * a production release drops `n_raw`.
+    * Seeding noise from the cell key (not a PRNG stream) makes
+    * re-runs release byte-identical numbers and lets any engine —
+    * here DuckDB — restate the release exactly. **This is DP-SHAPED
+    * deterministic noise for oracle parity, NOT a privacy
+    * guarantee**: the hash input (cell key + the fixed 'dp:' salt)
+    * is publicly computable, so an adversary can regenerate the
+    * noise and subtract it. A real ε-DP release must draw u from a
+    * SECRET seed (pass the salt as a caller-held secret, or a true
+    * PRNG with budget accounting) — and note the stated sensitivity
+    * unit is per EVENT (one event changes one cell count by 1); for
+    * user-level DP the sensitivity is each user's max per-cell event
+    * count and b must scale accordingly. Noise and the released
+    * value land on the 1e-6 grid (the q126 ln discipline); the true
+    * count is emitted alongside for audit parity only — a production
+    * release drops `n_raw`.
     *
     * Scale shape: one hash aggregation on the bounded
     * (event_type, day) key space (map-side combined), then one

@@ -83,34 +83,61 @@ object SyncReplay {
   def finalStates(
       reqs0: Dataset[SyncRequest], cfg: SyncConfig, seed: Long): Dataset[(Long, GameState)] = {
     import reqs0.sparkSession.implicits._
-    reqs0
-      .groupByKey(_.stream_id)
-      .mapGroups { (sid: Long, it: Iterator[SyncRequest]) =>
-        val reqs = it.toVector.sortBy(r => (r.now, r.body.toLong))
-        var g = SyncCore.init(reqs.head.now, seed)
-        reqs.foreach { r =>
-          g = SyncCore.process(cfg, g, r.now, r.client_id, None,
-            Seq((r.event_type, r.body)), Some(Map("last_event" -> r.body)))._1
+    sortedSchedule(reqs0)
+      .mapPartitions { it0 =>
+        // One (sid, state) row per stream, folded straight off the
+        // externally sorted iterator — no per-stream buffering.
+        val it = it0.buffered
+        new Iterator[(Long, GameState)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (Long, GameState) = {
+            val sid = it.head.stream_id
+            var g = SyncCore.init(it.head.now, seed)
+            while (it.hasNext && it.head.stream_id == sid) {
+              val r = it.next()
+              g = SyncCore.process(cfg, g, r.now, r.client_id, None,
+                Seq((r.event_type, r.body)), Some(Map("last_event" -> r.body)))._1
+            }
+            (sid, g)
+          }
         }
-        (sid, g)
       }
+  }
+
+  /** The schedule in fold order: one shuffle on stream_id, then an
+    * EXTERNAL sort within partitions on (stream_id, now, body-as-seq)
+    * — the q59b ordered-fold shape (Packing.scala). The former
+    * per-group `toVector.sortBy` buffered each stream's whole schedule
+    * in executor memory; this spills instead, so the fold's resident
+    * memory is the engine state itself (bounded by stream lifetime —
+    * the reference's design, 60 s expiry), not the schedule length.
+    */
+  private def sortedSchedule(reqs0: Dataset[SyncRequest]): Dataset[SyncRequest] = {
+    import reqs0.sparkSession.implicits._
+    reqs0
+      .repartition(col("stream_id"))
+      .sortWithinPartitions(col("stream_id"), col("now"), expr("CAST(body AS BIGINT)"))
+      .as[SyncRequest]
   }
 
   /** The replay fold over an arbitrary schedule (also used by tests to
     * compare streaming output against batch — README.md:9's invariant).
+    * Within a stream the fold is inherently sequential (that's the
+    * semantics, not a limitation); the engine state resets at stream
+    * boundaries of the sorted iterator.
     */
   def replaySchedule(
       reqs0: Dataset[SyncRequest], cfg: SyncConfig, seed: Long): Dataset[SyncSummary] = {
     import reqs0.sparkSession.implicits._
-    reqs0
-      .groupByKey(_.stream_id)
-      .flatMapGroups { (sid: Long, it: Iterator[SyncRequest]) =>
-        // One stream = one task; the in-memory sort bounds at the
-        // stream's own sync count (per-stream state is the reference's
-        // design — a stream lives 60 s, not 100 TB).
-        val reqs = it.toVector.sortBy(r => (r.now, r.body.toLong))
-        var g = SyncCore.init(reqs.head.now, seed)
-        reqs.iterator.map { r =>
+    sortedSchedule(reqs0)
+      .mapPartitions { it =>
+        var sid = 0L
+        var g: GameState = null
+        it.map { r =>
+          if (g == null || r.stream_id != sid) {
+            sid = r.stream_id
+            g = SyncCore.init(r.now, seed)
+          }
           val (g2, resp) = SyncCore.process(
             cfg, g, r.now, r.client_id, None,
             events = Seq((r.event_type, r.body)),

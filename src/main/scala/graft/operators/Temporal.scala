@@ -345,9 +345,18 @@ object Temporal {
       .agg(
         count(lit(1)).as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
-        sum(expr("x * y")).as("sxy"),
-        sum(expr("x * x")).as("sxx"),
-        sum(expr("y * y")).as("syy"))
+        // The product sums accumulate in DECIMAL(38,0): a BIGINT sum
+        // wraps silently under Spark's non-ANSI mode while DuckDB
+        // promotes to HUGEINT — at y² ≈ 1e16 per row (value ≈ $1e6 on
+        // the centi grid) the engines would diverge silently after
+        // ~1e3 rows. Decimal matches HUGEINT's exactness to ~1e38
+        // (int128 tops out at 1.7e38), so the honest bound is
+        // n·Σ(y²) < 1e38 on BOTH engines — ~1e12 rows per group at
+        // y ≈ 1e8. The linear sums sx/sy stay BIGINT (|x| is epoch
+        // hours ≈ 1e4: wrap needs 1e15 rows · $1e6 values).
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
   }
 
   /** The OLS closed forms over a (maintained or one-shot) stats table

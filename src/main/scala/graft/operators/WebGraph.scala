@@ -154,9 +154,13 @@ object WebGraph {
       count(lit(1)).as("n_nodes"),
       expr("sum(deg) div 2").as("n_edges"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    // Zero-wedge graphs (e.g. a perfect matching) must yield 0, not a
+    // null (non-ANSI int div) / error (ANSI, and DuckDB's `// 0`).
     totals.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
-        expr("3 * n_triangles * 1000000L div n_wedges").as("clustering_ppm"))
+        when(col("n_wedges") > 0,
+          expr("3 * n_triangles * 1000000L div n_wedges"))
+          .otherwise(lit(0L)).as("clustering_ppm"))
   }
 }

@@ -93,7 +93,7 @@ object SkippingStore {
     Array.tabulate(k)(i => java.lang.Long.remainderUnsigned(h1 + i * h2, m).toInt)
   }
 
-  private def mayContain(bits: Array[Long], value: Long, k: Int): Boolean =
+  private[sources] def mayContain(bits: Array[Long], value: Long, k: Int): Boolean =
     bloomPositions(value, bits.length * 64, k).forall(p =>
       (bits(p >> 6) & (1L << (p & 63))) != 0L)
 
@@ -126,7 +126,7 @@ object SkippingStore {
     java.util.Base64.getEncoder.encodeToString(bb.array())
   }
 
-  private def decodeBits(s: String): Array[Long] = {
+  private[sources] def decodeBits(s: String): Array[Long] = {
     val bytes = java.util.Base64.getDecoder.decode(s)
     val bb = java.nio.ByteBuffer.wrap(bytes)
     Array.fill(bytes.length / 8)(bb.getLong)
@@ -144,14 +144,14 @@ object SkippingStore {
     * [min, max], and (when the layout declares bloomCols) one encoded
     * Bloom bitset per bloom column.
     */
-  private final case class FileEntry(file: String, mins: Seq[Long],
+  private[sources] final case class FileEntry(file: String, mins: Seq[Long],
                                      maxs: Seq[Long], blooms: Seq[String])
 
   /** Z-sort `df` on `orderCols` into `nFiles` files under `dir/$sub`
     * and return the new files' manifest entries (stats + blooms, all
     * from ONE grouped pass over the written files).
     */
-  private def writeSubdir(df: DataFrame, dir: String, sub: String,
+  private[sources] def writeSubdir(df: DataFrame, dir: String, sub: String,
                           orderCols: Seq[String], statsCols: Seq[String],
                           bloom: BloomConf, nFiles: Int): Seq[FileEntry] = {
     val spark = df.sparkSession
@@ -301,7 +301,7 @@ object SkippingStore {
     }
   }
 
-  private final case class BloomConf(cols: Seq[String], m: Int, k: Int)
+  private[sources] final case class BloomConf(cols: Seq[String], m: Int, k: Int)
 
   private final case class Manifest(orderCols: Seq[String], statsCols: Seq[String],
                                     bloom: BloomConf, files: Seq[FileEntry])
@@ -370,8 +370,13 @@ object SkippingStore {
     val ci = m.bloom.cols.indexOf(column)
     require(ci >= 0, s"no Bloom filter for column $column " +
       s"(bloom columns: ${m.bloom.cols.mkString(", ")})")
+    // A file WITHOUT bloom bitsets cannot be proven matchless, so it is
+    // KEPT (never pruned): an exclusion from this tier must be a proof.
+    // Unreachable via the current write/append API (every file gets
+    // bitsets when bloomCols is declared) but a mixed-generation
+    // manifest must degrade to extra I/O, not dropped rows.
     val kept = m.files.collect {
-      case e if e.blooms.nonEmpty && {
+      case e if e.blooms.isEmpty || {
         val bits = decodeBits(e.blooms(ci))
         values.exists(v => mayContain(bits, v, m.bloom.k))
       } => e.file

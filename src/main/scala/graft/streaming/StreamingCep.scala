@@ -3,24 +3,25 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.operators.CepMatch
+import graft.operators.{Cep, CepCursor, CepGenMatch, CepMatch, CepStep}
 
-/** Keyed CEP automaton state: the current phase (0 seek-view, 1
-  * seek-click, 2 seek-purchase), the partial match's anchors, the
-  * match counter, and the last consumed (ts, id) for the ordering
-  * contract — O(1) per user, forever. */
-case class CepState(state: Int, vId: Long, vTs: Long, cId: Long, cTs: Long,
+/** Keyed CEP automaton state: the generic cursor (sought-step index,
+  * matched anchors, match counter — O(pattern) per user, forever) plus
+  * the last consumed (ts, id) for the ordering contract. */
+case class CepState(state: Int, anchorIds: Seq[Long], anchorTs: Seq[Long],
                     matchNo: Long, lastTs: Long, lastId: Long, started: Boolean)
 
-/** S31 — streaming CEP: the q138 pattern automaton ONLINE, which is
-  * the capability gap Structured Streaming is best known for (Flink
-  * CEP / MATCH_RECOGNIZE have no Spark equivalent). The automaton
-  * state is O(1) per user — phase + two anchors + a counter — so
+/** S31 — streaming CEP: the generalized pattern automaton
+  * ([[graft.operators.Cep]]) ONLINE, which is the capability gap
+  * Structured Streaming is best known for (Flink CEP /
+  * MATCH_RECOGNIZE have no Spark equivalent). The automaton state is
+  * O(pattern) per user — sought-step index + anchors + a counter — so
   * [[org.apache.spark.sql.KeyValueGroupedDataset.flatMapGroupsWithState]]
   * carries it indefinitely, and because the batch operator
-  * ([[graft.operators.Behavior.cepMatches]]) is the SAME fold, stream
-  * and batch emit bit-identical match rows under any microbatch split
-  * (StreamingSpec S31).
+  * ([[Cep.matchesGeneric]]) drives the SAME [[Cep.step]] kernel,
+  * stream and batch emit bit-identical match rows under any microbatch
+  * split (StreamingSpec S31) for ANY pattern spec, not just the
+  * view→click→purchase funnel.
   *
   * Ordering contract (the S26 rule): per user, events arrive in
   * (ts_us, event_id) order across batches — the event log's own
@@ -30,48 +31,52 @@ case class CepState(state: Int, vId: Long, vTs: Long, cId: Long, cTs: Long,
   */
 object StreamingCep {
 
-  def matches(events: DataFrame, withinUs: Long): Dataset[CepMatch] = {
+  /** Generalized streaming pattern matching: caller-supplied steps,
+    * per-step predicates and timeouts (the q139 surface, online). */
+  def matchesPattern(events: DataFrame, pattern: Seq[CepStep]): Dataset[CepGenMatch] = {
     import events.sparkSession.implicits._
+    val pat = pattern.toIndexedSeq
+    require(pat.nonEmpty, "CEP pattern needs at least one step")
+    val types = pat.map(_.eventType).distinct
     events
-      .where(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
-      .as[(Long, Long, Long, String)]
+      .where(col("event_type").isin(types: _*))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), Cep.valueExpr(events))
+      .as[(Long, Long, Long, String, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[CepState, CepMatch](
+      .flatMapGroupsWithState[CepState, CepGenMatch](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (user, rows, gs: GroupState[CepState]) =>
           var st = gs.getOption.getOrElse(
-            CepState(0, 0L, 0L, 0L, 0L, 0L, 0L, 0L, started = false))
-          val out = Vector.newBuilder[CepMatch]
-          rows.toVector.sortBy(e => (e._3, e._2)).foreach { case (_, id, ts, tpe) =>
+            CepState(0, Nil, Nil, 0L, 0L, 0L, started = false))
+          var cur = CepCursor(st.state, st.anchorIds, st.anchorTs, st.matchNo)
+          val out = Vector.newBuilder[CepGenMatch]
+          // Intra-batch sort only — the cursor, not the history, crosses
+          // batches, so state stays O(pattern) however long the user lives.
+          rows.toVector.sortBy(e => (e._3, e._2)).foreach { case (_, id, ts, tpe, v) =>
             require(!st.started || ts > st.lastTs ||
               (ts == st.lastTs && id > st.lastId),
               s"out-of-order event for user $user: ($ts, $id) after " +
                 s"(${st.lastTs}, ${st.lastId}) — the event log delivers in " +
                 "(ts, id) order; a regression is a pipeline bug")
-            var state = st.state
-            if (state == 1 && ts > st.vTs + withinUs) state = 0
-            else if (state == 2 && ts > st.cTs + withinUs) state = 0
-            state match {
-              case 0 =>
-                if (tpe == "view")
-                  st = st.copy(state = 1, vId = id, vTs = ts)
-                else st = st.copy(state = 0)
-              case 1 =>
-                if (tpe == "click")
-                  st = st.copy(state = 2, cId = id, cTs = ts)
-                else st = st.copy(state = 1)
-              case 2 =>
-                if (tpe == "purchase") {
-                  val n = st.matchNo + 1
-                  out += CepMatch(user, n, st.vId, st.cId, id, ts - st.vTs)
-                  st = st.copy(state = 0, matchNo = n)
-                } else st = st.copy(state = 2)
-            }
+            val (c2, m) = Cep.step(pat, cur, user, id, ts, tpe, v)
+            cur = c2
+            m.foreach(out += _)
             st = st.copy(lastTs = ts, lastId = id, started = true)
           }
-          gs.update(st)
+          gs.update(CepState(cur.state, cur.anchorIds, cur.anchorTs,
+            cur.matchNo, st.lastTs, st.lastId, st.started))
           out.result().iterator
       }
+  }
+
+  /** The original S31 surface: the 3-step funnel projected back to the
+    * named q138 row shape. */
+  def matches(events: DataFrame, withinUs: Long): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    matchesPattern(events, Cep.funnel3(withinUs))
+      .map(m => CepMatch(m.user_id, m.match_no, m.step_event_ids(0),
+        m.step_event_ids(1), m.step_event_ids(2),
+        m.end_ts_us - m.start_ts_us))
   }
 }

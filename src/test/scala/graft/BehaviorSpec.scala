@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Behavior, Profile}
+import graft.operators.{Behavior, Cep, CepStep, Profile}
 import graft.sources.Tables
 
 /** Semantic invariants of the product-analytics operators (Q130-Q135)
@@ -152,6 +152,95 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run((1, 0, 1, "view"), (2, 10, 1, "click"), (3, 20, 1, "purchase"),
       (4, 30, 1, "view"), (5, 40, 1, "click"), (6, 50, 1, "purchase"))
       .map(_._2) == Seq(1L, 2L))
+  }
+
+  test("Q139: generalized CEP — per-step value predicates, heterogeneous timeouts, 4 steps") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val pat = Seq(
+      CepStep("signup"),
+      CepStep("view", timeoutUs = 2000L),
+      CepStep("click", timeoutUs = 1000L),
+      CepStep("purchase", minValue = Some(50.0), timeoutUs = 1000L))
+    def run(evs: (Long, Long, Long, String, Double)*) =
+      Cep.matchesGeneric(mk(evs), pat)
+        .select("user_id", "match_no", "step_event_ids", "duration_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+        .toSeq
+    // Full chain with heterogeneous timeouts: view at signup+1500 is
+    // inside ITS 2000 window; click/purchase inside their 1000s.
+    assert(run((1, 0, 7, "signup", 0), (2, 1500, 7, "view", 0),
+      (3, 2000, 7, "click", 0), (4, 2500, 7, "purchase", 99))
+      == Seq((7L, 1L, Seq(1L, 2L, 3L, 4L), 2500L)))
+    // The SAME gap on the click step (1000-limit) times out instead.
+    assert(run((1, 0, 7, "signup", 0), (2, 1500, 7, "view", 0),
+      (3, 3000, 7, "click", 0), (4, 3100, 7, "purchase", 99)).isEmpty)
+    // Value predicate: a purchase below the floor neither closes the
+    // match nor kills it — a later qualifying purchase inside the
+    // window still closes.
+    assert(run((1, 0, 7, "signup", 0), (2, 100, 7, "view", 0),
+      (3, 200, 7, "click", 0), (4, 300, 7, "purchase", 49.99),
+      (5, 400, 7, "purchase", 50.0))
+      == Seq((7L, 1L, Seq(1L, 2L, 3L, 5L), 400L)))
+    // Null value never satisfies a minValue predicate.
+    assert(run((1, 0, 7, "signup", 0), (2, 100, 7, "view", 0),
+      (3, 200, 7, "click", 0), (4, 300, 7, "purchase", Double.NaN)).isEmpty)
+    // Timeout-then-reprocess generalizes: a signup arriving past the
+    // view window resets AND re-anchors.
+    assert(run((1, 0, 7, "signup", 0), (2, 2500, 7, "signup", 0),
+      (3, 2600, 7, "view", 0), (4, 2700, 7, "click", 0),
+      (5, 2800, 7, "purchase", 77))
+      == Seq((7L, 1L, Seq(2L, 3L, 4L, 5L), 300L)))
+  }
+
+  test("Q138/Q139 scale shape: one user shuffle + external sort + mapPartitions — no per-group materialization") {
+    val plan = Behavior.cepMatches(events, WindowUs)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("FlatMapGroups"),
+      "the CEP fold must not buffer per-user groups")
+    assert(plan.contains("hashpartitioning(user_id"),
+      "exactly the one user_id shuffle")
+    assert(plan.contains("Sort ") && plan.contains("MapPartitions"),
+      "external sortWithinPartitions feeding a streaming mapPartitions fold")
+    val q20plan = graft.operators.SyncReplay.replay(events,
+      graft.streaming.SyncConfig(50000L, 10000000L)).queryExecution.sparkPlan.toString
+    assert(!q20plan.contains("FlatMapGroups"),
+      "the sync replay fold must not buffer per-stream schedules")
+  }
+
+  test("Q138: the generic fold equals an independent per-user replay on the real corpus") {
+    import spark.implicits._
+    val W = 43200000000L // 12h — exercises both match and timeout paths
+    val got = Behavior.cepMatches(events, W)
+      .collect().map(_.toString).toSeq.sorted
+    // Independent reference: collect, group, sort, replay in plain Scala.
+    val byUser = events
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id", "event_id", "ts_us", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    val want = byUser.toSeq.flatMap { case (u, evs) =>
+      var state = 0; var vId = 0L; var vTs = 0L; var cId = 0L; var cTs = 0L
+      var matchNo = 0L
+      val out = Seq.newBuilder[String]
+      evs.sortBy(e => (e._3, e._2)).foreach { case (_, id, ts, tpe) =>
+        if (state == 1 && ts > vTs + W) state = 0
+        else if (state == 2 && ts > cTs + W) state = 0
+        state match {
+          case 0 => if (tpe == "view") { vId = id; vTs = ts; state = 1 }
+          case 1 => if (tpe == "click") { cId = id; cTs = ts; state = 2 }
+          case 2 => if (tpe == "purchase") {
+            matchNo += 1
+            out += s"[$u,$matchNo,$vId,$cId,$id,${ts - vTs}]"
+            state = 0
+          }
+        }
+      }
+      out.result()
+    }.sorted
+    assert(want.nonEmpty && got == want)
   }
 
   test("Q132: collapsed cohorts — when every vector is identical, every label's drift is exactly zero") {

@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{FactStore => F, ManifestLog => M, Tables}
+
+/** The raw-lake DML contracts (q140 family + the q127 raw leg): every
+  * mutation is one atomic manifest commit; deletes/upserts follow the
+  * version-scoped tombstone rule (kill only rows born strictly
+  * earlier); a crashed mutation is invisible; and the z-order/stats
+  * pruning tier SURVIVES row-level DML — pruned reads stay exactly
+  * equal to plain scans, deleted rows can never resurface through a
+  * pruned path, and exclusions remain provable.
+  */
+class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val nFiles = 8
+  private lazy val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    .select(col("event_id"), col("user_id"), col("ts_us"),
+      col("event_type"), col("value"))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.select("event_id", "user_id", "ts_us", "event_type", "value")
+      .collect().map(_.toString).toSeq.sorted
+
+  /** The full lifecycle used across tests: v1 build (first half),
+    * v2 append (second half), v3 delete (user residue), v4 upsert
+    * (corrections, disjoint from the deleted users), v5 compact.
+    */
+  private lazy val dmlDir: String = {
+    val d = Files.createTempDirectory("graft_fact").toString
+    F.build(ev.where(col("event_id") % 2 === 0), d, "event_id",
+      Seq("user_id", "ts_us"), nFiles, Seq("user_id", "ts_us", "event_id"))
+    F.append(spark, d, ev.where(col("event_id") % 2 =!= 0), nFiles)
+    F.deleteMatching(spark, d, col("user_id") % 5 === 1)
+    F.upsert(spark, d, patch, nFiles)
+    F.compact(spark, d, nFiles)
+    d
+  }
+  private lazy val patch = ev
+    .where(col("event_id") % 3 === 0 && col("user_id") % 5 =!= 1)
+    .withColumn("value", col("value") + 7.0)
+    .withColumn("event_type", lit("fixed"))
+  private lazy val expectedLive = ev
+    .where(col("user_id") % 5 =!= 1)
+    .withColumn("patched", col("event_id") % 3 === 0)
+    .withColumn("value", when(col("patched"), col("value") + 7.0).otherwise(col("value")))
+    .withColumn("event_type", when(col("patched"), lit("fixed")).otherwise(col("event_type")))
+    .drop("patched")
+
+  test("the DML lineage restates as plain frames at every version (build/append/delete/upsert/compact)") {
+    assert(M.currentVersion(spark, dmlDir) == 5L)
+    assert(sortedRows(F.read(spark, dmlDir, 1L))
+      == sortedRows(ev.where(col("event_id") % 2 === 0)))
+    assert(sortedRows(F.read(spark, dmlDir, 2L)) == sortedRows(ev))
+    assert(sortedRows(F.read(spark, dmlDir, 3L))
+      == sortedRows(ev.where(col("user_id") % 5 =!= 1)))
+    val live = sortedRows(expectedLive)
+    assert(sortedRows(F.read(spark, dmlDir, 4L)) == live,
+      "upsert: tombstone + replacement land in ONE commit")
+    assert(sortedRows(F.read(spark, dmlDir)) == live,
+      "compact preserves the live rows exactly")
+    // Time travel is real isolation: the v3 pin still shows the
+    // pre-upsert generation of a patched row.
+    val pinned = F.read(spark, dmlDir, 3L)
+      .where(col("event_id") % 3 === 0).select("event_type")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(!pinned.contains("fixed"))
+  }
+
+  test("a deleted row never resurfaces: full reads, box reads, and post-compact reads all exclude it") {
+    val deletedUsers = F.read(spark, dmlDir).where(col("user_id") % 5 === 1)
+    assert(deletedUsers.isEmpty)
+    // Through the PRUNED path too: a box that covers a deleted user's
+    // rows must not leak them past the tombstone join.
+    val someDeleted = ev.where(col("user_id") % 5 === 1)
+      .select("user_id", "ts_us").head()
+    val boxed = F.readBox(spark, dmlDir, Map(
+      "user_id" -> (someDeleted.getLong(0), someDeleted.getLong(0)),
+      "ts_us" -> (someDeleted.getLong(1), someDeleted.getLong(1))))
+    assert(boxed.isEmpty, "pruned read leaked a tombstoned row")
+  }
+
+  test("pruning SURVIVES DML: box reads prune files, stay sound, and equal the plain filtered scan") {
+    val (uLo, uHi) = (3L, 5L)
+    val t = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (tLo, tHi) = (t.getLong(0), t.getLong(0) + (t.getLong(1) - t.getLong(0)) / 4)
+    val bounds = Map("user_id" -> (uLo, uHi), "ts_us" -> (tLo, tHi))
+    // At the post-delete, pre-compact version (4): multiple segments +
+    // tombstones in play — pruning must still skip and still answer.
+    val (kept4, total4) = F.pruneBox(spark, dmlDir, bounds, 4L)
+    assert(kept4.values.map(_.size).sum < total4,
+      s"box kept every one of $total4 files — no skipping through DML")
+    val want4 = sortedRows(
+      F.read(spark, dmlDir, 4L)
+        .where(col("user_id").between(uLo, uHi) && col("ts_us").between(tLo, tHi)))
+    assert(sortedRows(F.readBox(spark, dmlDir, bounds, 4L)) == want4)
+    // Compaction re-tightens: one generation, still sound, still equal.
+    val (kept5, total5) = F.pruneBox(spark, dmlDir, bounds)
+    assert(kept5.values.map(_.size).sum < total5)
+    assert(sortedRows(F.readBox(spark, dmlDir, bounds)) == want4,
+      "compact changed a pruned read's answer")
+    // Soundness: every excluded file provably holds no box row.
+    val snap = M.snapshot(spark, dmlDir, 4L)
+    snap.segments.filter(_.kind == "data").foreach { s =>
+      val keptSet = kept4.getOrElse(s.dir, Seq.empty).toSet
+      s.files.filterNot(keptSet).foreach { f =>
+        val n = spark.read.parquet(s"$dmlDir/${s.dir}/$f")
+          .where(col("user_id").between(uLo, uHi) && col("ts_us").between(tLo, tHi))
+          .count()
+        assert(n == 0L, s"excluded file ${s.dir}/$f held $n matching rows")
+      }
+    }
+  }
+
+  test("a crashed mutation (segment files on disk, no manifest commit) is invisible") {
+    val before = sortedRows(F.read(spark, dmlDir))
+    val vBefore = M.currentVersion(spark, dmlDir)
+    // Simulate the crash window: a data segment AND a tombstone segment
+    // fully written — stats sidecar included — but no manifest swap.
+    val orphanData = s"$dmlDir/seg-00000099-append-orphan"
+    ev.limit(5).write.parquet(orphanData)
+    val f = M.fs(spark, dmlDir)
+    val out = f.create(new Path(s"$orphanData/_filestats.json"), false)
+    out.write("{}".getBytes("UTF-8")); out.close()
+    ev.limit(3).select(col("event_id"))
+      .write.parquet(s"$dmlDir/seg-00000099-delete-tomb-orphan")
+    assert(M.currentVersion(spark, dmlDir) == vBefore)
+    assert(sortedRows(F.read(spark, dmlDir)) == before,
+      "uncommitted segments leaked into a read")
+    f.delete(new Path(orphanData), true)
+    f.delete(new Path(s"$dmlDir/seg-00000099-delete-tomb-orphan"), true)
+  }
+
+  test("restore republishes an old version as a NEW commit; vacuum keeps retained versions byte-identical") {
+    val d = Files.createTempDirectory("graft_fact_restore").toString
+    F.build(ev, d, "event_id", Seq("user_id", "ts_us"), nFiles)
+    F.deleteMatching(spark, d, col("user_id") % 5 === 1)
+    val v3 = F.restore(spark, d, 1L)
+    assert(v3 == 3L)
+    assert(sortedRows(F.read(spark, d)) == sortedRows(ev),
+      "restore must republish v1's exact rows")
+    assert(sortedRows(F.read(spark, d, 2L))
+      == sortedRows(ev.where(col("user_id") % 5 =!= 1)),
+      "the intermediate version stays inspectable")
+    F.vacuum(spark, d, retain = 1)
+    assert(sortedRows(F.read(spark, d)) == sortedRows(ev),
+      "vacuum touched the retained version's files")
+  }
+
+  test("an upsert batch with duplicate keys is rejected (two same-commit generations would both survive)") {
+    val d = Files.createTempDirectory("graft_fact_dup").toString
+    F.build(ev.limit(100), d, "event_id", Seq("user_id", "ts_us"), 2)
+    val dup = ev.limit(1).unionAll(ev.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      F.upsert(spark, d, dup, 2)
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+}

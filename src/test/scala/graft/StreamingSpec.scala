@@ -1959,6 +1959,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mentions(err))
   }
 
+  test("S31b: generalized streaming CEP — a 4-step pattern with value predicate emits exactly the batch matches across cuts") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Cep, CepStep}
+    import graft.streaming.StreamingCep
+    // The bring-your-own-pattern surface online: same shared kernel,
+    // so any pattern spec must be cut-invariant, not just the funnel.
+    val pat = Seq(
+      CepStep("signup"),
+      CepStep("view", timeoutUs = 345600000000L),
+      CepStep("click", timeoutUs = 172800000000L),
+      CepStep("purchase", minValue = Some(50.0), timeoutUs = 172800000000L))
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val want = Cep.matchesGeneric(ev, pat)
+      .select("user_id", "match_no", "step_event_ids", "start_ts_us", "end_ts_us")
+      .collect().map(_.toString).toSeq.sorted
+    assert(want.nonEmpty)
+    val rows = ev
+      .where(col("event_type").isin("signup", "view", "click", "purchase"))
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect()
+      .sortBy(e => (e._3, e._2)).toSeq
+    val n = rows.size
+    val cuts = Seq(rows.take(n / 3), rows.slice(n / 3, 2 * n / 3), rows.drop(2 * n / 3))
+    val src = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = StreamingCep
+      .matchesPattern(src.toDF()
+        .toDF("user_id", "event_id", "ts_us", "event_type", "value"), pat)
+      .writeStream.format("memory").queryName("s31b_out")
+      .outputMode("update").start()
+    try cuts.foreach { c => src.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("s31b_out")
+      .select("user_id", "match_no", "step_event_ids", "start_ts_us", "end_ts_us")
+      .collect().map(_.toString).toSeq.sorted
+    assert(got == want, "generalized stream must emit exactly the batch matches")
+  }
+
   test("S32: streaming priority sample — the maintained top-(k+1) sample yields the exact batch-on-prefix estimate at every cut, O(k) state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
