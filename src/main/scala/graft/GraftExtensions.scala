@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimHash48.functionDescription)
     ext.injectFunction(RollingHash48.functionDescription)
     ext.injectFunction(SrpBucket.functionDescription)
+    // SQL surface for the table-shaped operator library: TVFs that
+    // expand to exactly the Scala API's logical plans (see
+    // graft.functions.TableFunctions).
+    graft.functions.TableFunctions.descriptions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(new BucketRangeInference(_))
   }
 }

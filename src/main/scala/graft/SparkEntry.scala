@@ -537,6 +537,9 @@ object SparkEntry {
     * so a typical doc is ~5 chunks and the 30-word shared vocabulary
     * makes cross-document chunk collisions common enough to bite). */
   private val SpanLen = 10
+  /** Q70c: expected content-defined chunk length (tokens per anchor —
+    * a token anchors iff hash48(token) % AnchorMod == 0). */
+  private val AnchorMod = 8
   /** Q71: training-shard count and shuffle salt. */
   private val NumShards = 16
   private val ShuffleSalt = "g5"
@@ -1718,6 +1721,13 @@ object SparkEntry {
       Curation.spanDedup(Tables.table(s, d, "documents"), SpanLen)),
     "q70b_offset_span_dedup" -> ((s, d) =>
       Curation.spanDedupOffsets(Tables.table(s, d, "documents"), SpanLen)),
+    "q70c_anchored_span_dedup" -> ((s, d) =>
+      // Content-defined third grid: chunk boundaries at hash-anchored
+      // tokens, so a repeated substring at ANY offset reproduces the
+      // same interior chunks corpus-wide — closes the arbitrary-phase
+      // gap the two fixed grids leave. Coverage ⊇ q70b.
+      Curation.spanDedupAnchored(Tables.table(s, d, "documents"),
+        SpanLen, AnchorMod)),
     "q71_global_shuffle" -> ((s, d) =>
       Curation.globalShuffle(Tables.table(s, d, "documents"), NumShards, ShuffleSalt)),
     "q72_hashed_classifier" -> ((s, d) =>
@@ -4326,6 +4336,44 @@ object SparkEntry {
                    FROM w CROSS JOIN g
                    CROSS JOIN UNNEST(generate_series(o, len(ws) - 1, $SpanLen)) AS t(st)
                    WHERE o = 0 OR len(ws) - st >= $SpanLen),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY h
+                   ORDER BY doc_id, st) AS rn FROM inst),
+          pos AS (SELECT DISTINCT doc_id, p
+                  FROM rk CROSS JOIN UNNEST(generate_series(st, st + clen - 1)) AS t(p)
+                  WHERE rn > 1),
+          pd AS (SELECT doc_id, count(*) AS n_dup_tokens FROM pos GROUP BY doc_id)
+          SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(pd.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+                 ${roundSql("CAST(COALESCE(pd.n_dup_tokens, 0) AS DOUBLE) / len(ws)", 4)} AS dup_ratio
+          FROM w LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
+    // Q70c: the q70b oracle + the content-defined grid — anchor starts
+    // from the shared portable hash, chunks between consecutive
+    // anchors, instances DISTINCT (an anchored chunk can coincide with
+    // a fixed-grid chunk) before the same first-seen rank.
+    "q70c_anchored_span_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          g AS (SELECT 0 AS o UNION ALL SELECT ${SpanLen / 2}),
+          ginst AS (SELECT doc_id, CAST(st AS BIGINT) AS st,
+                      CAST(least(len(ws) - st, $SpanLen) AS BIGINT) AS clen,
+                      md5(array_to_string(
+                        ws[st + 1 : st + least(len(ws) - st, $SpanLen)], ' ')) AS h
+                    FROM w CROSS JOIN g
+                    CROSS JOIN UNNEST(generate_series(o, len(ws) - 1, $SpanLen)) AS t(st)
+                    WHERE o = 0 OR len(ws) - st >= $SpanLen),
+          ast AS (SELECT doc_id, ws,
+                    list_sort(list_distinct([0] ||
+                      list_filter(generate_series(0, len(ws) - 1),
+                        i -> ${graft.functions.PortableHash.hash48Sql("ws[i + 1]")}
+                             % $AnchorMod = 0))) AS ss
+                  FROM w),
+          ainst AS (SELECT doc_id, CAST(ss[j] AS BIGINT) AS st,
+                      CAST(coalesce(ss[j + 1], len(ws)) - ss[j] AS BIGINT) AS clen,
+                      md5(array_to_string(
+                        ws[ss[j] + 1 : coalesce(ss[j + 1], len(ws))], ' ')) AS h
+                    FROM ast
+                    CROSS JOIN UNNEST(generate_series(1, len(ss))) AS t(j)),
+          inst AS (SELECT DISTINCT * FROM
+                     (SELECT * FROM ginst UNION ALL SELECT * FROM ainst)),
           rk AS (SELECT *, row_number() OVER (PARTITION BY h
                    ORDER BY doc_id, st) AS rn FROM inst),
           pos AS (SELECT DISTINCT doc_id, p

@@ -197,31 +197,50 @@ object Curation {
     // first-seen filter and the oracle's row_number rank then disagree
     // on. The operator is only meaningful with a real offset grid.
     require(span >= 2, s"spanDedupOffsets needs span >= 2, got $span")
-    val half = span / 2
-    val base = graft.sources.Tables.widen(docs)
+    val base = spanBase(docs)
+    // Chunk instances of both grids in ONE pass over the scan.
+    val inst = base.select(
+        col("doc_id"), col("n_tokens"),
+        explode(expr(fixedGridExpr(span))).as("c"))
+      .select(col("doc_id"), col("c.start").as("start"),
+        col("c.clen").as("clen"), col("c.h").as("h"))
+    spanDupReport(base, inst)
+  }
+
+  private def spanBase(docs: DataFrame): DataFrame =
+    graft.sources.Tables.widen(docs)
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), col("words"),
         size(col("words")).cast("long").as("n_tokens"))
-    // Chunk instances of both grids in ONE pass over the scan: starts
-    // are sequence(o, n-1, span); the greatest() guard keeps the
-    // sequence bounds legal for docs shorter than the offset (the
-    // filter then drops the stray start).
-    val inst = base.select(
-        col("doc_id"), col("n_tokens"),
-        explode(expr(
-          s"""flatten(transform(array(0, $half), o ->
-                filter(
-                  transform(sequence(o, greatest(size(words) - 1, o), $span),
-                    st -> named_struct(
-                      'start', CAST(st AS BIGINT),
-                      'clen', CAST(least(size(words) - st, $span) AS BIGINT),
-                      'h', md5(array_join(slice(words, st + 1, $span), ' ')))),
-                  c -> c.start < size(words)
-                    AND (o = 0 OR c.clen = CAST($span AS BIGINT)))))""")).as("c"))
-      .select(col("doc_id"), col("c.start").as("start"),
-        col("c.clen").as("clen"), col("c.h").as("h"))
-    // First sighting per digest across BOTH grids (grid-0 and grid-1
-    // starts never coincide, so (doc_id, start) is a total order here).
+
+  /** The two fixed stride grids (offsets 0 and span/2) as one array
+    * expression over `words`: starts are sequence(o, n-1, span); the
+    * greatest() guard keeps the sequence bounds legal for docs shorter
+    * than the offset (the filter then drops the stray start). */
+  private def fixedGridExpr(span: Int): String = {
+    val half = span / 2
+    s"""flatten(transform(array(0, $half), o ->
+          filter(
+            transform(sequence(o, greatest(size(words) - 1, o), $span),
+              st -> named_struct(
+                'start', CAST(st AS BIGINT),
+                'clen', CAST(least(size(words) - st, $span) AS BIGINT),
+                'h', md5(array_join(slice(words, st + 1, $span), ' ')))),
+            c -> c.start < size(words)
+              AND (o = 0 OR c.clen = CAST($span AS BIGINT)))))"""
+  }
+
+  /** Shared report tail: first sighting per digest (value-based), dup
+    * instances explode to token positions, per-doc dup mass.
+    * `dedupInstances`: the anchored grid can emit the SAME
+    * (doc, start, h) instance as a fixed grid, so those instances are
+    * de-duplicated first and the winner comparison is by value, which
+    * the oracle's row_number rank then agrees with; the two fixed
+    * grids alone have disjoint starts, so q70b skips the extra
+    * exchange. */
+  private def spanDupReport(base: DataFrame, inst0: DataFrame,
+                            dedupInstances: Boolean = false): DataFrame = {
+    val inst = if (dedupInstances) inst0.distinct() else inst0
     val first = inst.groupBy("h")
       .agg(min(struct(col("doc_id"), col("start"))).as("kp"))
     val dupPositions = inst.join(first, "h")
@@ -237,6 +256,58 @@ object Curation {
       .withColumn("dup_ratio",
         roundTo(col("n_dup_tokens").cast("double") / col("n_tokens"), 4))
       .orderBy("doc_id")
+  }
+
+  /** Q70c — span dedup with a CONTENT-DEFINED third grid: the two
+    * fixed stride grids catch grid-aligned and half-offset duplicates,
+    * but a repeated substring at ANY OTHER phase (offset ≢ 0, span/2
+    * mod span) digests differently on every fixed chunk — the Lee et
+    * al. "exact substring" gap. The anchored grid closes it the way
+    * content-defined chunking (CDC) backup/dedup systems do: a chunk
+    * boundary falls at every token whose portable 48-bit hash ≡ 0
+    * (mod `anchorMod`), plus the document start. Boundaries depend
+    * only on CONTENT, so a duplicated region reproduces the same
+    * interior boundaries AT ANY OFFSET in any document — its interior
+    * chunks digest identically and collide corpus-wide (only the
+    * partial chunks at the region's two edges can escape).
+    *
+    * Expected anchored-chunk length is `anchorMod` tokens; a run with
+    * no anchor token produces one long chunk (bounded by the doc
+    * length — the digest is computed per doc partition and only the
+    * 32-byte md5 + coordinates ever shuffle, so a long chunk costs
+    * local CPU, not memory or network).
+    *
+    * Coverage is a SUPERSET of [[spanDedupOffsets]] by construction:
+    * all fixed-grid instances are retained and adding instances can
+    * only demote first-sightings to duplicates, never the reverse.
+    * Scale shape unchanged: digests + coordinates shuffle, never text.
+    */
+  def spanDedupAnchored(docs: DataFrame, span: Int, anchorMod: Int): DataFrame = {
+    require(span >= 2, s"spanDedupAnchored needs span >= 2, got $span")
+    require(anchorMod >= 2, s"spanDedupAnchored needs anchorMod >= 2, got $anchorMod")
+    val base = spanBase(docs)
+      // Content-defined starts: doc start + every anchor-token position,
+      // sorted (array_distinct in case position 0 is itself an anchor).
+      .withColumn("astarts", expr(
+        s"""array_sort(array_distinct(concat(array(0),
+              filter(sequence(0, size(words) - 1),
+                i -> ${hash48("element_at(words, i + 1)")} % $anchorMod = 0))))"""))
+    val anchoredExpr =
+      s"""transform(sequence(1, size(astarts)),
+            j -> named_struct(
+              'start', CAST(element_at(astarts, j) AS BIGINT),
+              'clen', CAST(coalesce(try_element_at(astarts, j + 1), size(words))
+                           - element_at(astarts, j) AS BIGINT),
+              'h', md5(array_join(slice(words, element_at(astarts, j) + 1,
+                     coalesce(try_element_at(astarts, j + 1), size(words))
+                       - element_at(astarts, j)), ' '))))"""
+    val inst = base.select(
+        col("doc_id"), col("n_tokens"),
+        explode(expr(
+          s"concat(${fixedGridExpr(span)}, $anchoredExpr)")).as("c"))
+      .select(col("doc_id"), col("c.start").as("start"),
+        col("c.clen").as("clen"), col("c.h").as("h"))
+    spanDupReport(base, inst, dedupInstances = true)
   }
 
   /** Q71 — deterministic global shuffle + shard manifest (the "mix the

@@ -129,6 +129,58 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bounds == 0, "dup coverage can never exceed the doc's tokens")
   }
 
+  test("q70c: a duplicate at a phase BOTH fixed grids miss is caught by the content-defined grid") {
+    import spark.implicits._
+    // The portable 48-bit hash, replicated locally to classify tokens
+    // as anchors (hash % 8 == 0) the same way the operator does.
+    def h48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 12), 16)
+    }
+    val pool = (1 to 400).map(i => s"t$i")
+    val anchorToks = pool.filter(h48(_) % 8 == 0)
+    val plainToks = pool.filter(h48(_) % 8 != 0)
+    assert(anchorToks.size >= 2 && plainToks.size >= 30)
+    val p = plainToks.iterator
+    def plains(n: Int) = Seq.fill(n)(p.next())
+    // S: 12 tokens with two interior anchors — the chunk [A0 .. A1) (5
+    // tokens) is bounded by CONTENT on both sides, so it digests
+    // identically wherever S lands.
+    val sTok = plains(3) ++ Seq(anchorToks(0)) ++ plains(4) ++
+      Seq(anchorToks(1)) ++ plains(3)
+    val s = sTok.mkString(" ")
+    val doc1 = s + " " + plains(8).mkString(" ")
+    // Doc 2 repeats S at offset 3 — ≢ 0 and ≢ 5 (mod 10), so NO
+    // span-10 fixed-grid chunk of doc 2 aligns with doc 1's.
+    val doc2 = plains(3).mkString(" ") + " " + s + " " + plains(9).mkString(" ")
+    val tiny = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+
+    val offs = Curation.spanDedupOffsets(tiny, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(offs(2L) == 0L,
+      s"fixture must defeat both fixed grids, got ${offs(2L)} dup tokens")
+
+    val anch = Curation.spanDedupAnchored(tiny, 10, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(anch(1L) == 0L, s"doc1 is the first sighting, got ${anch(1L)}")
+    assert(anch(2L) == 5L,
+      s"the interior content-defined chunk (5 tokens) must be flagged, got ${anch(2L)}")
+  }
+
+  test("q70c: coverage is a superset of q70b on the natural corpus") {
+    // All fixed-grid instances are retained and extra instances can
+    // only demote first-sightings — never promote a dup back.
+    val offs = Curation.spanDedupOffsets(docs, 10)
+      .select(col("doc_id"), col("n_dup_tokens").as("d2"))
+    val anch = Curation.spanDedupAnchored(docs, 10, 8)
+      .select(col("doc_id"), col("n_dup_tokens").as("d3"), col("n_tokens"))
+    val joined = offs.join(anch, "doc_id")
+    assert(joined.where(col("d3") < col("d2")).count() == 0,
+      "anchored coverage regressed below the dual-grid coverage")
+    assert(joined.where(col("d3") > col("n_tokens")).count() == 0)
+  }
+
   test("q70: kept chunk instances equal distinct chunk contents corpus-wide") {
     val out = Curation.spanDedup(docs, 10)
     val kept = out.agg(sum("n_kept")).collect()(0).getLong(0)
