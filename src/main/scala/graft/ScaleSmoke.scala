@@ -251,7 +251,21 @@ object ScaleSmoke {
       // One user shuffle + linear O(1)-state folds; disjoint user
       // copies keep per-user sequences constant — expect ~linear.
       ("cep_matches", (df: DataFrame) => Behavior.cepMatches(df, 172800000000L),
-        c => scaledEvents(spark, dir, c)))
+        c => scaledEvents(spark, dir, c)),
+      // Round-9: the generalized 4-step pattern — same ordered-fold
+      // shape as cep_matches (one shuffle, external sort, O(pattern)
+      // state) — expect ~linear.
+      ("cep_pattern4", (df: DataFrame) => Cep.matchesGeneric(df, Seq(
+          CepStep("signup"),
+          CepStep("view", timeoutUs = 345600000000L),
+          CepStep("click", timeoutUs = 172800000000L),
+          CepStep("purchase", minValue = Some(50.0), timeoutUs = 172800000000L))),
+        c => scaledEvents(spark, dir, c)),
+      // Round-9: the content-defined third grid — same digests-only
+      // shuffle as span_dedup with ~2x the instance volume — expect
+      // ~linear plus the duplicate-mass explode.
+      ("anchored_span_dedup", (df: DataFrame) => Curation.spanDedupAnchored(df, 10, 8),
+        c => scaledDocs(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

@@ -124,7 +124,11 @@ object FactStore {
   }
 
   /** Ingest: one new data segment (batch-local z-sort), no tombstones. */
-  def append(spark: SparkSession, dir: String, df: DataFrame, nFiles: Int): Long = synchronized {
+  def append(spark: SparkSession, dir: String, df: DataFrame, nFiles: Int): Long =
+    synchronized { appendImpl(spark, dir, df, nFiles, Map.empty) }
+
+  private def appendImpl(spark: SparkSession, dir: String, df: DataFrame,
+                         nFiles: Int, extraMeta: Map[String, String]): Long = {
     if (df.isEmpty) return M.currentVersion(spark, dir)
     val prior = M.snapshot(spark, dir)
     val (_, orderCols, statsCols) = metaOf(spark, dir, prior.version)
@@ -132,8 +136,35 @@ object FactStore {
     val seg = writeDataSegment(spark, dir, segName(v, "append"), df,
       orderCols, statsCols, nFiles)
     M.commit(M.fs(spark, dir), dir,
-      M.Snapshot(v, "append", "", prior.segments :+ seg, prior.meta))
+      M.Snapshot(v, "append", "", prior.segments :+ seg, prior.meta ++ extraMeta))
     v
+  }
+
+  /** Exactly-once streaming ingest: the `(appId, batchId)` replay
+    * guard over [[append]] — the manifest itself carries the last
+    * applied batch id, so a re-delivered microbatch (foreachBatch
+    * replays after a crash) is a version no-op instead of duplicate
+    * rows in the lake. */
+  def appendStreamBatch(spark: SparkSession, dir: String, df: DataFrame,
+                        nFiles: Int, batchId: Long, appId: String = "stream"): Long = synchronized {
+    require(!appId.contains(' ') && appId.nonEmpty, "appId must be a non-empty string")
+    val key = s"lastBatchId.$appId"
+    val last = M.snapshot(spark, dir).meta.get(key).map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) M.currentVersion(spark, dir)
+    else appendImpl(spark, dir, df, nFiles, Map(key -> batchId.toString))
+  }
+
+  /** Exactly-once streaming CDC MERGE: the replay guard over
+    * [[upsert]] — each microbatch's changed rows land atomically
+    * (tombstone + replacement in one commit), last-write-wins across
+    * batches, and a crash-replayed batch is a version no-op. */
+  def upsertStreamBatch(spark: SparkSession, dir: String, df: DataFrame,
+                        nFiles: Int, batchId: Long, appId: String = "stream"): Long = synchronized {
+    require(!appId.contains(' ') && appId.nonEmpty, "appId must be a non-empty string")
+    val key = s"lastBatchId.$appId"
+    val last = M.snapshot(spark, dir).meta.get(key).map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) M.currentVersion(spark, dir)
+    else upsertImpl(spark, dir, df, nFiles, Map(key -> batchId.toString))
   }
 
   /** Row-level DELETE by key set: one tombstone segment, one commit —
@@ -162,7 +193,11 @@ object FactStore {
     * makes this atomic: the tombstone (version v) kills only rows born
     * before v; the new segment IS version v, so it survives its own
     * commit's tombstone. */
-  def upsert(spark: SparkSession, dir: String, df: DataFrame, nFiles: Int): Long = synchronized {
+  def upsert(spark: SparkSession, dir: String, df: DataFrame, nFiles: Int): Long =
+    synchronized { upsertImpl(spark, dir, df, nFiles, Map.empty) }
+
+  private def upsertImpl(spark: SparkSession, dir: String, df: DataFrame,
+                         nFiles: Int, extraMeta: Map[String, String]): Long = {
     if (df.isEmpty) return M.currentVersion(spark, dir)
     val prior = M.snapshot(spark, dir)
     val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
@@ -175,7 +210,8 @@ object FactStore {
     val seg = writeDataSegment(spark, dir, segName(v, "upsert"), df,
       orderCols, statsCols, nFiles)
     M.commit(M.fs(spark, dir), dir,
-      M.Snapshot(v, "upsert", "", prior.segments :+ tomb :+ seg, prior.meta))
+      M.Snapshot(v, "upsert", "", prior.segments :+ tomb :+ seg,
+        prior.meta ++ extraMeta))
     v
   }
 

@@ -175,7 +175,16 @@ class DistributionInvarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("priorityEstimate", f => Sampling.priorityEstimate(f(events), 100, "pri")),
       // The CEP fold sorts within each user group, so the automaton's
       // input order — hence every match — is layout-free.
-      ("cepMatches", f => Behavior.cepMatches(f(events), 172800000000L)))
+      ("cepMatches", f => Behavior.cepMatches(f(events), 172800000000L)),
+      // Round-9 additions: the generalized pattern fold shares the same
+      // per-user external sort; the anchored chunk grid digests are a
+      // pure function of content.
+      ("cepPattern4", f => Cep.matchesGeneric(f(events), Seq(
+        CepStep("signup"),
+        CepStep("view", timeoutUs = 345600000000L),
+        CepStep("click", timeoutUs = 172800000000L),
+        CepStep("purchase", minValue = Some(50.0), timeoutUs = 172800000000L)))),
+      ("spanDedupAnchored", f => Curation.spanDedupAnchored(f(docs), 10, 8)))
   }
 
   /** One persisted index for the storedAdcSearch case (built once). */

@@ -132,6 +132,15 @@ class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("readBox's residual predicate pushes into the surviving parquet scans") {
+    val df = F.readBox(spark, dmlDir, Map("user_id" -> (3L, 5L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(user_id,3)") &&
+      plan.contains("LessThanOrEqual(user_id,5)"),
+      s"box residual must reach the scan as a pushed filter:\n$plan")
+  }
+
   test("a crashed mutation (segment files on disk, no manifest commit) is invisible") {
     val before = sortedRows(F.read(spark, dmlDir))
     val vBefore = M.currentVersion(spark, dmlDir)

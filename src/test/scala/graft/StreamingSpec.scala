@@ -1420,6 +1420,73 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed revisions must serve exactly like a from-scratch build over the last-revision corpus")
   }
 
+  test("S33: exactly-once streaming CDC into the RAW lake (FactStore) — atomic per-batch MERGE, replays are version no-ops, last write wins") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{FactStore => F, ManifestLog => M, Tables}
+    // The q140 DML surface ONLINE: a change stream MERGEs into the raw
+    // events lake through foreachBatch — each microbatch is one atomic
+    // upsert commit (tombstone + replacement together), the manifest's
+    // lastBatchId turns crash re-deliveries into no-ops, and a row
+    // revised in two batches serves its LAST revision.
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s33").toString
+    F.build(ev, dir, "event_id", Seq("user_id", "ts_us"), 4)
+    val rev1frame = ev.where(col("event_id") % 5 === 1)
+      .withColumn("value", col("value") + 100.0)
+      .withColumn("event_type", lit("rev1"))
+    val rev2frame = ev.where(col("event_id") % 10 === 1)
+      .withColumn("value", col("value") + 200.0)
+      .withColumn("event_type", lit("rev2"))
+    val rev1 = rev1frame.as[(Long, Long, Long, String, Double)].collect().toSeq
+    val rev2 = rev2frame.as[(Long, Long, Long, String, Double)].collect().toSeq
+    val src = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = src.toDF().toDF("event_id", "user_id", "ts_us", "event_type", "value")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        F.upsertStreamBatch(b.sparkSession, dir, b, 4, id, appId = "s33")
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      src.addData(rev1: _*); q.processAllAvailable()
+      src.addData(rev2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val vAfter = F.currentVersion(spark, dir)
+    val lastBatch = M.snapshot(spark, dir).meta("lastBatchId.s33").toLong
+    // Failure-recovery drill: the re-delivered last batch must not
+    // commit, not tombstone, not publish a second generation.
+    assert(F.upsertStreamBatch(spark, dir, rev2frame, 4, lastBatch, "s33") == vAfter,
+      "a replayed CDC batch must be a version no-op")
+    assert(F.currentVersion(spark, dir) == vAfter)
+    // Final lake ≡ the base frame with each row's LAST revision.
+    val want = ev
+      .withColumn("value",
+        when(col("event_id") % 10 === 1, col("value") + 200.0)
+          .when(col("event_id") % 5 === 1, col("value") + 100.0)
+          .otherwise(col("value")))
+      .withColumn("event_type",
+        when(col("event_id") % 10 === 1, lit("rev2"))
+          .when(col("event_id") % 5 === 1, lit("rev1"))
+          .otherwise(col("event_type")))
+      .collect().map(_.toString).toSeq.sorted
+    val got = F.read(spark, dir)
+      .select("event_id", "user_id", "ts_us", "event_type", "value")
+      .collect().map(_.toString).toSeq.sorted
+    assert(got == want,
+      "streamed CDC must serve exactly the last-revision lake")
+    // And the pruned path still serves the revised lake exactly.
+    val someUser = ev.select("user_id").head.getLong(0)
+    val boxed = F.readBox(spark, dir,
+      Map("user_id" -> (someUser, someUser)))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val wantIds = ev.where(col("user_id") === someUser)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(boxed == wantIds)
+  }
+
   test("S24: streaming as-of enrichment — clicks arrive in arbitrary microbatches, each picks up its point-in-time purchase ≡ batch, stateless") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
