@@ -478,6 +478,9 @@ object SparkEntry {
     * per-step predicates both exercise at every SF. */
   private val Cep4ViewTimeoutUs = 345600000000L
   private val Cep4MinPurchase = 50.0
+  /** Q139b: the quantified pattern's purchase floor (click{3} with
+    * per-gap CepWithinUs, then purchase ≥ this within CepWithinUs). */
+  private val CepQuantMinPurchase = 30.0
   /** Q129: DP budget — Laplace scale b = 1/ε = 2. */
   private val DpEpsilon = 0.5
   /** Q127: the erased subjects — ids ≡ ErasureRes (mod ErasureMod) in
@@ -1515,6 +1518,23 @@ object SparkEntry {
           col("step_event_ids")(0).as("signup_event_id"),
           col("step_event_ids")(1).as("view_event_id"),
           col("step_event_ids")(2).as("click_event_id"),
+          col("step_event_ids")(3).as("purchase_event_id"),
+          col("duration_us"))
+        .orderBy("user_id", "match_no")),
+    "q139b_cep_quantified" -> ((s, d) =>
+      // Quantified CEP (MATCH_RECOGNIZE A{n}): click{3} — every
+      // consecutive gap within the window — then a qualifying
+      // purchase; exact repetition counts keep the automaton
+      // deterministic, same shared kernel, same one-shuffle
+      // spill-safe fold, recursive-CTE oracle carrying (state, rep).
+      Cep.matchesGeneric(Tables.events(s, d), Seq(
+          CepStep("click", timeoutUs = CepWithinUs, times = 3),
+          CepStep("purchase", minValue = Some(CepQuantMinPurchase),
+            timeoutUs = CepWithinUs)))
+        .select(col("user_id"), col("match_no"),
+          col("step_event_ids")(0).as("click1_event_id"),
+          col("step_event_ids")(1).as("click2_event_id"),
+          col("step_event_ids")(2).as("click3_event_id"),
           col("step_event_ids")(3).as("purchase_event_id"),
           col("duration_us"))
         .orderBy("user_id", "match_no")),
@@ -3301,6 +3321,61 @@ object SparkEntry {
           SELECT user_id, match_no, s0_id AS signup_event_id,
                  s1_id AS view_event_id, s2_id AS click_event_id,
                  e_id AS purchase_event_id, e_ts - s0_ts AS duration_us
+          FROM m WHERE emit ORDER BY user_id, match_no""",
+    // Q139b: the quantified automaton — state machine now carries
+    // (state, rep); the gap timeout binds every consecutive consumed
+    // pair, the partial-exists guard is (state > 0 OR rep > 0), and
+    // the same timeout-then-reprocess / greedy-consume rules replay.
+    "q139b_cep_quantified" ->
+      s"""WITH RECURSIVE
+          ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS i
+                 FROM events WHERE event_type IN ('click', 'purchase')),
+          m AS (
+            SELECT user_id, CAST(0 AS BIGINT) AS i, 0 AS state, 0 AS rep,
+                   CAST(0 AS BIGINT) AS c1_id, CAST(0 AS BIGINT) AS c1_ts,
+                   CAST(0 AS BIGINT) AS c2_id, CAST(0 AS BIGINT) AS c2_ts,
+                   CAST(0 AS BIGINT) AS c3_id, CAST(0 AS BIGINT) AS c3_ts,
+                   CAST(0 AS BIGINT) AS last_ts,
+                   CAST(0 AS BIGINT) AS match_no, FALSE AS emit,
+                   CAST(0 AS BIGINT) AS e_id, CAST(0 AS BIGINT) AS e_ts
+            FROM (SELECT DISTINCT user_id FROM ev)
+            UNION ALL
+            SELECT user_id, i,
+              CASE WHEN hit AND eff_state = 0 AND eff_rep + 1 >= 3 THEN 1
+                   WHEN hit AND eff_state = 1 THEN 0
+                   ELSE eff_state END AS state,
+              CASE WHEN hit AND eff_state = 0 AND eff_rep + 1 < 3 THEN eff_rep + 1
+                   WHEN hit THEN 0 ELSE eff_rep END AS rep,
+              CASE WHEN hit AND eff_state = 0 AND eff_rep = 0 THEN e_id ELSE c1_id END,
+              CASE WHEN hit AND eff_state = 0 AND eff_rep = 0 THEN e_ts ELSE c1_ts END,
+              CASE WHEN hit AND eff_state = 0 AND eff_rep = 1 THEN e_id ELSE c2_id END,
+              CASE WHEN hit AND eff_state = 0 AND eff_rep = 1 THEN e_ts ELSE c2_ts END,
+              CASE WHEN hit AND eff_state = 0 AND eff_rep = 2 THEN e_id ELSE c3_id END,
+              CASE WHEN hit AND eff_state = 0 AND eff_rep = 2 THEN e_ts ELSE c3_ts END,
+              CASE WHEN hit THEN e_ts ELSE last_ts END AS last_ts,
+              match_no + CASE WHEN hit AND eff_state = 1 THEN 1 ELSE 0 END,
+              hit AND eff_state = 1 AS emit, e_id, e_ts
+            FROM (SELECT *, CASE eff_state WHEN 0 THEN event_type = 'click'
+                                           ELSE event_type = 'purchase'
+                                                AND value >= $CepQuantMinPurchase
+                            END AS hit
+                  FROM (SELECT m.user_id, e.i, m.c1_id, m.c1_ts, m.c2_id, m.c2_ts,
+                               m.c3_id, m.c3_ts, m.last_ts, m.match_no,
+                               e.event_id AS e_id, e.ts_us AS e_ts,
+                               e.event_type, e.value,
+                               CASE WHEN (m.state > 0 OR m.rep > 0)
+                                      AND e.ts_us > m.last_ts + $CepWithinUs
+                                    THEN 0 ELSE m.state END AS eff_state,
+                               CASE WHEN (m.state > 0 OR m.rep > 0)
+                                      AND e.ts_us > m.last_ts + $CepWithinUs
+                                    THEN 0 ELSE m.rep END AS eff_rep
+                        FROM m JOIN ev e
+                          ON e.user_id = m.user_id AND e.i = m.i + 1) t0) t1)
+          SELECT user_id, match_no, c1_id AS click1_event_id,
+                 c2_id AS click2_event_id, c3_id AS click3_event_id,
+                 e_id AS purchase_event_id, e_ts - c1_ts AS duration_us
           FROM m WHERE emit ORDER BY user_id, match_no""",
     // Q140 family: the raw-lake DML lifecycle restated as plain scans —
     // v2 = delete applied; latest = delete + corrections batch (the

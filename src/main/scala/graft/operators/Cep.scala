@@ -8,14 +8,29 @@ import org.apache.spark.sql.functions._
   * @param eventType the event type this step matches
   * @param minValue  optional per-step predicate: the event's `value`
   *                  must be >= this (null values never match)
-  * @param timeoutUs step timeout: while SEEKING this step, an event
-  *                  whose ts exceeds the PREVIOUS matched step's ts by
-  *                  more than this resets the partial match (ignored on
-  *                  step 0 — the anchor has nothing to time out
-  *                  against). Long.MaxValue = no timeout.
+  * @param timeoutUs step GAP timeout: while seeking (or, with
+  *                  `times` > 1, extending) this step, an event whose
+  *                  ts exceeds the LAST CONSUMED event's ts by more
+  *                  than this resets the partial match (ignored while
+  *                  nothing is consumed yet — the anchor has nothing
+  *                  to time out against). For `times` = 1 this is
+  *                  exactly "within X of the previous matched step";
+  *                  for repeated steps it bounds EVERY consecutive
+  *                  gap, including the hop from the previous step into
+  *                  the first repetition. Long.MaxValue = no timeout.
+  * @param times     exact repetition count (MATCH_RECOGNIZE `A{n}`):
+  *                  the step consumes exactly `times` qualifying
+  *                  events before the pattern advances. Exact counts
+  *                  keep the automaton DETERMINISTIC — a {m,M} range
+  *                  makes "continue this step or advance?" ambiguous
+  *                  (greedy/reluctant), which is a semantics choice an
+  *                  oracle comparison cannot paper over, so ranges are
+  *                  deliberately not offered.
   */
 case class CepStep(eventType: String, minValue: Option[Double] = None,
-                   timeoutUs: Long = Long.MaxValue)
+                   timeoutUs: Long = Long.MaxValue, times: Int = 1) {
+  require(times >= 1, s"a step needs times >= 1, got $times")
+}
 
 /** One emitted generic pattern match: the matched step event ids in
   * step order, plus the anchor and terminal timestamps. */
@@ -24,11 +39,12 @@ case class CepGenMatch(user_id: Long, match_no: Long,
                        start_ts_us: Long, end_ts_us: Long)
 
 /** The automaton cursor — O(pattern) state per key, forever: the index
-  * of the step being sought, the matched anchors so far, and the match
-  * counter. Encodes cleanly (fixed schema) so the streaming engine can
-  * carry it in a state store. */
-case class CepCursor(state: Int, anchorIds: Seq[Long], anchorTs: Seq[Long],
-                     matchNo: Long)
+  * of the step being sought, the repetitions consumed of that step so
+  * far, the matched anchors, and the match counter. Encodes cleanly
+  * (fixed schema) so the streaming engine can carry it in a state
+  * store. */
+case class CepCursor(state: Int, rep: Int, anchorIds: Seq[Long],
+                     anchorTs: Seq[Long], matchNo: Long)
 
 /** Generalized complex-event-processing: MATCH_RECOGNIZE-class ordered
   * sequence detection with per-step predicates and timeouts, strict
@@ -68,7 +84,7 @@ object Cep {
     CepStep("click", timeoutUs = withinUs),
     CepStep("purchase", timeoutUs = withinUs))
 
-  val initCursor: CepCursor = CepCursor(0, Nil, Nil, 0L)
+  val initCursor: CepCursor = CepCursor(0, 0, Nil, Nil, 0L)
 
   /** The event `value` as a predicate-safe double: SQL null → NaN
     * (NaN >= t is false for every t, so nulls never satisfy a minValue
@@ -84,23 +100,32 @@ object Cep {
     * match emitted, if any. Pure — the single shared batch/stream
     * kernel. `value` null-safety: callers pass NaN for SQL null, and
     * NaN >= t is false for every t, so null values never satisfy a
-    * minValue predicate. */
+    * minValue predicate.
+    *
+    * Gap timeout first (the q138 timeout-then-reprocess rule,
+    * generalized): while ANY event has been consumed, an incoming
+    * event beyond the sought step's gap window of the LAST consumed
+    * event resets to step 0 and the current event is evaluated there
+    * (a timing-out anchor's replacement can itself anchor). Then the
+    * greedy-deterministic consume: a qualifying event increments the
+    * sought step's repetition count; reaching `times` advances the
+    * step (or emits, on the terminal step). */
   def step(pattern: IndexedSeq[CepStep], cur: CepCursor, user: Long,
            id: Long, ts: Long, tpe: String, value: Double): (CepCursor, Option[CepGenMatch]) = {
-    // Step timeout first: fall back to step 0 and let the current
-    // event be considered there.
     val c =
-      if (cur.state >= 1 && ts > cur.anchorTs(cur.state - 1) + pattern(cur.state).timeoutUs)
-        cur.copy(state = 0, anchorIds = Nil, anchorTs = Nil)
+      if (cur.anchorTs.nonEmpty && ts > cur.anchorTs.last + pattern(cur.state).timeoutUs)
+        cur.copy(state = 0, rep = 0, anchorIds = Nil, anchorTs = Nil)
       else cur
     val st = pattern(c.state)
     if (tpe == st.eventType && st.minValue.forall(value >= _)) {
       val ids = c.anchorIds :+ id
       val tss = c.anchorTs :+ ts
-      if (c.state == pattern.length - 1) {
+      if (c.rep + 1 < st.times)
+        (c.copy(rep = c.rep + 1, anchorIds = ids, anchorTs = tss), None)
+      else if (c.state == pattern.length - 1) {
         val n = c.matchNo + 1
-        (CepCursor(0, Nil, Nil, n), Some(CepGenMatch(user, n, ids, tss.head, ts)))
-      } else (CepCursor(c.state + 1, ids, tss, c.matchNo), None)
+        (CepCursor(0, 0, Nil, Nil, n), Some(CepGenMatch(user, n, ids, tss.head, ts)))
+      } else (CepCursor(c.state + 1, 0, ids, tss, c.matchNo), None)
     } else (c, None)
   }
 

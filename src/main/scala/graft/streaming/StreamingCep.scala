@@ -6,9 +6,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.operators.{Cep, CepCursor, CepGenMatch, CepMatch, CepStep}
 
 /** Keyed CEP automaton state: the generic cursor (sought-step index,
-  * matched anchors, match counter — O(pattern) per user, forever) plus
-  * the last consumed (ts, id) for the ordering contract. */
-case class CepState(state: Int, anchorIds: Seq[Long], anchorTs: Seq[Long],
+  * repetitions consumed, matched anchors, match counter — O(pattern)
+  * per user, forever) plus the last consumed (ts, id) for the ordering
+  * contract. */
+case class CepState(state: Int, rep: Int, anchorIds: Seq[Long], anchorTs: Seq[Long],
                     matchNo: Long, lastTs: Long, lastId: Long, started: Boolean)
 
 /** S31 — streaming CEP: the generalized pattern automaton
@@ -48,8 +49,8 @@ object StreamingCep {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (user, rows, gs: GroupState[CepState]) =>
           var st = gs.getOption.getOrElse(
-            CepState(0, Nil, Nil, 0L, 0L, 0L, started = false))
-          var cur = CepCursor(st.state, st.anchorIds, st.anchorTs, st.matchNo)
+            CepState(0, 0, Nil, Nil, 0L, 0L, 0L, started = false))
+          var cur = CepCursor(st.state, st.rep, st.anchorIds, st.anchorTs, st.matchNo)
           val out = Vector.newBuilder[CepGenMatch]
           // Intra-batch sort only — the cursor, not the history, crosses
           // batches, so state stays O(pattern) however long the user lives.
@@ -64,7 +65,7 @@ object StreamingCep {
             m.foreach(out += _)
             st = st.copy(lastTs = ts, lastId = id, started = true)
           }
-          gs.update(CepState(cur.state, cur.anchorIds, cur.anchorTs,
+          gs.update(CepState(cur.state, cur.rep, cur.anchorIds, cur.anchorTs,
             cur.matchNo, st.lastTs, st.lastId, st.started))
           out.result().iterator
       }

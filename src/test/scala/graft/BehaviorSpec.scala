@@ -195,6 +195,48 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq((7L, 1L, Seq(2L, 3L, 4L, 5L), 300L)))
   }
 
+  test("Q139b: quantified steps — exact counts, per-gap timeouts, greedy strictness") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val pat = Seq(
+      CepStep("click", timeoutUs = 1000L, times = 3),
+      CepStep("purchase", minValue = Some(30.0), timeoutUs = 2000L))
+    def run(evs: (Long, Long, Long, String, Double)*) =
+      Cep.matchesGeneric(mk(evs), pat)
+        .select("user_id", "match_no", "step_event_ids", "duration_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+        .toSeq
+    // Exactly three clicks (each gap <= 1000) then a qualifying
+    // purchase (gap <= 2000) — one match carrying all four ids.
+    assert(run((1, 0, 7, "click", 0), (2, 900, 7, "click", 0),
+      (3, 1800, 7, "click", 0), (4, 3500, 7, "purchase", 30))
+      == Seq((7L, 1L, Seq(1L, 2L, 3L, 4L), 3500L)))
+    // TWO clicks then a purchase: the count is exact, no match.
+    assert(run((1, 0, 7, "click", 0), (2, 900, 7, "click", 0),
+      (3, 1500, 7, "purchase", 99)).isEmpty)
+    // A gap violation INSIDE the repetitions resets — and the late
+    // click re-anchors (timeout-then-reprocess), so a fresh burst
+    // after it still matches.
+    assert(run((1, 0, 7, "click", 0), (2, 1001, 7, "click", 0),
+      (3, 1900, 7, "click", 0), (4, 2100, 7, "click", 0),
+      (5, 2500, 7, "purchase", 50))
+      == Seq((7L, 1L, Seq(2L, 3L, 4L, 5L), 1499L)))
+    // Greedy strictness: a FOURTH click while seeking the purchase is
+    // ignored, not re-anchored — the burst's first three keep credit.
+    assert(run((1, 0, 7, "click", 0), (2, 100, 7, "click", 0),
+      (3, 200, 7, "click", 0), (4, 300, 7, "click", 0),
+      (5, 400, 7, "purchase", 50))
+      == Seq((7L, 1L, Seq(1L, 2L, 3L, 5L), 400L)))
+    // Non-overlap: seven clicks + purchase yields ONE match (the
+    // first three clicks), not C(7,3).
+    assert(run((1, 0, 7, "click", 0), (2, 100, 7, "click", 0),
+      (3, 200, 7, "click", 0), (4, 300, 7, "click", 0),
+      (5, 400, 7, "click", 0), (6, 500, 7, "click", 0),
+      (7, 600, 7, "click", 0), (8, 700, 7, "purchase", 50)).size == 1)
+  }
+
   test("Q138/Q139 scale shape: one user shuffle + external sort + mapPartitions — no per-group materialization") {
     val plan = Behavior.cepMatches(events, WindowUs)
       .queryExecution.sparkPlan.toString

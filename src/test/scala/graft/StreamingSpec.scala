@@ -2064,6 +2064,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, "generalized stream must emit exactly the batch matches")
   }
 
+  test("S31c: quantified streaming CEP — repetition counts survive microbatch boundaries, stream ≡ batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Cep, CepStep}
+    import graft.streaming.StreamingCep
+    // The rep counter is new cursor state: cut the stream so bursts
+    // straddle batch boundaries mid-repetition and the counts must
+    // carry across in the state store.
+    val pat = Seq(
+      CepStep("click", timeoutUs = 172800000000L, times = 3),
+      CepStep("purchase", minValue = Some(30.0), timeoutUs = 172800000000L))
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val want = Cep.matchesGeneric(ev, pat)
+      .select("user_id", "match_no", "step_event_ids", "start_ts_us", "end_ts_us")
+      .collect().map(_.toString).toSeq.sorted
+    assert(want.nonEmpty)
+    val rows = ev
+      .where(col("event_type").isin("click", "purchase"))
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect()
+      .sortBy(e => (e._3, e._2)).toSeq
+    // FIVE cuts — more boundaries for a mid-burst straddle.
+    val n = rows.size
+    val cuts = (0 until 5).map(i => rows.slice(i * n / 5, (i + 1) * n / 5))
+    val src = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = StreamingCep
+      .matchesPattern(src.toDF()
+        .toDF("user_id", "event_id", "ts_us", "event_type", "value"), pat)
+      .writeStream.format("memory").queryName("s31c_out")
+      .outputMode("update").start()
+    try cuts.foreach { c => src.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("s31c_out")
+      .select("user_id", "match_no", "step_event_ids", "start_ts_us", "end_ts_us")
+      .collect().map(_.toString).toSeq.sorted
+    assert(got == want, "quantified stream must emit exactly the batch matches")
+  }
+
   test("S32: streaming priority sample — the maintained top-(k+1) sample yields the exact batch-on-prefix estimate at every cut, O(k) state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
