@@ -265,7 +265,13 @@ object ScaleSmoke {
       // shuffle as span_dedup with ~2x the instance volume — expect
       // ~linear plus the duplicate-mass explode.
       ("anchored_span_dedup", (df: DataFrame) => Curation.spanDedupAnchored(df, 10, 8),
-        c => scaledDocs(spark, dir, c)))
+        c => scaledDocs(spark, dir, c)),
+      // Round-9: quantified pattern — identical fold shape, the rep
+      // counter adds O(1) — expect ~linear.
+      ("cep_quantified", (df: DataFrame) => Cep.matchesGeneric(df, Seq(
+          CepStep("click", timeoutUs = 172800000000L, times = 3),
+          CepStep("purchase", minValue = Some(30.0), timeoutUs = 172800000000L))),
+        c => scaledEvents(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

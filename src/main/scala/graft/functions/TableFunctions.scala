@@ -110,5 +110,32 @@ object TableFunctions {
       "graft_trend_ols(events_view) — q137 per-type OLS trend", 1) { args =>
       graft.operators.Temporal.trendOls(
         SparkSession.active.table(strArg(args, 0, "graft_trend_ols")))
-    })
+    },
+    tvf("graft_fact_at",
+      "graft_fact_at(store_dir, version) — q140 raw-lake snapshot read (-1 = latest)", 2) { args =>
+      graft.sources.FactStore.read(SparkSession.active,
+        strArg(args, 0, "graft_fact_at"), longArg(args, 1, "graft_fact_at"))
+    }) :+ factBoxTvf
+
+  /** `graft_fact_box(store_dir, col, lo, hi [, col2, lo2, hi2 …])` —
+    * the q140d pruned box read from SQL: variadic (column, lo, hi)
+    * triples after the store path; the manifest prunes files before
+    * any data I/O, the residual pushes into the survivors, tombstones
+    * still apply. The one TVF that can't use the fixed-arity helper. */
+  private def factBoxTvf: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (new FunctionIdentifier("graft_fact_box"),
+      new ExpressionInfo("graft.functions.TableFunctions", "graft_fact_box",
+        "graft_fact_box(store_dir, col, lo, hi, ...) — pruned box read over the versioned lake"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 4 && (args.length - 1) % 3 == 0,
+          "graft_fact_box takes a store path plus (column, lo, hi) triples")
+        val dir = strArg(args, 0, "graft_fact_box")
+        val bounds = (1 until args.length by 3).map { i =>
+          strArg(args, i, "graft_fact_box") ->
+            (longArg(args, i + 1, "graft_fact_box"),
+              longArg(args, i + 2, "graft_fact_box"))
+        }.toMap
+        graft.sources.FactStore.readBox(SparkSession.active, dir, bounds)
+          .queryExecution.logical
+      })
 }

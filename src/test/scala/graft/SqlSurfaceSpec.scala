@@ -98,6 +98,23 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Temporal.trendOls(ev))
   }
 
+  test("graft_fact_at / graft_fact_box ≡ FactStore reads — the lakehouse from SQL") {
+    import graft.sources.{FactStore => F}
+    import org.apache.spark.sql.functions.col
+    val e = ev
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlfact").toString
+    F.build(e.select(col("event_id"), col("user_id"), col("ts_us"),
+      col("event_type"), col("value")), dir, "event_id", Seq("user_id", "ts_us"), 4)
+    F.deleteMatching(spark, dir, col("user_id") % 5 === 1)
+    pinned(s"SELECT * FROM graft_fact_at('$dir', 1)", F.read(spark, dir, 1L))
+    pinned(s"SELECT * FROM graft_fact_at('$dir', -1)", F.read(spark, dir))
+    pinned(s"SELECT * FROM graft_fact_box('$dir', 'user_id', 3, 5)",
+      F.readBox(spark, dir, Map("user_id" -> (3L, 5L))))
+    val e1 = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_fact_box('$dir', 'user_id', 3)").collect())
+    assert(e1 != null)
+  }
+
   test("the TVF composes with outer SQL — filters and projections apply on top") {
     ev
     val n = spark.sql(
