@@ -1538,6 +1538,23 @@ object SparkEntry {
           col("step_event_ids")(3).as("purchase_event_id"),
           col("duration_us"))
         .orderBy("user_id", "match_no")),
+    "q139c_cep_alternation" -> ((s, d) =>
+      // Alternation (MATCH_RECOGNIZE (A|B)): signup, then TWO
+      // engagement events of EITHER kind (view|click) each within the
+      // window, then a purchase — same kernel, same fold, the
+      // recursive-CTE oracle's hit predicate is an IN list.
+      Cep.matchesGeneric(Tables.events(s, d), Seq(
+          CepStep("signup"),
+          CepStep("view", altTypes = Seq("click"),
+            timeoutUs = CepWithinUs, times = 2),
+          CepStep("purchase", timeoutUs = CepWithinUs)))
+        .select(col("user_id"), col("match_no"),
+          col("step_event_ids")(0).as("signup_event_id"),
+          col("step_event_ids")(1).as("eng1_event_id"),
+          col("step_event_ids")(2).as("eng2_event_id"),
+          col("step_event_ids")(3).as("purchase_event_id"),
+          col("duration_us"))
+        .orderBy("user_id", "match_no")),
     "q140_fact_delete" -> ((s, d) =>
       // Row-level DELETE on the raw events lake: a reader pinned to v2
       // (post-GDPR-delete, pre-upsert) sees the subject users gone —
@@ -1562,6 +1579,13 @@ object SparkEntry {
         .toDF("version", "op", "n_live")
         .orderBy("version")
     }),
+    "q140e_fact_changes" -> ((s, d) =>
+      // Change data feed v1 → v4 on the raw lake: content-based per-key
+      // fingerprints make compaction invisible; the GDPR delete
+      // surfaces as 'delete' rows, the corrections batch as 'update'
+      // rows — the q115 incremental-maintenance contract on the fact
+      // table, so downstream indexes can roll forward ∝ changes.
+      graft.sources.FactStore.changes(s, ensureFactStore(s, d), 1L, 4L)),
     "q140d_fact_box" -> ((s, d) =>
       // A (user, time) box over the DML'd lake: per-segment manifest
       // stats prune files BEFORE any data I/O, the residual predicate
@@ -3377,6 +3401,57 @@ object SparkEntry {
                  c2_id AS click2_event_id, c3_id AS click3_event_id,
                  e_id AS purchase_event_id, e_ts - c1_ts AS duration_us
           FROM m WHERE emit ORDER BY user_id, match_no""",
+    // Q139c: alternation — the engagement step's hit predicate is an
+    // IN list; state machine otherwise the q139b (state, rep) shape.
+    "q139c_cep_alternation" ->
+      s"""WITH RECURSIVE
+          ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS i
+                 FROM events
+                 WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+          m AS (
+            SELECT user_id, CAST(0 AS BIGINT) AS i, 0 AS state, 0 AS rep,
+                   CAST(0 AS BIGINT) AS s0_id, CAST(0 AS BIGINT) AS s0_ts,
+                   CAST(0 AS BIGINT) AS e1_id, CAST(0 AS BIGINT) AS e2_id,
+                   CAST(0 AS BIGINT) AS last_ts,
+                   CAST(0 AS BIGINT) AS match_no, FALSE AS emit,
+                   CAST(0 AS BIGINT) AS e_id, CAST(0 AS BIGINT) AS e_ts
+            FROM (SELECT DISTINCT user_id FROM ev)
+            UNION ALL
+            SELECT user_id, i,
+              CASE WHEN hit AND eff_state = 0 THEN 1
+                   WHEN hit AND eff_state = 1 AND eff_rep + 1 >= 2 THEN 2
+                   WHEN hit AND eff_state = 2 THEN 0
+                   ELSE eff_state END AS state,
+              CASE WHEN hit AND eff_state = 1 AND eff_rep + 1 < 2 THEN eff_rep + 1
+                   WHEN hit THEN 0 ELSE eff_rep END AS rep,
+              CASE WHEN hit AND eff_state = 0 THEN e_id ELSE s0_id END,
+              CASE WHEN hit AND eff_state = 0 THEN e_ts ELSE s0_ts END,
+              CASE WHEN hit AND eff_state = 1 AND eff_rep = 0 THEN e_id ELSE e1_id END,
+              CASE WHEN hit AND eff_state = 1 AND eff_rep = 1 THEN e_id ELSE e2_id END,
+              CASE WHEN hit THEN e_ts ELSE last_ts END AS last_ts,
+              match_no + CASE WHEN hit AND eff_state = 2 THEN 1 ELSE 0 END,
+              hit AND eff_state = 2 AS emit, e_id, e_ts
+            FROM (SELECT *, CASE eff_state WHEN 0 THEN event_type = 'signup'
+                                           WHEN 1 THEN event_type IN ('view', 'click')
+                                           ELSE event_type = 'purchase' END AS hit
+                  FROM (SELECT m.user_id, e.i, m.s0_id, m.s0_ts, m.e1_id,
+                               m.e2_id, m.last_ts, m.match_no,
+                               e.event_id AS e_id, e.ts_us AS e_ts,
+                               e.event_type, e.value,
+                               CASE WHEN (m.state > 0 OR m.rep > 0)
+                                      AND e.ts_us > m.last_ts + $CepWithinUs
+                                    THEN 0 ELSE m.state END AS eff_state,
+                               CASE WHEN (m.state > 0 OR m.rep > 0)
+                                      AND e.ts_us > m.last_ts + $CepWithinUs
+                                    THEN 0 ELSE m.rep END AS eff_rep
+                        FROM m JOIN ev e
+                          ON e.user_id = m.user_id AND e.i = m.i + 1) t0) t1)
+          SELECT user_id, match_no, s0_id AS signup_event_id,
+                 e1_id AS eng1_event_id, e2_id AS eng2_event_id,
+                 e_id AS purchase_event_id, e_ts - s0_ts AS duration_us
+          FROM m WHERE emit ORDER BY user_id, match_no""",
     // Q140 family: the raw-lake DML lifecycle restated as plain scans —
     // v2 = delete applied; latest = delete + corrections batch (the
     // upsert set is disjoint from the deleted users by construction, so
@@ -3403,6 +3478,18 @@ object SparkEntry {
             UNION ALL SELECT 3, 'upsert', c FROM n1
             UNION ALL SELECT 4, 'compact', c FROM n1)
           ORDER BY version""",
+    // Q140e: the lifecycle's net changes restated — deleted users'
+    // rows are 'delete'; the (disjoint) corrections batch is 'update'
+    // (value + bump and type both moved, so content fingerprints
+    // differ); compact moves nothing.
+    "q140e_fact_changes" ->
+      s"""SELECT event_id,
+                 CASE WHEN user_id % $FactDelUserMod = $FactDelUserRes
+                      THEN 'delete' ELSE 'update' END AS change
+          FROM events
+          WHERE user_id % $FactDelUserMod = $FactDelUserRes
+             OR event_id % $FactPatchMod = $FactPatchRes
+          ORDER BY event_id""",
     "q140d_fact_box" ->
       s"""SELECT event_id, user_id, ts_us,
                  CASE WHEN patched THEN 'corrected' ELSE event_type END AS event_type,

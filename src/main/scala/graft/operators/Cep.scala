@@ -26,10 +26,17 @@ import org.apache.spark.sql.functions._
   *                  (greedy/reluctant), which is a semantics choice an
   *                  oracle comparison cannot paper over, so ranges are
   *                  deliberately not offered.
+  * @param altTypes  alternation (MATCH_RECOGNIZE `(A|B)`): additional
+  *                  event types this step also accepts, under the same
+  *                  value predicate and timeout.
   */
 case class CepStep(eventType: String, minValue: Option[Double] = None,
-                   timeoutUs: Long = Long.MaxValue, times: Int = 1) {
+                   timeoutUs: Long = Long.MaxValue, times: Int = 1,
+                   altTypes: Seq[String] = Nil) {
   require(times >= 1, s"a step needs times >= 1, got $times")
+  def matchesType(tpe: String): Boolean =
+    tpe == eventType || altTypes.contains(tpe)
+  def allTypes: Seq[String] = eventType +: altTypes
 }
 
 /** One emitted generic pattern match: the matched step event ids in
@@ -117,7 +124,7 @@ object Cep {
         cur.copy(state = 0, rep = 0, anchorIds = Nil, anchorTs = Nil)
       else cur
     val st = pattern(c.state)
-    if (tpe == st.eventType && st.minValue.forall(value >= _)) {
+    if (st.matchesType(tpe) && st.minValue.forall(value >= _)) {
       val ids = c.anchorIds :+ id
       val tss = c.anchorTs :+ ts
       if (c.rep + 1 < st.times)
@@ -138,7 +145,7 @@ object Cep {
     import spark.implicits._
     val pat = pattern.toIndexedSeq
     require(pat.nonEmpty, "CEP pattern needs at least one step")
-    val types = pat.map(_.eventType).distinct
+    val types = pat.flatMap(_.allTypes).distinct
     events
       .where(col("event_type").isin(types: _*))
       .select(col("user_id"), col("event_id"), col("ts_us"),

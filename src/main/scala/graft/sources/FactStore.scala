@@ -279,6 +279,34 @@ object FactStore {
     spark.read.parquet(s"$dir/${anySeg.get.dir}").where(lit(false))
   }
 
+  /** Change data feed between two committed versions: per-key changes
+    * (insert | update | delete), CONTENT-based — each version's live
+    * rows reduce to a per-key fingerprint (one hash over the non-key
+    * columns), so physical maintenance (compact, restore, z-order
+    * rewrites) is invisible by construction and only real row changes
+    * surface; the q115 contract, on the raw lake. Work ∝ the two live
+    * snapshots' scans + one key-partitioned join — never the version
+    * count. */
+  def changes(spark: SparkSession, dir: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    val (keyCol, _, _) = metaOf(spark, dir, M.currentVersion(spark, dir))
+    def fp(v: Long): DataFrame = {
+      val live = read(spark, dir, v)
+      val others = live.columns.filter(_ != keyCol).sorted.map(col)
+      live.select(col(keyCol), xxhash64(struct(others: _*)).as("fp"))
+    }
+    val a = fp(fromVersion).select(col(keyCol), col("fp").as("fp_a"))
+    val b = fp(toVersion).select(col(keyCol), col("fp").as("fp_b"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("fp_a").isNull, lit("insert"))
+          .when(col("fp_b").isNull, lit("delete"))
+          .when(col("fp_a") =!= col("fp_b"), lit("update")))
+      .where(col("change").isNotNull)
+      .select(col(keyCol), col("change"))
+      .orderBy(keyCol)
+  }
+
   // --------------------------------------------------- pruned box reads
 
   private final case class SegStats(seg: String, statsCols: Seq[String],

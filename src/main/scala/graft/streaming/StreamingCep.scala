@@ -38,7 +38,7 @@ object StreamingCep {
     import events.sparkSession.implicits._
     val pat = pattern.toIndexedSeq
     require(pat.nonEmpty, "CEP pattern needs at least one step")
-    val types = pat.map(_.eventType).distinct
+    val types = pat.flatMap(_.allTypes).distinct
     events
       .where(col("event_type").isin(types: _*))
       .select(col("user_id"), col("event_id"), col("ts_us"),

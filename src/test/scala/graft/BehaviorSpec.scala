@@ -237,6 +237,45 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (7, 600, 7, "click", 0), (8, 700, 7, "purchase", 50)).size == 1)
   }
 
+  test("Q139c: alternation — either type fills a repetition, non-listed types don't, value predicate still binds") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val pat = Seq(
+      CepStep("signup"),
+      CepStep("view", altTypes = Seq("click"), timeoutUs = 1000L, times = 2),
+      CepStep("purchase", timeoutUs = 1000L))
+    def run(evs: (Long, Long, Long, String, Double)*) =
+      Cep.matchesGeneric(mk(evs), pat)
+        .select("user_id", "match_no", "step_event_ids")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    // view+click mix fills the two repetitions.
+    assert(run((1, 0, 7, "signup", 0), (2, 100, 7, "view", 0),
+      (3, 200, 7, "click", 0), (4, 300, 7, "purchase", 0))
+      == Seq((7L, 1L, Seq(1L, 2L, 3L, 4L))))
+    // click+click also fills them (pure alternate type).
+    assert(run((1, 0, 7, "signup", 0), (2, 100, 7, "click", 0),
+      (3, 200, 7, "click", 0), (4, 300, 7, "purchase", 0))
+      == Seq((7L, 1L, Seq(1L, 2L, 3L, 4L))))
+    // An unlisted type ('error') neither fills nor resets.
+    assert(run((1, 0, 7, "signup", 0), (2, 100, 7, "view", 0),
+      (3, 150, 7, "error", 0), (4, 200, 7, "click", 0),
+      (5, 300, 7, "purchase", 0))
+      == Seq((7L, 1L, Seq(1L, 2L, 4L, 5L))))
+    // One engagement is not two.
+    assert(run((1, 0, 7, "signup", 0), (2, 100, 7, "view", 0),
+      (3, 200, 7, "purchase", 0)).isEmpty)
+    // A value floor binds across BOTH alternation types.
+    val patV = Seq(
+      CepStep("view", altTypes = Seq("click"), minValue = Some(10.0)),
+      CepStep("purchase", timeoutUs = 1000L))
+    val gotV = Cep.matchesGeneric(mk(Seq(
+        (1L, 0L, 7L, "click", 5.0), (2L, 100L, 7L, "view", 5.0),
+        (3L, 200L, 7L, "click", 15.0), (4L, 300L, 7L, "purchase", 0.0))), patV)
+      .select("step_event_ids").collect().map(_.getSeq[Long](0)).toSeq
+    assert(gotV == Seq(Seq(3L, 4L)))
+  }
+
   test("Q138/Q139 scale shape: one user shuffle + external sort + mapPartitions — no per-group materialization") {
     val plan = Behavior.cepMatches(events, WindowUs)
       .queryExecution.sparkPlan.toString

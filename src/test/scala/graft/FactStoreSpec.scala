@@ -132,6 +132,31 @@ class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("change feed: every lifecycle edge surfaces as exactly its row changes; compaction is invisible") {
+    import spark.implicits._
+    def feed(a: Long, b: Long): Map[String, Set[Long]] =
+      F.changes(spark, dmlDir, a, b).as[(Long, String)].collect()
+        .groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+    // v1 -> v2: the append — pure inserts of the odd ids.
+    val f12 = feed(1L, 2L)
+    assert(f12.keySet == Set("insert") &&
+      f12("insert") == ev.where(col("event_id") % 2 =!= 0)
+        .select("event_id").as[Long].collect().toSet)
+    // v2 -> v3: the GDPR delete — pure deletes of the subject users' rows.
+    val f23 = feed(2L, 3L)
+    assert(f23.keySet == Set("delete") &&
+      f23("delete") == ev.where(col("user_id") % 5 === 1)
+        .select("event_id").as[Long].collect().toSet)
+    // v3 -> v4: the corrections upsert — pure updates of the patch set.
+    val f34 = feed(3L, 4L)
+    assert(f34.keySet == Set("update") &&
+      f34("update") == ev.where(col("event_id") % 3 === 0 && col("user_id") % 5 =!= 1)
+        .select("event_id").as[Long].collect().toSet)
+    // v4 -> v5: compaction — NO content change, an empty feed.
+    assert(F.changes(spark, dmlDir, 4L, 5L).isEmpty,
+      "physical maintenance leaked into the change feed")
+  }
+
   test("readBox's residual predicate pushes into the surviving parquet scans") {
     val df = F.readBox(spark, dmlDir, Map("user_id" -> (3L, 5L)))
     val plan = df.queryExecution.executedPlan.toString
