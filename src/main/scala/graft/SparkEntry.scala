@@ -397,6 +397,25 @@ object SparkEntry {
     }
     dir
   }
+  /** Q140f: additive schema evolution — v1 holds the even events in
+    * the ORIGINAL schema; v2 appends the odd events WITH a new
+    * `source` column; old rows null-fill at read (the mergeSchema
+    * contract), pruning stats unaffected (indexed columns are in both
+    * generations). */
+  private def ensureEvolvedFactStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_evo_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 2L) {
+      val ev = factEvents(s, d)
+      graft.sources.FactStore.build(ev.where(col("event_id") % 2 === 0),
+        dir, "event_id", Seq("user_id", "ts_us"), FactFiles,
+        Seq("user_id", "ts_us", "event_id"))
+      graft.sources.FactStore.append(s, dir,
+        ev.where(col("event_id") % 2 =!= 0)
+          .withColumn("source", expr("concat('s', CAST(user_id % 3 AS STRING))")),
+        FactFiles)
+    }
+    dir
+  }
   /** The RAW document lake after the SAME q127 erasure: a FactStore
     * over documents (v1 build, v2 tombstone-delete of the subject
     * residue) — the takedown must land on the source of truth, not
@@ -1579,6 +1598,14 @@ object SparkEntry {
         .toDF("version", "op", "n_live")
         .orderBy("version")
     }),
+    "q140f_fact_evolution" -> ((s, d) =>
+      // Additive schema evolution: an appended batch carries a NEW
+      // column; pre-evolution rows read as null (mergeSchema), the
+      // indexed columns are present in every generation so skipping
+      // survives, and the full read restates as a plain scan with a
+      // CASE-built column.
+      graft.sources.FactStore.read(s, ensureEvolvedFactStore(s, d))
+        .orderBy("event_id")),
     "q140e_fact_changes" -> ((s, d) =>
       // Change data feed v1 → v4 on the raw lake: content-based per-key
       // fingerprints make compaction invisible; the GDPR delete
@@ -3478,6 +3505,15 @@ object SparkEntry {
             UNION ALL SELECT 3, 'upsert', c FROM n1
             UNION ALL SELECT 4, 'compact', c FROM n1)
           ORDER BY version""",
+    // Q140f: evolved read — odd rows (the appended, evolved batch)
+    // carry source = 's' || user_id % 3; even rows (pre-evolution
+    // generation) null-fill.
+    "q140f_fact_evolution" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value,
+                 CASE WHEN event_id % 2 <> 0
+                      THEN 's' || CAST(user_id % 3 AS VARCHAR)
+                      ELSE NULL END AS source
+          FROM events ORDER BY event_id""",
     // Q140e: the lifecycle's net changes restated — deleted users'
     // rows are 'delete'; the (disjoint) corrections batch is 'update'
     // (value + bump and type both moved, so content fingerprints

@@ -127,11 +127,23 @@ object FactStore {
   def append(spark: SparkSession, dir: String, df: DataFrame, nFiles: Int): Long =
     synchronized { appendImpl(spark, dir, df, nFiles, Map.empty) }
 
+  /** Additive schema evolution contract: a batch may carry NEW columns
+    * (old segments null-fill at read — [[readScopedTolerant]]) and may
+    * omit non-indexed columns, but the key and every stats/order column
+    * must be present — the skipping tier is non-negotiable. */
+  private def requireIndexed(df: DataFrame, keyCol: String, statsCols: Seq[String]): Unit = {
+    val missing = (keyCol +: statsCols).distinct.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"batch is missing indexed column(s): ${missing.mkString(", ")} — " +
+        "schema evolution is additive; the key and stats/order columns are required")
+  }
+
   private def appendImpl(spark: SparkSession, dir: String, df: DataFrame,
                          nFiles: Int, extraMeta: Map[String, String]): Long = {
     if (df.isEmpty) return M.currentVersion(spark, dir)
     val prior = M.snapshot(spark, dir)
-    val (_, orderCols, statsCols) = metaOf(spark, dir, prior.version)
+    val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
+    requireIndexed(df, keyCol, statsCols)
     val v = prior.version + 1
     val seg = writeDataSegment(spark, dir, segName(v, "append"), df,
       orderCols, statsCols, nFiles)
@@ -201,6 +213,7 @@ object FactStore {
     if (df.isEmpty) return M.currentVersion(spark, dir)
     val prior = M.snapshot(spark, dir)
     val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
+    requireIndexed(df, keyCol, statsCols)
     val keys = df.select(col(keyCol).cast("long").as(keyCol)).distinct()
     require(keys.count() == df.count(),
       "upsert batch carries duplicate keys — two same-commit " +
@@ -248,6 +261,21 @@ object FactStore {
     readLive(spark, dir, snap, snap.segments.filter(_.kind == "data"))
   }
 
+  /** Version-stamped union of data segments, SCHEMA-TOLERANT: segments
+    * written before an additive schema evolution lack the new columns,
+    * so the union aligns by name and null-fills (`allowMissingColumns`)
+    * — the Delta/Iceberg mergeSchema read. Column order follows the
+    * oldest referenced segment, then new columns in first-appearance
+    * order — deterministic, since the manifest's segment list is. */
+  private def readScopedTolerant(spark: SparkSession, dir: String,
+                                 segs: Seq[M.Segment], vCol: String): Option[DataFrame] = {
+    val frames = segs.filter(s => s.kind == "data" && s.files.nonEmpty).map { s =>
+      spark.read.parquet(s.files.map(f => s"$dir/${s.dir}/$f"): _*)
+        .withColumn(vCol, lit(M.createdVersion(s)))
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
   private def readLive(spark: SparkSession, dir: String, snap: M.Snapshot,
                        dataSegs: Seq[M.Segment],
                        keepFiles: Option[Map[String, Seq[String]]] = None): DataFrame = {
@@ -258,8 +286,7 @@ object FactStore {
         .map(s => s.copy(files = k.getOrElse(s.dir, Seq.empty)))
         .filter(_.files.nonEmpty)
     }
-    val data = M.readSegmentsScoped(spark, dir, segs, "data",
-      partitioned = false, "_seg_v")
+    val data = readScopedTolerant(spark, dir, segs, "_seg_v")
       .getOrElse(return emptyLike(spark, dir, snap))
     M.readSegmentsScoped(spark, dir, snap.segments, "tomb",
       partitioned = false, "_tomb_v") match {
@@ -290,13 +317,20 @@ object FactStore {
   def changes(spark: SparkSession, dir: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
     val (keyCol, _, _) = metaOf(spark, dir, M.currentVersion(spark, dir))
-    def fp(v: Long): DataFrame = {
-      val live = read(spark, dir, v)
-      val others = live.columns.filter(_ != keyCol).sorted.map(col)
-      live.select(col(keyCol), xxhash64(struct(others: _*)).as("fp"))
+    val la = read(spark, dir, fromVersion)
+    val lb = read(spark, dir, toVersion)
+    // Fingerprint over the ALIGNED column set: a version that predates
+    // an additive schema evolution hashes the new column as null, and
+    // Spark's hash functions skip nulls — so adding a column does NOT
+    // flag every old row as updated; only rows whose VALUES moved do.
+    val allCols = (la.columns ++ lb.columns).distinct.filter(_ != keyCol).sorted
+    def fp(live: DataFrame): DataFrame = {
+      val aligned = allCols.map(c =>
+        if (live.columns.contains(c)) col(c) else lit(null).as(c))
+      live.select(col(keyCol), xxhash64(struct(aligned: _*)).as("fp"))
     }
-    val a = fp(fromVersion).select(col(keyCol), col("fp").as("fp_a"))
-    val b = fp(toVersion).select(col(keyCol), col("fp").as("fp_b"))
+    val a = fp(la).select(col(keyCol), col("fp").as("fp_a"))
+    val b = fp(lb).select(col(keyCol), col("fp").as("fp_b"))
     a.join(b, Seq(keyCol), "full_outer")
       .withColumn("change",
         when(col("fp_a").isNull, lit("insert"))

@@ -185,6 +185,65 @@ class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     f.delete(new Path(s"$dmlDir/seg-00000099-delete-tomb-orphan"), true)
   }
 
+  test("additive schema evolution: new columns null-fill old generations, indexed columns stay required, pruning and DML survive") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_fact_evo").toString
+    F.build(ev.where(col("event_id") % 2 === 0), d, "event_id",
+      Seq("user_id", "ts_us"), 4, Seq("user_id", "ts_us", "event_id"))
+    F.append(spark, d,
+      ev.where(col("event_id") % 2 =!= 0)
+        .withColumn("source", lit("batch2")), 4)
+    val live = F.read(spark, d)
+    assert(live.columns.contains("source"))
+    // Pre-evolution rows null-fill; evolved rows carry the value.
+    assert(live.where(col("event_id") % 2 === 0 && col("source").isNotNull).isEmpty)
+    assert(live.where(col("event_id") % 2 =!= 0 && col("source") =!= "batch2").isEmpty)
+    assert(live.count() == ev.count())
+    // A batch MISSING an indexed column is rejected loudly.
+    val e = intercept[IllegalArgumentException] {
+      F.append(spark, d, ev.limit(5).drop("ts_us"), 2)
+    }
+    assert(e.getMessage.contains("missing indexed column"))
+    // DML composes with evolution: upsert a patched evolved row over a
+    // PRE-evolution key — the replacement carries the new column.
+    val patch = ev.where(col("event_id") === 0)
+      .withColumn("source", lit("patched"))
+    if (!patch.isEmpty) {
+      F.upsert(spark, d, patch, 2)
+      val got = F.read(spark, d).where(col("event_id") === 0)
+        .select("source").collect().map(_.getString(0)).toSeq
+      assert(got == Seq("patched"))
+    }
+    // The change feed does NOT flag unchanged rows across the
+    // evolution boundary: v1 -> v2 is pure inserts (the appended odd
+    // rows), no spurious updates from the schema change.
+    val f12 = F.changes(spark, d, 1L, 2L)
+      .as[(Long, String)].collect().groupBy(_._2).view.mapValues(_.length).toMap
+    assert(f12.keySet == Set("insert"),
+      s"schema evolution must not fabricate changes, got $f12")
+    // Pruning still prunes across mixed-schema generations.
+    val (kept, total) = F.pruneBox(spark, d, Map("user_id" -> (3L, 5L)))
+    assert(kept.values.map(_.size).sum < total)
+  }
+
+  test("concurrent writers: the version slot is optimistic — the loser's commit throws and the winner's store is intact") {
+    val d = Files.createTempDirectory("graft_fact_conflict").toString
+    F.build(ev.limit(200), d, "event_id", Seq("user_id", "ts_us"), 2)
+    // Two writers race version 2 (simulated at the ManifestLog layer —
+    // in-process FactStore calls serialize on the object lock, so the
+    // race is the cross-process one).
+    val prior = M.snapshot(spark, d)
+    val f = M.fs(spark, d)
+    M.commit(f, d, prior.copy(version = 2L, op = "writer-a"))
+    val e = intercept[IllegalStateException] {
+      M.commit(f, d, prior.copy(version = 2L, op = "writer-b"))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(M.snapshot(spark, d).op == "writer-a",
+      "the losing writer must not clobber the winner")
+    assert(sortedRows(F.read(spark, d)) == sortedRows(ev.limit(200)))
+  }
+
   test("restore republishes an old version as a NEW commit; vacuum keeps retained versions byte-identical") {
     val d = Files.createTempDirectory("graft_fact_restore").toString
     F.build(ev, d, "event_id", Seq("user_id", "ts_us"), nFiles)
