@@ -155,7 +155,8 @@ object Bench {
                    // travel, not store maintenance. (q127's store build
                    // stays inside the timed query by design — the
                    // erasure audit bills its own takedown.)
-                   "q140_fact_delete" -> sfDir))
+                   "q140_fact_delete" -> sfDir,
+                   "q140f_fact_evolution" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Fixed-work CPU calibration: a constant amount of pure computation
