@@ -119,8 +119,11 @@ object Cep {
     * step (or emits, on the terminal step). */
   def step(pattern: IndexedSeq[CepStep], cur: CepCursor, user: Long,
            id: Long, ts: Long, tpe: String, value: Double): (CepCursor, Option[CepGenMatch]) = {
+    // Overflow-safe gap check: events fold in ts order, so the
+    // difference is non-negative; `last + timeoutUs` would wrap for the
+    // Long.MaxValue no-timeout sentinel and falsely reset every cursor.
     val c =
-      if (cur.anchorTs.nonEmpty && ts > cur.anchorTs.last + pattern(cur.state).timeoutUs)
+      if (cur.anchorTs.nonEmpty && ts - cur.anchorTs.last > pattern(cur.state).timeoutUs)
         cur.copy(state = 0, rep = 0, anchorIds = Nil, anchorTs = Nil)
       else cur
     val st = pattern(c.state)

@@ -276,6 +276,40 @@ class BehaviorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotV == Seq(Seq(3L, 4L)))
   }
 
+  test("no-timeout steps (Long.MaxValue sentinel) match across arbitrary gaps — overflow regression") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    def run(pat: Seq[CepStep], evs: (Long, Long, Long, String, Double)*) =
+      Cep.matchesGeneric(mk(evs), pat)
+        .select("user_id", "match_no", "step_event_ids")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    // Two steps, both default (no) timeouts: a year-scale gap between
+    // view and purchase must still match — `anchor + Long.MaxValue`
+    // would wrap negative and reset the cursor on every event.
+    val noTmo = Seq(CepStep("view"), CepStep("purchase"))
+    assert(run(noTmo,
+      (1, 1000000L, 7, "view", 0), (2, 31557600000000L, 7, "purchase", 0))
+      == Seq((7L, 1L, Seq(1L, 2L))))
+    // A quantified anchor with no timeout completes across gaps too.
+    val quant = Seq(CepStep("click", times = 2), CepStep("purchase"))
+    assert(run(quant,
+      (1, 1000L, 7, "click", 0), (2, 99999999999999L, 7, "click", 0),
+      (3, 100000000000007L, 7, "purchase", 0))
+      == Seq((7L, 1L, Seq(1L, 2L, 3L))))
+    // Mixed: a finite-timeout middle step still times out while the
+    // no-timeout terminal step doesn't.
+    val mixed = Seq(CepStep("view"), CepStep("click", timeoutUs = 100L),
+      CepStep("purchase"))
+    assert(run(mixed,
+      (1, 0L, 7, "view", 0), (2, 50L, 7, "click", 0),
+      (3, 88888888888888L, 7, "purchase", 0))
+      == Seq((7L, 1L, Seq(1L, 2L, 3L))))
+    assert(run(mixed,
+      (1, 0L, 7, "view", 0), (2, 101L, 7, "click", 0),
+      (3, 200L, 7, "purchase", 0)).isEmpty)
+  }
+
   test("Q138/Q139 scale shape: one user shuffle + external sort + mapPartitions — no per-group materialization") {
     val plan = Behavior.cepMatches(events, WindowUs)
       .queryExecution.sparkPlan.toString

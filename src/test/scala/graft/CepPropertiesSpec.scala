@@ -53,7 +53,7 @@ object CepPropertiesSpec extends Properties("Cep") {
     var tss = List.empty[Long]
     var matchNo = 0L
     evs.foreach { e =>
-      if (tss.nonEmpty && e.ts > tss.head + pattern(state).timeoutUs) {
+      if (tss.nonEmpty && e.ts - tss.head > pattern(state).timeoutUs) {
         state = 0; rep = 0; ids = Nil; tss = Nil
       }
       val st = pattern(state)

@@ -9,6 +9,7 @@ CC="${2:-1g}"
 CPUS="${3:-32}"
 SF="${4:-/root/testdata/sf0.1}"
 SNAP=$(mktemp -d /tmp/graft-classes.XXXX)
+trap 'rm -rf "$SNAP"' EXIT
 cp -r /root/repo/target/scala-2.13/classes/* "$SNAP/"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -22,6 +23,3 @@ java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" -XX:MaxTenuringThreshold=1 \
   -XX:ReservedCodeCacheSize="$CC" -XX:+UseCodeCacheFlushing \
   -cp "$SNAP:/opt/spark/jars/*" graft.Bench
-rc=$?
-rm -rf "$SNAP"
-exit $rc
