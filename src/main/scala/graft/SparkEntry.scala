@@ -1574,6 +1574,24 @@ object SparkEntry {
           col("step_event_ids")(3).as("purchase_event_id"),
           col("duration_us"))
         .orderBy("user_id", "match_no")),
+    "q139d_cep_sql" -> ((s, d) => {
+      // The q139 pattern expressed as a SQL pattern-string literal
+      // through the graft_cep_pattern TVF — parses to the identical
+      // CepStep sequence and expands to the same matchesGeneric plan
+      // (SqlSurfaceSpec pins plan equality); the q139 oracle checks
+      // the SQL entry point end-to-end.
+      Tables.events(s, d).createOrReplaceTempView("graft_cep_events")
+      s.sql(
+        s"""SELECT user_id, match_no,
+                   step_event_ids[0] AS signup_event_id,
+                   step_event_ids[1] AS view_event_id,
+                   step_event_ids[2] AS click_event_id,
+                   step_event_ids[3] AS purchase_event_id,
+                   duration_us
+            FROM graft_cep_pattern('graft_cep_events',
+              'signup; view <= $Cep4ViewTimeoutUs; click <= $CepWithinUs; purchase >= $Cep4MinPurchase <= $CepWithinUs')
+            ORDER BY user_id, match_no""")
+    }),
     "q140_fact_delete" -> ((s, d) =>
       // Row-level DELETE on the raw events lake: a reader pinned to v2
       // (post-GDPR-delete, pre-upsert) sees the subject users gone —
@@ -2383,8 +2401,15 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Q139d answers the SAME question as q139 through the SQL TVF
+    * surface (graft_cep_pattern parses the pattern string to the
+    * identical CepStep sequence), so the one oracle checks both entry
+    * points. */
+  def oracleSql: Map[String, String] = baseOracleSql +
+    ("q139d_cep_sql" -> baseOracleSql("q139_cep_pattern4"))
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q20_sync_replay" -> q20OracleSql,
     "q01_delta_scan" -> deltaScanOracleSql,
     // Same logical query as q01 — the partitioned layout must be

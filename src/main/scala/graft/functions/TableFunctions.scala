@@ -76,6 +76,12 @@ object TableFunctions {
         SparkSession.active.table(strArg(args, 0, "graft_cep_matches")),
         longArg(args, 1, "graft_cep_matches"))
     },
+    tvf("graft_cep_pattern",
+      "graft_cep_pattern(events_view, 'type[|alt…][{n}] [>= minValue] [<= gapTimeoutUs]; …') — generalized CEP matches", 2) { args =>
+      graft.operators.Cep.matchesGeneric(
+        SparkSession.active.table(strArg(args, 0, "graft_cep_pattern")),
+        graft.operators.Cep.parsePattern(strArg(args, 1, "graft_cep_pattern")))
+    },
     tvf("graft_asof_join",
       "graft_asof_join(events_view) — q28 purchase→last-view as-of join", 1) { args =>
       graft.operators.Temporal.asofLastView(

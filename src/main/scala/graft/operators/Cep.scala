@@ -93,6 +93,62 @@ object Cep {
 
   val initCursor: CepCursor = CepCursor(0, 0, Nil, Nil, 0L)
 
+  private val StepRe =
+    """^([A-Za-z0-9_]+(?:\s*\|\s*[A-Za-z0-9_]+)*)\s*(?:\{\s*(\d+)\s*\})?((?:\s*(?:>=|<=)\s*-?\d+(?:\.\d+)?)*)$""".r
+  private val PredRe = """(>=|<=)\s*(-?\d+(?:\.\d+)?)""".r
+
+  /** Parse a compact pattern-string spec into a [[CepStep]] sequence —
+    * the SQL-literal form of bring-your-own-pattern CEP, so the
+    * `graft_cep_pattern` TVF can express everything the Scala API can
+    * (quantifiers, alternation, value floors, gap timeouts).
+    *
+    * Grammar (whitespace-insensitive inside a step):
+    * {{{
+    *   spec  := step (';' step)*
+    *   step  := type ('|' alt)* ['{' times '}'] [ '>=' minValue ] [ '<=' gapTimeoutUs ]
+    * }}}
+    * `>=` is the step's value floor (double); `<=` is the step's gap
+    * timeout in microseconds (integer; omitted = no timeout); `{n}` is
+    * the exact repetition count; `|` lists alternation types. The two
+    * predicates may appear in either order. Examples:
+    * {{{
+    *   "view; click <= 86400000000; purchase >= 50 <= 86400000000"
+    *   "click{3} <= 1000; purchase >= 30 <= 2000"
+    *   "signup; view|click{2} <= 1000; purchase <= 1000"
+    * }}}
+    * Malformed specs throw `IllegalArgumentException` naming the
+    * offending step — never a silent empty pattern. */
+  def parsePattern(spec: String): Seq[CepStep] = {
+    val steps = spec.split(";", -1).map(_.trim).toSeq
+    require(steps.nonEmpty && steps.forall(_.nonEmpty),
+      s"CEP pattern spec has an empty step: '$spec'")
+    steps.map {
+      case StepRe(types, quant, preds) =>
+        val ts = types.split("\\|").map(_.trim).toSeq
+        require(ts.distinct.length == ts.length,
+          s"duplicate type in CEP alternation '$types'")
+        val times = Option(quant).map(_.toInt).getOrElse(1)
+        var minV: Option[Double] = None
+        var tmo: Option[Long] = None
+        PredRe.findAllMatchIn(preds).foreach { m =>
+          val num = m.group(2)
+          m.group(1) match {
+            case ">=" =>
+              require(minV.isEmpty, s"duplicate '>=' value floor in CEP step '$types'")
+              minV = Some(num.toDouble)
+            case "<=" =>
+              require(tmo.isEmpty, s"duplicate '<=' gap timeout in CEP step '$types'")
+              require(!num.contains('.') && num.toLong > 0,
+                s"CEP gap timeout must be a positive integer microsecond count, got '$num' in step '$types'")
+              tmo = Some(num.toLong)
+          }
+        }
+        CepStep(ts.head, minV, tmo.getOrElse(Long.MaxValue), times, ts.tail)
+      case bad => throw new IllegalArgumentException(
+        s"malformed CEP step '$bad' — expected \"type[|alt…][{n}] [>= minValue] [<= gapTimeoutUs]\"")
+    }
+  }
+
   /** The event `value` as a predicate-safe double: SQL null → NaN
     * (NaN >= t is false for every t, so nulls never satisfy a minValue
     * predicate), and a frame WITHOUT a value column — e.g. the

@@ -68,6 +68,50 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Behavior.cepMatches(ev, W))
   }
 
+  test("graft_cep_pattern ≡ Cep.matchesGeneric — bring-your-own-pattern from SQL") {
+    import graft.operators.{Cep, CepStep}
+    // The q138 funnel expressed as a pattern string.
+    pinned(s"SELECT * FROM graft_cep_pattern('ev', 'view; click <= $W; purchase <= $W')",
+      Cep.matchesGeneric(ev, Cep.funnel3(W)))
+    // Quantifier (q139b shape).
+    pinned(s"SELECT * FROM graft_cep_pattern('ev', 'click{2} <= $W; purchase <= $W')",
+      Cep.matchesGeneric(ev, Seq(
+        CepStep("click", timeoutUs = W, times = 2),
+        CepStep("purchase", timeoutUs = W))))
+    // Alternation + value floor (q139/q139c shape), predicates in
+    // either order.
+    pinned(s"SELECT * FROM graft_cep_pattern('ev', 'signup; view|click{2} <= $W; purchase >= 0 <= $W')",
+      Cep.matchesGeneric(ev, Seq(
+        CepStep("signup"),
+        CepStep("view", altTypes = Seq("click"), timeoutUs = W, times = 2),
+        CepStep("purchase", minValue = Some(0.0), timeoutUs = W))))
+    pinned(s"SELECT * FROM graft_cep_pattern('ev', 'view; purchase >= 0.5 <= $W')",
+      Cep.matchesGeneric(ev, Seq(
+        CepStep("view"),
+        CepStep("purchase", minValue = Some(0.5), timeoutUs = W))))
+    // No-timeout steps (omitted '<=') are the Long.MaxValue sentinel.
+    pinned("SELECT * FROM graft_cep_pattern('ev', 'view; purchase')",
+      Cep.matchesGeneric(ev, Seq(CepStep("view"), CepStep("purchase"))))
+  }
+
+  test("graft_cep_pattern rejects malformed specs loudly") {
+    ev
+    for (bad <- Seq(
+        "",                        // empty spec
+        "view;; purchase",         // empty step
+        "view; click <= 0",        // non-positive timeout
+        "view; click <= 1.5",      // fractional timeout
+        "view{0}; purchase",       // zero repetition
+        "view|view; purchase",     // duplicate alternation type
+        "view >= 1 >= 2",          // duplicate value floor
+        "view <= 5 <= 6",          // duplicate timeout
+        "view purchase",           // missing ';'
+        "view; purchase ~ 3"))     // unknown operator
+      assert(intercept[Exception](
+        spark.sql(s"SELECT * FROM graft_cep_pattern('ev', '$bad')").collect()) != null,
+        s"spec '$bad' should have been rejected")
+  }
+
   test("graft_asof_join ≡ Temporal.asofLastView") {
     pinned("SELECT * FROM graft_asof_join('ev')",
       Temporal.asofLastView(ev))
