@@ -341,6 +341,37 @@ object FactStore {
       .orderBy(keyCol)
   }
 
+  /** Change data feed WITH row images between two committed versions —
+    * the Delta `readChangeFeed` row shape: one row per changed key per
+    * image, `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage, carrying the full row (the `fromVersion`
+    * snapshot's row for delete/update_preimage, the `toVersion`
+    * snapshot's row for insert/update_postimage). Built on [[changes]]'
+    * content diff, so physical maintenance (compact/restore) emits
+    * nothing, and a downstream incremental aggregate applies
+    * post-images positively and pre-images/deletes negatively — exact
+    * sum/count maintenance with no recompute. Scale: two snapshot
+    * scans + a broadcast semi-join on the change-bounded key set per
+    * image side; never proportional to the version count. */
+  def changeRows(spark: SparkSession, dir: String,
+                 fromVersion: Long, toVersion: Long): DataFrame = {
+    val (keyCol, _, _) = metaOf(spark, dir, M.currentVersion(spark, dir))
+    val ch = changes(spark, dir, fromVersion, toVersion)
+    val pre = read(spark, dir, fromVersion)
+      .join(broadcast(ch.where(col("change") =!= "insert")), Seq(keyCol))
+      .withColumn("_change_type",
+        when(col("change") === "delete", lit("delete"))
+          .otherwise(lit("update_preimage")))
+      .drop("change")
+    val post = read(spark, dir, toVersion)
+      .join(broadcast(ch.where(col("change") =!= "delete")), Seq(keyCol))
+      .withColumn("_change_type",
+        when(col("change") === "insert", lit("insert"))
+          .otherwise(lit("update_postimage")))
+      .drop("change")
+    pre.unionByName(post, allowMissingColumns = true)
+  }
+
   // --------------------------------------------------- pruned box reads
 
   private final case class SegStats(seg: String, statsCols: Seq[String],

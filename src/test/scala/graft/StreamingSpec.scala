@@ -1487,6 +1487,94 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(boxed == wantIds)
   }
 
+  test("S34: streaming change-data-feed consumer — the raw lake's CDF tailed commit-by-commit ≡ the batch feed, aggregate maintained from it ≡ recompute") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{FactStore => F, Tables}
+    import graft.streaming.{FactAggMaintainer, FactCdfTail, StreamingFactCdf}
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s34").toString
+    // Lifecycle exercising EVERY edge the feed must carry:
+    // v1 build → v2 append → v3 delete → v4 upsert → v5 compact.
+    F.build(ev.where(col("event_id") % 3 =!= 0), dir, "event_id",
+      Seq("user_id", "ts_us"), 4)
+    F.append(spark, dir, ev.where(col("event_id") % 3 === 0), 4)
+    F.deleteMatching(spark, dir, col("user_id") % 7 === 2)
+    F.upsert(spark, dir, ev.where(col("event_id") % 11 === 3)
+      .withColumn("value", col("value") + 1000.0), 4)
+    F.compact(spark, dir, 4)
+    assert(F.currentVersion(spark, dir) == 5L)
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "ts_us", "event_type", "value",
+        "_change_type", "_commit_version")
+        .collect().map(_.toString).toSeq.sorted
+
+    // Batch twin: the per-commit feed, assembled directly.
+    val wantFeed = (2L to 5L).map(v =>
+      F.changeRows(spark, dir, v - 1, v).withColumn("_commit_version", lit(v)))
+      .reduce(_.unionByName(_)).collect().map(_.toString).toSeq.sorted
+
+    // 1) The tail consumed commit-by-commit (one notification per
+    //    version) emits exactly the batch feed, version tags included.
+    val tail1 = new FactCdfTail(spark, dir, 1L)
+    val got1 = (2L to 5L).flatMap(v => tail1.onCommit(v).map(rowsOf))
+      .flatten.sorted
+    assert(got1 == wantFeed,
+      "commit-by-commit stream feed must equal the batch per-commit feed")
+    // Replay/reorder: at-or-behind notifications yield nothing.
+    assert(tail1.onCommit(3L).isEmpty && tail1.onCommit(5L).isEmpty)
+
+    // 2) A skipped notification heals: one jump 1→5 carries every
+    //    intermediate commit's own tagged leg.
+    val tail2 = new FactCdfTail(spark, dir, 1L)
+    assert(tail2.onCommit(5L).map(rowsOf).get == wantFeed,
+      "a multi-commit hop must still emit per-commit legs")
+
+    // 3) The compact commit (v5, physical-only) contributes NOTHING.
+    assert(F.changeRows(spark, dir, 4L, 5L).isEmpty,
+      "physical maintenance must be invisible to the feed")
+
+    // 4) Downstream incremental aggregate maintained from the feed,
+    //    driven by a commit-notification STREAM through foreachBatch,
+    //    ≡ a from-scratch recompute at the final version. Rebuild the
+    //    lifecycle so the maintainer (anchored at build time) sees the
+    //    commits arrive.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_s34b").toString
+    F.build(ev.where(col("event_id") % 3 =!= 0), dir2, "event_id",
+      Seq("user_id", "ts_us"), 4)
+    val m = new FactAggMaintainer(spark, dir2, "event_type", "value")
+    val src = MemoryStream[Long]
+    val q = src.toDF().toDF("version").writeStream
+      .foreachBatch(StreamingFactCdf.sink(m) _)
+      .outputMode("update").start()
+    try {
+      src.addData(F.append(spark, dir2, ev.where(col("event_id") % 3 === 0), 4))
+      q.processAllAvailable()
+      // Two commits, ONE (skipping) notification — the roll heals.
+      F.deleteMatching(spark, dir2, col("user_id") % 7 === 2)
+      src.addData(F.upsert(spark, dir2, ev.where(col("event_id") % 11 === 3)
+        .withColumn("value", col("value") + 1000.0), 4))
+      q.processAllAvailable()
+      // A replayed notification must not move the aggregate.
+      src.addData(2L); q.processAllAvailable()
+      src.addData(F.compact(spark, dir2, 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(m.version == 5L)
+    val gotAgg = m.current.collect().map(_.toString).toSeq.sorted
+    val wantAgg = F.read(spark, dir2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("value").cast("decimal(38,6)"),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"))).as("sum_value"))
+      .collect().map(_.toString).toSeq.sorted
+    assert(gotAgg == wantAgg,
+      "the feed-maintained aggregate must equal a recompute over the live lake")
+  }
+
   test("S24: streaming as-of enrichment — clicks arrive in arbitrary microbatches, each picks up its point-in-time purchase ≡ batch, stateless") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
