@@ -242,6 +242,74 @@ object FactStore {
     v
   }
 
+  /** Bounded compaction — the 100 TB answer to [[compact]]'s full-table
+    * rewrite: fold ONLY the data segments whose tombstone-hit fraction
+    * exceeds `maxTombFrac` or whose file count exceeds
+    * `maxFilesPerSeg`; every healthy segment is carried BY REFERENCE
+    * (same immutable files, same stats sidecar, same creating version —
+    * zero I/O). The same over-limit-only rule as
+    * [[EventLogStore.compact]] and [[SkippingStore]]'s per-subdirectory
+    * OPTIMIZE, applied to the manifest lineage: rewrite cost ∝ the
+    * unhealthy fraction, not the table.
+    *
+    * Tombstones are retired selectively: a tombstone segment is carried
+    * only while some carried data segment predates it (the scoped rule
+    * means it can still kill rows there); once every segment it scopes
+    * is rewritten, it drops from the manifest. With every segment
+    * unhealthy this degenerates to exactly [[compact]].
+    *
+    * Returns (new version, rewritten segment dirs) — (prior version,
+    * Nil) when nothing crosses a threshold: a healthy store is a
+    * version no-op, not an empty rewrite. */
+  def compactIncremental(spark: SparkSession, dir: String, nFiles: Int,
+                         maxTombFrac: Double = 0.1,
+                         maxFilesPerSeg: Int = Int.MaxValue): (Long, Seq[String]) = synchronized {
+    val prior = M.snapshot(spark, dir)
+    val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
+    val dataSegs = prior.segments.filter(s => s.kind == "data" && s.files.nonEmpty)
+    // Per-segment tombstone-hit counts: one aggregate over the scoped
+    // key×tombstone join — work ∝ live keys + tombstones; the driver
+    // receives one (segment, count) row per segment.
+    val killed: Map[String, Long] =
+      M.readSegmentsScoped(spark, dir, prior.segments, "tomb",
+        partitioned = false, "_tomb_v") match {
+        case None => Map.empty
+        case Some(t) =>
+          val tt = t.select(col(keyCol).as("_t_key"), col("_tomb_v"))
+          dataSegs.map { s =>
+            spark.read.parquet(s.files.map(f => s"$dir/${s.dir}/$f"): _*)
+              .select(col(keyCol))
+              .withColumn("_seg", lit(s.dir))
+              .withColumn("_seg_v", lit(M.createdVersion(s)))
+          }.reduceOption(_ unionByName _).map { keys =>
+            keys.join(broadcast(tt),
+                keys(keyCol) === tt("_t_key") && tt("_tomb_v") > keys("_seg_v"),
+                "left_semi")
+              .groupBy("_seg").count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          }.getOrElse(Map.empty)
+      }
+    val (rewrite, carry) = dataSegs.partition { s =>
+      val frac = if (s.rows == 0L) 0.0
+                 else killed.getOrElse(s.dir, 0L).toDouble / s.rows
+      frac > maxTombFrac || s.files.length > maxFilesPerSeg
+    }
+    if (rewrite.isEmpty) return (prior.version, Nil)
+    val v = prior.version + 1
+    // The rewritten generation = the LIVE rows of the selected segments
+    // only (their tombstoned rows die here; carried segments keep
+    // theirs, still scoped by the carried tombstones).
+    val liveSel = readLive(spark, dir, prior, rewrite)
+    val seg = writeDataSegment(spark, dir, segName(v, "compact-incr"),
+      liveSel, orderCols, statsCols, nFiles)
+    val carriedVersions = carry.map(M.createdVersion)
+    val tombs = prior.segments.filter(s => s.kind == "tomb" &&
+      carriedVersions.exists(_ < M.createdVersion(s)))
+    M.commit(M.fs(spark, dir), dir,
+      M.Snapshot(v, "compact-incr", "", (carry ++ tombs) :+ seg, prior.meta))
+    (v, rewrite.map(_.dir))
+  }
+
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
     synchronized { M.restore(spark, dir, toVersion) }
 

@@ -260,6 +260,71 @@ class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vacuum touched the retained version's files")
   }
 
+  test("incremental compaction rewrites ONLY over-threshold segments — carried files byte-identical, reads unchanged, tombstones retired selectively") {
+    def fileBytes(d: String): Map[String, (Long, Long)] = {
+      val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.flatMap(s =>
+          if (s.isDirectory) walk(s.getPath) else Seq(s))
+      walk(new Path(d)).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.toString -> (s.getLen, s.getModificationTime)).toMap
+    }
+    val d = Files.createTempDirectory("graft_fact_incr").toString
+    // v1: even events; v2: odd events; v3: delete concentrated in the
+    // APPENDED generation (odd ids) — the base generation stays under
+    // the tombstone-fraction threshold, the appended one crosses it.
+    F.build(ev.where(col("event_id") % 2 === 0), d, "event_id",
+      Seq("user_id", "ts_us"), nFiles, Seq("user_id", "ts_us", "event_id"))
+    F.append(spark, d, ev.where(col("event_id") % 2 =!= 0), nFiles)
+    F.deleteMatching(spark, d, col("event_id") % 4 === 1)
+    val before = sortedRows(F.read(spark, d))
+    val segsBefore = M.snapshot(spark, d).segments
+    val baseSeg = segsBefore.find(s => s.kind == "data" && s.dir.contains("base")).get
+    val bytesBefore = fileBytes(d)
+    // ~50% of the appended seg is tombstoned vs 0% of the base.
+    val (v4, rewritten) = F.compactIncremental(spark, d, nFiles, maxTombFrac = 0.2)
+    assert(v4 == 4L && rewritten.length == 1 && rewritten.head.contains("append"),
+      s"only the tombstone-heavy appended segment should fold, got $rewritten")
+    val after = M.snapshot(spark, d)
+    assert(after.op == "compact-incr")
+    // The carried base segment: same dir, same files, bytes untouched.
+    assert(after.segments.exists(s => s.dir == baseSeg.dir && s.files == baseSeg.files),
+      "the healthy segment must be carried by reference")
+    val bytesAfter = fileBytes(d)
+    baseSeg.files.foreach { f =>
+      val p = bytesAfter.keys.find(_.endsWith(s"${baseSeg.dir}/$f")).get
+      assert(bytesAfter(p) == bytesBefore(p),
+        s"carried file $f must be byte-identical (size+mtime)")
+    }
+    // Tombstones retired: nothing carried predates the delete (base is
+    // v1 < tomb v3), so the tombstone must STILL be carried...
+    assert(after.segments.count(_.kind == "tomb") == 1,
+      "the tombstone still scopes the carried v1 segment")
+    // ...and reads are unchanged through the bounded rewrite.
+    assert(sortedRows(F.read(spark, d)) == before)
+    // Pruning re-tightened on the rewritten subset only: the new
+    // segment has its own stats sidecar and box reads stay ≡ scans.
+    val lo = ev.agg(min("user_id")).head.getLong(0)
+    val boxed = sortedRows(F.readBox(spark, d, Map("user_id" -> (lo, lo + 5))))
+    val want = sortedRows(F.read(spark, d)
+      .where(col("user_id").between(lo, lo + 5)))
+    assert(boxed == want)
+    // A healthy store is a version no-op, not an empty rewrite.
+    assert(F.compactIncremental(spark, d, nFiles, maxTombFrac = 0.2) == (4L, Nil))
+    assert(M.currentVersion(spark, d) == 4L)
+    // Forcing EVERY segment over the file-count threshold degenerates
+    // to full compact: all rewritten, tombstones retired entirely.
+    F.deleteMatching(spark, d, col("event_id") % 4 === 2)
+    val liveBefore = sortedRows(F.read(spark, d))
+    val (v6, rew2) = F.compactIncremental(spark, d, nFiles,
+      maxTombFrac = 0.0, maxFilesPerSeg = 0)
+    assert(v6 == 6L && rew2.length == 2)
+    val snap6 = M.snapshot(spark, d)
+    assert(snap6.segments.count(_.kind == "tomb") == 0,
+      "with every scoped segment rewritten, tombstones retire")
+    assert(sortedRows(F.read(spark, d)) == liveBefore)
+  }
+
   test("an upsert batch with duplicate keys is rejected (two same-commit generations would both survive)") {
     val d = Files.createTempDirectory("graft_fact_dup").toString
     F.build(ev.limit(100), d, "event_id", Seq("user_id", "ts_us"), 2)
