@@ -416,6 +416,28 @@ object SparkEntry {
     }
     dir
   }
+  /** Q140g: non-additive schema evolution — v1 build, v2 RENAME
+    * value→amount (metadata-only; physical files untouched), v3 DROP
+    * event_type (metadata-only), v4 upsert a corrections batch in the
+    * NEW logical schema (through the column mapping). Old versions
+    * time-travel with their own schema; the change feed stays silent
+    * on v1→2 and v2→3. */
+  private def ensureRenamedFactStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_cm_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 4L) {
+      graft.sources.FactStore.build(factEvents(s, d), dir, "event_id",
+        Seq("user_id", "ts_us"), FactFiles, Seq("user_id", "ts_us", "event_id"))
+      graft.sources.FactStore.renameColumn(s, dir, "value", "amount")
+      graft.sources.FactStore.dropColumn(s, dir, "event_type")
+      graft.sources.FactStore.upsert(s, dir,
+        factEvents(s, d)
+          .where(col("event_id") % FactRenamePatchMod === FactRenamePatchRes)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            (col("value") + FactRenamePatchBump).as("amount")),
+        FactFiles)
+    }
+    dir
+  }
   /** The RAW document lake after the SAME q127 erasure: a FactStore
     * over documents (v1 build, v2 tombstone-delete of the subject
     * residue) — the takedown must land on the source of truth, not
@@ -513,6 +535,12 @@ object SparkEntry {
     * deleted users so the two mutations compose associatively in the
     * oracle), v4 compact. */
   private val FactFiles = 8
+  /** Q140g: the corrections batch applied THROUGH the rename (keys
+    * chosen disjoint from nothing — plain mod — since q140g has no
+    * delete leg). */
+  private val FactRenamePatchMod = 11L
+  private val FactRenamePatchRes = 4L
+  private val FactRenamePatchBump = 50.0
   private val FactDelUserMod = 13L
   private val FactDelUserRes = 5L
   private val FactPatchMod = 7L
@@ -1624,6 +1652,15 @@ object SparkEntry {
       // CASE-built column.
       graft.sources.FactStore.read(s, ensureEvolvedFactStore(s, d))
         .orderBy("event_id")),
+    "q140g_fact_rename_drop" -> ((s, d) => {
+      // Non-additive schema evolution under column mapping: the latest
+      // read serves (event_id, user_id, ts_us, amount) — value renamed,
+      // event_type dropped, a corrections batch upserted THROUGH the
+      // mapping — while v1 still time-travels with the original schema
+      // (asserted in FactStoreSpec; the oracle restates the latest).
+      val dir = ensureRenamedFactStore(s, d)
+      graft.sources.FactStore.read(s, dir).orderBy("event_id")
+    }),
     "q140e_fact_changes" -> ((s, d) =>
       // Change data feed v1 → v4 on the raw lake: content-based per-key
       // fingerprints make compaction invisible; the GDPR delete
@@ -3530,6 +3567,14 @@ object SparkEntry {
             UNION ALL SELECT 3, 'upsert', c FROM n1
             UNION ALL SELECT 4, 'compact', c FROM n1)
           ORDER BY version""",
+    // Q140g: the renamed/dropped lake restates as a projection with the
+    // corrections CASE — rename and drop are pure metadata, so the
+    // oracle never mentions them beyond the output schema.
+    "q140g_fact_rename_drop" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN event_id % $FactRenamePatchMod = $FactRenamePatchRes
+                      THEN value + $FactRenamePatchBump ELSE value END AS amount
+          FROM events ORDER BY event_id""",
     // Q140f: evolved read — odd rows (the appended, evolved batch)
     // carry source = 's' || user_id % 3; even rows (pre-evolution
     // generation) null-fill.

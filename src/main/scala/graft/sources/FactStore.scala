@@ -63,6 +63,120 @@ object FactStore {
     (m("keyCol"), m("orderCols").split(' ').toSeq, m("statsCols").split(' ').toSeq)
   }
 
+  // ------------------------------------------- column mapping (rename/drop)
+  //
+  // Non-additive schema evolution follows Delta's column-mapping /
+  // Iceberg's field-id semantics: every field gets ONE physical name,
+  // frozen at first write (initially = its logical name), and the
+  // snapshot meta carries the ACTIVE (physical → logical) mapping.
+  // Rename = update the logical name (metadata-only commit, zero files
+  // touched); drop = remove the pair (old files keep the physical
+  // column, reads stop projecting it). Because meta is per-snapshot,
+  // every version time-travels with its OWN schema, and the change
+  // feed aligns by PHYSICAL field — so rename and drop fabricate zero
+  // spurious row changes while real value changes through a rename are
+  // still caught. Key/stats/order columns are tracked physically
+  // everywhere below; only the read/write boundary translates.
+
+  /** The active (physical, logical) pairs at a snapshot, in schema
+    * order; None for stores predating column mapping (identity). */
+  private def colmapOf(snap: M.Snapshot): Option[Seq[(String, String)]] =
+    snap.meta.get("colmap").map(_.split(' ').toSeq.filter(_.nonEmpty).map { p =>
+      val i = p.indexOf('=')
+      (p.substring(0, i), p.substring(i + 1))
+    })
+
+  /** Physical names ever dropped — reserved forever: old files still
+    * carry the column, so a new field reusing the name would resurrect
+    * dropped data through the tolerant union. */
+  private def retiredOf(snap: M.Snapshot): Set[String] =
+    snap.meta.get("colretired").map(_.split(' ').filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  private def encodeColmap(cm: Seq[(String, String)]): String =
+    cm.map { case (p, l) => s"$p=$l" }.mkString(" ")
+
+  private def requireIdent(name: String, what: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"$what must be an identifier ([A-Za-z_][A-Za-z0-9_]*), got '$name'")
+
+  /** Translate an incoming LOGICAL frame to physical column names and
+    * return it with the colmap extended by any NEW columns (additive
+    * evolution under mapping). A new logical name colliding with an
+    * existing physical name would alias two fields in the files —
+    * rejected loudly. */
+  private def toPhysical(df: DataFrame, cm: Seq[(String, String)],
+                         retired: Set[String]): (DataFrame, Seq[(String, String)]) = {
+    val byLogical = cm.map(_.swap).toMap
+    val physicals = cm.map(_._1).toSet ++ retired
+    val fresh = df.columns.toSeq.filterNot(byLogical.contains)
+    fresh.foreach { c =>
+      require(!physicals.contains(c),
+        s"new column '$c' collides with an active or retired field's physical name — " +
+          "old files still carry that column, so reusing it would resurrect dropped data")
+    }
+    val out = df.columns.foldLeft(df) { (d, c) =>
+      byLogical.get(c).map(p => d.withColumnRenamed(c, p)).getOrElse(d)
+    }
+    (out, cm ++ fresh.map(c => (c, c)))
+  }
+
+  /** Project a PHYSICAL frame to the snapshot's logical schema: active
+    * fields only, logical names, colmap order (dropped physical
+    * columns in old files vanish here). */
+  private def toLogical(df: DataFrame, cm: Seq[(String, String)]): DataFrame = {
+    val present = df.columns.toSet
+    df.select(cm.collect { case (p, l) if present.contains(p) => col(p).as(l) }: _*)
+  }
+
+  /** RENAME a column: one metadata commit — the field's physical name
+    * (and every data file, stats sidecar, and tombstone) is untouched;
+    * only the logical projection changes from this version on. Earlier
+    * versions keep serving the old name under time travel. */
+  def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Long = synchronized {
+    requireIdent(to, "the new column name")
+    val prior = M.snapshot(spark, dir)
+    val cm = activeColmap(spark, dir, prior)
+    require(cm.exists(_._2 == from), s"no active column '$from' to rename")
+    require(!cm.exists(_._2 == to), s"rename target '$to' already exists")
+    val next = cm.map { case (p, l) => (p, if (l == from) to else l) }
+    val v = prior.version + 1
+    M.commit(M.fs(spark, dir), dir, M.Snapshot(v, "rename", "",
+      prior.segments, prior.meta + ("colmap" -> encodeColmap(next))))
+    v
+  }
+
+  /** DROP a column: one metadata commit — data files keep the physical
+    * column (time travel still serves it at older versions); reads at
+    * this version on stop projecting it. The key and stats/order
+    * columns are the pruning tier and cannot be dropped. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = synchronized {
+    val prior = M.snapshot(spark, dir)
+    val (keyCol, _, statsCols) = metaOf(spark, dir, prior.version)
+    val cm = activeColmap(spark, dir, prior)
+    val phys = cm.find(_._2 == name)
+      .getOrElse(throw new IllegalArgumentException(s"no active column '$name' to drop"))._1
+    require(phys != keyCol && !statsCols.contains(phys),
+      s"'$name' is the key or a stats/order column — the skipping tier is non-negotiable")
+    val v = prior.version + 1
+    val retired = (retiredOf(prior) + phys).toSeq.sorted.mkString(" ")
+    M.commit(M.fs(spark, dir), dir, M.Snapshot(v, "drop", "",
+      prior.segments, prior.meta +
+        ("colmap" -> encodeColmap(cm.filterNot(_._1 == phys))) +
+        ("colretired" -> retired)))
+    v
+  }
+
+  /** The snapshot's colmap, materializing the identity mapping from
+    * the observed physical schema for stores that predate column
+    * mapping (their physical IS their logical). */
+  private def activeColmap(spark: SparkSession, dir: String, snap: M.Snapshot): Seq[(String, String)] =
+    colmapOf(snap).getOrElse {
+      readScopedTolerant(spark, dir, snap.segments, "_seg_v")
+        .map(_.columns.toSeq.filterNot(_ == "_seg_v").map(c => (c, c)))
+        .getOrElse(Seq.empty)
+    }
+
   // -------------------------------------------------- segment writers
 
   /** Z-sort `df` into a new data segment and record its per-file stats
@@ -114,12 +228,14 @@ object FactStore {
     require(orderCols.forall(statsCols.contains),
       "statsCols must cover every order column")
     require(df.columns.contains(keyCol), s"no key column $keyCol")
+    df.columns.foreach(requireIdent(_, "a fact-store column name"))
     M.fs(spark, dir).delete(new Path(dir), true)
     val seg = writeDataSegment(spark, dir, segName(1, "base"), df,
       orderCols, statsCols, nFiles)
     M.commit(M.fs(spark, dir), dir, M.Snapshot(1, "build", "", Seq(seg),
       Map("keyCol" -> keyCol, "orderCols" -> orderCols.mkString(" "),
-        "statsCols" -> statsCols.mkString(" "))))
+        "statsCols" -> statsCols.mkString(" "),
+        "colmap" -> encodeColmap(df.columns.toSeq.map(c => (c, c))))))
     1L
   }
 
@@ -143,12 +259,16 @@ object FactStore {
     if (df.isEmpty) return M.currentVersion(spark, dir)
     val prior = M.snapshot(spark, dir)
     val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
-    requireIndexed(df, keyCol, statsCols)
+    // Incoming batches speak the CURRENT logical schema; files store
+    // physical names, so a renamed field keeps one on-disk identity.
+    val (dfP, cm2) = toPhysical(df, activeColmap(spark, dir, prior), retiredOf(prior))
+    requireIndexed(dfP, keyCol, statsCols)
     val v = prior.version + 1
-    val seg = writeDataSegment(spark, dir, segName(v, "append"), df,
+    val seg = writeDataSegment(spark, dir, segName(v, "append"), dfP,
       orderCols, statsCols, nFiles)
     M.commit(M.fs(spark, dir), dir,
-      M.Snapshot(v, "append", "", prior.segments :+ seg, prior.meta ++ extraMeta))
+      M.Snapshot(v, "append", "", prior.segments :+ seg,
+        prior.meta ++ extraMeta + ("colmap" -> encodeColmap(cm2))))
     v
   }
 
@@ -184,8 +304,16 @@ object FactStore {
   def delete(spark: SparkSession, dir: String, keys: DataFrame): Long = synchronized {
     val prior = M.snapshot(spark, dir)
     val (keyCol, _, _) = metaOf(spark, dir, prior.version)
+    // Callers pass the key under its CURRENT logical name; tombstones
+    // store the physical one (stable across renames).
+    val logicalKey = activeColmap(spark, dir, prior)
+      .find(_._1 == keyCol).map(_._2).getOrElse(keyCol)
+    val keysP =
+      if (logicalKey != keyCol && keys.columns.contains(logicalKey))
+        keys.withColumnRenamed(logicalKey, keyCol)
+      else keys
     val v = prior.version + 1
-    val tomb = writeTombSegment(spark, dir, segName(v, "delete-tomb"), keys, keyCol)
+    val tomb = writeTombSegment(spark, dir, segName(v, "delete-tomb"), keysP, keyCol)
     if (tomb.rows == 0L) return prior.version
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "delete", "", prior.segments :+ tomb, prior.meta))
@@ -196,8 +324,11 @@ object FactStore {
     * tombstone the matching keys — the GDPR-ticket shape ("erase user
     * X") without the caller enumerating row keys. */
   def deleteMatching(spark: SparkSession, dir: String, cond: Column): Long = synchronized {
-    val (keyCol, _, _) = metaOf(spark, dir, M.currentVersion(spark, dir))
-    delete(spark, dir, read(spark, dir).where(cond).select(col(keyCol)))
+    val snap = M.snapshot(spark, dir)
+    val keyCol = snap.meta("keyCol")
+    val logicalKey = activeColmap(spark, dir, snap)
+      .find(_._1 == keyCol).map(_._2).getOrElse(keyCol)
+    delete(spark, dir, read(spark, dir).where(cond).select(col(logicalKey)))
   }
 
   /** Row-level UPSERT (MERGE): tombstone the batch's keys AND publish
@@ -213,18 +344,19 @@ object FactStore {
     if (df.isEmpty) return M.currentVersion(spark, dir)
     val prior = M.snapshot(spark, dir)
     val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
-    requireIndexed(df, keyCol, statsCols)
-    val keys = df.select(col(keyCol).cast("long").as(keyCol)).distinct()
-    require(keys.count() == df.count(),
+    val (dfP, cm2) = toPhysical(df, activeColmap(spark, dir, prior), retiredOf(prior))
+    requireIndexed(dfP, keyCol, statsCols)
+    val keys = dfP.select(col(keyCol).cast("long").as(keyCol)).distinct()
+    require(keys.count() == dfP.count(),
       "upsert batch carries duplicate keys — two same-commit " +
         "generations of one row would both survive the scoped tombstone")
     val v = prior.version + 1
     val tomb = writeTombSegment(spark, dir, segName(v, "upsert-tomb"), keys, keyCol)
-    val seg = writeDataSegment(spark, dir, segName(v, "upsert"), df,
+    val seg = writeDataSegment(spark, dir, segName(v, "upsert"), dfP,
       orderCols, statsCols, nFiles)
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "upsert", "", prior.segments :+ tomb :+ seg,
-        prior.meta ++ extraMeta))
+        prior.meta ++ extraMeta + ("colmap" -> encodeColmap(cm2))))
     v
   }
 
@@ -235,8 +367,11 @@ object FactStore {
     val prior = M.snapshot(spark, dir)
     val (_, orderCols, statsCols) = metaOf(spark, dir, prior.version)
     val v = prior.version + 1
+    // Rewrites move PHYSICAL rows — the logical projection is a read-
+    // time concern; a compacted file must keep serving older colmaps.
     val seg = writeDataSegment(spark, dir, segName(v, "compact"),
-      read(spark, dir, prior.version), orderCols, statsCols, nFiles)
+      readLive(spark, dir, prior, prior.segments.filter(_.kind == "data")),
+      orderCols, statsCols, nFiles)
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "compact", "", Seq(seg), prior.meta))
     v
@@ -323,10 +458,13 @@ object FactStore {
 
   /** The live rows at `version`: data segments stamped with their
     * creating version, minus keys tombstoned by a STRICTLY LATER
-    * version (broadcast anti-join — tombstones are change-bounded). */
+    * version (broadcast anti-join — tombstones are change-bounded),
+    * projected to the version's OWN logical schema (its colmap) — so
+    * time travel across renames/drops serves each version's names. */
   def read(spark: SparkSession, dir: String, version: Long = M.Latest): DataFrame = {
     val snap = M.snapshot(spark, dir, version)
-    readLive(spark, dir, snap, snap.segments.filter(_.kind == "data"))
+    val live = readLive(spark, dir, snap, snap.segments.filter(_.kind == "data"))
+    colmapOf(snap).map(toLogical(live, _)).getOrElse(live)
   }
 
   /** Version-stamped union of data segments, SCHEMA-TOLERANT: segments
@@ -384,29 +522,44 @@ object FactStore {
     * count. */
   def changes(spark: SparkSession, dir: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
-    val (keyCol, _, _) = metaOf(spark, dir, M.currentVersion(spark, dir))
-    val la = read(spark, dir, fromVersion)
-    val lb = read(spark, dir, toVersion)
-    // Fingerprint over the ALIGNED column set: a version that predates
-    // an additive schema evolution hashes the new column as null, and
-    // Spark's hash functions skip nulls — so adding a column does NOT
-    // flag every old row as updated; only rows whose VALUES moved do.
-    val allCols = (la.columns ++ lb.columns).distinct.filter(_ != keyCol).sorted
+    val sa = M.snapshot(spark, dir, fromVersion)
+    val sb = M.snapshot(spark, dir, toVersion)
+    val keyCol = sb.meta("keyCol")
+    val la = readLive(spark, dir, sa, sa.segments.filter(_.kind == "data"))
+    val lb = readLive(spark, dir, sb, sb.segments.filter(_.kind == "data"))
+    // Fingerprints align by PHYSICAL field, over the fields active at
+    // BOTH versions: a rename (same physical) compares the same data —
+    // a pure rename is silent while a real value change through it is
+    // caught; an added or dropped field is a metadata event — neither
+    // fabricates row updates. Each column hashes WITH its ordinal
+    // (nulls included via the per-column pre-hash), so moving a value
+    // between columns (`(a=1,b=null)` → `(a=null,b=1)`) changes the
+    // fingerprint — the feed is audit-grade; and a pre-evolution row
+    // hashes the evolved column as null on both sides, staying quiet.
+    def activeOf(s: M.Snapshot, live: DataFrame) =
+      colmapOf(s).map(_.map(_._1)).getOrElse(live.columns.toSeq)
+    val shared = activeOf(sa, la).intersect(activeOf(sb, lb))
+      .filter(_ != keyCol).sorted
     def fp(live: DataFrame): DataFrame = {
-      val aligned = allCols.map(c =>
-        if (live.columns.contains(c)) col(c) else lit(null).as(c))
-      live.select(col(keyCol), xxhash64(struct(aligned: _*)).as("fp"))
+      val salted = shared.zipWithIndex.map { case (c, i) =>
+        if (live.columns.contains(c)) xxhash64(lit(i), col(c))
+        else xxhash64(lit(i), lit(null).cast("long"))
+      }
+      live.select(col(keyCol),
+        (if (salted.isEmpty) lit(0L) else xxhash64(salted: _*)).as("fp"))
     }
     val a = fp(la).select(col(keyCol), col("fp").as("fp_a"))
     val b = fp(lb).select(col(keyCol), col("fp").as("fp_b"))
+    val outKey = colmapOf(sb).flatMap(_.find(_._1 == keyCol).map(_._2))
+      .getOrElse(keyCol)
     a.join(b, Seq(keyCol), "full_outer")
       .withColumn("change",
         when(col("fp_a").isNull, lit("insert"))
           .when(col("fp_b").isNull, lit("delete"))
           .when(col("fp_a") =!= col("fp_b"), lit("update")))
       .where(col("change").isNotNull)
-      .select(col(keyCol), col("change"))
-      .orderBy(keyCol)
+      .select(col(keyCol).as(outKey), col("change"))
+      .orderBy(outKey)
   }
 
   /** Change data feed WITH row images between two committed versions —
@@ -423,20 +576,29 @@ object FactStore {
     * image side; never proportional to the version count. */
   def changeRows(spark: SparkSession, dir: String,
                  fromVersion: Long, toVersion: Long): DataFrame = {
-    val (keyCol, _, _) = metaOf(spark, dir, M.currentVersion(spark, dir))
+    val sb = M.snapshot(spark, dir, toVersion)
+    val keyCol = sb.meta("keyCol")
+    val cmB = colmapOf(sb)
+    val outKey = cmB.flatMap(_.find(_._1 == keyCol).map(_._2)).getOrElse(keyCol)
     val ch = changes(spark, dir, fromVersion, toVersion)
-    val pre = read(spark, dir, fromVersion)
-      .join(broadcast(ch.where(col("change") =!= "insert")), Seq(keyCol))
-      .withColumn("_change_type",
-        when(col("change") === "delete", lit("delete"))
-          .otherwise(lit("update_preimage")))
-      .drop("change")
-    val post = read(spark, dir, toVersion)
-      .join(broadcast(ch.where(col("change") =!= "delete")), Seq(keyCol))
-      .withColumn("_change_type",
-        when(col("change") === "insert", lit("insert"))
-          .otherwise(lit("update_postimage")))
-      .drop("change")
+    // Both images serve the TO-version's logical schema (the Delta
+    // column-mapping convention): a renamed field's pre-image appears
+    // under its new name — same physical data, current projection.
+    def img(version: Long, keep: Column, tag: Column): DataFrame = {
+      val s = M.snapshot(spark, dir, version)
+      val live = readLive(spark, dir, s, s.segments.filter(_.kind == "data"))
+      val projected = cmB.map(toLogical(live, _)).getOrElse(live)
+      projected
+        .join(broadcast(ch.where(keep)), Seq(outKey))
+        .withColumn("_change_type", tag)
+        .drop("change")
+    }
+    val pre = img(fromVersion, col("change") =!= "insert",
+      when(col("change") === "delete", lit("delete"))
+        .otherwise(lit("update_preimage")))
+    val post = img(toVersion, col("change") =!= "delete",
+      when(col("change") === "insert", lit("insert"))
+        .otherwise(lit("update_postimage")))
     pre.unionByName(post, allowMissingColumns = true)
   }
 
@@ -464,9 +626,24 @@ object FactStore {
   /** Per-segment surviving files for a box — the driver-side metadata
     * decision, exposed for spec assertions: (kept files per segment,
     * total file count at the version). */
-  def pruneBox(spark: SparkSession, dir: String, bounds: Map[String, (Long, Long)],
+  /** Translate box-bound column names (the version's LOGICAL names) to
+    * the physical names the stats sidecars and files carry. */
+  private def physicalBounds(snap: M.Snapshot, bounds: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+    colmapOf(snap) match {
+      case None => bounds
+      case Some(cm) =>
+        val byLogical = cm.map(_.swap).toMap
+        bounds.map { case (c, b) =>
+          byLogical.getOrElse(c,
+            throw new IllegalArgumentException(
+              s"no active column '$c' (have: ${cm.map(_._2).mkString(", ")})")) -> b
+        }
+    }
+
+  def pruneBox(spark: SparkSession, dir: String, boundsLogical: Map[String, (Long, Long)],
                version: Long = M.Latest): (Map[String, Seq[String]], Int) = {
     val snap = M.snapshot(spark, dir, version)
+    val bounds = physicalBounds(snap, boundsLogical)
     val dataSegs = snap.segments.filter(_.kind == "data")
     var total = 0
     val kept = dataSegs.map { s =>
@@ -495,9 +672,10 @@ object FactStore {
     val (kept, _) = pruneBox(spark, dir, bounds, version)
     val base = readLive(spark, dir, snap,
       snap.segments.filter(_.kind == "data"), Some(kept))
-    bounds.foldLeft(base) { case (df, (c, (lo, hi))) =>
-      df.where(col(c).cast("long").between(lo, hi))
+    val physical = physicalBounds(snap, bounds).foldLeft(base) {
+      case (df, (c, (lo, hi))) => df.where(col(c).cast("long").between(lo, hi))
     }
+    colmapOf(snap).map(toLogical(physical, _)).getOrElse(physical)
   }
 
   // ------------------------------------------------ memoized lifecycle

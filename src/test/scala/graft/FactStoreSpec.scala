@@ -325,6 +325,78 @@ class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(F.read(spark, d)) == liveBefore)
   }
 
+  test("non-additive schema evolution: rename/drop are metadata-only, time travel serves each version's own schema, the feed stays exact") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_fact_cm").toString
+    // v1 build → v2 rename value→amount → v3 drop event_type →
+    // v4 upsert THROUGH the mapping (logical schema) → v5 delete.
+    F.build(ev, d, "event_id", Seq("user_id", "ts_us"), nFiles,
+      Seq("user_id", "ts_us", "event_id"))
+    val files1 = M.snapshot(spark, d).segments.flatMap(_.files).sorted
+    assert(F.renameColumn(spark, d, "value", "amount") == 2L)
+    assert(F.dropColumn(spark, d, "event_type") == 3L)
+    // Metadata-only: not one data file added or removed.
+    assert(M.snapshot(spark, d).segments.flatMap(_.files).sorted == files1)
+    // Each version serves ITS schema under time travel.
+    assert(F.read(spark, d, 1L).columns.toSeq
+      == Seq("event_id", "user_id", "ts_us", "event_type", "value"))
+    assert(F.read(spark, d, 2L).columns.toSeq
+      == Seq("event_id", "user_id", "ts_us", "event_type", "amount"))
+    assert(F.read(spark, d, 3L).columns.toSeq
+      == Seq("event_id", "user_id", "ts_us", "amount"))
+    // The renamed column is the SAME physical data.
+    assert(F.read(spark, d, 2L)
+        .select(sum(col("amount").cast("decimal(38,6)"))).head.getDecimal(0)
+      == ev.select(sum(col("value").cast("decimal(38,6)"))).head.getDecimal(0))
+    // The feed fabricates NOTHING from schema changes...
+    assert(F.changes(spark, d, 1L, 2L).isEmpty, "rename must be silent")
+    assert(F.changes(spark, d, 2L, 3L).isEmpty, "drop must be silent")
+    // ...but a real value change THROUGH the rename is caught.
+    val patch = ev.where(col("event_id") % 97 === 3)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        (col("value") + 5.0).as("amount"))
+    F.upsert(spark, d, patch, nFiles)
+    val f34 = F.changes(spark, d, 3L, 4L)
+      .as[(Long, String)].collect().toMap
+    assert(f34.values.toSet == Set("update") &&
+      f34.keySet == patch.select("event_id").as[Long].collect().toSet,
+      "an update through a renamed field must surface as exactly its keys")
+    // DML through the mapping: deleteMatching on a logical predicate.
+    F.deleteMatching(spark, d, col("amount") < 1.0)
+    assert(F.read(spark, d).where(col("amount") < 1.0).isEmpty)
+    // Box reads take LOGICAL bounds and prune on the physical stats.
+    val lo = ev.agg(min("user_id")).head.getLong(0)
+    val boxed = F.readBox(spark, d, Map("user_id" -> (lo, lo + 5)))
+    assert(boxed.columns.toSeq == Seq("event_id", "user_id", "ts_us", "amount"))
+    assert(boxed.collect().map(_.toString).toSeq.sorted
+      == F.read(spark, d).where(col("user_id").between(lo, lo + 5))
+        .collect().map(_.toString).toSeq.sorted)
+    // changeRows serves BOTH images under the current logical schema.
+    val cr = F.changeRows(spark, d, 3L, 4L)
+    assert(cr.columns.contains("amount") && !cr.columns.contains("value"))
+    assert(cr.where(col("_change_type") === "update_postimage").count()
+      == f34.size)
+    // Guards: the pruning tier and name collisions are non-negotiable.
+    assert(intercept[IllegalArgumentException](
+      F.dropColumn(spark, d, "user_id")).getMessage.contains("non-negotiable"))
+    assert(intercept[IllegalArgumentException](
+      F.renameColumn(spark, d, "amount", "user_id")).getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      F.renameColumn(spark, d, "ghost", "x")).getMessage.contains("no active column"))
+    // A NEW column may not shadow a dropped field's physical name.
+    val bad = ev.limit(3).select(col("event_id"), col("user_id"), col("ts_us"),
+      col("value").as("amount"), lit("x").as("event_type"))
+    assert(intercept[IllegalArgumentException](
+      F.append(spark, d, bad, 2)).getMessage.contains("physical name"))
+    // Compaction carries the mapping: physical rewrite, logical reads
+    // unchanged, and pre-compact versions still time-travel.
+    val before = F.read(spark, d).collect().map(_.toString).toSeq.sorted
+    F.compact(spark, d, nFiles)
+    assert(F.read(spark, d).collect().map(_.toString).toSeq.sorted == before)
+    assert(F.read(spark, d, 1L).columns.toSeq
+      == Seq("event_id", "user_id", "ts_us", "event_type", "value"))
+  }
+
   test("an upsert batch with duplicate keys is rejected (two same-commit generations would both survive)") {
     val d = Files.createTempDirectory("graft_fact_dup").toString
     F.build(ev.limit(100), d, "event_id", Seq("user_id", "ts_us"), 2)
