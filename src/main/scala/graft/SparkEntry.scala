@@ -535,6 +535,10 @@ object SparkEntry {
     * deleted users so the two mutations compose associatively in the
     * oracle), v4 compact. */
   private val FactFiles = 8
+  /** Q140h: the point-probe key list — fixed ids present at every SF
+    * (event_id is 0-based dense), spanning patched (≡3 mod 7),
+    * deleted-user, and plain rows. */
+  private val FactPointIds: Seq[Long] = Seq(7L, 17L, 42L, 303L, 666L, 999L)
   /** Q140g: the corrections batch applied THROUGH the rename (keys
     * chosen disjoint from nothing — plain mod — since q140g has no
     * delete leg). */
@@ -1661,6 +1665,15 @@ object SparkEntry {
       val dir = ensureRenamedFactStore(s, d)
       graft.sources.FactStore.read(s, dir).orderBy("event_id")
     }),
+    "q140h_fact_point" -> ((s, d) =>
+      // Primary-key point lookup through the Bloom sidecar: only
+      // bloom-and-stats-positive files are listed to the scan (the
+      // q116 tier on the raw lake), tombstones still apply, and the
+      // post-DML row versions serve — the "fetch these order ids"
+      // probe that at 100 TB must read a handful of files, not every
+      // min/max survivor.
+      graft.sources.FactStore.readPoint(s, ensureFactStore(s, d),
+        FactPointIds).orderBy("event_id")),
     "q140e_fact_changes" -> ((s, d) =>
       // Change data feed v1 → v4 on the raw lake: content-based per-key
       // fingerprints make compaction invisible; the GDPR delete
@@ -3567,6 +3580,17 @@ object SparkEntry {
             UNION ALL SELECT 3, 'upsert', c FROM n1
             UNION ALL SELECT 4, 'compact', c FROM n1)
           ORDER BY version""",
+    // Q140h: the point probe restates as the q140b projection under an
+    // IN filter — the Bloom tier is I/O shape, invisible to results.
+    "q140h_fact_point" ->
+      s"""SELECT event_id, user_id, ts_us,
+                 CASE WHEN patched THEN 'corrected' ELSE event_type END AS event_type,
+                 CASE WHEN patched THEN value + $FactPatchBump ELSE value END AS value
+          FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  value, event_id % $FactPatchMod = $FactPatchRes AS patched
+                FROM events WHERE user_id % $FactDelUserMod <> $FactDelUserRes)
+          WHERE event_id IN (${FactPointIds.mkString(", ")})
+          ORDER BY event_id""",
     // Q140g: the renamed/dropped lake restates as a projection with the
     // corrections CASE — rename and drop are pure metadata, so the
     // oracle never mentions them beyond the output schema.

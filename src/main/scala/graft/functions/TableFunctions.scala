@@ -121,13 +121,29 @@ object TableFunctions {
       "graft_fact_at(store_dir, version) — q140 raw-lake snapshot read (-1 = latest)", 2) { args =>
       graft.sources.FactStore.read(SparkSession.active,
         strArg(args, 0, "graft_fact_at"), longArg(args, 1, "graft_fact_at"))
-    }) :+ factBoxTvf
+    }) :+ factBoxTvf :+ factPointTvf
 
   /** `graft_fact_box(store_dir, col, lo, hi [, col2, lo2, hi2 …])` —
     * the q140d pruned box read from SQL: variadic (column, lo, hi)
     * triples after the store path; the manifest prunes files before
     * any data I/O, the residual pushes into the survivors, tombstones
     * still apply. The one TVF that can't use the fixed-arity helper. */
+  /** `graft_fact_point(store_dir, key1 [, key2 …])` — the q140h
+    * Bloom-pruned primary-key probe from SQL: variadic key list after
+    * the store path. */
+  private def factPointTvf: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (new FunctionIdentifier("graft_fact_point"),
+      new ExpressionInfo("graft.functions.TableFunctions", "graft_fact_point",
+        "graft_fact_point(store_dir, key, ...) — Bloom-pruned point lookup over the versioned lake"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2,
+          "graft_fact_point takes a store path plus at least one key")
+        val dir = strArg(args, 0, "graft_fact_point")
+        val keys = (1 until args.length).map(longArg(args, _, "graft_fact_point"))
+        graft.sources.FactStore.readPoint(SparkSession.active, dir, keys)
+          .queryExecution.logical
+      })
+
   private def factBoxTvf: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (new FunctionIdentifier("graft_fact_box"),
       new ExpressionInfo("graft.functions.TableFunctions", "graft_fact_box",

