@@ -117,6 +117,13 @@ object TableFunctions {
       graft.operators.Temporal.trendOls(
         SparkSession.active.table(strArg(args, 0, "graft_trend_ols")))
     },
+    tvf("graft_fact_changes",
+      "graft_fact_changes(store_dir, from_version, to_version) — q140e change data feed between commits", 3) { args =>
+      graft.sources.FactStore.changes(SparkSession.active,
+        strArg(args, 0, "graft_fact_changes"),
+        longArg(args, 1, "graft_fact_changes"),
+        longArg(args, 2, "graft_fact_changes"))
+    },
     tvf("graft_fact_at",
       "graft_fact_at(store_dir, version) — q140 raw-lake snapshot read (-1 = latest)", 2) { args =>
       graft.sources.FactStore.read(SparkSession.active,

@@ -357,12 +357,16 @@ object FactStore {
     val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
     val (dfP, cm2) = toPhysical(df, activeColmap(spark, dir, prior), retiredOf(prior))
     requireIndexed(dfP, keyCol, statsCols)
-    val keys = dfP.select(col(keyCol).cast("long").as(keyCol)).distinct()
-    require(keys.count() == dfP.count(),
+    // ONE pre-commit probe (not count(keys)+count(df)): any key with
+    // two batch rows fails the merge contract.
+    val dup = dfP.groupBy(col(keyCol).cast("long").as(keyCol))
+      .count().where(col("count") > 1).limit(1)
+    require(dup.isEmpty,
       "upsert batch carries duplicate keys — two same-commit " +
         "generations of one row would both survive the scoped tombstone")
     val v = prior.version + 1
-    val tomb = writeTombSegment(spark, dir, segName(v, "upsert-tomb"), keys, keyCol)
+    val tomb = writeTombSegment(spark, dir, segName(v, "upsert-tomb"),
+      dfP.select(col(keyCol)), keyCol)
     val seg = writeDataSegment(spark, dir, segName(v, "upsert"), dfP,
       orderCols, statsCols, nFiles, keyCol)
     M.commit(M.fs(spark, dir), dir,

@@ -158,6 +158,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .limit(3).collect().map(_.getLong(0)).toSeq
     pinned(s"SELECT * FROM graft_fact_point('$dir', ${someIds.mkString(", ")})",
       F.readPoint(spark, dir, someIds))
+    pinned(s"SELECT * FROM graft_fact_changes('$dir', 1, 2)",
+      F.changes(spark, dir, 1L, 2L))
     val e1 = intercept[Exception](
       spark.sql(s"SELECT * FROM graft_fact_box('$dir', 'user_id', 3)").collect())
     assert(e1 != null)
