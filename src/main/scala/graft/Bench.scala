@@ -357,7 +357,8 @@ object Bench {
                    // erasure audit bills its own takedown.)
                    "q140_fact_delete" -> sfDir,
                    "q140f_fact_evolution" -> sfDir,
-                   "q140g_fact_rename_drop" -> sfDir))
+                   "q140g_fact_rename_drop" -> sfDir,
+                   "q140i_fact_recluster" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Fixed-work CPU calibration: a constant amount of pure computation

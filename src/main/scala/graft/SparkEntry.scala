@@ -438,6 +438,22 @@ object SparkEntry {
     }
     dir
   }
+  /** Q140i: re-clustering lifecycle — v1 build clustered (and stats'd)
+    * on user_id ONLY, v2 metadata-only RECLUSTER to ts_us, v3 bounded
+    * compaction migrating every generation to the new order. Box reads
+    * on ts_us prune only after migration (sound keep-all before);
+    * results are invariant throughout. */
+  private def ensureReclusteredFactStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_rc_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 3L) {
+      graft.sources.FactStore.build(factEvents(s, d), dir, "event_id",
+        Seq("user_id"), FactFiles, Seq("user_id"))
+      graft.sources.FactStore.recluster(s, dir, Seq("ts_us"))
+      graft.sources.FactStore.compactIncremental(s, dir, FactFiles,
+        maxTombFrac = 0.0, maxFilesPerSeg = 0)
+    }
+    dir
+  }
   /** The RAW document lake after the SAME q127 erasure: a FactStore
     * over documents (v1 build, v2 tombstone-delete of the subject
     * residue) — the takedown must land on the source of truth, not
@@ -1674,6 +1690,25 @@ object SparkEntry {
       // min/max survivor.
       graft.sources.FactStore.readPoint(s, ensureFactStore(s, d),
         FactPointIds).orderBy("event_id")),
+    "q140i_fact_recluster" -> ((s, d) =>
+      // Liquid-clustering shape: the order keys were SWITCHED from
+      // user_id to ts_us by one metadata commit and migrated by a
+      // bounded compaction; this time box prunes on the NEW clustering
+      // (the pre-migration generation would soundly keep-all) and the
+      // rows restate as a plain time filter.
+      graft.sources.FactStore.readBox(s, ensureReclusteredFactStore(s, d),
+        Map("ts_us" -> (SkipTsLo, SkipTsHi)))
+        .orderBy("event_id")),
+    "q140j_fact_asof" -> ((s, d) => {
+      // TIMESTAMP AS OF: resolve the wall-clock instant of the v2
+      // commit (the GDPR delete) through the in-commit timestamps and
+      // serve exactly that version — same rows the version-pinned q140
+      // read serves, through the time-based resolution path.
+      val dir = ensureFactStore(s, d)
+      graft.sources.FactStore.readAsOf(s, dir,
+        graft.sources.ManifestLog.commitTimeMs(s, dir, 2L))
+        .orderBy("event_id")
+    }),
     "q140e_fact_changes" -> ((s, d) =>
       // Change data feed v1 → v4 on the raw lake: content-based per-key
       // fingerprints make compaction invisible; the GDPR delete
@@ -3629,6 +3664,19 @@ object SparkEntry {
                 FROM events WHERE user_id % $FactDelUserMod <> $FactDelUserRes)
           WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
             AND ts_us BETWEEN $SkipTsLo AND $SkipTsHi
+          ORDER BY event_id""",
+    // Q140i: no DML in this lineage — the box restates as a plain time
+    // filter; clustering is I/O shape, invisible to results.
+    "q140i_fact_recluster" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+          FROM events
+          WHERE epoch_us(ts) BETWEEN $SkipTsLo AND $SkipTsHi
+          ORDER BY event_id""",
+    // Q140j: AS OF the v2 commit instant ≡ the version-2 state — the
+    // post-delete, pre-correction lake (the q140 projection).
+    "q140j_fact_asof" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+          FROM events WHERE user_id % $FactDelUserMod <> $FactDelUserRes
           ORDER BY event_id""",
     // Q125: bounds via quantile_cont (≡ Spark's percentile after the
     // 1e-4 rounding — the q25 contract), clip + verdict restated.

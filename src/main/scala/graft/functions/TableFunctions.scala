@@ -124,6 +124,12 @@ object TableFunctions {
         longArg(args, 1, "graft_fact_changes"),
         longArg(args, 2, "graft_fact_changes"))
     },
+    tvf("graft_fact_at_time",
+      "graft_fact_at_time(store_dir, ts_ms) — TIMESTAMP AS OF time travel over the versioned lake", 2) { args =>
+      graft.sources.FactStore.readAsOf(SparkSession.active,
+        strArg(args, 0, "graft_fact_at_time"),
+        longArg(args, 1, "graft_fact_at_time"))
+    },
     tvf("graft_fact_at",
       "graft_fact_at(store_dir, version) — q140 raw-lake snapshot read (-1 = latest)", 2) { args =>
       graft.sources.FactStore.read(SparkSession.active,

@@ -460,6 +460,44 @@ object FactStore {
     (v, rewrite.map(_.dir))
   }
 
+  /** Timestamp time travel (Delta `TIMESTAMP AS OF`): serve the newest
+    * version committed at or before the wall-clock instant — in-commit
+    * timestamps make the resolution copy-safe. */
+  def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
+    read(spark, dir, M.versionAt(spark, dir, tsMs))
+
+  /** RE-CLUSTER the lake on new order columns (the liquid-clustering
+    * story): one METADATA commit switches the declared z-order and
+    * stats columns — zero files rewritten. From this version on, every
+    * new segment (append/upsert) z-sorts and records stats on the new
+    * keys, and [[compactIncremental]]/[[compact]] migrate old
+    * generations as they fold; until then, a box bound on a new stats
+    * column keeps every file of a segment whose sidecar predates it
+    * (no stats = no proof = no pruning — sound, never wrong).
+    * `newOrderCols` speak the current LOGICAL schema. The key column's
+    * Bloom sidecar tier is independent of clustering and unaffected. */
+  def recluster(spark: SparkSession, dir: String, newOrderCols: Seq[String],
+                extraStatsCols: Seq[String] = Seq.empty): Long = synchronized {
+    require(newOrderCols.nonEmpty, "recluster needs at least one order column")
+    val prior = M.snapshot(spark, dir)
+    val cm = activeColmap(spark, dir, prior)
+    val byLogical = cm.map(_.swap).toMap
+    def phys(c: String): String = byLogical.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"no active column '$c' (have: ${cm.map(_._2).mkString(", ")})"))
+    val orderP = newOrderCols.map(phys)
+    // Stats keep covering the OLD columns too: pruned reads on them
+    // must stay exact through the transition.
+    val statsP = (prior.meta("statsCols").split(' ').toSeq ++ orderP ++
+      extraStatsCols.map(phys)).distinct
+    val v = prior.version + 1
+    M.commit(M.fs(spark, dir), dir, M.Snapshot(v, "recluster", "",
+      prior.segments, prior.meta +
+        ("orderCols" -> orderP.mkString(" ")) +
+        ("statsCols" -> statsP.mkString(" "))))
+    v
+  }
+
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
     synchronized { M.restore(spark, dir, toVersion) }
 
@@ -663,16 +701,22 @@ object FactStore {
                version: Long = M.Latest): (Map[String, Seq[String]], Int) = {
     val snap = M.snapshot(spark, dir, version)
     val bounds = physicalBounds(snap, boundsLogical)
+    // A bound must name a DECLARED stats column at this version — a
+    // typo fails loudly here, not as an unpruned scan.
+    val declared = snap.meta("statsCols").split(' ').toSet
+    bounds.keys.foreach(c => require(declared.contains(c),
+      s"no stats for column $c (declared: ${declared.mkString(", ")})"))
     val dataSegs = snap.segments.filter(_.kind == "data")
     var total = 0
     val kept = dataSegs.map { s =>
       val st = readStats(spark, dir, s)
       total += st.files.length
-      val bi = bounds.map { case (c, b) =>
-        val i = st.statsCols.indexOf(c)
-        require(i >= 0, s"no stats for column $c (have: ${st.statsCols.mkString(", ")})")
-        (i, b)
-      }
+      // A segment written BEFORE a recluster added this stats column
+      // has no sidecar entry for it: no stats = no proof of absence,
+      // so that bound keeps every file of the segment (sound; pruning
+      // tightens as compaction migrates the segment).
+      val bi = bounds.toSeq.map { case (c, b) => (st.statsCols.indexOf(c), b) }
+        .filter(_._1 >= 0)
       s.dir -> st.files.collect {
         case (f, mins, maxs, _) if bi.forall { case (i, (lo, hi)) =>
           maxs(i) >= lo && mins(i) <= hi } => f

@@ -76,6 +76,9 @@ object ManifestLog {
   def commit(f: FileSystem, dir: String, snap: Snapshot): Unit = {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("version", snap.version)
+    // In-commit timestamp (Delta's ICT): timestamp-based time travel
+    // must survive file copies that disturb mtimes.
+    root.put("committedAtMs", System.currentTimeMillis())
     root.put("op", snap.op)
     root.put("model", snap.modelDir)
     val segs: ArrayNode = root.putArray("segments")
@@ -107,6 +110,31 @@ object ManifestLog {
       f.delete(tmp, false)
       throw new IllegalStateException(s"manifest rename failed for $dest")
     }
+  }
+
+  /** The commit wall-clock of `version`: the manifest's in-commit
+    * timestamp when present, the manifest file's mtime for manifests
+    * written before ICT landed. */
+  def commitTimeMs(spark: SparkSession, dir: String, v: Long): Long = {
+    val f = fs(spark, dir)
+    val p = manifestPath(dir, v)
+    val in = f.open(p)
+    val root = try mapper.readTree(in) finally in.close()
+    if (root.has("committedAtMs")) root.get("committedAtMs").asLong()
+    else f.getFileStatus(p).getModificationTime
+  }
+
+  /** Timestamp time travel (Delta `TIMESTAMP AS OF`): the newest
+    * version committed at or before `tsMs`. A timestamp predating the
+    * first commit is a loud error, not an empty read. */
+  def versionAt(spark: SparkSession, dir: String, tsMs: Long): Long = {
+    val vs = committedVersions(fs(spark, dir), dir)
+    require(vs.nonEmpty, s"no commits at $dir")
+    val at = vs.filter(v => commitTimeMs(spark, dir, v) <= tsMs)
+    require(at.nonEmpty,
+      s"timestamp $tsMs predates the first commit of $dir " +
+        s"(earliest: ${commitTimeMs(spark, dir, vs.head)})")
+    at.max
   }
 
   def parseManifest(f: FileSystem, dir: String, v: Long): Snapshot = {

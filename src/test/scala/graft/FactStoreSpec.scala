@@ -438,6 +438,79 @@ class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("event_id", "user_id", "ts_us", "event_type", "value"))
   }
 
+  test("timestamp time travel: AS OF a wall-clock instant serves the version committed at or before it") {
+    val d = Files.createTempDirectory("graft_fact_asof").toString
+    F.build(ev, d, "event_id", Seq("user_id", "ts_us"), 4)
+    Thread.sleep(5)
+    F.deleteMatching(spark, d, col("user_id") % 5 === 1)
+    Thread.sleep(5)
+    F.append(spark, d, ev.limit(0), 4) // no-op, no commit
+    val t1 = M.commitTimeMs(spark, d, 1L)
+    val t2 = M.commitTimeMs(spark, d, 2L)
+    assert(t2 > t1, "in-commit timestamps must be monotone here")
+    // Exactly at a commit instant → that version; between commits →
+    // the earlier one; after the last → latest.
+    assert(M.versionAt(spark, d, t1) == 1L)
+    assert(M.versionAt(spark, d, t2 - 1) == 1L)
+    assert(M.versionAt(spark, d, t2) == 2L)
+    assert(M.versionAt(spark, d, t2 + 60000) == 2L)
+    assert(sortedRows(F.readAsOf(spark, d, t1)) == sortedRows(ev))
+    assert(sortedRows(F.readAsOf(spark, d, t2))
+      == sortedRows(ev.where(col("user_id") % 5 =!= 1)))
+    // Predating the first commit is a loud error, not an empty frame.
+    assert(intercept[IllegalArgumentException](
+      M.versionAt(spark, d, t1 - 60000)).getMessage.contains("predates"))
+  }
+
+  test("recluster: metadata-only order-key switch — sound mixed-generation pruning, tightening as compaction migrates") {
+    val d = Files.createTempDirectory("graft_fact_recluster").toString
+    // Clustered (and stats'd) on user_id only.
+    F.build(ev, d, "event_id", Seq("user_id"), nFiles, Seq("user_id"))
+    val before = sortedRows(F.read(spark, d))
+    // A bound on a never-declared column fails loudly.
+    assert(intercept[IllegalArgumentException](
+      F.pruneBox(spark, d, Map("ts_us" -> (0L, 1L)))).getMessage.contains("no stats"))
+    // Switch clustering to ts_us: one metadata commit, zero files.
+    val files1 = M.snapshot(spark, d).segments.flatMap(_.files).sorted
+    assert(F.recluster(spark, d, Seq("ts_us")) == 2L)
+    assert(M.snapshot(spark, d).op == "recluster")
+    assert(M.snapshot(spark, d).segments.flatMap(_.files).sorted == files1)
+    // Mixed generation: the pre-recluster segment has no ts_us stats,
+    // so a ts_us box keeps ALL its files (sound), and results equal
+    // the plain filtered scan.
+    val (tsLo, tsHi) = {
+      val r = ev.agg(min("ts_us"), max("ts_us")).head
+      val lo = r.getLong(0); (lo, lo + (r.getLong(1) - lo) / 8)
+    }
+    val (kept2, total2) = F.pruneBox(spark, d, Map("ts_us" -> (tsLo, tsHi)))
+    assert(kept2.values.map(_.size).sum == total2,
+      "a segment without stats for the bound column must keep all files")
+    assert(F.readBox(spark, d, Map("ts_us" -> (tsLo, tsHi)))
+        .collect().map(_.toString).toSeq.sorted
+      == F.read(spark, d).where(col("ts_us").between(tsLo, tsHi))
+        .collect().map(_.toString).toSeq.sorted)
+    // Old bounds STILL prune exactly (stats kept covering user_id).
+    val lo = ev.agg(min("user_id")).head.getLong(0)
+    val (kept2b, total2b) = F.pruneBox(spark, d, Map("user_id" -> (lo, lo + 2)))
+    assert(kept2b.values.map(_.size).sum < total2b)
+    // Fold everything under the new order: pruning on ts_us tightens.
+    val (v3, rew) = F.compactIncremental(spark, d, nFiles,
+      maxTombFrac = 0.0, maxFilesPerSeg = 0)
+    assert(v3 == 3L && rew.nonEmpty)
+    val (kept3, total3) = F.pruneBox(spark, d, Map("ts_us" -> (tsLo, tsHi)))
+    assert(kept3.values.map(_.size).sum < total3,
+      "after migration the new clustering must actually prune")
+    assert(F.readBox(spark, d, Map("ts_us" -> (tsLo, tsHi)))
+        .collect().map(_.toString).toSeq.sorted
+      == F.read(spark, d).where(col("ts_us").between(tsLo, tsHi))
+        .collect().map(_.toString).toSeq.sorted)
+    // Rows never changed through the whole lifecycle; old versions
+    // time-travel with their own clustering metadata.
+    assert(sortedRows(F.read(spark, d)) == before)
+    assert(M.snapshot(spark, d, 1L).meta("orderCols") == "user_id")
+    assert(M.snapshot(spark, d, 3L).meta("orderCols") == "ts_us")
+  }
+
   test("an upsert batch with duplicate keys is rejected (two same-commit generations would both survive)") {
     val d = Files.createTempDirectory("graft_fact_dup").toString
     F.build(ev.limit(100), d, "event_id", Seq("user_id", "ts_us"), 2)

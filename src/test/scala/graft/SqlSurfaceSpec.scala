@@ -160,6 +160,9 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       F.readPoint(spark, dir, someIds))
     pinned(s"SELECT * FROM graft_fact_changes('$dir', 1, 2)",
       F.changes(spark, dir, 1L, 2L))
+    val t2 = graft.sources.ManifestLog.commitTimeMs(spark, dir, 2L)
+    pinned(s"SELECT * FROM graft_fact_at_time('$dir', $t2)",
+      F.readAsOf(spark, dir, t2))
     val e1 = intercept[Exception](
       spark.sql(s"SELECT * FROM graft_fact_box('$dir', 'user_id', 3)").collect())
     assert(e1 != null)
