@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // expand to exactly the Scala API's logical plans (see
     // graft.functions.TableFunctions).
     graft.functions.TableFunctions.descriptions.foreach(ext.injectTableFunction)
+    // SQL surface for the lakehouse DML (GRAFT MERGE/DELETE/VACUUM/…):
+    // a delegating parser — GRAFT statements become thin commands over
+    // the FactStore API, everything else passes through untouched.
+    ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
     ext.injectOptimizerRule(new BucketRangeInference(_))
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit, when}
 import graft.operators._
 import graft.sources.{DocStore, EventLogStore, Tables, VectorIndexStore}
 
@@ -454,6 +454,90 @@ object SparkEntry {
     }
     dir
   }
+  /** Q140k: the conditional-MERGE batch over `base` — a matched half
+    * (same keys, value shifted ±[[FactMergeShift]] by id parity, so the
+    * update condition `s.value >= t.value` splits exactly on parity)
+    * and a new half (keys offset beyond any real id, type 'inserted').
+    */
+  private def factMergeSource(base: DataFrame): DataFrame =
+    base.where(col("event_id") % FactMergeMod === FactMergeMatchRes)
+      .withColumn("value", col("value") +
+        when(col("event_id") % 2 === 0, lit(FactMergeShift))
+          .otherwise(lit(-FactMergeShift)))
+      .unionByName(
+        base.where(col("event_id") % FactMergeMod === FactMergeInsRes)
+          .withColumn("event_id", col("event_id") + FactMergeIdOffset)
+          .withColumn("event_type", lit("inserted")))
+  // A def, not a val: this textually precedes the FactMerge* constants,
+  // and a val here would interpolate their pre-init defaults (0.0).
+  private def FactMergeClauses = Seq(
+    graft.sources.FactStore.MergeClause.Update(Some("s.value >= t.value"),
+      Map("value" -> "s.value + t.value", "event_type" -> "'merged'")),
+    graft.sources.FactStore.MergeClause.Delete(None),
+    graft.sources.FactStore.MergeClause.Insert(Some(s"s.value >= $FactMergeInsMin")))
+  /** Q140k: v1 build, v2 one conditional MERGE exercising all three
+    * clause kinds (first-match precedence) in ONE atomic commit. */
+  private def ensureMergedFactStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_mg_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 2L) {
+      graft.sources.FactStore.build(factEvents(s, d), dir, "event_id",
+        Seq("user_id", "ts_us"), FactFiles, Seq("user_id", "ts_us", "event_id"))
+      graft.sources.FactStore.merge(s, dir, factMergeSource(factEvents(s, d)),
+        FactFiles, FactMergeClauses)
+    }
+    dir
+  }
+  /** Q140l: the SAME lakehouse lifecycle driven ENTIRELY from SQL —
+    * GRAFT BUILD / DELETE / MERGE / COMPACT statements through the
+    * injected parser (GraftSqlParser), each a thin command over the
+    * one FactStore implementation. The merge source excludes the
+    * deleted users so the oracle composes the two DMLs cleanly. */
+  private def ensureSqlDmlFactStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_sql_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 4L) {
+      factEvents(s, d).createOrReplaceTempView("graft_dml_ev")
+      factMergeSource(factEvents(s, d)
+          .where(col("user_id") % FactDelUserMod =!= FactDelUserRes))
+        .createOrReplaceTempView("graft_dml_msrc")
+      s.sql(s"GRAFT BUILD '$dir' KEY event_id ORDER BY (user_id, ts_us) " +
+        s"STATS (user_id, ts_us, event_id) FILES $FactFiles USING graft_dml_ev")
+      s.sql(s"GRAFT DELETE FROM '$dir' WHERE user_id % $FactDelUserMod = $FactDelUserRes")
+      s.sql(
+        s"""GRAFT MERGE INTO '$dir' FILES $FactFiles USING graft_dml_msrc
+            WHEN MATCHED AND s.value >= t.value THEN UPDATE SET value = s.value + t.value, event_type = 'merged'
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED AND s.value >= $FactMergeInsMin THEN INSERT""")
+      s.sql(s"GRAFT COMPACT '$dir' FILES $FactFiles")
+    }
+    dir
+  }
+  /** Q140m: CHECK-constraint lifecycle — v1 build, v2 ADD CONSTRAINT
+    * (validated against the live rows first), a VIOLATING append that
+    * must bounce whole (required loudly — if enforcement ever went
+    * missing the extra rows would also fail the oracle), v3 a
+    * satisfying append that lands. */
+  private def ensureConstrainedFactStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_ck_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 3L) {
+      val ev = factEvents(s, d)
+      graft.sources.FactStore.build(ev, dir, "event_id",
+        Seq("user_id", "ts_us"), FactFiles, Seq("user_id", "ts_us", "event_id"))
+      graft.sources.FactStore.addConstraint(s, dir, "chk_value", "value >= 0")
+      val threw = try {
+        graft.sources.FactStore.append(s, dir,
+          ev.where(col("event_id") % FactConsMod === 0)
+            .withColumn("event_id", col("event_id") + FactConsIdOffset)
+            .withColumn("value", -col("value") - 1.0), FactFiles)
+        false
+      } catch { case _: IllegalArgumentException => true }
+      require(threw, "the violating batch must be rejected whole")
+      graft.sources.FactStore.append(s, dir,
+        ev.where(col("event_id") % FactConsMod === 0)
+          .withColumn("event_id", col("event_id") + FactConsIdOffset)
+          .withColumn("event_type", lit("audited")), FactFiles)
+    }
+    dir
+  }
   /** The RAW document lake after the SAME q127 erasure: a FactStore
     * over documents (v1 build, v2 tombstone-delete of the subject
     * residue) — the takedown must land on the source of truth, not
@@ -566,6 +650,18 @@ object SparkEntry {
   private val FactPatchMod = 7L
   private val FactPatchRes = 3L
   private val FactPatchBump = 1000.0
+  // Q140k/l: conditional MERGE — the matched residue's value shifts
+  // +Shift on even ids / −Shift on odd, so `s.value >= t.value` splits
+  // exactly on parity; the insert residue re-keys beyond any real id.
+  private val FactMergeMod = 9L
+  private val FactMergeMatchRes = 4L
+  private val FactMergeInsRes = 5L
+  private val FactMergeShift = 100.0
+  private val FactMergeIdOffset = 1000000000000L
+  private val FactMergeInsMin = 50.0
+  // Q140m: CHECK constraints — the audited batch's residue and re-key.
+  private val FactConsMod = 5L
+  private val FactConsIdOffset = 2000000000000L
   /** Q124: minimum distinct users per released aggregate cell —
     * chosen so every SF exercises all three outcomes (hour-level
     * release, day-level generalization, suppression). */
@@ -1709,6 +1805,33 @@ object SparkEntry {
         graft.sources.ManifestLog.commitTimeMs(s, dir, 2L))
         .orderBy("event_id")
     }),
+    "q140k_fact_merge" -> ((s, d) =>
+      // Conditional MERGE (the Delta MERGE INTO semantics): one atomic
+      // commit applies WHEN MATCHED AND cond UPDATE SET / WHEN MATCHED
+      // DELETE / WHEN NOT MATCHED AND cond INSERT with first-match
+      // precedence — matched rows split on the update condition,
+      // unmatched source rows on the insert condition, untouched rows
+      // keep their old generation (never tombstoned).
+      graft.sources.FactStore.read(s, ensureMergedFactStore(s, d))
+        .orderBy("event_id")),
+    "q140l_fact_dml_sql" -> ((s, d) => {
+      // The lakehouse lifecycle with ZERO Scala: GRAFT BUILD / DELETE /
+      // MERGE / COMPACT statements through the injected SQL parser,
+      // read back through the graft_fact_at TVF — every statement a
+      // thin command over the same FactStore implementation
+      // (GraftSqlDmlSpec pins lineage equivalence to the Scala API).
+      val dir = ensureSqlDmlFactStore(s, d)
+      s.sql(s"SELECT * FROM graft_fact_at('$dir', -1) ORDER BY event_id")
+    }),
+    "q140m_fact_constraints" -> ((s, d) =>
+      // CHECK constraints (Delta table constraints): ADD validates the
+      // live rows, every writer re-validates incoming batches and
+      // rejects violations whole (the lifecycle REQUIRES the bad batch
+      // bounced — and had it landed, its rows would fail this oracle),
+      // NULL passes (SQL CHECK semantics), rules version with the
+      // table.
+      graft.sources.FactStore.read(s, ensureConstrainedFactStore(s, d))
+        .orderBy("event_id")),
     "q140e_fact_changes" -> ((s, d) =>
       // Change data feed v1 → v4 on the raw lake: content-based per-key
       // fingerprints make compaction invisible; the GDPR delete
@@ -3643,6 +3766,55 @@ object SparkEntry {
                       THEN 's' || CAST(user_id % 3 AS VARCHAR)
                       ELSE NULL END AS source
           FROM events ORDER BY event_id""",
+    // Q140k: the conditional merge restated as three closed-form legs —
+    // untouched (no clause matched their keys, or the update condition
+    // failed and the delete clause took the rest), updated (matched,
+    // even id: s.value >= t.value holds), inserted (offset keys above
+    // the threshold). The float arithmetic mirrors the engine's
+    // evaluation order exactly: (value + shift) + value.
+    "q140k_fact_merge" ->
+      s"""SELECT * FROM (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+            FROM events WHERE event_id % $FactMergeMod <> $FactMergeMatchRes
+            UNION ALL
+            SELECT event_id, user_id, epoch_us(ts), 'merged',
+                   (value + $FactMergeShift) + value
+            FROM events
+            WHERE event_id % $FactMergeMod = $FactMergeMatchRes AND event_id % 2 = 0
+            UNION ALL
+            SELECT event_id + $FactMergeIdOffset, user_id, epoch_us(ts), 'inserted', value
+            FROM events
+            WHERE event_id % $FactMergeMod = $FactMergeInsRes AND value >= $FactMergeInsMin)
+          ORDER BY event_id""",
+    // Q140l: the SQL-driven lifecycle composes the GDPR delete with the
+    // q140k merge (whose source excludes the deleted users) — compact
+    // moves nothing.
+    "q140l_fact_dml_sql" ->
+      s"""WITH live0 AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+                 FROM events WHERE user_id % $FactDelUserMod <> $FactDelUserRes)
+          SELECT * FROM (
+            SELECT event_id, user_id, ts_us, event_type, value
+            FROM live0 WHERE event_id % $FactMergeMod <> $FactMergeMatchRes
+            UNION ALL
+            SELECT event_id, user_id, ts_us, 'merged',
+                   (value + $FactMergeShift) + value
+            FROM live0
+            WHERE event_id % $FactMergeMod = $FactMergeMatchRes AND event_id % 2 = 0
+            UNION ALL
+            SELECT event_id + $FactMergeIdOffset, user_id, ts_us, 'inserted', value
+            FROM live0
+            WHERE event_id % $FactMergeMod = $FactMergeInsRes AND value >= $FactMergeInsMin)
+          ORDER BY event_id""",
+    // Q140m: the constrained lifecycle restates as base ∪ the audited
+    // batch — the violating append never landed, so it never appears.
+    "q140m_fact_constraints" ->
+      s"""SELECT * FROM (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+            FROM events
+            UNION ALL
+            SELECT event_id + $FactConsIdOffset, user_id, epoch_us(ts), 'audited', value
+            FROM events WHERE event_id % $FactConsMod = 0)
+          ORDER BY event_id""",
     // Q140e: the lifecycle's net changes restated — deleted users'
     // rows are 'delete'; the (disjoint) corrections batch is 'update'
     // (value + bump and type both moved, so content fingerprints

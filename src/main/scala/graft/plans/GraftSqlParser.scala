@@ -1,0 +1,367 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+import graft.sources.{FactStore, ManifestLog}
+
+/** SQL surface for the lakehouse DML — the statement half the TVFs
+  * cannot carry (a table-valued function reads; `MERGE`/`DELETE`/
+  * `VACUUM` mutate). Injected via `SparkSessionExtensions.injectParser`
+  * as a DELEGATING parser: statements starting with the `GRAFT` keyword
+  * parse here into thin runnable commands over the [[FactStore]] API —
+  * ONE implementation, no drift — and every other statement passes to
+  * the session's own parser untouched.
+  *
+  * Grammar (case-insensitive keywords; `'<dir>'` is a single-quoted
+  * store path; `<source>` is a view name or a parenthesized query;
+  * conditions and SET expressions are ordinary Spark SQL over the
+  * aliases `t`/`s`, exactly the [[FactStore.MergeClause]] contract):
+  *
+  * {{{
+  * GRAFT BUILD '<dir>' KEY <col> ORDER BY (<cols>) [STATS (<cols>)] [FILES <n>] USING <source>
+  * GRAFT APPEND INTO '<dir>' [FILES <n>] USING <source>
+  * GRAFT UPSERT INTO '<dir>' [FILES <n>] USING <source>
+  * GRAFT DELETE FROM '<dir>' WHERE <predicate>
+  * GRAFT MERGE INTO '<dir>' [FILES <n>] USING <source>
+  *   WHEN MATCHED [AND <cond>] THEN UPDATE SET <col> = <expr> [, …]
+  *   WHEN MATCHED [AND <cond>] THEN DELETE
+  *   WHEN NOT MATCHED [AND <cond>] THEN INSERT
+  * GRAFT COMPACT '<dir>' [FILES <n>] [INCREMENTAL [TOMBFRAC <f>] [MAXFILES <n>]]
+  * GRAFT VACUUM '<dir>' RETAIN <n>
+  * GRAFT RESTORE '<dir>' TO VERSION <n>
+  * GRAFT RECLUSTER '<dir>' BY (<cols>)
+  * GRAFT RENAME COLUMN <a> TO <b> IN '<dir>'
+  * GRAFT DROP COLUMN <a> IN '<dir>'
+  * GRAFT ADD CONSTRAINT <name> CHECK (<expr>) IN '<dir>'
+  * GRAFT DROP CONSTRAINT <name> IN '<dir>'
+  * GRAFT HISTORY '<dir>'
+  * }}}
+  *
+  * Every DML statement returns one row `(version BIGINT)` — the
+  * committed (or unchanged, for no-op DML) version, so scripts can
+  * pin follow-up time-travel reads. `HISTORY` returns the audit trail
+  * `(version, op, committed_at_ms)`. Malformed `GRAFT` statements fail
+  * loudly at parse time — they never fall through to the delegate to
+  * die as mysterious syntax errors.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    if (GraftSqlParser.Lead.pattern.matcher(sqlText).find())
+      GraftSqlParser.parseGraft(sqlText)
+    else delegate.parsePlan(sqlText)
+
+  override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
+    if (GraftSqlParser.Lead.pattern.matcher(sqlText).find())
+      GraftSqlParser.parseGraft(sqlText)
+    else delegate.parsePlanWithParameters(sqlText, ctx)
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] = delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  private[plans] val Lead = "(?is)^\\s*GRAFT\\b".r
+
+  private def fail(msg: String, sql: String): Nothing =
+    throw new IllegalArgumentException(s"GRAFT statement error: $msg\n  in: ${sql.trim}")
+
+  /** Split `text` on top-level occurrences of keyword `kw` — depth-0
+    * w.r.t. parentheses and outside single-quoted strings, so a
+    * subquery or a string literal can contain the word. Returns the
+    * segments BETWEEN occurrences (first element = text before the
+    * first occurrence). */
+  private[plans] def splitTop(text: String, kw: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val up = text.toUpperCase
+    val kwUp = kw.toUpperCase
+    var depth = 0; var inStr = false; var i = 0; var start = 0
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else c match {
+        case '\'' => inStr = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && up.startsWith(kwUp, i) &&
+              (i == 0 || !isWordChar(text.charAt(i - 1))) &&
+              (i + kwUp.length >= text.length || !isWordChar(text.charAt(i + kwUp.length)))) {
+            out += text.substring(start, i)
+            start = i + kwUp.length
+            i = start
+          } else i += 1
+      }
+    }
+    out += text.substring(start)
+    out.toSeq
+  }
+
+  /** Split on top-level commas (for SET assignment lists). */
+  private[plans] def splitCommas(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var i = 0; var start = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += text.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += text.substring(start)
+    out.toSeq
+  }
+
+  private val VersionOut: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  // ---------------------------------------------------------- commands
+
+  /** Resolve a `<source>` operand at run time: `(SELECT …)` runs as a
+    * subquery, anything else is a table/view name. */
+  private def sourceDf(spark: SparkSession, src: String) = {
+    val trimmed = src.trim
+    if (trimmed.startsWith("(") && trimmed.endsWith(")"))
+      spark.sql(trimmed.substring(1, trimmed.length - 1))
+    else spark.table(trimmed)
+  }
+
+  final case class GraftBuildCommand(dir: String, key: String, orderCols: Seq[String],
+                                     statsCols: Seq[String], nFiles: Int, source: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.build(sourceDf(spark, source), dir, key, orderCols,
+        nFiles, statsCols)))
+  }
+
+  final case class GraftAppendCommand(dir: String, nFiles: Int, source: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.append(spark, dir, sourceDf(spark, source), nFiles)))
+  }
+
+  final case class GraftUpsertCommand(dir: String, nFiles: Int, source: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.upsert(spark, dir, sourceDf(spark, source), nFiles)))
+  }
+
+  final case class GraftDeleteCommand(dir: String, predicate: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.deleteMatching(spark, dir, expr(predicate))))
+  }
+
+  final case class GraftMergeCommand(dir: String, nFiles: Int, source: String,
+                                     clauses: Seq[FactStore.MergeClause])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.merge(spark, dir, sourceDf(spark, source), nFiles, clauses)))
+  }
+
+  final case class GraftCompactCommand(dir: String, nFiles: Int, incremental: Boolean,
+                                       tombFrac: Double, maxFiles: Int)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(
+        if (incremental)
+          FactStore.compactIncremental(spark, dir, nFiles, tombFrac, maxFiles)._1
+        else FactStore.compact(spark, dir, nFiles)))
+  }
+
+  final case class GraftVacuumCommand(dir: String, retain: Int)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] = {
+      FactStore.vacuum(spark, dir, retain)
+      Seq(Row(FactStore.currentVersion(spark, dir)))
+    }
+  }
+
+  final case class GraftRestoreCommand(dir: String, toVersion: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.restore(spark, dir, toVersion)))
+  }
+
+  final case class GraftReclusterCommand(dir: String, orderCols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.recluster(spark, dir, orderCols)))
+  }
+
+  final case class GraftRenameColumnCommand(dir: String, from: String, to: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.renameColumn(spark, dir, from, to)))
+  }
+
+  final case class GraftDropColumnCommand(dir: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.dropColumn(spark, dir, name)))
+  }
+
+  final case class GraftAddConstraintCommand(dir: String, name: String, rule: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.addConstraint(spark, dir, name, rule)))
+  }
+
+  final case class GraftDropConstraintCommand(dir: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.dropConstraint(spark, dir, name)))
+  }
+
+  final case class GraftHistoryCommand(dir: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("op", StringType, nullable = false)(),
+      AttributeReference("committed_at_ms", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      ManifestLog.snapshots(spark, dir).map(s =>
+        Row(s.version, s.op, ManifestLog.commitTimeMs(spark, dir, s.version)))
+  }
+
+  // ------------------------------------------------------------ parser
+
+  private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
+
+  private def identList(body: String, sql: String): Seq[String] = {
+    val cols = body.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    cols.foreach(c => if (!c.matches(Ident)) fail(s"'$c' is not a column identifier", sql))
+    cols
+  }
+
+  private val BuildRe =
+    ("(?is)^\\s*GRAFT\\s+BUILD\\s+'([^']+)'\\s+KEY\\s+(" + Ident + ")\\s+ORDER\\s+BY\\s*\\(([^)]*)\\)" +
+      "(?:\\s+STATS\\s*\\(([^)]*)\\))?(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*;?\\s*$").r
+  private val AppendRe =
+    "(?is)^\\s*GRAFT\\s+APPEND\\s+INTO\\s+'([^']+)'(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*;?\\s*$".r
+  private val UpsertRe =
+    "(?is)^\\s*GRAFT\\s+UPSERT\\s+INTO\\s+'([^']+)'(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*;?\\s*$".r
+  private val DeleteRe =
+    "(?is)^\\s*GRAFT\\s+DELETE\\s+FROM\\s+'([^']+)'\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+  private val MergeHeadRe =
+    "(?is)^\\s*GRAFT\\s+MERGE\\s+INTO\\s+'([^']+)'(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*$".r
+  private val CompactRe =
+    ("(?is)^\\s*GRAFT\\s+COMPACT\\s+'([^']+)'(?:\\s+FILES\\s+(\\d+))?" +
+      "(?:\\s+(INCREMENTAL)(?:\\s+TOMBFRAC\\s+([0-9.]+))?(?:\\s+MAXFILES\\s+(\\d+))?)?\\s*;?\\s*$").r
+  private val VacuumRe =
+    "(?is)^\\s*GRAFT\\s+VACUUM\\s+'([^']+)'\\s+RETAIN\\s+(\\d+)\\s*;?\\s*$".r
+  private val RestoreRe =
+    "(?is)^\\s*GRAFT\\s+RESTORE\\s+'([^']+)'\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*$".r
+  private val ReclusterRe =
+    "(?is)^\\s*GRAFT\\s+RECLUSTER\\s+'([^']+)'\\s+BY\\s*\\(([^)]*)\\)\\s*;?\\s*$".r
+  private val RenameRe =
+    ("(?is)^\\s*GRAFT\\s+RENAME\\s+COLUMN\\s+(" + Ident + ")\\s+TO\\s+(" + Ident +
+      ")\\s+IN\\s+'([^']+)'\\s*;?\\s*$").r
+  private val DropRe =
+    ("(?is)^\\s*GRAFT\\s+DROP\\s+COLUMN\\s+(" + Ident + ")\\s+IN\\s+'([^']+)'\\s*;?\\s*$").r
+  private val HistoryRe =
+    "(?is)^\\s*GRAFT\\s+HISTORY\\s+'([^']+)'\\s*;?\\s*$".r
+  private val AddConstraintRe =
+    ("(?is)^\\s*GRAFT\\s+ADD\\s+CONSTRAINT\\s+(" + Ident +
+      ")\\s+CHECK\\s*\\((.+)\\)\\s+IN\\s+'([^']+)'\\s*;?\\s*$").r
+  private val DropConstraintRe =
+    ("(?is)^\\s*GRAFT\\s+DROP\\s+CONSTRAINT\\s+(" + Ident +
+      ")\\s+IN\\s+'([^']+)'\\s*;?\\s*$").r
+
+  private val MatchedRe =
+    "(?is)^\\s*MATCHED\\s*(?:AND\\s+(.+?))?\\s*THEN\\s+(UPDATE\\s+SET\\s+(.+)|DELETE)\\s*;?\\s*$".r
+  private val NotMatchedRe =
+    "(?is)^\\s*NOT\\s+MATCHED\\s*(?:AND\\s+(.+?))?\\s*THEN\\s+INSERT\\s*;?\\s*$".r
+
+  private def parseMergeClauses(parts: Seq[String], sql: String): Seq[FactStore.MergeClause] = {
+    import FactStore.MergeClause._
+    if (parts.isEmpty) fail("MERGE needs at least one WHEN clause", sql)
+    parts.map {
+      case MatchedRe(cond, action, setBody) =>
+        if (action.toUpperCase.startsWith("UPDATE")) {
+          val set = splitCommas(setBody).map { a =>
+            val eq = a.indexOf('=')
+            if (eq < 0) fail(s"SET assignment '$a' has no '='", sql)
+            val c = a.substring(0, eq).trim
+            if (!c.matches(Ident)) fail(s"SET target '$c' is not a column identifier", sql)
+            c -> a.substring(eq + 1).trim
+          }.toMap
+          Update(Option(cond).map(_.trim), set)
+        } else Delete(Option(cond).map(_.trim))
+      case NotMatchedRe(cond) => Insert(Option(cond).map(_.trim))
+      case other => fail(s"unrecognized WHEN clause: WHEN $other", sql)
+    }
+  }
+
+  private[plans] def parseGraft(sql: String): LogicalPlan = sql match {
+    case BuildRe(dir, key, orderBody, statsBody, files, source) =>
+      val order = identList(orderBody, sql)
+      val stats = Option(statsBody).map(identList(_, sql)).getOrElse(Seq.empty)
+      GraftBuildCommand(dir, key, order, stats,
+        Option(files).map(_.toInt).getOrElse(DefaultFiles), source.trim)
+    case AppendRe(dir, files, source) =>
+      GraftAppendCommand(dir, Option(files).map(_.toInt).getOrElse(DefaultFiles), source.trim)
+    case UpsertRe(dir, files, source) =>
+      GraftUpsertCommand(dir, Option(files).map(_.toInt).getOrElse(DefaultFiles), source.trim)
+    case DeleteRe(dir, pred) => GraftDeleteCommand(dir, pred)
+    case CompactRe(dir, files, incr, frac, maxf) =>
+      GraftCompactCommand(dir, Option(files).map(_.toInt).getOrElse(DefaultFiles),
+        incr != null,
+        Option(frac).map(_.toDouble).getOrElse(0.1),
+        Option(maxf).map(_.toInt).getOrElse(Int.MaxValue))
+    case VacuumRe(dir, retain) => GraftVacuumCommand(dir, retain.toInt)
+    case RestoreRe(dir, v) => GraftRestoreCommand(dir, v.toLong)
+    case ReclusterRe(dir, body) => GraftReclusterCommand(dir, identList(body, sql))
+    case RenameRe(from, to, dir) => GraftRenameColumnCommand(dir, from, to)
+    case AddConstraintRe(name, rule, dir) => GraftAddConstraintCommand(dir, name, rule.trim)
+    case DropConstraintRe(name, dir) => GraftDropConstraintCommand(dir, name)
+    case DropRe(name, dir) => GraftDropColumnCommand(dir, name)
+    case HistoryRe(dir) => GraftHistoryCommand(dir)
+    case _ =>
+      // MERGE: split the WHEN clauses at top level first (conditions
+      // may hold arbitrary expressions), then regex the head.
+      val parts = splitTop(sql, "WHEN")
+      if (parts.length >= 2) parts.head match {
+        case MergeHeadRe(dir, files, source) =>
+          GraftMergeCommand(dir, Option(files).map(_.toInt).getOrElse(DefaultFiles),
+            source.trim, parseMergeClauses(parts.tail, sql))
+        case _ => fail("unrecognized GRAFT statement", sql)
+      }
+      else fail("unrecognized GRAFT statement", sql)
+  }
+
+  /** Default data-segment file count when a statement omits `FILES n`
+    * — sized for commit-granularity batches; large backfills should
+    * say `FILES` explicitly. */
+  val DefaultFiles = 8
+}

@@ -139,6 +139,7 @@ object FactStore {
     val cm = activeColmap(spark, dir, prior)
     require(cm.exists(_._2 == from), s"no active column '$from' to rename")
     require(!cm.exists(_._2 == to), s"rename target '$to' already exists")
+    requireUnconstrained(prior, from, "rename")
     val next = cm.map { case (p, l) => (p, if (l == from) to else l) }
     val v = prior.version + 1
     M.commit(M.fs(spark, dir), dir, M.Snapshot(v, "rename", "",
@@ -158,6 +159,7 @@ object FactStore {
       .getOrElse(throw new IllegalArgumentException(s"no active column '$name' to drop"))._1
     require(phys != keyCol && !statsCols.contains(phys),
       s"'$name' is the key or a stats/order column — the skipping tier is non-negotiable")
+    requireUnconstrained(prior, name, "drop")
     val v = prior.version + 1
     val retired = (retiredOf(prior) + phys).toSeq.sorted.mkString(" ")
     M.commit(M.fs(spark, dir), dir, M.Snapshot(v, "drop", "",
@@ -166,6 +168,83 @@ object FactStore {
         ("colretired" -> retired)))
     v
   }
+
+  // ------------------------------------------------------- constraints
+  //
+  // Delta-style table CHECK constraints: each lives in the snapshot
+  // meta as `check.<name> -> <sql expr over the LOGICAL schema>`, so
+  // constraints version with the table (time travel serves each
+  // version's own rule set). ADD validates the existing live rows
+  // first — a constraint that is already violated is rejected, never
+  // recorded; every subsequent batch write (append/upsert/merge)
+  // re-validates the INCOMING rows and rejects the whole batch loudly
+  // (atomicity: a rejected batch leaves no version behind). SQL
+  // semantics: a row violates only when the expression is FALSE —
+  // NULL passes, as in standard CHECK. Independent of constraints,
+  // the key column is always required non-null: a null-keyed row
+  // could never be tombstoned (null never equi-joins), making
+  // delete/upsert silently incomplete.
+
+  private def constraintsOf(snap: M.Snapshot): Map[String, String] =
+    snap.meta.collect { case (k, v) if k.startsWith("check.") =>
+      k.stripPrefix("check.") -> v }
+
+  /** Stored constraint expressions reference LOGICAL column names as
+    * free text, so renaming or dropping a referenced column would
+    * orphan the rule — rejected; drop the constraint first. The check
+    * is a word-boundary text match: conservative (a same-named
+    * identifier inside a string literal also blocks), never silent. */
+  private def requireUnconstrained(snap: M.Snapshot, colName: String, what: String): Unit =
+    constraintsOf(snap).foreach { case (name, rule) =>
+      require(!s"\\b${java.util.regex.Pattern.quote(colName)}\\b".r
+          .findFirstIn(rule).isDefined,
+        s"cannot $what column '$colName': CHECK constraint $name ($rule) " +
+          "references it — drop the constraint first")
+    }
+
+  /** Reject `df` (a LOGICAL-schema batch) if any row breaks a
+    * constraint or carries a null key — one probe per rule, loudly. */
+  private def enforceConstraints(df: DataFrame, snap: M.Snapshot,
+                                 logicalKey: String, what: String): Unit = {
+    require(df.where(col(logicalKey).isNull).limit(1).isEmpty,
+      s"$what carries null key(s) in '$logicalKey' — a null-keyed row can " +
+        "never be tombstoned, so row-level DML could not reach it")
+    constraintsOf(snap).toSeq.sortBy(_._1).foreach { case (name, rule) =>
+      require(df.where(not(expr(rule)) <=> lit(true)).limit(1).isEmpty,
+        s"$what violates CHECK constraint $name ($rule) — the batch is rejected whole")
+    }
+  }
+
+  /** ADD CONSTRAINT: validate the live rows, then one metadata commit.
+    * The expression speaks the CURRENT logical schema. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+                    rule: String): Long = synchronized {
+    requireIdent(name, "a constraint name")
+    val prior = M.snapshot(spark, dir)
+    require(!prior.meta.contains(s"check.$name"), s"constraint $name already exists")
+    val live = read(spark, dir)
+    require(live.where(not(expr(rule)) <=> lit(true)).limit(1).isEmpty,
+      s"existing rows violate CHECK constraint $name ($rule) — not recorded")
+    val v = prior.version + 1
+    M.commit(M.fs(spark, dir), dir, M.Snapshot(v, "constraint-add", "",
+      prior.segments, prior.meta + (s"check.$name" -> rule)))
+    v
+  }
+
+  /** DROP CONSTRAINT: one metadata commit. */
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Long = synchronized {
+    val prior = M.snapshot(spark, dir)
+    require(prior.meta.contains(s"check.$name"), s"no constraint $name to drop")
+    val v = prior.version + 1
+    M.commit(M.fs(spark, dir), dir, M.Snapshot(v, "constraint-drop", "",
+      prior.segments, prior.meta - s"check.$name"))
+    v
+  }
+
+  /** Active constraints at a version, for introspection/specs. */
+  def constraints(spark: SparkSession, dir: String,
+                  version: Long = M.Latest): Map[String, String] =
+    constraintsOf(M.snapshot(spark, dir, version))
 
   /** The snapshot's colmap, materializing the identity mapping from
     * the observed physical schema for stores that predate column
@@ -240,6 +319,9 @@ object FactStore {
       "statsCols must cover every order column")
     require(df.columns.contains(keyCol), s"no key column $keyCol")
     df.columns.foreach(requireIdent(_, "a fact-store column name"))
+    require(df.where(col(keyCol).isNull).limit(1).isEmpty,
+      s"base generation carries null key(s) in '$keyCol' — a null-keyed " +
+        "row can never be tombstoned, so row-level DML could not reach it")
     M.fs(spark, dir).delete(new Path(dir), true)
     val seg = writeDataSegment(spark, dir, segName(1, "base"), df,
       orderCols, statsCols, nFiles, keyCol)
@@ -270,6 +352,7 @@ object FactStore {
     if (df.isEmpty) return M.currentVersion(spark, dir)
     val prior = M.snapshot(spark, dir)
     val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
+    enforceConstraints(df, prior, logicalKeyOf(spark, dir, prior, keyCol), "append batch")
     // Incoming batches speak the CURRENT logical schema; files store
     // physical names, so a renamed field keeps one on-disk identity.
     val (dfP, cm2) = toPhysical(df, activeColmap(spark, dir, prior), retiredOf(prior))
@@ -350,11 +433,17 @@ object FactStore {
   def upsert(spark: SparkSession, dir: String, df: DataFrame, nFiles: Int): Long =
     synchronized { upsertImpl(spark, dir, df, nFiles, Map.empty) }
 
+  /** The key column's LOGICAL name at `snap`. */
+  private def logicalKeyOf(spark: SparkSession, dir: String, snap: M.Snapshot,
+                           keyCol: String): String =
+    activeColmap(spark, dir, snap).find(_._1 == keyCol).map(_._2).getOrElse(keyCol)
+
   private def upsertImpl(spark: SparkSession, dir: String, df: DataFrame,
                          nFiles: Int, extraMeta: Map[String, String]): Long = {
     if (df.isEmpty) return M.currentVersion(spark, dir)
     val prior = M.snapshot(spark, dir)
     val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
+    enforceConstraints(df, prior, logicalKeyOf(spark, dir, prior, keyCol), "upsert batch")
     val (dfP, cm2) = toPhysical(df, activeColmap(spark, dir, prior), retiredOf(prior))
     requireIndexed(dfP, keyCol, statsCols)
     // ONE pre-commit probe (not count(keys)+count(df)): any key with
@@ -371,6 +460,182 @@ object FactStore {
       orderCols, statsCols, nFiles, keyCol)
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "upsert", "", prior.segments :+ tomb :+ seg,
+        prior.meta ++ extraMeta + ("colmap" -> encodeColmap(cm2))))
+    v
+  }
+
+  // ----------------------------------------------------------- MERGE
+
+  /** One `WHEN` clause of a [[merge]] — the Delta/Iceberg `MERGE INTO`
+    * clause model. Conditions and SET expressions are Spark SQL strings
+    * over the aliases `t` (target row) and `s` (source row); inside a
+    * clause, column references MUST be qualified (`t.value`, `s.value`)
+    * — the joined frame carries both sides' columns, so a bare name is
+    * ambiguous and rejected by the analyzer, loudly.
+    */
+  sealed trait MergeClause
+  object MergeClause {
+    /** WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, … —
+      * `set` maps LOGICAL target columns (never the key) to
+      * expressions; unassigned columns keep the target row's values.
+      * Each expression is cast to its column's existing type, so an
+      * update can never drift the table schema. */
+    final case class Update(cond: Option[String], set: Map[String, String]) extends MergeClause
+    /** WHEN MATCHED [AND cond] THEN DELETE. */
+    final case class Delete(cond: Option[String]) extends MergeClause
+    /** WHEN NOT MATCHED [AND cond] THEN INSERT — inserts the source
+      * row as-is (its condition sees only `s.*`). The source must
+      * carry the key and every stats/order column; extra columns ride
+      * the additive-evolution path. */
+    final case class Insert(cond: Option[String]) extends MergeClause
+  }
+
+  /** Full conditional MERGE — the Delta `MERGE INTO` semantics on the
+    * versioned lake, generalizing [[upsert]] (which is
+    * `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT`):
+    *
+    *   - rows are matched on the store's key column (source batch must
+    *     be key-unique — probed; the store itself is key-unique by the
+    *     same contract upsert enforces on every generation);
+    *   - a MATCHED (target, source) pair applies the FIRST
+    *     Update/Delete clause (in the given order) whose condition
+    *     holds — none holding leaves the row untouched (its old
+    *     generation is NOT tombstoned);
+    *   - a NOT-matched source row inserts iff some Insert clause's
+    *     condition holds; otherwise it is dropped.
+    *
+    * The whole merge is ONE atomic commit: one tombstone segment
+    * covering exactly the updated+deleted keys, one data segment
+    * carrying the update post-images and the inserts — the
+    * version-scoped rule makes the new generation survive its own
+    * commit's tombstone, and a reader never sees a delete-then-insert
+    * window. A merge that changes nothing is a version no-op.
+    *
+    * Scale shape: cost ∝ target-scan + |source| (the matched join
+    * broadcasts nothing corpus-sized; update/insert frames and the
+    * tombstone are bounded by the CHANGE, not the table) — the
+    * Delta/Iceberg MERGE story with file granularity replaced by the
+    * scoped-tombstone rule, so no copy-on-write amplification of
+    * untouched rows in touched files.
+    */
+  def merge(spark: SparkSession, dir: String, source: DataFrame, nFiles: Int,
+            clauses: Seq[MergeClause]): Long =
+    synchronized { mergeImpl(spark, dir, source, nFiles, clauses, Map.empty) }
+
+  /** Exactly-once streaming MERGE: the `(appId, batchId)` replay guard
+    * over [[merge]] — a crash-replayed microbatch is a version no-op. */
+  def mergeStreamBatch(spark: SparkSession, dir: String, source: DataFrame,
+                       nFiles: Int, clauses: Seq[MergeClause], batchId: Long,
+                       appId: String = "stream"): Long = synchronized {
+    require(!appId.contains(' ') && appId.nonEmpty, "appId must be a non-empty string")
+    val key = s"lastBatchId.$appId"
+    val last = M.snapshot(spark, dir).meta.get(key).map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) M.currentVersion(spark, dir)
+    else mergeImpl(spark, dir, source, nFiles, clauses, Map(key -> batchId.toString))
+  }
+
+  private def mergeImpl(spark: SparkSession, dir: String, source: DataFrame,
+                        nFiles: Int, clauses: Seq[MergeClause],
+                        extraMeta: Map[String, String]): Long = {
+    import MergeClause._
+    require(clauses.nonEmpty, "merge needs at least one WHEN clause")
+    val prior = M.snapshot(spark, dir)
+    val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
+    val cm = activeColmap(spark, dir, prior)
+    val logicalKey = cm.find(_._1 == keyCol).map(_._2).getOrElse(keyCol)
+    require(source.columns.contains(logicalKey),
+      s"merge source is missing the key column '$logicalKey'")
+    // Same-batch key uniqueness — the upsert contract: two generations
+    // of one row in one commit would both survive the scoped tombstone.
+    val dup = source.groupBy(col(logicalKey).cast("long").as(logicalKey))
+      .count().where(col("count") > 1).limit(1)
+    require(dup.isEmpty,
+      "merge source carries duplicate keys — two same-commit " +
+        "generations of one row would both survive the scoped tombstone")
+
+    val target = read(spark, dir)
+    val tCols = target.columns.toSeq
+    val matchedClauses: Seq[MergeClause] = clauses.filter {
+      case _: Insert => false; case _ => true
+    }
+    val insertClauses: Seq[Insert] = clauses.collect { case i: Insert => i }
+    matchedClauses.collect { case u: Update => u }.foreach { u =>
+      val bad = u.set.keySet.filterNot(c => tCols.contains(c) && c != logicalKey)
+      require(bad.isEmpty,
+        s"UPDATE SET names non-target or key column(s): ${bad.mkString(", ")}")
+    }
+
+    val s = source.as("s")
+    val t = target.as("t")
+    val onKey = col(s"s.$logicalKey") === col(s"t.$logicalKey")
+    // First-matching-clause outcome, evaluated once per matched pair.
+    val outcome = matchedClauses.zipWithIndex.foldRight(lit(-1)) {
+      case ((cl, i), els) =>
+        val cond = cl match {
+          case Update(c, _) => c; case Delete(c) => c; case _: Insert => None
+        }
+        when(cond.map(expr).getOrElse(lit(true)), lit(i)).otherwise(els)
+    }
+    val matched = s.join(t, onKey, "inner").withColumn("_mc", outcome)
+
+    val updateFrames = matchedClauses.zipWithIndex.collect { case (u: Update, i) =>
+      matched.where(col("_mc") === i).select(tCols.map { c =>
+        u.set.get(c)
+          .map(e => expr(e).cast(target.schema(c).dataType).as(c))
+          .getOrElse(col(s"t.$c").as(c))
+      }: _*)
+    }
+    val deleteKeyFrames = matchedClauses.zipWithIndex.collect { case (_: Delete, i) =>
+      matched.where(col("_mc") === i).select(col(s"t.$logicalKey").as(logicalKey))
+    }
+    val inserts: Option[DataFrame] = insertClauses match {
+      case Seq() => None
+      case cs =>
+        val admit = cs.map(_.cond.map(expr).getOrElse(lit(true))).reduce(_ || _)
+        Some(s.join(t, onKey, "left_anti").where(admit)
+          .select(source.columns.map(c => col(s"s.$c").as(c)).toSeq: _*))
+    }
+
+    val newRows = (updateFrames ++ inserts)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+    val tombKeys = (updateFrames.map(_.select(col(logicalKey))) ++ deleteKeyFrames)
+      .reduceOption(_ unionByName _)
+    if (newRows.isEmpty && tombKeys.isEmpty) return prior.version
+
+    val v = prior.version + 1
+    // Write both segments BEFORE deciding: emptiness falls out of the
+    // row counts the writers record anyway (no extra pre-commit scans);
+    // a no-change merge cleans up its unreferenced files and no-ops.
+    val tombSeg = tombKeys.map { k =>
+      writeTombSegment(spark, dir, segName(v, "merge-tomb"),
+        k.withColumnRenamed(logicalKey, keyCol), keyCol)
+    }.filter(_.rows > 0L)
+    val (dataSeg, cm2) = newRows match {
+      case None => (None, cm)
+      case Some(rows) =>
+        enforceConstraints(rows, prior, logicalKey, "merge post-image")
+        val (dfP, cmNext) = toPhysical(rows, cm, retiredOf(prior))
+        requireIndexed(dfP, keyCol, statsCols)
+        // An all-empty post-image frame must not become a segment — the
+        // z-order stats writer has no rows to describe.
+        if (dfP.isEmpty) (None, cm)
+        else (Some(writeDataSegment(spark, dir, segName(v, "merge"), dfP,
+          orderCols, statsCols, nFiles, keyCol)), cmNext)
+    }
+    if (tombSeg.isEmpty && dataSeg.isEmpty) {
+      // Nothing matched any clause: drop the empty segment dirs the
+      // probe writes left behind and report the unchanged version.
+      val f = M.fs(spark, dir)
+      f.listStatus(new Path(dir)).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith(f"seg-$v%08d-merge"))
+          f.delete(st.getPath, true)
+      }
+      return prior.version
+    }
+    M.commit(M.fs(spark, dir), dir,
+      M.Snapshot(v, "merge", "",
+        prior.segments ++ tombSeg ++ dataSeg,
         prior.meta ++ extraMeta + ("colmap" -> encodeColmap(cm2))))
     v
   }
@@ -450,13 +715,21 @@ object FactStore {
     // only (their tombstoned rows die here; carried segments keep
     // theirs, still scoped by the carried tombstones).
     val liveSel = readLive(spark, dir, prior, rewrite)
-    val seg = writeDataSegment(spark, dir, segName(v, "compact-incr"),
-      liveSel, orderCols, statsCols, nFiles, keyCol)
+    // Segments whose rows are ALL tombstoned fold to nothing — commit
+    // no segment rather than ask the stats writer to describe zero
+    // rows. A store whose every segment is both unhealthy and fully
+    // dead would end up with no data segment at all (unreadable), so
+    // that degenerate fold is a no-op instead.
+    val liveEmpty = liveSel.isEmpty
+    if (liveEmpty && carry.isEmpty) return (prior.version, Nil)
+    val seg = if (liveEmpty) None
+      else Some(writeDataSegment(spark, dir, segName(v, "compact-incr"),
+        liveSel, orderCols, statsCols, nFiles, keyCol))
     val carriedVersions = carry.map(M.createdVersion)
     val tombs = prior.segments.filter(s => s.kind == "tomb" &&
       carriedVersions.exists(_ < M.createdVersion(s)))
     M.commit(M.fs(spark, dir), dir,
-      M.Snapshot(v, "compact-incr", "", (carry ++ tombs) :+ seg, prior.meta))
+      M.Snapshot(v, "compact-incr", "", (carry ++ tombs) ++ seg, prior.meta))
     (v, rewrite.map(_.dir))
   }
 

@@ -520,4 +520,190 @@ class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("duplicate keys"))
   }
+
+  // ------------------------------------------------------------- MERGE
+
+  private val MergeOffset = 1000000000000L
+
+  /** The q140k merge batch: a matched half (same keys, value shifted
+    * +100 on even ids / −100 on odd — so `s.value >= t.value` splits
+    * exactly on parity) and a new half (offset keys, type 'inserted'). */
+  private def mergeSource(base: DataFrame): DataFrame =
+    base.where(col("event_id") % 9 === 4)
+      .withColumn("value", col("value") +
+        when(col("event_id") % 2 === 0, lit(100.0)).otherwise(lit(-100.0)))
+      .unionByName(
+        base.where(col("event_id") % 9 === 5)
+          .withColumn("event_id", col("event_id") + MergeOffset)
+          .withColumn("event_type", lit("inserted")))
+
+  test("MERGE: conditional update/delete/insert clauses, first-match precedence, ONE atomic commit") {
+    import F.MergeClause._
+    val d = Files.createTempDirectory("graft_fact_merge").toString
+    F.build(ev, d, "event_id", Seq("user_id", "ts_us"), nFiles,
+      Seq("user_id", "ts_us", "event_id"))
+    val vmid = ev.agg(expr("percentile_approx(value, 0.5)")).head().getDouble(0)
+    val v = F.merge(spark, d, mergeSource(ev), nFiles, Seq(
+      Update(Some("s.value >= t.value"),
+        Map("value" -> "s.value + t.value", "event_type" -> "'merged'")),
+      Delete(None),
+      Insert(Some(s"s.value >= $vmid"))))
+    assert(v == 2L, "the whole merge is one commit")
+    assert(M.snapshot(spark, d, 2L).op == "merge")
+    val expected = ev.where(col("event_id") % 9 =!= 4) // untouched
+      .unionByName(ev.where(col("event_id") % 9 === 4 && col("event_id") % 2 === 0)
+        .withColumn("value", (col("value") + 100.0) + col("value"))
+        .withColumn("event_type", lit("merged")))
+      // matched odd rows: deleted by the second clause
+      .unionByName(ev.where(col("event_id") % 9 === 5 && col("value") >= vmid)
+        .withColumn("event_id", col("event_id") + MergeOffset)
+        .withColumn("event_type", lit("inserted")))
+    assert(sortedRows(F.read(spark, d)) == sortedRows(expected))
+    // Every clause leg actually fired on this data.
+    assert(ev.where(col("event_id") % 9 === 4 && col("event_id") % 2 === 0).count() > 0)
+    assert(ev.where(col("event_id") % 9 === 4 && col("event_id") % 2 =!= 0).count() > 0)
+    assert(ev.where(col("event_id") % 9 === 5 && col("value") >= vmid).count() > 0)
+    assert(ev.where(col("event_id") % 9 === 5 && col("value") < vmid).count() > 0,
+      "the insert condition must actually drop some source rows")
+    // Time travel: v1 still serves the pre-merge table.
+    assert(sortedRows(F.read(spark, d, 1L)) == sortedRows(ev))
+  }
+
+  test("MERGE: rows matching no clause stay live; a merge that changes nothing is a version no-op") {
+    import F.MergeClause._
+    val d = Files.createTempDirectory("graft_fact_merge_noop").toString
+    F.build(ev.limit(200), d, "event_id", Seq("user_id", "ts_us"), 2)
+    val before = sortedRows(F.read(spark, d))
+    val v0 = M.currentVersion(spark, d)
+    // Conditions that can never hold: no updates, no deletes, no inserts.
+    val v = F.merge(spark, d, ev.limit(50), 2, Seq(
+      Update(Some("s.value > 1e18"), Map("event_type" -> "'never'")),
+      Delete(Some("s.value > 1e18")),
+      Insert(Some("s.value > 1e18"))))
+    assert(v == v0, "no-change merge must not mint a version")
+    assert(sortedRows(F.read(spark, d)) == before)
+    // And the probe segments it wrote are not referenced by any manifest.
+    val segs = M.snapshot(spark, d).segments.map(_.dir).toSet
+    assert(segs.forall(!_.contains("merge")), "no merge segment should be referenced")
+  }
+
+  test("MERGE through column mapping: SET on a renamed column lands on the physical field") {
+    import F.MergeClause._
+    val d = Files.createTempDirectory("graft_fact_merge_cm").toString
+    F.build(ev, d, "event_id", Seq("user_id", "ts_us"), nFiles,
+      Seq("user_id", "ts_us", "event_id"))
+    F.renameColumn(spark, d, "value", "amount")
+    val src = ev.where(col("event_id") % 4 === 1)
+      .withColumnRenamed("value", "amount")
+    F.merge(spark, d, src, nFiles, Seq(
+      Update(None, Map("amount" -> "t.amount + 5.0", "event_type" -> "'bumped'"))))
+    val got = F.read(spark, d)
+    assert(got.columns.toSeq ==
+      Seq("event_id", "user_id", "ts_us", "event_type", "amount"))
+    val expected = ev
+      .withColumn("hit", col("event_id") % 4 === 1)
+      .withColumn("amount",
+        when(col("hit"), col("value") + 5.0).otherwise(col("value")))
+      .withColumn("event_type",
+        when(col("hit"), lit("bumped")).otherwise(col("event_type")))
+      .select("event_id", "user_id", "ts_us", "event_type", "amount")
+    assert(got.select("event_id", "user_id", "ts_us", "event_type", "amount")
+      .collect().map(_.toString).toSeq.sorted
+      == expected.collect().map(_.toString).toSeq.sorted)
+  }
+
+  test("MERGE: a source with duplicate keys, an unknown SET column, and a SET on the key are all rejected") {
+    import F.MergeClause._
+    val d = Files.createTempDirectory("graft_fact_merge_bad").toString
+    F.build(ev.limit(100), d, "event_id", Seq("user_id", "ts_us"), 2)
+    val dup = ev.limit(1).unionAll(ev.limit(1))
+    assert(intercept[IllegalArgumentException] {
+      F.merge(spark, d, dup, 2, Seq(Update(None, Map("value" -> "s.value"))))
+    }.getMessage.contains("duplicate keys"))
+    assert(intercept[IllegalArgumentException] {
+      F.merge(spark, d, ev.limit(10), 2, Seq(Update(None, Map("nope" -> "1"))))
+    }.getMessage.contains("non-target"))
+    assert(intercept[IllegalArgumentException] {
+      F.merge(spark, d, ev.limit(10), 2, Seq(Update(None, Map("event_id" -> "1"))))
+    }.getMessage.contains("non-target or key"))
+  }
+
+  test("CHECK constraints: ADD validates existing rows, writers reject violating batches whole, DROP lifts the rule, time travel keeps each version's rules") {
+    import F.MergeClause._
+    val d = Files.createTempDirectory("graft_fact_check").toString
+    F.build(ev, d, "event_id", Seq("user_id", "ts_us"), nFiles)
+    // A rule the data already violates is never recorded.
+    assert(intercept[IllegalArgumentException] {
+      F.addConstraint(spark, d, "chk_big", "value >= 1e9")
+    }.getMessage.contains("existing rows violate"))
+    assert(F.constraints(spark, d).isEmpty)
+    val v2 = F.addConstraint(spark, d, "chk_value", "value >= 0")
+    assert(v2 == 2L && M.snapshot(spark, d, 2L).op == "constraint-add")
+    assert(F.constraints(spark, d) == Map("chk_value" -> "value >= 0"))
+    val before = sortedRows(F.read(spark, d))
+    val bad = ev.limit(50).withColumn("value", -col("value") - 1.0)
+      .withColumn("event_id", col("event_id") + 5000000L)
+    // Every write path enforces; the rejected batch leaves NO version.
+    assert(intercept[IllegalArgumentException] { F.append(spark, d, bad, 2) }
+      .getMessage.contains("chk_value"))
+    assert(intercept[IllegalArgumentException] { F.upsert(spark, d, bad, 2) }
+      .getMessage.contains("chk_value"))
+    assert(intercept[IllegalArgumentException] {
+      F.merge(spark, d, bad, 2, Seq(Insert(None)))
+    }.getMessage.contains("chk_value"))
+    // ...including a merge whose UPDATE would breach the rule.
+    assert(intercept[IllegalArgumentException] {
+      F.merge(spark, d, ev.limit(20), 2,
+        Seq(Update(None, Map("value" -> "-1.0"))))
+    }.getMessage.contains("chk_value"))
+    assert(M.currentVersion(spark, d) == 2L)
+    assert(sortedRows(F.read(spark, d)) == before)
+    // A rule-satisfying batch lands; NULL evaluates as pass (SQL CHECK).
+    val v3 = F.append(spark, d,
+      ev.limit(30).withColumn("event_id", col("event_id") + 6000000L)
+        .withColumn("value", lit(null).cast("double")), 2)
+    assert(v3 == 3L)
+    // Renaming or dropping a referenced column is blocked; DROP
+    // CONSTRAINT lifts the rule and the write goes through.
+    assert(intercept[IllegalArgumentException] {
+      F.renameColumn(spark, d, "value", "amount")
+    }.getMessage.contains("chk_value"))
+    val v4 = F.dropConstraint(spark, d, "chk_value")
+    assert(v4 == 4L && F.constraints(spark, d).isEmpty)
+    assert(F.constraints(spark, d, 3L) == Map("chk_value" -> "value >= 0"),
+      "time travel serves the version's own rule set")
+    F.append(spark, d, bad, 2)
+    assert(M.currentVersion(spark, d) == 5L)
+  }
+
+  test("null keys are rejected on every write path (a null-keyed row could never be tombstoned)") {
+    val d = Files.createTempDirectory("graft_fact_nullkey").toString
+    val withNull = ev.limit(10).withColumn("event_id",
+      when(col("event_id") % 2 === 0, col("event_id")).otherwise(lit(null)))
+    assert(intercept[IllegalArgumentException] {
+      F.build(withNull, d, "event_id", Seq("user_id"), 2)
+    }.getMessage.contains("null key"))
+    F.build(ev.limit(100), d, "event_id", Seq("user_id"), 2)
+    assert(intercept[IllegalArgumentException] { F.append(spark, d, withNull, 2) }
+      .getMessage.contains("null key"))
+    assert(intercept[IllegalArgumentException] { F.upsert(spark, d, withNull, 2) }
+      .getMessage.contains("null key"))
+  }
+
+  test("streaming MERGE: a crash-replayed batchId is a version no-op") {
+    import F.MergeClause._
+    val d = Files.createTempDirectory("graft_fact_merge_stream").toString
+    F.build(ev, d, "event_id", Seq("user_id", "ts_us"), nFiles)
+    val clauses = Seq(
+      Update(None, Map("value" -> "s.value + 1.0")),
+      Insert(None))
+    val batch = ev.where(col("event_id") % 11 === 3)
+    val v1 = F.mergeStreamBatch(spark, d, batch, nFiles, clauses, batchId = 0L)
+    val after = sortedRows(F.read(spark, d))
+    val v2 = F.mergeStreamBatch(spark, d, batch, nFiles, clauses, batchId = 0L)
+    assert(v1 == 2L && v2 == 2L, "replayed batch must not mint a version")
+    assert(sortedRows(F.read(spark, d)) == after)
+    val v3 = F.mergeStreamBatch(spark, d, batch, nFiles, clauses, batchId = 1L)
+    assert(v3 == 3L, "the next batch commits normally")
+  }
 }

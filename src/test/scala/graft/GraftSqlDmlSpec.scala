@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{FactStore => F, ManifestLog => M, Tables}
+
+/** The GRAFT SQL DML surface (GraftSqlParser): every statement is a
+  * thin command over the FactStore API — so the pinned contract is
+  * LINEAGE EQUIVALENCE: a lifecycle driven entirely from `spark.sql`
+  * produces a store byte-equal (rows, history ops, schema) to the same
+  * lifecycle driven through the Scala API. Plus: parse failures are
+  * loud and GRAFT-specific, and the delegating parser leaves ordinary
+  * SQL untouched.
+  */
+class GraftSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val nFiles = 4
+  private lazy val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    .select(col("event_id"), col("user_id"), col("ts_us"),
+      col("event_type"), col("value"))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  private def version(df: DataFrame): Long = df.head().getLong(0)
+
+  test("a full SQL-driven lifecycle ≡ the Scala-API lifecycle (rows, ops, schema)") {
+    ev.createOrReplaceTempView("graft_sql_ev")
+    ev.where(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") + 7.0)
+      .createOrReplaceTempView("graft_sql_patch")
+
+    // SQL-driven store.
+    val dS = Files.createTempDirectory("graft_sqldml_s").toString
+    assert(version(spark.sql(
+      s"GRAFT BUILD '$dS' KEY event_id ORDER BY (user_id, ts_us) " +
+        s"STATS (user_id, ts_us, event_id) FILES $nFiles USING graft_sql_ev")) == 1L)
+    assert(version(spark.sql(
+      s"GRAFT DELETE FROM '$dS' WHERE user_id % 5 = 1")) == 2L)
+    assert(version(spark.sql(
+      s"GRAFT UPSERT INTO '$dS' FILES $nFiles USING " +
+        "(SELECT * FROM graft_sql_patch WHERE user_id % 5 <> 1)")) == 3L)
+    assert(version(spark.sql(s"GRAFT COMPACT '$dS' FILES $nFiles")) == 4L)
+
+    // The same lifecycle through the Scala API.
+    val dA = Files.createTempDirectory("graft_sqldml_a").toString
+    F.build(ev, dA, "event_id", Seq("user_id", "ts_us"), nFiles,
+      Seq("user_id", "ts_us", "event_id"))
+    F.deleteMatching(spark, dA, col("user_id") % 5 === 1)
+    F.upsert(spark, dA,
+      ev.where(col("event_id") % 3 === 0 && col("user_id") % 5 =!= 1)
+        .withColumn("value", col("value") + 7.0), nFiles)
+    F.compact(spark, dA, nFiles)
+
+    val s = F.read(spark, dS); val a = F.read(spark, dA)
+    assert(s.columns.toSeq == a.columns.toSeq)
+    assert(rows(s) == rows(a))
+    assert(M.snapshots(spark, dS).map(_.op) == M.snapshots(spark, dA).map(_.op))
+    // And the versioned reads agree at every pin.
+    (1L to 4L).foreach(v =>
+      assert(rows(F.read(spark, dS, v)) == rows(F.read(spark, dA, v)), s"version $v"))
+  }
+
+  test("GRAFT MERGE: conditional clauses from SQL ≡ FactStore.merge") {
+    import F.MergeClause._
+    ev.createOrReplaceTempView("graft_sql_ev2")
+    val src = ev.where(col("event_id") % 9 === 4)
+      .withColumn("value", col("value") +
+        when(col("event_id") % 2 === 0, lit(100.0)).otherwise(lit(-100.0)))
+      .unionByName(ev.where(col("event_id") % 9 === 5)
+        .withColumn("event_id", col("event_id") + 1000000000000L)
+        .withColumn("event_type", lit("inserted")))
+    src.createOrReplaceTempView("graft_sql_msrc")
+
+    val dS = Files.createTempDirectory("graft_sqlmerge_s").toString
+    spark.sql(s"GRAFT BUILD '$dS' KEY event_id ORDER BY (user_id, ts_us) " +
+      s"FILES $nFiles USING graft_sql_ev2")
+    assert(version(spark.sql(
+      s"""GRAFT MERGE INTO '$dS' FILES $nFiles USING graft_sql_msrc
+          WHEN MATCHED AND s.value >= t.value THEN UPDATE SET value = s.value + t.value, event_type = 'merged'
+          WHEN MATCHED THEN DELETE
+          WHEN NOT MATCHED AND s.value >= 100.0 THEN INSERT""")) == 2L)
+
+    val dA = Files.createTempDirectory("graft_sqlmerge_a").toString
+    F.build(ev, dA, "event_id", Seq("user_id", "ts_us"), nFiles)
+    F.merge(spark, dA, src, nFiles, Seq(
+      Update(Some("s.value >= t.value"),
+        Map("value" -> "s.value + t.value", "event_type" -> "'merged'")),
+      Delete(None),
+      Insert(Some("s.value >= 100.0"))))
+    assert(rows(F.read(spark, dS)) == rows(F.read(spark, dA)))
+    assert(M.snapshot(spark, dS, 2L).op == "merge")
+  }
+
+  test("GRAFT RESTORE / VACUUM / RECLUSTER / RENAME / DROP / HISTORY round-trip") {
+    ev.createOrReplaceTempView("graft_sql_ev3")
+    val d = Files.createTempDirectory("graft_sqlmisc").toString
+    spark.sql(s"GRAFT BUILD '$d' KEY event_id ORDER BY (user_id) FILES 2 USING graft_sql_ev3")
+    spark.sql(s"GRAFT DELETE FROM '$d' WHERE user_id % 7 = 2")
+    assert(version(spark.sql(s"GRAFT RESTORE '$d' TO VERSION 1")) == 3L)
+    assert(rows(F.read(spark, d)) == rows(ev), "restore republished v1")
+    assert(version(spark.sql(s"GRAFT RENAME COLUMN value TO amount IN '$d'")) == 4L)
+    assert(version(spark.sql(s"GRAFT DROP COLUMN event_type IN '$d'")) == 5L)
+    assert(F.read(spark, d).columns.toSeq ==
+      Seq("event_id", "user_id", "ts_us", "amount"))
+    assert(version(spark.sql(s"GRAFT RECLUSTER '$d' BY (ts_us)")) == 6L)
+    assert(M.snapshot(spark, d).meta("orderCols") == "ts_us")
+    val hist = spark.sql(s"GRAFT HISTORY '$d'").collect()
+    assert(hist.map(_.getString(1)).toSeq ==
+      Seq("build", "delete", "restore", "rename", "drop", "recluster"))
+    assert(hist.map(_.getLong(2)).forall(_ > 0L), "in-commit timestamps present")
+    spark.sql(s"GRAFT VACUUM '$d' RETAIN 1")
+    assert(M.committedVersions(M.fs(spark, d), d) == Seq(6L))
+    assert(F.read(spark, d).columns.toSeq ==
+      Seq("event_id", "user_id", "ts_us", "amount"))
+  }
+
+  test("GRAFT APPEND and incremental COMPACT from SQL") {
+    ev.createOrReplaceTempView("graft_sql_ev4")
+    val d = Files.createTempDirectory("graft_sqlappend").toString
+    spark.sql(s"GRAFT BUILD '$d' KEY event_id ORDER BY (user_id) FILES 2 " +
+      "USING (SELECT * FROM graft_sql_ev4 WHERE event_id % 2 = 0)")
+    spark.sql(s"GRAFT APPEND INTO '$d' FILES 2 " +
+      "USING (SELECT * FROM graft_sql_ev4 WHERE event_id % 2 <> 0)")
+    assert(rows(F.read(spark, d)) == rows(ev))
+    spark.sql(s"GRAFT DELETE FROM '$d' WHERE event_id % 2 = 0")
+    // Tombstones kill the whole even segment → it crosses the default
+    // TOMBFRAC and is folded; the odd segment is carried by reference.
+    val v = version(spark.sql(s"GRAFT COMPACT '$d' FILES 2 INCREMENTAL"))
+    assert(v == 4L)
+    assert(rows(F.read(spark, d)) == rows(ev.where(col("event_id") % 2 =!= 0)))
+    val segs = M.snapshot(spark, d).segments
+    // The fully-dead segment folds to NOTHING (no zero-row segment is
+    // committed); the healthy segment is carried by reference.
+    assert(!segs.exists(_.dir.contains("base")), "the dead segment is gone")
+    assert(segs.filter(_.kind == "data").forall(_.dir.contains("append")),
+      "the healthy segment is carried by reference")
+  }
+
+  test("GRAFT ADD/DROP CONSTRAINT from SQL: recorded, enforced, lifted") {
+    ev.createOrReplaceTempView("graft_sql_ev5")
+    val d = Files.createTempDirectory("graft_sqlcheck").toString
+    spark.sql(s"GRAFT BUILD '$d' KEY event_id ORDER BY (user_id) FILES 2 USING graft_sql_ev5")
+    assert(version(spark.sql(
+      s"GRAFT ADD CONSTRAINT chk_value CHECK (value >= 0 AND user_id >= 0) IN '$d'")) == 2L)
+    assert(F.constraints(spark, d) ==
+      Map("chk_value" -> "value >= 0 AND user_id >= 0"))
+    val e = intercept[Exception](spark.sql(s"GRAFT APPEND INTO '$d' FILES 2 USING " +
+      "(SELECT event_id + 9000000 AS event_id, user_id, ts_us, event_type, " +
+      "-value - 1 AS value FROM graft_sql_ev5 LIMIT 20)"))
+    assert(e.getMessage.contains("chk_value"))
+    assert(version(spark.sql(s"GRAFT DROP CONSTRAINT chk_value IN '$d'")) == 3L)
+    assert(F.constraints(spark, d).isEmpty)
+  }
+
+  test("malformed GRAFT statements fail loudly; ordinary SQL passes through the delegate") {
+    val e = intercept[Exception](spark.sql("GRAFT FROB 'x'"))
+    assert(e.getMessage.contains("GRAFT statement error"))
+    val e2 = intercept[Exception](spark.sql(
+      "GRAFT MERGE INTO '/tmp/x' USING v WHEN SORTA MATCHED THEN UPDATE SET a = 1"))
+    assert(e2.getMessage.contains("GRAFT"))
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    // A non-GRAFT statement that merely MENTIONS graft is untouched.
+    assert(spark.sql("SELECT 'GRAFT DELETE' AS s").head().getString(0)
+      == "GRAFT DELETE")
+  }
+}
