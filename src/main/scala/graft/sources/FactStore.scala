@@ -576,8 +576,34 @@ object FactStore {
         }
         when(cond.map(expr).getOrElse(lit(true)), lit(i)).otherwise(els)
     }
+    // The matched join is evaluated ONCE and persisted: its output is
+    // CHANGE-bounded (≤ |source| rows — key-unique source, inner join
+    // on the key), while the join itself is the merge's one scan of
+    // the target. Every clause leg, the tombstone key list, AND the
+    // not-matched set then derive from the cached rows — so the whole
+    // merge costs ONE pass over the table plus work ∝ the batch (the
+    // naive shape re-scans the target once per clause and once more
+    // for the insert anti-join: ~5 full scans at 3 clauses, fatal at
+    // 100 TB).
     val matched = s.join(t, onKey, "inner").withColumn("_mc", outcome)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      mergeCommit(spark, dir, prior, source, nFiles, matched, s,
+        matchedClauses, insertClauses, tCols, target, logicalKey,
+        keyCol, orderCols, statsCols, cm, extraMeta)
+    } finally matched.unpersist()
+  }
 
+  private def mergeCommit(spark: SparkSession, dir: String, prior: M.Snapshot,
+                          source: DataFrame, nFiles: Int, matched: DataFrame,
+                          s: DataFrame, matchedClauses: Seq[MergeClause],
+                          insertClauses: Seq[MergeClause.Insert],
+                          tCols: Seq[String], target: DataFrame,
+                          logicalKey: String, keyCol: String,
+                          orderCols: Seq[String], statsCols: Seq[String],
+                          cm: Seq[(String, String)],
+                          extraMeta: Map[String, String]): Long = {
+    import MergeClause._
     val updateFrames = matchedClauses.zipWithIndex.collect { case (u: Update, i) =>
       matched.where(col("_mc") === i).select(tCols.map { c =>
         u.set.get(c)
@@ -592,7 +618,13 @@ object FactStore {
       case Seq() => None
       case cs =>
         val admit = cs.map(_.cond.map(expr).getOrElse(lit(true))).reduce(_ || _)
-        Some(s.join(t, onKey, "left_anti").where(admit)
+        // NOT-matched = source minus the matched keys. The matched key
+        // list is cached and change-bounded, so this anti-join never
+        // touches the target again (same semantics as anti-joining the
+        // table: matched covers exactly the source keys present in it).
+        val matchedKeys = matched.select(col(s"s.$logicalKey").as("_mk"))
+        Some(s.join(matchedKeys, col(s"s.$logicalKey") === col("_mk"), "left_anti")
+          .where(admit)
           .select(source.columns.map(c => col(s"s.$c").as(c)).toSeq: _*))
     }
 
