@@ -34,8 +34,10 @@ import graft.sources.{FactStore, ManifestLog}
   *   WHEN MATCHED [AND <cond>] THEN DELETE
   *   WHEN NOT MATCHED [AND <cond>] THEN INSERT
   * GRAFT COMPACT '<dir>' [FILES <n>] [INCREMENTAL [TOMBFRAC <f>] [MAXFILES <n>]]
-  * GRAFT VACUUM '<dir>' RETAIN <n>
+  * GRAFT VACUUM '<dir>' RETAIN <n> [VERSIONS|HOURS]
   * GRAFT RESTORE '<dir>' TO VERSION <n>
+  * GRAFT CLONE '<src>' TO '<dst>'
+  * GRAFT DESCRIBE '<dir>'
   * GRAFT RECLUSTER '<dir>' BY (<cols>)
   * GRAFT RENAME COLUMN <a> TO <b> IN '<dir>'
   * GRAFT DROP COLUMN <a> IN '<dir>'
@@ -193,13 +195,54 @@ object GraftSqlParser {
         else FactStore.compact(spark, dir, nFiles)))
   }
 
-  final case class GraftVacuumCommand(dir: String, retain: Int)
+  final case class GraftVacuumCommand(dir: String, retain: Long, hours: Boolean)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] = {
-      FactStore.vacuum(spark, dir, retain)
+      if (hours) FactStore.vacuumOlderThan(spark, dir, retain * 3600L * 1000L)
+      else FactStore.vacuum(spark, dir, retain.toInt)
       Seq(Row(FactStore.currentVersion(spark, dir)))
     }
+  }
+
+  /** DESCRIBE DETAIL: the store's structural metadata as (property,
+    * value) rows — version, key, clustering/stats columns, active
+    * logical schema, constraints, segment/file/row counts. */
+  final case class GraftDescribeCommand(dir: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("property", StringType, nullable = false)(),
+      AttributeReference("value", StringType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val snap = ManifestLog.snapshot(spark, dir)
+      val data = snap.segments.filter(_.kind == "data")
+      val tombs = snap.segments.filter(_.kind == "tomb")
+      val colmap = snap.meta.get("colmap").map(_.split(' ').toSeq
+        .filter(_.nonEmpty).map(_.split('=')).map(p => (p(0), p(1))))
+      Seq(
+        Row("version", snap.version.toString),
+        Row("last_op", snap.op),
+        Row("committed_at_ms",
+          ManifestLog.commitTimeMs(spark, dir, snap.version).toString),
+        Row("key_column", snap.meta.getOrElse("keyCol", "")),
+        Row("order_columns", snap.meta.getOrElse("orderCols", "")),
+        Row("stats_columns", snap.meta.getOrElse("statsCols", "")),
+        Row("logical_schema",
+          colmap.map(_.map(_._2).mkString(", ")).getOrElse("")),
+        Row("constraints", FactStore.constraints(spark, dir).toSeq.sorted
+          .map { case (n, r) => s"$n: $r" }.mkString("; ")),
+        Row("data_segments", data.length.toString),
+        Row("data_files", data.map(_.files.length).sum.toString),
+        Row("data_rows", data.map(_.rows).sum.toString),
+        Row("tombstone_segments", tombs.length.toString),
+        Row("tombstone_rows", tombs.map(_.rows).sum.toString))
+    }
+  }
+
+  final case class GraftCloneCommand(srcDir: String, dstDir: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.clone(spark, srcDir, dstDir)))
   }
 
   final case class GraftRestoreCommand(dir: String, toVersion: Long)
@@ -279,7 +322,11 @@ object GraftSqlParser {
     ("(?is)^\\s*GRAFT\\s+COMPACT\\s+'([^']+)'(?:\\s+FILES\\s+(\\d+))?" +
       "(?:\\s+(INCREMENTAL)(?:\\s+TOMBFRAC\\s+([0-9.]+))?(?:\\s+MAXFILES\\s+(\\d+))?)?\\s*;?\\s*$").r
   private val VacuumRe =
-    "(?is)^\\s*GRAFT\\s+VACUUM\\s+'([^']+)'\\s+RETAIN\\s+(\\d+)\\s*;?\\s*$".r
+    "(?is)^\\s*GRAFT\\s+VACUUM\\s+'([^']+)'\\s+RETAIN\\s+(\\d+)(?:\\s+(VERSIONS|HOURS))?\\s*;?\\s*$".r
+  private val DescribeRe =
+    "(?is)^\\s*GRAFT\\s+DESCRIBE\\s+'([^']+)'\\s*;?\\s*$".r
+  private val CloneRe =
+    "(?is)^\\s*GRAFT\\s+CLONE\\s+'([^']+)'\\s+TO\\s+'([^']+)'\\s*;?\\s*$".r
   private val RestoreRe =
     "(?is)^\\s*GRAFT\\s+RESTORE\\s+'([^']+)'\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*$".r
   private val ReclusterRe =
@@ -339,7 +386,11 @@ object GraftSqlParser {
         incr != null,
         Option(frac).map(_.toDouble).getOrElse(0.1),
         Option(maxf).map(_.toInt).getOrElse(Int.MaxValue))
-    case VacuumRe(dir, retain) => GraftVacuumCommand(dir, retain.toInt)
+    case VacuumRe(dir, retain, unit) =>
+      GraftVacuumCommand(dir, retain.toLong,
+        unit != null && unit.equalsIgnoreCase("HOURS"))
+    case DescribeRe(dir) => GraftDescribeCommand(dir)
+    case CloneRe(src, dst) => GraftCloneCommand(src, dst)
     case RestoreRe(dir, v) => GraftRestoreCommand(dir, v.toLong)
     case ReclusterRe(dir, body) => GraftReclusterCommand(dir, identList(body, sql))
     case RenameRe(from, to, dir) => GraftRenameColumnCommand(dir, from, to)

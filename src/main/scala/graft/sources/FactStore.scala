@@ -803,11 +803,46 @@ object FactStore {
     v
   }
 
+  /** SHALLOW CLONE (the Delta zero-copy branch): one manifest commit
+    * at `dstDir` referencing the SOURCE's immutable files through
+    * relative paths — no data is read or copied, however large the
+    * table. The clone's first version keeps the source's version
+    * NUMBER, so the segment-name version stamps stay ordered for the
+    * scoped-tombstone rule and row-level DML on the clone works
+    * unchanged (its tombstones commit at later versions than every
+    * inherited segment). From then on the two lineages are fully
+    * independent: writes to either side are invisible to the other
+    * (snapshot isolation by construction — new segments are never
+    * referenced across), and compaction progressively localizes the
+    * clone's data into its own directory. The one shared-fate hazard,
+    * exactly as with Delta shallow clones: [[vacuum]] of the SOURCE
+    * can drop files a clone still references — vacuum of the clone
+    * itself only ever deletes clone-local directories. */
+  def clone(spark: SparkSession, srcDir: String, dstDir: String): Long = synchronized {
+    val src = M.snapshot(spark, srcDir)
+    require(src.modelDir.isEmpty, "fact stores carry no model dir")
+    val f = M.fs(spark, dstDir)
+    require(M.committedVersions(f, dstDir).isEmpty,
+      s"clone target $dstDir already has commits")
+    val rel = java.nio.file.Paths.get(dstDir).toAbsolutePath.normalize
+      .relativize(java.nio.file.Paths.get(srcDir).toAbsolutePath.normalize)
+      .toString
+    val segs = src.segments.map(s => s.copy(dir = s"$rel/${s.dir}"))
+    M.commit(f, dstDir, M.Snapshot(src.version, "clone", "", segs,
+      src.meta + ("clonedFrom" -> srcDir)))
+    src.version
+  }
+
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
     synchronized { M.restore(spark, dir, toVersion) }
 
   def vacuum(spark: SparkSession, dir: String, retain: Int): Unit =
     synchronized { M.vacuum(spark, dir, retain) }
+
+  /** Time-based retention (Delta `VACUUM … RETAIN n HOURS`): the
+    * latest version always survives. */
+  def vacuumOlderThan(spark: SparkSession, dir: String, retainMs: Long): Unit =
+    synchronized { M.vacuumOlderThan(spark, dir, retainMs) }
 
   def currentVersion(spark: SparkSession, dir: String): Long =
     M.currentVersion(spark, dir)

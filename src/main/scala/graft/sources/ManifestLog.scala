@@ -227,10 +227,14 @@ object ManifestLog {
     * the stamp can never drift from the data it describes.
     */
   def createdVersion(seg: Segment): Long = {
-    require(seg.dir.length >= 12 && seg.dir.startsWith("seg-") &&
-      seg.dir.substring(4, 12).forall(_.isDigit),
+    // Basename, not the raw dir: a shallow clone references foreign
+    // segments through relative paths ("../src/seg-…") — the version
+    // stamp always lives on the leaf directory name.
+    val base = seg.dir.substring(seg.dir.lastIndexOf('/') + 1)
+    require(base.length >= 12 && base.startsWith("seg-") &&
+      base.substring(4, 12).forall(_.isDigit),
       s"segment dir carries no version stamp: ${seg.dir}")
-    seg.dir.substring(4, 12).toLong
+    base.substring(4, 12).toLong
   }
 
   /** [[readSegments]] with every row stamped (column `vCol`) with its
@@ -277,12 +281,35 @@ object ManifestLog {
     */
   def vacuum(spark: SparkSession, dir: String, retain: Int): Unit = {
     require(retain >= 1, "vacuum must retain at least the latest version")
+    val vs = committedVersions(fs(spark, dir), dir)
+    vacuumKeeping(spark, dir, vs.drop(math.max(0, vs.length - retain)))
+  }
+
+  /** Time-based retention (Delta `VACUUM … RETAIN n HOURS`): drop every
+    * version whose in-commit timestamp is older than `retainMs` before
+    * `nowMs` — except the LATEST version, which always survives (a
+    * quiet table must stay readable however old its last commit is).
+    * Retained versions serve byte-identically.
+    */
+  def vacuumOlderThan(spark: SparkSession, dir: String, retainMs: Long,
+                      nowMs: Long = System.currentTimeMillis()): Unit = {
+    require(retainMs >= 0, "retention must be non-negative")
+    val vs = committedVersions(fs(spark, dir), dir)
+    require(vs.nonEmpty, s"no commits at $dir")
+    val cutoff = nowMs - retainMs
+    val keep = vs.filter(v => commitTimeMs(spark, dir, v) >= cutoff)
+    vacuumKeeping(spark, dir, if (keep.isEmpty) Seq(vs.last) else keep)
+  }
+
+  /** Drop every version not in `keep`: delete their manifests, then
+    * every top-level directory no surviving manifest references. */
+  private def vacuumKeeping(spark: SparkSession, dir: String, keep: Seq[Long]): Unit = {
     val f = fs(spark, dir)
+    val keepSet = keep.toSet
     val vs = committedVersions(f, dir)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.length - retain))
-    val kept = keep.map(v => parseManifest(f, dir, v))
+    val kept = vs.filter(keepSet).map(v => parseManifest(f, dir, v))
     val referenced = kept.flatMap(s => s.segments.map(_.dir) :+ s.modelDir).toSet
-    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    vs.filterNot(keepSet).foreach(v => f.delete(manifestPath(dir, v), false))
     f.listStatus(new Path(dir)).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n != "_versions" && !referenced.contains(n))

@@ -690,6 +690,58 @@ class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMessage.contains("null key"))
   }
 
+  test("SHALLOW CLONE: zero-copy branch — independent lineages, DML on the clone works, compaction localizes, clone vacuum never touches source files") {
+    val src = Files.createTempDirectory("graft_clone_src").toString
+    F.build(ev, src, "event_id", Seq("user_id", "ts_us"), nFiles,
+      Seq("user_id", "ts_us", "event_id"))
+    F.deleteMatching(spark, src, col("user_id") % 11 === 3)
+    val srcRows = sortedRows(F.read(spark, src))
+
+    val dst = Files.createTempDirectory("graft_clone_dst").toString
+    val v = F.clone(spark, src, dst)
+    assert(v == 2L, "the clone keeps the source's version number")
+    assert(M.snapshot(spark, dst).op == "clone")
+    // Zero-copy: the clone directory holds NO data — only the manifest.
+    val fs = M.fs(spark, dst)
+    val local = fs.listStatus(new org.apache.hadoop.fs.Path(dst))
+      .map(_.getPath.getName).toSet
+    assert(local == Set("_versions"), s"clone must copy nothing, found $local")
+    assert(sortedRows(F.read(spark, dst)) == srcRows)
+    // The pruned paths work through the foreign references too.
+    assert(F.readPoint(spark, dst, Seq(8L, 24L)).collect().map(_.toString).sorted
+      .toSeq == F.readPoint(spark, src, Seq(8L, 24L)).collect().map(_.toString)
+      .sorted.toSeq)
+
+    // Independent lineages: DML on the clone is invisible to the
+    // source and vice versa.
+    F.deleteMatching(spark, dst, col("event_type") === "error")
+    assert(sortedRows(F.read(spark, src)) == srcRows)
+    F.append(spark, src,
+      ev.limit(10).withColumn("event_id", col("event_id") + 7000000L), nFiles)
+    assert(F.read(spark, dst).where(col("event_id") >= 7000000L).isEmpty,
+      "source appends must not leak into the clone")
+    val dstRows = sortedRows(F.read(spark, dst))
+    assert(dstRows == sortedRows(
+      ev.where(col("user_id") % 11 =!= 3 && col("event_type") =!= "error")))
+
+    // Compaction localizes the clone; its vacuum deletes only local
+    // dirs — the source still serves everything afterwards.
+    F.compact(spark, dst, nFiles)
+    F.vacuum(spark, dst, 1)
+    assert(sortedRows(F.read(spark, dst)) == dstRows)
+    assert(sortedRows(F.read(spark, src)).size == srcRows.size + 10,
+      "clone vacuum must never delete source files")
+
+    // And the SQL statement drives the same path.
+    val dst2 = Files.createTempDirectory("graft_clone_dst2").toString
+    val v2 = spark.sql(s"GRAFT CLONE '$src' TO '$dst2'").head().getLong(0)
+    assert(v2 == 3L)
+    assert(sortedRows(F.read(spark, dst2)) == sortedRows(F.read(spark, src)))
+    assert(intercept[IllegalArgumentException] {
+      F.clone(spark, src, dst2)
+    }.getMessage.contains("already has commits"))
+  }
+
   test("streaming MERGE: a crash-replayed batchId is a version no-op") {
     import F.MergeClause._
     val d = Files.createTempDirectory("graft_fact_merge_stream").toString

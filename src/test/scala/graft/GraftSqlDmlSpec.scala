@@ -171,6 +171,35 @@ class GraftSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(F.constraints(spark, d).isEmpty)
   }
 
+  test("GRAFT DESCRIBE and time-based VACUUM (RETAIN n HOURS)") {
+    ev.createOrReplaceTempView("graft_sql_ev6")
+    val d = Files.createTempDirectory("graft_sqldesc").toString
+    spark.sql(s"GRAFT BUILD '$d' KEY event_id ORDER BY (user_id, ts_us) " +
+      s"STATS (user_id, ts_us, event_id) FILES 2 USING graft_sql_ev6")
+    spark.sql(s"GRAFT ADD CONSTRAINT chk_v CHECK (value >= 0) IN '$d'")
+    spark.sql(s"GRAFT DELETE FROM '$d' WHERE user_id % 9 = 1")
+    val props = spark.sql(s"GRAFT DESCRIBE '$d'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("version") == "3" && props("last_op") == "delete")
+    assert(props("key_column") == "event_id")
+    assert(props("order_columns") == "user_id ts_us")
+    assert(props("logical_schema") == "event_id, user_id, ts_us, event_type, value")
+    assert(props("constraints") == "chk_v: value >= 0")
+    assert(props("data_segments") == "1" && props("data_files") == "2")
+    assert(props("data_rows") == ev.count().toString)
+    assert(props("tombstone_segments") == "1")
+    assert(props("committed_at_ms").toLong > 0L)
+    // Generous time retention keeps everything (all commits are fresh).
+    spark.sql(s"GRAFT VACUUM '$d' RETAIN 1000 HOURS")
+    assert(M.committedVersions(M.fs(spark, d), d) == Seq(1L, 2L, 3L))
+    // Zero retention (driven directly with a future 'now' so same-ms
+    // commits can't flake): only the LATEST version survives.
+    M.vacuumOlderThan(spark, d, 0L, System.currentTimeMillis() + 60000L)
+    assert(M.committedVersions(M.fs(spark, d), d) == Seq(3L))
+    assert(rows(F.read(spark, d)) == rows(ev.where(col("user_id") % 9 =!= 1)),
+      "the retained version serves byte-identically")
+  }
+
   test("malformed GRAFT statements fail loudly; ordinary SQL passes through the delegate") {
     val e = intercept[Exception](spark.sql("GRAFT FROB 'x'"))
     assert(e.getMessage.contains("GRAFT statement error"))
