@@ -538,6 +538,35 @@ object SparkEntry {
     }
     dir
   }
+  /** Q140n: SHALLOW CLONE lifecycle — the q140 lake (post-delete,
+    * post-correction, post-compact) branched by one zero-copy manifest
+    * commit, then diverging with a clone-local reconciliation upsert.
+    * Memoization is provenance-checked: if the SOURCE was ever rebuilt
+    * (fresh segment names), the stale clone is detected through the
+    * recorded source-commit timestamp and rebuilt — never served
+    * broken. */
+  private def ensureClonedFactStore(s: SparkSession, d: String): String = {
+    val srcDir = ensureFactStore(s, d)
+    val want = graft.sources.ManifestLog.commitTimeMs(s, srcDir, 4L).toString
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_cl_${new java.io.File(d).getName}"
+    val ok = try {
+      graft.sources.ManifestLog.currentVersion(s, dir) == 5L &&
+        graft.sources.ManifestLog.snapshot(s, dir, 4L).meta
+          .get("cloneSrcCommitMs").contains(want)
+    } catch { case _: Exception => false }
+    if (!ok) {
+      graft.sources.ManifestLog.fs(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+      graft.sources.FactStore.clone(s, srcDir, dir)
+      graft.sources.FactStore.upsert(s, dir,
+        factEvents(s, d)
+          .where(col("user_id") % FactDelUserMod =!= FactDelUserRes &&
+            col("event_id") % FactCloneMod === FactCloneRes)
+          .withColumn("value", col("value") * 2)
+          .withColumn("event_type", lit("reconciled")), FactFiles)
+    }
+    dir
+  }
   /** The RAW document lake after the SAME q127 erasure: a FactStore
     * over documents (v1 build, v2 tombstone-delete of the subject
     * residue) — the takedown must land on the source of truth, not
@@ -662,6 +691,9 @@ object SparkEntry {
   // Q140m: CHECK constraints — the audited batch's residue and re-key.
   private val FactConsMod = 5L
   private val FactConsIdOffset = 2000000000000L
+  // Q140n: shallow clone — the clone-local reconciliation residue.
+  private val FactCloneMod = 17L
+  private val FactCloneRes = 2L
   /** Q124: minimum distinct users per released aggregate cell —
     * chosen so every SF exercises all three outcomes (hour-level
     * release, day-level generalization, suppression). */
@@ -1831,6 +1863,14 @@ object SparkEntry {
       // NULL passes (SQL CHECK semantics), rules version with the
       // table.
       graft.sources.FactStore.read(s, ensureConstrainedFactStore(s, d))
+        .orderBy("event_id")),
+    "q140n_fact_clone" -> ((s, d) =>
+      // Shallow clone (zero-copy branch): the q140 lake cloned by ONE
+      // manifest commit (no data copied), then diverging with a
+      // clone-local reconciliation upsert — the clone serves the
+      // source's full DML history PLUS its own; the source is
+      // untouched (q140b keeps hash-matching in the same run).
+      graft.sources.FactStore.read(s, ensureClonedFactStore(s, d))
         .orderBy("event_id")),
     "q140e_fact_changes" -> ((s, d) =>
       // Change data feed v1 → v4 on the raw lake: content-based per-key
@@ -3814,6 +3854,20 @@ object SparkEntry {
             UNION ALL
             SELECT event_id + $FactConsIdOffset, user_id, epoch_us(ts), 'audited', value
             FROM events WHERE event_id % $FactConsMod = 0)
+          ORDER BY event_id""",
+    // Q140n: the cloned lake = the source's closed form (delete +
+    // correction) overlaid by the clone-local reconciliation — the
+    // upsert REPLACES whole rows, so the clone patch wins where the
+    // residues overlap (CASE order).
+    "q140n_fact_clone" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN event_id % $FactCloneMod = $FactCloneRes THEN 'reconciled'
+                      WHEN event_id % $FactPatchMod = $FactPatchRes THEN 'corrected'
+                      ELSE event_type END AS event_type,
+                 CASE WHEN event_id % $FactCloneMod = $FactCloneRes THEN value * 2
+                      WHEN event_id % $FactPatchMod = $FactPatchRes THEN value + $FactPatchBump
+                      ELSE value END AS value
+          FROM events WHERE user_id % $FactDelUserMod <> $FactDelUserRes
           ORDER BY event_id""",
     // Q140e: the lifecycle's net changes restated — deleted users'
     // rows are 'delete'; the (disjoint) corrections batch is 'update'

@@ -829,7 +829,9 @@ object FactStore {
       .toString
     val segs = src.segments.map(s => s.copy(dir = s"$rel/${s.dir}"))
     M.commit(f, dstDir, M.Snapshot(src.version, "clone", "", segs,
-      src.meta + ("clonedFrom" -> srcDir)))
+      src.meta + ("clonedFrom" -> srcDir) +
+        ("cloneSrcCommitMs" ->
+          M.commitTimeMs(spark, srcDir, src.version).toString)))
     src.version
   }
 
