@@ -345,28 +345,51 @@ object GraftSqlParser {
     ("(?is)^\\s*GRAFT\\s+DROP\\s+CONSTRAINT\\s+(" + Ident +
       ")\\s+IN\\s+'([^']+)'\\s*;?\\s*$").r
 
-  private val MatchedRe =
-    "(?is)^\\s*MATCHED\\s*(?:AND\\s+(.+?))?\\s*THEN\\s+(UPDATE\\s+SET\\s+(.+)|DELETE)\\s*;?\\s*$".r
-  private val NotMatchedRe =
-    "(?is)^\\s*NOT\\s+MATCHED\\s*(?:AND\\s+(.+?))?\\s*THEN\\s+INSERT\\s*;?\\s*$".r
+  private val MatchedHeadRe =
+    "(?is)^\\s*MATCHED\\s*(?:AND\\s+(.+?))?\\s*$".r
+  private val NotMatchedHeadRe =
+    "(?is)^\\s*NOT\\s+MATCHED\\s*(?:AND\\s+(.+?))?\\s*$".r
+  private val UpdateActionRe = "(?is)^\\s*UPDATE\\s+SET\\s+(.+?)\\s*;?\\s*$".r
+  private val DeleteActionRe = "(?is)^\\s*DELETE\\s*;?\\s*$".r
+  private val InsertActionRe = "(?is)^\\s*INSERT\\s*;?\\s*$".r
 
+  /** Clause bodies split on the TOP-LEVEL `THEN` (paren-aware, like
+    * the WHEN split), so a parenthesized `CASE WHEN … THEN … END` can
+    * appear inside a condition or a SET expression. The one
+    * documented constraint: a CASE expression inside a MERGE clause
+    * must be wrapped in parentheses — an unparenthesized top-level
+    * CASE's own WHEN/THEN keywords are indistinguishable from the
+    * clause structure. */
   private def parseMergeClauses(parts: Seq[String], sql: String): Seq[FactStore.MergeClause] = {
     import FactStore.MergeClause._
     if (parts.isEmpty) fail("MERGE needs at least one WHEN clause", sql)
-    parts.map {
-      case MatchedRe(cond, action, setBody) =>
-        if (action.toUpperCase.startsWith("UPDATE")) {
-          val set = splitCommas(setBody).map { a =>
-            val eq = a.indexOf('=')
-            if (eq < 0) fail(s"SET assignment '$a' has no '='", sql)
-            val c = a.substring(0, eq).trim
-            if (!c.matches(Ident)) fail(s"SET target '$c' is not a column identifier", sql)
-            c -> a.substring(eq + 1).trim
-          }.toMap
-          Update(Option(cond).map(_.trim), set)
-        } else Delete(Option(cond).map(_.trim))
-      case NotMatchedRe(cond) => Insert(Option(cond).map(_.trim))
-      case other => fail(s"unrecognized WHEN clause: WHEN $other", sql)
+    parts.map { part =>
+      val pieces = splitTop(part, "THEN")
+      if (pieces.length < 2) fail(s"WHEN clause has no THEN: WHEN $part", sql)
+      val head = pieces.head
+      // SET expressions may themselves contain (parenthesized… but the
+      // CASE's THEN sits at depth ≥ 1 then; rejoin defensively anyway).
+      val action = pieces.tail.mkString("THEN")
+      def parseAction(cond: Option[String], matchedSide: Boolean): FactStore.MergeClause =
+        action match {
+          case UpdateActionRe(setBody) if matchedSide =>
+            val set = splitCommas(setBody).map { a =>
+              val eq = a.indexOf('=')
+              if (eq < 0) fail(s"SET assignment '$a' has no '='", sql)
+              val c = a.substring(0, eq).trim
+              if (!c.matches(Ident)) fail(s"SET target '$c' is not a column identifier", sql)
+              c -> a.substring(eq + 1).trim
+            }.toMap
+            Update(cond, set)
+          case DeleteActionRe() if matchedSide => Delete(cond)
+          case InsertActionRe() if !matchedSide => Insert(cond)
+          case _ => fail(s"unrecognized action for this WHEN side: $action", sql)
+        }
+      head match {
+        case NotMatchedHeadRe(cond) => parseAction(Option(cond).map(_.trim), matchedSide = false)
+        case MatchedHeadRe(cond) => parseAction(Option(cond).map(_.trim), matchedSide = true)
+        case other => fail(s"unrecognized WHEN clause: WHEN $other", sql)
+      }
     }
   }
 

@@ -171,6 +171,28 @@ class GraftSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(F.constraints(spark, d).isEmpty)
   }
 
+  test("GRAFT MERGE accepts parenthesized CASE expressions in conditions and SET") {
+    import F.MergeClause._
+    ev.limit(300).createOrReplaceTempView("graft_sql_ev7")
+    val src = ev.limit(150).withColumn("value", col("value") + 3.0)
+    src.createOrReplaceTempView("graft_sql_msrc7")
+    val cond = "(CASE WHEN s.value >= t.value THEN 1 ELSE 0 END) = 1"
+    val setV = "(CASE WHEN s.value > 100.0 THEN s.value ELSE t.value END)"
+    val dS = Files.createTempDirectory("graft_sqlcase_s").toString
+    spark.sql(s"GRAFT BUILD '$dS' KEY event_id ORDER BY (user_id) FILES 2 USING graft_sql_ev7")
+    spark.sql(
+      s"""GRAFT MERGE INTO '$dS' FILES 2 USING graft_sql_msrc7
+          WHEN MATCHED AND $cond THEN UPDATE SET value = $setV, event_type = 'cased'
+          WHEN NOT MATCHED THEN INSERT""")
+    val dA = Files.createTempDirectory("graft_sqlcase_a").toString
+    F.build(ev.limit(300), dA, "event_id", Seq("user_id"), 2)
+    F.merge(spark, dA, src, 2, Seq(
+      Update(Some(cond), Map("value" -> setV, "event_type" -> "'cased'")),
+      Insert(None)))
+    assert(rows(F.read(spark, dS)) == rows(F.read(spark, dA)))
+    assert(F.read(spark, dS).where(col("event_type") === "cased").count() > 0)
+  }
+
   test("GRAFT DESCRIBE and time-based VACUUM (RETAIN n HOURS)") {
     ev.createOrReplaceTempView("graft_sql_ev6")
     val d = Files.createTempDirectory("graft_sqldesc").toString
