@@ -257,7 +257,7 @@ object Bench {
     val qs = mergeMap("queries")
     val total = sumD("value")
     val jvmDiag = f""""jit_total_s":${sumD("jit_total_s")}%.3f,"codecache_end_mb":${lastD("codecache_end_mb")}%.1f,"codecache_max_mb":${lastD("codecache_max_mb")}%.0f,"metaspace_end_mb":${lastD("metaspace_end_mb")}%.1f,"calib_series":$calibSeries"""
-    val common = f""""queries":$qs,"suspect":${mergeList("suspect")},"retried":${mergeList("retried")},"cpu_suspect":${mergeList("cpu_suspect")},"errors":$nErr,"error_names":${mergeList("error_names")},"calib_wall_s":${headD("calib_wall_s")}%.3f,"calib_cpu_s":${headD("calib_cpu_s")}%.3f,"total_cpu_s":${sumD("total_cpu_s")}%.3f,"total_gc_s":${sumD("total_gc_s")}%.3f,$jvmDiag,"shards":${shards.length},"cores":$cpus,"spark_version":"$sparkVersion","sf":"$sfDir""""
+    val common = f""""queries":$qs,"suspect":${mergeList("suspect")},"retried":${mergeList("retried")},"deferred":${mergeList("deferred")},"cpu_suspect":${mergeList("cpu_suspect")},"errors":$nErr,"error_names":${mergeList("error_names")},"calib_wall_s":${headD("calib_wall_s")}%.3f,"calib_cpu_s":${headD("calib_cpu_s")}%.3f,"total_cpu_s":${sumD("total_cpu_s")}%.3f,"total_gc_s":${sumD("total_gc_s")}%.3f,$jvmDiag,"shards":${shards.length},"cores":$cpus,"spark_version":"$sparkVersion","sf":"$sfDir""""
     val line = s"""{"metric":"total","unit":"sec",$common,"value":${f"$total%.3f"}}"""
     println(line)
     val full = s"""{"metric":"total","unit":"sec",$common,"cpu_s":${mergeMap("cpu_s")},"gc_s":${mergeMap("gc_s")},"jit_s":${mergeMap("jit_s")},"codecache_mb":${mergeMap("codecache_mb")},"value":${f"$total%.3f"}}"""
@@ -417,7 +417,7 @@ object Bench {
     def cpuInflated(name: String, wall: Double, cpu: Double): Boolean =
       cpu >= 0 && wall > SuspectMinWallSec &&
         refCpu.get(name).exists(r => r > 0.2 && cpu > CpuSuspectRatio * r)
-    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+    val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % CalibEvery == 0) {
         val (cw, cc, drift) = runCalib()
         snapCalib(i, cw, cc, drift)
@@ -443,6 +443,28 @@ object Bench {
       } else R(name, w1, c1, g1, j1, cc, ms, retried = false,
         suspect = false, cpuSuspect = false, e1)
     }
+    // End-of-shard THIRD attempt (the round-10 lesson: when both inline
+    // attempts land in a hot window — q88b's mode — better-of-two can't
+    // recover; by board end the window has usually moved). Any query
+    // still flagged after its inline retry gets one last measurement
+    // here, best-of-all-attempts kept, and is tagged `deferred` so the
+    // artifact shows the recovery path.
+    val stillBad = firstPass.count(r => r.err.isEmpty && (r.suspect || r.cpuSuspect))
+    if (stillBad > 0)
+      System.err.println(s"[bench] $stillBad queries still flagged after inline retry — end-of-shard third attempts")
+    val queryFn = selected.toMap
+    val deferredNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = firstPass.map { r =>
+      if (r.err.isEmpty && (r.suspect || r.cpuSuspect)) {
+        deferredNames += r.name
+        val (w3, c3, g3, j3, e3) = timeOnce(spark, r.name, queryFn(r.name), sfDir)
+        System.err.println(f"[bench] deferred ${r.name}: wall=$w3%.2fs cpu=$c3%.2fs (was ${r.wall}%.2fs)")
+        if (e3.isEmpty && w3 < r.wall)
+          R(r.name, w3, c3, g3, j3, codeCacheUsedMb(), metaspaceUsedMb(),
+            retried = true, isSuspect(w3, c3), cpuInflated(r.name, w3, c3), None)
+        else r
+      } else r
+    }
     def numMap(f: R => Double): String = results.map { r =>
       "\"" + r.name + "\":" + r.err.fold(f"${f(r)}%.3f")(_ => "\"error\"")
     }.mkString("{", ",", "}")
@@ -453,6 +475,7 @@ object Bench {
     val suspects = results.filter(r => r.suspect && r.err.isEmpty).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val cpuSuspects = results.filter(r => r.cpuSuspect && r.err.isEmpty).map("\"" + _.name + "\"").mkString("[", ",", "]")
     val retried = results.filter(_.retried).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val deferred = deferredNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val nErr = results.count(_.err.isDefined)
     val errNames = results.filter(_.err.isDefined).map("\"" + _.name + "\"").mkString("[", ",", "]")
     // Field ORDER is survivability engineering: the driver retains only a
@@ -464,7 +487,7 @@ object Bench {
     val calibJson = calibSeries.map { c =>
       f"""{"after":${c.after},"wall_s":${c.wall}%.3f,"cpu_s":${c.cpu}%.3f,"drifted":${c.drifted},"classes":${c.classes},"threads":${c.threads},"codecache_mb":${c.ccMb}%.1f,"jit_total_s":${c.jitS}%.1f}""" }.mkString("[", ",", "]")
     val jvmDiag = f""""jit_total_s":$totalJit%.3f,"codecache_end_mb":${codeCacheUsedMb()}%.1f,"codecache_max_mb":${codeCacheMaxMb()}%.0f,"metaspace_end_mb":${metaspaceUsedMb()}%.1f,"calib_series":$calibJson"""
-    val line = f"""{"metric":"total","unit":"sec","queries":$qs,"suspect":$suspects,"retried":$retried,"cpu_suspect":$cpuSuspects,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,$jvmDiag,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
+    val line = f"""{"metric":"total","unit":"sec","queries":$qs,"suspect":$suspects,"retried":$retried,"deferred":$deferred,"cpu_suspect":$cpuSuspects,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,$jvmDiag,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
     println(line)
     val full = f"""{"metric":"total","unit":"sec","queries":$qs,"cpu_s":${numMap(_.cpu)},"gc_s":${numMap(_.gc)},"jit_s":${numMap(_.jit)},"codecache_mb":${numMap(_.ccMb)},"suspect":$suspects,"retried":$retried,"cpu_suspect":$cpuSuspects,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,$jvmDiag,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
     try java.nio.file.Files.writeString(

@@ -271,7 +271,27 @@ object ScaleSmoke {
       ("cep_quantified", (df: DataFrame) => Cep.matchesGeneric(df, Seq(
           CepStep("click", timeoutUs = 172800000000L, times = 3),
           CepStep("purchase", minValue = Some(30.0), timeoutUs = 172800000000L))),
-        c => scaledEvents(spark, dir, c)))
+        c => scaledEvents(spark, dir, c)),
+      // Round-11: the lakehouse MERGE end-to-end — z-order build, a
+      // 3-clause conditional merge (update/delete/insert), read-back.
+      // Cost = one sort for the build + ONE target scan for the merge
+      // + work ∝ the batch (the change-bounded contract) — expect
+      // ~linear in the corpus.
+      ("fact_merge_lifecycle", { df: DataFrame =>
+        import graft.sources.{FactStore => FS}
+        val d = java.nio.file.Files.createTempDirectory("graft_smoke_fact").toString
+        FS.build(df, d, "event_id", Seq("user_id", "ts_us"), 32)
+        val src = df.where(col("event_id") % 9 === 4)
+          .withColumn("value", col("value") + 100.0)
+          .unionByName(df.where(col("event_id") % 9 === 5)
+            .withColumn("event_id", col("event_id") + 1000000000000L))
+        FS.merge(spark, d, src, 32, Seq(
+          FS.MergeClause.Update(Some("s.value >= t.value"),
+            Map("value" -> "s.value + t.value")),
+          FS.MergeClause.Delete(None),
+          FS.MergeClause.Insert(None)))
+        FS.read(spark, d)
+      }, c => scaledEvents(spark, dir, c)))
 
     // Optional name filter (comma-separated) for single-case iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

@@ -416,6 +416,37 @@ object SparkEntry {
     }
     dir
   }
+  /** Q140o: type widening — v1 build with an INT `clicks` column, v2
+    * widen clicks → BIGINT (one metadata commit, zero files touched),
+    * v3 append values that NEED the width (> int max), v4 compact
+    * migrating the narrow generation to wide files. Reads serve BIGINT
+    * from v2 on; v1 time-travels with its own narrow type. */
+  private def ensureWidenedFactStore(s: SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_wd_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 4L) {
+      val ev = factEvents(s, d)
+      graft.sources.FactStore.build(
+        ev.where(col("event_id") % 2 === 0)
+          .withColumn("clicks", (col("event_id") % 1000).cast("int")),
+        dir, "event_id", Seq("user_id", "ts_us"), FactFiles,
+        Seq("user_id", "ts_us", "event_id"))
+      graft.sources.FactStore.widenColumn(s, dir, "clicks", "bigint")
+      graft.sources.FactStore.append(s, dir,
+        ev.where(col("event_id") % 2 =!= 0)
+          .withColumn("clicks", col("event_id") % 1000 + lit(FactWidenBase)),
+        FactFiles)
+      graft.sources.FactStore.compact(s, dir, FactFiles)
+    }
+    dir
+  }
+  /** Q140p/q: the catalog surface — the q140 lake registered once as
+    * `CREATE TABLE … USING graft LOCATION` and read with plain SQL;
+    * pushed filters route into the Bloom/stats file-pruning tiers. */
+  private def ensureFactCatalogTable(s: SparkSession, d: String): String = {
+    val dir = ensureFactStore(s, d)
+    s.sql(s"CREATE TABLE IF NOT EXISTS graft_fact_events USING graft LOCATION '$dir'")
+    "graft_fact_events"
+  }
   /** Q140g: non-additive schema evolution — v1 build, v2 RENAME
     * value→amount (metadata-only; physical files untouched), v3 DROP
     * event_type (metadata-only), v4 upsert a corrections batch in the
@@ -694,6 +725,9 @@ object SparkEntry {
   // Q140n: shallow clone — the clone-local reconciliation residue.
   private val FactCloneMod = 17L
   private val FactCloneRes = 2L
+  // Q140o: type widening — the appended generation's clicks exceed
+  // int range, so the widened BIGINT is load-bearing, not cosmetic.
+  private val FactWidenBase = 3000000000L
   /** Q124: minimum distinct users per released aggregate cell —
     * chosen so every SF exercises all three outcomes (hour-level
     * release, day-level generalization, suppression). */
@@ -1889,6 +1923,38 @@ object SparkEntry {
         Map("user_id" -> (SkipUserLo, SkipUserHi),
           "ts_us" -> (SkipTsLo, SkipTsHi)))
         .orderBy("event_id")),
+    "q140o_fact_widen" -> ((s, d) =>
+      // Type widening (the third schema-evolution leg): clicks was
+      // declared INT at build, widened to BIGINT by one metadata
+      // commit, then an appended generation carries values beyond int
+      // range — the tolerant read serves ONE bigint column across
+      // narrow and wide files, and compaction migrated the physical
+      // type. A pure widen emits zero change-feed rows (FactStoreSpec).
+      graft.sources.FactStore.read(s, ensureWidenedFactStore(s, d))
+        .orderBy("event_id")),
+    "q140p_fact_catalog_point" -> ((s, d) => {
+      // The catalog surface, point probe: CREATE TABLE … USING graft
+      // LOCATION, then a PLAIN SQL primary-key lookup — the pushed IN
+      // filter routes through the DataSourceV2 scan into the
+      // Bloom+min/max sidecars (only metadata-positive files are
+      // listed; GraftCatalogSpec pins the file pruning), tombstones
+      // still applied. Same rows as the readPoint API (q140h).
+      val tbl = ensureFactCatalogTable(s, d)
+      s.sql(s"""SELECT event_id, user_id, ts_us, event_type, value FROM $tbl
+                WHERE event_id IN (${FactPointIds.mkString(", ")})
+                ORDER BY event_id""")
+    }),
+    "q140q_fact_catalog_box" -> ((s, d) => {
+      // The catalog surface, range scan: the BETWEEN conjuncts on the
+      // z-order stats columns push down into per-file [min,max]
+      // pruning — a plain SQL user gets the same skipping the readBox
+      // API serves (q140d).
+      val tbl = ensureFactCatalogTable(s, d)
+      s.sql(s"""SELECT event_id, user_id, ts_us, event_type, value FROM $tbl
+                WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
+                  AND ts_us BETWEEN $SkipTsLo AND $SkipTsHi
+                ORDER BY event_id""")
+    }),
     "q124_kanon_release" -> ((s, d) =>
       // k-anonymity release gate: publish an aggregate cell only if
       // >= k distinct users back it; failing cells generalize hour →
@@ -3903,6 +3969,37 @@ object SparkEntry {
     "q140j_fact_asof" ->
       s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
           FROM events WHERE user_id % $FactDelUserMod <> $FactDelUserRes
+          ORDER BY event_id""",
+    // Q140o: the widened lake restates as one closed-form projection —
+    // even ids (the pre-widen INT generation) carry small clicks, odd
+    // ids (appended post-widen) carry clicks beyond int range; the
+    // widen itself is pure metadata, visible only as the column type.
+    "q140o_fact_widen" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value,
+                 CASE WHEN event_id % 2 = 0 THEN event_id % 1000
+                      ELSE event_id % 1000 + $FactWidenBase END AS clicks
+          FROM events ORDER BY event_id""",
+    // Q140p/q: the catalog-table SELECTs serve exactly the DML'd lake
+    // under their filters — access path (DSv2 + pushed pruning) is
+    // I/O shape, invisible to results (same oracles as q140h/q140d).
+    "q140p_fact_catalog_point" ->
+      s"""SELECT event_id, user_id, ts_us,
+                 CASE WHEN patched THEN 'corrected' ELSE event_type END AS event_type,
+                 CASE WHEN patched THEN value + $FactPatchBump ELSE value END AS value
+          FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  value, event_id % $FactPatchMod = $FactPatchRes AS patched
+                FROM events WHERE user_id % $FactDelUserMod <> $FactDelUserRes)
+          WHERE event_id IN (${FactPointIds.mkString(", ")})
+          ORDER BY event_id""",
+    "q140q_fact_catalog_box" ->
+      s"""SELECT event_id, user_id, ts_us,
+                 CASE WHEN patched THEN 'corrected' ELSE event_type END AS event_type,
+                 CASE WHEN patched THEN value + $FactPatchBump ELSE value END AS value
+          FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                  value, event_id % $FactPatchMod = $FactPatchRes AS patched
+                FROM events WHERE user_id % $FactDelUserMod <> $FactDelUserRes)
+          WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
+            AND ts_us BETWEEN $SkipTsLo AND $SkipTsHi
           ORDER BY event_id""",
     // Q125: bounds via quantile_cont (≡ Spark's percentile after the
     // 1e-4 rounding — the q25 contract), clip + verdict restated.

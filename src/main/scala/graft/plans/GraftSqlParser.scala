@@ -20,7 +20,10 @@ import graft.sources.{FactStore, ManifestLog}
   * the session's own parser untouched.
   *
   * Grammar (case-insensitive keywords; `'<dir>'` is a single-quoted
-  * store path; `<source>` is a view name or a parenthesized query;
+  * store path OR — everywhere except BUILD and CLONE's target, which
+  * create directories — a catalog table identifier whose `USING graft`
+  * table resolves to its LOCATION, so DML and catalog reads name the
+  * same table; `<source>` is a view name or a parenthesized query;
   * conditions and SET expressions are ordinary Spark SQL over the
   * aliases `t`/`s`, exactly the [[FactStore.MergeClause]] contract):
   *
@@ -41,6 +44,7 @@ import graft.sources.{FactStore, ManifestLog}
   * GRAFT RECLUSTER '<dir>' BY (<cols>)
   * GRAFT RENAME COLUMN <a> TO <b> IN '<dir>'
   * GRAFT DROP COLUMN <a> IN '<dir>'
+  * GRAFT WIDEN COLUMN <a> TO <type> IN '<dir>'
   * GRAFT ADD CONSTRAINT <name> CHECK (<expr>) IN '<dir>'
   * GRAFT DROP CONSTRAINT <name> IN '<dir>'
   * GRAFT HISTORY '<dir>'
@@ -81,16 +85,23 @@ object GraftSqlParser {
     throw new IllegalArgumentException(s"GRAFT statement error: $msg\n  in: ${sql.trim}")
 
   /** Split `text` on top-level occurrences of keyword `kw` — depth-0
-    * w.r.t. parentheses and outside single-quoted strings, so a
-    * subquery or a string literal can contain the word. Returns the
-    * segments BETWEEN occurrences (first element = text before the
-    * first occurrence). */
+    * w.r.t. parentheses, outside single-quoted strings, AND outside
+    * `CASE … END` expressions (tracked as their own depth axis, so an
+    * unparenthesized CASE's WHEN/THEN never masquerades as MERGE
+    * clause structure). Keyword matching is per-character
+    * case-insensitive (`regionMatches(ignoreCase)`), never a whole-
+    * string `toUpperCase` — characters whose uppercase EXPANDS (e.g.
+    * 'ß' → "SS" inside a string literal) would desynchronize the
+    * offsets. Returns the segments BETWEEN occurrences (first element
+    * = text before the first occurrence). */
   private[plans] def splitTop(text: String, kw: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val up = text.toUpperCase
-    val kwUp = kw.toUpperCase
-    var depth = 0; var inStr = false; var i = 0; var start = 0
+    var depth = 0; var caseDepth = 0; var inStr = false; var i = 0; var start = 0
     def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    def wordAt(i: Int, w: String): Boolean =
+      text.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isWordChar(text.charAt(i - 1))) &&
+        (i + w.length >= text.length || !isWordChar(text.charAt(i + w.length)))
     while (i < text.length) {
       val c = text.charAt(i)
       if (inStr) { if (c == '\'') inStr = false; i += 1 }
@@ -99,11 +110,11 @@ object GraftSqlParser {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case _ =>
-          if (depth == 0 && up.startsWith(kwUp, i) &&
-              (i == 0 || !isWordChar(text.charAt(i - 1))) &&
-              (i + kwUp.length >= text.length || !isWordChar(text.charAt(i + kwUp.length)))) {
+          if (depth == 0 && wordAt(i, "CASE")) { caseDepth += 1; i += 4 }
+          else if (depth == 0 && caseDepth > 0 && wordAt(i, "END")) { caseDepth -= 1; i += 3 }
+          else if (depth == 0 && caseDepth == 0 && wordAt(i, kw)) {
             out += text.substring(start, i)
-            start = i + kwUp.length
+            start = i + kw.length
             i = start
           } else i += 1
       }
@@ -146,34 +157,50 @@ object GraftSqlParser {
     else spark.table(trimmed)
   }
 
+  /** Resolve a store target at run time: a quoted token is a directory
+    * path verbatim; a bare identifier resolves through the session
+    * catalog to a `USING graft` table's LOCATION — so `GRAFT DELETE
+    * FROM facts WHERE …` and `SELECT * FROM facts` name one store. */
+  private[plans] def resolveTarget(spark: SparkSession, tok: String): String =
+    if (tok.startsWith("'")) tok.substring(1, tok.length - 1)
+    else {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tok))
+      require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+        s"table $tok is not a graft table (provider=${meta.provider.getOrElse("none")})")
+      new org.apache.hadoop.fs.Path(meta.location).toString
+    }
+
   final case class GraftBuildCommand(dir: String, key: String, orderCols: Seq[String],
                                      statsCols: Seq[String], nFiles: Int, source: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.build(sourceDf(spark, source), dir, key, orderCols,
-        nFiles, statsCols)))
+      Seq(Row(FactStore.build(sourceDf(spark, source),
+        resolveTarget(spark, dir), key, orderCols, nFiles, statsCols)))
   }
 
   final case class GraftAppendCommand(dir: String, nFiles: Int, source: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.append(spark, dir, sourceDf(spark, source), nFiles)))
+      Seq(Row(FactStore.append(spark, resolveTarget(spark, dir),
+        sourceDf(spark, source), nFiles)))
   }
 
   final case class GraftUpsertCommand(dir: String, nFiles: Int, source: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.upsert(spark, dir, sourceDf(spark, source), nFiles)))
+      Seq(Row(FactStore.upsert(spark, resolveTarget(spark, dir),
+        sourceDf(spark, source), nFiles)))
   }
 
   final case class GraftDeleteCommand(dir: String, predicate: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.deleteMatching(spark, dir, expr(predicate))))
+      Seq(Row(FactStore.deleteMatching(spark, resolveTarget(spark, dir), expr(predicate))))
   }
 
   final case class GraftMergeCommand(dir: String, nFiles: Int, source: String,
@@ -181,27 +208,31 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.merge(spark, dir, sourceDf(spark, source), nFiles, clauses)))
+      Seq(Row(FactStore.merge(spark, resolveTarget(spark, dir),
+        sourceDf(spark, source), nFiles, clauses)))
   }
 
   final case class GraftCompactCommand(dir: String, nFiles: Int, incremental: Boolean,
                                        tombFrac: Double, maxFiles: Int)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
-    override def run(spark: SparkSession): Seq[Row] =
+    override def run(spark: SparkSession): Seq[Row] = {
+      val d = resolveTarget(spark, dir)
       Seq(Row(
         if (incremental)
-          FactStore.compactIncremental(spark, dir, nFiles, tombFrac, maxFiles)._1
-        else FactStore.compact(spark, dir, nFiles)))
+          FactStore.compactIncremental(spark, d, nFiles, tombFrac, maxFiles)._1
+        else FactStore.compact(spark, d, nFiles)))
+    }
   }
 
   final case class GraftVacuumCommand(dir: String, retain: Long, hours: Boolean)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] = {
-      if (hours) FactStore.vacuumOlderThan(spark, dir, retain * 3600L * 1000L)
-      else FactStore.vacuum(spark, dir, retain.toInt)
-      Seq(Row(FactStore.currentVersion(spark, dir)))
+      val d = resolveTarget(spark, dir)
+      if (hours) FactStore.vacuumOlderThan(spark, d, retain * 3600L * 1000L)
+      else FactStore.vacuum(spark, d, retain.toInt)
+      Seq(Row(FactStore.currentVersion(spark, d)))
     }
   }
 
@@ -213,7 +244,8 @@ object GraftSqlParser {
       AttributeReference("property", StringType, nullable = false)(),
       AttributeReference("value", StringType, nullable = false)())
     override def run(spark: SparkSession): Seq[Row] = {
-      val snap = ManifestLog.snapshot(spark, dir)
+      val d = resolveTarget(spark, dir)
+      val snap = ManifestLog.snapshot(spark, d)
       val data = snap.segments.filter(_.kind == "data")
       val tombs = snap.segments.filter(_.kind == "tomb")
       val colmap = snap.meta.get("colmap").map(_.split(' ').toSeq
@@ -222,14 +254,15 @@ object GraftSqlParser {
         Row("version", snap.version.toString),
         Row("last_op", snap.op),
         Row("committed_at_ms",
-          ManifestLog.commitTimeMs(spark, dir, snap.version).toString),
+          ManifestLog.commitTimeMs(spark, d, snap.version).toString),
         Row("key_column", snap.meta.getOrElse("keyCol", "")),
         Row("order_columns", snap.meta.getOrElse("orderCols", "")),
         Row("stats_columns", snap.meta.getOrElse("statsCols", "")),
         Row("logical_schema",
           colmap.map(_.map(_._2).mkString(", ")).getOrElse("")),
-        Row("constraints", FactStore.constraints(spark, dir).toSeq.sorted
+        Row("constraints", FactStore.constraints(spark, d).toSeq.sorted
           .map { case (n, r) => s"$n: $r" }.mkString("; ")),
+        Row("widened_columns", snap.meta.getOrElse("colwiden", "")),
         Row("data_segments", data.length.toString),
         Row("data_files", data.map(_.files.length).sum.toString),
         Row("data_rows", data.map(_.rows).sum.toString),
@@ -242,49 +275,57 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.clone(spark, srcDir, dstDir)))
+      Seq(Row(FactStore.clone(spark, resolveTarget(spark, srcDir),
+        resolveTarget(spark, dstDir))))
   }
 
   final case class GraftRestoreCommand(dir: String, toVersion: Long)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.restore(spark, dir, toVersion)))
+      Seq(Row(FactStore.restore(spark, resolveTarget(spark, dir), toVersion)))
   }
 
   final case class GraftReclusterCommand(dir: String, orderCols: Seq[String])
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.recluster(spark, dir, orderCols)))
+      Seq(Row(FactStore.recluster(spark, resolveTarget(spark, dir), orderCols)))
   }
 
   final case class GraftRenameColumnCommand(dir: String, from: String, to: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.renameColumn(spark, dir, from, to)))
+      Seq(Row(FactStore.renameColumn(spark, resolveTarget(spark, dir), from, to)))
   }
 
   final case class GraftDropColumnCommand(dir: String, name: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.dropColumn(spark, dir, name)))
+      Seq(Row(FactStore.dropColumn(spark, resolveTarget(spark, dir), name)))
+  }
+
+  final case class GraftWidenColumnCommand(dir: String, name: String, toType: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.widenColumn(spark, resolveTarget(spark, dir), name, toType)))
   }
 
   final case class GraftAddConstraintCommand(dir: String, name: String, rule: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.addConstraint(spark, dir, name, rule)))
+      Seq(Row(FactStore.addConstraint(spark, resolveTarget(spark, dir), name, rule)))
   }
 
   final case class GraftDropConstraintCommand(dir: String, name: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(FactStore.dropConstraint(spark, dir, name)))
+      Seq(Row(FactStore.dropConstraint(spark, resolveTarget(spark, dir), name)))
   }
 
   final case class GraftHistoryCommand(dir: String) extends LeafRunnableCommand {
@@ -292,14 +333,20 @@ object GraftSqlParser {
       AttributeReference("version", LongType, nullable = false)(),
       AttributeReference("op", StringType, nullable = false)(),
       AttributeReference("committed_at_ms", LongType, nullable = false)())
-    override def run(spark: SparkSession): Seq[Row] =
-      ManifestLog.snapshots(spark, dir).map(s =>
-        Row(s.version, s.op, ManifestLog.commitTimeMs(spark, dir, s.version)))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val d = resolveTarget(spark, dir)
+      ManifestLog.snapshots(spark, d).map(s =>
+        Row(s.version, s.op, ManifestLog.commitTimeMs(spark, d, s.version)))
+    }
   }
 
   // ------------------------------------------------------------ parser
 
   private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
+  /** A store target token: a single-quoted path (captured WITH its
+    * quotes) or a catalog table identifier — [[resolveTarget]]
+    * disambiguates at run time. */
+  private val Target = "('[^']+'|[A-Za-z_][A-Za-z0-9_.]*)"
 
   private def identList(body: String, sql: String): Seq[String] = {
     val cols = body.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -308,42 +355,45 @@ object GraftSqlParser {
   }
 
   private val BuildRe =
-    ("(?is)^\\s*GRAFT\\s+BUILD\\s+'([^']+)'\\s+KEY\\s+(" + Ident + ")\\s+ORDER\\s+BY\\s*\\(([^)]*)\\)" +
+    ("(?is)^\\s*GRAFT\\s+BUILD\\s+('[^']+')\\s+KEY\\s+(" + Ident + ")\\s+ORDER\\s+BY\\s*\\(([^)]*)\\)" +
       "(?:\\s+STATS\\s*\\(([^)]*)\\))?(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*;?\\s*$").r
   private val AppendRe =
-    "(?is)^\\s*GRAFT\\s+APPEND\\s+INTO\\s+'([^']+)'(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*;?\\s*$".r
+    ("(?is)^\\s*GRAFT\\s+APPEND\\s+INTO\\s+" + Target + "(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*;?\\s*$").r
   private val UpsertRe =
-    "(?is)^\\s*GRAFT\\s+UPSERT\\s+INTO\\s+'([^']+)'(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*;?\\s*$".r
+    ("(?is)^\\s*GRAFT\\s+UPSERT\\s+INTO\\s+" + Target + "(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*;?\\s*$").r
   private val DeleteRe =
-    "(?is)^\\s*GRAFT\\s+DELETE\\s+FROM\\s+'([^']+)'\\s+WHERE\\s+(.+?)\\s*;?\\s*$".r
+    ("(?is)^\\s*GRAFT\\s+DELETE\\s+FROM\\s+" + Target + "\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
   private val MergeHeadRe =
-    "(?is)^\\s*GRAFT\\s+MERGE\\s+INTO\\s+'([^']+)'(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*$".r
+    ("(?is)^\\s*GRAFT\\s+MERGE\\s+INTO\\s+" + Target + "(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*$").r
   private val CompactRe =
-    ("(?is)^\\s*GRAFT\\s+COMPACT\\s+'([^']+)'(?:\\s+FILES\\s+(\\d+))?" +
+    ("(?is)^\\s*GRAFT\\s+COMPACT\\s+" + Target + "(?:\\s+FILES\\s+(\\d+))?" +
       "(?:\\s+(INCREMENTAL)(?:\\s+TOMBFRAC\\s+([0-9.]+))?(?:\\s+MAXFILES\\s+(\\d+))?)?\\s*;?\\s*$").r
   private val VacuumRe =
-    "(?is)^\\s*GRAFT\\s+VACUUM\\s+'([^']+)'\\s+RETAIN\\s+(\\d+)(?:\\s+(VERSIONS|HOURS))?\\s*;?\\s*$".r
+    ("(?is)^\\s*GRAFT\\s+VACUUM\\s+" + Target + "\\s+RETAIN\\s+(\\d+)(?:\\s+(VERSIONS|HOURS))?\\s*;?\\s*$").r
   private val DescribeRe =
-    "(?is)^\\s*GRAFT\\s+DESCRIBE\\s+'([^']+)'\\s*;?\\s*$".r
+    ("(?is)^\\s*GRAFT\\s+DESCRIBE\\s+" + Target + "\\s*;?\\s*$").r
   private val CloneRe =
-    "(?is)^\\s*GRAFT\\s+CLONE\\s+'([^']+)'\\s+TO\\s+'([^']+)'\\s*;?\\s*$".r
+    ("(?is)^\\s*GRAFT\\s+CLONE\\s+" + Target + "\\s+TO\\s+('[^']+')\\s*;?\\s*$").r
   private val RestoreRe =
-    "(?is)^\\s*GRAFT\\s+RESTORE\\s+'([^']+)'\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*$".r
+    ("(?is)^\\s*GRAFT\\s+RESTORE\\s+" + Target + "\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*$").r
   private val ReclusterRe =
-    "(?is)^\\s*GRAFT\\s+RECLUSTER\\s+'([^']+)'\\s+BY\\s*\\(([^)]*)\\)\\s*;?\\s*$".r
+    ("(?is)^\\s*GRAFT\\s+RECLUSTER\\s+" + Target + "\\s+BY\\s*\\(([^)]*)\\)\\s*;?\\s*$").r
   private val RenameRe =
     ("(?is)^\\s*GRAFT\\s+RENAME\\s+COLUMN\\s+(" + Ident + ")\\s+TO\\s+(" + Ident +
-      ")\\s+IN\\s+'([^']+)'\\s*;?\\s*$").r
+      ")\\s+IN\\s+" + Target + "\\s*;?\\s*$").r
   private val DropRe =
-    ("(?is)^\\s*GRAFT\\s+DROP\\s+COLUMN\\s+(" + Ident + ")\\s+IN\\s+'([^']+)'\\s*;?\\s*$").r
+    ("(?is)^\\s*GRAFT\\s+DROP\\s+COLUMN\\s+(" + Ident + ")\\s+IN\\s+" + Target + "\\s*;?\\s*$").r
+  private val WidenRe =
+    ("(?is)^\\s*GRAFT\\s+WIDEN\\s+COLUMN\\s+(" + Ident + ")\\s+TO\\s+([A-Za-z]+)" +
+      "\\s+IN\\s+" + Target + "\\s*;?\\s*$").r
   private val HistoryRe =
-    "(?is)^\\s*GRAFT\\s+HISTORY\\s+'([^']+)'\\s*;?\\s*$".r
+    ("(?is)^\\s*GRAFT\\s+HISTORY\\s+" + Target + "\\s*;?\\s*$").r
   private val AddConstraintRe =
     ("(?is)^\\s*GRAFT\\s+ADD\\s+CONSTRAINT\\s+(" + Ident +
-      ")\\s+CHECK\\s*\\((.+)\\)\\s+IN\\s+'([^']+)'\\s*;?\\s*$").r
+      ")\\s+CHECK\\s*\\((.+)\\)\\s+IN\\s+" + Target + "\\s*;?\\s*$").r
   private val DropConstraintRe =
     ("(?is)^\\s*GRAFT\\s+DROP\\s+CONSTRAINT\\s+(" + Ident +
-      ")\\s+IN\\s+'([^']+)'\\s*;?\\s*$").r
+      ")\\s+IN\\s+" + Target + "\\s*;?\\s*$").r
 
   private val MatchedHeadRe =
     "(?is)^\\s*MATCHED\\s*(?:AND\\s+(.+?))?\\s*$".r
@@ -353,13 +403,12 @@ object GraftSqlParser {
   private val DeleteActionRe = "(?is)^\\s*DELETE\\s*;?\\s*$".r
   private val InsertActionRe = "(?is)^\\s*INSERT\\s*;?\\s*$".r
 
-  /** Clause bodies split on the TOP-LEVEL `THEN` (paren-aware, like
-    * the WHEN split), so a parenthesized `CASE WHEN … THEN … END` can
-    * appear inside a condition or a SET expression. The one
-    * documented constraint: a CASE expression inside a MERGE clause
-    * must be wrapped in parentheses — an unparenthesized top-level
-    * CASE's own WHEN/THEN keywords are indistinguishable from the
-    * clause structure. */
+  /** Clause bodies split on the TOP-LEVEL `THEN` (paren- AND
+    * CASE…END-aware, like the WHEN split), so a `CASE WHEN … THEN …
+    * END` — parenthesized or naked — can appear inside a clause
+    * condition or a SET expression: the splitter tracks CASE depth,
+    * so a CASE's own WHEN/THEN keywords never read as clause
+    * structure. */
   private def parseMergeClauses(parts: Seq[String], sql: String): Seq[FactStore.MergeClause] = {
     import FactStore.MergeClause._
     if (parts.isEmpty) fail("MERGE needs at least one WHEN clause", sql)
@@ -420,6 +469,7 @@ object GraftSqlParser {
     case AddConstraintRe(name, rule, dir) => GraftAddConstraintCommand(dir, name, rule.trim)
     case DropConstraintRe(name, dir) => GraftDropConstraintCommand(dir, name)
     case DropRe(name, dir) => GraftDropColumnCommand(dir, name)
+    case WidenRe(name, toType, dir) => GraftWidenColumnCommand(dir, name, toType)
     case HistoryRe(dir) => GraftHistoryCommand(dir)
     case _ =>
       // MERGE: split the WHEN clauses at top level first (conditions

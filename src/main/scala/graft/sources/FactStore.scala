@@ -169,6 +169,65 @@ object FactStore {
     v
   }
 
+  // ---------------------------------------------------- type widening
+  //
+  // The third leg of the Delta/Iceberg schema-evolution triad (after
+  // additive columns and rename/drop): declare a column's type WIDER
+  // (int → long, float → double) as ONE metadata commit — zero files
+  // rewritten. Old segments keep their narrow physical type; the
+  // read boundary injects a lossless cast (so every reader sees the
+  // declared type), writers normalize incoming batches to it (new
+  // files carry the wide type), and compaction migrates old
+  // generations as it folds. Declarations live per-snapshot
+  // (`colwiden` meta), so time travel serves each version's own
+  // types, and the change feed hashes BOTH sides at the target
+  // version's declared type — a pure widen fabricates zero updates.
+
+  private val IntWidenRank = Map("tinyint" -> 1, "smallint" -> 2, "int" -> 3, "bigint" -> 4)
+
+  /** Declared (physical name → SQL type) widenings at a snapshot. */
+  private def widenedOf(snap: M.Snapshot): Map[String, String] =
+    snap.meta.get("colwiden").map(_.split(' ').filter(_.nonEmpty).map { p =>
+      val i = p.indexOf('=')
+      p.substring(0, i) -> p.substring(i + 1)
+    }.toMap).getOrElse(Map.empty)
+
+  /** Cast every declared-widened physical column present in `df` to
+    * its declared type (a same-type cast folds away in Catalyst). */
+  private def applyWiden(df: DataFrame, widen: Map[String, String]): DataFrame =
+    widen.foldLeft(df) { case (d, (p, t)) =>
+      if (d.columns.contains(p)) d.withColumn(p, col(p).cast(t)) else d
+    }
+
+  /** WIDEN a column's declared type: one metadata commit. Only
+    * lossless widenings are legal — tinyint/smallint/int → a wider
+    * integral, float → double; narrowing or cross-family changes are
+    * rejected loudly. */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+                  toType: String): Long = synchronized {
+    val target = toType.trim.toLowerCase
+    val prior = M.snapshot(spark, dir)
+    val cm = activeColmap(spark, dir, prior)
+    val phys = cm.find(_._2 == name)
+      .getOrElse(throw new IllegalArgumentException(s"no active column '$name' to widen"))._1
+    val widen = widenedOf(prior)
+    val current = widen.getOrElse(phys,
+      read(spark, dir).schema(name).dataType.catalogString.toLowerCase)
+    val ok =
+      (IntWidenRank.contains(current) && IntWidenRank.contains(target) &&
+        IntWidenRank(target) > IntWidenRank(current)) ||
+      (current == "float" && target == "double")
+    require(ok,
+      s"cannot widen '$name' $current -> $target: only lossless widenings " +
+        "(tinyint/smallint/int -> a wider integral, float -> double) are supported")
+    val v = prior.version + 1
+    val enc = (widen + (phys -> target)).toSeq.sorted
+      .map { case (p, t) => s"$p=$t" }.mkString(" ")
+    M.commit(M.fs(spark, dir), dir, M.Snapshot(v, "widen", "",
+      prior.segments, prior.meta + ("colwiden" -> enc)))
+    v
+  }
+
   // ------------------------------------------------------- constraints
   //
   // Delta-style table CHECK constraints: each lives in the snapshot
@@ -192,11 +251,13 @@ object FactStore {
   /** Stored constraint expressions reference LOGICAL column names as
     * free text, so renaming or dropping a referenced column would
     * orphan the rule — rejected; drop the constraint first. The check
-    * is a word-boundary text match: conservative (a same-named
-    * identifier inside a string literal also blocks), never silent. */
+    * is a CASE-INSENSITIVE word-boundary text match (Spark resolves
+    * `CHECK (VALUE >= 0)` against column `value`, so the guard must
+    * too): conservative (a same-named identifier inside a string
+    * literal also blocks), never silent. */
   private def requireUnconstrained(snap: M.Snapshot, colName: String, what: String): Unit =
     constraintsOf(snap).foreach { case (name, rule) =>
-      require(!s"\\b${java.util.regex.Pattern.quote(colName)}\\b".r
+      require(!s"(?i)\\b${java.util.regex.Pattern.quote(colName)}\\b".r
           .findFirstIn(rule).isDefined,
         s"cannot $what column '$colName': CHECK constraint $name ($rule) " +
           "references it — drop the constraint first")
@@ -318,6 +379,13 @@ object FactStore {
     require(orderCols.forall(statsCols.contains),
       "statsCols must cover every order column")
     require(df.columns.contains(keyCol), s"no key column $keyCol")
+    // Tombstones store keys as long (the point-probe/Bloom tier's type),
+    // so the key contract is integral — enforced HERE, at table
+    // creation, not as a misleading mid-merge "duplicate keys" failure.
+    require(Set("tinyint", "smallint", "int", "bigint")
+        .contains(df.schema(keyCol).dataType.catalogString.toLowerCase),
+      s"key column $keyCol must be an integral type (tombstones and the " +
+        s"Bloom point tier store keys as long), got ${df.schema(keyCol).dataType.sql}")
     df.columns.foreach(requireIdent(_, "a fact-store column name"))
     require(df.where(col(keyCol).isNull).limit(1).isEmpty,
       s"base generation carries null key(s) in '$keyCol' — a null-keyed " +
@@ -355,15 +423,132 @@ object FactStore {
     enforceConstraints(df, prior, logicalKeyOf(spark, dir, prior, keyCol), "append batch")
     // Incoming batches speak the CURRENT logical schema; files store
     // physical names, so a renamed field keeps one on-disk identity.
-    val (dfP, cm2) = toPhysical(df, activeColmap(spark, dir, prior), retiredOf(prior))
+    val cmPrior = activeColmap(spark, dir, prior)
+    val (dfP0, cm2) = toPhysical(df, cmPrior, retiredOf(prior))
+    // New files carry the DECLARED (widened) types — narrow batches
+    // normalize here, so the physical schema converges forward.
+    val dfP = applyWiden(dfP0, widenedOf(prior))
     requireIndexed(dfP, keyCol, statsCols)
     val v = prior.version + 1
     val seg = writeDataSegment(spark, dir, segName(v, "append"), dfP,
       orderCols, statsCols, nFiles, keyCol)
-    M.commit(M.fs(spark, dir), dir,
-      M.Snapshot(v, "append", "", prior.segments :+ seg,
-        prior.meta ++ extraMeta + ("colmap" -> encodeColmap(cm2))))
-    v
+    testBeforeCommit()
+    commitAppendRebasing(spark, dir, prior, seg, cmPrior,
+      cm2.drop(cmPrior.length), extraMeta)
+  }
+
+  // -------------------------------------------- retry-rebase commits
+  //
+  // Delta/Iceberg-style optimistic-concurrency RESOLUTION for the one
+  // genuinely commutative operation: a blind APPEND. Two ingest jobs
+  // racing a version slot both carry brand-new segments that touch no
+  // existing row, so the loser need not re-run its batch — it re-reads
+  // the winner's snapshot, verifies nothing it depended on changed,
+  // restamps its already-written segment to the next slot, and
+  // re-commits. Everything non-commutative stays a loud conflict:
+  //   - upsert/merge/delete: their tombstones are scoped "kill rows
+  //     born strictly before MY version" — rebasing one past a
+  //     concurrent append would silently widen the kill to rows the
+  //     writer never saw;
+  //   - metadata ops (constraints, recluster, rename/drop, restore):
+  //     the loser's batch was validated against the OLD table rules.
+  // The rebase check is exactly that line: the winner's commits may
+  // have added/removed segments (append, compaction, DML) and extended
+  // the colmap or replay cursors, but the CORE meta (key, clustering,
+  // constraints, schema mapping of every column this batch wrote) must
+  // be unchanged — else the loser throws the original conflict.
+
+  /** Test seam: a one-shot hook between segment write and the commit
+    * attempt, so specs can interleave a REAL foreign commit and drive
+    * the production rebase path (in-process FactStore calls otherwise
+    * serialize on the object lock and never race). No-op in production. */
+  private[graft] var testBeforeCommitHook: () => Unit = () => ()
+  private def testBeforeCommit(): Unit = {
+    val h = testBeforeCommitHook
+    testBeforeCommitHook = () => ()
+    h()
+  }
+
+  private val MaxRebaseAttempts = 5
+
+  /** Move an already-written local segment to a new creating-version
+    * stamp (the scoped-tombstone axis follows the directory name). */
+  private def restamp(spark: SparkSession, dir: String, seg: M.Segment,
+                      v: Long): M.Segment = {
+    if (M.createdVersion(seg) == v) return seg
+    val newName = f"seg-$v%08d-" + seg.dir.substring(12).stripPrefix("-")
+    require(M.fs(spark, dir).rename(
+      new Path(s"$dir/${seg.dir}"), new Path(s"$dir/$newName")),
+      s"could not restamp segment ${seg.dir} to version $v")
+    seg.copy(dir = newName)
+  }
+
+  /** The snapshot meta minus the axes a rebase is ALLOWED to see move:
+    * the column mapping (appends extend it), retired names, and the
+    * streaming replay cursors. Everything else — key, order/stats
+    * columns, constraints — must be identical for a rebase to be safe. */
+  private def coreMeta(m: Map[String, String]): Map[String, String] =
+    m.filterNot { case (k, _) =>
+      k == "colmap" || k == "colretired" || k.startsWith("lastBatchId.") }
+
+  private def commitAppendRebasing(spark: SparkSession, dir: String,
+                                   firstPrior: M.Snapshot, firstSeg: M.Segment,
+                                   cmBase: Seq[(String, String)],
+                                   fresh: Seq[(String, String)],
+                                   extraMeta: Map[String, String]): Long = {
+    var prior = firstPrior
+    var seg = firstSeg
+    var attempts = 0
+    while (true) {
+      val v = prior.version + 1
+      seg = restamp(spark, dir, seg, v)
+      val cmCur = activeColmap(spark, dir, prior)
+      val cm2 = cmCur ++ fresh.filterNot(p => cmCur.exists(_._1 == p._1))
+      try {
+        M.commit(M.fs(spark, dir), dir,
+          M.Snapshot(v, "append", "", prior.segments :+ seg,
+            prior.meta ++ extraMeta + ("colmap" -> encodeColmap(cm2))))
+        return v
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("concurrent commit") =>
+          attempts += 1
+          if (attempts >= MaxRebaseAttempts)
+            throw new IllegalStateException(
+              s"append lost $MaxRebaseAttempts rebase races in $dir — giving up", e)
+          val cur = M.snapshot(spark, dir)
+          requireRebasable(spark, dir, firstPrior, cur, cmBase, fresh, e)
+          prior = cur
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** An append written against `base` may re-commit on top of `cur`
+    * iff nothing the batch depended on moved: same core meta (key,
+    * clustering, constraints, widen declarations), every column the
+    * batch wrote still active under the SAME (physical → logical)
+    * pair, and none of its new columns claimed or retired meanwhile.
+    * Anything else re-throws the original conflict. */
+  private def requireRebasable(spark: SparkSession, dir: String,
+                               base: M.Snapshot, cur: M.Snapshot,
+                               cmBase: Seq[(String, String)],
+                               fresh: Seq[(String, String)],
+                               cause: Throwable): Unit = {
+    def conflict(why: String): Nothing =
+      throw new IllegalStateException(
+        s"concurrent commit in $dir is not rebasable for this append: $why", cause)
+    if (coreMeta(cur.meta) != coreMeta(base.meta))
+      conflict("table metadata changed (constraints/clustering/key/widen)")
+    val cmCur = activeColmap(spark, dir, cur)
+    cmBase.foreach { pair =>
+      if (!cmCur.contains(pair))
+        conflict(s"column mapping of '${pair._2}' changed (renamed or dropped)")
+    }
+    val retired = retiredOf(cur)
+    fresh.foreach { case (p, _) =>
+      if (retired.contains(p) || cmCur.exists(c => c._1 == p && !fresh.contains(c)))
+        conflict(s"new column '$p' was claimed or retired by a concurrent commit")
+    }
   }
 
   /** Exactly-once streaming ingest: the `(appId, batchId)` replay
@@ -444,11 +629,14 @@ object FactStore {
     val prior = M.snapshot(spark, dir)
     val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
     enforceConstraints(df, prior, logicalKeyOf(spark, dir, prior, keyCol), "upsert batch")
-    val (dfP, cm2) = toPhysical(df, activeColmap(spark, dir, prior), retiredOf(prior))
+    val (dfP0, cm2) = toPhysical(df, activeColmap(spark, dir, prior), retiredOf(prior))
+    val dfP = applyWiden(dfP0, widenedOf(prior))
     requireIndexed(dfP, keyCol, statsCols)
     // ONE pre-commit probe (not count(keys)+count(df)): any key with
-    // two batch rows fails the merge contract.
-    val dup = dfP.groupBy(col(keyCol).cast("long").as(keyCol))
+    // two batch rows fails the merge contract. Grouped on the RAW key
+    // column — a cast-to-long grouping would falsely merge distinct
+    // keys that collide (or null out) under the cast.
+    val dup = dfP.groupBy(col(keyCol))
       .count().where(col("count") > 1).limit(1)
     require(dup.isEmpty,
       "upsert batch carries duplicate keys — two same-commit " +
@@ -458,6 +646,12 @@ object FactStore {
       dfP.select(col(keyCol)), keyCol)
     val seg = writeDataSegment(spark, dir, segName(v, "upsert"), dfP,
       orderCols, statsCols, nFiles, keyCol)
+    // No rebase for upserts: the scoped tombstone kills rows born
+    // strictly before ITS version, so restamping one past a concurrent
+    // commit would widen the kill to rows this writer never saw — a
+    // racing upsert conflicts loudly instead (the test seam lets specs
+    // drive that interleaving).
+    testBeforeCommit()
     M.commit(M.fs(spark, dir), dir,
       M.Snapshot(v, "upsert", "", prior.segments :+ tomb :+ seg,
         prior.meta ++ extraMeta + ("colmap" -> encodeColmap(cm2))))
@@ -547,7 +741,8 @@ object FactStore {
       s"merge source is missing the key column '$logicalKey'")
     // Same-batch key uniqueness — the upsert contract: two generations
     // of one row in one commit would both survive the scoped tombstone.
-    val dup = source.groupBy(col(logicalKey).cast("long").as(logicalKey))
+    // Grouped on the RAW key column (no lossy pre-cast).
+    val dup = source.groupBy(col(logicalKey))
       .count().where(col("count") > 1).limit(1)
     require(dup.isEmpty,
       "merge source carries duplicate keys — two same-commit " +
@@ -646,7 +841,8 @@ object FactStore {
       case None => (None, cm)
       case Some(rows) =>
         enforceConstraints(rows, prior, logicalKey, "merge post-image")
-        val (dfP, cmNext) = toPhysical(rows, cm, retiredOf(prior))
+        val (dfP0, cmNext) = toPhysical(rows, cm, retiredOf(prior))
+        val dfP = applyWiden(dfP0, widenedOf(prior))
         requireIndexed(dfP, keyCol, statsCols)
         // An all-empty post-image frame must not become a segment — the
         // z-order stats writer has no rows to describe.
@@ -824,15 +1020,33 @@ object FactStore {
     val f = M.fs(spark, dstDir)
     require(M.committedVersions(f, dstDir).isEmpty,
       s"clone target $dstDir already has commits")
-    val rel = java.nio.file.Paths.get(dstDir).toAbsolutePath.normalize
-      .relativize(java.nio.file.Paths.get(srcDir).toAbsolutePath.normalize)
-      .toString
+    val rel = relativize(spark, fromDir = dstDir, toDir = srcDir)
     val segs = src.segments.map(s => s.copy(dir = s"$rel/${s.dir}"))
     M.commit(f, dstDir, M.Snapshot(src.version, "clone", "", segs,
       src.meta + ("clonedFrom" -> srcDir) +
         ("cloneSrcCommitMs" ->
           M.commitTimeMs(spark, srcDir, src.version).toString)))
     src.version
+  }
+
+  /** The `..`-style path from `fromDir` to `toDir`, computed over the
+    * HADOOP filesystem abstraction (qualified paths), not
+    * `java.nio.file` — so scheme-qualified URIs neither throw nor
+    * mangle. Cross-scheme/authority pairs fail loudly: a manifest
+    * cannot carry a relative reference across filesystems. */
+  private def relativize(spark: SparkSession, fromDir: String, toDir: String): String = {
+    val from = M.fs(spark, fromDir).makeQualified(new Path(fromDir)).toUri
+    val to = M.fs(spark, toDir).makeQualified(new Path(toDir)).toUri
+    require(Option(from.getScheme) == Option(to.getScheme) &&
+      Option(from.getAuthority) == Option(to.getAuthority),
+      s"clone source and target must share a filesystem " +
+        s"(got $to vs $from) — relative manifest references cannot cross schemes")
+    val f = from.getPath.split('/').filter(_.nonEmpty).toSeq
+    val t = to.getPath.split('/').filter(_.nonEmpty).toSeq
+    val common = f.zip(t).takeWhile { case (a, b) => a == b }.length
+    val rel = Seq.fill(f.length - common)("..") ++ t.drop(common)
+    require(rel.nonEmpty, "clone source and target are the same directory")
+    rel.mkString("/")
   }
 
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
@@ -889,7 +1103,7 @@ object FactStore {
     }
     val data = readScopedTolerant(spark, dir, segs, "_seg_v")
       .getOrElse(return emptyLike(spark, dir, snap))
-    M.readSegmentsScoped(spark, dir, snap.segments, "tomb",
+    val live = M.readSegmentsScoped(spark, dir, snap.segments, "tomb",
       partitioned = false, "_tomb_v") match {
       case Some(t) =>
         val tt = t.select(col(keyCol).as("_t_key"), col("_tomb_v"))
@@ -899,12 +1113,16 @@ object FactStore {
           .drop("_seg_v")
       case None => data.drop("_seg_v")
     }
+    // Serve the snapshot's DECLARED types: old narrow-typed segments
+    // read through a lossless cast (the widen contract).
+    applyWiden(live, widenedOf(snap))
   }
 
   private def emptyLike(spark: SparkSession, dir: String, snap: M.Snapshot): DataFrame = {
     val anySeg = snap.segments.find(_.kind == "data")
     require(anySeg.isDefined, s"fact store at $dir has no data segments")
-    spark.read.parquet(s"$dir/${anySeg.get.dir}").where(lit(false))
+    applyWiden(spark.read.parquet(s"$dir/${anySeg.get.dir}").where(lit(false)),
+      widenedOf(snap))
   }
 
   /** Change data feed between two committed versions: per-key changes
@@ -935,10 +1153,18 @@ object FactStore {
       colmapOf(s).map(_.map(_._1)).getOrElse(live.columns.toSeq)
     val shared = activeOf(sa, la).intersect(activeOf(sb, lb))
       .filter(_ != keyCol).sorted
+    // Hash both sides at the TO-version's declared types: a column
+    // widened between the versions reads narrow at `fromVersion`, and
+    // hashing int 5 vs long 5 would fabricate an update for every row
+    // — the lossless cast makes a pure widen silent while a real value
+    // change through it is still caught.
+    val widenB = widenedOf(sb)
     def fp(live: DataFrame): DataFrame = {
       val salted = shared.zipWithIndex.map { case (c, i) =>
-        if (live.columns.contains(c)) xxhash64(lit(i), col(c))
-        else xxhash64(lit(i), lit(null).cast("long"))
+        val v =
+          if (live.columns.contains(c)) widenB.get(c).fold(col(c))(col(c).cast)
+          else lit(null).cast("long")
+        xxhash64(lit(i), v)
       }
       live.select(col(keyCol),
         (if (salted.isEmpty) lit(0L) else xxhash64(salted: _*)).as("fp"))
@@ -1128,6 +1354,19 @@ object FactStore {
       snap.segments.filter(_.kind == "data"), Some(kept))
       .where(col(keyCol).cast("long").isin(values: _*))
     colmapOf(snap).map(toLogical(base, _)).getOrElse(base)
+  }
+
+  /** The LOGICAL names of the pruning tier at a version — (key column,
+    * stats/order columns): what a catalog-table scan may bind pushed
+    * filters to ([[GraftTableProvider]] routes key equality/IN into
+    * [[prunePoint]] and stats-column ranges into [[pruneBox]]). */
+  def pruningSurface(spark: SparkSession, dir: String,
+                     version: Long = M.Latest): (String, Seq[String]) = {
+    val snap = M.snapshot(spark, dir, version)
+    val cm = activeColmap(spark, dir, snap)
+    def logical(p: String): String = cm.find(_._1 == p).map(_._2).getOrElse(p)
+    (logical(snap.meta("keyCol")),
+      snap.meta("statsCols").split(' ').toSeq.filter(_.nonEmpty).map(logical))
   }
 
   // ------------------------------------------------ memoized lifecycle

@@ -297,8 +297,13 @@ object ManifestLog {
     val vs = committedVersions(fs(spark, dir), dir)
     require(vs.nonEmpty, s"no commits at $dir")
     val cutoff = nowMs - retainMs
+    // The latest version is ALWAYS in the keep set, not just when the
+    // time filter comes back empty: commit timestamps can invert (the
+    // mtime fallback after a copy/rsync, or clock skew), and deleting
+    // the newest manifest while older ones survive would silently
+    // rewind the table.
     val keep = vs.filter(v => commitTimeMs(spark, dir, v) >= cutoff)
-    vacuumKeeping(spark, dir, if (keep.isEmpty) Seq(vs.last) else keep)
+    vacuumKeeping(spark, dir, (keep :+ vs.last).distinct)
   }
 
   /** Drop every version not in `keep`: delete their manifests, then

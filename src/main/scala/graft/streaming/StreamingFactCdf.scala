@@ -104,3 +104,57 @@ object StreamingFactCdf {
     if (!mx.isNullAt(0)) m.onCommit(mx.getLong(0))
   }
 }
+
+/** S35 — the SELF-POLLING CDF stream: Delta's `readStream` UX, no side
+  * channel. The insight that makes it free: the manifest log IS a
+  * file-arrival stream — every commit is exactly one immutable
+  * `_versions/vNNNNNNNN.json` appearing atomically (temp + rename), so
+  * Spark's own FileStreamSource over that directory is a
+  * checkpoint-recoverable, exactly-once commit-notification source:
+  * offsets = the seen-file log, `maxFilesPerTrigger` = the
+  * maxCommitsPerTrigger batching knob, kill-and-restart resumes from
+  * the checkpoint with no external coordination. Hidden working files
+  * (`.tmp-*`, `.crc`) never surface (dot-prefixed = filtered).
+  *
+  * The notification batch drives [[FactCdfTail]] exactly as S34's
+  * external stream did — the version arithmetic (at-or-behind targets
+  * no-op, jumps emit every intermediate commit's own tagged leg) turns
+  * foreachBatch's at-least-once replay into exactly-once delivery
+  * RELATIVE TO THE SINK: a consumer resumes by anchoring the tail at
+  * the highest `_commit_version` its sink actually holds.
+  *
+  * Scale: the polled directory holds one small JSON per commit
+  * (vacuum bounds it); each discovered commit costs the S34 leg — two
+  * snapshot scans + a broadcast join on that commit's change-bounded
+  * keys. Work ∝ new commits, never the table or the version count.
+  */
+object FactCdfStream {
+
+  /** Commit notifications discovered from the manifest log itself: a
+    * streaming frame of `version BIGINT`, one row per NEW commit
+    * (checkpointed by the file source). */
+  def notifications(spark: SparkSession, dir: String,
+                    maxCommitsPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema("version LONG")
+      .option("multiLine", "true")
+      .option("maxFilesPerTrigger", maxCommitsPerTrigger)
+      .json(s"$dir/_versions")
+      .where(col("version").isNotNull)
+}
+
+/** The consuming half: anchor at the sink's high-water version and
+  * roll the tail once per notification microbatch. `apply` receives
+  * each batch's per-commit change rows (`_commit_version`-tagged) —
+  * it must land them transactionally with the sink's own cursor for
+  * end-to-end exactly-once (the [[FactStore.appendStreamBatch]]
+  * replay-guard shape, or the spec's resume-from-collected-max). */
+final class FactCdfStreamConsumer(spark: SparkSession, dir: String,
+                                  startAfter: Long) {
+  private val tail = new FactCdfTail(spark, dir, startAfter)
+  def version: Long = tail.version
+  def sink(apply: DataFrame => Unit)(batch: DataFrame, batchId: Long): Unit = {
+    val mx = batch.agg(max("version")).first()
+    if (!mx.isNullAt(0)) tail.onCommit(mx.getLong(0)).foreach(apply)
+  }
+}

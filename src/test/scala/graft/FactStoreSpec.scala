@@ -742,6 +742,194 @@ class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("already has commits"))
   }
 
+  test("retry-rebase: an append losing the version race to a foreign append re-commits — both batches live, linear lineage") {
+    val d = Files.createTempDirectory("graft_fact_rebase").toString
+    F.build(ev.where(col("event_id") < 200), d, "event_id", Seq("user_id", "ts_us"), 2)
+    val batchA = ev.where(col("event_id").between(200, 259))
+      .withColumn("event_id", col("event_id") + 1000000L)
+    val batchB = ev.where(col("event_id").between(260, 319))
+      .withColumn("event_id", col("event_id") + 2000000L)
+    // The seam interleaves a REAL foreign append (committing v2) after
+    // batchA's segment is written but before its commit — batchA hits
+    // the occupied slot and must rebase to v3, restamping its segment.
+    F.testBeforeCommitHook = () => F.append(spark, d, batchB, 2)
+    val v = F.append(spark, d, batchA, 2)
+    assert(v == 3L, "the losing append must rebase to the next slot")
+    assert(M.committedVersions(M.fs(spark, d), d) == Seq(1L, 2L, 3L))
+    assert(M.snapshots(spark, d).map(_.op) == Seq("build", "append", "append"))
+    val live = F.read(spark, d)
+    assert(live.where(col("event_id") >= 2000000L).count() == batchB.count())
+    assert(live.where(col("event_id").between(1000000L, 1999999L)).count()
+      == batchA.count(), "BOTH racing batches must survive")
+    // Segment stamps stay exact: the rebased segment carries v3's stamp.
+    val segs = M.snapshot(spark, d).segments.filter(_.kind == "data")
+    assert(segs.map(M.createdVersion).sorted == Seq(1L, 2L, 3L))
+    // And a later delete still scopes correctly over the rebased rows.
+    F.delete(spark, d, batchA.select(col("event_id")).limit(5))
+    assert(F.read(spark, d).count() == live.count() - 5)
+  }
+
+  test("retry-rebase: an append races a compaction — the compacted table keeps the appended batch") {
+    val d = Files.createTempDirectory("graft_fact_rebase_c").toString
+    F.build(ev.where(col("event_id") < 200), d, "event_id", Seq("user_id", "ts_us"), 2)
+    F.deleteMatching(spark, d, col("event_id") % 7 === 0)
+    val batch = ev.where(col("event_id").between(200, 259))
+      .withColumn("event_id", col("event_id") + 1000000L)
+    F.testBeforeCommitHook = () => F.compact(spark, d, 2)
+    val v = F.append(spark, d, batch, 2)
+    assert(v == 4L, "append rebases past the concurrent compaction")
+    assert(sortedRows(F.read(spark, d)) == sortedRows(
+      ev.where(col("event_id") < 200 && col("event_id") % 7 =!= 0).unionByName(batch)))
+  }
+
+  test("retry-rebase: non-commutative races still conflict loudly (append vs ADD CONSTRAINT; upsert vs upsert)") {
+    val d = Files.createTempDirectory("graft_fact_rebase_x").toString
+    F.build(ev.where(col("event_id") < 200), d, "event_id", Seq("user_id", "ts_us"), 2)
+    // A constraint added mid-flight: the batch was never validated
+    // against it — the rebase must refuse.
+    F.testBeforeCommitHook =
+      () => F.addConstraint(spark, d, "chk_live", "value IS NOT NULL OR value IS NULL")
+    val e = intercept[IllegalStateException] {
+      F.append(spark, d,
+        ev.where(col("event_id").between(200, 259))
+          .withColumn("event_id", col("event_id") + 1000000L), 2)
+    }
+    assert(e.getMessage.contains("not rebasable"))
+    assert(M.snapshot(spark, d).op == "constraint-add",
+      "the loser must not clobber the winner")
+    F.dropConstraint(spark, d, "chk_live")
+    // Upserts never rebase: overlapping-key writers must not silently
+    // widen their tombstone scope.
+    val up = ev.limit(50).withColumn("value", col("value") + 1.0)
+    F.testBeforeCommitHook = () => F.upsert(spark, d,
+      ev.limit(50).withColumn("value", col("value") + 2.0), 2)
+    val e2 = intercept[IllegalStateException](F.upsert(spark, d, up, 2))
+    assert(e2.getMessage.contains("concurrent commit"))
+  }
+
+  test("type widening: int→bigint is one metadata commit — old files read wide, writers normalize, feed silent, narrowing loud") {
+    val d = Files.createTempDirectory("graft_fact_widen").toString
+    val base = ev.where(col("event_id") % 2 === 0)
+      .withColumn("clicks", (col("event_id") % 1000).cast("int"))
+    F.build(base, d, "event_id", Seq("user_id", "ts_us"), nFiles,
+      Seq("user_id", "ts_us", "event_id"))
+    assert(F.read(spark, d).schema("clicks").dataType.catalogString == "int")
+    val v2 = F.widenColumn(spark, d, "clicks", "bigint")
+    assert(v2 == 2L)
+    // Declared type serves immediately — zero files rewritten.
+    assert(F.read(spark, d).schema("clicks").dataType.catalogString == "bigint")
+    assert(M.snapshot(spark, d, 2L).segments == M.snapshot(spark, d, 1L).segments)
+    // Time travel serves v1's own (narrow) type.
+    assert(F.read(spark, d, 1L).schema("clicks").dataType.catalogString == "int")
+    // A pure widen fabricates ZERO change-feed rows.
+    assert(F.changes(spark, d, 1L, 2L).isEmpty)
+    // Values that NEED the width land and read back exactly.
+    val wide = ev.where(col("event_id") % 2 =!= 0)
+      .withColumn("clicks", col("event_id") % 1000 + 3000000000L)
+    F.append(spark, d, wide, nFiles)
+    val got = F.read(spark, d)
+    assert(got.where(col("clicks") >= 3000000000L).count() == wide.count())
+    assert(got.count() == base.count() + wide.count())
+    // Compaction migrates the narrow generation; rows hash-stable.
+    val before = got.select(col("event_id"), col("clicks")).collect()
+      .map(_.toString).sorted.toSeq
+    F.compact(spark, d, nFiles)
+    assert(F.read(spark, d).select(col("event_id"), col("clicks")).collect()
+      .map(_.toString).sorted.toSeq == before)
+    // Narrowing and cross-family changes are rejected loudly.
+    assert(intercept[IllegalArgumentException](
+      F.widenColumn(spark, d, "clicks", "int")).getMessage.contains("widen"))
+    assert(intercept[IllegalArgumentException](
+      F.widenColumn(spark, d, "event_type", "bigint")).getMessage.contains("widen"))
+    // float→double is the other legal leg.
+    val d2 = Files.createTempDirectory("graft_fact_widen_f").toString
+    F.build(ev.limit(100).withColumn("score", col("value").cast("float")),
+      d2, "event_id", Seq("user_id"), 2)
+    F.widenColumn(spark, d2, "score", "double")
+    assert(F.read(spark, d2).schema("score").dataType.catalogString == "double")
+    assert(F.changes(spark, d2, 1L, 2L).isEmpty)
+  }
+
+  test("constraint references resolve case-insensitively: rename/drop of a column named in ANY case is blocked") {
+    val d = Files.createTempDirectory("graft_fact_ci").toString
+    F.build(ev.limit(100), d, "event_id", Seq("user_id"), 2)
+    F.addConstraint(spark, d, "chk_up", "VALUE >= -1e18")
+    assert(intercept[IllegalArgumentException](
+      F.renameColumn(spark, d, "value", "amount")).getMessage.contains("chk_up"))
+    assert(intercept[IllegalArgumentException](
+      F.dropColumn(spark, d, "value")).getMessage.contains("chk_up"))
+    F.dropConstraint(spark, d, "chk_up")
+    F.renameColumn(spark, d, "value", "amount")
+    assert(F.read(spark, d).columns.contains("amount"))
+  }
+
+  test("time-based vacuum NEVER deletes the latest version, even under inverted commit timestamps") {
+    val d = Files.createTempDirectory("graft_fact_vkeep").toString
+    F.build(ev.limit(100), d, "event_id", Seq("user_id"), 2)
+    F.deleteMatching(spark, d, col("user_id") % 9 === 1)
+    val latestRows = sortedRows(F.read(spark, d))
+    // Invert the clock: rewrite v2's in-commit timestamp to predate
+    // v1's by an hour (the copy/rsync mtime-fallback hazard).
+    val p = java.nio.file.Paths.get(d, "_versions", "v00000002.json")
+    val t1 = M.commitTimeMs(spark, d, 1L)
+    val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    java.nio.file.Files.write(p, json.replaceAll(
+      "\"committedAtMs\"\\s*:\\s*\\d+",
+      s""""committedAtMs" : ${t1 - 3600000L}""").getBytes("UTF-8"))
+    // The rewrite bypassed the Hadoop checksum layer — drop the stale
+    // .crc sidecar so the store keeps reading the edited manifest.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(d, "_versions", ".v00000002.json.crc"))
+    assert(M.commitTimeMs(spark, d, 2L) < t1, "timestamp inversion staged")
+    // A cutoff between the two timestamps keeps v1 by time — and MUST
+    // keep v2 (the latest) regardless, or the table silently rewinds.
+    M.vacuumOlderThan(spark, d, retainMs = 1800000L, nowMs = t1 + 1200000L)
+    val vs = M.committedVersions(M.fs(spark, d), d)
+    assert(vs.contains(2L), s"the latest version must always survive (got $vs)")
+    assert(sortedRows(F.read(spark, d)) == latestRows)
+  }
+
+  test("clone relativizes through the Hadoop path layer: scheme-qualified local URIs work") {
+    val src = Files.createTempDirectory("graft_clone_uri_src").toString
+    F.build(ev.limit(120), src, "event_id", Seq("user_id"), 2)
+    val dstRaw = Files.createTempDirectory("graft_clone_uri_dst").toString
+    M.fs(spark, dstRaw).delete(new Path(dstRaw), true)
+    val dst = s"file:$dstRaw"
+    F.clone(spark, s"file:$src", dst)
+    assert(sortedRows(F.read(spark, dst)) == sortedRows(ev.limit(120)))
+    // Same-directory clones are refused rather than emitting an empty
+    // relative reference.
+    assert(intercept[IllegalArgumentException](
+      F.clone(spark, src, s"file:$src/")).getMessage.contains("already has commits"))
+  }
+
+  test("clone/vacuum shared fate (pinned behavior): vacuum of the SOURCE can strand a clone; clone vacuum never touches the source") {
+    val src = Files.createTempDirectory("graft_clone_fate_src").toString
+    F.build(ev.limit(150), src, "event_id", Seq("user_id"), 2)
+    val dst = Files.createTempDirectory("graft_clone_fate_dst").toString
+    M.fs(spark, dst).delete(new Path(dst), true)
+    F.clone(spark, src, dst)
+    assert(F.read(spark, dst).count() == 150)
+    // The source compacts and vacuums its history — the immutable
+    // files the clone references are now gone. TODAY'S CONTRACT: the
+    // clone is stranded (reads fail loudly, they never silently serve
+    // partial data); operators must vacuum a cloned-from store only
+    // after its clones localize (compact) or are dropped.
+    F.compact(spark, src, 2)
+    F.vacuum(spark, src, retain = 1)
+    assert(intercept[Exception](F.read(spark, dst).count()) != null,
+      "a stranded clone must fail loudly, not serve partial data")
+  }
+
+  test("the key column's integral contract fails at table creation, not mid-merge") {
+    val e = intercept[IllegalArgumentException] {
+      F.build(ev.limit(10).withColumn("k", col("event_type")),
+        Files.createTempDirectory("graft_fact_strkey").toString,
+        "k", Seq("user_id"), 2)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("streaming MERGE: a crash-replayed batchId is a version no-op") {
     import F.MergeClause._
     val d = Files.createTempDirectory("graft_fact_merge_stream").toString

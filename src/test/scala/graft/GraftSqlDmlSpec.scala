@@ -193,6 +193,32 @@ class GraftSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(F.read(spark, dS).where(col("event_type") === "cased").count() > 0)
   }
 
+  test("GRAFT MERGE accepts NAKED (unparenthesized) CASE in conditions and SET") {
+    import F.MergeClause._
+    ev.limit(300).createOrReplaceTempView("graft_sql_ev8")
+    val src = ev.limit(150).withColumn("value", col("value") + 3.0)
+    src.createOrReplaceTempView("graft_sql_msrc8")
+    // Top-level CASE WHEN … THEN … END in BOTH positions: the splitter
+    // must not read the CASE's own WHEN/THEN as clause structure.
+    val cond = "CASE WHEN s.value >= t.value THEN true ELSE false END"
+    val setV = "CASE WHEN s.value > 100.0 THEN s.value WHEN s.value > 50.0 THEN s.value + 1.0 ELSE t.value END"
+    val dS = Files.createTempDirectory("graft_sqlncase_s").toString
+    spark.sql(s"GRAFT BUILD '$dS' KEY event_id ORDER BY (user_id) FILES 2 USING graft_sql_ev8")
+    spark.sql(
+      s"""GRAFT MERGE INTO '$dS' FILES 2 USING graft_sql_msrc8
+          WHEN MATCHED AND $cond THEN UPDATE SET value = $setV, event_type = 'ncased'
+          WHEN MATCHED THEN DELETE
+          WHEN NOT MATCHED AND CASE WHEN s.value >= 0 THEN true ELSE false END THEN INSERT""")
+    val dA = Files.createTempDirectory("graft_sqlncase_a").toString
+    F.build(ev.limit(300), dA, "event_id", Seq("user_id"), 2)
+    F.merge(spark, dA, src, 2, Seq(
+      Update(Some(cond), Map("value" -> setV, "event_type" -> "'ncased'")),
+      Delete(None),
+      Insert(Some("CASE WHEN s.value >= 0 THEN true ELSE false END"))))
+    assert(rows(F.read(spark, dS)) == rows(F.read(spark, dA)))
+    assert(F.read(spark, dS).where(col("event_type") === "ncased").count() > 0)
+  }
+
   test("GRAFT DESCRIBE and time-based VACUUM (RETAIN n HOURS)") {
     ev.createOrReplaceTempView("graft_sql_ev6")
     val d = Files.createTempDirectory("graft_sqldesc").toString

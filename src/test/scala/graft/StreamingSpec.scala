@@ -1575,6 +1575,79 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the feed-maintained aggregate must equal a recompute over the live lake")
   }
 
+  test("S35: self-polling CDF stream — the manifest log IS the notification source; kill-and-restart mid-lineage loses and duplicates nothing") {
+    implicit val sql = spark.sqlContext
+    import graft.sources.{FactStore => F, Tables}
+    import graft.streaming.{FactCdfStream, FactCdfStreamConsumer}
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s35").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s35_ck").toString
+    F.build(ev.where(col("event_id") % 3 =!= 0), dir, "event_id",
+      Seq("user_id", "ts_us"), 4)
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "ts_us", "event_type", "value",
+        "_change_type", "_commit_version")
+        .collect().map(_.toString).toSeq.sorted
+    // The sink: collected feed + its high-water commit (the cursor a
+    // real consumer persists transactionally with its output).
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    @volatile var applied = 1L
+    val sinkFn: org.apache.spark.sql.DataFrame => Unit = { d =>
+      val rows = d.collect()
+      buf ++= rows.map(r => r.toString).sorted
+      if (rows.nonEmpty)
+        applied = math.max(applied,
+          rows.map(_.getAs[Long]("_commit_version")).max)
+    }
+    def start(consumer: FactCdfStreamConsumer) =
+      FactCdfStream.notifications(spark, dir, maxCommitsPerTrigger = 1)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          consumer.sink { d =>
+            sinkFn(d.select("event_id", "user_id", "ts_us", "event_type",
+              "value", "_change_type", "_commit_version"))
+          }(b, id)
+        }
+        .start()
+
+    // Phase 1: the stream discovers v2/v3 from the manifest files
+    // alone — no side-channel notification stream exists.
+    val q1 = start(new FactCdfStreamConsumer(spark, dir, 1L))
+    try {
+      q1.processAllAvailable()
+      assert(buf.isEmpty, "the build commit precedes the cursor — no feed")
+      F.append(spark, dir, ev.where(col("event_id") % 3 === 0), 4)
+      F.deleteMatching(spark, dir, col("user_id") % 7 === 2)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(applied == 3L, s"v2+v3 must be consumed before the kill (at $applied)")
+    val atKill = buf.size
+    assert(atKill > 0)
+
+    // Down: two more commits land while no stream is running.
+    F.upsert(spark, dir, ev.where(col("event_id") % 11 === 3)
+      .withColumn("value", col("value") + 1000.0), 4)
+    F.compact(spark, dir, 4)
+
+    // Phase 2: restart from the SAME checkpoint, consumer anchored at
+    // the sink's own high-water mark — the file source replays nothing
+    // it checkpointed and delivers everything committed while down.
+    val q2 = start(new FactCdfStreamConsumer(spark, dir, applied))
+    try q2.processAllAvailable() finally q2.stop()
+
+    // ≡ the batch per-commit feed across the whole lifecycle: no leg
+    // lost across the restart, none duplicated, compaction invisible.
+    val wantFeed = (2L to 5L).map(v =>
+      F.changeRows(spark, dir, v - 1, v).withColumn("_commit_version", lit(v)))
+      .reduce(_.unionByName(_))
+    assert(buf.sorted.toSeq == rowsOf(wantFeed),
+      "stream-consumed feed must equal the batch changes across the restart")
+    assert(buf.size > atKill, "the while-down commits must arrive after restart")
+  }
+
   test("S24: streaming as-of enrichment — clicks arrive in arbitrary microbatches, each picks up its point-in-time purchase ≡ batch, stateless") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
