@@ -578,6 +578,30 @@ object FactStore {
     else upsertImpl(spark, dir, df, nFiles, Map(key -> batchId.toString))
   }
 
+  /** INSERT OVERWRITE: replace the table's live rows with `df` in ONE
+    * commit — the new manifest references only the fresh generation,
+    * but HISTORY IS PRESERVED (unlike [[build]], which wipes the dir):
+    * every earlier version still time-travels until [[vacuum]], and
+    * the key/clustering/constraint declarations carry forward
+    * unchanged. Constraints validate the incoming frame exactly as
+    * [[append]] does. */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame,
+                nFiles: Int): Long = synchronized {
+    val prior = M.snapshot(spark, dir)
+    val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
+    enforceConstraints(df, prior, logicalKeyOf(spark, dir, prior, keyCol), "overwrite batch")
+    val (dfP0, cm2) = toPhysical(df, activeColmap(spark, dir, prior), retiredOf(prior))
+    val dfP = applyWiden(dfP0, widenedOf(prior))
+    requireIndexed(dfP, keyCol, statsCols)
+    val v = prior.version + 1
+    val seg = writeDataSegment(spark, dir, segName(v, "overwrite"), dfP,
+      orderCols, statsCols, nFiles, keyCol)
+    M.commit(M.fs(spark, dir), dir,
+      M.Snapshot(v, "overwrite", "", Seq(seg),
+        prior.meta + ("colmap" -> encodeColmap(cm2))))
+    v
+  }
+
   /** Row-level DELETE by key set: one tombstone segment, one commit —
     * no data file rewritten. */
   def delete(spark: SparkSession, dir: String, keys: DataFrame): Long = synchronized {

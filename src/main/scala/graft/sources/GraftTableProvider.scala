@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -74,6 +75,11 @@ object GraftTableProvider {
     * the audit hook plan specs assert against. */
   @volatile var lastPrune: Option[(String, Int, Int)] = None
 
+  /** Data-segment file count for catalog-surface writes — the SQL
+    * parser's commit-granularity default; big backfills should use
+    * `GRAFT APPEND … FILES n` instead. */
+  val WriteFiles = 8
+
   private def dirOf(opts: CaseInsensitiveStringMap): String =
     Option(opts.get("path")).orElse(Option(opts.get("location"))).getOrElse(
       throw new IllegalArgumentException(
@@ -97,20 +103,64 @@ object GraftTableProvider {
 }
 
 /** One graft fact table pinned to a directory (and optionally a
-  * version): batch-readable, filter-pushing, column-pruning. */
+  * version): batch-readable with pushdown, and batch-writable —
+  * `INSERT INTO` lands as a [[FactStore.append]] commit, `INSERT
+  * OVERWRITE` as a history-preserving [[FactStore.overwrite]] commit
+  * (old versions still time-travel), both through the same V1 hatch
+  * as reads, so every write stays an audited manifest commit. */
 class GraftTable(dir: String, version: Long, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String =
     if (version == ManifestLog.Latest) s"graft.`$dir`"
     else s"graft.`$dir`@v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // A read-time option can re-pin the version (Delta's AS OF UX).
     val v = Option(options.get("versionAsOf")).map(_.toLong).getOrElse(version)
     new GraftScanBuilder(dir, v, if (v == version) tableSchema
       else FactStore.read(SparkSession.active, dir, v).schema)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version == ManifestLog.Latest,
+      s"cannot write to a version-pinned graft table ($name)")
+    new GraftWriteBuilder(dir)
+  }
+
+  /** Standard SQL `DELETE FROM t WHERE …`: one tombstone commit via
+    * [[FactStore.deleteMatching]] — no file rewritten, history kept.
+    * Every conjunct must be translatable (they define WHICH rows die —
+    * a dropped one would over-delete), else the statement is rejected
+    * at analysis and the user falls back to `GRAFT DELETE`. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version == ManifestLog.Latest && filters.forall(GraftFilters.translatable)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.map(GraftFilters.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    FactStore.deleteMatching(spark, dir, cond)
+  }
+}
+
+/** INSERT INTO → append; INSERT OVERWRITE (Spark signals it via
+  * truncate()) → one history-preserving overwrite commit. */
+class GraftWriteBuilder(dir: String) extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+                            overwrite: Boolean): Unit = {
+          val spark = data.sparkSession
+          if (replace || overwrite)
+            FactStore.overwrite(spark, dir, data, GraftTableProvider.WriteFiles)
+          else FactStore.append(spark, dir, data, GraftTableProvider.WriteFiles)
+        }
+      }
   }
 }
 

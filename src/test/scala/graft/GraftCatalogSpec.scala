@@ -140,6 +140,55 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not a graft table"))
   }
 
+  test("INSERT INTO appends a commit; INSERT OVERWRITE replaces live rows with history preserved") {
+    val d4 = Files.createTempDirectory("graft_cat_ins").toString
+    F.build(ev.where(col("event_id") < 300), d4, "event_id", Seq("user_id"), 4)
+    spark.sql(s"CREATE TABLE graft_cat_ins USING graft LOCATION '$d4'")
+    // INSERT INTO = one append commit, visible immediately.
+    spark.sql(
+      """INSERT INTO graft_cat_ins
+         SELECT event_id + 5000000, user_id, ts_us, event_type, value
+         FROM graft_cat_ins WHERE event_id < 50""")
+    assert(M.snapshot(spark, d4).op == "append")
+    assert(spark.table("graft_cat_ins").count() ==
+      ev.where(col("event_id") < 300).count() + ev.where(col("event_id") < 50).count())
+    // Constraints gate the catalog write path too.
+    F.addConstraint(spark, d4, "chk_pos", "event_id >= 0")
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO graft_cat_ins VALUES (-1, 1, 1, 'x', 0.0)"))
+    assert(e.getMessage.contains("chk_pos"))
+    // INSERT OVERWRITE = ONE history-preserving replace commit.
+    spark.sql(
+      """INSERT OVERWRITE graft_cat_ins
+         SELECT event_id, user_id, ts_us, event_type, value * 2
+         FROM graft_cat_ins WHERE event_id < 100""")
+    assert(M.snapshot(spark, d4).op == "overwrite")
+    assert(spark.table("graft_cat_ins").count() == ev.where(col("event_id") < 100).count())
+    // Every earlier version still time-travels (overwrite ≠ build).
+    assert(rows(F.read(spark, d4, 1L)) == rows(ev.where(col("event_id") < 300)))
+    assert(F.read(spark, d4, 2L).count() ==
+      ev.where(col("event_id") < 300).count() + ev.where(col("event_id") < 50).count())
+  }
+
+  test("standard SQL DELETE FROM lands as one tombstone commit — no file rewritten, history intact") {
+    val d5 = Files.createTempDirectory("graft_cat_del").toString
+    F.build(ev.where(col("event_id") < 300), d5, "event_id", Seq("user_id"), 4)
+    spark.sql(s"CREATE TABLE graft_cat_del USING graft LOCATION '$d5'")
+    // A DELETE matching nothing is a version no-op, not an empty commit.
+    spark.sql("DELETE FROM graft_cat_del WHERE user_id > 9999")
+    assert(M.snapshot(spark, d5).op == "build")
+    spark.sql("DELETE FROM graft_cat_del WHERE user_id > 7")
+    val snap = M.snapshot(spark, d5)
+    assert(snap.op == "delete")
+    assert(rows(spark.table("graft_cat_del")) ==
+      rows(ev.where(col("event_id") < 300 && col("user_id") <= 7)))
+    // Zero data files rewritten: v1's data segment is carried verbatim.
+    assert(snap.segments.filter(_.kind == "data") ==
+      M.snapshot(spark, d5, 1L).segments)
+    assert(rows(F.read(spark, d5, 1L)) == rows(ev.where(col("event_id") < 300)),
+      "the pre-delete version still time-travels")
+  }
+
   test("the widened store serves its declared types through the catalog (schema follows the manifest)") {
     val d3 = Files.createTempDirectory("graft_cat_widen").toString
     F.build(ev.limit(100).withColumn("clicks", (col("event_id") % 100).cast("int")),

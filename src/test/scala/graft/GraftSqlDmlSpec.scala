@@ -219,6 +219,20 @@ class GraftSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(F.read(spark, dS).where(col("event_type") === "ncased").count() > 0)
   }
 
+  test("string literals with case-EXPANDING characters (ß) never desync clause splitting") {
+    ev.limit(50).createOrReplaceTempView("graft_sql_ev9")
+    val d = Files.createTempDirectory("graft_sqless").toString
+    spark.sql(s"GRAFT BUILD '$d' KEY event_id ORDER BY (user_id) FILES 2 USING graft_sql_ev9")
+    // 'ß'.toUpperCase == "SS": a whole-string uppercase would shift
+    // every offset past this literal and missplit the WHEN/THEN that
+    // follow it — per-character matching must hold the positions.
+    spark.sql(
+      s"""GRAFT MERGE INTO '$d' FILES 2 USING graft_sql_ev9
+          WHEN MATCHED AND t.event_type <> 'straße when then end case' THEN UPDATE SET event_type = 'straße'
+          WHEN NOT MATCHED THEN INSERT""")
+    assert(F.read(spark, d).where(col("event_type") === "straße").count() == 50)
+  }
+
   test("GRAFT DESCRIBE and time-based VACUUM (RETAIN n HOURS)") {
     ev.createOrReplaceTempView("graft_sql_ev6")
     val d = Files.createTempDirectory("graft_sqldesc").toString
