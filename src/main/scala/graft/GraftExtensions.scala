@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the FactStore API, everything else passes through untouched.
     ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
     ext.injectOptimizerRule(new BucketRangeInference(_))
+    // Join sizing for graft catalog tables: manifest-backed sizes feed
+    // the broadcast decision the V1Scan wrapper otherwise hides.
+    ext.injectOptimizerRule(_ => new graft.plans.GraftJoinSizing)
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
@@ -124,6 +124,21 @@ class GraftTable(dir: String, version: Long, tableSchema: StructType)
     new GraftScanBuilder(dir, v, if (v == version) tableSchema
       else FactStore.read(SparkSession.active, dir, v).schema)
   }
+  /** Manifest-backed size estimate (recorded data-segment file
+    * lengths; driver-side metadata only) — what [[graft.plans.GraftJoinSizing]]
+    * feeds join selection, since the V1Scan execution hatch hides the
+    * scan's own `SupportsReportStatistics` from the planner. Computed
+    * once per loaded table instance. */
+  lazy val estimatedBytes: Option[Long] = try {
+    val spark = SparkSession.active
+    val snap = ManifestLog.snapshot(spark, dir, version)
+    val f = ManifestLog.fs(spark, dir)
+    Some(snap.segments.filter(_.kind == "data").flatMap(s => s.files.map { file =>
+      try f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${s.dir}/$file")).getLen
+      catch { case _: java.io.IOException => 0L }
+    }).sum)
+  } catch { case _: Exception => None }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version == ManifestLog.Latest,
       s"cannot write to a version-pinned graft table ($name)")
@@ -184,7 +199,7 @@ class GraftScanBuilder(dir: String, version: Long, fullSchema: StructType)
 }
 
 class GraftScan(dir: String, version: Long, required: StructType,
-                pushed: Array[Filter]) extends V1Scan {
+                pushed: Array[Filter]) extends V1Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftFactScan(dir=$dir, version=$version, " +
@@ -192,6 +207,32 @@ class GraftScan(dir: String, version: Long, required: StructType,
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftV1Relation(context, dir, version, required, pushed).asInstanceOf[T]
+
+  /** Real statistics from the manifest, so Catalyst sizes joins
+    * correctly — a small fact table becomes broadcast-eligible
+    * instead of defaulting to "unknown = huge" and shuffling both
+    * sides. `numRows` is the manifest's recorded data-segment row
+    * sum (an upper bound — tombstoned rows still counted: sound for
+    * broadcast decisions, which only misfire when UNDER-estimated);
+    * `sizeInBytes` sums the referenced files' actual lengths —
+    * driver-side metadata over the manifest's bounded file list, no
+    * data I/O. */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val snap = ManifestLog.snapshot(spark, dir, version)
+    val f = ManifestLog.fs(spark, dir)
+    val dataSegs = snap.segments.filter(_.kind == "data")
+    val rows = dataSegs.map(_.rows).sum
+    val bytes = dataSegs.flatMap(s => s.files.map { file =>
+      try f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${s.dir}/$file")).getLen
+      catch { case _: java.io.IOException => 0L }
+    }).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (bytes > 0) java.util.OptionalLong.of(bytes) else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 }
 
 /** The V1 execution bridge: builds the pruned FactStore frame and

@@ -189,6 +189,30 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the pre-delete version still time-travels")
   }
 
+  test("manifest statistics reach join planning: a small catalog table broadcasts instead of shuffling both sides") {
+    // Scan-level stats (the DSv2 contract): real numbers, no data I/O.
+    val scanStats = new graft.sources.GraftScanBuilder(dir, M.Latest,
+        spark.table(tbl).schema).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(scanStats.numRows.getAsLong >= ev.count(),
+      "numRows must come from the manifest (data-segment row sum, upper bound)")
+    assert(scanStats.sizeInBytes.getAsLong > 0 &&
+      scanStats.sizeInBytes.getAsLong < 64L * 1024 * 1024,
+      "sizeInBytes must be the real file-length sum")
+    // The planner consequence that matters at scale: the V1Scan
+    // wrapper hides scan stats from join selection, so GraftJoinSizing
+    // feeds the manifest size into the Join hint — joining a big frame
+    // against the small fact table broadcasts the fact side upfront
+    // instead of shuffling both (AQE would only recover it after the
+    // wasted map stage).
+    val big = spark.range(200000).select(col("id").as("event_id"))
+    val plan = big.join(spark.table(tbl), "event_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the small graft side must broadcast:\n$plan")
+  }
+
   test("the widened store serves its declared types through the catalog (schema follows the manifest)") {
     val d3 = Files.createTempDirectory("graft_cat_widen").toString
     F.build(ev.limit(100).withColumn("clicks", (col("event_id") % 100).cast("int")),
