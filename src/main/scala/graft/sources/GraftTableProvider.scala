@@ -307,7 +307,8 @@ private[sources] object GraftFilters {
   def translatable(f: Filter): Boolean = f match {
     case _: EqualTo | _: EqualNullSafe | _: GreaterThan | _: GreaterThanOrEqual |
          _: LessThan | _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
-         _: StringStartsWith | _: StringEndsWith | _: StringContains => true
+         _: StringStartsWith | _: StringEndsWith | _: StringContains |
+         _: AlwaysTrue | _: AlwaysFalse => true
     case And(l, r) => translatable(l) && translatable(r)
     case Or(l, r) => translatable(l) && translatable(r)
     case Not(c) => translatable(c)
@@ -327,6 +328,8 @@ private[sources] object GraftFilters {
     case StringStartsWith(a, v) => col(a).startsWith(v)
     case StringEndsWith(a, v) => col(a).endsWith(v)
     case StringContains(a, v) => col(a).contains(v)
+    case _: AlwaysTrue => lit(true)
+    case _: AlwaysFalse => lit(false)
     case And(l, r) => toColumn(l) && toColumn(r)
     case Or(l, r) => toColumn(l) || toColumn(r)
     case Not(c) => !toColumn(c)

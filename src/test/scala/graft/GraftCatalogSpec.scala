@@ -187,6 +187,13 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       M.snapshot(spark, d5, 1L).segments)
     assert(rows(F.read(spark, d5, 1L)) == rows(ev.where(col("event_id") < 300)),
       "the pre-delete version still time-travels")
+    // TRUNCATE TABLE rides SupportsDelete's AlwaysTrue path: one
+    // tombstone commit over every live key, history intact.
+    spark.sql("TRUNCATE TABLE graft_cat_del")
+    assert(spark.table("graft_cat_del").isEmpty)
+    assert(M.snapshot(spark, d5).op == "delete")
+    assert(rows(F.read(spark, d5, 1L)) == rows(ev.where(col("event_id") < 300)),
+      "truncate is a commit, not history rewriting")
   }
 
   test("manifest statistics reach join planning: a small catalog table broadcasts instead of shuffling both sides") {
