@@ -31,6 +31,7 @@ import graft.sources.{FactStore, ManifestLog}
   * GRAFT BUILD '<dir>' KEY <col> ORDER BY (<cols>) [STATS (<cols>)] [FILES <n>] USING <source>
   * GRAFT APPEND INTO '<dir>' [FILES <n>] USING <source>
   * GRAFT UPSERT INTO '<dir>' [FILES <n>] USING <source>
+  * GRAFT OVERWRITE INTO '<dir>' [FILES <n>] USING <source>
   * GRAFT DELETE FROM '<dir>' WHERE <predicate>
   * GRAFT MERGE INTO '<dir>' [FILES <n>] USING <source>
   *   WHEN MATCHED [AND <cond>] THEN UPDATE SET <col> = <expr> [, …]
@@ -193,6 +194,14 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = VersionOut
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(FactStore.upsert(spark, resolveTarget(spark, dir),
+        sourceDf(spark, source), nFiles)))
+  }
+
+  final case class GraftOverwriteCommand(dir: String, nFiles: Int, source: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = VersionOut
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(FactStore.overwrite(spark, resolveTarget(spark, dir),
         sourceDf(spark, source), nFiles)))
   }
 
@@ -361,6 +370,8 @@ object GraftSqlParser {
     ("(?is)^\\s*GRAFT\\s+APPEND\\s+INTO\\s+" + Target + "(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*;?\\s*$").r
   private val UpsertRe =
     ("(?is)^\\s*GRAFT\\s+UPSERT\\s+INTO\\s+" + Target + "(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*;?\\s*$").r
+  private val OverwriteRe =
+    ("(?is)^\\s*GRAFT\\s+OVERWRITE\\s+INTO\\s+" + Target + "(?:\\s+FILES\\s+(\\d+))?\\s+USING\\s+(.+?)\\s*;?\\s*$").r
   private val DeleteRe =
     ("(?is)^\\s*GRAFT\\s+DELETE\\s+FROM\\s+" + Target + "\\s+WHERE\\s+(.+?)\\s*;?\\s*$").r
   private val MergeHeadRe =
@@ -452,6 +463,8 @@ object GraftSqlParser {
       GraftAppendCommand(dir, Option(files).map(_.toInt).getOrElse(DefaultFiles), source.trim)
     case UpsertRe(dir, files, source) =>
       GraftUpsertCommand(dir, Option(files).map(_.toInt).getOrElse(DefaultFiles), source.trim)
+    case OverwriteRe(dir, files, source) =>
+      GraftOverwriteCommand(dir, Option(files).map(_.toInt).getOrElse(DefaultFiles), source.trim)
     case DeleteRe(dir, pred) => GraftDeleteCommand(dir, pred)
     case CompactRe(dir, files, incr, frac, maxf) =>
       GraftCompactCommand(dir, Option(files).map(_.toInt).getOrElse(DefaultFiles),

@@ -219,6 +219,20 @@ class GraftSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(F.read(spark, dS).where(col("event_type") === "ncased").count() > 0)
   }
 
+  test("GRAFT OVERWRITE INTO replaces the live rows in one history-preserving commit") {
+    ev.createOrReplaceTempView("graft_sql_evA")
+    val d = Files.createTempDirectory("graft_sqlow").toString
+    spark.sql(s"GRAFT BUILD '$d' KEY event_id ORDER BY (user_id) FILES 2 USING graft_sql_evA")
+    val v = version(spark.sql(s"GRAFT OVERWRITE INTO '$d' FILES 2 USING " +
+      "(SELECT event_id, user_id, ts_us, event_type, value * 3 AS value " +
+      "FROM graft_sql_evA WHERE event_id < 100)"))
+    assert(v == 2L && M.snapshot(spark, d).op == "overwrite")
+    assert(rows(F.read(spark, d)) == rows(
+      ev.where(col("event_id") < 100).withColumn("value", col("value") * 3)))
+    assert(rows(F.read(spark, d, 1L)) == rows(ev),
+      "overwrite is a commit, not a wipe — v1 still time-travels")
+  }
+
   test("string literals with case-EXPANDING characters (ß) never desync clause splitting") {
     ev.limit(50).createOrReplaceTempView("graft_sql_ev9")
     val d = Files.createTempDirectory("graft_sqless").toString
