@@ -444,8 +444,12 @@ object SparkEntry {
     * pushed filters route into the Bloom/stats file-pruning tiers. */
   private def ensureFactCatalogTable(s: SparkSession, d: String): String = {
     val dir = ensureFactStore(s, d)
-    s.sql(s"CREATE TABLE IF NOT EXISTS graft_fact_events USING graft LOCATION '$dir'")
-    "graft_fact_events"
+    // Table name keyed on the SF dir: a session that evaluates two
+    // scale factors must not serve the first SF's store to the second
+    // (CREATE TABLE IF NOT EXISTS would silently keep the old LOCATION).
+    val tbl = s"graft_fact_events_${new java.io.File(d).getName.replace('.', '_')}"
+    s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graft LOCATION '$dir'")
+    tbl
   }
   /** Q140g: non-additive schema evolution — v1 build, v2 RENAME
     * value→amount (metadata-only; physical files untouched), v3 DROP

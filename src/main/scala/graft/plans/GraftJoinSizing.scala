@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, HintInfo, Join, LogicalPlan, Project, SubqueryAlias, BROADCAST}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -29,9 +30,17 @@ import graft.sources.GraftTable
 class GraftJoinSizing extends Rule[LogicalPlan] {
 
   /** The manifest-estimated byte size of a graft relation under
-    * size-preserving-or-shrinking operators; None for anything else. */
+    * size-preserving-or-shrinking operators; None for anything else.
+    * Only PURE column selections recurse — a Project that COMPUTES
+    * columns (`repeat(s, 10000) AS blob`) can expand the frame
+    * arbitrarily, and a mandatory broadcast hint on an expanded side
+    * would bypass AQE's runtime size check. */
   private def graftBytes(p: LogicalPlan): Option[Long] = p match {
-    case Project(_, c) => graftBytes(c)
+    case Project(exprs, c) if exprs.forall {
+      case _: Attribute => true
+      case a: Alias => a.child.isInstanceOf[Attribute]
+      case _ => false
+    } => graftBytes(c)
     case Filter(_, c) => graftBytes(c)
     case SubqueryAlias(_, c) => graftBytes(c)
     case r: DataSourceV2Relation => r.table match {

@@ -589,6 +589,21 @@ object FactStore {
                 nFiles: Int): Long = synchronized {
     val prior = M.snapshot(spark, dir)
     val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
+    if (df.isEmpty) {
+      // INSERT OVERWRITE with an empty source EMPTIES the table (the
+      // standard SQL idiom): one tombstone over every live key —
+      // history intact, and no zero-row data segment for the stats
+      // writer to choke on. Overwriting an already-empty table is a
+      // version no-op.
+      val logicalKey = logicalKeyOf(spark, dir, prior, keyCol)
+      val v = prior.version + 1
+      val tomb = writeTombSegment(spark, dir, segName(v, "overwrite-tomb"),
+        read(spark, dir).select(col(logicalKey).as(keyCol)), keyCol)
+      if (tomb.rows == 0L) return prior.version
+      M.commit(M.fs(spark, dir), dir,
+        M.Snapshot(v, "overwrite", "", prior.segments :+ tomb, prior.meta))
+      return v
+    }
     enforceConstraints(df, prior, logicalKeyOf(spark, dir, prior, keyCol), "overwrite batch")
     val (dfP0, cm2) = toPhysical(df, activeColmap(spark, dir, prior), retiredOf(prior))
     val dfP = applyWiden(dfP0, widenedOf(prior))

@@ -90,15 +90,48 @@ object GraftTableProvider {
     catch { case _: NumberFormatException =>
       java.sql.Timestamp.valueOf(raw).getTime }
 
-  /** (store dir, pinned version, schema at that version). */
-  private[sources] def resolve(opts: CaseInsensitiveStringMap): (String, Long, StructType) = {
+  /** Resolve `versionAsOf`/`timestampAsOf` options to a version pin
+    * (Latest when neither is present). */
+  private[sources] def versionOf(opts: CaseInsensitiveStringMap, dir: String): Long = {
     val spark = SparkSession.active
-    val dir = dirOf(opts)
-    val version = Option(opts.get("versionAsOf")).map(_.toLong)
+    Option(opts.get("versionAsOf")).map(_.toLong)
       .orElse(Option(opts.get("timestampAsOf"))
         .map(ts => ManifestLog.versionAt(spark, dir, tsMsOf(ts))))
       .getOrElse(ManifestLog.Latest)
-    (dir, version, FactStore.read(spark, dir, version).schema)
+  }
+
+  /** A committed version's logical schema is immutable — cache it so
+    * repeated table loads (inferSchema + getTable per resolution, then
+    * per-query re-loads) don't re-derive it from every segment's
+    * parquet footers on the planning path. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]()
+  private[sources] def schemaAt(dir: String, version: Long): StructType = {
+    val spark = SparkSession.active
+    val concrete = if (version == ManifestLog.Latest)
+      ManifestLog.currentVersion(spark, dir) else version
+    schemaCache.computeIfAbsent((dir, concrete),
+      _ => FactStore.read(spark, dir, concrete).schema)
+  }
+
+  /** Sum of a version's data-segment file lengths — driver-side
+    * metadata only; the ONE size estimate both the scan statistics
+    * and [[graft.plans.GraftJoinSizing]] report. */
+  private[sources] def dataBytes(dir: String, version: Long): Long = {
+    val spark = SparkSession.active
+    val snap = ManifestLog.snapshot(spark, dir, version)
+    val f = ManifestLog.fs(spark, dir)
+    snap.segments.filter(_.kind == "data").flatMap(s => s.files.map { file =>
+      try f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${s.dir}/$file")).getLen
+      catch { case _: java.io.IOException => 0L }
+    }).sum
+  }
+
+  /** (store dir, pinned version, schema at that version). */
+  private[sources] def resolve(opts: CaseInsensitiveStringMap): (String, Long, StructType) = {
+    val dir = dirOf(opts)
+    val version = versionOf(opts, dir)
+    (dir, version, schemaAt(dir, version))
   }
 }
 
@@ -119,25 +152,22 @@ class GraftTable(dir: String, version: Long, tableSchema: StructType)
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // A read-time option can re-pin the version (Delta's AS OF UX).
-    val v = Option(options.get("versionAsOf")).map(_.toLong).getOrElse(version)
+    // Read-time options can re-pin the version (Delta's AS OF UX) —
+    // BOTH spellings, versionAsOf and timestampAsOf.
+    val v = if (options.containsKey("versionAsOf") || options.containsKey("timestampAsOf"))
+      GraftTableProvider.versionOf(options, dir)
+    else version
     new GraftScanBuilder(dir, v, if (v == version) tableSchema
-      else FactStore.read(SparkSession.active, dir, v).schema)
+      else GraftTableProvider.schemaAt(dir, v))
   }
   /** Manifest-backed size estimate (recorded data-segment file
     * lengths; driver-side metadata only) — what [[graft.plans.GraftJoinSizing]]
     * feeds join selection, since the V1Scan execution hatch hides the
     * scan's own `SupportsReportStatistics` from the planner. Computed
     * once per loaded table instance. */
-  lazy val estimatedBytes: Option[Long] = try {
-    val spark = SparkSession.active
-    val snap = ManifestLog.snapshot(spark, dir, version)
-    val f = ManifestLog.fs(spark, dir)
-    Some(snap.segments.filter(_.kind == "data").flatMap(s => s.files.map { file =>
-      try f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${s.dir}/$file")).getLen
-      catch { case _: java.io.IOException => 0L }
-    }).sum)
-  } catch { case _: Exception => None }
+  lazy val estimatedBytes: Option[Long] =
+    try Some(GraftTableProvider.dataBytes(dir, version))
+    catch { case _: Exception => None }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version == ManifestLog.Latest,
@@ -220,13 +250,8 @@ class GraftScan(dir: String, version: Long, required: StructType,
   override def estimateStatistics(): Statistics = {
     val spark = SparkSession.active
     val snap = ManifestLog.snapshot(spark, dir, version)
-    val f = ManifestLog.fs(spark, dir)
-    val dataSegs = snap.segments.filter(_.kind == "data")
-    val rows = dataSegs.map(_.rows).sum
-    val bytes = dataSegs.flatMap(s => s.files.map { file =>
-      try f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${s.dir}/$file")).getLen
-      catch { case _: java.io.IOException => 0L }
-    }).sum
+    val rows = snap.segments.filter(_.kind == "data").map(_.rows).sum
+    val bytes = GraftTableProvider.dataBytes(dir, version)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         if (bytes > 0) java.util.OptionalLong.of(bytes) else java.util.OptionalLong.empty()
@@ -248,28 +273,44 @@ class GraftV1Relation(ctx: SQLContext, dir: String, version: Long,
     val spark = ctx.sparkSession
     val (keyCol, statsCols) = FactStore.pruningSurface(spark, dir, version)
 
+    // Metadata bounds are derived ONLY from exactly-integral filter
+    // values (Byte/Short/Int/Long): the per-file stats sidecars store
+    // truncated longs, so a fractional threshold (value > 10.5 on a
+    // double column) translated via longValue±1 would silently DROP
+    // rows in the truncation gap. Non-integral conjuncts simply skip
+    // the metadata tier — they still apply exactly as residuals.
+    object IntegralVal {
+      def unapply(v: Any): Option[Long] = v match {
+        case b: java.lang.Byte => Some(b.longValue)
+        case s: java.lang.Short => Some(s.longValue)
+        case i: java.lang.Integer => Some(i.longValue)
+        case l: java.lang.Long => Some(l.longValue)
+        case _ => None
+      }
+    }
     // Tier 1 — point probe: top-level key equality/IN conjuncts route
     // into the Bloom + min/max sidecars.
     val keyVals: Seq[Long] = pushed.toSeq.flatMap {
-      case EqualTo(`keyCol`, v: Number) => Seq(v.longValue)
-      case In(`keyCol`, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
-        vs.toSeq.map(_.asInstanceOf[Number].longValue)
+      case EqualTo(`keyCol`, IntegralVal(v)) => Seq(v)
+      case In(`keyCol`, vs) if vs.nonEmpty &&
+          vs.forall(IntegralVal.unapply(_).isDefined) =>
+        vs.toSeq.map(IntegralVal.unapply(_).get)
       case _ => Seq.empty
     }
     // Tier 2 — box bounds: range conjuncts on declared stats columns.
     val bounds: Map[String, (Long, Long)] = statsCols.flatMap { c =>
       var lo = Long.MinValue; var hi = Long.MaxValue; var any = false
       pushed.foreach {
-        case EqualTo(`c`, v: Number) =>
-          lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue); any = true
-        case GreaterThan(`c`, v: Number) if v.longValue < Long.MaxValue =>
-          lo = math.max(lo, v.longValue + 1); any = true
-        case GreaterThanOrEqual(`c`, v: Number) =>
-          lo = math.max(lo, v.longValue); any = true
-        case LessThan(`c`, v: Number) if v.longValue > Long.MinValue =>
-          hi = math.min(hi, v.longValue - 1); any = true
-        case LessThanOrEqual(`c`, v: Number) =>
-          hi = math.min(hi, v.longValue); any = true
+        case EqualTo(`c`, IntegralVal(v)) =>
+          lo = math.max(lo, v); hi = math.min(hi, v); any = true
+        case GreaterThan(`c`, IntegralVal(v)) if v < Long.MaxValue =>
+          lo = math.max(lo, v + 1); any = true
+        case GreaterThanOrEqual(`c`, IntegralVal(v)) =>
+          lo = math.max(lo, v); any = true
+        case LessThan(`c`, IntegralVal(v)) if v > Long.MinValue =>
+          hi = math.min(hi, v - 1); any = true
+        case LessThanOrEqual(`c`, IntegralVal(v)) =>
+          hi = math.min(hi, v); any = true
         case _ =>
       }
       if (any) Some(c -> (lo, hi)) else None

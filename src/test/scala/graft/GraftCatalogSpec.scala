@@ -220,6 +220,26 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the small graft side must broadcast:\n$plan")
   }
 
+  test("fractional thresholds on a non-integral stats column never mis-prune: metadata tier skipped, residual exact") {
+    val d6 = Files.createTempDirectory("graft_cat_frac").toString
+    // `value` is DOUBLE and DECLARED a stats column — its sidecar
+    // stats are truncated longs, so a pushed `value > 10.5` translated
+    // into long bounds would silently drop rows in (10.5, 11).
+    F.build(ev.where(col("event_id") < 400), d6, "event_id",
+      Seq("user_id"), 4, Seq("user_id", "value", "event_id"))
+    spark.sql(s"CREATE TABLE graft_cat_frac USING graft LOCATION '$d6'")
+    val base = F.read(spark, d6)
+    for (cond <- Seq("value > 10.5", "value < 80.7", "value >= 10.5 AND value < 80.7")) {
+      val got = spark.sql(s"SELECT event_id FROM graft_cat_frac WHERE $cond")
+      val want = base.where(expr(cond)).select("event_id")
+      assert(rows(got) == rows(want), s"catalog filter '$cond' must be exact")
+      assert(got.count() > 0, s"'$cond' should match rows at this SF (degenerate test otherwise)")
+    }
+    // Integral bounds on the same column still prune soundly.
+    assert(rows(spark.sql("SELECT event_id FROM graft_cat_frac WHERE value >= 11 AND value <= 80"))
+      == rows(base.where(col("value") >= 11 && col("value") <= 80).select("event_id")))
+  }
+
   test("the widened store serves its declared types through the catalog (schema follows the manifest)") {
     val d3 = Files.createTempDirectory("graft_cat_widen").toString
     F.build(ev.limit(100).withColumn("clicks", (col("event_id") % 100).cast("int")),

@@ -231,6 +231,16 @@ class GraftSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
       ev.where(col("event_id") < 100).withColumn("value", col("value") * 3)))
     assert(rows(F.read(spark, d, 1L)) == rows(ev),
       "overwrite is a commit, not a wipe — v1 still time-travels")
+    // An EMPTY overwrite empties the table (the SQL idiom), loudly
+    // committing one tombstone generation — never an NPE from a
+    // zero-row stats write; and overwriting an empty table is a no-op.
+    val v3 = version(spark.sql(s"GRAFT OVERWRITE INTO '$d' USING " +
+      "(SELECT * FROM graft_sql_evA WHERE 1 = 0)"))
+    assert(v3 == 3L && F.read(spark, d).isEmpty)
+    assert(rows(F.read(spark, d, 2L)).nonEmpty, "history intact through the empty overwrite")
+    val v4 = version(spark.sql(s"GRAFT OVERWRITE INTO '$d' USING " +
+      "(SELECT * FROM graft_sql_evA WHERE 1 = 0)"))
+    assert(v4 == 3L, "overwriting an already-empty table is a version no-op")
   }
 
   test("string literals with case-EXPANDING characters (ß) never desync clause splitting") {
