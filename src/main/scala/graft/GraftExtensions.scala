@@ -28,8 +28,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the FactStore API, everything else passes through untouched.
     ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
     ext.injectOptimizerRule(new BucketRangeInference(_))
+    // Standard SQL row-level DML (UPDATE / MERGE INTO / modulo-shaped
+    // DELETE) on graft tables: resolved plans route into the one
+    // FactStore commit layer (see graft.plans.GraftRowLevelSql).
+    ext.injectPostHocResolutionRule(new graft.plans.GraftRowLevelSql(_))
     // Join sizing for graft catalog tables: manifest-backed sizes feed
     // the broadcast decision the V1Scan wrapper otherwise hides.
     ext.injectOptimizerRule(_ => new graft.plans.GraftJoinSizing)
+    // Zero-Exchange fact⋈fact key joins through FRESH bucketed mirrors
+    // (after GraftJoinSizing: a broadcast-hinted side stays broadcast).
+    ext.injectOptimizerRule(new graft.plans.GraftStorageJoin(_))
   }
 }

@@ -26,6 +26,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // The fact-lake TableCatalog: CREATE TABLE graft.ns.t … /
+      // CTAS are FactStore commits (see graft.sources.GraftCatalog).
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        s"${System.getProperty("java.io.tmpdir")}/graft_catalog_warehouse")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     registerUdafs(s)

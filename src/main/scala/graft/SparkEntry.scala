@@ -451,6 +451,74 @@ object SparkEntry {
     s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graft LOCATION '$dir'")
     tbl
   }
+  /** Q140r: the TableCatalog first-contact path — `CREATE TABLE … AS
+    * SELECT` against the `graft` catalog ([[graft.sources.GraftCatalog]]):
+    * creation IS `FactStore.createEmpty` (the declared key/order from
+    * TBLPROPERTIES define the manifest) and the CTAS rows land as one
+    * append commit. The v2 catalog is path-derived (identifier → the
+    * warehouse directory), so the lifecycle memoizes on the STORE's
+    * terminal version exactly like every other q140 fixture. */
+  private def ensureCtasCatalogTable(s: SparkSession, d: String): String = {
+    val sf = new java.io.File(d).getName.replace('.', '_')
+    val tbl = s"graft.db_$sf.ctas_events"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_warehouse/db_$sf/ctas_events"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 2L) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      factEvents(s, d).where(col("user_id") % FactDelUserMod =!= FactDelUserRes)
+        .createOrReplaceTempView(s"graft_ctas_src_$sf")
+      s.sql(
+        s"""CREATE TABLE $tbl
+            TBLPROPERTIES ('key'='event_id', 'order'='user_id,ts_us',
+                           'stats'='user_id,ts_us,event_id')
+            AS SELECT * FROM graft_ctas_src_$sf""")
+    }
+    tbl
+  }
+  /** Q140s: STANDARD SQL `UPDATE t SET … WHERE …` — no GRAFT dialect —
+    * routed by [[graft.plans.GraftRowLevelSql]] into the one-scan
+    * tombstone+post-image commit (op `update` in the audit history).
+    * The memoized lifecycle registers the catalog table and updates
+    * it once; the timed/verified query reads the resulting lake. */
+  private def ensureSqlUpdatedFactStore(s: SparkSession, d: String): String = {
+    val sf = new java.io.File(d).getName.replace('.', '_')
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_us_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 2L) {
+      graft.sources.FactStore.build(factEvents(s, d), dir, "event_id",
+        Seq("user_id", "ts_us"), FactFiles, Seq("user_id", "ts_us", "event_id"))
+      val tbl = s"graft_fact_sqlupd_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dir'")
+      s.sql(s"""UPDATE $tbl SET value = value * 2 + 1, event_type = 'bumped'
+                WHERE user_id % $FactSqlUpdMod = $FactSqlUpdRes""")
+    }
+    dir
+  }
+  /** Q140t: the zero-Exchange fact⋈fact join — two co-keyed stores with
+    * FRESH bucketed mirrors; the [[graft.plans.GraftStorageJoin]] rule
+    * swaps the scans for the co-bucketed layout, so the key equi-join
+    * plans without exchanging either side (GraftStorageJoinSpec pins
+    * the plan; this query pins the RESULTS against the oracle). */
+  private def ensureStorageJoinTables(s: SparkSession, d: String): (String, String) = {
+    val sf = new java.io.File(d).getName.replace('.', '_')
+    val dirA = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_sja_${new java.io.File(d).getName}"
+    val dirB = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_sjb_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dirA, finalVersion = 1L) {
+      graft.sources.FactStore.build(factEvents(s, d), dirA, "event_id",
+        Seq("user_id", "ts_us"), FactFiles, Seq("user_id", "ts_us", "event_id"))
+    }
+    graft.sources.FactStore.lifecycleOnce(s, dirB, finalVersion = 1L) {
+      graft.sources.FactStore.build(
+        factEvents(s, d).where(col("event_id") % 2 === 0)
+          .select(col("event_id"), (col("value") * 3).as("score")),
+        dirB, "event_id", Seq("event_id"), FactFiles)
+    }
+    val (tblA, tblB) = (s"graft_fact_sja_$sf", s"graft_fact_sjb_$sf")
+    s.sql(s"CREATE TABLE IF NOT EXISTS $tblA USING graft LOCATION '$dirA'")
+    s.sql(s"CREATE TABLE IF NOT EXISTS $tblB USING graft LOCATION '$dirB'")
+    graft.sources.FactStore.ensureBucketedMirror(s, dirA, s"graft_sj_mirror_a_$sf", FactFiles)
+    graft.sources.FactStore.ensureBucketedMirror(s, dirB, s"graft_sj_mirror_b_$sf", FactFiles)
+    (tblA, tblB)
+  }
   /** Q140g: non-additive schema evolution — v1 build, v2 RENAME
     * value→amount (metadata-only; physical files untouched), v3 DROP
     * event_type (metadata-only), v4 upsert a corrections batch in the
@@ -732,6 +800,9 @@ object SparkEntry {
   // Q140o: type widening — the appended generation's clicks exceed
   // int range, so the widened BIGINT is load-bearing, not cosmetic.
   private val FactWidenBase = 3000000000L
+  // Q140s: standard SQL UPDATE — which users' rows get rewritten.
+  private val FactSqlUpdMod = 3L
+  private val FactSqlUpdRes = 0L
   /** Q124: minimum distinct users per released aggregate cell —
     * chosen so every SF exercises all three outcomes (hour-level
     * release, day-level generalization, suppression). */
@@ -1958,6 +2029,37 @@ object SparkEntry {
                 WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
                   AND ts_us BETWEEN $SkipTsLo AND $SkipTsHi
                 ORDER BY event_id""")
+    }),
+    "q140r_fact_ctas" -> ((s, d) => {
+      // The TableCatalog (CREATE TABLE AS SELECT) surface: table
+      // creation IS a FactStore commit (key/order from TBLPROPERTIES
+      // define the manifest), the CTAS rows are one append commit, and
+      // the created lake serves plain SQL with the same Bloom/stats
+      // file pruning as every other store — the round-11 "first
+      // contact" gap (CREATE-then-INSERT/CTAS had nothing to create
+      // from) closed by graft.sources.GraftCatalog.
+      val tbl = ensureCtasCatalogTable(s, d)
+      s.sql(s"""SELECT event_id, user_id, ts_us, event_type, value FROM $tbl
+                WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
+                ORDER BY event_id""")
+    }),
+    "q140s_fact_sql_update" -> ((s, d) =>
+      // Standard SQL UPDATE (no GRAFT dialect): the post-hoc resolution
+      // rule lowers UpdateTable into the FactStore tombstone+post-image
+      // commit — one pushed-down target scan, write ∝ matched rows, op
+      // 'update' in the history. The read serves the updated lake.
+      graft.sources.FactStore.read(s, ensureSqlUpdatedFactStore(s, d))
+        .orderBy("event_id")),
+    "q140t_fact_storage_join" -> ((s, d) => {
+      // Zero-Exchange fact⋈fact: both stores carry FRESH bucketed
+      // mirrors, so the key equi-join routes through the co-located
+      // layout (no shuffle on either side — the Iceberg SPJ shape via
+      // Spark's own bucketing). Results are plan-independent: the
+      // oracle restates the join closed-form over raw events.
+      val (tblA, tblB) = ensureStorageJoinTables(s, d)
+      s.sql(s"""SELECT a.event_id, a.user_id, a.value, b.score
+                FROM $tblA a JOIN $tblB b ON a.event_id = b.event_id
+                ORDER BY a.event_id""")
     }),
     "q124_kanon_release" -> ((s, d) =>
       // k-anonymity release gate: publish an aggregate cell only if
@@ -4005,6 +4107,29 @@ object SparkEntry {
           WHERE user_id BETWEEN $SkipUserLo AND $SkipUserHi
             AND ts_us BETWEEN $SkipTsLo AND $SkipTsHi
           ORDER BY event_id""",
+    // Q140r: the CTAS'd catalog table restates as the CTAS query's own
+    // filter plus the read filter — creation/commit plumbing is
+    // invisible to results.
+    "q140r_fact_ctas" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+          FROM events
+          WHERE user_id % $FactDelUserMod <> $FactDelUserRes
+            AND user_id BETWEEN $SkipUserLo AND $SkipUserHi
+          ORDER BY event_id""",
+    // Q140s: the standard-SQL-updated lake restates as one closed-form
+    // projection — the UPDATE's own WHERE/SET inlined.
+    "q140s_fact_sql_update" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN user_id % $FactSqlUpdMod = $FactSqlUpdRes
+                      THEN 'bumped' ELSE event_type END AS event_type,
+                 CASE WHEN user_id % $FactSqlUpdMod = $FactSqlUpdRes
+                      THEN value * 2 + 1 ELSE value END AS value
+          FROM events ORDER BY event_id""",
+    // Q140t: a key self-equi-join is row-identity — the zero-Exchange
+    // access path is invisible to results.
+    "q140t_fact_storage_join" ->
+      s"""SELECT event_id, user_id, value, value * 3 AS score
+          FROM events WHERE event_id % 2 = 0 ORDER BY event_id""",
     // Q125: bounds via quantile_cont (≡ Spark's percentile after the
     // 1e-4 rounding — the q25 contract), clip + verdict restated.
     "q125_winsorize" ->

@@ -53,10 +53,18 @@ class GraftJoinSizing extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val threshold = conf.autoBroadcastJoinThreshold
     if (threshold <= 0) return plan
+    // The manifest records COMPRESSED on-disk parquet lengths; the
+    // broadcast decision is about in-MEMORY rows. Scale by the file-
+    // source convention (`spark.sql.sources.fileCompressionFactor`)
+    // before comparing — a highly compressed table just under the raw
+    // threshold could expand several-fold when materialized, and a
+    // mandatory hint bypasses AQE's runtime size check.
+    val factor = conf.fileCompressionFactor
     plan.transformUp {
       case j: Join =>
         def fits(side: LogicalPlan): Option[HintInfo] =
-          graftBytes(side).filter(b => b > 0 && b <= threshold)
+          graftBytes(side).map(b => (BigDecimal(b) * factor).toLong)
+            .filter(b => b > 0 && b <= threshold)
             .map(_ => HintInfo(strategy = Some(BROADCAST)))
         val lh = j.hint.leftHint.orElse(fits(j.left))
         val rh = j.hint.rightHint.orElse(fits(j.right))

@@ -94,7 +94,17 @@ object GraftSqlParser {
     * string `toUpperCase` — characters whose uppercase EXPANDS (e.g.
     * 'ß' → "SS" inside a string literal) would desynchronize the
     * offsets. Returns the segments BETWEEN occurrences (first element
-    * = text before the first occurrence). */
+    * = text before the first occurrence).
+    *
+    * A bare identifier `case` (a column legally named so) is NOT
+    * treated as opening a CASE expression when its CONTEXT says it is
+    * a value reference: qualified (`t.case`), followed by an
+    * operator/comma/closing-paren (`case = 5`, `f(case)`), or followed
+    * by a predicate keyword (`case IS NULL`, `case AND …`). The one
+    * residual ambiguity — a simple-CASE whose operand is itself named
+    * like a keyword — is inherent to the token stream and documented
+    * here: a real CASE expression always continues with WHEN or an
+    * operand expression. */
   private[plans] def splitTop(text: String, kw: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var caseDepth = 0; var inStr = false; var i = 0; var start = 0
@@ -103,6 +113,23 @@ object GraftSqlParser {
       text.regionMatches(true, i, w, 0, w.length) &&
         (i == 0 || !isWordChar(text.charAt(i - 1))) &&
         (i + w.length >= text.length || !isWordChar(text.charAt(i + w.length)))
+    // The word at `i` spells CASE *and* reads as a CASE-expression
+    // opener, not a column named `case` used as a value.
+    def caseOpensAt(i: Int): Boolean = {
+      if (!wordAt(i, "CASE")) return false
+      var p = i - 1
+      while (p >= 0 && text.charAt(p).isWhitespace) p -= 1
+      if (p >= 0 && text.charAt(p) == '.') return false // t.case — qualified column
+      var n = i + 4
+      while (n < text.length && text.charAt(n).isWhitespace) n += 1
+      if (n >= text.length) return false                 // trailing token
+      val c = text.charAt(n)
+      if ("=<>!+-*/%,);".indexOf(c) >= 0) return false   // case = 5, f(case), …
+      // `case IS NULL` / `case AND …` / `… THEN case END`-style usage:
+      // a value position, not an expression opener.
+      Seq("IS", "IN", "AND", "OR", "NOT", "BETWEEN", "LIKE", "THEN", "END")
+        .forall(w => !wordAt(n, w))
+    }
     while (i < text.length) {
       val c = text.charAt(i)
       if (inStr) { if (c == '\'') inStr = false; i += 1 }
@@ -111,7 +138,7 @@ object GraftSqlParser {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case _ =>
-          if (depth == 0 && wordAt(i, "CASE")) { caseDepth += 1; i += 4 }
+          if (depth == 0 && caseOpensAt(i)) { caseDepth += 1; i += 4 }
           else if (depth == 0 && caseDepth > 0 && wordAt(i, "END")) { caseDepth -= 1; i += 3 }
           else if (depth == 0 && caseDepth == 0 && wordAt(i, kw)) {
             out += text.substring(start, i)

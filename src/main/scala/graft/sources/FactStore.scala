@@ -400,6 +400,67 @@ object FactStore {
     1L
   }
 
+  /** CREATE an EMPTY table — the catalog `CREATE TABLE` / CTAS path
+    * ([[GraftCatalog.createTable]]): version 1 carries the declared
+    * schema and the full key/clustering contract but zero rows, so the
+    * first `INSERT INTO` is an ordinary [[append]] commit. The one
+    * data segment is a single zero-row parquet file (the schema
+    * carrier — every read path unions data segments, so an empty
+    * store reads as an empty frame of the right shape, no special
+    * case); its stats sidecar records an EMPTY range (min > max) per
+    * column, which both pruning tiers treat as proof of absence —
+    * the seed segment costs no I/O to any pruned read, ever. Fails if
+    * `dir` already has commits ([[build]] is the overwriting verb). */
+  def createEmpty(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType,
+                  keyCol: String, orderCols: Seq[String],
+                  statsColsOpt: Seq[String] = Seq.empty): Long = synchronized {
+    val statsCols = if (statsColsOpt.isEmpty) orderCols else statsColsOpt
+    require(orderCols.nonEmpty, "a graft table needs at least one order column")
+    require(orderCols.forall(statsCols.contains),
+      "statsCols must cover every order column")
+    val fields = schema.fieldNames.toSeq
+    val missing = (keyCol +: statsCols).distinct.filterNot(fields.contains)
+    require(missing.isEmpty,
+      s"declared schema is missing indexed column(s): ${missing.mkString(", ")}")
+    require(Set("tinyint", "smallint", "int", "bigint")
+        .contains(schema(keyCol).dataType.catalogString.toLowerCase),
+      s"key column $keyCol must be an integral type (tombstones and the " +
+        s"Bloom point tier store keys as long), got ${schema(keyCol).dataType.sql}")
+    fields.foreach(requireIdent(_, "a fact-store column name"))
+    val f = M.fs(spark, dir)
+    require(M.committedVersions(f, dir).isEmpty,
+      s"cannot CREATE at $dir — it already has commits (did you mean INSERT/build?)")
+    val name = segName(1, "create")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/$name")
+    // Sidecar with EMPTY per-file ranges: min > max never overlaps a
+    // box, and the point tier's min/max check excludes every probe —
+    // the seed file is metadata-pruned from every filtered read.
+    val sidecarCols = (statsCols :+ keyCol).distinct
+    val root = mapper.createObjectNode()
+    val cArr = root.putArray("statsCols"); sidecarCols.foreach(cArr.add)
+    root.put("bloomCol", keyCol)
+    root.put("bloomM", SkippingStore.DefaultBloomBits)
+    root.put("bloomK", SkippingStore.DefaultBloomK)
+    val fArr = root.putArray("files")
+    val files = M.listParquet(f, new Path(s"$dir/$name"))
+    files.foreach { file =>
+      val n = fArr.addObject()
+      n.put("file", file)
+      val mn = n.putArray("min"); val mx = n.putArray("max")
+      sidecarCols.foreach { _ => mn.add(Long.MaxValue); mx.add(Long.MinValue) }
+    }
+    val out = f.create(new Path(s"$dir/$name/_filestats.json"), false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+    M.commit(f, dir, M.Snapshot(1, "create", "",
+      Seq(M.Segment("data", name, files, 0L)),
+      Map("keyCol" -> keyCol, "orderCols" -> orderCols.mkString(" "),
+        "statsCols" -> statsCols.mkString(" "),
+        "colmap" -> encodeColmap(fields.map(c => (c, c))))))
+    1L
+  }
+
   /** Ingest: one new data segment (batch-local z-sort), no tombstones. */
   def append(spark: SparkSession, dir: String, df: DataFrame, nFiles: Int): Long =
     synchronized { appendImpl(spark, dir, df, nFiles, Map.empty) }
@@ -594,11 +655,15 @@ object FactStore {
       // standard SQL idiom): one tombstone over every live key —
       // history intact, and no zero-row data segment for the stats
       // writer to choke on. Overwriting an already-empty table is a
-      // version no-op.
+      // version no-op — probed BEFORE the tombstone write (limit(1)
+      // against the live view), so the no-op path leaves no
+      // unreferenced segment directory behind for vacuum to sweep.
       val logicalKey = logicalKeyOf(spark, dir, prior, keyCol)
+      val liveKeys = read(spark, dir).select(col(logicalKey).as(keyCol))
+      if (liveKeys.isEmpty) return prior.version
       val v = prior.version + 1
       val tomb = writeTombSegment(spark, dir, segName(v, "overwrite-tomb"),
-        read(spark, dir).select(col(logicalKey).as(keyCol)), keyCol)
+        liveKeys, keyCol)
       if (tomb.rows == 0L) return prior.version
       M.commit(M.fs(spark, dir), dir,
         M.Snapshot(v, "overwrite", "", prior.segments :+ tomb, prior.meta))
@@ -657,13 +722,26 @@ object FactStore {
   def upsert(spark: SparkSession, dir: String, df: DataFrame, nFiles: Int): Long =
     synchronized { upsertImpl(spark, dir, df, nFiles, Map.empty) }
 
+  /** Row-level UPDATE: commit a batch of POST-IMAGE rows (the updated
+    * rows' full new images, key-unique) as one tombstone+data commit —
+    * the [[upsert]] machinery with an `update` audit label. This is
+    * what standard SQL `UPDATE t SET … WHERE …` lowers to
+    * ([[graft.plans.GraftRowLevelSql]] computes the post-image frame
+    * from the resolved assignments): cost is one target scan to build
+    * the post-image plus a write ∝ the matched rows — no
+    * copy-on-write amplification of untouched rows. */
+  def update(spark: SparkSession, dir: String, postImage: DataFrame,
+             nFiles: Int): Long =
+    synchronized { upsertImpl(spark, dir, postImage, nFiles, Map.empty, "update") }
+
   /** The key column's LOGICAL name at `snap`. */
   private def logicalKeyOf(spark: SparkSession, dir: String, snap: M.Snapshot,
                            keyCol: String): String =
     activeColmap(spark, dir, snap).find(_._1 == keyCol).map(_._2).getOrElse(keyCol)
 
   private def upsertImpl(spark: SparkSession, dir: String, df: DataFrame,
-                         nFiles: Int, extraMeta: Map[String, String]): Long = {
+                         nFiles: Int, extraMeta: Map[String, String],
+                         opLabel: String = "upsert"): Long = {
     if (df.isEmpty) return M.currentVersion(spark, dir)
     val prior = M.snapshot(spark, dir)
     val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
@@ -681,9 +759,9 @@ object FactStore {
       "upsert batch carries duplicate keys — two same-commit " +
         "generations of one row would both survive the scoped tombstone")
     val v = prior.version + 1
-    val tomb = writeTombSegment(spark, dir, segName(v, "upsert-tomb"),
+    val tomb = writeTombSegment(spark, dir, segName(v, s"$opLabel-tomb"),
       dfP.select(col(keyCol)), keyCol)
-    val seg = writeDataSegment(spark, dir, segName(v, "upsert"), dfP,
+    val seg = writeDataSegment(spark, dir, segName(v, opLabel), dfP,
       orderCols, statsCols, nFiles, keyCol)
     // No rebase for upserts: the scoped tombstone kills rows born
     // strictly before ITS version, so restamping one past a concurrent
@@ -692,7 +770,7 @@ object FactStore {
     // drive that interleaving).
     testBeforeCommit()
     M.commit(M.fs(spark, dir), dir,
-      M.Snapshot(v, "upsert", "", prior.segments :+ tomb :+ seg,
+      M.Snapshot(v, opLabel, "", prior.segments :+ tomb :+ seg,
         prior.meta ++ extraMeta + ("colmap" -> encodeColmap(cm2))))
     v
   }
@@ -909,19 +987,82 @@ object FactStore {
 
   /** Rewrite the live rows as ONE fresh globally z-ordered generation;
     * the new manifest references only it (tombstones retired, pruning
-    * re-tightened). Old versions still time-travel until [[vacuum]]. */
+    * re-tightened). Old versions still time-travel until [[vacuum]].
+    * Losing a version race to concurrent PURE APPENDS re-commits the
+    * (expensive) rewrite instead of discarding it — see
+    * [[commitCompactRebasing]]. */
   def compact(spark: SparkSession, dir: String, nFiles: Int): Long = synchronized {
     val prior = M.snapshot(spark, dir)
     val (keyCol, orderCols, statsCols) = metaOf(spark, dir, prior.version)
-    val v = prior.version + 1
     // Rewrites move PHYSICAL rows — the logical projection is a read-
     // time concern; a compacted file must keep serving older colmaps.
-    val seg = writeDataSegment(spark, dir, segName(v, "compact"),
+    val seg = writeDataSegment(spark, dir, segName(prior.version + 1, "compact"),
       readLive(spark, dir, prior, prior.segments.filter(_.kind == "data")),
       orderCols, statsCols, nFiles, keyCol)
-    M.commit(M.fs(spark, dir), dir,
-      M.Snapshot(v, "compact", "", Seq(seg), prior.meta))
-    v
+    commitCompactRebasing(spark, dir, prior, Seq.empty, Some(seg), "compact")
+  }
+
+  /** Commit a compaction/rewrite, rebasing past concurrent PURE
+    * APPENDS (the round-11 gap: a compaction losing a race to a blind
+    * ingest threw away its rewrite — the costliest op to re-run). A
+    * rebase is sound iff the winners only ADDED data segments:
+    *
+    *   - every segment of the compaction's basis is still referenced
+    *     and no tombstone was added — a concurrent delete/upsert/merge
+    *     would scope rows my RESTAMPED rewrite no longer exposes to it
+    *     (the rewrite's new creating version postdates the tombstone,
+    *     so deleted rows would resurrect) — loud conflict;
+    *   - core meta unchanged (a widen/recluster invalidates the
+    *     rewrite's layout; constraints its validation basis);
+    *   - the winners' appended segments are carried VERBATIM into the
+    *     rebased manifest: born after every retired tombstone's
+    *     version, so dropping those tombstones stays correct.
+    */
+  private def commitCompactRebasing(spark: SparkSession, dir: String,
+                                    firstPrior: M.Snapshot,
+                                    carry: Seq[M.Segment], seg: Option[M.Segment],
+                                    op: String): Long = {
+    val baseDirs = firstPrior.segments.map(_.dir).toSet
+    val carriedVersions = carry.map(M.createdVersion)
+    val tombs = firstPrior.segments.filter(s => s.kind == "tomb" &&
+      carriedVersions.exists(_ < M.createdVersion(s)))
+    var prior = firstPrior
+    var mySeg = seg
+    var attempts = 0
+    while (true) {
+      val v = prior.version + 1
+      mySeg = mySeg.map(restamp(spark, dir, _, v))
+      val appended = prior.segments.filter(s =>
+        s.kind == "data" && !baseDirs.contains(s.dir))
+      testBeforeCommit()
+      try {
+        M.commit(M.fs(spark, dir), dir,
+          M.Snapshot(v, op, "", (carry ++ tombs ++ appended) ++ mySeg, prior.meta))
+        return v
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("concurrent commit") =>
+          attempts += 1
+          if (attempts >= MaxRebaseAttempts)
+            throw new IllegalStateException(
+              s"$op lost $MaxRebaseAttempts rebase races in $dir — giving up", e)
+          val cur = M.snapshot(spark, dir)
+          def conflict(why: String): Nothing =
+            throw new IllegalStateException(
+              s"concurrent commit in $dir is not rebasable for this $op: $why", e)
+          if (coreMeta(cur.meta) != coreMeta(firstPrior.meta))
+            conflict("table metadata changed (constraints/clustering/key/widen)")
+          val curDirs = cur.segments.map(_.dir).toSet
+          if (!baseDirs.subsetOf(curDirs))
+            conflict("a concurrent commit removed segments this rewrite folded " +
+              "(another compaction/overwrite/restore won)")
+          val added = cur.segments.filterNot(s => baseDirs.contains(s.dir))
+          if (added.exists(_.kind != "data"))
+            conflict("a concurrent commit added tombstones — restamping the " +
+              "rewrite past them would resurrect their deleted rows")
+          prior = cur
+      }
+    }
+    -1L // unreachable
   }
 
   /** Bounded compaction — the 100 TB answer to [[compact]]'s full-table
@@ -992,12 +1133,8 @@ object FactStore {
     val seg = if (liveEmpty) None
       else Some(writeDataSegment(spark, dir, segName(v, "compact-incr"),
         liveSel, orderCols, statsCols, nFiles, keyCol))
-    val carriedVersions = carry.map(M.createdVersion)
-    val tombs = prior.segments.filter(s => s.kind == "tomb" &&
-      carriedVersions.exists(_ < M.createdVersion(s)))
-    M.commit(M.fs(spark, dir), dir,
-      M.Snapshot(v, "compact-incr", "", (carry ++ tombs) ++ seg, prior.meta))
-    (v, rewrite.map(_.dir))
+    (commitCompactRebasing(spark, dir, prior, carry, seg, "compact-incr"),
+      rewrite.map(_.dir))
   }
 
   /** Timestamp time travel (Delta `TIMESTAMP AS OF`): serve the newest
@@ -1086,6 +1223,54 @@ object FactStore {
     val rel = Seq.fill(f.length - common)("..") ++ t.drop(common)
     require(rel.nonEmpty, "clone source and target are the same directory")
     rel.mkString("/")
+  }
+
+  /** Materialize (or refresh) the table's BUCKETED MIRROR: the live
+    * rows written once as a session-catalog parquet table hash-
+    * bucketed and sorted on the key ([[Bucketed.writeBucketed]]),
+    * registered with [[graft.plans.GraftStorageJoin]] stamped with the
+    * store version it reflects. From then on a fact⋈fact equi-join on
+    * the two stores' keys plans with ZERO Exchange (the optimizer rule
+    * swaps the scans for the co-bucketed layout while the mirrors are
+    * FRESH — one manifest read verifies; any DML makes the rule stand
+    * down to the ordinary shuffle plan, never a stale answer). This is
+    * the Iceberg storage-partitioned-join trade made explicit: pay the
+    * key shuffle ONCE at mirror-refresh time (compaction cadence), and
+    * every recurring join on that key stops exchanging 100 TB. */
+  def writeBucketedMirror(spark: SparkSession, dir: String, table: String,
+                          buckets: Int): Long = synchronized {
+    val v = M.currentVersion(spark, dir)
+    if (!spark.catalog.tableExists(table)) {
+      // A previous JVM's mirror directory with no catalog entry (the
+      // in-memory catalog died with that session) blocks saveAsTable
+      // with LOCATION_ALREADY_EXISTS — clear the orphan first.
+      val loc = new Path(spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)))
+      M.fs(spark, loc.toString).delete(loc, true)
+    }
+    Bucketed.writeBucketed(read(spark, dir), table,
+      pruningSurface(spark, dir)._1, buckets)
+    // The reflected version rides the catalog too, so a FRESH session
+    // can re-attach ([[ensureBucketedMirror]]) without rewriting.
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('graft.mirror.dir' = '$dir', 'graft.mirror.version' = '$v')")
+    graft.plans.GraftStorageJoin.register(dir, table, v)
+    v
+  }
+
+  /** Re-attach (or build) the mirror: when the catalog already holds a
+    * mirror stamped with the store's CURRENT version, only register it
+    * with the optimizer rule — zero I/O; otherwise rewrite. */
+  def ensureBucketedMirror(spark: SparkSession, dir: String, table: String,
+                           buckets: Int): Long = synchronized {
+    val v = M.currentVersion(spark, dir)
+    val fresh =
+      try spark.catalog.tableExists(table) &&
+        spark.sql(s"SHOW TBLPROPERTIES $table").collect().exists(r =>
+          r.getString(0) == "graft.mirror.version" && r.getString(1) == v.toString)
+      catch { case _: Exception => false }
+    if (fresh) { graft.plans.GraftStorageJoin.register(dir, table, v); v }
+    else writeBucketedMirror(spark, dir, table, buckets)
   }
 
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
@@ -1220,6 +1405,76 @@ object FactStore {
       .where(col("change").isNotNull)
       .select(col(keyCol).as(outKey), col("change"))
       .orderBy(outKey)
+  }
+
+  // ----------------------------------------- streaming-source helpers
+  //
+  // The two microbatch shapes `spark.readStream.format("graft")`
+  // serves ([[GraftStreamSource]]): offsets are manifest VERSIONS, so
+  // both are pure functions of (fromVersion, toVersion] over immutable
+  // manifests — deterministic replay is free, which is exactly what
+  // the V1 Source contract needs for exactly-once.
+
+  /** Ops that change no ROW (metadata or physical rewrites): invisible
+    * to an appended-rows stream — a compaction must never re-emit the
+    * rows it rewrote (the Delta `dataChange=false` contract). */
+  private val RowInvisibleOps = Set("compact", "compact-incr", "recluster",
+    "rename", "drop", "widen", "constraint-add", "constraint-drop", "clone")
+
+  /** Rows ADDED by the commits in (fromVersion, toVersion] — the
+    * append-only stream shape. Append commits emit exactly their new
+    * segments' rows (projected to `toVersion`'s logical schema and
+    * declared types); row-invisible maintenance emits nothing; a
+    * commit that CHANGES existing rows (delete/upsert/merge/update/
+    * overwrite/restore) fails loudly unless `skipChangeCommits` —
+    * then the whole commit is skipped, the Delta option's contract. */
+  private[graft] def appendedRows(spark: SparkSession, dir: String,
+                                  fromVersion: Long, toVersion: Long,
+                                  skipChangeCommits: Boolean): DataFrame = {
+    val snapTo = M.snapshot(spark, dir, toVersion)
+    val frames = (fromVersion + 1 to toVersion).flatMap { vv =>
+      val s = M.snapshot(spark, dir, vv)
+      s.op match {
+        case "append" =>
+          val before = M.snapshot(spark, dir, vv - 1).segments.map(_.dir).toSet
+          val fresh = s.segments.filter(sg =>
+            sg.kind == "data" && !before.contains(sg.dir))
+          readScopedTolerant(spark, dir, fresh, "_seg_v").map(_.drop("_seg_v"))
+        case op if RowInvisibleOps.contains(op) => None
+        case op if skipChangeCommits => None
+        case op => throw new IllegalStateException(
+          s"version $vv of $dir is a '$op' commit — it changes existing rows, " +
+            "which an appended-rows stream cannot represent; read the change " +
+            "feed instead (option readChangeFeed=true) or skip such commits " +
+            "(option skipChangeCommits=true)")
+      }
+    }
+    val out = frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(read(spark, dir, toVersion).where(lit(false)))
+    val logical = colmapOf(snapTo).map(toLogical(out, _)).getOrElse(out)
+    applyWiden(logical, widenedOf(snapTo))
+  }
+
+  /** Per-commit CDF legs for (fromVersion, toVersion]: each commit's
+    * own [[changeRows]] diff tagged `_commit_version` (the S34/S35
+    * granularity — an insert-then-delete pair surfaces as both
+    * events). Version 1 has no predecessor: its leg is the base
+    * generation as inserts, so `startingVersion=1` replays the
+    * table's entire row history. */
+  private[graft] def changeLegs(spark: SparkSession, dir: String,
+                                fromVersion: Long, toVersion: Long): DataFrame = {
+    val legs = (math.max(fromVersion, 0L) + 1 to toVersion).map { vv =>
+      val leg =
+        if (vv == 1L) read(spark, dir, 1L).withColumn("_change_type", lit("insert"))
+        else changeRows(spark, dir, vv - 1, vv)
+      leg.withColumn("_commit_version", lit(vv))
+    }
+    legs.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
+      read(spark, dir, toVersion)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+        .where(lit(false))
+    }
   }
 
   /** Change data feed WITH row images between two committed versions —

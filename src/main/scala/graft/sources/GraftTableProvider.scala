@@ -55,7 +55,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * At 100 TB a primary-key probe through the catalog reads the same
   * handful of Bloom-positive files the readPoint API would.
   */
-class GraftTableProvider extends TableProvider with DataSourceRegister {
+class GraftTableProvider extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
   override def shortName(): String = "graft"
   /** Schema always comes from the store's own manifest (it evolves
     * with DML); a user-declared column list would drift. */
@@ -68,6 +69,35 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
       GraftTableProvider.resolve(new CaseInsensitiveStringMap(properties))
     new GraftTable(dir, version, s)
   }
+
+  // ---------------------- `spark.readStream.format("graft")` (V1 hatch)
+  //
+  // The table has no MICRO_BATCH_READ capability, so DataStreamReader
+  // falls back to this StreamSourceProvider — the streaming twin of
+  // the batch V1Scan hatch (see [[GraftStreamSource]]'s decision
+  // record).
+  private def streamConf(parameters: Map[String, String]): (String, Boolean) = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = p.get("path").orElse(p.get("location")).getOrElse(
+      throw new IllegalArgumentException(
+        "a graft stream needs the store directory: .load(<dir>)"))
+    (dir, p.get("readchangefeed").exists(_.toBoolean))
+  }
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val (dir, cdf) = streamConf(parameters)
+    (shortName(), GraftStreamSource.schemaFor(dir, cdf))
+  }
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val (dir, cdf) = streamConf(parameters)
+    new GraftStreamSource(ctx, dir, GraftStreamSource.schemaFor(dir, cdf), cdf,
+      p.get("startingversion").map(_.toLong),
+      p.get("skipchangecommits").exists(_.toBoolean))
+  }
 }
 
 object GraftTableProvider {
@@ -75,10 +105,18 @@ object GraftTableProvider {
     * the audit hook plan specs assert against. */
   @volatile var lastPrune: Option[(String, Int, Int)] = None
 
-  /** Data-segment file count for catalog-surface writes — the SQL
-    * parser's commit-granularity default; big backfills should use
-    * `GRAFT APPEND … FILES n` instead. */
-  val WriteFiles = 8
+  /** Data-segment file count for a catalog-surface write, derived from
+    * the batch's OWN logical size estimate (Catalyst plan statistics —
+    * driver-side metadata, no extra scan): one file per
+    * `spark.sql.files.maxPartitionBytes` of estimated raw bytes,
+    * clamped to [1, 200]. A ten-row INSERT commits one file instead of
+    * eight near-empty ones; a backfill fans out — and `GRAFT APPEND …
+    * FILES n` remains the explicit override. */
+  private[graft] def sizedFileCount(data: DataFrame): Int = {
+    val perFile = BigInt(data.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = data.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((bytes + perFile - 1) / perFile).max(1).min(200).toInt
+  }
 
   private def dirOf(opts: CaseInsensitiveStringMap): String =
     Option(opts.get("path")).orElse(Option(opts.get("location"))).getOrElse(
@@ -103,15 +141,27 @@ object GraftTableProvider {
   /** A committed version's logical schema is immutable — cache it so
     * repeated table loads (inferSchema + getTable per resolution, then
     * per-query re-loads) don't re-derive it from every segment's
-    * parquet footers on the planning path. */
+    * parquet footers on the planning path. The cache key carries the
+    * manifest's COMMIT TIMESTAMP: [[FactStore.build]] wipes the dir
+    * and re-commits version 1 at the same path, so (dir, version)
+    * alone would serve a pre-rebuild schema forever — the timestamp
+    * (one driver-side manifest read, no footer I/O) makes a rebuilt
+    * store a cache miss by construction. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
   private[sources] def schemaAt(dir: String, version: Long): StructType = {
     val spark = SparkSession.active
     val concrete = if (version == ManifestLog.Latest)
       ManifestLog.currentVersion(spark, dir) else version
-    schemaCache.computeIfAbsent((dir, concrete),
+    val stamp = ManifestLog.commitTimeMs(spark, dir, concrete)
+    schemaCache.computeIfAbsent((dir, concrete, stamp),
       _ => FactStore.read(spark, dir, concrete).schema)
+  }
+  /** Drop a directory's cached schemas — called when the catalog
+    * deletes or renames the store out from under the path. */
+  private[sources] def invalidateDir(dir: String): Unit = {
+    val it = schemaCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 == dir) it.remove()
   }
 
   /** Sum of a version's data-segment file lengths — driver-side
@@ -143,6 +193,11 @@ object GraftTableProvider {
   * as reads, so every write stays an audited manifest commit. */
 class GraftTable(dir: String, version: Long, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  /** The store directory and version pin — what the row-level SQL
+    * rule ([[graft.plans.GraftRowLevelSql]]) and the join-sizing rule
+    * resolve a relation back to. */
+  private[graft] def storeDir: String = dir
+  private[graft] def pinnedVersion: Long = version
   override def name(): String =
     if (version == ManifestLog.Latest) s"graft.`$dir`"
     else s"graft.`$dir`@v$version"
@@ -201,9 +256,10 @@ class GraftWriteBuilder(dir: String) extends WriteBuilder with SupportsTruncate 
         override def insert(data: org.apache.spark.sql.DataFrame,
                             overwrite: Boolean): Unit = {
           val spark = data.sparkSession
+          val nFiles = GraftTableProvider.sizedFileCount(data)
           if (replace || overwrite)
-            FactStore.overwrite(spark, dir, data, GraftTableProvider.WriteFiles)
-          else FactStore.append(spark, dir, data, GraftTableProvider.WriteFiles)
+            FactStore.overwrite(spark, dir, data, nFiles)
+          else FactStore.append(spark, dir, data, nFiles)
         }
       }
   }

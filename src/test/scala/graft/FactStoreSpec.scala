@@ -782,6 +782,62 @@ class FactStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       ev.where(col("event_id") < 200 && col("event_id") % 7 =!= 0).unionByName(batch)))
   }
 
+  test("retry-rebase: a COMPACTION losing the race to a blind append re-commits its rewrite — append carried, rewrite kept, lineage linear") {
+    val d = Files.createTempDirectory("graft_fact_rebase_cc").toString
+    F.build(ev.where(col("event_id") < 200), d, "event_id", Seq("user_id", "ts_us"), 2)
+    F.deleteMatching(spark, d, col("event_id") % 7 === 0)
+    val batch = ev.where(col("event_id").between(200, 259))
+      .withColumn("event_id", col("event_id") + 1000000L)
+    // The seam lands a REAL foreign append (v3) after the compaction's
+    // rewrite is written but before its commit: the compaction must
+    // restamp to v4 and carry the appended segment VERBATIM instead of
+    // discarding its (expensive) rewrite.
+    F.testBeforeCommitHook = () => F.append(spark, d, batch, 2)
+    val v = F.compact(spark, d, 2)
+    assert(v == 4L, "the losing compaction must rebase to the next slot")
+    assert(M.snapshots(spark, d).map(_.op) ==
+      Seq("build", "delete", "append", "compact"))
+    val snap = M.snapshot(spark, d)
+    assert(snap.segments.forall(_.kind == "data"),
+      "tombstones retire with the rewrite; the carried append needs none")
+    assert(snap.segments.exists(s => M.createdVersion(s) == 3L),
+      "the winner's appended segment must be carried by reference")
+    assert(sortedRows(F.read(spark, d)) == sortedRows(
+      ev.where(col("event_id") < 200 && col("event_id") % 7 =!= 0).unionByName(batch)))
+    // The rewrite stayed a rewrite: the folded generation's tombstoned
+    // rows are gone from the compacted segment itself.
+    val compactSeg = snap.segments.filter(s => M.createdVersion(s) == 4L)
+    assert(compactSeg.map(_.rows).sum ==
+      ev.where(col("event_id") < 200 && col("event_id") % 7 =!= 0).count())
+  }
+
+  test("retry-rebase: an INCREMENTAL compaction rebases past an append; compact-vs-delete still conflicts loudly") {
+    val d = Files.createTempDirectory("graft_fact_rebase_ci").toString
+    F.build(ev.where(col("event_id") < 150), d, "event_id", Seq("user_id", "ts_us"), 2)
+    F.append(spark, d, ev.where(col("event_id").between(150, 299)), 2)
+    F.deleteMatching(spark, d, col("event_id") < 100) // v1's segment is 2/3 dead
+    val batch = ev.where(col("event_id").between(300, 349))
+      .withColumn("event_id", col("event_id") + 1000000L)
+    F.testBeforeCommitHook = () => F.append(spark, d, batch, 2)
+    val (v, rewritten) = F.compactIncremental(spark, d, 2, maxTombFrac = 0.5)
+    assert(v == 5L && rewritten.length == 1,
+      s"only the unhealthy segment folds, rebased to v5 (got v=$v rw=$rewritten)")
+    assert(sortedRows(F.read(spark, d)) == sortedRows(
+      ev.where(col("event_id").between(100, 299)).unionByName(batch)))
+    // A concurrent DELETE is NOT rebasable: its tombstone would scope
+    // rows the restamped rewrite no longer exposes to it.
+    F.testBeforeCommitHook =
+      () => F.deleteMatching(spark, d, col("event_id").between(100, 110))
+    val e = intercept[IllegalStateException](F.compact(spark, d, 2))
+    assert(e.getMessage.contains("not rebasable"), s"got: ${e.getMessage}")
+    // The loud path discarded nothing silently: the table still serves
+    // the winner's delete, and a RETRY compaction now succeeds.
+    val after = F.compact(spark, d, 2)
+    assert(after == M.currentVersion(spark, d))
+    assert(sortedRows(F.read(spark, d)) == sortedRows(
+      ev.where(col("event_id").between(111, 299)).unionByName(batch)))
+  }
+
   test("retry-rebase: non-commutative races still conflict loudly (append vs ADD CONSTRAINT; upsert vs upsert)") {
     val d = Files.createTempDirectory("graft_fact_rebase_x").toString
     F.build(ev.where(col("event_id") < 200), d, "event_id", Seq("user_id", "ts_us"), 2)

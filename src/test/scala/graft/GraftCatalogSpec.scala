@@ -16,6 +16,8 @@ import graft.sources.{FactStore => F, GraftTableProvider, ManifestLog => M, Tabl
   */
 class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  private val warehouse = Files.createTempDirectory("graft_cat_wh").toString
+
   private lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -23,6 +25,8 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -238,6 +242,134 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Integral bounds on the same column still prune soundly.
     assert(rows(spark.sql("SELECT event_id FROM graft_cat_frac WHERE value >= 11 AND value <= 80"))
       == rows(base.where(col("value") >= 11 && col("value") <= 80).select("event_id")))
+  }
+
+  // ------------------------------------------------ the TableCatalog
+
+  test("TableCatalog lifecycle: CREATE NAMESPACE / CREATE TABLE / INSERT / SHOW TABLES / DROP — creation IS a FactStore commit") {
+    spark.sql("CREATE NAMESPACE graft.db")
+    spark.sql(
+      """CREATE TABLE graft.db.t
+         (event_id BIGINT, user_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE)
+         TBLPROPERTIES ('key'='event_id', 'order'='user_id,ts_us',
+                        'stats'='user_id,ts_us,event_id')""")
+    val d = s"$warehouse/db/t"
+    val snap = M.snapshot(spark, d)
+    assert(snap.version == 1L && snap.op == "create")
+    assert(snap.meta("keyCol") == "event_id" &&
+      snap.meta("orderCols") == "user_id ts_us")
+    // The empty table reads as an empty frame of the DECLARED shape.
+    val empty = spark.table("graft.db.t")
+    assert(empty.isEmpty && empty.columns.toSeq ==
+      Seq("event_id", "user_id", "ts_us", "event_type", "value"))
+    // First contact: CREATE then INSERT just works (an append commit).
+    ev.limit(500).createOrReplaceTempView("cat_create_src")
+    spark.sql("INSERT INTO graft.db.t SELECT * FROM cat_create_src")
+    assert(M.snapshot(spark, d).op == "append")
+    assert(rows(spark.table("graft.db.t")) == rows(ev.limit(500)))
+    // The declared key drives the point tier (pruning live immediately).
+    GraftTableProvider.lastPrune = None
+    spark.sql("SELECT * FROM graft.db.t WHERE event_id = 7").collect()
+    assert(GraftTableProvider.lastPrune.exists(_._1 == "point"))
+    // Listing and drop.
+    assert(spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).contains("t"))
+    spark.sql("DROP TABLE graft.db.t")
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).contains("t"))
+    assert(!new java.io.File(d).exists(), "a managed table's data is deleted with it")
+  }
+
+  test("CTAS: CREATE TABLE … AS SELECT creates the store from the query schema and lands the rows as one append") {
+    ev.where(col("event_id") < 200).createOrReplaceTempView("cat_ctas_src")
+    spark.sql(
+      """CREATE TABLE graft.db.ctas
+         TBLPROPERTIES ('key'='event_id', 'order'='user_id')
+         AS SELECT event_id, user_id, value FROM cat_ctas_src""")
+    val d = s"$warehouse/db/ctas"
+    assert(M.snapshot(spark, d).version == 2L, "create + one append commit")
+    assert(rows(spark.table("graft.db.ctas")) ==
+      rows(ev.where(col("event_id") < 200).select("event_id", "user_id", "value")))
+    // The created lake is a full citizen: DML, time travel, DESCRIBE.
+    spark.sql("DELETE FROM graft.db.ctas WHERE user_id > 7")
+    assert(rows(spark.table("graft.db.ctas")) ==
+      rows(ev.where(col("event_id") < 200 && col("user_id") <= 7)
+        .select("event_id", "user_id", "value")))
+    assert(F.read(spark, d, 2L).count() == ev.where(col("event_id") < 200).count())
+    spark.sql("DROP TABLE graft.db.ctas")
+  }
+
+  test("catalog guardrails: key property required, PARTITIONED BY rejected, ALTER TABLE points at the GRAFT statements, rename works") {
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.db.nokey (a BIGINT, b DOUBLE)"))
+    assert(e1.getMessage.contains("key"), s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception](spark.sql(
+      """CREATE TABLE graft.db.part (a BIGINT, b DOUBLE)
+         PARTITIONED BY (b) TBLPROPERTIES ('key'='a')"""))
+    assert(e2.getMessage.contains("PARTITIONED BY") || e2.getMessage.contains("order"),
+      s"got: ${e2.getMessage}")
+    spark.sql("CREATE TABLE graft.db.ren (a BIGINT, b DOUBLE) TBLPROPERTIES ('key'='a')")
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.ren ADD COLUMN c DOUBLE"))
+    assert(e3.getMessage.contains("GRAFT"), s"got: ${e3.getMessage}")
+    // RENAME TO takes a catalog-relative identifier (V2 semantics).
+    spark.sql("ALTER TABLE graft.db.ren RENAME TO db.ren2")
+    assert(spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1))
+      .contains("ren2"))
+    spark.sql("DROP TABLE graft.db.ren2")
+  }
+
+  test("CREATE TABLE … LOCATION: the store lives at LOCATION; DROP removes only the catalog pointer") {
+    val loc = Files.createTempDirectory("graft_cat_ext").toString + "/ext_store"
+    spark.sql(
+      s"""CREATE TABLE graft.db.ext (event_id BIGINT, v DOUBLE)
+          TBLPROPERTIES ('key'='event_id') LOCATION '$loc'""")
+    spark.sql("INSERT INTO graft.db.ext VALUES (1, 1.5), (2, 2.5)")
+    assert(M.snapshot(spark, loc).op == "append")
+    assert(spark.table("graft.db.ext").count() == 2)
+    spark.sql("DROP TABLE graft.db.ext")
+    assert(M.snapshot(spark, loc).op == "append",
+      "dropping an external table must not delete its data")
+  }
+
+  test("catalog INSERT file count follows the batch size: a tiny INSERT commits one file, not a fixed eight") {
+    spark.sql("CREATE TABLE graft.db.sized (a BIGINT, b DOUBLE) TBLPROPERTIES ('key'='a')")
+    spark.sql("INSERT INTO graft.db.sized VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    val snap = M.snapshot(spark, s"$warehouse/db/sized")
+    val appended = snap.segments.filter(s => s.kind == "data" && s.dir.contains("append"))
+    assert(appended.map(_.files.length).sum == 1,
+      s"a 3-row INSERT should land as one file, got ${appended.map(_.files.length).sum}")
+    spark.sql("DROP TABLE graft.db.sized")
+  }
+
+  test("a rebuilt store at the same path serves its NEW schema through the catalog (schema cache invalidates)") {
+    val d7 = Files.createTempDirectory("graft_cat_rebuild").toString
+    F.build(ev.limit(50).select("event_id", "user_id", "value"),
+      d7, "event_id", Seq("user_id"), 2)
+    spark.sql(s"CREATE TABLE graft_cat_rebuild USING graft LOCATION '$d7'")
+    assert(spark.table("graft_cat_rebuild").columns.toSeq ==
+      Seq("event_id", "user_id", "value"))
+    // Rebuild IN PLACE with a different schema (build wipes the dir and
+    // re-commits version 1): the catalog must not serve the stale shape.
+    F.build(ev.limit(50).select("event_id", "ts_us", "event_type"),
+      d7, "event_id", Seq("ts_us"), 2)
+    val got = spark.table("graft_cat_rebuild")
+    assert(got.columns.toSeq == Seq("event_id", "ts_us", "event_type"),
+      s"stale schema served after rebuild: ${got.columns.toSeq}")
+    assert(got.count() == 50)
+  }
+
+  test("INSERT OVERWRITE from an empty source empties the table; repeating it is a no-op that leaves no orphan segment") {
+    val d8 = Files.createTempDirectory("graft_cat_empty").toString
+    F.build(ev.limit(30), d8, "event_id", Seq("user_id"), 2)
+    spark.sql(s"CREATE TABLE graft_cat_empty USING graft LOCATION '$d8'")
+    spark.sql("INSERT OVERWRITE graft_cat_empty SELECT * FROM graft_cat_empty WHERE 1 = 0")
+    assert(spark.table("graft_cat_empty").isEmpty)
+    val v = M.currentVersion(spark, d8)
+    def segDirs() = new java.io.File(d8).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-")).map(_.getName).toSet
+    val before = segDirs()
+    spark.sql("INSERT OVERWRITE graft_cat_empty SELECT * FROM graft_cat_empty WHERE 1 = 0")
+    assert(M.currentVersion(spark, d8) == v, "overwriting an already-empty table is a version no-op")
+    assert(segDirs() == before, "the no-op path must not leave an unreferenced tombstone segment")
   }
 
   test("the widened store serves its declared types through the catalog (schema follows the manifest)") {

@@ -219,6 +219,37 @@ class GraftSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(F.read(spark, dS).where(col("event_type") === "ncased").count() > 0)
   }
 
+  test("a column legally named `case` never derails clause splitting: qualified refs, SET targets, and operators stay value positions") {
+    import F.MergeClause._
+    val base = ev.limit(200).withColumnRenamed("value", "case")
+    base.createOrReplaceTempView("graft_sql_evC")
+    val src = base.limit(100).withColumn("case", col("case") + 5.0)
+    src.createOrReplaceTempView("graft_sql_msrcC")
+    val dS = Files.createTempDirectory("graft_sqlcasecol_s").toString
+    spark.sql(s"GRAFT BUILD '$dS' KEY event_id ORDER BY (user_id) FILES 2 USING graft_sql_evC")
+    // `t.case`/`s.case` (qualified), `SET case =` (operator follows),
+    // and a condition comparing them: none may open CASE tracking —
+    // caseDepth would never close and the WHEN/THEN split would fail.
+    spark.sql(
+      s"""GRAFT MERGE INTO '$dS' FILES 2 USING graft_sql_msrcC
+          WHEN MATCHED AND s.case > t.case THEN UPDATE SET case = s.case + t.case, event_type = 'cased'
+          WHEN NOT MATCHED THEN INSERT""")
+    val dA = Files.createTempDirectory("graft_sqlcasecol_a").toString
+    F.build(base, dA, "event_id", Seq("user_id"), 2)
+    F.merge(spark, dA, src, 2, Seq(
+      Update(Some("s.case > t.case"),
+        Map("case" -> "s.case + t.case", "event_type" -> "'cased'")),
+      Insert(None)))
+    assert(rows(F.read(spark, dS)) == rows(F.read(spark, dA)))
+    assert(F.read(spark, dS).where(col("event_type") === "cased").count() > 0)
+    // A REAL naked CASE still tracks (simple-CASE operand form too).
+    spark.sql(
+      s"""GRAFT MERGE INTO '$dS' FILES 2 USING graft_sql_msrcC
+          WHEN MATCHED THEN UPDATE SET event_type = CASE t.event_type WHEN 'cased' THEN 'recased' ELSE t.event_type END
+          WHEN NOT MATCHED THEN INSERT""")
+    assert(F.read(spark, dS).where(col("event_type") === "recased").count() > 0)
+  }
+
   test("GRAFT OVERWRITE INTO replaces the live rows in one history-preserving commit") {
     ev.createOrReplaceTempView("graft_sql_evA")
     val d = Files.createTempDirectory("graft_sqlow").toString

@@ -144,6 +144,78 @@ class MergePropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ----------------------------------------------------------- driver
 
+  /** A clause list as standard `MERGE INTO` text. Matched clauses keep
+    * their relative order (first-match semantics); an unconditioned
+    * matched clause shadows everything after it, so the emitted list
+    * truncates there — Spark's analyzer requires only the LAST matched
+    * clause may omit its condition. */
+  private def mergeSql(tbl: String, srcView: String, clauses: Seq[RefClause]): String = {
+    val matched0 = clauses.collect { case u: RUpd => u; case d: RDel => d }
+    val cut = matched0.indexWhere {
+      case RUpd(CondAlways, _, _) => true; case RDel(CondAlways) => true; case _ => false
+    }
+    val matched = if (cut < 0) matched0 else matched0.take(cut + 1)
+    val inserts = clauses.collect { case i: RIns => i }
+    def andOf(c: Cond) = if (c.sql.isEmpty) "" else s"AND ${c.sql} "
+    val body = matched.map {
+      case RUpd(c, set, tag) =>
+        s"WHEN MATCHED ${andOf(c)}THEN UPDATE SET value = ${set.sql}, event_type = '$tag'"
+      case RDel(c) => s"WHEN MATCHED ${andOf(c)}THEN DELETE"
+    } ++ inserts.map(i => s"WHEN NOT MATCHED ${andOf(i.cond)}THEN INSERT *")
+    s"""MERGE INTO $tbl t USING $srcView s ON t.event_id = s.event_id
+        ${body.mkString("\n        ")}"""
+  }
+
+  /** The reference twin of the truncation above. */
+  private def truncateShadowed(clauses: Seq[RefClause]): Seq[RefClause] = {
+    val matched0 = clauses.collect { case u: RUpd => u; case d: RDel => d }
+    val cut = matched0.indexWhere {
+      case RUpd(CondAlways, _, _) => true; case RDel(CondAlways) => true; case _ => false
+    }
+    val matched: Seq[RefClause] = if (cut < 0) matched0 else matched0.take(cut + 1)
+    matched ++ clauses.collect { case i: RIns => i }
+  }
+
+  test("standard MERGE INTO (no GRAFT dialect) ≡ the independent reference: random clause sets through the SQL surface (20 cases)") {
+    val rnd = new scala.util.Random(20260817L)
+    for (caseNo <- 1 to 20) {
+      val seed = rnd.nextLong()
+      val target = mkRows(seed, 60, 0L)
+      val matchedPart = mkRows(seed + 1, 40, 0L).filter(_.event_id % 3 != 1)
+      val newPart = mkRows(seed + 2, 25, 1000L)
+      val source = rnd.shuffle(matchedPart ++ newPart)
+      def cond(): Cond = rnd.nextInt(4) match {
+        case 0 => CondAlways
+        case 1 => CondSrcGe(val48(seed + 3, rnd.nextInt(50)))
+        case 2 => CondTgtGe(val48(seed + 4, rnd.nextInt(50)))
+        case _ => CondSrcGeTgt
+      }
+      def set(): SetExpr = rnd.nextInt(3) match {
+        case 0 => SetSrc; case 1 => SetTgtPlus; case _ => SetSum
+      }
+      def insCond(): Cond =
+        if (rnd.nextBoolean()) CondAlways
+        else CondSrcGe(val48(seed + 5, rnd.nextInt(50)))
+      val nUpd = rnd.nextInt(3)
+      val clauses = rnd.shuffle(
+        (1 to nUpd).map(i => RUpd(cond(), set(), s"u$i")) ++
+          (if (rnd.nextBoolean()) Seq(RDel(cond())) else Nil) ++
+          (if (rnd.nextBoolean()) Seq(RIns(insCond())) else Nil))
+      if (clauses.nonEmpty && truncateShadowed(clauses).nonEmpty) {
+        val d = Files.createTempDirectory(s"graft_mergesql_$caseNo").toString
+        F.build(df(target), d, "event_id", Seq("user_id", "ts_us"), 2)
+        val tbl = s"graft_mergeprop_sql_$caseNo"
+        spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$d'")
+        df(source).createOrReplaceTempView(s"graft_mergeprop_src_$caseNo")
+        spark.sql(mergeSql(tbl, s"graft_mergeprop_src_$caseNo", clauses))
+        val got = canon(F.read(spark, d))
+        val want = canon(refMerge(target, source, truncateShadowed(clauses)))
+        assert(got == want,
+          s"case $caseNo diverged: clauses=$clauses\n got=${got.take(5)}\n want=${want.take(5)}")
+      }
+    }
+  }
+
   test("random clause sets: engine merge ≡ independent reference (40 cases)") {
     val rnd = new scala.util.Random(20260816L)
     for (caseNo <- 1 to 40) {

@@ -1648,6 +1648,106 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buf.size > atKill, "the while-down commits must arrive after restart")
   }
 
+  test("S36: spark.readStream.format(\"graft\") — the table/CDF as a FIRST-CLASS source with manifest-version offsets; kill-and-restart mid-lineage loses and duplicates nothing") {
+    import graft.sources.{FactStore => F, Tables}
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s36").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s36_ck").toString
+    F.build(ev.where(col("event_id") % 3 =!= 0), dir, "event_id",
+      Seq("user_id", "ts_us"), 4)
+
+    val cols = Seq("event_id", "user_id", "ts_us", "event_type", "value",
+      "_change_type", "_commit_version")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def start() = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf ++= b.select(cols.map(col): _*).collect().map(_.toString); ()
+      }
+      .start()
+
+    // Phase 1: history replay (v1 as inserts — startingVersion=1) plus
+    // live commits, the version cursor held as the SOURCE's own offset.
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(buf.nonEmpty, "startingVersion=1 must replay the base generation as inserts")
+      F.append(spark, dir, ev.where(col("event_id") % 3 === 0), 4)
+      F.deleteMatching(spark, dir, col("user_id") % 7 === 2)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val atKill = buf.size
+
+    // Down: two more commits land while no stream exists.
+    F.upsert(spark, dir, ev.where(col("event_id") % 11 === 3)
+      .withColumn("value", col("value") + 1000.0), 4)
+    F.compact(spark, dir, 4)
+
+    // Phase 2: restart from the SAME checkpoint — the source resumes
+    // at its committed version offset; no external cursor anywhere.
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(buf.size > atKill, "the while-down commits must arrive after restart")
+
+    // ≡ the batch feed across the whole lifecycle: v1 as inserts, each
+    // later commit's own tagged leg, compaction invisible, nothing
+    // lost or duplicated across the kill.
+    val want = (F.read(spark, dir, 1L)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(1L)) +:
+      (2L to 5L).map(v =>
+        F.changeRows(spark, dir, v - 1, v).withColumn("_commit_version", lit(v))))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .select(cols.map(col): _*).collect().map(_.toString).toSeq.sorted
+    assert(buf.sorted.toSeq == want,
+      "stream ≡ batch changes across every lifecycle edge and the restart")
+
+    // Append-only mode: initial snapshot, then appended rows only; a
+    // row-CHANGING commit fails LOUDLY; skipChangeCommits skips it.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_s36a").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_s36a_ck").toString
+    F.build(ev.where(col("event_id") < 200), dir2, "event_id", Seq("user_id"), 2)
+    val buf2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    def startAppends(skip: Boolean) = {
+      val r = spark.readStream.format("graft")
+      (if (skip) r.option("skipChangeCommits", "true") else r)
+        .load(dir2)
+        .writeStream.option("checkpointLocation", ck2)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf2 ++= b.collect().map(_.toString); ()
+        }
+        .start()
+    }
+    val qa = startAppends(skip = false)
+    try {
+      qa.processAllAvailable()
+      assert(buf2.size == ev.where(col("event_id") < 200).count().toInt,
+        "the initial batch is the full snapshot")
+      F.append(spark, dir2, ev.where(col("event_id").between(200, 249)), 2)
+      qa.processAllAvailable()
+      assert(buf2.size == ev.where(col("event_id") < 250).count().toInt,
+        "an append commit streams exactly its new rows")
+      F.deleteMatching(spark, dir2, col("event_id") === 5)
+      val ex = intercept[Exception](qa.processAllAvailable())
+      assert(ex.getMessage.contains("appended-rows") ||
+        Option(ex.getCause).exists(_.getMessage.contains("appended-rows")),
+        s"a delete must fail the appends stream loudly: ${ex.getMessage}")
+    } finally qa.stop()
+    val qb = startAppends(skip = true)
+    try {
+      qb.processAllAvailable() // the delete commit is skipped whole
+      F.append(spark, dir2, ev.where(col("event_id").between(250, 279)), 2)
+      qb.processAllAvailable()
+    } finally qb.stop()
+    assert(buf2.size == ev.where(col("event_id") < 280).count().toInt,
+      "skipChangeCommits skips the delete commit and resumes the appends")
+  }
+
   test("S24: streaming as-of enrichment — clicks arrive in arbitrary microbatches, each picks up its point-in-time purchase ≡ batch, stateless") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
