@@ -187,16 +187,25 @@ object GraftSqlParser {
 
   /** Resolve a store target at run time: a quoted token is a directory
     * path verbatim; a bare identifier resolves through the session
-    * catalog to a `USING graft` table's LOCATION — so `GRAFT DELETE
-    * FROM facts WHERE …` and `SELECT * FROM facts` name one store. */
+    * catalog to a `USING graft` table's LOCATION; a multi-part
+    * identifier whose head names a V2 catalog (`graft.db.t`) resolves
+    * through the TableCatalog — so `GRAFT VACUUM graft.db.t RETAIN 5`
+    * and `SELECT * FROM graft.db.t` name one store. */
   private[plans] def resolveTarget(spark: SparkSession, tok: String): String =
     if (tok.startsWith("'")) tok.substring(1, tok.length - 1)
     else {
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(tok))
-      require(meta.provider.exists(_.equalsIgnoreCase("graft")),
-        s"table $tok is not a graft table (provider=${meta.provider.getOrElse("none")})")
-      new org.apache.hadoop.fs.Path(meta.location).toString
+      val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(tok)
+      org.apache.spark.sql.GraftInternalBridge.v2Table(spark, parts) match {
+        case Some(g: graft.sources.GraftTable) => g.storeDir
+        case Some(other) => throw new IllegalArgumentException(
+          s"table $tok is not a graft table (got ${other.getClass.getSimpleName})")
+        case None =>
+          val meta = spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(tok))
+          require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+            s"table $tok is not a graft table (provider=${meta.provider.getOrElse("none")})")
+          new org.apache.hadoop.fs.Path(meta.location).toString
+      }
     }
 
   final case class GraftBuildCommand(dir: String, key: String, orderCols: Seq[String],

@@ -39,4 +39,21 @@ object GraftInternalBridge {
 
   def translatable(e: Expression): Boolean =
     DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true).isDefined
+
+  /** Resolve a multi-part identifier through the session's V2 catalog
+    * manager (e.g. `graft.db.t` → the GraftCatalog table), so the
+    * GRAFT statement surface can name TableCatalog tables. None when
+    * the head part is not a registered catalog or the table is
+    * absent. */
+  def v2Table(spark: SparkSession,
+              parts: Seq[String]): Option[org.apache.spark.sql.connector.catalog.Table] = {
+    if (parts.length < 2) return None
+    val cm = spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+    try cm.catalog(parts.head) match {
+      case tc: org.apache.spark.sql.connector.catalog.TableCatalog =>
+        Some(tc.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.tail.init.toArray, parts.last)))
+      case _ => None
+    } catch { case _: Exception => None }
+  }
 }

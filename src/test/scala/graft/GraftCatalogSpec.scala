@@ -330,6 +330,19 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dropping an external table must not delete its data")
   }
 
+  test("GRAFT statements accept TableCatalog identifiers: DESCRIBE/HISTORY/VACUUM name graft.db.t") {
+    spark.sql("CREATE TABLE graft.db.gstmt (a BIGINT, b DOUBLE) TBLPROPERTIES ('key'='a')")
+    spark.sql("INSERT INTO graft.db.gstmt VALUES (1, 1.0), (2, 2.0)")
+    val props = spark.sql("GRAFT DESCRIBE graft.db.gstmt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("key_column") == "a" && props("version") == "2")
+    assert(spark.sql("GRAFT HISTORY graft.db.gstmt").collect()
+      .map(_.getString(1)).toSeq == Seq("create", "append"))
+    spark.sql("GRAFT VACUUM graft.db.gstmt RETAIN 1")
+    assert(spark.table("graft.db.gstmt").count() == 2)
+    spark.sql("DROP TABLE graft.db.gstmt")
+  }
+
   test("catalog INSERT file count follows the batch size: a tiny INSERT commits one file, not a fixed eight") {
     spark.sql("CREATE TABLE graft.db.sized (a BIGINT, b DOUBLE) TBLPROPERTIES ('key'='a')")
     spark.sql("INSERT INTO graft.db.sized VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
