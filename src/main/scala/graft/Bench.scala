@@ -300,11 +300,24 @@ object Bench {
       .fold("unknown")(_.asText())
     val qs = mergeMap("queries")
     val total = sumD("value")
+    val firstAttemptTotal = sumD("first_attempt_total_s")
+    // Provenance dedup across shards (every shard's warm-up touches the
+    // shared /tmp stores): "built" wins — if ANY shard paid the build,
+    // that cost is in the artifact somewhere.
+    val prov: Map[String, String] = shards.flatMap { s =>
+      Option(s.get("store_provenance")).toSeq.flatMap(node =>
+        node.fieldNames().asScala.map(n => n -> node.get(n).asText()).toSeq)
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> (if (vs.exists(_._2 == "built")) "built" else "reused")
+    }
+    val provenanceJson = prov.toSeq.sorted
+      .map { case (d, v) => "\"" + d + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val jvmDiag = f""""jit_total_s":${sumD("jit_total_s")}%.3f,"codecache_end_mb":${lastD("codecache_end_mb")}%.1f,"codecache_max_mb":${lastD("codecache_max_mb")}%.0f,"metaspace_end_mb":${lastD("metaspace_end_mb")}%.1f,"calib_series":$calibSeries"""
-    val common = f""""queries":$qs,"suspect":${mergeList("suspect")},"retried":${mergeList("retried")},"deferred":${mergeList("deferred")},"cpu_suspect":${mergeList("cpu_suspect")},"ref_suspect":${mergeList("ref_suspect")},"shard_reruns":$rerunsJson,"errors":$nErr,"error_names":${mergeList("error_names")},"calib_wall_s":${headD("calib_wall_s")}%.3f,"calib_cpu_s":${headD("calib_cpu_s")}%.3f,"total_cpu_s":${sumD("total_cpu_s")}%.3f,"total_gc_s":${sumD("total_gc_s")}%.3f,$jvmDiag,"shards":${shards.length},"cores":$cpus,"spark_version":"$sparkVersion","sf":"$sfDir""""
+    val common = f""""queries":$qs,"suspect":${mergeList("suspect")},"retried":${mergeList("retried")},"deferred":${mergeList("deferred")},"cpu_suspect":${mergeList("cpu_suspect")},"ref_suspect":${mergeList("ref_suspect")},"shard_reruns":$rerunsJson,"errors":$nErr,"error_names":${mergeList("error_names")},"calib_wall_s":${headD("calib_wall_s")}%.3f,"calib_cpu_s":${headD("calib_cpu_s")}%.3f,"total_cpu_s":${sumD("total_cpu_s")}%.3f,"total_gc_s":${sumD("total_gc_s")}%.3f,"first_attempt_total_s":$firstAttemptTotal%.3f,$jvmDiag,"shards":${shards.length},"cores":$cpus,"spark_version":"$sparkVersion","sf":"$sfDir""""
     val line = s"""{"metric":"total","unit":"sec",$common,"value":${f"$total%.3f"}}"""
     println(line)
-    val full = s"""{"metric":"total","unit":"sec",$common,"cpu_s":${mergeMap("cpu_s")},"gc_s":${mergeMap("gc_s")},"jit_s":${mergeMap("jit_s")},"codecache_mb":${mergeMap("codecache_mb")},"attempts":${mergeMap("attempts")},"value":${f"$total%.3f"}}"""
+    val full = s"""{"metric":"total","unit":"sec",$common,"cpu_s":${mergeMap("cpu_s")},"gc_s":${mergeMap("gc_s")},"jit_s":${mergeMap("jit_s")},"codecache_mb":${mergeMap("codecache_mb")},"attempts":${mergeMap("attempts")},"first_attempt":${mergeMap("first_attempt")},"store_provenance":$provenanceJson,"value":${f"$total%.3f"}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
@@ -430,7 +443,12 @@ object Bench {
                    // store/mirror construction.
                    "q140r_fact_ctas" -> sfDir,
                    "q140s_fact_sql_update" -> sfDir,
-                   "q140t_fact_storage_join" -> sfDir))
+                   "q140t_fact_storage_join" -> sfDir,
+                   // Round 13: the ALTER-DDL lineage and the full-MERGE
+                   // store build here, so the timed q140u/q140v measure
+                   // the evolved/merged lake's serving, not DDL/DML.
+                   "q140u_fact_alter_ddl" -> sfDir,
+                   "q140v_fact_merge_full" -> sfDir))
       try SparkEntry.queries(wq._1)(spark, wq._2).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup ${wq._1} failed: $e") }
     // Fixed-work CPU calibration: a constant amount of pure computation
@@ -584,6 +602,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val nErr = results.count(_.err.isDefined)
     val errNames = results.filter(_.err.isDefined).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    // First-ATTEMPT totals next to the kept totals: the acceptance
+    // machinery keeps the minimum of up to three attempts, a best-of-N
+    // statistic biased low vs a single-shot protocol — this quantifies
+    // that bias in the headline instead of leaving it recoverable only
+    // from the attempts map.
+    val firstAttemptTotal =
+      results.collect { case r if r.err.isEmpty => r.attempts.head._1 }.sum
+    // Memoized-store provenance (built vs reused per store dir, this
+    // JVM): the round-12 verdict's cross-round interpretability action
+    // — a timed query over a store BUILT this run is paying lifecycle
+    // cost an earlier round's memoized run did not.
+    val provenanceJson = graft.sources.StoreProvenance.snapshot.toSeq.sorted
+      .map { case (d, v) => "\"" + d + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     // Field ORDER is survivability engineering: the driver retains only a
     // tail of stdout, so the headline totals + environment stamp go LAST
     // (after the wide per-query map) where a tail-truncation keeps them.
@@ -593,9 +625,9 @@ object Bench {
     val calibJson = calibSeries.map { c =>
       f"""{"after":${c.after},"wall_s":${c.wall}%.3f,"cpu_s":${c.cpu}%.3f,"drifted":${c.drifted},"classes":${c.classes},"threads":${c.threads},"codecache_mb":${c.ccMb}%.1f,"jit_total_s":${c.jitS}%.1f}""" }.mkString("[", ",", "]")
     val jvmDiag = f""""jit_total_s":$totalJit%.3f,"codecache_end_mb":${codeCacheUsedMb()}%.1f,"codecache_max_mb":${codeCacheMaxMb()}%.0f,"metaspace_end_mb":${metaspaceUsedMb()}%.1f,"calib_series":$calibJson"""
-    val line = f"""{"metric":"total","unit":"sec","queries":$qs,"suspect":$suspects,"retried":$retried,"deferred":$deferred,"cpu_suspect":$cpuSuspects,"ref_suspect":$refSuspects,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,$jvmDiag,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
+    val line = f"""{"metric":"total","unit":"sec","queries":$qs,"suspect":$suspects,"retried":$retried,"deferred":$deferred,"cpu_suspect":$cpuSuspects,"ref_suspect":$refSuspects,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"first_attempt_total_s":$firstAttemptTotal%.3f,$jvmDiag,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
     println(line)
-    val full = f"""{"metric":"total","unit":"sec","queries":$qs,"cpu_s":${numMap(_.cpu)},"gc_s":${numMap(_.gc)},"jit_s":${numMap(_.jit)},"codecache_mb":${numMap(_.ccMb)},"suspect":$suspects,"retried":$retried,"deferred":$deferred,"cpu_suspect":$cpuSuspects,"ref_suspect":$refSuspects,"attempts":$attemptsJson,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,$jvmDiag,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
+    val full = f"""{"metric":"total","unit":"sec","queries":$qs,"cpu_s":${numMap(_.cpu)},"gc_s":${numMap(_.gc)},"jit_s":${numMap(_.jit)},"codecache_mb":${numMap(_.ccMb)},"suspect":$suspects,"retried":$retried,"deferred":$deferred,"cpu_suspect":$cpuSuspects,"ref_suspect":$refSuspects,"attempts":$attemptsJson,"first_attempt":${numMap(_.attempts.head._1)},"store_provenance":$provenanceJson,"errors":$nErr,"error_names":$errNames,"calib_wall_s":$calibWall%.3f,"calib_cpu_s":$calibCpu%.3f,"total_cpu_s":$totalCpu%.3f,"total_gc_s":$totalGc%.3f,"first_attempt_total_s":$firstAttemptTotal%.3f,$jvmDiag,"cores":$cpus,"spark_version":"${spark.version}","sf":"$sfDir","value":$total%.3f}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }

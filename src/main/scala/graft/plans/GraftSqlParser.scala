@@ -98,13 +98,15 @@ object GraftSqlParser {
     *
     * A bare identifier `case` (a column legally named so) is NOT
     * treated as opening a CASE expression when its CONTEXT says it is
-    * a value reference: qualified (`t.case`), followed by an
+    * a value reference: qualified (`t.case`), followed by a BINARY
     * operator/comma/closing-paren (`case = 5`, `f(case)`), or followed
-    * by a predicate keyword (`case IS NULL`, `case AND …`). The one
-    * residual ambiguity — a simple-CASE whose operand is itself named
-    * like a keyword — is inherent to the token stream and documented
-    * here: a real CASE expression always continues with WHEN or an
-    * operand expression. */
+    * by a predicate keyword (`case IS NULL`, `case AND …`,
+    * `case NOT IN (…)`). An operator-LEADING next token (`CASE -x
+    * WHEN …`, `CASE NOT x WHEN …`) still OPENS a CASE — those are
+    * legal simple-CASE operands (round-13 advice). The residual
+    * ambiguity — a column named `case` in unqualified arithmetic
+    * (`case - 5`) — resolves toward CASE; backtick-quote such a
+    * column. */
   private[plans] def splitTop(text: String, kw: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var caseDepth = 0; var inStr = false; var i = 0; var start = 0
@@ -124,10 +126,19 @@ object GraftSqlParser {
       while (n < text.length && text.charAt(n).isWhitespace) n += 1
       if (n >= text.length) return false                 // trailing token
       val c = text.charAt(n)
-      if ("=<>!+-*/%,);".indexOf(c) >= 0) return false   // case = 5, f(case), …
+      // Only BINARY operators demote: '-'/'+' can LEAD a simple-CASE
+      // operand (`CASE -x WHEN …`), so they stay openers.
+      if ("=<>!*/%,);".indexOf(c) >= 0) return false     // case = 5, f(case), …
+      if (wordAt(n, "NOT")) {
+        // `case NOT IN (…)` / `case NOT LIKE …` are value usages; a
+        // bare NOT starts a simple-CASE operand (`CASE NOT x WHEN …`).
+        var m = n + 3
+        while (m < text.length && text.charAt(m).isWhitespace) m += 1
+        return !Seq("IN", "LIKE", "BETWEEN", "RLIKE").exists(w => wordAt(m, w))
+      }
       // `case IS NULL` / `case AND …` / `… THEN case END`-style usage:
       // a value position, not an expression opener.
-      Seq("IS", "IN", "AND", "OR", "NOT", "BETWEEN", "LIKE", "THEN", "END")
+      Seq("IS", "IN", "AND", "OR", "BETWEEN", "LIKE", "THEN", "END")
         .forall(w => !wordAt(n, w))
     }
     while (i < text.length) {

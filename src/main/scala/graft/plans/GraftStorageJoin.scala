@@ -34,9 +34,16 @@ import graft.sources.{FactStore, GraftTable, ManifestLog}
   *     substitution still reach the parquet scan — V1 file-source
   *     pushdown happens at physical planning, below the swap point.
   *
-  * Soundness: a STALE mirror is never served — any DML bumps the
-  * manifest version and the rule stands down to the ordinary plan
-  * (correct, just shuffled) until the mirror is refreshed. Broadcast
+  * Soundness: a STALE mirror is never PLANNED — any DML bumps the
+  * manifest version (and its commit timestamp; both are checked, so a
+  * drop-and-recreate at the same path can never coincide back into
+  * freshness) and the rule stands down to the ordinary plan (correct,
+  * just shuffled) until the mirror is refreshed. Freshness is verified
+  * at optimization time: a commit landing in the window between
+  * planning and execution executes the already-substituted plan — the
+  * same read-your-own-snapshot window every snapshot-isolated reader
+  * has (an ordinary scan planned pre-commit also serves pre-commit
+  * rows), not a new staleness class. Broadcast
   * still wins where it applies: the rule skips joins already hinted
   * (GraftJoinSizing runs earlier), and self-joins of one store (same
   * directory on both sides) are left alone — the cached mirror
@@ -123,14 +130,24 @@ class GraftStorageJoin(session: SparkSession) extends Rule[LogicalPlan]
 }
 
 object GraftStorageJoin {
-  /** canonical dir → (mirror table, reflected store version).
-    * Registered by [[FactStore.writeBucketedMirror]]; re-attachable in
-    * a fresh session via [[register]]. Keys canonicalize through the
-    * Hadoop Path URI (scheme-insensitive for the local/default FS), so
-    * a table resolved via a catalog LOCATION (`file:/x`) and a mirror
-    * registered with the raw path (`/x`) meet. */
+  /** canonical dir → (mirror table, reflected store version, that
+    * version's commit timestamp). Registered by
+    * [[FactStore.writeBucketedMirror]]; re-attachable in a fresh
+    * session via [[register]]. Keys canonicalize through the Hadoop
+    * Path URI (scheme-insensitive for the local/default FS), so a
+    * table resolved via a catalog LOCATION (`file:/x`) and a mirror
+    * registered with the raw path (`/x`) meet.
+    *
+    * The commit TIMESTAMP rides next to the version for the same
+    * reason the schema cache keys on it
+    * ([[GraftTableProvider.schemaAt]]): dropping a store and
+    * recreating one at the SAME path resets the version counter, so
+    * "registered version == current version" alone would eventually
+    * align by coincidence and serve the OLD table's rows through a
+    * key join. Timestamps are assigned at commit time and never
+    * repeat across a wipe, so the pair is collision-proof. */
   private val mirrors =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
 
   private def canon(dir: String): String = {
     val u = new org.apache.hadoop.fs.Path(dir).toUri
@@ -139,18 +156,26 @@ object GraftStorageJoin {
       .getOrElse(u.getPath)
   }
 
-  def register(dir: String, table: String, version: Long): Unit =
-    mirrors.put(canon(dir), (table, version))
+  def register(dir: String, table: String, version: Long, commitTimeMs: Long): Unit =
+    mirrors.put(canon(dir), (table, version, commitTimeMs))
+
+  /** Evict a directory's mirror entry — called when the catalog
+    * deletes or renames the store out from under the path, so a later
+    * store at the same dir can never meet a leftover registration. */
+  def invalidate(dir: String): Unit = mirrors.remove(canon(dir))
 
   /** Registry-only presence probe — no filesystem I/O. */
-  private[plans] def registered(dir: String): Boolean =
+  private[graft] def registered(dir: String): Boolean =
     mirrors.containsKey(canon(dir))
 
-  /** The mirror table iff it reflects the store's CURRENT version and
-    * still exists — one driver-side manifest read, no data I/O. */
+  /** The mirror table iff it reflects the store's CURRENT version —
+    * BOTH the version number and that version's commit timestamp must
+    * match (two driver-side manifest reads, no data I/O) — and still
+    * exists in the session catalog. */
   private[plans] def freshMirror(spark: SparkSession, dir: String): Option[String] =
     Option(mirrors.get(canon(dir))).collect {
-      case (table, v) if ManifestLog.currentVersion(spark, dir) == v &&
+      case (table, v, ts) if ManifestLog.currentVersion(spark, dir) == v &&
+        ManifestLog.commitTimeMs(spark, dir, v) == ts &&
         spark.catalog.tableExists(table) => table
     }
 }

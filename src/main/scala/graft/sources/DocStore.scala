@@ -51,10 +51,11 @@ object DocStore {
     val key = (outDir, span)
     if (!written.contains(key)) synchronized {
       if (!written.contains(key)) {
+        StoreProvenance.built(outDir)
         write(docs, outDir, span)
         written += key
       }
-    }
+    } else StoreProvenance.reused(outDir)
   }
 
   private val written = scala.collection.mutable.Set.empty[(String, Long)]

@@ -430,12 +430,27 @@ object FactStore {
     val f = M.fs(spark, dir)
     require(M.committedVersions(f, dir).isEmpty,
       s"cannot CREATE at $dir — it already has commits (did you mean INSERT/build?)")
-    val name = segName(1, "create")
+    val seg = writeCarrierSegment(spark, dir, segName(1, "create"),
+      schema, statsCols, keyCol)
+    M.commit(f, dir, M.Snapshot(1, "create", "", Seq(seg),
+      Map("keyCol" -> keyCol, "orderCols" -> orderCols.mkString(" "),
+        "statsCols" -> statsCols.mkString(" "),
+        "colmap" -> encodeColmap(fields.map(c => (c, c))))))
+    1L
+  }
+
+  /** A zero-row SCHEMA-CARRIER data segment: one empty parquet file
+    * whose stats sidecar records an EMPTY range (min > max) per
+    * indexed column, which both pruning tiers treat as proof of
+    * absence — the carrier costs no I/O to any pruned read, ever.
+    * Every read path unions data segments by name, so the carrier's
+    * columns surface (null-filled) without a special case. */
+  private def writeCarrierSegment(spark: SparkSession, dir: String, name: String,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  statsCols: Seq[String], keyCol: String): M.Segment = {
+    val f = M.fs(spark, dir)
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       .repartition(1).write.mode("overwrite").parquet(s"$dir/$name")
-    // Sidecar with EMPTY per-file ranges: min > max never overlaps a
-    // box, and the point tier's min/max check excludes every probe —
-    // the seed file is metadata-pruned from every filtered read.
     val sidecarCols = (statsCols :+ keyCol).distinct
     val root = mapper.createObjectNode()
     val cArr = root.putArray("statsCols"); sidecarCols.foreach(cArr.add)
@@ -453,12 +468,41 @@ object FactStore {
     val out = f.create(new Path(s"$dir/$name/_filestats.json"), false)
     try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsString(root).getBytes("UTF-8")) finally out.close()
-    M.commit(f, dir, M.Snapshot(1, "create", "",
-      Seq(M.Segment("data", name, files, 0L)),
-      Map("keyCol" -> keyCol, "orderCols" -> orderCols.mkString(" "),
-        "statsCols" -> statsCols.mkString(" "),
-        "colmap" -> encodeColmap(fields.map(c => (c, c))))))
-    1L
+    M.Segment("data", name, files, 0L)
+  }
+
+  /** ADD COLUMN(s) with no data — the `ALTER TABLE … ADD COLUMNS`
+    * path ([[GraftCatalog.alterTable]]): one versioned commit whose
+    * only payload is a zero-row schema-carrier segment holding the new
+    * fields (pruned from every filtered read by its empty stats range)
+    * plus the extended colmap. Existing rows read the new columns as
+    * NULL; earlier versions time-travel without them; the first batch
+    * that actually CARRIES the column is an ordinary append. The same
+    * collision rules as batch-borne additive evolution apply: a new
+    * logical name may not alias any active or retired physical field. */
+  def addColumns(spark: SparkSession, dir: String,
+                 cols: Seq[org.apache.spark.sql.types.StructField]): Long = synchronized {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val prior = M.snapshot(spark, dir)
+    val (keyCol, _, statsCols) = metaOf(spark, dir, prior.version)
+    val cm = activeColmap(spark, dir, prior)
+    val physicals = cm.map(_._1).toSet ++ retiredOf(prior)
+    cols.foreach { fld =>
+      requireIdent(fld.name, "a fact-store column name")
+      require(!cm.exists(_._2 == fld.name),
+        s"column '${fld.name}' already exists")
+      require(!physicals.contains(fld.name),
+        s"new column '${fld.name}' collides with an active or retired field's " +
+          "physical name — old files still carry that column, so reusing it " +
+          "would resurrect dropped data")
+    }
+    val v = prior.version + 1
+    val seg = writeCarrierSegment(spark, dir, segName(v, "addcol"),
+      org.apache.spark.sql.types.StructType(cols), statsCols, keyCol)
+    M.commit(M.fs(spark, dir), dir, M.Snapshot(v, "addcol", "",
+      prior.segments :+ seg,
+      prior.meta + ("colmap" -> encodeColmap(cm ++ cols.map(f2 => (f2.name, f2.name))))))
+    v
   }
 
   /** Ingest: one new data segment (batch-local z-sort), no tombstones. */
@@ -799,6 +843,14 @@ object FactStore {
       * carry the key and every stats/order column; extra columns ride
       * the additive-evolution path. */
     final case class Insert(cond: Option[String]) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … —
+      * applies to TARGET rows whose key is absent from the source;
+      * condition and SET expressions see only `t.*` (there is no
+      * source row — an `s.` reference fails analysis loudly). */
+    final case class BySourceUpdate(cond: Option[String], set: Map[String, String]) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE — the
+      * source-absence reconciliation leg (full-snapshot CDC loads). */
+    final case class BySourceDelete(cond: Option[String]) extends MergeClause
   }
 
   /** Full conditional MERGE — the Delta `MERGE INTO` semantics on the
@@ -813,7 +865,11 @@ object FactStore {
     *     holds — none holding leaves the row untouched (its old
     *     generation is NOT tombstoned);
     *   - a NOT-matched source row inserts iff some Insert clause's
-    *     condition holds; otherwise it is dropped.
+    *     condition holds; otherwise it is dropped;
+    *   - a target row whose key is ABSENT from the source applies the
+    *     first BySourceUpdate/BySourceDelete clause whose condition
+    *     holds (`WHEN NOT MATCHED BY SOURCE` — the full-snapshot CDC
+    *     reconciliation legs); none holding leaves it untouched.
     *
     * The whole merge is ONE atomic commit: one tombstone segment
     * covering exactly the updated+deleted keys, one data segment
@@ -868,11 +924,16 @@ object FactStore {
     val target = read(spark, dir)
     val tCols = target.columns.toSeq
     val matchedClauses: Seq[MergeClause] = clauses.filter {
-      case _: Insert => false; case _ => true
+      case _: Insert | _: BySourceUpdate | _: BySourceDelete => false
+      case _ => true
     }
     val insertClauses: Seq[Insert] = clauses.collect { case i: Insert => i }
-    matchedClauses.collect { case u: Update => u }.foreach { u =>
-      val bad = u.set.keySet.filterNot(c => tCols.contains(c) && c != logicalKey)
+    val bySourceClauses: Seq[MergeClause] = clauses.filter {
+      case _: BySourceUpdate | _: BySourceDelete => true; case _ => false
+    }
+    (matchedClauses.collect { case u: Update => u.set } ++
+      bySourceClauses.collect { case u: BySourceUpdate => u.set }).foreach { set =>
+      val bad = set.keySet.filterNot(c => tCols.contains(c) && c != logicalKey)
       require(bad.isEmpty,
         s"UPDATE SET names non-target or key column(s): ${bad.mkString(", ")}")
     }
@@ -884,7 +945,7 @@ object FactStore {
     val outcome = matchedClauses.zipWithIndex.foldRight(lit(-1)) {
       case ((cl, i), els) =>
         val cond = cl match {
-          case Update(c, _) => c; case Delete(c) => c; case _: Insert => None
+          case Update(c, _) => c; case Delete(c) => c; case _ => None
         }
         when(cond.map(expr).getOrElse(lit(true)), lit(i)).otherwise(els)
     }
@@ -901,7 +962,7 @@ object FactStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       mergeCommit(spark, dir, prior, source, nFiles, matched, s,
-        matchedClauses, insertClauses, tCols, target, logicalKey,
+        matchedClauses, insertClauses, bySourceClauses, tCols, target, logicalKey,
         keyCol, orderCols, statsCols, cm, extraMeta)
     } finally matched.unpersist()
   }
@@ -910,6 +971,7 @@ object FactStore {
                           source: DataFrame, nFiles: Int, matched: DataFrame,
                           s: DataFrame, matchedClauses: Seq[MergeClause],
                           insertClauses: Seq[MergeClause.Insert],
+                          bySourceClauses: Seq[MergeClause],
                           tCols: Seq[String], target: DataFrame,
                           logicalKey: String, keyCol: String,
                           orderCols: Seq[String], statsCols: Seq[String],
@@ -926,6 +988,44 @@ object FactStore {
     val deleteKeyFrames = matchedClauses.zipWithIndex.collect { case (_: Delete, i) =>
       matched.where(col("_mc") === i).select(col(s"t.$logicalKey").as(logicalKey))
     }
+
+    // NOT MATCHED BY SOURCE legs: target rows whose key is ABSENT from
+    // the (key-unique, change-bounded) source — one additional target
+    // scan, the source keys broadcast into an anti-join, shared by all
+    // by-source clauses through a first-matching-clause tag. Unlike
+    // the matched frame this output is NOT change-bounded (an empty
+    // source by-source-deletes the whole table — inherent to the
+    // semantics), so it is never persisted: each leg re-derives
+    // through the same pushed-down scan, and the tombstone/post-image
+    // cost is exactly the rows the clauses actually claim.
+    val bySourceTagged: Option[DataFrame] = if (bySourceClauses.isEmpty) None else {
+      val srcKeys = s.select(col(s"s.$logicalKey").as("_sk"))
+      val absent = target.as("t").join(broadcast(srcKeys),
+        col(s"t.$logicalKey") === col("_sk"), "left_anti")
+      val outcome = bySourceClauses.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), els) =>
+          val cond = cl match {
+            case BySourceUpdate(c, _) => c
+            case BySourceDelete(c) => c
+            case _ => None
+          }
+          when(cond.map(expr).getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+      Some(absent.withColumn("_bc", outcome))
+    }
+    val bySourceUpdateFrames = bySourceClauses.zipWithIndex.collect {
+      case (u: BySourceUpdate, i) =>
+        bySourceTagged.get.where(col("_bc") === i).select(tCols.map { c =>
+          u.set.get(c)
+            .map(e => expr(e).cast(target.schema(c).dataType).as(c))
+            .getOrElse(col(s"t.$c").as(c))
+        }: _*)
+    }
+    val bySourceDeleteKeyFrames = bySourceClauses.zipWithIndex.collect {
+      case (_: BySourceDelete, i) =>
+        bySourceTagged.get.where(col("_bc") === i)
+          .select(col(s"t.$logicalKey").as(logicalKey))
+    }
     val inserts: Option[DataFrame] = insertClauses match {
       case Seq() => None
       case cs =>
@@ -940,9 +1040,10 @@ object FactStore {
           .select(source.columns.map(c => col(s"s.$c").as(c)).toSeq: _*))
     }
 
-    val newRows = (updateFrames ++ inserts)
+    val newRows = (updateFrames ++ bySourceUpdateFrames ++ inserts)
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
-    val tombKeys = (updateFrames.map(_.select(col(logicalKey))) ++ deleteKeyFrames)
+    val tombKeys = ((updateFrames ++ bySourceUpdateFrames).map(_.select(col(logicalKey))) ++
+        deleteKeyFrames ++ bySourceDeleteKeyFrames)
       .reduceOption(_ unionByName _)
     if (newRows.isEmpty && tombKeys.isEmpty) return prior.version
 
@@ -1240,6 +1341,7 @@ object FactStore {
   def writeBucketedMirror(spark: SparkSession, dir: String, table: String,
                           buckets: Int): Long = synchronized {
     val v = M.currentVersion(spark, dir)
+    val ts = M.commitTimeMs(spark, dir, v)
     if (!spark.catalog.tableExists(table)) {
       // A previous JVM's mirror directory with no catalog entry (the
       // in-memory catalog died with that session) blocks saveAsTable
@@ -1250,27 +1352,82 @@ object FactStore {
     }
     Bucketed.writeBucketed(read(spark, dir), table,
       pruningSurface(spark, dir)._1, buckets)
-    // The reflected version rides the catalog too, so a FRESH session
-    // can re-attach ([[ensureBucketedMirror]]) without rewriting.
+    // The reflected (version, commit timestamp) pair rides the catalog
+    // too, so a FRESH session can re-attach ([[ensureBucketedMirror]])
+    // without rewriting — and a recreated store at the same path can
+    // never alias back into freshness (timestamps don't repeat).
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('graft.mirror.dir' = '$dir', 'graft.mirror.version' = '$v')")
-    graft.plans.GraftStorageJoin.register(dir, table, v)
+      s"('graft.mirror.dir' = '$dir', 'graft.mirror.version' = '$v', " +
+      s"'graft.mirror.committs' = '$ts')")
+    graft.plans.GraftStorageJoin.register(dir, table, v, ts)
     v
   }
 
   /** Re-attach (or build) the mirror: when the catalog already holds a
-    * mirror stamped with the store's CURRENT version, only register it
-    * with the optimizer rule — zero I/O; otherwise rewrite. */
+    * mirror stamped with the store's CURRENT (version, commit time),
+    * only register it with the optimizer rule — zero I/O. When the
+    * mirror is merely BEHIND by pure appends, roll it forward
+    * incrementally ([[refreshBucketedMirrorIncremental]]); otherwise
+    * rewrite in full. */
   def ensureBucketedMirror(spark: SparkSession, dir: String, table: String,
                            buckets: Int): Long = synchronized {
     val v = M.currentVersion(spark, dir)
-    val fresh =
-      try spark.catalog.tableExists(table) &&
-        spark.sql(s"SHOW TBLPROPERTIES $table").collect().exists(r =>
-          r.getString(0) == "graft.mirror.version" && r.getString(1) == v.toString)
-      catch { case _: Exception => false }
-    if (fresh) { graft.plans.GraftStorageJoin.register(dir, table, v); v }
-    else writeBucketedMirror(spark, dir, table, buckets)
+    val ts = M.commitTimeMs(spark, dir, v)
+    val props: Map[String, String] =
+      try {
+        if (!spark.catalog.tableExists(table)) Map.empty
+        else spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      } catch { case _: Exception => Map.empty }
+    val stamped = props.get("graft.mirror.version").map(_.toLong)
+    if (stamped.contains(v) && props.get("graft.mirror.committs").contains(ts.toString)) {
+      graft.plans.GraftStorageJoin.register(dir, table, v, ts); v
+    } else stamped match {
+      case Some(v0) if v0 < v && props.get("graft.mirror.dir").contains(dir) &&
+          props.get("graft.mirror.committs")
+            .exists(s => scala.util.Try(M.commitTimeMs(spark, dir, v0).toString == s)
+              .getOrElse(false)) &&
+          refreshBucketedMirrorIncremental(spark, dir, table, buckets, v0, v, ts) => v
+      case _ => writeBucketedMirror(spark, dir, table, buckets)
+    }
+  }
+
+  /** Roll a stale mirror FORWARD by appending only the rows of the
+    * commits in `(v0, v]` — legal exactly when every crossed commit is
+    * a PURE APPEND (no tombstones added, no segments removed, no
+    * schema/meta motion): then the delta rows are precisely
+    * [[appendedRows]], written bucket-aligned into the existing
+    * bucketed table (untouched buckets' files stay byte-identical; the
+    * bucket hash property survives multi-file buckets, so the join
+    * still plans with zero Exchange — Spark re-sorts within partitions,
+    * never exchanges). Any other lineage (DML, compaction, evolution)
+    * returns false and the caller falls back to a full rewrite. At
+    * 100 TB this is the difference between mirror maintenance costing
+    * ∝ the ingest and costing ∝ the table. */
+  private def refreshBucketedMirrorIncremental(
+      spark: SparkSession, dir: String, table: String, buckets: Int,
+      v0: Long, v: Long, ts: Long): Boolean = {
+    val pureAppends = ((v0 + 1) to v).forall { vi =>
+      val s = M.snapshot(spark, dir, vi)
+      s.op == "append" && !s.segments.exists(seg =>
+        seg.kind == "tomb" && M.createdVersion(seg) == vi)
+    }
+    if (!pureAppends) return false
+    val delta = appendedRows(spark, dir, v0, v, skipChangeCommits = false)
+    // Column-order and schema drift (additive evolution is op=append):
+    // the mirror's declared schema is authoritative; a delta batch
+    // carrying NEW columns cannot append into it — full rewrite.
+    val mirrorCols = spark.table(table).columns.toSeq
+    if (delta.columns.toSet != mirrorCols.toSet) return false
+    val key = pruningSurface(spark, dir)._1
+    delta.select(mirrorCols.map(col): _*)
+      .write.mode("append")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('graft.mirror.version' = '$v', 'graft.mirror.committs' = '$ts')")
+    graft.plans.GraftStorageJoin.register(dir, table, v, ts)
+    true
   }
 
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
@@ -1419,7 +1576,7 @@ object FactStore {
     * to an appended-rows stream — a compaction must never re-emit the
     * rows it rewrote (the Delta `dataChange=false` contract). */
   private val RowInvisibleOps = Set("compact", "compact-incr", "recluster",
-    "rename", "drop", "widen", "constraint-add", "constraint-drop", "clone")
+    "rename", "drop", "widen", "addcol", "constraint-add", "constraint-drop", "clone")
 
   /** Rows ADDED by the commits in (fromVersion, toVersion] — the
     * append-only stream shape. Append commits emit exactly their new
@@ -1672,6 +1829,8 @@ object FactStore {
     * (which wipes the dir). */
   def lifecycleOnce(spark: SparkSession, dir: String, finalVersion: Long)
                    (make: => Unit): Unit = synchronized {
-    if (M.currentVersion(spark, dir) != finalVersion) make
+    if (M.currentVersion(spark, dir) != finalVersion) {
+      StoreProvenance.built(dir); make
+    } else StoreProvenance.reused(dir)
   }
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, Suppo
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -56,7 +57,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * handful of Bloom-positive files the readPoint API would.
   */
 class GraftTableProvider extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
   override def shortName(): String = "graft"
   /** Schema always comes from the store's own manifest (it evolves
     * with DML); a user-declared column list would drift. */
@@ -94,9 +95,49 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val p = parameters.map { case (k, v) => k.toLowerCase -> v }
     val (dir, cdf) = streamConf(parameters)
+    val maxV = p.get("maxversionspertrigger").map(_.toLong)
+    maxV.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be positive, got $m"))
     new GraftStreamSource(ctx, dir, GraftStreamSource.schemaFor(dir, cdf), cdf,
       p.get("startingversion").map(_.toLong),
-      p.get("skipchangecommits").exists(_.toBoolean))
+      p.get("skipchangecommits").exists(_.toBoolean),
+      maxV, metadataPath)
+  }
+
+  // ------------------ `df.writeStream.format("graft")` (V1 sink hatch)
+  //
+  // See [[GraftStreamSink]]'s decision record: the ONE FactStore
+  // commit layer stays the only write implementation; outputMode picks
+  // the append vs upsert replay-guarded verb.
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "a graft sink takes no partitionBy — the store's layout is its " +
+        "z-order/key clustering, declared at table creation")
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = p.get("path").orElse(p.get("location")).orElse(
+      p.get("table").map { ident =>
+        val spark = ctx.sparkSession
+        org.apache.spark.sql.GraftInternalBridge.v2Table(spark,
+            spark.sessionState.sqlParser.parseMultipartIdentifier(ident))
+          .collect { case t: GraftTable => t.storeDir }
+          .getOrElse(throw new IllegalArgumentException(
+            s"option table='$ident' does not resolve to a graft catalog table"))
+      }).getOrElse(throw new IllegalArgumentException(
+        "a graft sink needs the store directory (.start(<dir>)) or " +
+          "option table='<catalog.db.t>'"))
+    val update = outputMode match {
+      case m if m == OutputMode.Append() => false
+      case m if m == OutputMode.Update() => true
+      case other => throw new UnsupportedOperationException(
+        s"graft sink: outputMode $other is not supported — append lands " +
+          "appendStreamBatch commits, update lands upsertStreamBatch (CDC) " +
+          "commits; a per-trigger full rewrite (complete) is deliberate " +
+          "foreachBatch territory")
+    }
+    new GraftStreamSink(dir, update,
+      p.getOrElse("appid", "stream"),
+      p.get("files").map(_.toInt).getOrElse(1))
   }
 }
 
@@ -157,11 +198,14 @@ object GraftTableProvider {
     schemaCache.computeIfAbsent((dir, concrete, stamp),
       _ => FactStore.read(spark, dir, concrete).schema)
   }
-  /** Drop a directory's cached schemas — called when the catalog
-    * deletes or renames the store out from under the path. */
-  private[sources] def invalidateDir(dir: String): Unit = {
+  /** Drop a directory's cached schemas AND its bucketed-mirror
+    * registration — called when the catalog deletes or renames the
+    * store out from under the path (a later store at the same path
+    * must start from a clean slate in every version-keyed cache). */
+  private[graft] def invalidateDir(dir: String): Unit = {
     val it = schemaCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == dir) it.remove()
+    graft.plans.GraftStorageJoin.invalidate(dir)
   }
 
   /** Sum of a version's data-segment file lengths — driver-side
@@ -302,48 +346,65 @@ class GraftScan(dir: String, version: Long, required: StructType,
     * broadcast decisions, which only misfire when UNDER-estimated);
     * `sizeInBytes` sums the referenced files' actual lengths —
     * driver-side metadata over the manifest's bounded file list, no
-    * data I/O. */
+    * data I/O.
+    *
+    * PUSHED filters scale the estimate by the metadata tiers' OWN
+    * pruning decision (kept files / total files — the exact fraction
+    * the scan will read): without this, a key-probe UPDATE's
+    * post-image plan reports the whole table's bytes and
+    * [[GraftTableProvider.sizedFileCount]] commits up to 200
+    * near-empty files for a handful of matched rows (the round-12
+    * advice). Still an upper bound per kept file — sound for
+    * broadcast decisions. */
   override def estimateStatistics(): Statistics = {
     val spark = SparkSession.active
     val snap = ManifestLog.snapshot(spark, dir, version)
     val rows = snap.segments.filter(_.kind == "data").map(_.rows).sum
     val bytes = GraftTableProvider.dataBytes(dir, version)
+    val (keyCol, statsCols) = FactStore.pruningSurface(spark, dir, version)
+    val (keyVals, bounds) = GraftScanPrune.axes(pushed, keyCol, statsCols)
+    val frac: Double =
+      try {
+        if (keyVals.nonEmpty) {
+          val (kept, total) = FactStore.prunePoint(spark, dir, keyVals, version)
+          if (total > 0) kept.values.map(_.length).sum.toDouble / total else 1.0
+        } else if (bounds.nonEmpty) {
+          val (kept, total) = FactStore.pruneBox(spark, dir, bounds, version)
+          if (total > 0) kept.values.map(_.length).sum.toDouble / total else 1.0
+        } else 1.0
+      } catch { case _: Exception => 1.0 }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        if (bytes > 0) java.util.OptionalLong.of(bytes) else java.util.OptionalLong.empty()
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+        if (bytes > 0) java.util.OptionalLong.of(math.max(1L, (bytes * frac).toLong))
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(if (rows > 0) 1L else 0L, (rows * frac).toLong))
     }
   }
 }
 
-/** The V1 execution bridge: builds the pruned FactStore frame and
-  * hands back its compiled InternalRow RDD (JDBC-connector pattern —
-  * `needConversion = false` keeps the row format zero-copy). */
-class GraftV1Relation(ctx: SQLContext, dir: String, version: Long,
-                      required: StructType, pushed: Array[Filter])
-    extends BaseRelation with TableScan {
-  override def sqlContext: SQLContext = ctx
-  override def schema: StructType = required
-  override def needConversion: Boolean = false
-  override def buildScan(): RDD[Row] = {
-    val spark = ctx.sparkSession
-    val (keyCol, statsCols) = FactStore.pruningSurface(spark, dir, version)
-
-    // Metadata bounds are derived ONLY from exactly-integral filter
-    // values (Byte/Short/Int/Long): the per-file stats sidecars store
-    // truncated longs, so a fractional threshold (value > 10.5 on a
-    // double column) translated via longValue±1 would silently DROP
-    // rows in the truncation gap. Non-integral conjuncts simply skip
-    // the metadata tier — they still apply exactly as residuals.
-    object IntegralVal {
-      def unapply(v: Any): Option[Long] = v match {
-        case b: java.lang.Byte => Some(b.longValue)
-        case s: java.lang.Short => Some(s.longValue)
-        case i: java.lang.Integer => Some(i.longValue)
-        case l: java.lang.Long => Some(l.longValue)
-        case _ => None
-      }
+/** The metadata-tier axes a pushed-filter set implies — shared by the
+  * scan's execution path ([[GraftV1Relation.buildScan]]) and its
+  * statistics estimate, so the two can never disagree about what
+  * prunes. Bounds are derived ONLY from exactly-integral filter
+  * values (the sidecars store truncated longs — a fractional
+  * threshold translated via longValue±1 would silently DROP rows in
+  * the truncation gap); non-integral conjuncts skip the metadata tier
+  * and apply exactly as residuals. */
+private[sources] object GraftScanPrune {
+  object IntegralVal {
+    def unapply(v: Any): Option[Long] = v match {
+      case b: java.lang.Byte => Some(b.longValue)
+      case s: java.lang.Short => Some(s.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: java.lang.Long => Some(l.longValue)
+      case _ => None
     }
+  }
+
+  /** (point-probe key values, per-stats-column [lo, hi] boxes). */
+  def axes(pushed: Array[Filter], keyCol: String,
+           statsCols: Seq[String]): (Seq[Long], Map[String, (Long, Long)]) = {
     // Tier 1 — point probe: top-level key equality/IN conjuncts route
     // into the Bloom + min/max sidecars.
     val keyVals: Seq[Long] = pushed.toSeq.flatMap {
@@ -371,6 +432,27 @@ class GraftV1Relation(ctx: SQLContext, dir: String, version: Long,
       }
       if (any) Some(c -> (lo, hi)) else None
     }.toMap
+    (keyVals, bounds)
+  }
+}
+
+/** The V1 execution bridge: builds the pruned FactStore frame and
+  * hands back its compiled InternalRow RDD (JDBC-connector pattern —
+  * `needConversion = false` keeps the row format zero-copy). */
+class GraftV1Relation(ctx: SQLContext, dir: String, version: Long,
+                      required: StructType, pushed: Array[Filter])
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val (keyCol, statsCols) = FactStore.pruningSurface(spark, dir, version)
+
+    // The same metadata-tier axes the statistics estimate derives —
+    // one shared extraction ([[GraftScanPrune.axes]]), so planning and
+    // execution can never disagree about what prunes.
+    val (keyVals, bounds) = GraftScanPrune.axes(pushed, keyCol, statsCols)
 
     val base: DataFrame =
       if (keyVals.nonEmpty) {

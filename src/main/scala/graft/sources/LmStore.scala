@@ -188,9 +188,10 @@ object LmStore {
   def buildOnce(docs: DataFrame, dir: String, nBuckets: Int): Unit = synchronized {
     val key = (dir, nBuckets)
     if (!built.contains(key)) {
+      StoreProvenance.built(dir)
       build(docs, dir, nBuckets)
       built += key
-    }
+    } else StoreProvenance.reused(dir)
   }
 
   /** Build-on-base + append-the-rest, once per JVM. */

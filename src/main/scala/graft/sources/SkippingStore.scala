@@ -418,9 +418,10 @@ object SkippingStore {
                 nFiles: Int, bloomCols: Seq[String] = Seq.empty): Unit = synchronized {
     val key = (dir, (orderCols ++ bloomCols).mkString(","), nFiles, "write")
     if (!written.contains(key)) {
+      StoreProvenance.built(dir)
       write(df, dir, orderCols, nFiles, bloomCols = bloomCols)
       written += key
-    }
+    } else StoreProvenance.reused(dir)
   }
 
   /** The q114 pre-optimize state, idempotent per JVM: base write plus

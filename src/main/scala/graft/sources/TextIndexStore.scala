@@ -254,9 +254,10 @@ object TextIndexStore {
   def buildOnce(docs: DataFrame, dir: String, nBuckets: Int): Unit = synchronized {
     val key = (dir, nBuckets)
     if (!built.contains(key)) {
+      StoreProvenance.built(dir)
       build(docs, dir, nBuckets)
       built += key
-    }
+    } else StoreProvenance.reused(dir)
   }
 
   private val built = scala.collection.mutable.Set.empty[(String, Int)]

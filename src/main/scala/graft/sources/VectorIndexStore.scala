@@ -182,9 +182,10 @@ object VectorIndexStore {
     // are rare and expensive — a coarse lock costs nothing here).
     val key = (dir, nCentroids, nSub, nCodes, iters)
     if (!built.contains(key)) {
+      StoreProvenance.built(dir)
       build(emb, dir, nCentroids, nSub, nCodes, iters)
       built += key
-    }
+    } else StoreProvenance.reused(dir)
   }
 
   /** Build-on-base + append-the-rest, once per JVM: the incremental-

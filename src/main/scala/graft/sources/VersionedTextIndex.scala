@@ -492,12 +492,13 @@ object VersionedTextIndex {
                     nBuckets: Int): Unit = synchronized {
     val key = (dir, nBuckets)
     if (!lifecycled.contains(key)) {
+      StoreProvenance.built(dir)
       build(baseDocs, dir, nBuckets)
       append(spark, dir, newDocs)
       delete(spark, dir, delIds)
       compact(spark, dir)
       lifecycled += key
-    }
+    } else StoreProvenance.reused(dir)
   }
 
   /** The q111 lifecycle — the q109 lifecycle (v0..v3) plus a v4

@@ -458,12 +458,13 @@ object VersionedVectorIndex {
                     nSub: Int, nCodes: Int, iters: Int): Unit = synchronized {
     val key = (dir, nCentroids, nSub, nCodes, iters)
     if (!lifecycled.contains(key)) {
+      StoreProvenance.built(dir)
       build(baseEmb, dir, nCentroids, nSub, nCodes, iters)
       append(spark, dir, newEmb)
       delete(spark, dir, delIds)
       compact(spark, dir)
       lifecycled += key
-    }
+    } else StoreProvenance.reused(dir)
   }
 
   /** The q108b/q107d lifecycle — q107's four versions plus a v4

@@ -37,6 +37,17 @@ object GraftInternalBridge {
       isStreaming = true)
   }
 
+  /** Re-root a streaming microbatch frame as a BATCH one — the V1
+    * `Sink.addBatch` twin of [[asStreamingFrame]]: the sink hands the
+    * incremental execution's compiled RDD to the ordinary batch write
+    * APIs (which reject isStreaming plans) without re-planning or
+    * collecting anything on the driver. */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
+
   def translatable(e: Expression): Boolean =
     DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true).isDefined
 

@@ -297,7 +297,7 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft.db.ctas")
   }
 
-  test("catalog guardrails: key property required, PARTITIONED BY rejected, ALTER TABLE points at the GRAFT statements, rename works") {
+  test("catalog guardrails: key property required, PARTITIONED BY rejected, unsupported ALTERs loud, rename works") {
     val e1 = intercept[Exception](spark.sql(
       "CREATE TABLE graft.db.nokey (a BIGINT, b DOUBLE)"))
     assert(e1.getMessage.contains("key"), s"got: ${e1.getMessage}")
@@ -307,14 +307,74 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("PARTITIONED BY") || e2.getMessage.contains("order"),
       s"got: ${e2.getMessage}")
     spark.sql("CREATE TABLE graft.db.ren (a BIGINT, b DOUBLE) TBLPROPERTIES ('key'='a')")
+    // Shapes the versioned model cannot express stay loud rejections.
     val e3 = intercept[Exception](spark.sql(
-      "ALTER TABLE graft.db.ren ADD COLUMN c DOUBLE"))
-    assert(e3.getMessage.contains("GRAFT"), s"got: ${e3.getMessage}")
+      "ALTER TABLE graft.db.ren ALTER COLUMN b COMMENT 'nope'"))
+    assert(e3.getMessage.contains("not supported"), s"got: ${e3.getMessage}")
+    val e4 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.ren SET TBLPROPERTIES ('x'='1')"))
+    assert(e4.getMessage.contains("not supported"), s"got: ${e4.getMessage}")
+    val e5 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.ren ADD COLUMN c DOUBLE AFTER a"))
+    assert(e5.getMessage.contains("FIRST/AFTER"), s"got: ${e5.getMessage}")
     // RENAME TO takes a catalog-relative identifier (V2 semantics).
     spark.sql("ALTER TABLE graft.db.ren RENAME TO db.ren2")
     assert(spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1))
       .contains("ren2"))
     spark.sql("DROP TABLE graft.db.ren2")
+  }
+
+  test("standard ALTER TABLE lowers into versioned evolution commits: ADD/RENAME/DROP/widen with time travel through the DDL") {
+    spark.sql(
+      """CREATE TABLE graft.db.alt (id BIGINT, v INT, tag STRING)
+         TBLPROPERTIES ('key'='id', 'order'='id')""")
+    val d = s"$warehouse/db/alt"
+    spark.sql("INSERT INTO graft.db.alt VALUES (1, 10, 'a'), (2, 20, 'b')")
+
+    // ADD COLUMNS: one commit, existing rows read NULL, no file rewritten.
+    spark.sql("ALTER TABLE graft.db.alt ADD COLUMNS (score DOUBLE, note STRING)")
+    val snap = M.snapshot(spark, d)
+    assert(snap.op == "addcol" && snap.version == 3L)
+    assert(spark.table("graft.db.alt").columns.toSeq ==
+      Seq("id", "v", "tag", "score", "note"))
+    assert(spark.sql("SELECT score FROM graft.db.alt").collect()
+      .forall(_.isNullAt(0)), "pre-evolution rows read the new column as NULL")
+    spark.sql("INSERT INTO graft.db.alt VALUES (3, 30, 'c', 9.5, 'hi')")
+    assert(spark.sql(
+      "SELECT note FROM graft.db.alt WHERE id = 3").collect().head.getString(0) == "hi")
+
+    // RENAME: logical only; time travel serves each version's names.
+    spark.sql("ALTER TABLE graft.db.alt RENAME COLUMN tag TO label")
+    assert(spark.table("graft.db.alt").columns.contains("label"))
+    assert(spark.read.format("graft").option("versionAsOf", 4).load(d)
+      .columns.contains("tag"), "pre-rename versions keep the old name")
+
+    // Widen through standard DDL: int -> bigint, one metadata commit.
+    spark.sql("ALTER TABLE graft.db.alt ALTER COLUMN v TYPE BIGINT")
+    assert(spark.table("graft.db.alt").schema("v").dataType.catalogString == "bigint")
+    // Narrowing is refused — by Spark's own analyzer (it checks
+    // Cast.canUpCast before the catalog sees the change) or, for
+    // shapes it lets through, by the commit layer's widen gate.
+    val eN = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.alt ALTER COLUMN v TYPE INT"))
+    assert(eN.getMessage.contains("widen") ||
+      eN.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), s"got: ${eN.getMessage}")
+
+    // DROP COLUMN: logical drop; older versions still serve it.
+    spark.sql("ALTER TABLE graft.db.alt DROP COLUMN note")
+    assert(!spark.table("graft.db.alt").columns.contains("note"))
+    assert(spark.read.format("graft").option("versionAsOf", 5).load(d)
+      .columns.contains("note"))
+    // The dropped physical name is retired: re-adding it is rejected.
+    val eR = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.db.alt ADD COLUMNS (note STRING)"))
+    assert(eR.getMessage.contains("retired"), s"got: ${eR.getMessage}")
+
+    // The evolved table stays a full DML citizen.
+    spark.sql("UPDATE graft.db.alt SET score = 1.0 WHERE id = 1")
+    assert(spark.sql("SELECT score FROM graft.db.alt WHERE id = 1")
+      .collect().head.getDouble(0) == 1.0)
+    spark.sql("DROP TABLE graft.db.alt")
   }
 
   test("CREATE TABLE … LOCATION: the store lives at LOCATION; DROP removes only the catalog pointer") {

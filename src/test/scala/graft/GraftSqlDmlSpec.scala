@@ -250,6 +250,52 @@ class GraftSqlDmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(F.read(spark, dS).where(col("event_type") === "recased").count() > 0)
   }
 
+  test("operator-leading simple-CASE operands still OPEN a CASE; `case NOT IN (…)` stays a value position") {
+    import F.MergeClause._
+    ev.limit(200).createOrReplaceTempView("graft_sql_evN")
+    val src = ev.limit(100).withColumn("value", col("value") + 2.0)
+    src.createOrReplaceTempView("graft_sql_msrcN")
+    val dS = Files.createTempDirectory("graft_sqlnegcase_s").toString
+    spark.sql(s"GRAFT BUILD '$dS' KEY event_id ORDER BY (user_id) FILES 2 USING graft_sql_evN")
+    // `CASE -expr WHEN …` and `CASE NOT expr WHEN …`: operator-leading
+    // simple-CASE operands — the splitter must still track CASE…END
+    // depth, or the CASE's own WHEN/THEN reads as clause structure.
+    val setV = "CASE -s.value WHEN -1.0 THEN 0.0 ELSE s.value END"
+    val cond = "CASE NOT s.value >= t.value WHEN true THEN false ELSE true END"
+    spark.sql(
+      s"""GRAFT MERGE INTO '$dS' FILES 2 USING graft_sql_msrcN
+          WHEN MATCHED AND $cond THEN UPDATE SET value = $setV, event_type = 'neg'
+          WHEN NOT MATCHED THEN INSERT""")
+    val dA = Files.createTempDirectory("graft_sqlnegcase_a").toString
+    F.build(ev.limit(200), dA, "event_id", Seq("user_id"), 2)
+    F.merge(spark, dA, src, 2, Seq(
+      Update(Some(cond), Map("value" -> setV, "event_type" -> "'neg'")),
+      Insert(None)))
+    assert(rows(F.read(spark, dS)) == rows(F.read(spark, dA)))
+    assert(F.read(spark, dS).where(col("event_type") === "neg").count() > 0)
+
+    // An UNQUALIFIED column named `case` followed by NOT IN is a VALUE
+    // usage (demoted by the NOT-lookahead) — were it misread as a CASE
+    // opener, the depth would never close and the THEN/WHEN split fails.
+    val baseC = ev.limit(120).withColumn("case", col("value") + 1.0)
+    baseC.createOrReplaceTempView("graft_sql_evN2")
+    ev.limit(60).withColumn("value", col("value") + 9.0)
+      .createOrReplaceTempView("graft_sql_msrcN2")
+    val dC = Files.createTempDirectory("graft_sqlnotin_s").toString
+    spark.sql(s"GRAFT BUILD '$dC' KEY event_id ORDER BY (user_id) FILES 2 USING graft_sql_evN2")
+    spark.sql(
+      s"""GRAFT MERGE INTO '$dC' FILES 2 USING graft_sql_msrcN2
+          WHEN MATCHED AND case NOT IN (-12345.0) THEN UPDATE SET value = s.value
+          WHEN NOT MATCHED THEN INSERT""")
+    val dC2 = Files.createTempDirectory("graft_sqlnotin_a").toString
+    F.build(baseC, dC2, "event_id", Seq("user_id"), 2)
+    F.merge(spark, dC2,
+      ev.limit(60).withColumn("value", col("value") + 9.0), 2, Seq(
+        Update(Some("case NOT IN (-12345.0)"), Map("value" -> "s.value")),
+        Insert(None)))
+    assert(rows(F.read(spark, dC)) == rows(F.read(spark, dC2)))
+  }
+
   test("GRAFT OVERWRITE INTO replaces the live rows in one history-preserving commit") {
     ev.createOrReplaceTempView("graft_sql_evA")
     val d = Files.createTempDirectory("graft_sqlow").toString

@@ -216,6 +216,183 @@ class MergePropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ----------------- round-13 shapes: BY SOURCE + compound ON
+
+  /** By-source conditions see only the target row (there is no source
+    * row on that side — the engine rejects `s.` references loudly). */
+  private sealed trait TCond { def sql: String; def eval(t: MergePropEv): Boolean }
+  private case object TAlways extends TCond {
+    val sql = ""; def eval(t: MergePropEv) = true
+  }
+  private final case class TTgtGe(c: Double) extends TCond {
+    def sql = s"t.value >= $c"; def eval(t: MergePropEv) = t.value >= c
+  }
+  private final case class TUserMod(m: Long, r: Long) extends TCond {
+    def sql = s"t.user_id % $m = $r"; def eval(t: MergePropEv) = t.user_id % m == r
+  }
+
+  private sealed trait BsClause
+  private final case class BsUpd(cond: TCond, bump: Double, tag: String) extends BsClause
+  private final case class BsDel(cond: TCond) extends BsClause
+
+  /** Reference for the FULL clause surface: matched pairs first-match
+    * over (extra ON conjunct AND clause condition); source-absent
+    * target rows first-match over the by-source clauses; inserts as
+    * before (only legal without extra conjuncts). */
+  private def refMergeFull(target: Seq[MergePropEv], source: Seq[MergePropEv],
+                           clauses: Seq[RefClause], bySource: Seq[BsClause],
+                           extra: Option[Cond]): Seq[MergePropEv] = {
+    val srcKeys = source.map(_.event_id).toSet
+    val byKey = target.map(e => e.event_id -> e).toMap
+    val matchedClauses = clauses.collect { case u: RUpd => u; case d: RDel => d }
+    val insertConds = clauses.collect { case RIns(c) => c }
+    val out = scala.collection.mutable.LinkedHashMap(
+      target.map(e => e.event_id -> e): _*)
+    source.foreach { s =>
+      byKey.get(s.event_id) match {
+        case Some(t) if extra.forall(_.eval(s, Some(t))) =>
+          matchedClauses.find {
+            case RUpd(c, _, _) => c.eval(s, Some(t))
+            case RDel(c) => c.eval(s, Some(t))
+          } match {
+            case Some(RUpd(_, set, tag)) =>
+              out(s.event_id) = t.copy(value = set.eval(s, t), event_type = tag)
+            case Some(RDel(_)) => out.remove(s.event_id)
+            case _ =>
+          }
+        case Some(_) => // key matched but extra conjunct failed: no-op
+        case None =>
+          if (insertConds.exists(_.eval(s, None))) out(s.event_id) = s
+      }
+    }
+    target.filterNot(t => srcKeys.contains(t.event_id)).foreach { t =>
+      bySource.find {
+        case BsUpd(c, _, _) => c.eval(t); case BsDel(c) => c.eval(t)
+      } match {
+        case Some(BsUpd(_, bump, tag)) if out.contains(t.event_id) =>
+          out(t.event_id) = t.copy(value = t.value + bump, event_type = tag)
+        case Some(BsDel(_)) => out.remove(t.event_id)
+        case _ =>
+      }
+    }
+    out.values.toSeq
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE through standard MERGE INTO ≡ the reference (15 cases, one-commit atomicity)") {
+    val rnd = new scala.util.Random(20260818L)
+    for (caseNo <- 1 to 15) {
+      val seed = rnd.nextLong()
+      val target = mkRows(seed, 60, 0L)
+      val matchedPart = mkRows(seed + 1, 40, 0L).filter(_.event_id % 3 != 1)
+      val newPart = mkRows(seed + 2, 25, 1000L)
+      val source = rnd.shuffle(matchedPart ++ newPart)
+      def tcond(): TCond = rnd.nextInt(3) match {
+        case 0 => TAlways
+        case 1 => TTgtGe(val48(seed + 6, rnd.nextInt(50)))
+        case _ => TUserMod(3 + rnd.nextInt(3), rnd.nextInt(3))
+      }
+      val matched: Seq[RefClause] =
+        if (rnd.nextBoolean()) Seq(RUpd(CondSrcGeTgt, SetSrc, "m1")) else Nil
+      val inserts: Seq[RefClause] =
+        if (rnd.nextBoolean()) Seq(RIns(CondAlways)) else Nil
+      val bySource0 = rnd.shuffle(
+        (if (rnd.nextBoolean()) Seq(BsUpd(tcond(), 5.0, "bs1")) else Nil) ++
+          Seq[BsClause](if (rnd.nextBoolean()) BsDel(tcond()) else BsUpd(tcond(), -2.0, "bs2")))
+      // Spark requires only the LAST by-source clause may omit its
+      // condition — truncate at the first unconditioned one.
+      val cut = bySource0.indexWhere {
+        case BsUpd(TAlways, _, _) => true; case BsDel(TAlways) => true; case _ => false
+      }
+      val bySource = if (cut < 0) bySource0 else bySource0.take(cut + 1)
+
+      val d = Files.createTempDirectory(s"graft_mergebs_$caseNo").toString
+      F.build(df(target), d, "event_id", Seq("user_id", "ts_us"), 2)
+      val tbl = s"graft_mergebs_sql_$caseNo"
+      spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$d'")
+      df(source).createOrReplaceTempView(s"graft_mergebs_src_$caseNo")
+      def andOf(sql: String) = if (sql.isEmpty) "" else s"AND $sql "
+      val body =
+        matched.collect { case RUpd(c, set, tag) =>
+          s"WHEN MATCHED ${andOf(c.sql)}THEN UPDATE SET value = ${set.sql}, event_type = '$tag'"
+        } ++
+        inserts.collect { case RIns(c) =>
+          s"WHEN NOT MATCHED ${andOf(c.sql)}THEN INSERT *" } ++
+        bySource.map {
+          case BsUpd(c, bump, tag) =>
+            s"WHEN NOT MATCHED BY SOURCE ${andOf(c.sql)}THEN UPDATE SET " +
+              s"value = t.value + $bump, event_type = '$tag'"
+          case BsDel(c) => s"WHEN NOT MATCHED BY SOURCE ${andOf(c.sql)}THEN DELETE"
+        }
+      val before = F.currentVersion(spark, d)
+      spark.sql(
+        s"""MERGE INTO $tbl t USING graft_mergebs_src_$caseNo s ON t.event_id = s.event_id
+            ${body.mkString("\n            ")}""")
+      assert(F.currentVersion(spark, d) <= before + 1,
+        "matched + insert + by-source legs must land as ONE commit")
+      val got = canon(F.read(spark, d))
+      val want = canon(refMergeFull(target, source, matched ++ inserts, bySource, None))
+      assert(got == want,
+        s"case $caseNo diverged: matched=$matched inserts=$inserts bySource=$bySource\n" +
+          s" got=${got.take(5)}\n want=${want.take(5)}")
+    }
+  }
+
+  test("compound ON: extra conjuncts lower into every matched clause's condition (10 cases); unsound combinations rejected loudly") {
+    val rnd = new scala.util.Random(20260819L)
+    for (caseNo <- 1 to 10) {
+      val seed = rnd.nextLong()
+      val target = mkRows(seed, 60, 0L)
+      val source = rnd.shuffle(mkRows(seed + 1, 40, 0L).filter(_.event_id % 3 != 1))
+      val extra: Cond = rnd.nextInt(3) match {
+        case 0 => CondSrcGe(val48(seed + 3, rnd.nextInt(50)))
+        case 1 => CondTgtGe(val48(seed + 4, rnd.nextInt(50)))
+        case _ => CondSrcGeTgt
+      }
+      val clauses: Seq[RefClause] = Seq(
+        RUpd(CondSrcGe(val48(seed + 5, rnd.nextInt(50))), SetSum, "u1"),
+        if (rnd.nextBoolean()) RDel(CondAlways) else RUpd(CondAlways, SetTgtPlus, "u2"))
+      val d = Files.createTempDirectory(s"graft_mergeon_$caseNo").toString
+      F.build(df(target), d, "event_id", Seq("user_id", "ts_us"), 2)
+      val tbl = s"graft_mergeon_sql_$caseNo"
+      spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$d'")
+      df(source).createOrReplaceTempView(s"graft_mergeon_src_$caseNo")
+      def andOf(c: Cond) = if (c.sql.isEmpty) "" else s"AND ${c.sql} "
+      val body = clauses.map {
+        case RUpd(c, set, tag) =>
+          s"WHEN MATCHED ${andOf(c)}THEN UPDATE SET value = ${set.sql}, event_type = '$tag'"
+        case RDel(c) => s"WHEN MATCHED ${andOf(c)}THEN DELETE"
+        case _ => ""
+      }
+      spark.sql(
+        s"""MERGE INTO $tbl t USING graft_mergeon_src_$caseNo s
+            ON t.event_id = s.event_id AND ${extra.sql}
+            ${body.mkString("\n            ")}""")
+      val got = canon(F.read(spark, d))
+      val want = canon(refMergeFull(target, source, clauses, Nil, Some(extra)))
+      assert(got == want,
+        s"case $caseNo diverged: extra=$extra clauses=$clauses\n" +
+          s" got=${got.take(5)}\n want=${want.take(5)}")
+    }
+    // Extra conjuncts + NOT MATCHED would silently change meaning on a
+    // key-unique store — the rule must refuse, naming the fix.
+    val d = Files.createTempDirectory("graft_mergeon_rej").toString
+    F.build(df(mkRows(1L, 20, 0L)), d, "event_id", Seq("user_id", "ts_us"), 2)
+    spark.sql(s"CREATE TABLE graft_mergeon_rej USING graft LOCATION '$d'")
+    df(mkRows(2L, 20, 10L)).createOrReplaceTempView("graft_mergeon_rej_src")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO graft_mergeon_rej t USING graft_mergeon_rej_src s
+         ON t.event_id = s.event_id AND s.value >= 0
+         WHEN MATCHED THEN UPDATE SET value = s.value
+         WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e.getMessage.contains("extra ON conjuncts"), s"got: ${e.getMessage}")
+    // A merge condition with NO key-equality conjunct stays rejected.
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE INTO graft_mergeon_rej t USING graft_mergeon_rej_src s
+         ON t.user_id = s.user_id
+         WHEN MATCHED THEN UPDATE SET value = s.value"""))
+    assert(e2.getMessage.contains("key equality"), s"got: ${e2.getMessage}")
+  }
+
   test("random clause sets: engine merge ≡ independent reference (40 cases)") {
     val rnd = new scala.util.Random(20260816L)
     for (caseNo <- 1 to 40) {

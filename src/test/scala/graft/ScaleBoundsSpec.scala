@@ -56,6 +56,60 @@ class ScaleBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p3 <= bound, s"pairs $p3 exceed natural×c² + planted twins ($bound)")
   }
 
+  test("kanon_release output is bounded by the cell space; every event is decided EXACTLY once (released at one level, or its residual provably fails k)") {
+    import graft.operators.Privacy
+    val k = 5
+    // 3,600,000,000 / 86,400,000,000 µs = Privacy's hour/day cells.
+    val HourUs = 3600L * 1000000L; val DayUs = 86400L * 1000000L
+    for (c <- Seq(1, copies)) {
+      val ev = ScaleSmoke.scaledEvents(spark, sf, c)
+      val e = ev.select(col("event_type"), col("user_id"),
+        expr(s"ts_us DIV ${HourUs}L").as("hour"),
+        expr(s"ts_us DIV ${DayUs}L").as("day")).cache()
+      val rel = Privacy.kAnonRelease(ev, k).cache()
+      // Output is CELL-space bounded — constant-ish rows at any input
+      // scale (the SCALESMOKE constant-3,600-row observation is the
+      // contract, not an accident).
+      val hourCells = e.select("event_type", "hour").distinct().count()
+      val dayCells = e.select("event_type", "day").distinct().count()
+      val types = e.select("event_type").distinct().count()
+      assert(rel.count() <= hourCells + dayCells + types,
+        s"[$c x] release rows exceed the cell space")
+      // Every released row clears k — no level leaks a small cohort.
+      assert(rel.where(col("n_users") < k).isEmpty, s"[$c x] sub-k release")
+      // Exactly one decision per event: events in cells NOT released
+      // at hour or day level must reconcile with the type-level
+      // residual — equal to the suppressed row when one exists, and
+      // provably below k distinct users when none does. This is the
+      // inverse-side conservation proof, computed WITHOUT re-running
+      // the operator's own cascade.
+      val hourRel = rel.where(col("level") === "hour")
+        .select(col("event_type"), col("bucket").as("hour"))
+      val dayRel = rel.where(col("level") === "day")
+        .select(col("event_type"), col("bucket").as("day"))
+      val leftover = e.join(hourRel, Seq("event_type", "hour"), "left_anti")
+        .join(dayRel, Seq("event_type", "day"), "left_anti")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("u"), count(lit(1)).as("n"))
+      val supp = rel.where(col("level") === "suppressed")
+        .select(col("event_type"), col("n_users"), col("n_events"))
+      val joined = leftover.join(supp, Seq("event_type"), "left").collect()
+      joined.foreach { r =>
+        if (r.isNullAt(3)) // no residual release: it must FAIL k
+          assert(r.getLong(1) < k,
+            s"[$c x] ${r.getString(0)}: $r — an above-k residual was dropped")
+        else {
+          assert(r.getLong(3) == r.getLong(1) && r.getLong(4) == r.getLong(2),
+            s"[$c x] ${r.getString(0)}: residual release != leftover events $r")
+        }
+      }
+      // And no suppressed row without leftover events behind it.
+      assert(supp.join(leftover, Seq("event_type"), "left_anti").isEmpty,
+        s"[$c x] a type-level release exists with no failing cells behind it")
+      e.unpersist(); rel.unpersist()
+    }
+  }
+
   test("cluster_split output is exactly one row per input document — its ratio drift is graph density, never output blowup") {
     val docs3 = ScaleSmoke.scaledDocs(spark, sf, copies)
     val out = Pipeline.clusterSafeSplit(docs3, 0.2, "sm")

@@ -1748,6 +1748,160 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "skipChangeCommits skips the delete commit and resumes the appends")
   }
 
+  test("S36b: maxVersionsPerTrigger rate control — a 10-commit backlog drains across capped microbatches; checkpoint-resume mid-backlog loses and duplicates nothing") {
+    import graft.sources.{FactStore => F, Tables}
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s36b").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s36b_ck").toString
+    // An 11-version lineage: base + ten appends — the deep backlog.
+    F.build(ev.where(col("event_id") % 11 === 0), dir, "event_id",
+      Seq("user_id"), 2)
+    (1 to 10).foreach(i =>
+      F.append(spark, dir, ev.where(col("event_id") % 11 === i), 2))
+
+    val cols = Seq("event_id", "user_id", "ts_us", "event_type", "value",
+      "_change_type", "_commit_version")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[org.apache.spark.sql.Row]]
+    def start(once: Boolean) = {
+      val w = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "3")
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select(cols.map(col): _*).collect().toSeq
+          if (rows.nonEmpty) batches += rows; ()
+        }
+      (if (once) w.trigger(org.apache.spark.sql.streaming.Trigger.Once()) else w).start()
+    }
+
+    // Two single-trigger runs: each batch crosses AT MOST 3 versions —
+    // the second resumes MID-BACKLOG from the checkpoint.
+    val q1 = start(once = true); q1.awaitTermination()
+    val q2 = start(once = true); q2.awaitTermination()
+    assert(batches.size == 2, s"two capped triggers expected, got ${batches.size}")
+    batches.foreach { b =>
+      val versions = b.map(_.getLong(6)).distinct
+      assert(versions.size <= 3,
+        s"a capped batch crossed ${versions.size} versions: $versions")
+    }
+    assert(batches(0).map(_.getLong(6)).max == 3L &&
+      batches(1).map(_.getLong(6)).min == 4L,
+      "the resumed run must continue exactly where the checkpoint left off")
+
+    // Drain the rest continuously: still capped per trigger.
+    val q3 = start(once = false)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(batches.size >= 4, s"the 11-version backlog must take >= 4 capped batches, got ${batches.size}")
+
+    // Nothing lost, nothing duplicated: union ≡ the batch change feed.
+    val got = batches.flatten.map(_.toString).sorted
+    val want = (F.read(spark, dir, 1L)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(1L)) +:
+      (2L to 11L).map(v =>
+        F.changeRows(spark, dir, v - 1, v).withColumn("_commit_version", lit(v))))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .select(cols.map(col): _*).collect().map(_.toString).toSeq.sorted
+    assert(got.toSeq == want, "rate-capped stream ≡ the uncapped batch feed")
+  }
+
+  test("S37: df.writeStream.format(\"graft\") — the NATIVE exactly-once sink; kill-and-restart mid-lineage duplicates nothing; ≡ the foreachBatch path ≡ a batch build") {
+    import graft.sources.{FactStore => F, Tables}
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_s37_src").toString
+    val dstDir = java.nio.file.Files.createTempDirectory("graft_s37_dst").toString
+    val twinDir = java.nio.file.Files.createTempDirectory("graft_s37_twin").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_s37_ck").toString
+    val ckTwin = java.nio.file.Files.createTempDirectory("graft_s37_ck2").toString
+    F.build(ev.where(col("event_id") % 4 === 0), srcDir, "event_id",
+      Seq("user_id"), 2)
+    val schema = F.read(spark, srcDir).schema
+    F.createEmpty(spark, dstDir, schema, "event_id", Seq("user_id"))
+    F.createEmpty(spark, twinDir, schema, "event_id", Seq("user_id"))
+
+    // Native sink: one line, no foreachBatch incantation.
+    def startNative(once: Boolean) = {
+      val w = spark.readStream.format("graft").load(srcDir)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ck).option("appId", "s37")
+      (if (once) w.trigger(org.apache.spark.sql.streaming.Trigger.Once()) else w)
+        .start(dstDir)
+    }
+    // The foreachBatch twin — the pre-S37 incantation, same guts.
+    def startTwin() = spark.readStream.format("graft").load(srcDir)
+      .writeStream.option("checkpointLocation", ckTwin)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        F.appendStreamBatch(spark, twinDir, b, 1, id, "s37twin"); ()
+      }.start()
+
+    // Phase 1: initial snapshot flows through; KILL after one trigger.
+    val q1 = startNative(once = true); q1.awaitTermination()
+    val rowsAfter1 = F.read(spark, dstDir).count()
+    assert(rowsAfter1 == ev.where(col("event_id") % 4 === 0).count(),
+      "the initial snapshot must land through the native sink")
+
+    // Down: two commits land on the source while no stream exists.
+    F.append(spark, srcDir, ev.where(col("event_id") % 4 === 1), 2)
+    F.append(spark, srcDir, ev.where(col("event_id") % 4 === 2), 2)
+
+    // Phase 2: restart from the SAME checkpoint — the while-down
+    // commits arrive exactly once (manifest-carried lastBatchId).
+    val q2 = startNative(once = false)
+    try q2.processAllAvailable() finally q2.stop()
+    val twin = startTwin()
+    try twin.processAllAvailable() finally twin.stop()
+
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).toSeq.sorted
+    val wantLive = canon(F.read(spark, srcDir))
+    assert(canon(F.read(spark, dstDir)) == wantLive,
+      "native sink store ≡ the source's live rows (a batch build)")
+    assert(canon(F.read(spark, twinDir)) == wantLive,
+      "native sink ≡ the foreachBatch twin")
+    // No duplicate generations: every landed batch is one append commit,
+    // and a re-delivered batch would have been a version no-op.
+    val hist = (1L to F.currentVersion(spark, dstDir)).map(v =>
+      graft.sources.ManifestLog.snapshot(spark, dstDir, v).op)
+    assert(hist.count(_ == "append") <= 3,
+      s"replay-guarded sink must land at most one commit per batch: $hist")
+
+    // outputMode(update) → upsertStreamBatch: re-streaming the SAME
+    // source rows (bumped) into the store REPLACES by key instead of
+    // duplicating.
+    val ckU = java.nio.file.Files.createTempDirectory("graft_s37_cku").toString
+    val qU = spark.readStream.format("graft")
+      .option("startingVersion", "1").load(srcDir)
+      .withColumn("value", col("value") + 10000.0)
+      .writeStream.format("graft").outputMode("update")
+      .option("checkpointLocation", ckU).option("appId", "s37u")
+      .start(dstDir)
+    try qU.processAllAvailable() finally qU.stop()
+    val got = F.read(spark, dstDir)
+    assert(got.count() == F.read(spark, srcDir).count(),
+      "update-mode re-stream must upsert, never duplicate keys")
+    assert(canon(got.select(col("event_id"), col("value"))) ==
+      canon(F.read(spark, srcDir).select(col("event_id"), col("value") + 10000.0)),
+      "update-mode rows carry the re-streamed values (key LWW)")
+
+    // Guardrails: complete mode is loud; so is a missing target.
+    val eC = intercept[Exception] {
+      spark.readStream.format("graft").load(srcDir)
+        .writeStream.format("graft").outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_s37_ckc").toString)
+        .start(dstDir)
+    }
+    assert(eC.getMessage.contains("outputMode") ||
+      Option(eC.getCause).exists(_.getMessage.contains("outputMode")),
+      s"got: ${eC.getMessage}")
+  }
+
   test("S24: streaming as-of enrichment — clicks arrive in arbitrary microbatches, each picks up its point-in-time purchase ≡ batch, stateless") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
