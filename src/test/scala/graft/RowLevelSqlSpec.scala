@@ -146,11 +146,22 @@ class RowLevelSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       """MERGE INTO rls_merge_bad t USING rls_bad_src s ON t.user_id = s.user_id
          WHEN MATCHED THEN DELETE"""))
     assert(e1.getMessage.contains("key"), s"got: ${e1.getMessage}")
+    // NOT MATCHED BY SOURCE graduated to supported in round 13
+    // (MergePropertiesSpec owns its semantics); a non-identity INSERT
+    // column list remains a loud rejection with guidance.
     val e2 = intercept[Exception](spark.sql(
       """MERGE INTO rls_merge_bad t USING rls_bad_src s ON t.event_id = s.event_id
+         WHEN NOT MATCHED THEN INSERT (event_id, user_id, ts_us, event_type, value)
+           VALUES (s.event_id, s.user_id, s.ts_us, 'forced', s.value)"""))
+    assert(e2.getMessage.contains("INSERT"), s"got: ${e2.getMessage}")
+    // Extra ON conjuncts next to NOT MATCHED clauses: loud, with the
+    // rewrite named (the round-13 compound-ON soundness boundary).
+    val e3 = intercept[Exception](spark.sql(
+      """MERGE INTO rls_merge_bad t USING rls_bad_src s
+         ON t.event_id = s.event_id AND t.user_id >= 0
          WHEN MATCHED THEN DELETE
-         WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
-    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"), s"got: ${e2.getMessage}")
+         WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e3.getMessage.contains("extra ON conjuncts"), s"got: ${e3.getMessage}")
   }
 
   test("row-level SQL works against TableCatalog identifiers too (graft.db.x)") {
