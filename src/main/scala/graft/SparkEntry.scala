@@ -356,6 +356,16 @@ object SparkEntry {
   /** Q127: the ONE take-down subject id set, shared by both stores. */
   private def erasureIds(df: DataFrame, idCol: String): DataFrame =
     df.select(col(idCol)).filter(col(idCol) % ErasureMod === ErasureRes)
+  /** Run independent store-ensure steps CONCURRENTLY (optimization
+    * guide §2.6: actions are only sequential because the driver calls
+    * them sequentially — each build's straggler tail leaves most cores
+    * idle, and the stores are independent artifacts under different
+    * object locks). Wall of a multi-store query drops from Σ(builds)
+    * toward max(builds); results are unchanged because each ensure is
+    * an idempotent, internally-synchronized build of its own dir.
+    */
+  private def ensurePar(steps: (() => String)*): Seq[String] =
+    graft.sources.ParallelSteps.run(steps: _*)
   /** Text index (with positional sidecar) after the q127 erasure. */
   private def ensureErasureTextIndex(s: SparkSession, d: String): String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_erasure_text_${new java.io.File(d).getName}"
@@ -1806,17 +1816,23 @@ object SparkEntry {
     "q25b_approx_quantiles" -> ((s, d) =>
       EventLog.approxQuantiles(Tables.events(s, d), 10000, 0.02)),
     "q28_asof_join" -> ((s, d) => Temporal.asofLastView(Tables.events(s, d))),
-    "q127_erasure_audit" -> ((s, d) =>
+    "q127_erasure_audit" -> ((s, d) => {
       // Right-to-be-forgotten audit: one take-down id set tombstoned
       // in the text AND vector stores AND the raw document lake
       // (FactStore row-level DELETE); every serving surface's ranked
       // list — and the raw store's live contents — must match a
-      // from-scratch live-corpus restatement.
-      Compliance.erasureAudit(s, ensureErasureTextIndex(s, d),
-        ensureErasureAnnStore(s, d), Bm25Terms, PhraseTerms, RrfK,
+      // from-scratch live-corpus restatement. The three independent
+      // takedown builds run concurrently (ensurePar).
+      val Seq(text, ann, raw) = ensurePar(
+        () => ensureErasureTextIndex(s, d),
+        () => ensureErasureAnnStore(s, d),
+        () => ensureErasureFactStore(s, d))
+      Compliance.erasureAudit(s, text,
+        ann, Bm25Terms, PhraseTerms, RrfK,
         annQueryBatch(s, d), PqSub, BatchTopK, IvfPqProbes,
         BatchQueries.toLong, TextIndexBuckets,
-        ensureErasureFactStore(s, d), ErasureMod, ErasureRes)),
+        raw, ErasureMod, ErasureRes)
+    }),
     "q128_fuzzy_match" -> ((s, d) =>
       // Record linkage: distinct entities, head-noun blocking, edit
       // distance on the variant token — sum-of-block-squares pairs on
@@ -2622,19 +2638,23 @@ object SparkEntry {
     "q109c_postings_history" -> ((s, d) =>
       // The lexical commit log, from manifests alone.
       graft.sources.VersionedTextIndex.history(s, ensureVersionedTextIndex(s, d))),
-    "q110_versioned_hybrid" -> ((s, d) =>
+    "q110_versioned_hybrid" -> ((s, d) => {
       // Hybrid retrieval with BOTH legs pinned to committed snapshots
       // of the versioned stores (Latest here = each store's post-
       // maintenance live state) — the cross-store consistency the
       // directory-read hybrid can't promise mid-maintenance, and the
-      // reproducible-replay shape an A/B audit needs.
+      // reproducible-replay shape an A/B audit needs. Independent
+      // store lifecycles run concurrently (ensurePar).
+      val Seq(textDir, annDir) = ensurePar(
+        () => ensureVersionedTextIndex(s, d), () => ensureVersionedAnnStore(s, d))
       Similarity.hybridRrfVersioned(s,
-        ensureVersionedTextIndex(s, d), graft.sources.VersionedTextIndex.Latest,
-        ensureVersionedAnnStore(s, d), graft.sources.VersionedVectorIndex.Latest,
+        textDir, graft.sources.VersionedTextIndex.Latest,
+        annDir, graft.sources.VersionedVectorIndex.Latest,
         Bm25Terms, Bm25K, RrfK, IvfPqProbes,
         Similarity.withEmb(Tables.table(s, d, "embeddings"))
           .filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("emb")),
-        BatchQueries.toLong)),
+        BatchQueries.toLong)
+    }),
     "q111_upserted_bm25" -> ((s, d) =>
       // BM25 over the UPSERTED corpus: v4 replaced every mod-5 doc's
       // text (and revived the deleted ones among them) in ONE commit —
@@ -2754,17 +2774,21 @@ object SparkEntry {
         Similarity.withEmb(Tables.table(s, d, "embeddings"))
           .filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("emb")),
         BatchQueries.toLong)),
-    "q120_triple_hybrid" -> ((s, d) =>
+    "q120_triple_hybrid" -> ((s, d) => {
       // The full modern retrieval stack: BM25 + learned-sparse +
       // dense IVF-PQ, every leg from a persisted index, fused by
       // exact-integer reciprocal ranks (three incomparable score
-      // scales never meet — only ranks do).
-      Similarity.hybridRrf3Stored(s, ensureTextIndex(s, d), ensureAnnStore(s, d),
+      // scales never meet — only ranks do). The two independent index
+      // ensures run concurrently (ensurePar).
+      val Seq(textDir, annDir) = ensurePar(
+        () => ensureTextIndex(s, d), () => ensureAnnStore(s, d))
+      Similarity.hybridRrf3Stored(s, textDir, annDir,
         Bm25Terms, SparseQueryWeights, Bm25K, RrfK, TextIndexBuckets,
         PqSub, IvfPqProbes,
         Similarity.withEmb(Tables.table(s, d, "embeddings"))
           .filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("emb")),
-        BatchQueries.toLong)),
+        BatchQueries.toLong)
+    }),
     "q86_bm25" -> ((s, d) =>
       TextAnalysis.bm25(Tables.table(s, d, "documents"), Bm25Terms, Bm25K)),
     "q87_hybrid_rrf" -> ((s, d) =>

@@ -68,47 +68,49 @@ object Classifier {
              + ws[size(ws) - 1]"""))
       .withColumn("pred", when(col("margin") >= 0, 1L).otherwise(0L))
 
-  /** The shared training loop: final weights (j, w), both BIGINT. */
+  /** The shared training loop with DRIVER-resident weights: the
+    * tokenized feature rows are materialized ONCE (lazy localCheckpoint
+    * — the first round's job fills it; formerly every round re-ran the
+    * corpus tokenization), and each round is exactly ONE job — margins
+    * against the PLAN-LITERAL weight vector (the [[scoreWith]] serving
+    * shape, no broadcast exchange), misclassified occurrences reduced
+    * on the bounded bucket key space and collected (≤ buckets+1 rows).
+    * The bias rides as one synthetic occurrence of bucket `buckets`
+    * per misclassified doc (err·1 ≡ the former separate bias
+    * aggregation), and convergence is "every collected delta is zero"
+    * — exactly the former next==ws anti-join test, moved to the
+    * driver. Final weights (j, w), both BIGINT.
+    */
   private[graft] def trainLoop(docs: DataFrame, buckets: Int, iters: Int,
                                posLang: String): DataFrame = {
+    val feat = featureRows(docs, buckets, posLang).localCheckpoint(false)
+    wsFrame(docs.sparkSession, trainModel(feat, buckets, iters))
+  }
+
+  /** The weight loop over an already-materialized feature frame. */
+  private def trainModel(feat: DataFrame, buckets: Int, iters: Int): Array[Long] = {
     require(iters >= 1, s"perceptron needs at least one round, got $iters")
-    val spark = docs.sparkSession
-    val feat = featureRows(docs, buckets, posLang)
-    var ws: DataFrame = spark.range(buckets + 1L)
-      .select(col("id").as("j"), lit(0L).as("w"))
+    val ws = Array.fill(buckets + 1)(0L)
     var converged = false
     for (_ <- 1 to iters if !converged) {
-      // w += Σ_misclassified err·x, sparsely: each token OCCURRENCE of
-      // bucket j contributes err once (occurrence sum ≡ err·count), and
-      // the bias count is 1 per misclassified doc.
-      val scored = scoreAgainst(feat, ws)
+      val deltas = withMarginPred(feat.withColumn("ws", typedlit(ws.toSeq)))
         .withColumn("err", col("y") - col("pred"))
         .where(col("err") =!= 0L)
-      val updTok = scored
-        .select(col("err"), explode(col("js")).as("j"))
-        .groupBy(col("j").cast("long").as("j"))
-        .agg(sum("err").as("d"))
-      val updBias = scored
-        .agg(sum("err").as("d"))
-        .select(lit(buckets.toLong).as("j"), col("d"))
-        .where(col("d").isNotNull)
-      val next = ws.join(updTok.unionByName(updBias), Seq("j"), "left")
-        .select(col("j"), (col("w") + coalesce(col("d"), lit(0L))).as("w"))
-        .localCheckpoint()
-      converged = next.join(ws, Seq("j", "w"), "left_anti").isEmpty
-      ws = next
+        .select(col("err"), explode(concat(col("js"), array(lit(buckets)))).as("j"))
+        .groupBy("j").agg(sum("err").as("d"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      converged = deltas.forall(_._2 == 0L)
+      deltas.foreach { case (j, d) => ws(j) += d }
     }
     ws
   }
 
-  /** Margin + prediction of feature rows against a weight frame: the
-    * weights collapse to one broadcast array (bias last, at index
-    * `buckets`), so scoring is a map-only O(tokens) fold per document.
-    */
-  private def scoreAgainst(feat: DataFrame, ws: DataFrame): DataFrame = {
-    val wsArr = ws.agg(expr(
-      "transform(array_sort(collect_list(struct(j, w))), s -> s.w)").as("ws"))
-    withMarginPred(feat.crossJoin(broadcast(wsArr)))
+  /** The (j, w) weight frame of a driver-side model, as a
+    * LocalRelation. */
+  private def wsFrame(spark: org.apache.spark.sql.SparkSession,
+                      ws: Array[Long]): DataFrame = {
+    import spark.implicits._
+    ws.toSeq.zipWithIndex.map { case (w, j) => (j.toLong, w) }.toDF("j", "w")
   }
 
   /** Q81 — the trained weight vector after `iters` full-batch rounds
@@ -120,24 +122,27 @@ object Classifier {
 
   /** Q81b — score every document against the TRAINED weights: margin,
     * prediction, and the true label (so the oracle pins training
-    * accuracy, not just the arithmetic). Map-only on top of the loop.
+    * accuracy, not just the arithmetic). Map-only on top of the loop,
+    * against the SAME materialized feature frame the loop trained on
+    * (formerly the corpus was re-tokenized for scoring).
     */
   def perceptronScore(docs: DataFrame, buckets: Int, iters: Int,
-                      posLang: String): DataFrame =
-    scoreAgainst(featureRows(docs, buckets, posLang),
-        trainLoop(docs, buckets, iters, posLang))
+                      posLang: String): DataFrame = {
+    val feat = featureRows(docs, buckets, posLang).localCheckpoint(false)
+    val ws = trainModel(feat, buckets, iters)
+    withMarginPred(feat.withColumn("ws", typedlit(ws.toSeq)))
       .select("doc_id", "y", "margin", "pred")
       .orderBy("doc_id")
+  }
 
   /** The trained weight vector as a SERVING artifact: (buckets+1)
-    * longs, index = bucket, last = bias. Bounded by construction, so
-    * collecting it is the legitimate "export the model" step — the
-    * form a stream scorer embeds as a plan literal.
+    * longs, index = bucket, last = bias. Bounded by construction —
+    * the driver-resident loop state IS the export.
     */
   def trainedWeights(docs: DataFrame, buckets: Int, iters: Int,
                      posLang: String): Array[Long] =
-    trainLoop(docs, buckets, iters, posLang)
-      .orderBy("j").collect().map(_.getLong(1))
+    trainModel(featureRows(docs, buckets, posLang).localCheckpoint(false),
+      buckets, iters)
 
   /** Score an arriving frame against an EXPORTED weight vector — the
     * train-offline / serve-in-stream half of q81: weights ship as a

@@ -350,7 +350,7 @@ object Dedup {
 
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     var rounds = 0
     // Neighbor-min alone needs O(diameter) rounds; the extra
@@ -360,25 +360,28 @@ object Dedup {
     // The cap is a runaway guard: 64 rounds covers any component that
     // fits in an exabyte, and overrunning it raises — this operator
     // must never silently emit unconverged (wrong) cluster labels.
+    // Each round is ONE job: the convergence probe's old-label join
+    // rides INSIDE the lazily-checkpointed round plan (the probe count
+    // materializes it), instead of a second join-the-checkpoint job.
     while (changed > 0) {
       if (rounds >= 64)
         throw new IllegalStateException(
           s"nearDupClusters failed to converge after $rounds rounds")
       val neighborMin = edges.join(labels, edges("src") === labels("doc"))
         .select(col("dst").as("doc"), col("lbl"))
-        .union(labels)
+        .union(labels.select("doc", "lbl"))
         .groupBy("doc").agg(min("lbl").as("lbl"))
       val next = neighborMin
         .join(
           labels.select(col("doc").as("l_doc"), col("lbl").as("l_lbl")),
           neighborMin("lbl") === col("l_doc"))
         .select(col("doc"), least(col("lbl"), col("l_lbl")).as("lbl"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-        .where(col("lbl") < col("old")).count()
+        .join(labels.select(col("doc"), col("lbl").as("old")), "doc")
+        .localCheckpoint(false)
+      changed = next.where(col("lbl") < col("old")).count()
       // Stale rounds' checkpoint RDDs are dropped by the ContextCleaner
       // once this reference moves on; edges we free explicitly below.
-      labels = next
+      labels = next.select("doc", "lbl")
       rounds += 1
     }
     edges.unpersist()

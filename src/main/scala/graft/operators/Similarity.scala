@@ -5,6 +5,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Deterministic.roundTo
 
+/** Driver-side centroid entry (the bounded trained model), injected
+  * into per-row expressions as a PLAN LITERAL — field names match the
+  * former `collect_list(struct(cid, cemb))` shape the argmax/argmin
+  * lambdas reference, so the evaluated expression is unchanged. */
+private[graft] case class CentLit(cid: Long, cemb: Seq[Double])
+
+/** [[CentLit]] with its PQ subspace — one sub-codebook entry. */
+private[graft] case class BookLit(m: Int, cid: Long, cemb: Seq[Double])
+
 /** Embedding similarity search (north-star LLM-pipeline surface;
   * SURVEY.md §2C Q18).
   *
@@ -313,14 +322,20 @@ object Similarity {
     * centroids (cid, dim, n, mean_val) that [[ivfSearchTrained]] and
     * the PQ family consume in place of the `vec_id < n` stand-in.
     *
-    * Loop mechanics (the q40 pattern): each round is one [[kmeansStep]]
-    * against the previous round's centroids — a map-only broadcast
-    * assignment plus a bounded (centroids × dim) aggregation — and the
-    * round's output is `localCheckpoint`ed (it is nCentroids × dim
-    * rows, bounded regardless of corpus size), so plan depth stays
-    * constant across rounds and the corpus is re-SCANNED but never
-    * shuffled per round. The driver-side probe is one count of changed
-    * (cid, dim, mean_val) rows per round — no data moves.
+    * Loop mechanics: the projected training input (vec_id, emb) is
+    * materialized ONCE (`localCheckpoint` — every round re-reads the
+    * cached columns instead of re-decoding parquet `iters` times), and
+    * the round state lives on the DRIVER: the per-round means are a
+    * bounded model (nCentroids × dim rows regardless of corpus size),
+    * so each round is exactly ONE job — a map-only assignment against
+    * the PLAN-LITERAL centroids (no broadcast exchange, no
+    * per-round broadcast-build job) reduced on the bounded
+    * (centroids × dim) key space and collected. The convergence probe
+    * is a driver-side set comparison of those bounded rows (it
+    * replaces the former two anti-join jobs per round; Row equality is
+    * strictly finer than SQL join equality on these columns, so it can
+    * only UNDER-report convergence — and an extra round at a fixpoint
+    * reproduces the same means verbatim).
     *
     * Early exit is sound because the iteration is deterministic: if
     * round k's rounded means equal round k-1's, every later round
@@ -334,39 +349,97 @@ object Similarity {
     * rows), matching the oracle's inner-join semantics.
     */
   def kmeansTrain(emb: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    val e = trainInput(withEmb(emb))
+    val (rows, schema, _) = kmeansTrainModel(e, nCentroids, iters)
+    localFrame(e.sparkSession, rows, schema).orderBy("cid", "dim")
+  }
+
+  /** The training input, projected to (vec_id, emb) and materialized
+    * once (lazy localCheckpoint: the first loop job fills it). At any
+    * scale this replaces `iters` parquet decodes with one
+    * MEMORY_AND_DISK materialization of exactly the two training
+    * columns.
+    */
+  private def trainInput(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("emb")).localCheckpoint(false)
+
+  /** A bounded model frame as a LocalRelation (no partitions to plan,
+    * broadcast-free consumers). */
+  private def localFrame(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+                         schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The k-means loop with DRIVER-resident round state: returns the
+    * final round's long-form mean rows (cid, dim, n, mean_val), their
+    * schema, and the list-form centroid model. One Spark job per round.
+    */
+  private def kmeansTrainModel(e: DataFrame, nCentroids: Int,
+                               iters: Int): (Seq[org.apache.spark.sql.Row],
+                                             org.apache.spark.sql.types.StructType,
+                                             Seq[CentLit]) = {
     require(iters >= 1, s"kmeansTrain needs at least one round, got $iters")
-    val e = withEmb(emb)
-    var means: DataFrame = null
-    var cents = standInCentroids(e, nCentroids)
-    var converged = false
-    for (_ <- 1 to iters if !converged) {
-      val next = assignTo(e, cents)
+    // Seed = the vec_id < n stand-in, collected (bounded: nCentroids
+    // rows); this first tiny job also materializes the checkpoint.
+    var cents: Seq[CentLit] = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      .collect().map(r => CentLit(r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_.cid)
+    def roundPlan(c: Seq[CentLit]): DataFrame =
+      assignToModel(e, c)
         .select(col("cid"), posexplode(col("emb")))
         .groupBy(col("cid"), col("pos").cast("long").as("dim"))
         .agg(
           count(lit(1)).as("n"),
           roundTo(graft.functions.Deterministic.exactSum(col("col"), 6)
             / count(lit(1)), 4).as("mean_val"))
-        .localCheckpoint()
-      converged = means != null &&
-        next.join(means, Seq("cid", "dim", "n", "mean_val"), "left_anti").isEmpty &&
-        means.join(next, Seq("cid", "dim", "n", "mean_val"), "left_anti").isEmpty
+    val schema = roundPlan(cents).schema
+    var means: Seq[org.apache.spark.sql.Row] = null
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val next = roundPlan(cents).collect().toSeq
+      converged = means != null && next.toSet == means.toSet
       means = next
-      cents = next.groupBy("cid")
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(dim, mean_val))), s -> s.mean_val)")
-          .as("cemb"))
+      cents = centModelOf(means)
     }
-    means.orderBy("cid", "dim")
+    (means, schema, cents)
   }
 
+  /** List-form centroids (cid → dim-ordered mean array) from long-form
+    * mean rows — the driver-side twin of the former
+    * `groupBy(cid).agg(transform(array_sort(...)))`. */
+  private def centModelOf(means: Seq[org.apache.spark.sql.Row]): Seq[CentLit] =
+    means.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rs) =>
+      CentLit(cid, rs.sortBy(_.getLong(1)).map(_.getDouble(3)))
+    }
+
   /** The trained centroid frame (cid, cemb) for downstream consumers. */
-  private[graft] def trainedCentroids(emb: DataFrame, nCentroids: Int, iters: Int): DataFrame =
-    kmeansTrain(emb, nCentroids, iters)
-      .groupBy("cid")
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(dim, mean_val))), s -> s.mean_val)")
-        .as("cemb"))
+  private[graft] def trainedCentroids(emb: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    val e = trainInput(withEmb(emb))
+    centFrame(e.sparkSession, kmeansTrainModel(e, nCentroids, iters)._3)
+  }
+
+  /** [[assignTo]] with the bounded centroid set injected as a PLAN
+    * LITERAL instead of a broadcast row: the identical argmax
+    * expression runs against a foldable `cents` column, so assignment
+    * is map-only with no exchange anywhere in the plan.
+    */
+  private[graft] def assignToModel(e: DataFrame, cents: Seq[CentLit]): DataFrame =
+    e.withColumn("cents", typedlit(cents))
+      .withColumn("best", expr(
+        s"""array_max(transform(cents, c -> named_struct(
+              'sim', floor(${cosSql("emb", "c.cemb")} * 1e6 + 0.5) / 1e6,
+              'negcid', -c.cid)))"""))
+      .withColumn("cid", -col("best.negcid"))
+      .drop("best", "cents")
+
+  /** The (cid, cemb) centroid frame of a driver-side model, as a
+    * LocalRelation. */
+  private def centFrame(spark: SparkSession, cents: Seq[CentLit]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cid", "cemb")
+  }
 
   /** Q18i — batch IVF search over the TRAINED index: [[ivfSearch]] with
     * [[kmeansTrain]]'s centroids in place of the `vec_id < n` stand-in
@@ -678,10 +751,11 @@ object Similarity {
     * output as the codebook. Same map-only shape as [[pqEncode]].
     */
   def pqEncodeTrained(emb: DataFrame, nSub: Int, nCodes: Int, iters: Int): DataFrame = {
-    val (_, cents) = pqTrainLoop(emb, nSub, nCodes, iters)
+    val (_, _, books) = pqTrainModelFrom(withEmb(emb), nSub, nCodes, iters)
+    val byM = (0 until nSub).map(m =>
+      books.filter(_.m == m).sortBy(_.cid).map(b => CentLit(b.cid, b.cemb)))
     subVectors(emb, nSub)
-      .join(broadcast(cents.groupBy("m")
-        .agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))), "m")
+      .withColumn("cents", element_at(typedlit(byM), col("m") + 1))
       .withColumn("best", expr(
         s"""array_min(transform(cents, c -> named_struct(
               'erri', ${svErrIntSql(64 / nSub)},
@@ -706,9 +780,8 @@ object Similarity {
   def pqAdcSearchTrained(emb: DataFrame, nSub: Int, nCodes: Int, iters: Int,
                          nQueries: Int, k: Int): DataFrame = {
     val subLen = 64 / nSub
-    val (_, cents) = pqTrainLoop(emb, nSub, nCodes, iters)
-    val allCents = cents
-      .agg(collect_list(struct(col("m"), col("cid"), col("cemb"))).as("cents"))
+    val (_, _, books) = pqTrainModelFrom(withEmb(emb), nSub, nCodes, iters)
+    val centsLit = typedlit(books)
     // Subspace-m squared L2 between the row's subvector slice and the
     // SUB-length trained entry c.cemb, on the exact 1e-6 grid.
     val errSql =
@@ -717,13 +790,13 @@ object Similarity {
                             * (emb[m * $subLen + i] - c.cemb[i])) * 1e6 + 0.5) AS BIGINT)"""
     val e = withEmb(emb)
     val codes = e.filter(col("vec_id") >= nQueries)
-      .crossJoin(broadcast(allCents))
+      .withColumn("cents", centsLit)
       .select(col("vec_id"), expr(
         s"""transform(sequence(0, $nSub - 1), m ->
               array_min(transform(filter(cents, c -> c.m = m),
                 c -> named_struct('erri', $errSql, 'cid', c.cid))).cid)""").as("codes"))
     val luts = e.filter(col("vec_id") < nQueries)
-      .crossJoin(broadcast(allCents))
+      .withColumn("cents", centsLit)
       .select(col("vec_id").as("qid"), expr(
         s"""transform(sequence(0, $nSub - 1), m ->
               map_from_entries(transform(filter(cents, c -> c.m = m),
@@ -774,17 +847,37 @@ object Similarity {
     * — the entry point for training sub-codebooks on IVF residuals. */
   private def pqTrainLoopFrom(embFrame: DataFrame, nSub: Int, nCodes: Int,
                               iters: Int): (DataFrame, DataFrame) = {
+    val spark = embFrame.sparkSession
+    val (rows, schema, books) = pqTrainModelFrom(embFrame, nSub, nCodes, iters)
+    (localFrame(spark, rows, schema), bookFrame(spark, books))
+  }
+
+  /** The PQ loop with DRIVER-resident round state (the [[kmeansTrainModel]]
+    * mechanics, per subspace): the exploded subvector frame is
+    * materialized once (lazy localCheckpoint — the seed collect fills
+    * it), every round is ONE job assigning against the PLAN-LITERAL
+    * per-subspace codebooks (`element_at` on a foldable nested array —
+    * no broadcast exchange, no join) and collecting the bounded
+    * (nSub × nCodes × subLen) means; convergence is a driver-side set
+    * comparison (strictly finer than the former anti-join equality, so
+    * at worst it re-runs an identical round at a fixpoint).
+    */
+  private def pqTrainModelFrom(embFrame: DataFrame, nSub: Int, nCodes: Int,
+                               iters: Int): (Seq[org.apache.spark.sql.Row],
+                                             org.apache.spark.sql.types.StructType,
+                                             Seq[BookLit]) = {
     require(iters >= 1, s"pqTrain needs at least one round, got $iters")
     val subLen = 64 / nSub
-    val pe = subVectorsFrom(embFrame, nSub)
-    var means: DataFrame = null
-    var cents = pe.where(col("vec_id") < nCodes)
+    val pe = subVectorsFrom(embFrame, nSub).localCheckpoint(false)
+    var books: Seq[BookLit] = pe.where(col("vec_id") < nCodes)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cemb"))
-    var converged = false
-    for (_ <- 1 to iters if !converged) {
-      val next = pe
-        .join(broadcast(cents.groupBy("m")
-          .agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))), "m")
+      .collect().map(r => BookLit(r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .toSeq.sortBy(b => (b.m, b.cid))
+    def byM(bs: Seq[BookLit]): Seq[Seq[CentLit]] =
+      (0 until nSub).map(m =>
+        bs.filter(_.m == m).sortBy(_.cid).map(b => CentLit(b.cid, b.cemb)))
+    def roundPlan(bs: Seq[BookLit]): DataFrame =
+      pe.withColumn("cents", element_at(typedlit(byM(bs)), col("m") + 1))
         .withColumn("best", expr(
           s"""array_min(transform(cents, c -> named_struct(
                 'erri', ${svErrIntSql(subLen)},
@@ -795,17 +888,32 @@ object Similarity {
           count(lit(1)).as("n"),
           roundTo(graft.functions.Deterministic.exactSum(col("col"), 6)
             / count(lit(1)), 4).as("mean_val"))
-        .localCheckpoint()
-      converged = means != null &&
-        next.join(means, Seq("m", "cid", "dim", "n", "mean_val"), "left_anti").isEmpty &&
-        means.join(next, Seq("m", "cid", "dim", "n", "mean_val"), "left_anti").isEmpty
+    val schema = roundPlan(books).schema
+    var means: Seq[org.apache.spark.sql.Row] = null
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val next = roundPlan(books).collect().toSeq
+      converged = means != null && next.toSet == means.toSet
       means = next
-      cents = next.groupBy("m", "cid")
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(dim, mean_val))), s -> s.mean_val)")
-          .as("cemb"))
+      books = bookModelOf(means)
     }
-    (means, cents)
+    (means, schema, books)
+  }
+
+  /** List-form sub-codebooks from long-form mean rows
+    * (m, cid, dim, n, mean_val) — driver-side twin of the former
+    * `groupBy(m, cid).agg(transform(array_sort(...)))`. */
+  private def bookModelOf(means: Seq[org.apache.spark.sql.Row]): Seq[BookLit] =
+    means.groupBy(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+      .map { case ((m, cid), rs) =>
+        BookLit(m, cid, rs.sortBy(_.getLong(2)).map(_.getDouble(4)))
+      }
+
+  /** The (m, cid, cemb) codebook frame of a driver-side model, as a
+    * LocalRelation. */
+  private def bookFrame(spark: SparkSession, books: Seq[BookLit]): DataFrame = {
+    import spark.implicits._
+    books.toDF("m", "cid", "cemb")
   }
 
   /** Q73c — PQ shortlist + exact re-rank, the production ANN pipeline:
@@ -1302,10 +1410,10 @@ object Similarity {
     */
   private def ivfPqScored(emb: DataFrame, nCentroids: Int, nSub: Int, nCodes: Int,
                           iters: Int, nQueries: Int, nProbe: Int): DataFrame = {
-    val (coarse, books, codes) = ivfPqArtifacts(emb, nCentroids, nSub, nCodes, iters)
+    val (coarse, books, codes) = ivfPqArtifactModels(emb, nCentroids, nSub, nCodes, iters)
     val queries = withEmb(emb).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("emb"))
-    val luts = ivfPqQueryLuts(queries, coarse, books, nSub, nProbe)
+    val luts = ivfPqQueryLutsModel(queries, coarse, books, nSub, nProbe)
     adcScoreCodes(codes.filter(col("vec_id") >= nQueries), luts, nSub)
   }
 
@@ -1319,11 +1427,52 @@ object Similarity {
     */
   private[graft] def ivfPqArtifacts(emb: DataFrame, nCentroids: Int, nSub: Int,
                                     nCodes: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
-    val coarse = trainedCentroids(emb, nCentroids, iters)
-    val resid = residuals(withEmb(emb), coarse)
-    val (_, books) =
-      pqTrainLoopFrom(resid.select(col("vec_id"), col("emb")), nSub, nCodes, iters)
-    (coarse, books, encodeResiduals(resid, books, nSub))
+    val spark = emb.sparkSession
+    val (coarse, books, codes) = ivfPqArtifactModels(emb, nCentroids, nSub, nCodes, iters)
+    (centFrame(spark, coarse), bookFrame(spark, books), codes)
+  }
+
+  /** [[ivfPqArtifacts]] with the two bounded artifacts as DRIVER
+    * models (the code table stays a frame — corpus-sized): lets
+    * in-query consumers inject them as plan literals instead of
+    * re-collapsing the frames into broadcast rows.
+    */
+  private def ivfPqArtifactModels(emb: DataFrame, nCentroids: Int, nSub: Int,
+                                  nCodes: Int, iters: Int): (Seq[CentLit], Seq[BookLit], DataFrame) = {
+    val e = trainInput(withEmb(emb))
+    val coarse = kmeansTrainModel(e, nCentroids, iters)._3
+    // The residual frame feeds BOTH the PQ trainer (one scan per round)
+    // and the final encode — materialize it once instead of re-running
+    // the assignment + subtraction chain per consumer.
+    val resid = residualsModel(e, coarse).localCheckpoint(false)
+    val (_, _, books) =
+      pqTrainModelFrom(resid.select(col("vec_id"), col("emb")), nSub, nCodes, iters)
+    (coarse, books, encodeResidualsModel(resid, books, nSub))
+  }
+
+  /** [[ivfPqQueryLuts]] against driver-side models: coarse centroids
+    * and sub-codebooks ride as plan literals — probe selection, the
+    * per-cell residual, and the LUT build are one map-only projection
+    * of the bounded query batch, no broadcast exchange anywhere.
+    */
+  private def ivfPqQueryLutsModel(queries: DataFrame, coarse: Seq[CentLit],
+                                  books: Seq[BookLit], nSub: Int,
+                                  nProbe: Int): DataFrame = {
+    val subLen = 64 / nSub
+    queries
+      .withColumn("cents", typedlit(coarse))
+      .withColumn("p", explode(expr(
+        s"""slice(array_sort(transform(cents, c -> named_struct(
+              'negsim', -(floor(${cosSql("emb", "c.cemb")} * 1e6 + 0.5) / 1e6),
+              'cid', c.cid,
+              'cemb', c.cemb))), 1, $nProbe)""")))
+      .withColumn("emb", expr("zip_with(emb, p.cemb, (x, y) -> x - y)"))
+      .select(col("qid"), col("p.cid").as("pcid"), col("emb"))
+      .withColumn("books", typedlit(books))
+      .select(col("qid"), col("pcid"), expr(
+        s"""transform(sequence(0, $nSub - 1), m ->
+              map_from_entries(transform(filter(books, b -> b.m = m),
+                b -> struct(b.cid, ${residErrSql(subLen)}))))""").as("lut"))
   }
 
   /** Residuals of every vector w.r.t. its assigned coarse centroid —
@@ -1333,6 +1482,16 @@ object Similarity {
   private[graft] def residuals(e: DataFrame, coarse: DataFrame): DataFrame =
     assignTo(e, coarse)
       .join(broadcast(coarse), "cid")
+      .withColumn("emb", expr("zip_with(emb, cemb, (x, y) -> x - y)"))
+      .select(col("vec_id"), col("cid"), col("emb"))
+
+  /** [[residuals]] against a driver-side model: the centroid lookup is
+    * a plan-literal map instead of a broadcast join — fully map-only.
+    */
+  private[graft] def residualsModel(e: DataFrame, coarse: Seq[CentLit]): DataFrame =
+    assignToModel(e, coarse)
+      .withColumn("cemb",
+        element_at(typedlit(coarse.map(c => c.cid -> c.cemb).toMap), col("cid")))
       .withColumn("emb", expr("zip_with(emb, cemb, (x, y) -> x - y)"))
       .select(col("vec_id"), col("cid"), col("emb"))
 
@@ -1361,6 +1520,18 @@ object Similarity {
                 b -> named_struct('erri', ${residErrSql(64 / nSub)}, 'cid', b.cid))).cid)""")
         .as("codes"))
   }
+
+  /** [[encodeResiduals]] against a driver-side model: the codebook row
+    * is a plan literal, so the encode plan has no broadcast exchange.
+    */
+  private[graft] def encodeResidualsModel(resid: DataFrame, books: Seq[BookLit],
+                                          nSub: Int): DataFrame =
+    resid.withColumn("books", typedlit(books))
+      .select(col("vec_id"), col("cid"), expr(
+        s"""transform(sequence(0, $nSub - 1), m ->
+              array_min(transform(filter(books, b -> b.m = m),
+                b -> named_struct('erri', ${residErrSql(64 / nSub)}, 'cid', b.cid))).cid)""")
+        .as("codes"))
 
   /** Per-(query, probed cell) residual-ADC lookup tables, long form
     * `(qid, pcid, lut)`: each query probes its `nProbe` nearest coarse

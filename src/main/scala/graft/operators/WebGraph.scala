@@ -63,9 +63,10 @@ object WebGraph {
   def pageRank(docs: DataFrame, rounds: Int): DataFrame = {
     val ids = docs.select(col("doc_id"))
     // Every round joins the SAME edge frame — materialize it once
-    // (the nearDupClusters loop convention) instead of re-deriving it
-    // from the corpus scan each iteration.
-    val edges = linkGraph(docs).persist()
+    // (eager checkpoint: the rounds below are lazy, so a persist would
+    // never fill before its unpersist; the ContextCleaner frees the
+    // checkpoint RDD once the result frame is garbage).
+    val edges = linkGraph(docs).localCheckpoint()
     var ranks = ids.withColumn("r", lit(1000000L))
     for (_ <- 1 to rounds) {
       val inMass = edges
@@ -77,9 +78,12 @@ object WebGraph {
         .join(inMass, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(150000L) + expr("85 * coalesce(s, 0L) div 100")).as("r"))
-        .localCheckpoint()
+        // Lazy: plan depth still resets every round (the checkpoint
+        // plans against the previous round's RDD), but materialization
+        // happens inside the ONE consuming job instead of `rounds`
+        // eager per-round jobs.
+        .localCheckpoint(false)
     }
-    edges.unpersist()
     ranks.select(col("doc_id"), col("r").as("rank_micros")).orderBy("doc_id")
   }
 

@@ -21,3 +21,19 @@ object StoreProvenance {
     state.asScala.toMap
   }
 }
+
+/** Run independent driver-side steps (store builds, artifact writes)
+  * CONCURRENTLY (optimization guide §2.6: Spark happily runs several
+  * jobs at once — actions are only sequential because the driver calls
+  * them sequentially, and each job's straggler tail otherwise leaves
+  * the cluster idle). Steps must touch disjoint state (different
+  * dirs / different store locks); results return in call order.
+  */
+private[graft] object ParallelSteps {
+  def run[T](steps: (() => T)*): Seq[T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    steps.map(st => Future(st())).map(Await.result(_, Duration.Inf))
+  }
+}

@@ -37,12 +37,15 @@ import graft.functions.PortableHash.hash48
   */
 object TextIndexStore {
 
-  /** One corpus scan → postings + stats (overwrite). */
+  /** One corpus scan → postings + stats (overwrite). The two artifacts
+    * live in disjoint subdirs and share no mutable state — their write
+    * jobs run concurrently (guide §2.6). */
   def build(docs: DataFrame, dir: String, nBuckets: Int): Unit = {
-    writePostings(docs, dir, nBuckets, "overwrite")
-    docLengths(docs)
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    ParallelSteps.run(
+      () => writePostings(docs, dir, nBuckets, "overwrite"),
+      () => docLengths(docs)
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+        .write.mode("overwrite").parquet(s"$dir/stats"))
     // A rebuild is a new index: tombstones against the old postings
     // must not shadow fresh rows (the VectorIndexStore.build contract)
     // — and an old corpus's positional sidecar must not serve next to

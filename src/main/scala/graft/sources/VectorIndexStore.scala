@@ -43,12 +43,16 @@ object VectorIndexStore {
   def build(emb: DataFrame, dir: String, nCentroids: Int, nSub: Int,
             nCodes: Int, iters: Int): Unit = {
     val (coarse, books, codes) = Similarity.ivfPqArtifacts(emb, nCentroids, nSub, nCodes, iters)
-    coarse.write.mode("overwrite").parquet(s"$dir/centroids")
-    books.write.mode("overwrite").parquet(s"$dir/codebooks")
-    codes
-      .repartition(col("cid"))
-      .sortWithinPartitions("vec_id")
-      .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/codes")
+    // The three artifacts live in disjoint subdirs and share no
+    // uncomputed lineage (training already ran) — write them as
+    // concurrent jobs instead of three sequential commits.
+    ParallelSteps.run(
+      () => coarse.write.mode("overwrite").parquet(s"$dir/centroids"),
+      () => books.write.mode("overwrite").parquet(s"$dir/codebooks"),
+      () => codes
+        .repartition(col("cid"))
+        .sortWithinPartitions("vec_id")
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/codes"))
     // A rebuild is a new index: tombstones against the OLD code table
     // (a prior process's partial state) must not shadow fresh rows.
     val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
