@@ -443,14 +443,26 @@ object Curation {
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, size(words) - $n),
               i -> ${hash48(s"array_join(slice(words, i + 1, $n), ' ')")})""")).as("g"))
-    val dupg = grams
-      .groupBy("g")
-      .agg(count_distinct(col("doc_id")).as("nd"))
+    // Round 14 (guide §2.3/§2.4): one corpus explode instead of two.
+    // The former shape aggregated count_distinct(doc_id) per digest and
+    // then SEMI-JOINED the (re-exploded, re-hashed) gram instances back
+    // against the duplicated-digest set — the md5-per-position pass ran
+    // twice and the join added a fourth exchange. Equivalent one-pass
+    // form: collapse instances to (g, doc_id, k) — map-side partial agg
+    // shrinks within-doc repeats before the exchange — count distinct
+    // docs per digest as a window over that collapsed frame (same g
+    // partitioning the agg already established), and sum the kept
+    // instance counts per doc. n_dup_grams(doc) = Σ_{g: nd(g)≥2} k(g,doc)
+    // — identical by definition to "instances whose digest appears in
+    // ≥2 docs".
+    val perDocGram = grams
+      .groupBy("g", "doc_id")
+      .agg(count(lit(1)).as("k"))
+    val dupPerDoc = perDocGram
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("g")))
       .where(col("nd") >= 2)
-      .select("g")
-    val dupPerDoc = grams.join(dupg, Seq("g"), "left_semi")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dup_grams"))
+      .agg(sum("k").as("n_dup_grams"))
     d.select(col("doc_id"),
         greatest(size(col("words")) - n + 1, lit(0)).cast("long").as("n_grams"))
       .join(dupPerDoc, Seq("doc_id"), "left")

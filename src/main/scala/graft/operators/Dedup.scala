@@ -351,7 +351,8 @@ object Dedup {
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
       .localCheckpoint(false)
-    var changed = 1L
+    var changed = true
+    var prevSum: java.math.BigDecimal = null
     var rounds = 0
     // Neighbor-min alone needs O(diameter) rounds; the extra
     // label-of-label hop (pointer jumping — every label value is itself
@@ -360,10 +361,16 @@ object Dedup {
     // The cap is a runaway guard: 64 rounds covers any component that
     // fits in an exabyte, and overrunning it raises — this operator
     // must never silently emit unconverged (wrong) cluster labels.
-    // Each round is ONE job: the convergence probe's old-label join
-    // rides INSIDE the lazily-checkpointed round plan (the probe count
-    // materializes it), instead of a second join-the-checkpoint job.
-    while (changed > 0) {
+    // Each round is ONE job, and (round 14, guide §2.4) the convergence
+    // probe is label-sum MONOTONICITY instead of a join against the
+    // previous labels: every round takes a min over a set containing
+    // the node's own old label, so per-node labels never increase and
+    // the label sum strictly decreases iff ANY label changed. That
+    // drops the probe's third join (and its exchange) from every
+    // round's plan; the sum is exact (decimal(38,0) — no long overflow
+    // at any corpus size) and the job count per round is unchanged
+    // (the agg's collect materializes the lazy checkpoint).
+    while (changed) {
       if (rounds >= 64)
         throw new IllegalStateException(
           s"nearDupClusters failed to converge after $rounds rounds")
@@ -376,12 +383,15 @@ object Dedup {
           labels.select(col("doc").as("l_doc"), col("lbl").as("l_lbl")),
           neighborMin("lbl") === col("l_doc"))
         .select(col("doc"), least(col("lbl"), col("l_lbl")).as("lbl"))
-        .join(labels.select(col("doc"), col("lbl").as("old")), "doc")
         .localCheckpoint(false)
-      changed = next.where(col("lbl") < col("old")).count()
+      val s = next.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+      // Empty pair graph → empty labels → null sum → already converged.
+      changed = s != null && (prevSum == null || s.compareTo(prevSum) < 0)
+      prevSum = s
       // Stale rounds' checkpoint RDDs are dropped by the ContextCleaner
       // once this reference moves on; edges we free explicitly below.
-      labels = next.select("doc", "lbl")
+      labels = next
       rounds += 1
     }
     edges.unpersist()

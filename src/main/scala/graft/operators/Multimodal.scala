@@ -235,6 +235,30 @@ object Multimodal {
     * SQL oracle can verify a REAL decode without a codec of its own
     * (the q21d pattern, audio edition).
     */
+  /** The JDK audio SPI providers, resolved ONCE per JVM (round 14,
+    * guide §4.5 "initialise heavyweight state once", JVM edition):
+    * `AudioSystem.write` / `AudioSystem.getAudioInputStream` funnel
+    * EVERY encode/decode through a JVM-global synchronized provider
+    * lookup (`JDK13Services.getProviders`) — measured on this corpus:
+    * 5k clips encode+decode run 1.66 s on ONE thread but 2.59 s on 16
+    * threads (a lock convoy, worse than serial — exactly q21e's 0.82
+    * core-scaling ratio in BENCH_r13). The provider objects themselves
+    * are stateless (all parse state lives on the streams they are
+    * handed), so one shared instance set serves every task lock-free.
+    * The iteration order and try-next-on-failure semantics below mirror
+    * `AudioSystem`'s own loops, so accepted/rejected byte streams and
+    * produced bytes are identical.
+    */
+  private object WavSpi {
+    import scala.jdk.CollectionConverters._
+    val readers: List[javax.sound.sampled.spi.AudioFileReader] =
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toList
+    val writers: List[javax.sound.sampled.spi.AudioFileWriter] =
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala.toList
+  }
+
   def wavBlob(id: Long): MediaBlob = {
     val n = (64 + id * 37 % 192).toInt
     val pcm = new Array[Byte](n * 2)
@@ -249,8 +273,14 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // AudioSystem.write's provider loop, minus its global lock: first
+    // writer that accepts the (type, stream) wins, IllegalArgumentException
+    // means try the next — the same contract, the same WAVE bytes.
+    val wrote = WavSpi.writers.exists { w =>
+      try { w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos); true }
+      catch { case _: IllegalArgumentException => false }
+    }
+    require(wrote, s"no WAVE writer in this JRE for doc $id")
     MediaBlob(id, "audio/wav", bos.toByteArray)
   }
 
@@ -263,8 +293,22 @@ object Multimodal {
     */
   def decodeWav(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      // AudioSystem.getAudioInputStream's provider loop, minus its
+      // global lock (see WavSpi): first reader that parses the header
+      // wins; UnsupportedAudioFileException means try the next (readers
+      // reset the stream on rejection per the SPI contract); none
+      // accepting = not decodable audio.
+      val bis = new java.io.ByteArrayInputStream(payload)
+      val ais = WavSpi.readers.iterator
+        .flatMap { r =>
+          try Some(r.getAudioInputStream(bis))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          }
+        }
+        .nextOption()
+        .getOrElse(throw new javax.sound.sampled.UnsupportedAudioFileException(
+          "Stream of unsupported format"))
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits != 16) None
       else {

@@ -8,11 +8,31 @@ import graft.functions.Deterministic.roundTo
 /** Driver-side centroid entry (the bounded trained model), injected
   * into per-row expressions as a PLAN LITERAL — field names match the
   * former `collect_list(struct(cid, cemb))` shape the argmax/argmin
-  * lambdas reference, so the evaluated expression is unchanged. */
+  * lambdas reference, so the evaluated expression is unchanged.
+  *
+  * SIZE BOUND on the literal path (ADVICE r13): a typedlit model rides
+  * in the analyzed plan per reference, so it is only for models that
+  * are small by CONSTRUCTION — the registered configs here are
+  * nCentroids=8 × dim=64 doubles (4 KB), sub-codebooks 4×8×16 (4 KB),
+  * and query LUTs nQueries×nProbe=8 rows (~2 KB): far below anything
+  * that bloats analysis or codegen. A config change that grows a model
+  * past ~1 MB of literal (≈16k centroids at dim 64) should switch that
+  * consumer back to the broadcast-row variants kept alongside
+  * ([[Similarity.assignTo]], [[Similarity.encodeResiduals]],
+  * [[Similarity.adcScoreCodes]]) — same expressions, model shipped as
+  * a broadcast instead of a literal. */
 private[graft] case class CentLit(cid: Long, cemb: Seq[Double])
 
 /** [[CentLit]] with its PQ subspace — one sub-codebook entry. */
 private[graft] case class BookLit(m: Int, cid: Long, cemb: Seq[Double])
+
+/** One query's per-probed-cell ADC lookup table (qid, probed cell id,
+  * per-subspace cid→distance maps) as a driver-side literal — the
+  * bounded (nQueries × nProbe) serving-time model of the stored-index
+  * searches; field names match the former
+  * `collect_list(struct(qid, pcid, lut))` row the scoring lambda
+  * references, so the evaluated expression is unchanged. */
+private[graft] case class LutLit(qid: Long, pcid: Long, lut: Seq[Map[Long, Long]])
 
 /** Embedding similarity search (north-star LLM-pipeline surface;
   * SURVEY.md §2C Q18).
@@ -447,10 +467,34 @@ object Similarity {
     * not just probed"). Identical scale shape to [[ivfSearch]]: the
     * training loop touches only bounded state per round, assignment is
     * map-only, and search joins the broadcast query batch on cluster id.
+    *
+    * Round 14 (guide §2.4): the serving leg now consumes the SAME
+    * checkpointed (vec_id, emb) frame the trainer materialized (one
+    * parquet decode for train+search, not two) and assigns against the
+    * driver-resident model as a plan literal ([[assignToModel]] — the
+    * q50b mechanics) instead of [[assignTo]]'s collect_list aggregation
+    * job + broadcast exchange. Same argmax expression, same rounding,
+    * bit-identical assignment — only the exchange and the extra scan
+    * are gone.
     */
   def ivfSearchTrained(emb: DataFrame, nCentroids: Int, iters: Int,
-                       nQueries: Int, k: Int): DataFrame =
-    ivfSearchFrames(emb, trainedCentroids(emb, nCentroids, iters), nQueries, k)
+                       nQueries: Int, k: Int): DataFrame = {
+    val e = trainInput(withEmb(emb))
+    val cents = kmeansTrainModel(e, nCentroids, iters)._3
+    val assigned = assignToModel(e, cents)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("cid"), col("emb").as("qemb"))
+    val corpus = assigned
+      .filter(col("vec_id") >= nQueries)
+      .select(col("cid"), col("vec_id"), col("emb"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    corpus.join(broadcast(queries), "cid")
+      .withColumn("score", roundTo(expr(cosSql("emb", "qemb")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "score")
+      .orderBy("qid", "rnk")
+  }
 
   /** [[ivfSearchTrained]]'s search half over an EXPLICIT centroid
     * frame — the stored-index entry point: q18i passes the centroids
@@ -1413,8 +1457,17 @@ object Similarity {
     val (coarse, books, codes) = ivfPqArtifactModels(emb, nCentroids, nSub, nCodes, iters)
     val queries = withEmb(emb).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("emb"))
-    val luts = ivfPqQueryLutsModel(queries, coarse, books, nSub, nProbe)
-    adcScoreCodes(codes.filter(col("vec_id") >= nQueries), luts, nSub)
+    // Round 14: collect the bounded LUT rows and score against the
+    // literal (see ivfPqSearchFrames) — drops the lutsRow collect_list
+    // aggregation + broadcast exchange from the scoring job, and the
+    // probe set now prunes unprobed cells' code rows before the explode
+    // (behavior-preserving: a row whose cid no query probes matches
+    // nothing).
+    val (qluts, probed) = collectLuts(
+      ivfPqQueryLutsModel(queries, coarse, books, nSub, nProbe))
+    adcScoreCodesModel(
+      codes.filter(col("vec_id") >= nQueries && col("cid").isin(probed: _*)),
+      qluts, nSub)
   }
 
   /** The three IVF-PQ index artifacts, each a plain frame: coarse
@@ -1622,10 +1675,17 @@ object Similarity {
   def ivfPqSearchFrames(queries: DataFrame, coarse: DataFrame, books: DataFrame,
                         codes: DataFrame, nSub: Int, k: Int, nProbe: Int): DataFrame = {
     require(k <= 10, "k is capped by the graft_top10 buffer")
-    val luts = ivfPqQueryLuts(queries, coarse, books, nSub, nProbe)
-      .localCheckpoint()
-    val probed = luts.select("pcid").distinct().collect().map(_.getLong(0))
-    adcScoreCodes(codes.filter(col("cid").isin(probed.toSeq: _*)), luts, nSub)
+    // Round 14 (guide §2.4, the r13 driver-model mechanics applied to
+    // the SERVING side): the LUT frame is bounded (nQueries × nProbe
+    // rows), so collect it outright — the probe set falls out of the
+    // same collect (formerly a second job over an eager checkpoint),
+    // and the scoring scan consumes the LUTs as a PLAN LITERAL instead
+    // of rebuilding them into a broadcast row (collect_list aggregation
+    // + broadcast exchange) inside the main job. The LUT VALUES are
+    // still computed by the identical Spark expressions
+    // ([[ivfPqQueryLuts]]) — only where the bounded rows travel changed.
+    val (qluts, probed) = lutsCollected(queries, coarse, books, nSub, nProbe)
+    adcScoreCodesModel(codes.filter(col("cid").isin(probed: _*)), qluts, nSub)
       .groupBy(col("qid"))
       .agg(expr(s"slice(graft_top10(-adc, vec_id), 1, $k)").as("top"))
       .select(col("qid"), posexplode(col("top")))
@@ -1633,6 +1693,40 @@ object Similarity {
         col("col._2").as("vec_id"), (-col("col._1")).as("adc"))
       .orderBy("qid", "rnk")
   }
+
+  /** The bounded query-LUT rows, collected: (literal list, the distinct
+    * probed cell ids for file-level pruning of the code/float scans).
+    */
+  private def lutsCollected(queries: DataFrame, coarse: DataFrame,
+                            books: DataFrame, nSub: Int,
+                            nProbe: Int): (Seq[LutLit], Seq[Long]) =
+    collectLuts(ivfPqQueryLuts(queries, coarse, books, nSub, nProbe))
+
+  /** Collect a bounded (qid, pcid, lut) frame into the literal model +
+    * its distinct probed cell ids. */
+  private def collectLuts(lutFrame: DataFrame): (Seq[LutLit], Seq[Long]) = {
+    val luts = lutFrame
+      .collect()
+      .map(r => LutLit(r.getLong(0), r.getLong(1),
+        r.getSeq[scala.collection.Map[Long, Long]](2).map(_.toMap)))
+      .toSeq
+    (luts, luts.map(_.pcid).distinct.sorted)
+  }
+
+  /** [[adcScoreCodes]] against the collected LUT model: the LUT set is
+    * a plan literal, so the scoring plan has no broadcast exchange and
+    * no aggregation — one scan of the probed cells' code rows.
+    */
+  private def adcScoreCodesModel(codes: DataFrame, qluts: Seq[LutLit],
+                                 nSub: Int): DataFrame =
+    codes
+      .select(col("vec_id"), col("cid"), col("codes"),
+        explode(typedlit(qluts)).as("q"))
+      .where(col("q.pcid") === col("cid"))
+      .withColumn("adc", roundTo(expr(
+        s"""aggregate(sequence(0, $nSub - 1), CAST(0 AS BIGINT),
+              (acc, m) -> acc + element_at(q.lut[m], codes[m]))""").cast("double") / 1e6, 4))
+      .select(col("q.qid").as("qid"), col("vec_id"), col("adc"))
 
   /** Stored-index IVFADC+R — [[ivfPqRerankSearch]] over explicit
     * artifact frames plus the float-vector table: the stored codes
@@ -1672,10 +1766,9 @@ object Similarity {
                          nProbe: Int, vecsFor: Seq[Long] => DataFrame): DataFrame = {
     require(shortlist <= 50, "shortlist is capped by the graft_top50 buffer")
     require(k <= 10, "k is capped by the graft_top10 buffer")
-    val luts = ivfPqQueryLuts(queries, coarse, books, nSub, nProbe)
-      .localCheckpoint()
-    val probed = luts.select("pcid").distinct().collect().map(_.getLong(0)).toSeq
-    val short = adcScoreCodes(codes.filter(col("cid").isin(probed: _*)), luts, nSub)
+    // Same round-14 serving-side model move as [[ivfPqSearchFrames]].
+    val (qluts, probed) = lutsCollected(queries, coarse, books, nSub, nProbe)
+    val short = adcScoreCodesModel(codes.filter(col("cid").isin(probed: _*)), qluts, nSub)
       .groupBy("qid")
       .agg(expr(s"slice(graft_top50(-adc, vec_id), 1, $shortlist)").as("top"))
       .select(col("qid"), explode(expr("transform(top, t -> t._2)")).as("vec_id"))

@@ -227,8 +227,14 @@ object TextAnalysis {
       // excludes only LF — the same Java-vs-RE2 class as BpePattern's
       // \s note. With DOTALL
       // both match every character.
+      // Lazy checkpoint (the q40 probe convention): each round's argmax
+      // collect below is the job that materializes the current vocab,
+      // so a round costs ONE job, not an argmax job plus a separate
+      // eager-checkpoint job — and the final round's vocab is only
+      // materialized if a tokenize consumer actually reads it
+      // (bpeTrain returns just the merge table).
       .withColumn("syms", rtrim(regexp_replace(col("word"), "(?s)(.)", "$1 ")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     for (round <- 1 to nMerges) {
       val best = vocab
@@ -246,7 +252,7 @@ object TextAnalysis {
       var padded = concat(lit(" "), col("syms"), lit(" "))
       for (_ <- 1 to MergePasses)
         padded = call_function("replace", padded, lit(s" $l $r "), lit(s" $l$r "))
-      vocab = vocab.withColumn("syms", trim(padded)).localCheckpoint()
+      vocab = vocab.withColumn("syms", trim(padded)).localCheckpoint(false)
     }
     (merges.toSeq, vocab)
   }

@@ -63,10 +63,17 @@ object WebGraph {
   def pageRank(docs: DataFrame, rounds: Int): DataFrame = {
     val ids = docs.select(col("doc_id"))
     // Every round joins the SAME edge frame — materialize it once
-    // (eager checkpoint: the rounds below are lazy, so a persist would
-    // never fill before its unpersist; the ContextCleaner frees the
-    // checkpoint RDD once the result frame is garbage).
-    val edges = linkGraph(docs).localCheckpoint()
+    // (the nearDupClusters loop convention) instead of re-deriving it
+    // from the corpus scan each iteration. Round-13 tried eager edges
+    // localCheckpoint + LAZY per-round rank checkpoints (defer all
+    // materialization into the final consuming job); that regressed
+    // q99b −16% / q99c −28% (BENCH_r13 vs r12): the one consuming job
+    // then pays `rounds` chained persist-write+read barriers serially
+    // where the eager form overlaps each round's write with the next
+    // round's planning. Reverted to r12's measured-faster shape:
+    // persist edges (filled by round 1's eager checkpoint action),
+    // eager per-round checkpoints, explicit edge free at the end.
+    val edges = linkGraph(docs).persist()
     var ranks = ids.withColumn("r", lit(1000000L))
     for (_ <- 1 to rounds) {
       val inMass = edges
@@ -78,12 +85,9 @@ object WebGraph {
         .join(inMass, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(150000L) + expr("85 * coalesce(s, 0L) div 100")).as("r"))
-        // Lazy: plan depth still resets every round (the checkpoint
-        // plans against the previous round's RDD), but materialization
-        // happens inside the ONE consuming job instead of `rounds`
-        // eager per-round jobs.
-        .localCheckpoint(false)
+        .localCheckpoint()
     }
+    edges.unpersist()
     ranks.select(col("doc_id"), col("r").as("rank_micros")).orderBy("doc_id")
   }
 
